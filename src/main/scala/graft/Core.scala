@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One registered engine operator: a Spark query over the driver testdata plus
+  * (when SQL-expressible) a DuckDB oracle that must hash-match it exactly.
+  *
+  * Scale discipline (SURVEY §4): every query here is a declarative Dataset
+  * plan — Catalyst does pushdown/pruning/join-selection; nothing collects to
+  * the driver except the final action taken by the harness.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet scan — columnar, vectorized, filter/column pushdown for free.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * natively; we read it as a nanosecond long (legacy conf) and convert to
+    * a microsecond TimestampType with integer `DIV` (no double round-trip —
+    * ns-since-2024 exceeds 2^53). DuckDB truncates ns→µs the same way, so
+    * the two engines agree on every derived epoch/window value.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df0 = {
+      if (name == "events")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+    if (name == "events")
+      df0.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else df0
+  }
+}
+
+/** Determinism helpers: make float aggregates ORDER-INDEPENDENT so the same
+  * query hashes identically in Spark (partial+final agg over 32 partitions)
+  * and in DuckDB (single-threaded or its own parallel order).
+  *
+  * Trick: the testdata money/quantity columns are fixed-decimal doubles
+  * (2 decimals; products of two/three of them are exact at 4/6 decimals).
+  * `round(x * 10^s)` recovers the exact integer numerator, which we sum as
+  * BIGINT — exact, associative, commutative — then divide back in double.
+  * Both engines round the SAME exact integer to double, so results are
+  * bit-identical regardless of partitioning. This survives any scale-up:
+  * correctness does not depend on the number of partitions.
+  */
+object Num {
+  private def pow10(scale: Int): Double = math.pow(10.0, scale.toDouble)
+
+  /** Exact sum of a fixed-decimal(double) expression with `scale` decimals. */
+  def sumFixed(c: Column, scale: Int): Column = {
+    val f = pow10(scale)
+    (sum(round(c * lit(f)).cast("long")).cast("double")) / lit(f)
+  }
+
+  /** SQL mirror of [[sumFixed]] for the DuckDB oracle. */
+  def sumFixedSql(expr: String, scale: Int): String = {
+    val f = s"1e$scale"
+    s"CAST(sum(CAST(round(($expr) * $f) AS BIGINT)) AS DOUBLE) / $f"
+  }
+
+  /** Exact average of a fixed-decimal(double) expression. */
+  def avgFixed(c: Column, scale: Int): Column = {
+    val f = pow10(scale)
+    sum(round(c * lit(f)).cast("long")).cast("double") /
+      (lit(f) * count(c).cast("double"))
+  }
+
+  /** SQL mirror of [[avgFixed]]. */
+  def avgFixedSql(expr: String, scale: Int): String = {
+    val f = s"1e$scale"
+    s"CAST(sum(CAST(round(($expr) * $f) AS BIGINT)) AS DOUBLE) / ($f * CAST(count($expr) AS DOUBLE))"
+  }
+}

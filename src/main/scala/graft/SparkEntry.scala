@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The full operator inventory is assembled from per-module registries; each
+  * module owns a SURVEY §2 slice:
+  *   - [[graft.operators.Relational]] — §2.B substrate + §2.C1–C5
+  *   - [[graft.operators.Dedup]]      — §2.C6 exact + near-dup dedup
+  *   - [[graft.operators.Similarity]] — §2.C7 vector similarity search
+  *   - [[graft.operators.TextAnalysis]] — §2.C8 text analysis
+  *   - [[graft.operators.Multimodal]] — §2.C9 binary/multimodal plumbing
+  *   - [[graft.streaming.EventStreams]] — §2.C10 Structured Streaming
+  *   - [[graft.ml]]                   — §2.A LGBMClassifier/LGBMRegressor
+  */
 object SparkEntry {
+  private def modules: Seq[QueryDef] =
+    operators.Relational.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    modules.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,656 @@
+package graft.operators
+
+import graft.{QueryDef, Tables, Num}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator inventory (SURVEY §2.B + §2.C1–C5).
+  *
+  * Every query is a declarative `Dataset` plan: filters/projections reach the
+  * parquet scan (PushedFilters / ReadSchema), small dimension tables are
+  * explicitly `broadcast()`, aggregations get map-side partial aggregation
+  * from Tungsten, and no operator collects to the driver. Float aggregates
+  * use [[graft.Num]] fixed-point exact sums so results are independent of
+  * partitioning — correct on 32 local threads and on a 1000-executor cluster.
+  *
+  * Reference substrate usage this reproduces: dask.dataframe projection /
+  * elementwise / aggregation / lazy-graph semantics exercised at
+  * /root/reference/system_tests/test_fit_predict.py:26-56 and
+  * /root/reference/dask_lightgbm/core.py:5-6 (see SURVEY §2.B).
+  */
+object Relational {
+  import Num._
+
+  private def li(s: SparkSession, d: String) = Tables.t(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables.t(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables.t(s, d, "customer")
+  private def sup(s: SparkSession, d: String) = Tables.t(s, d, "supplier")
+  private def nat(s: SparkSession, d: String) = Tables.t(s, d, "nation")
+  private def reg(s: SparkSession, d: String) = Tables.t(s, d, "region")
+  private def part(s: SparkSession, d: String) = Tables.t(s, d, "part")
+  private def ev(s: SparkSession, d: String) = Tables.t(s, d, "events")
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  // ---------------------------------------------------------------- q01
+  // TPC-H Q1 shape: scan → filter → hash-agg (partial+final) → sort.
+  private val q01 = QueryDef(
+    "q01_pricing_summary",
+    (s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumFixed(col("l_quantity"), 2).as("sum_qty"),
+          sumFixed(col("l_extendedprice"), 2).as("sum_base_price"),
+          sumFixed(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          sumFixed(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+              (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          avgFixed(col("l_quantity"), 2).as("avg_qty"),
+          avgFixed(col("l_extendedprice"), 2).as("avg_price"),
+          avgFixed(col("l_discount"), 2).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${sumFixedSql("l_quantity", 2)} AS sum_qty,
+             ${sumFixedSql("l_extendedprice", 2)} AS sum_base_price,
+             ${sumFixedSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+             ${sumFixedSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+             ${avgFixedSql("l_quantity", 2)} AS avg_qty,
+             ${avgFixedSql("l_extendedprice", 2)} AS avg_price,
+             ${avgFixedSql("l_discount", 2)} AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  // ---------------------------------------------------------------- q02
+  // Predicate surface: =, <, >=, IN, NOT, AND; projection arithmetic.
+  private val q02 = QueryDef(
+    "q02_filter_project",
+    (s, d) =>
+      li(s, d)
+        .filter(
+          col("l_quantity") < 10 &&
+            col("l_returnflag").isin("A", "N") &&
+            col("l_linestatus") === "O" &&
+            col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+            !(col("l_discount") > 0.05))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("net_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice * (1.0 - l_discount), 4) AS net_price
+      FROM lineitem
+      WHERE l_quantity < 10 AND l_returnflag IN ('A','N') AND l_linestatus = 'O'
+        AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND NOT (l_discount > 0.05)
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  // ---------------------------------------------------------------- q03
+  // TPC-H Q3 shape: broadcast dim join → fact join → agg → top-k.
+  private val q03 = QueryDef(
+    "q03_shipping_priority",
+    (s, d) => {
+      val c = cust(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = ord(s, d)
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val l = li(s, d)
+        .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sumFixed(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .select(
+          col("l_orderkey"),
+          col("revenue"),
+          unix_timestamp(col("o_orderdate")).as("odate_epoch"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT l_orderkey,
+             ${sumFixedSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+             CAST(epoch(o_orderdate) AS BIGINT) AS odate_epoch
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10"""))
+
+  // ---------------------------------------------------------------- q04
+  // TPC-H Q5 shape: 6-table star join; region/nation broadcast.
+  private val q04 = QueryDef(
+    "q04_local_supplier_volume",
+    (s, d) => {
+      val r = reg(s, d).filter(col("r_name") === "ASIA")
+      val n = nat(s, d)
+      l5(s, d, r, n)
+    },
+    Some(s"""
+      SELECT n_name,
+             ${sumFixedSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name"""))
+
+  private def l5(s: SparkSession, d: String, r: DataFrame, n: DataFrame) = {
+    li(s, d)
+      .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup(s, d)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sumFixed(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // ---------------------------------------------------------------- q05
+  // Left outer join + null-safe aggregation (customers with zero orders).
+  private val q05 = QueryDef(
+    "q05_left_join_orders",
+    (s, d) =>
+      cust(s, d)
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          coalesce(sumFixed(col("o_totalprice"), 2), lit(0.0)).as("total_spend"))
+        .orderBy(col("c_custkey")),
+    Some(s"""
+      SELECT c_custkey,
+             count(o_orderkey) AS n_orders,
+             coalesce(${sumFixedSql("o_totalprice", 2)}, 0.0) AS total_spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+      ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------- q06
+  // Full outer join of two aggregates.
+  private val q06 = QueryDef(
+    "q06_full_outer_nation_counts",
+    (s, d) => {
+      val cs = cust(s, d).groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"))
+      val ss = sup(s, d).groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      cs.join(ss, col("nk_c") === col("nk_s"), "full")
+        .select(
+          coalesce(col("nk_c"), col("nk_s")).as("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nk"))
+    },
+    Some("""
+      WITH cs AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+           ss AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+      SELECT coalesce(cs.nk, ss.nk) AS nk,
+             coalesce(n_cust, 0) AS n_cust,
+             coalesce(n_supp, 0) AS n_supp
+      FROM cs FULL OUTER JOIN ss ON cs.nk = ss.nk
+      ORDER BY nk"""))
+
+  // ---------------------------------------------------------------- q07
+  // Left-semi join (EXISTS).
+  private val q07 = QueryDef(
+    "q07_semi_join_parts",
+    (s, d) =>
+      part(s, d)
+        .join(
+          li(s, d).filter(col("l_quantity") > 45),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_brand"))
+        .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey, p_brand
+      FROM part
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_partkey = p_partkey AND l_quantity > 45)
+      ORDER BY p_partkey"""))
+
+  // ---------------------------------------------------------------- q08
+  // Left-anti join (NOT EXISTS).
+  private val q08 = QueryDef(
+    "q08_anti_join_customers",
+    (s, d) =>
+      cust(s, d)
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------- q09
+  // Global top-k (sort + limit; Spark plans TakeOrderedAndProject —
+  // per-partition heaps + driver merge of k rows, no full sort at scale).
+  private val q09 = QueryDef(
+    "q09_topk_orders",
+    (s, d) =>
+      ord(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20),
+    Some("""
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20"""))
+
+  // ---------------------------------------------------------------- q10
+  // Window ranking functions: row_number / rank / dense_rank, top-3 per group.
+  private val q10 = QueryDef(
+    "q10_window_rank",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      ord(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn").cast("long").as("rn"), col("rnk").cast("long").as("rnk"),
+          col("drnk").cast("long").as("drnk"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(rn AS BIGINT) AS rn, CAST(rnk AS BIGINT) AS rnk,
+             CAST(drnk AS BIGINT) AS drnk
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER w AS rn,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      ) t
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn"""))
+
+  // ---------------------------------------------------------------- q11
+  // Window frames + lag/lead. Running sums kept in exact integer cents so
+  // the cumulative value is partition-order independent.
+  private val q11 = QueryDef(
+    "q11_window_running",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      li(s, d)
+        .filter(col("l_suppkey") < 5)
+        .withColumn("qty_c", round(col("l_quantity") * 100).cast("long"))
+        .withColumn("run_qty_c",
+          sum(col("qty_c")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("prev_order", lag(col("l_orderkey"), 1).over(w))
+        .withColumn("next_order", lead(col("l_orderkey"), 1).over(w))
+        .select(
+          col("l_suppkey"), unix_timestamp(col("l_shipdate")).as("ship_epoch"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("run_qty_c"), col("prev_order"), col("next_order"))
+        .orderBy(col("l_suppkey"), col("ship_epoch"), col("l_orderkey"),
+          col("l_linenumber"))
+    },
+    Some("""
+      SELECT l_suppkey,
+             CAST(epoch(l_shipdate) AS BIGINT) AS ship_epoch,
+             l_orderkey, l_linenumber,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+               OVER (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_qty_c,
+             lag(l_orderkey, 1) OVER w AS prev_order,
+             lead(l_orderkey, 1) OVER w AS next_order
+      FROM lineitem
+      WHERE l_suppkey < 5
+      WINDOW w AS (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      ORDER BY l_suppkey, ship_epoch, l_orderkey, l_linenumber"""))
+
+  // ---------------------------------------------------------------- q12
+  // Set operations (distinct semantics): union / intersect / except.
+  private val q12 = QueryDef(
+    "q12_set_ops",
+    (s, d) => {
+      val c = cust(s, d).select(col("c_nationkey").cast("int").as("nk"))
+      val su = sup(s, d).select(col("s_nationkey").cast("int").as("nk"))
+      val inter = c.intersect(su).withColumn("op", lit("intersect"))
+      val exc = c.except(su).withColumn("op", lit("except"))
+      val uni = c.union(su).distinct().withColumn("op", lit("union"))
+      inter.union(exc).union(uni)
+        .select(col("op"), col("nk"))
+        .orderBy(col("op"), col("nk"))
+    },
+    Some("""
+      SELECT 'intersect' AS op, nk FROM
+        (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT 'except' AS op, nk FROM
+        (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT 'union' AS op, nk FROM
+        (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier)
+      ORDER BY op, nk"""))
+
+  // ---------------------------------------------------------------- q13
+  // Distinct aggregation (expand-based in Spark; exact, shuffle on key).
+  private val q13 = QueryDef(
+    "q13_distinct_agg",
+    (s, d) =>
+      li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_ord"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_orderkey) AS n_ord,
+             count(DISTINCT l_partkey) AS n_part,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  // ---------------------------------------------------------------- q14
+  // String function surface: upper/substring/length/concat/LIKE/regexp/split.
+  private val q14 = QueryDef(
+    "q14_string_fns",
+    (s, d) =>
+      cust(s, d)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 5).as("pre5"),
+          length(col("c_mktsegment")).cast("long").as("seg_len"),
+          concat(col("c_mktsegment"), lit("_"), col("c_name")).as("segname"),
+          when(col("c_name").like("%11%"), lit(1L)).otherwise(lit(0L))
+            .as("has11"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          element_at(split(col("c_name"), "#"), 2).as("numpart"))
+        .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey,
+             upper(c_name) AS uname,
+             substring(c_name, 1, 5) AS pre5,
+             CAST(length(c_mktsegment) AS BIGINT) AS seg_len,
+             concat(c_mktsegment, '_', c_name) AS segname,
+             CASE WHEN c_name LIKE '%11%' THEN 1 ELSE 0 END AS has11,
+             regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+             string_split(c_name, '#')[2] AS numpart
+      FROM customer
+      ORDER BY c_custkey"""))
+
+  // ---------------------------------------------------------------- q15
+  // Date/time surface: year/month/day/date_trunc/datediff.
+  private val q15 = QueryDef(
+    "q15_date_fns",
+    (s, d) =>
+      ord(s, d)
+        .filter(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          unix_timestamp(date_trunc("month", col("o_orderdate")))
+            .as("month_start_epoch"),
+          datediff(lit("2000-01-01").cast("date"), col("o_orderdate"))
+            .cast("long").as("days_to_y2k"))
+        .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mo,
+             CAST(day(o_orderdate) AS BIGINT) AS dom,
+             CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k
+      FROM orders
+      WHERE o_orderkey < 500
+      ORDER BY o_orderkey"""))
+
+  // ---------------------------------------------------------------- q16
+  // Generator / UDTF slot: split + explode + re-aggregate (word frequency).
+  private val q16 = QueryDef(
+    "q16_explode_wordcount",
+    (s, d) =>
+      docs(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(50),
+    Some("""
+      SELECT word, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+      ORDER BY n DESC, word
+      LIMIT 50"""))
+
+  // ---------------------------------------------------------------- q17
+  // JSON extraction from events.props (all-integer, exact).
+  private val q17 = QueryDef(
+    "q17_json_extract",
+    (s, d) =>
+      ev(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------- q18
+  // Grouping sets via ROLLUP (subtotals + grand total).
+  private val q18 = QueryDef(
+    "q18_rollup",
+    (s, d) =>
+      li(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sumFixed(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+    Some(s"""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             ${sumFixedSql("l_quantity", 2)} AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  // ---------------------------------------------------------------- q19
+  // HAVING (post-aggregation filter).
+  private val q19 = QueryDef(
+    "q19_having",
+    (s, d) =>
+      li(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 25)
+        .orderBy(col("l_partkey")),
+    Some("""
+      SELECT l_partkey, count(*) AS n
+      FROM lineitem
+      GROUP BY l_partkey
+      HAVING count(*) > 25
+      ORDER BY l_partkey"""))
+
+  // ---------------------------------------------------------------- q20
+  // Pure theta (non-equi) self-join on a tiny broadcastable dim — Spark
+  // plans BroadcastNestedLoopJoin; cardinality is dim², safe at any SF.
+  private val q20 = QueryDef(
+    "q20_theta_join",
+    (s, d) => {
+      val a = nat(s, d).select(col("n_nationkey").as("ak"),
+        col("n_regionkey").as("ar"))
+      val b = nat(s, d).select(col("n_nationkey").as("bk"),
+        col("n_regionkey").as("br"))
+      a.join(broadcast(b), col("ak") < col("bk") && col("ar") === col("br"))
+        .groupBy(col("ar").as("rk"))
+        .agg(count(lit(1)).as("pairs"))
+        .orderBy(col("rk"))
+    },
+    Some("""
+      SELECT a.n_regionkey AS rk, count(*) AS pairs
+      FROM nation a JOIN nation b
+        ON a.n_nationkey < b.n_nationkey AND a.n_regionkey = b.n_regionkey
+      GROUP BY a.n_regionkey
+      ORDER BY rk"""))
+
+  // ---------------------------------------------------------------- q21
+  // Equi + range join (date BETWEEN): SMJ on the equi key with the range
+  // predicate as a post-join filter — no cartesian blow-up at scale.
+  private val q21 = QueryDef(
+    "q21_date_range_join",
+    (s, d) =>
+      ord(s, d)
+        .join(li(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority")),
+    Some("""
+      SELECT o_orderpriority, count(*) AS n
+      FROM orders JOIN lineitem
+        ON l_orderkey = o_orderkey
+       AND l_shipdate >= o_orderdate
+       AND l_shipdate < o_orderdate + INTERVAL 60 DAY
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
+  // ---------------------------------------------------------------- q22
+  // Positional projection (reference `iloc[:, 0]` / `iloc[:, -1]`,
+  // system_tests/test_fit_predict.py:27-28,44-45): first & last column by
+  // position over df.columns.
+  private val q22 = QueryDef(
+    "q22_positional_projection",
+    (s, d) => {
+      val df = li(s, d)
+      val first = df.columns.head // l_orderkey
+      val last = df.columns.last // l_shipdate
+      df.select(
+          col(first).as("c_first"),
+          unix_timestamp(col(last)).as("c_last_epoch"))
+        .orderBy(col("c_first"), col("c_last_epoch"))
+    },
+    Some("""
+      SELECT l_orderkey AS c_first,
+             CAST(epoch(l_shipdate) AS BIGINT) AS c_last_epoch
+      FROM lineitem
+      ORDER BY c_first, c_last_epoch"""))
+
+  // ---------------------------------------------------------------- q23
+  // CASE WHEN + math functions (sqrt/ln/power/abs); round(…,6) is safe:
+  // each value is produced by a handful of IEEE ops, error ≪ half-ulp of
+  // the rounding lattice.
+  private val q23 = QueryDef(
+    "q23_case_math",
+    (s, d) =>
+      li(s, d)
+        .filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_quantity") >= 25, lit("big"))
+            .when(col("l_quantity") >= 10, lit("mid"))
+            .otherwise(lit("small")).as("bucket"),
+          round(sqrt(col("l_quantity")), 6).as("sq"),
+          round(log(col("l_quantity") + lit(1.0)), 6).as("lg"),
+          round(abs(col("l_discount") - lit(0.05)), 6).as("ad"),
+          round(pow(col("l_quantity"), 2), 6).as("p2"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_quantity >= 25 THEN 'big'
+                  WHEN l_quantity >= 10 THEN 'mid'
+                  ELSE 'small' END AS bucket,
+             round(sqrt(l_quantity), 6) AS sq,
+             round(ln(l_quantity + 1.0), 6) AS lg,
+             round(abs(l_discount - 0.05), 6) AS ad,
+             round(power(l_quantity, 2), 6) AS p2
+      FROM lineitem
+      WHERE l_orderkey < 100
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  // ---------------------------------------------------------------- q24
+  // Metric-as-query (SURVEY B10): scalar reduction, exact int ratio.
+  private val q24 = QueryDef(
+    "q24_metric_scalar",
+    (s, d) =>
+      ev(s, d)
+        .agg(
+          round(
+            sum(when(col("value") > 100, lit(1L)).otherwise(lit(0L)))
+              .cast("double") / count(lit(1)).cast("double"), 6)
+            .as("frac_high"),
+          count(lit(1)).as("n")),
+    Some("""
+      SELECT round(CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 6) AS frac_high,
+             count(*) AS n
+      FROM events"""))
+
+  // ---------------------------------------------------------------- q25
+  // CSV source round-trip (SURVEY B1: gzip CSV scan, schema declared):
+  // events → gzip CSV in a temp dir → read back → aggregate. Oracle runs
+  // the same aggregate over the original parquet, proving lossless scan.
+  private val q25 = QueryDef(
+    "q25_csv_scan",
+    (s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csv").toString + "/events_csv"
+      ev(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").option("compression", "gzip")
+        .option("header", "true").csv(tmp)
+      val back = s.read
+        .schema("event_id BIGINT, event_type STRING, value DOUBLE")
+        .option("header", "true").csv(tmp)
+      back.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumFixed(col("value"), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      SELECT event_type, count(*) AS n,
+             ${sumFixedSql("value", 2)} AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val defs: Seq[QueryDef] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+}
