@@ -1,0 +1,339 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators over `documents` (SURVEY §2.C6/C7): exact dedup,
+  * word-3-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design:
+  *  - Candidate generation NEVER does an all-pairs join: exact dedup groups
+  *    by content key; Jaccard/MinHash/SimHash meet only inside an LSH band
+  *    bucket or a blocking key; embedding near-dup blocks on `label`.
+  *    All-pairs at 100 TB is impossible; bucket joins shuffle each doc to
+  *    O(#bands) reducers and the pair cardinality follows true duplicates.
+  *  - Hashes are affine functions of a dense shingle id (dictionary join)
+  *    rather than a native hash so the DuckDB oracle can replicate every
+  *    stage bit-for-bit. In production the dictionary join is replaced by
+  *    `xxhash64(shingle)` (no shuffle, no dictionary) — the pipeline shape
+  *    (shingle → K min-hashes → band buckets → verify) is identical.
+  *  - The dictionary itself is built with a global row_number only for
+  *    oracle determinism; the MinHash math needs ANY injective id.
+  *
+  * Reference scope: the reference has no dedup; these are the [EXT]
+  * operators mandated by BASELINE.json:6 (see SURVEY §2.C).
+  */
+object Dedup {
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime
+  private val K = 16 // minhash signature length
+  private val Bands = 8 // bands of 2 rows each
+  private val SimBits = 16 // simhash width
+
+  /** Affine hash constants, embedded identically in Spark exprs and SQL. */
+  private def aK(k: Int): Long = (104729L * (k + 1) + 7L) % P
+  private def bK(k: Int): Long = (15485863L * (k + 1) + 11L) % P
+
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
+
+  /** (doc_id, lang, shingle): DISTINCT word-3-gram shingles per document.
+    * Built with a higher-order `transform` over the split array — no
+    * positional self-join, one pass, codegen-friendly.
+    */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("sh",
+        expr("""CASE WHEN size(toks) >= 3
+                THEN transform(sequence(0, size(toks) - 3),
+                               i -> concat(toks[i], '|', toks[i+1], '|', toks[i+2]))
+                ELSE array() END"""))
+      .select(col("doc_id"), col("lang"), explode(col("sh")).as("shingle"))
+      .distinct()
+
+  /** SQL mirror of [[shingles]] (DuckDB list lambda, 1-based subscripts). */
+  private val shinglesSql = """
+    tok AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, lang, unnest(
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || '|' || toks[i+1] || '|' || toks[i+2])
+             ELSE [] END) AS shingle
+      FROM tok)"""
+
+  /** Dense shingle dictionary: shingle → 1-based id, deterministic order. */
+  private def dict(sh: DataFrame): DataFrame =
+    sh.select("shingle").distinct()
+      .withColumn("sid",
+        row_number().over(Window.orderBy(col("shingle"))).cast("long"))
+
+  private val dictSql = """
+    dict AS (
+      SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+      FROM (SELECT DISTINCT shingle FROM sh))"""
+
+  // ---------------------------------------------------------------- q30
+  // Exact dedup: deterministic representative (min doc_id) per identical
+  // text — a single hash-shuffle on the content key; at scale, group by
+  // xxhash64(text) first and resolve collisions within groups.
+  private val q30 = QueryDef(
+    "q30_dedup_exact",
+    (s, d) => {
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      docs(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang, count(*) AS n_kept,
+             CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+             min(doc_id) AS first_doc
+      FROM (
+        SELECT lang, n_chars, doc_id,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents) t
+      WHERE rn = 1
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  // ---------------------------------------------------------------- q31
+  // N-gram Jaccard near-dup: candidate pairs meet via a shared shingle
+  // inside the same lang block (inverted-index join), never all-pairs.
+  private val q31 = QueryDef(
+    "q31_dedup_ngram_jaccard",
+    (s, d) => {
+      val sh = shingles(s, d).cache()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("da"), col("lang"), col("shingle"))
+      val b = sh.select(col("doc_id").as("db"), col("lang").as("lang_b"),
+        col("shingle").as("shingle_b"))
+      val inter = a.join(b,
+          col("shingle") === col("shingle_b") &&
+            col("lang") === col("lang_b") && col("da") < col("db"))
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("ni"))
+      val ca = cnt.select(col("doc_id").as("da"), col("n").as("na"))
+      val cb = cnt.select(col("doc_id").as("db"), col("n").as("nb"))
+      inter.join(ca, "da").join(cb, "db")
+        .withColumn("jac",
+          round(col("ni").cast("double") /
+            (col("na") + col("nb") - col("ni")).cast("double"), 6))
+        .filter(col("jac") >= 0.5)
+        .select(col("da"), col("db"), col("jac"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""
+      WITH $shinglesSql,
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT da, db,
+             round(CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE), 6) AS jac
+      FROM inter
+      JOIN cnt ca ON da = ca.doc_id
+      JOIN cnt cb ON db = cb.doc_id
+      WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.5
+      ORDER BY da, db"""))
+
+  // ---------------------------------------------------------------- q32
+  // MinHash + LSH: K=16 affine min-hashes over shingle ids, 8 bands × 2
+  // rows; docs sharing any band bucket become candidates; candidates are
+  // verified with exact Jaccard. The oracle replicates the banding, so
+  // both engines miss exactly the same below-threshold pairs.
+  private val q32 = QueryDef(
+    "q32_dedup_minhash_lsh",
+    (s, d) => {
+      val sh = shingles(s, d).cache()
+      val ids = sh.join(broadcast(dict(sh)), "shingle")
+        .select(col("doc_id"), col("sid"))
+      val sigCols = (0 until K).map(k =>
+        min((col("sid") * aK(k) + bK(k)) % P).as(s"h$k"))
+      val sig = ids.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bandExprs = (0 until Bands).map(j =>
+        s"struct(${j}L as band, h${2 * j} * 2147483648L + h${2 * j + 1} as bv)")
+      val bands = sig.select(col("doc_id"),
+        explode(array(bandExprs.map(expr): _*)).as("b"))
+        .select(col("doc_id"), col("b.band"), col("b.bv"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("da"), col("shingle"))
+      val b = sh.select(col("doc_id").as("db_r"), col("shingle").as("shingle_b"))
+      val inter = cand.join(a, "da")
+        .join(b, col("db") === col("db_r") && col("shingle") === col("shingle_b"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ni"))
+      inter
+        .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
+        .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+        .withColumn("jac",
+          round(col("ni").cast("double") /
+            (col("na") + col("nb") - col("ni")).cast("double"), 6))
+        .filter(col("jac") >= 0.5)
+        .select(col("da"), col("db"), col("jac"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some {
+      val minExprs = (0 until K)
+        .map(k => s"min((sid * ${aK(k)} + ${bK(k)}) % $P) AS h$k")
+        .mkString(",\n               ")
+      val bandSelects = (0 until Bands)
+        .map(j =>
+          s"SELECT doc_id, $j AS band, h${2 * j} * 2147483648 + h${2 * j + 1} AS bv FROM sig")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH $shinglesSql,
+      $dictSql,
+      ids AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
+      sig AS (SELECT doc_id,
+               $minExprs
+              FROM ids GROUP BY doc_id),
+      bands AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT da, db, count(*) AS ni
+        FROM cand
+        JOIN sh a ON a.doc_id = da
+        JOIN sh b ON b.doc_id = db AND a.shingle = b.shingle
+        GROUP BY 1, 2)
+      SELECT da, db,
+             round(CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE), 6) AS jac
+      FROM inter
+      JOIN cnt ca ON da = ca.doc_id
+      JOIN cnt cb ON db = cb.doc_id
+      WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.5
+      ORDER BY da, db"""
+    })
+
+  // ---------------------------------------------------------------- q33
+  // SimHash: 16-bit signature from per-shingle pseudo-random bits; dup
+  // candidates meet in 4-bit band buckets; pairs kept at Hamming ≤ 3.
+  private val q33 = QueryDef(
+    "q33_dedup_simhash",
+    (s, d) => {
+      val sh = shingles(s, d)
+      val ids = sh.join(broadcast(dict(sh)), "shingle")
+        .select(col("doc_id"), col("sid"))
+      val bitSums = (0 until SimBits).map(j =>
+        sum(when((col("sid") * aK(j) + bK(j)) % P % 2 === 1, lit(1L))
+          .otherwise(lit(-1L))).as(s"s$j"))
+      val sums = ids.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val hashExpr = (0 until SimBits)
+        .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      val sig = sums.select(col("doc_id"), expr(hashExpr).as("simhash"))
+      val nibbles = sig.select(col("doc_id"), col("simhash"),
+        explode(expr(
+          "array(struct(0L as band, (simhash div 1) % 16 as nib)," +
+            "struct(1L as band, (simhash div 16) % 16 as nib)," +
+            "struct(2L as band, (simhash div 256) % 16 as nib)," +
+            "struct(3L as band, (simhash div 4096) % 16 as nib))")).as("b"))
+        .select(col("doc_id"), col("simhash"), col("b.band"), col("b.nib"))
+      nibbles.as("x").join(nibbles.as("y"),
+          col("x.band") === col("y.band") && col("x.nib") === col("y.nib") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("da"), col("db"), col("hamming"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some {
+      val bitSums = (0 until SimBits)
+        .map(j =>
+          s"sum(CASE WHEN (sid * ${aK(j)} + ${bK(j)}) % $P % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(",\n               ")
+      val hashExpr = (0 until SimBits)
+        .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      val nibbleSelects = (0 until 4)
+        .map(b =>
+          s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (4 * b)}) % 16 AS nib FROM sig")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH $shinglesSql,
+      $dictSql,
+      ids AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
+      sums AS (SELECT doc_id,
+               $bitSums
+               FROM ids GROUP BY doc_id),
+      sig AS (SELECT doc_id, $hashExpr AS simhash FROM sums),
+      nib AS (
+        $nibbleSelects),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+               x.simhash AS ha, y.simhash AS hb
+        FROM nib x JOIN nib y
+          ON x.band = y.band AND x.nib = y.nib AND x.doc_id < y.doc_id)
+      SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(ha, hb)) <= 3
+      ORDER BY da, db"""
+    })
+
+  // ---------------------------------------------------------------- q34
+  // Embedding-cosine near-dup: pairs blocked on `label`, dot product via
+  // higher-order zip_with/aggregate on the array columns (no row
+  // explosion in Spark); 64-term double sums are stable to ~1e-15, far
+  // below the round(…,6) lattice.
+  private val q34 = QueryDef(
+    "q34_dedup_embedding_cosine",
+    (s, d) => {
+      val e = emb(s, d).withColumn("norm",
+        expr("sqrt(aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      val a = e.select(col("vec_id").as("ia"), col("label"),
+        col("embedding").as("ea"), col("norm").as("na"))
+      val b = e.select(col("vec_id").as("ib"), col("label").as("label_b"),
+        col("embedding").as("eb"), col("norm").as("nb"))
+      a.join(b, col("label") === col("label_b") && col("ia") < col("ib"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"))
+        .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= 0.3)
+        .select(col("ia"), col("ib"), col("label"), col("cos"))
+        .orderBy(col("ia"), col("ib"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT vec_id, label,
+               unnest(range(1, len(embedding) + 1)) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY 1),
+      pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib, a.label AS label,
+               sum(a.v * b.v) AS dot
+        FROM ev a JOIN ev b
+          ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        GROUP BY 1, 2, 3)
+      SELECT ia, ib, label, round(dot / (na.nrm * nb.nrm), 6) AS cos
+      FROM pairs
+      JOIN norms na ON ia = na.vec_id
+      JOIN norms nb ON ib = nb.vec_id
+      WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.3
+      ORDER BY ia, ib"""))
+
+  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34)
+}

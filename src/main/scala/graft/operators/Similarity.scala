@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (SURVEY §2.C7/C9):
+  * brute-force cosine top-k as the exact baseline, and an IVF-style
+  * (inverted-file) bucketed variant as the scale path.
+  *
+  * Scale design: brute-force is queries × corpus — fine for a handful of
+  * probe vectors (the broadcast side) against any corpus size, since the
+  * corpus never shuffles: the tiny query set is broadcast and each corpus
+  * partition computes its local scores; top-k is a TakeOrdered-style
+  * per-partition heap + driver merge of k rows. The IVF variant prunes the
+  * corpus to the probed cells first (centroid assignment is a broadcast
+  * join), which is how you bound work when the query set grows.
+  *
+  * Dot products use higher-order `zip_with`/`aggregate` over the
+  * `array<float>` column widened to double — no UDF, no serialization.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
+
+  private val dotExpr =
+    "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+  private val normExpr =
+    "sqrt(aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+  /** Shared oracle CTEs: positional explode + norms. */
+  private val evSql = """
+      ev AS (
+        SELECT vec_id, label,
+               unnest(range(1, len(embedding) + 1)) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY 1)"""
+
+  // ---------------------------------------------------------------- q50
+  // Brute-force cosine top-k: exact baseline; probe set broadcast.
+  private val q50 = QueryDef(
+    "q50_cosine_topk",
+    (s, d) => {
+      val e = emb(s, d).withColumn("norm", expr(normExpr))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("ea"),
+          col("norm").as("qn"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("eb"),
+        col("norm").as("cn"))
+      val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+        .withColumn("cos", round(expr(dotExpr) / (col("qn") * col("cn")), 6))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("rk").cast("long").as("rk"), col("cid"),
+          col("cos"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some(s"""
+      WITH $evSql,
+      pairs AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.v * c.v) AS dot
+        FROM ev q JOIN ev c ON q.i = c.i AND q.vec_id < 3 AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        FROM pairs JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON cid = nc.vec_id)
+      SELECT qid, CAST(rk AS BIGINT) AS rk, cid, cos FROM (
+        SELECT qid, cid, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        FROM scored) t
+      WHERE rk <= 10
+      ORDER BY qid, rk"""))
+
+  // ---------------------------------------------------------------- q51
+  // IVF-bucketed ANN: coarse centroids (every 50th vector), each corpus
+  // vector assigned to its nearest centroid (broadcast join — one corpus
+  // pass), queries probe their 2 nearest cells, exact rerank within the
+  // probed cells only. Recall < 1 by construction; the oracle replicates
+  // the same pruning so both engines return identical results.
+  private val q51 = QueryDef(
+    "q51_ann_ivf",
+    (s, d) => {
+      val e = emb(s, d).withColumn("norm", expr(normExpr))
+      val cent = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ea"),
+          col("norm").as("cent_n"))
+      // assign every vector to its nearest centroid (1 broadcast join)
+      val asg = e.select(col("vec_id"), col("embedding").as("eb"),
+          col("norm").as("vn"))
+        .join(broadcast(cent), lit(true))
+        .withColumn("cos", round(expr(dotExpr) / (col("cent_n") * col("vn")), 6))
+      val wAsg = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("cent_id"))
+      val cells = asg.withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("cid"), col("cent_id").as("cell"))
+      // queries probe their top-2 cells
+      val probes = asg.filter(col("vec_id") < 3)
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") <= 2)
+        .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
+      // exact rerank within probed cells
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid2"), col("embedding").as("ea"),
+          col("norm").as("qn"))
+      val cand = probes.join(cells, "cell")
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid")).distinct()
+      val scored = cand
+        .join(broadcast(q), col("qid") === col("qid2"))
+        .join(e.select(col("vec_id").as("cid"), col("embedding").as("eb"),
+          col("norm").as("cn")), "cid")
+        .withColumn("cos", round(expr(dotExpr) / (col("qn") * col("cn")), 6))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk").cast("long").as("rk"), col("cid"),
+          col("cos"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some(s"""
+      WITH $evSql,
+      cent AS (SELECT vec_id AS cent_id FROM embeddings WHERE vec_id % 50 = 0),
+      asg AS (
+        SELECT e.vec_id, c.cent_id,
+               round(sum(e.v * ec.v) / (ne.nrm * nc.nrm), 6) AS cos
+        FROM ev e
+        JOIN cent c ON true
+        JOIN ev ec ON ec.vec_id = c.cent_id AND ec.i = e.i
+        JOIN norms ne ON ne.vec_id = e.vec_id
+        JOIN norms nc ON nc.vec_id = c.cent_id
+        GROUP BY e.vec_id, c.cent_id, ne.nrm, nc.nrm),
+      cells AS (
+        SELECT vec_id AS cid, cent_id AS cell FROM (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+          FROM asg) t
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS qid, cent_id AS cell FROM (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+          FROM asg WHERE vec_id < 3) t
+        WHERE rn <= 2),
+      cand AS (
+        SELECT DISTINCT qid, cid
+        FROM probes JOIN cells USING (cell)
+        WHERE qid <> cid),
+      pairs AS (
+        SELECT qid, cid, sum(q.v * c.v) AS dot
+        FROM cand
+        JOIN ev q ON q.vec_id = qid
+        JOIN ev c ON c.vec_id = cid AND c.i = q.i
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        FROM pairs JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON cid = nc.vec_id)
+      SELECT qid, CAST(rk AS BIGINT) AS rk, cid, cos FROM (
+        SELECT qid, cid, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        FROM scored) t
+      WHERE rk <= 5
+      ORDER BY qid, rk"""))
+
+  val defs: Seq[QueryDef] = Seq(q50, q51)
+}

@@ -1,0 +1,241 @@
+package graft.operators
+
+import graft.{QueryDef, Tables, Num}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis operators over `documents` (SURVEY §2.C8): per-language
+  * stats, quality scoring, token counting (whitespace + regex "BPE-ish"),
+  * document fingerprinting (positional polynomial hash), and an n-gram
+  * frequency language-ID heuristic.
+  *
+  * Everything is a single-pass scan + hash aggregation (or one dictionary
+  * join) — per-document work is done with codegen'd string/array functions,
+  * never a driver loop, so each query scales linearly with documents.
+  */
+object TextAnalysis {
+  import Num._
+
+  private val P = 2147483647L
+
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  /** Literal stopword set shared by Spark and the oracle SQL. */
+  private val Stop = Seq("the", "a", "of", "and", "to", "in")
+  private val stopArr = s"array(${Stop.map(w => s"'$w'").mkString(", ")})"
+  private val stopList = s"[${Stop.map(w => s"'$w'").mkString(", ")}]"
+
+  // ---------------------------------------------------------------- q40
+  // Per-language corpus stats (counts are exact; avg over BIGINT is an
+  // exact-integer division → bit-identical across engines).
+  private val q40 = QueryDef(
+    "q40_lang_stats",
+    (s, d) =>
+      docs(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang")),
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
+             min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             count(DISTINCT source) AS n_sources
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  // ---------------------------------------------------------------- q41
+  // Quality scoring: token count, mean token length, stopword ratio,
+  // punctuation ratio, composed into one score. All ratios are exact
+  // integer divisions; the blended score is a handful of IEEE ops, so
+  // round(…,6) is deterministic.
+  private val q41 = QueryDef(
+    "q41_quality_score",
+    (s, d) =>
+      docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("n_stop",
+          expr(s"size(filter(toks, w -> array_contains($stopArr, w)))")
+            .cast("long"))
+        .withColumn("n_punct",
+          length(regexp_replace(col("text"), "[^.,!?;]", "")).cast("long"))
+        .select(
+          col("doc_id"), col("n_tok"), col("n_stop"), col("n_punct"),
+          round(col("n_stop").cast("double") / col("n_tok").cast("double"), 6)
+            .as("stop_ratio"),
+          round(col("n_punct").cast("double") / col("n_chars").cast("double"), 6)
+            .as("punct_ratio"),
+          round(
+            lit(1.0) -
+              (col("n_stop").cast("double") / col("n_tok").cast("double")) * 0.5 -
+              (col("n_punct").cast("double") / col("n_chars").cast("double")) * 0.5,
+            6).as("quality"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST(len(list_filter(toks, w -> list_contains($stopList, w))) AS BIGINT) AS n_stop,
+             CAST(length(regexp_replace(text, '[^.,!?;]', '', 'g')) AS BIGINT) AS n_punct,
+             round(CAST(len(list_filter(toks, w -> list_contains($stopList, w))) AS DOUBLE)
+                   / CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+             round(CAST(length(regexp_replace(text, '[^.,!?;]', '', 'g')) AS DOUBLE)
+                   / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+             round(1.0
+                   - (CAST(len(list_filter(toks, w -> list_contains($stopList, w))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE)) * 0.5
+                   - (CAST(length(regexp_replace(text, '[^.,!?;]', '', 'g')) AS DOUBLE)
+                      / CAST(n_chars AS DOUBLE)) * 0.5, 6) AS quality
+      FROM (SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks
+            FROM documents) t
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q42
+  // Token counting two ways: whitespace split vs a BPE-ish regex
+  // tokenizer ([a-z]+ runs / digit runs / single other chars).
+  private val q42 = QueryDef(
+    "q42_token_count",
+    (s, d) =>
+      docs(s, d)
+        .withColumn("ws_tok", size(split(col("text"), " ")).cast("long"))
+        .withColumn("re_tok",
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast("long"))
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ws_tok")).as("ws_tokens"),
+          sum(col("re_tok")).as("re_tokens"))
+        .orderBy(col("lang"), col("source")),
+    Some("""
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS ws_tokens,
+             CAST(sum(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)) AS BIGINT) AS re_tokens
+      FROM documents
+      GROUP BY lang, source
+      ORDER BY lang, source"""))
+
+  // ---------------------------------------------------------------- q43
+  // Document fingerprint: position-sensitive polynomial hash over dense
+  // word ids (rolling-hash style). Pure 64-bit integer arithmetic with a
+  // per-term mod so it is portable and overflow-safe; at production scale
+  // the dictionary join is replaced by xxhash64(word).
+  private val q43 = QueryDef(
+    "q43_fingerprint",
+    (s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("i", col("pos").cast("long") + 1L)
+      val wdict = tok.select("w").distinct()
+        .withColumn("wid",
+          row_number().over(Window.orderBy(col("w"))).cast("long"))
+      tok.join(broadcast(wdict), "w")
+        .withColumn("term", (col("i") * col("wid")) % P * 1000003L % P)
+        .groupBy(col("doc_id"))
+        .agg((sum(col("term")) % P).as("fingerprint"),
+          count(lit(1)).as("n_tok"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS w,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+        FROM documents),
+      wdict AS (
+        SELECT w, CAST(row_number() OVER (ORDER BY w) AS BIGINT) AS wid
+        FROM (SELECT DISTINCT w FROM tok)),
+      terms AS (
+        SELECT doc_id, (i * wid) % $P * 1000003 % $P AS term
+        FROM tok JOIN wdict USING (w))
+      SELECT doc_id,
+             CAST(sum(term) % $P AS BIGINT) AS fingerprint,
+             count(*) AS n_tok
+      FROM terms
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q44
+  // Language-ID heuristic: build per-language token profiles from the
+  // corpus (top-5 tokens by lift = in-lang frequency / global frequency),
+  // score each document by profile hits, predict argmax. Output is the
+  // confusion matrix. Profiles are tiny → broadcast; scoring is one
+  // token join — the standard n-gram LID shape at any scale.
+  private val q44 = QueryDef(
+    "q44_langid_ngram",
+    (s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+      val langCnt = tok.groupBy(col("lang").as("p_lang"), col("w"))
+        .agg(count(lit(1)).as("c_lang"))
+      val langTot = tok.groupBy(col("lang").as("p_lang"))
+        .agg(count(lit(1)).as("t_lang"))
+      val globCnt = tok.groupBy(col("w")).agg(count(lit(1)).as("c_glob"))
+      val globTot = tok.agg(count(lit(1)).as("t_glob")) // 1-row, stays lazy
+      val lift = langCnt.join(langTot, "p_lang").join(globCnt, "w")
+        .crossJoin(broadcast(globTot))
+        .withColumn("lift",
+          round((col("c_lang").cast("double") / col("t_lang").cast("double")) /
+            (col("c_glob").cast("double") / col("t_glob").cast("double")), 9))
+      val w5 = Window.partitionBy(col("p_lang"))
+        .orderBy(col("lift").desc, col("w"))
+      val profile = lift.withColumn("rn", row_number().over(w5))
+        .filter(col("rn") <= 5)
+        .select(col("p_lang"), col("w"))
+      val scores = tok.join(broadcast(profile), "w")
+        .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+        .agg(count(lit(1)).as("hits"))
+      val wPred = Window.partitionBy(col("doc_id"))
+        .orderBy(col("hits").desc, col("p_lang"))
+      scores.withColumn("rn", row_number().over(wPred))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang"), col("p_lang").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      lang_cnt AS (SELECT lang AS p_lang, w, count(*) AS c_lang FROM tok GROUP BY 1, 2),
+      lang_tot AS (SELECT lang AS p_lang, count(*) AS t_lang FROM tok GROUP BY 1),
+      glob_cnt AS (SELECT w, count(*) AS c_glob FROM tok GROUP BY 1),
+      glob_tot AS (SELECT count(*) AS t_glob FROM tok),
+      lift AS (
+        SELECT p_lang, w,
+               round((CAST(c_lang AS DOUBLE) / CAST(t_lang AS DOUBLE))
+                     / (CAST(c_glob AS DOUBLE) / CAST(t_glob AS DOUBLE)), 9) AS lift
+        FROM lang_cnt JOIN lang_tot USING (p_lang) JOIN glob_cnt USING (w), glob_tot),
+      profile AS (
+        SELECT p_lang, w FROM (
+          SELECT p_lang, w, row_number() OVER (PARTITION BY p_lang ORDER BY lift DESC, w) AS rn
+          FROM lift) t
+        WHERE rn <= 5),
+      scores AS (
+        SELECT doc_id, lang, p_lang, count(*) AS hits
+        FROM tok JOIN profile USING (w)
+        GROUP BY 1, 2, 3),
+      pred AS (
+        SELECT doc_id, lang, p_lang FROM (
+          SELECT doc_id, lang, p_lang,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang) AS rn
+          FROM scores) t
+        WHERE rn = 1)
+      SELECT lang, p_lang AS pred_lang, count(*) AS n
+      FROM pred
+      GROUP BY lang, p_lang
+      ORDER BY lang, pred_lang"""))
+
+  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44)
+}
