@@ -1,0 +1,166 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{
+  GBTClassificationModel, GBTClassifier, ProbabilisticClassificationModel,
+  RandomForestClassificationModel, RandomForestClassifier}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.ml.PredictionModel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, NumericType}
+
+/** sklearn-style distributed GBM API with the surface of the reference's
+  * `dask_lightgbm.LGBMClassifier` / `LGBMRegressor`
+  * (/root/reference/dask_lightgbm/core.py:187-246), re-expressed Spark-first.
+  *
+  * Mapping (SURVEY §2.A / §3.1): the reference's entire training
+  * orchestration — partition zip for X/y/w co-locality (core.py:95-102),
+  * who_has locality scheduling (core.py:113-117), per-worker socket
+  * rendezvous (core.py:40-48,65-83) — dissolves into MLlib: one DataFrame
+  * row holds features+label+weight (co-locality is structural), Spark
+  * schedules tasks by preferred location, and GBT iterations communicate
+  * through Spark aggregations instead of a private TCP ring. `fit` is eager
+  * (an action, like the reference's `client.compute`); `predict` is a lazy
+  * `transform` plan materialized by the caller's action.
+  *
+  * Param mapping: `n_estimators`→`maxIter`/`numTrees`, `seed`→`setSeed`,
+  * `sample_weight`→`setWeightCol`, `objective='quantile', alpha`→absolute
+  * loss + residual-quantile calibration (documented deviation: MLlib GBT
+  * has no pinball loss). `tree_learner` is accepted and validated like
+  * core.py:122-125 but has no effect (MLlib is always data-parallel).
+  *
+  * Feature input adapters (the reference's four `data_output` shapes,
+  * tests/test_core.py:19): an `ml.linalg.Vector` column (dense or sparse —
+  * the scipy-CSR/COO analogues), an `array<float|double>` column, or a list
+  * of plain numeric columns (assembled). Scale note: training data never
+  * collects to the driver; the model (KBs–MBs of trees) is driver-held and
+  * broadcast into `transform`, exactly like the reference ships the booster
+  * into each map task (core.py:165).
+  */
+object Featurize {
+  /** Normalize any supported feature shape into a `features` vector col. */
+  def apply(df: DataFrame, featuresCol: Seq[String]): DataFrame = {
+    require(featuresCol.nonEmpty, "featuresCol must name at least one column")
+    if (featuresCol.length > 1) {
+      new VectorAssembler().setInputCols(featuresCol.toArray)
+        .setOutputCol("features").transform(df)
+    } else {
+      val c = featuresCol.head
+      df.schema(c).dataType match {
+        case _: ArrayType =>
+          df.withColumn("features",
+            array_to_vector(col(c).cast("array<double>")))
+        case _: NumericType =>
+          new VectorAssembler().setInputCols(Array(c))
+            .setOutputCol("features").transform(df)
+        case _ => // already VectorUDT
+          if (c == "features") df else df.withColumn("features", col(c))
+      }
+    }
+  }
+}
+
+final case class LGBMParams(
+    nEstimators: Int = 50,
+    maxDepth: Int = 5,
+    learningRate: Double = 0.1,
+    seed: Long = 42L,
+    objective: String = "",
+    alpha: Double = 0.5,
+    treeLearner: String = "data")
+
+private[ml] object Params {
+  /** core.py:122-125: warn+default any unsupported tree_learner to "data". */
+  def validatedTreeLearner(t: String): String =
+    if (Seq("data", "feature", "voting").contains(t)) t else "data"
+}
+
+/** Classifier: binary → GBTClassifier; multiclass → RandomForestClassifier
+  * (MLlib GBT is binary-only — SURVEY §7 hard part 1).
+  */
+class LGBMClassifier(val params: LGBMParams = LGBMParams()) {
+
+  def fit(df: DataFrame, featuresCol: Seq[String] = Seq("features"),
+      labelCol: String = "label",
+      weightCol: Option[String] = None): LGBMClassifierModel = {
+    val data = Featurize(df, featuresCol)
+      .withColumn("label", col(labelCol).cast("double"))
+    val nClasses = data.select("label").distinct().count().toInt
+    val model: ProbabilisticClassificationModel[Vector, _] =
+      if (nClasses <= 2) {
+        val est = new GBTClassifier()
+          .setMaxIter(params.nEstimators).setMaxDepth(params.maxDepth)
+          .setStepSize(params.learningRate).setSeed(params.seed)
+        weightCol.foreach(est.setWeightCol)
+        est.fit(data)
+      } else {
+        val est = new RandomForestClassifier()
+          .setNumTrees(params.nEstimators).setMaxDepth(params.maxDepth)
+          .setSeed(params.seed)
+        weightCol.foreach(est.setWeightCol)
+        est.fit(data)
+      }
+    new LGBMClassifierModel(model, nClasses)
+  }
+}
+
+class LGBMClassifierModel(
+    val inner: ProbabilisticClassificationModel[Vector, _],
+    val nClasses: Int) {
+
+  /** Lazy distributed inference (reference core.py:163-173 → transform). */
+  def predict(df: DataFrame, featuresCol: Seq[String] = Seq("features")): DataFrame =
+    inner.transform(Featurize(df, featuresCol))
+
+  /** predict_proba: probability vector as array<double> (core.py:209-213). */
+  def predictProba(df: DataFrame, featuresCol: Seq[String] = Seq("features")): DataFrame =
+    predict(df, featuresCol)
+      .withColumn("proba", vector_to_array(col("probability")))
+
+  /** to_local (core.py:215-218): MLlib models are already driver-local. */
+  def toLocal: ProbabilisticClassificationModel[Vector, _] = inner
+}
+
+/** Regressor: GBTRegressor; quantile objective approximated by absolute
+  * loss + additive calibration so the empirical coverage property from the
+  * reference's quantile test (tests/test_core.py:148-164) holds.
+  */
+class LGBMRegressor(val params: LGBMParams = LGBMParams()) {
+
+  def fit(df: DataFrame, featuresCol: Seq[String] = Seq("features"),
+      labelCol: String = "label",
+      weightCol: Option[String] = None): LGBMRegressorModel = {
+    val data = Featurize(df, featuresCol)
+      .withColumn("label", col(labelCol).cast("double"))
+    val est = new GBTRegressor()
+      .setMaxIter(params.nEstimators).setMaxDepth(params.maxDepth)
+      .setStepSize(params.learningRate).setSeed(params.seed)
+    if (params.objective == "quantile") est.setLossType("absolute")
+    weightCol.foreach(est.setWeightCol)
+    val model = est.fit(data)
+    val offset =
+      if (params.objective == "quantile") {
+        // shift by the α-quantile of training residuals (distributed
+        // Greenwald-Khanna sketch; never collects the residuals)
+        val resid = model.transform(data)
+          .select((col("label") - col("prediction")).as("r"))
+        resid.stat.approxQuantile("r", Array(params.alpha), 0.001).head
+      } else 0.0
+    new LGBMRegressorModel(model, offset)
+  }
+}
+
+class LGBMRegressorModel(val inner: GBTRegressionModel, val offset: Double) {
+
+  def predict(df: DataFrame, featuresCol: Seq[String] = Seq("features")): DataFrame = {
+    val out = inner.transform(Featurize(df, featuresCol))
+    if (offset != 0.0)
+      out.withColumn("prediction", col("prediction") + lit(offset))
+    else out
+  }
+
+  def toLocal: PredictionModel[Vector, _] = inner
+}

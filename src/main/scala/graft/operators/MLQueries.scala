@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.ml.{LGBMClassifier, LGBMParams, LGBMRegressor}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ML operator queries (SURVEY §2.A) over the `embeddings` table.
+  *
+  * No DuckDB oracle exists for tree ensembles, so these are registered
+  * without `oracleSql` → the driver applies the rows-only check; the
+  * quality/parity assertions live in MLSpec (mirroring the reference's
+  * threshold tests, system_tests/test_fit_predict.py:39,59).
+  *
+  * Train-time scale: GBT/RF fit never collects features to the driver;
+  * each iteration is a distributed aggregation over the DataFrame, the
+  * model (trees) lives on the driver and broadcasts into `transform` —
+  * the same topology the reference engineers by hand (core.py:113-141).
+  */
+object MLQueries {
+
+  private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
+
+  private def features(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(
+      col("vec_id"),
+      col("embedding"),
+      col("label").cast("double").as("label10"),
+      (col("label") >= 5).cast("double").as("label_bin"))
+
+  private val q70 = QueryDef(
+    "q70_ml_gbt_binary_classifier",
+    (s, d) => {
+      val df = features(s, d)
+      val m = new LGBMClassifier(LGBMParams(nEstimators = 10, maxDepth = 4))
+        .fit(df, featuresCol = Seq("embedding"), labelCol = "label_bin")
+      m.predict(df, Seq("embedding"))
+        .select(col("vec_id"), col("label_bin"), col("prediction"))
+        .orderBy(col("vec_id"))
+    },
+    None)
+
+  private val q71 = QueryDef(
+    "q71_ml_rf_multiclass_proba",
+    (s, d) => {
+      val df = features(s, d)
+      val m = new LGBMClassifier(LGBMParams(nEstimators = 20, maxDepth = 6))
+        .fit(df, featuresCol = Seq("embedding"), labelCol = "label10")
+      m.predictProba(df, Seq("embedding"))
+        .select(col("vec_id"), col("prediction"),
+          size(col("proba")).cast("long").as("n_classes"))
+        .orderBy(col("vec_id"))
+    },
+    None)
+
+  private val q72 = QueryDef(
+    "q72_ml_gbt_regressor",
+    (s, d) => {
+      val df = features(s, d)
+      val m = new LGBMRegressor(LGBMParams(nEstimators = 10, maxDepth = 4))
+        .fit(df, featuresCol = Seq("embedding"), labelCol = "label10")
+      m.predict(df, Seq("embedding"))
+        .select(col("vec_id"), col("label10"), col("prediction"))
+        .orderBy(col("vec_id"))
+    },
+    None)
+
+  private val q73 = QueryDef(
+    "q73_ml_quantile_coverage",
+    (s, d) => {
+      val df = features(s, d)
+      val m = new LGBMRegressor(
+        LGBMParams(nEstimators = 10, maxDepth = 4,
+          objective = "quantile", alpha = 0.9))
+        .fit(df, featuresCol = Seq("embedding"), labelCol = "label10")
+      m.predict(df, Seq("embedding"))
+        .agg(
+          avg((col("label10") <= col("prediction")).cast("double"))
+            .as("coverage"),
+          count(lit(1)).as("n"))
+    },
+    None)
+
+  private val q74 = QueryDef(
+    "q74_ml_accuracy_metric",
+    (s, d) => {
+      val df = features(s, d)
+      val m = new LGBMClassifier(LGBMParams(nEstimators = 10, maxDepth = 4))
+        .fit(df, featuresCol = Seq("embedding"), labelCol = "label_bin")
+      // reference metric-as-query: (dy == dy_pred).sum() / len(dy)
+      // (system_tests/test_fit_predict.py:35)
+      m.predict(df, Seq("embedding"))
+        .agg(
+          avg((col("label_bin") === col("prediction")).cast("double"))
+            .as("accuracy"),
+          count(lit(1)).as("n"))
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74)
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY §2.C9): media payloads are opaque
+  * `binary` columns with typed metadata; decode / feature-extract runs as a
+  * partition-wise map over batches.
+  *
+  * The container has no image/audio codecs, so [[FakeDecoder.decode]] is a
+  * clearly-marked deterministic stub — but the Spark-side plumbing is real
+  * and tested: binary column construction, schema of the decoded struct,
+  * partition-wise batched execution (`mapPartitions`, the reference's
+  * `map_partitions`/`map_blocks` slot, core.py:165-171), and the
+  * `array<float>` feature output that feeds [[Similarity]] / [[graft.ml]].
+  *
+  * Scale: decode is embarrassingly parallel per partition; batch size is
+  * partition size (tune `spark.sql.files.maxPartitionBytes` so a batch of
+  * decoded frames fits executor memory); no shuffle anywhere.
+  */
+object Multimodal {
+
+  /** STUB decode: a real build links an image/audio codec here. Output is
+    * a deterministic function of the bytes so tests/bench are stable.
+    */
+  object FakeDecoder {
+    final case class Decoded(
+        width: Int, height: Int, nFrames: Int, features: Array[Float])
+
+    def decode(payload: Array[Byte]): Decoded = {
+      // ??? <- real codec goes here; deterministic fake below
+      var h = 1125899906842597L
+      payload.foreach { b => h = h * 31 + (b & 0xff) }
+      def mix(i: Int): Long = {
+        val x = h ^ (2654435761L * (i + 1))
+        (x ^ (x >>> 17)) & 0x7fffffffL
+      }
+      Decoded(
+        width = 64 + (mix(0) % 193).toInt,
+        height = 64 + (mix(1) % 129).toInt,
+        nFrames = 1 + (mix(2) % 7).toInt,
+        features = Array.tabulate(8)(i => (mix(3 + i) % 1000) / 1000.0f))
+    }
+  }
+
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  // ---------------------------------------------------------------- q90
+  // Binary column + typed metadata, pure relational (oracle-checked):
+  // payload bytes, length, first byte — the schema surface a media table
+  // would expose.
+  private val q90 = QueryDef(
+    "q90_multimodal_binary_meta",
+    (s, d) =>
+      docs(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"),
+          (octet_length(col("payload")) === col("n_chars")).as("len_matches"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first_byte,
+             octet_length(CAST(text AS BLOB)) = n_chars AS len_matches
+      FROM documents
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q91
+  // Partition-wise decode: binary payloads → typed media features via
+  // mapPartitions (batched, no per-row task overhead). Rows-only check —
+  // the stub decoder is not SQL-expressible; MultimodalSpec pins schema
+  // and determinism.
+  private val q91 = QueryDef(
+    "q91_multimodal_decode_stub",
+    (s, d) => {
+      import s.implicits._
+      val payloads = docs(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      payloads.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = FakeDecoder.decode(bytes)
+          (id, m.width, m.height, m.nFrames, m.features)
+        }
+      }.toDF("doc_id", "width", "height", "n_frames", "features")
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  // ---------------------------------------------------------------- q92
+  // Decoded features → aggregate per synthetic shard: demonstrates the
+  // decode → analyze pipeline (metadata stats over media batches).
+  private val q92 = QueryDef(
+    "q92_multimodal_feature_stats",
+    (s, d) => {
+      import s.implicits._
+      val decoded = q91.fn(s, d)
+      decoded
+        .withColumn("shard", col("doc_id") % 10)
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(col("width").cast("long")).as("total_width"),
+          max(col("n_frames").cast("long")).as("max_frames"),
+          round(avg(element_at(col("features"), 1).cast("double")), 6)
+            .as("avg_f0"))
+        .orderBy(col("shard"))
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(q90, q91, q92)
+}

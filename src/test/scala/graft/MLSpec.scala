@@ -1,0 +1,147 @@
+package graft
+
+import graft.ml.{LGBMClassifier, LGBMParams, LGBMRegressor}
+import org.apache.spark.SparkException
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference's ML test matrix (tests/test_core.py): quality
+  * thresholds instead of LightGBM parity, quantile coverage as a property,
+  * the four feature representations, and task-error propagation.
+  */
+class MLSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** make_blobs analogue: k gaussian clusters, 2 features, seed 42. */
+  private def blobs(k: Int, n: Int = 150): DataFrame = {
+    val rng = new scala.util.Random(42)
+    val centers = Seq((0.0, 0.0), (6.0, 6.0), (0.0, 6.0)).take(k)
+    val rows = (0 until n).map { i =>
+      val c = i % k
+      val (cx, cy) = centers(c)
+      (i.toLong, Array(cx + rng.nextGaussian(), cy + rng.nextGaussian()),
+        c.toDouble, 0.01 * rng.nextDouble())
+    }
+    rows.toDF("id", "feats", "label", "weight").repartition(2)
+  }
+
+  /** make_regression analogue: y = 3x1 - 2x2 + noise. */
+  private def regData(n: Int = 200): DataFrame = {
+    val rng = new scala.util.Random(42)
+    (0 until n).map { i =>
+      val x1 = rng.nextGaussian(); val x2 = rng.nextGaussian()
+      (i.toLong, Array(x1, x2), 3.0 * x1 - 2.0 * x2 + 0.1 * rng.nextGaussian())
+    }.toDF("id", "feats", "label").repartition(2)
+  }
+
+  test("binary classifier beats the reference accuracy gate (>0.8)") {
+    val df = blobs(2)
+    val m = new LGBMClassifier(LGBMParams(nEstimators = 20)).fit(df, Seq("feats"))
+    val acc = m.predict(df, Seq("feats"))
+      .agg(avg(($"label" === $"prediction").cast("double"))).head.getDouble(0)
+    assert(acc > 0.8, s"accuracy $acc")
+  }
+
+  test("multiclass (3 blobs) routes to RF and predicts probabilities") {
+    val df = blobs(3)
+    val m = new LGBMClassifier(LGBMParams(nEstimators = 30)).fit(df, Seq("feats"))
+    assert(m.nClasses == 3)
+    val out = m.predictProba(df, Seq("feats"))
+    val acc = out.agg(avg(($"label" === $"prediction").cast("double")))
+      .head.getDouble(0)
+    assert(acc > 0.8, s"accuracy $acc")
+    val probas = out.select($"proba").head.getSeq[Double](0)
+    assert(probas.length == 3 && math.abs(probas.sum - 1.0) < 1e-6)
+  }
+
+  test("weighted fit (sample_weight analogue) trains") {
+    val df = blobs(2)
+    val m = new LGBMClassifier(LGBMParams(nEstimators = 10))
+      .fit(df, Seq("feats"), weightCol = Some("weight"))
+    assert(m.predict(df, Seq("feats")).count() == df.count())
+  }
+
+  test("regressor beats the reference R2 gate (>0.8)") {
+    val df = regData()
+    val m = new LGBMRegressor(LGBMParams(nEstimators = 50)).fit(df, Seq("feats"))
+    val stats = m.predict(df, Seq("feats"))
+      .agg(avg($"label").as("my"),
+        sum(pow($"label" - $"prediction", 2)).as("ss_res"))
+      .head
+    val my = stats.getDouble(0)
+    val ssTot = m.predict(df, Seq("feats"))
+      .agg(sum(pow($"label" - lit(my), 2))).head.getDouble(0)
+    val r2 = 1.0 - stats.getDouble(1) / ssTot
+    assert(r2 > 0.8, s"R2 $r2")
+  }
+
+  test("quantile objective: empirical coverage within atol=0.1 of alpha") {
+    val df = regData()
+    for (alpha <- Seq(0.1, 0.5, 0.9)) {
+      val m = new LGBMRegressor(LGBMParams(nEstimators = 30,
+        objective = "quantile", alpha = alpha)).fit(df, Seq("feats"))
+      val cov = m.predict(df, Seq("feats"))
+        .agg(avg(($"label" <= $"prediction").cast("double")))
+        .head.getDouble(0)
+      assert(math.abs(cov - alpha) < 0.1, s"alpha=$alpha coverage=$cov")
+    }
+  }
+
+  test("feature adapters: plain columns, array col, sparse vectors agree") {
+    val df = blobs(2)
+      .withColumn("x1", $"feats" (0)).withColumn("x2", $"feats" (1))
+    val sparse = df.map { r =>
+      (r.getAs[Double]("label"),
+        Vectors.sparse(2, Array(0, 1),
+          Array(r.getAs[Double]("x1"), r.getAs[Double]("x2"))))
+    }.toDF("label", "sv")
+    val pArr = new LGBMClassifier(LGBMParams(nEstimators = 10))
+      .fit(df, Seq("feats")).predict(df, Seq("feats"))
+    val pCols = new LGBMClassifier(LGBMParams(nEstimators = 10))
+      .fit(df, Seq("x1", "x2")).predict(df, Seq("x1", "x2"))
+    val pSparse = new LGBMClassifier(LGBMParams(nEstimators = 10))
+      .fit(sparse, Seq("sv")).predict(sparse, Seq("sv"))
+    assert(pArr.count() == pCols.count() && pCols.count() == pSparse.count())
+    // identical data ⇒ identical trees ⇒ identical predictions
+    val a = pArr.orderBy("id").select("prediction").collect().map(_.getDouble(0))
+    val b = pCols.orderBy("id").select("prediction").collect().map(_.getDouble(0))
+    assert(a.sameElements(b))
+  }
+
+  test("to_local round-trip: inner model predicts identically") {
+    val df = blobs(2)
+    val m = new LGBMClassifier(LGBMParams(nEstimators = 10)).fit(df, Seq("feats"))
+    val viaWrapper = m.predict(df, Seq("feats"))
+      .orderBy("id").select("prediction").collect().map(_.getDouble(0))
+    val viaLocal = m.toLocal.transform(graft.ml.Featurize(df, Seq("feats")))
+      .orderBy("id").select("prediction").collect().map(_.getDouble(0))
+    assert(viaWrapper.sameElements(viaLocal))
+  }
+
+  test("task errors propagate to the driver (reference B12)") {
+    val df = blobs(2)
+    val poisoned = df.map { r =>
+      if (r.getAs[Long]("id") == 42L) throw new IllegalStateException("boom")
+      r.getAs[Long]("id")
+    }
+    val e = intercept[SparkException] { poisoned.count() }
+    assert(e.getMessage != null)
+  }
+
+  test("registered ML queries run on sf0.001 (rows-only contract)") {
+    for (name <- Seq("q70_ml_gbt_binary_classifier", "q71_ml_rf_multiclass_proba",
+      "q72_ml_gbt_regressor", "q73_ml_quantile_coverage",
+      "q74_ml_accuracy_metric")) {
+      assert(SparkEntry.queries(name)(spark, sf).count() > 0, name)
+    }
+  }
+
+  test("q74 training accuracy is strong on separable embedding labels") {
+    val acc = SparkEntry.queries("q74_ml_accuracy_metric")(spark, sf)
+      .head.getAs[Double]("accuracy")
+    assert(acc > 0.5, s"train accuracy $acc") // random embeddings: weak signal
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Multimodal.FakeDecoder
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming tumbling window equals the batch aggregate") {
+    val streamed = SparkEntry.queries("q80_stream_tumbling_window")(spark, sf)
+    val batch = Tables.t(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.agg(sum("n")).head.getLong(0) ==
+      Tables.t(spark, sf, "events").count())
+  }
+
+  test("streaming dedup keeps one row per (user, event_type)") {
+    val streamed = SparkEntry.queries("q83_stream_dedup")(spark, sf)
+    val batch = Tables.t(spark, sf, "events")
+      .select("user_id", "event_type").distinct()
+      .groupBy("event_type").count()
+    val s = streamed.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = batch.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(s == b)
+  }
+
+  test("session windows merge events within the 30-minute gap") {
+    val sessions = SparkEntry.queries("q82_stream_session_window")(spark, sf)
+    val nEvents = sessions.agg(sum("n_events")).head.getLong(0)
+    assert(nEvents == Tables.t(spark, sf, "events").count())
+  }
+
+  test("fake decoder is deterministic and well-shaped") {
+    val d1 = FakeDecoder.decode("hello world".getBytes)
+    val d2 = FakeDecoder.decode("hello world".getBytes)
+    assert(d1 == d2 || (d1.width == d2.width && d1.height == d2.height &&
+      d1.nFrames == d2.nFrames && d1.features.sameElements(d2.features)))
+    assert(d1.width >= 64 && d1.height >= 64 && d1.nFrames >= 1)
+    assert(d1.features.length == 8 && d1.features.forall(f => f >= 0 && f < 1))
+  }
+
+  test("partition-wise decode yields one decoded row per document") {
+    val out = SparkEntry.queries("q91_multimodal_decode_stub")(spark, sf)
+    assert(out.count() == Tables.t(spark, sf, "documents").count())
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "width", "height", "n_frames", "features"))
+    // determinism across independent runs (stable partition-wise map)
+    val again = SparkEntry.queries("q91_multimodal_decode_stub")(spark, sf)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+}
