@@ -113,21 +113,42 @@ object Dedup {
     "q31_dedup_ngram_jaccard",
     (s, d) => {
       val sh = shingles(s, d).cache()
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("da"), col("lang"), col("shingle"))
-      val b = sh.select(col("doc_id").as("db"), col("lang").as("lang_b"),
-        col("shingle").as("shingle_b"))
-      val inter = a.join(b,
-          col("shingle") === col("shingle_b") &&
-            col("lang") === col("lang_b") && col("da") < col("db"))
-        .groupBy(col("da"), col("db"))
-        .agg(count(lit(1)).as("ni"))
-      val ca = cnt.select(col("doc_id").as("da"), col("n").as("na"))
-      val cb = cnt.select(col("doc_id").as("db"), col("n").as("nb"))
-      inter.join(ca, "da").join(cb, "db")
+      // per-doc shingle set (one aggregation; reused for the verify side)
+      val sets = sh.groupBy(col("doc_id"), col("lang"))
+        .agg(collect_set(col("shingle")).as("shs")).cache()
+      // PREFIX FILTERING (Chaudhuri et al.): for Jaccard ≥ t a pair must
+      // share a shingle within each doc's prefix of size n−⌈t·n⌉+1 when
+      // shingles are ordered by ascending global frequency. Indexing only
+      // prefixes keeps inverted-index buckets rare-shingle-sized — the
+      // hot-bucket pair explosion (quadratic in common-shingle frequency)
+      // disappears, and the filter is LOSSLESS for the 0.5 threshold, so
+      // the oracle's unfiltered formulation returns identical rows.
+      val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gf"))
+      val wPre = Window.partitionBy(col("doc_id"))
+        .orderBy(col("gf"), col("shingle"))
+      val prefix = sh.join(broadcast(freq), "shingle")
+        .withColumn("rn", row_number().over(wPre))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+        .filter(col("rn") <= col("n") - ceil(col("n") * 0.5) + 1)
+        .select(col("doc_id"), col("lang"), col("shingle"))
+      // inverted index over prefixes: docs sharing a rare (lang, shingle)
+      // become candidates; pairs generated in-bucket, no row self-join
+      val cand = prefix
+        .groupBy(col("lang"), col("shingle"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1),
+                       y -> struct(x AS da, y AS db))))""")).as("p"))
+        .select(col("p.da"), col("p.db")).distinct()
+      val sa = sets.select(col("doc_id").as("da"), col("shs").as("sa"))
+      val sb = sets.select(col("doc_id").as("db"), col("shs").as("sb"))
+      cand.join(broadcast(sa), "da").join(broadcast(sb), "db")
+        .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
         .withColumn("jac",
           round(col("ni").cast("double") /
-            (col("na") + col("nb") - col("ni")).cast("double"), 6))
+            (size(col("sa")) + size(col("sb")) - col("ni")).cast("double"), 6))
         .filter(col("jac") >= 0.5)
         .select(col("da"), col("db"), col("jac"))
         .orderBy(col("da"), col("db"))
@@ -156,34 +177,41 @@ object Dedup {
   private val q32 = QueryDef(
     "q32_dedup_minhash_lsh",
     (s, d) => {
-      val sh = shingles(s, d).cache()
-      val ids = sh.join(broadcast(dict(sh)), "shingle")
-        .select(col("doc_id"), col("sid"))
+      val sh = shingles(s, d)
+      // one aggregation produces the 16 min-hashes AND the shingle-id set
+      // per doc (the set feeds the exact-Jaccard verify without another
+      // pass over the corpus)
       val sigCols = (0 until K).map(k =>
-        min((col("sid") * aK(k) + bK(k)) % P).as(s"h$k"))
-      val sig = ids.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        min((col("sid") * aK(k) + bK(k)) % P).as(s"h$k")) :+
+        collect_set(col("sid")).as("sids")
+      val sig = sh.join(broadcast(dict(sh)), "shingle")
+        .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        .cache()
+      // band buckets via groupBy + collect_set: ONE shuffle keyed by
+      // (band, value); pairs generated in-bucket with a HOF — no self-join.
+      // At 100 TB add a bucket-size cap here (oversized buckets are
+      // near-certain dups already caught by smaller bands).
       val bandExprs = (0 until Bands).map(j =>
         s"struct(${j}L as band, h${2 * j} * 2147483648L + h${2 * j + 1} as bv)")
-      val bands = sig.select(col("doc_id"),
-        explode(array(bandExprs.map(expr): _*)).as("b"))
-        .select(col("doc_id"), col("b.band"), col("b.bv"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-        .distinct()
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.select(col("doc_id").as("da"), col("shingle"))
-      val b = sh.select(col("doc_id").as("db_r"), col("shingle").as("shingle_b"))
-      val inter = cand.join(a, "da")
-        .join(b, col("db") === col("db_r") && col("shingle") === col("shingle_b"))
-        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ni"))
-      inter
-        .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
-        .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      val cand = sig
+        .select(col("doc_id"), explode(array(bandExprs.map(expr): _*)).as("b"))
+        .groupBy(col("b.band"), col("b.bv"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1),
+                       y -> struct(x AS da, y AS db))))""")).as("p"))
+        .select(col("p.da"), col("p.db")).distinct()
+      // exact-Jaccard verify: two broadcast joins against the per-doc
+      // shingle-id sets, intersection computed with array_intersect.
+      val sa = sig.select(col("doc_id").as("da"), col("sids").as("sa"))
+      val sb = sig.select(col("doc_id").as("db"), col("sids").as("sb"))
+      cand.join(broadcast(sa), "da").join(broadcast(sb), "db")
+        .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
         .withColumn("jac",
           round(col("ni").cast("double") /
-            (col("na") + col("nb") - col("ni")).cast("double"), 6))
+            (size(col("sa")) + size(col("sb")) - col("ni")).cast("double"), 6))
         .filter(col("jac") >= 0.5)
         .select(col("da"), col("db"), col("jac"))
         .orderBy(col("da"), col("db"))
@@ -232,29 +260,33 @@ object Dedup {
     "q33_dedup_simhash",
     (s, d) => {
       val sh = shingles(s, d)
-      val ids = sh.join(broadcast(dict(sh)), "shingle")
-        .select(col("doc_id"), col("sid"))
       val bitSums = (0 until SimBits).map(j =>
         sum(when((col("sid") * aK(j) + bK(j)) % P % 2 === 1, lit(1L))
           .otherwise(lit(-1L))).as(s"s$j"))
-      val sums = ids.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       val hashExpr = (0 until SimBits)
         .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END")
         .mkString(" + ")
-      val sig = sums.select(col("doc_id"), expr(hashExpr).as("simhash"))
-      val nibbles = sig.select(col("doc_id"), col("simhash"),
-        explode(expr(
-          "array(struct(0L as band, (simhash div 1) % 16 as nib)," +
-            "struct(1L as band, (simhash div 16) % 16 as nib)," +
-            "struct(2L as band, (simhash div 256) % 16 as nib)," +
-            "struct(3L as band, (simhash div 4096) % 16 as nib))")).as("b"))
-        .select(col("doc_id"), col("simhash"), col("b.band"), col("b.nib"))
-      nibbles.as("x").join(nibbles.as("y"),
-          col("x.band") === col("y.band") && col("x.nib") === col("y.nib") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-          col("x.simhash").as("ha"), col("y.simhash").as("hb"))
-        .distinct()
+      val sig = sh.join(broadcast(dict(sh)), "shingle")
+        .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), expr(hashExpr).as("simhash"))
+        .cache()
+      // 4-bit band buckets → in-bucket pair generation (one shuffle),
+      // then one broadcast join back to pick up each side's signature.
+      val nibExprs = (0 until 4).map(b =>
+        s"struct(${b}L as band, (simhash div ${1L << (4 * b)}) % 16 as nib)")
+      val cand = sig
+        .select(col("doc_id"), explode(array(nibExprs.map(expr): _*)).as("b"))
+        .groupBy(col("b.band"), col("b.nib"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids) - i - 1),
+                       y -> struct(x AS da, y AS db))))""")).as("p"))
+        .select(col("p.da"), col("p.db")).distinct()
+      cand
+        .join(broadcast(sig.select(col("doc_id").as("da"), col("simhash").as("ha"))), "da")
+        .join(broadcast(sig.select(col("doc_id").as("db"), col("simhash").as("hb"))), "db")
         .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
         .filter(col("hamming") <= 3)
         .select(col("da"), col("db"), col("hamming"))

@@ -650,7 +650,46 @@ object Relational {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------- q26
+  // from_json → typed MapType + element access (C5 JSON/map surface).
+  private val q26 = QueryDef(
+    "q26_from_json_map",
+    (s, d) =>
+      ev(s, d)
+        .withColumn("m",
+          from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+        .select(col("event_id"),
+          element_at(col("m"), "k").cast("long").as("k_val"),
+          size(map_keys(col("m"))).cast("long").as("n_keys"))
+        .filter(col("event_id") < 500)
+        .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+             CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+      FROM events
+      WHERE event_id < 500
+      ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------- q27
+  // CUBE grouping sets (all 4 combinations of two keys).
+  private val q27 = QueryDef(
+    "q27_cube",
+    (s, d) =>
+      ord(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumFixed(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+    Some(s"""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             ${sumFixedSql("o_totalprice", 2)} AS total
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25)
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
 }

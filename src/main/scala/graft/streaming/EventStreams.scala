@@ -40,13 +40,26 @@ object EventStreams {
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
-  /** Run a bounded stream to completion through a memory sink. */
+  /** Run a bounded stream to completion through a memory sink.
+    *
+    * Stateful operators create one state-store instance per shuffle
+    * partition and pay a per-partition commit each micro-batch; for the
+    * replay volume here 8 partitions is plenty (on a real cluster size
+    * this to the executor count — it is fixed at the first batch of a
+    * query and kept in the checkpoint).
+    */
   private def run(s: SparkSession, out: DataFrame => DataFrame,
       src: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    val q = out(src).writeStream.format("memory")
-      .queryName(name).outputMode(mode).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = out(src).writeStream.format("memory")
+        .queryName(name).outputMode(mode).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     s.table(name)
   }
 
