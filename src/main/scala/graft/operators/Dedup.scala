@@ -126,7 +126,7 @@ object Dedup {
       val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gf"))
       val wPre = Window.partitionBy(col("doc_id"))
         .orderBy(col("gf"), col("shingle"))
-      val prefix = sh.join(broadcast(freq), "shingle")
+      val prefix = sh.join(freq, "shingle")
         .withColumn("rn", row_number().over(wPre))
         .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
         .filter(col("rn") <= col("n") - ceil(col("n") * 0.5) + 1)
@@ -142,9 +142,12 @@ object Dedup {
              transform(slice(ids, i + 2, size(ids) - i - 1),
                        y -> struct(x AS da, y AS db))))""")).as("p"))
         .select(col("p.da"), col("p.db")).distinct()
+      // verify joins UNHINTED: `sets` is corpus-sized (never broadcast it);
+      // AQE builds on whichever side is small — usually the candidate pairs,
+      // whose cardinality tracks true duplicates, not corpus size
       val sa = sets.select(col("doc_id").as("da"), col("shs").as("sa"))
       val sb = sets.select(col("doc_id").as("db"), col("shs").as("sb"))
-      cand.join(broadcast(sa), "da").join(broadcast(sb), "db")
+      cand.join(sa, "da").join(sb, "db")
         .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
         .withColumn("jac",
           round(col("ni").cast("double") /
@@ -184,7 +187,7 @@ object Dedup {
       val sigCols = (0 until K).map(k =>
         min((col("sid") * aK(k) + bK(k)) % P).as(s"h$k")) :+
         collect_set(col("sid")).as("sids")
-      val sig = sh.join(broadcast(dict(sh)), "shingle")
+      val sig = sh.join(dict(sh), "shingle")
         .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
         .cache()
       // band buckets via groupBy + collect_set: ONE shuffle keyed by
@@ -205,9 +208,10 @@ object Dedup {
         .select(col("p.da"), col("p.db")).distinct()
       // exact-Jaccard verify: two broadcast joins against the per-doc
       // shingle-id sets, intersection computed with array_intersect.
+      // unhinted on purpose — `sig` is corpus-sized (see q31 note)
       val sa = sig.select(col("doc_id").as("da"), col("sids").as("sa"))
       val sb = sig.select(col("doc_id").as("db"), col("sids").as("sb"))
-      cand.join(broadcast(sa), "da").join(broadcast(sb), "db")
+      cand.join(sa, "da").join(sb, "db")
         .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
         .withColumn("jac",
           round(col("ni").cast("double") /
@@ -266,12 +270,12 @@ object Dedup {
       val hashExpr = (0 until SimBits)
         .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END")
         .mkString(" + ")
-      val sig = sh.join(broadcast(dict(sh)), "shingle")
+      val sig = sh.join(dict(sh), "shingle")
         .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"), expr(hashExpr).as("simhash"))
         .cache()
       // 4-bit band buckets → in-bucket pair generation (one shuffle),
-      // then one broadcast join back to pick up each side's signature.
+      // then joins back to pick up each side's signature.
       val nibExprs = (0 until 4).map(b =>
         s"struct(${b}L as band, (simhash div ${1L << (4 * b)}) % 16 as nib)")
       val cand = sig
@@ -284,9 +288,10 @@ object Dedup {
              transform(slice(ids, i + 2, size(ids) - i - 1),
                        y -> struct(x AS da, y AS db))))""")).as("p"))
         .select(col("p.da"), col("p.db")).distinct()
+      // unhinted on purpose — `sig` is corpus-sized (see q31 note)
       cand
-        .join(broadcast(sig.select(col("doc_id").as("da"), col("simhash").as("ha"))), "da")
-        .join(broadcast(sig.select(col("doc_id").as("db"), col("simhash").as("hb"))), "db")
+        .join(sig.select(col("doc_id").as("da"), col("simhash").as("ha")), "da")
+        .join(sig.select(col("doc_id").as("db"), col("simhash").as("hb")), "db")
         .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
         .filter(col("hamming") <= 3)
         .select(col("da"), col("db"), col("hamming"))
