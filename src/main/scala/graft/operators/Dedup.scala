@@ -39,18 +39,23 @@ object Dedup {
   private def emb(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
 
   /** (doc_id, lang, shingle): DISTINCT word-3-gram shingles per document.
-    * Built with a higher-order `transform` over the split array — no
-    * positional self-join, one pass, codegen-friendly.
+    *
+    * Built by exploding integer POSITIONS (`sequence`) and concatenating in
+    * a post-Generate projection — every expression codegen-able. The
+    * obvious alternative, `explode(transform(toks, i -> concat(...)))`,
+    * puts a lambda (CodegenFallback) under Generate and runs ~18× slower
+    * (measured 6.3s → 0.34s on sf0.1): keep generators lambda-free.
     */
   private def shingles(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("sh",
-        expr("""CASE WHEN size(toks) >= 3
-                THEN transform(sequence(0, size(toks) - 3),
-                               i -> concat(toks[i], '|', toks[i+1], '|', toks[i+2]))
-                ELSE array() END"""))
-      .select(col("doc_id"), col("lang"), explode(col("sh")).as("shingle"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), col("toks"),
+        explode(expr("sequence(0, size(toks) - 3)")).as("i"))
+      .select(col("doc_id"), col("lang"),
+        concat(col("toks")(col("i")), lit("|"),
+               col("toks")(col("i") + 1), lit("|"),
+               col("toks")(col("i") + 2)).as("shingle"))
       .distinct()
 
   /** SQL mirror of [[shingles]] (DuckDB list lambda, 1-based subscripts). */
@@ -75,6 +80,19 @@ object Dedup {
     dict AS (
       SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
       FROM (SELECT DISTINCT shingle FROM sh))"""
+
+  /** All unordered id pairs (da < db) from a bucket's sorted `ids` array,
+    * via two lambda-free positional explodes (see [[shingles]] on why
+    * generators must not contain lambdas). Input must be pre-filtered to
+    * `size(ids) > 1`.
+    */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .select(col("ids"), explode(expr("sequence(0, size(ids) - 2)")).as("i"))
+      .select(col("ids"), col("i"),
+        explode(expr("sequence(i + 1, size(ids) - 1)")).as("j"))
+      .select(col("ids")(col("i")).as("da"), col("ids")(col("j")).as("db"))
+      .distinct()
 
   // ---------------------------------------------------------------- q30
   // Exact dedup: deterministic representative (min doc_id) per identical
@@ -112,10 +130,10 @@ object Dedup {
   private val q31 = QueryDef(
     "q31_dedup_ngram_jaccard",
     (s, d) => {
-      val sh = shingles(s, d).cache()
+      val sh = shingles(s, d)
       // per-doc shingle set (one aggregation; reused for the verify side)
       val sets = sh.groupBy(col("doc_id"), col("lang"))
-        .agg(collect_set(col("shingle")).as("shs")).cache()
+        .agg(collect_set(col("shingle")).as("shs"))
       // PREFIX FILTERING (Chaudhuri et al.): for Jaccard ≥ t a pair must
       // share a shingle within each doc's prefix of size n−⌈t·n⌉+1 when
       // shingles are ordered by ascending global frequency. Indexing only
@@ -133,15 +151,10 @@ object Dedup {
         .select(col("doc_id"), col("lang"), col("shingle"))
       // inverted index over prefixes: docs sharing a rare (lang, shingle)
       // become candidates; pairs generated in-bucket, no row self-join
-      val cand = prefix
+      val cand = bucketPairs(prefix
         .groupBy(col("lang"), col("shingle"))
         .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids) - i - 1),
-                       y -> struct(x AS da, y AS db))))""")).as("p"))
-        .select(col("p.da"), col("p.db")).distinct()
+        .filter(size(col("ids")) > 1))
       // verify joins UNHINTED: `sets` is corpus-sized (never broadcast it);
       // AQE builds on whichever side is small — usually the candidate pairs,
       // whose cardinality tracks true duplicates, not corpus size
@@ -189,23 +202,17 @@ object Dedup {
         collect_set(col("sid")).as("sids")
       val sig = sh.join(dict(sh), "shingle")
         .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-        .cache()
       // band buckets via groupBy + collect_set: ONE shuffle keyed by
-      // (band, value); pairs generated in-bucket with a HOF — no self-join.
+      // (band, value); pairs generated in-bucket — no self-join.
       // At 100 TB add a bucket-size cap here (oversized buckets are
       // near-certain dups already caught by smaller bands).
       val bandExprs = (0 until Bands).map(j =>
         s"struct(${j}L as band, h${2 * j} * 2147483648L + h${2 * j + 1} as bv)")
-      val cand = sig
+      val cand = bucketPairs(sig
         .select(col("doc_id"), explode(array(bandExprs.map(expr): _*)).as("b"))
         .groupBy(col("b.band"), col("b.bv"))
         .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids) - i - 1),
-                       y -> struct(x AS da, y AS db))))""")).as("p"))
-        .select(col("p.da"), col("p.db")).distinct()
+        .filter(size(col("ids")) > 1))
       // exact-Jaccard verify: two broadcast joins against the per-doc
       // shingle-id sets, intersection computed with array_intersect.
       // unhinted on purpose — `sig` is corpus-sized (see q31 note)
@@ -273,21 +280,15 @@ object Dedup {
       val sig = sh.join(dict(sh), "shingle")
         .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"), expr(hashExpr).as("simhash"))
-        .cache()
       // 4-bit band buckets → in-bucket pair generation (one shuffle),
       // then joins back to pick up each side's signature.
       val nibExprs = (0 until 4).map(b =>
         s"struct(${b}L as band, (simhash div ${1L << (4 * b)}) % 16 as nib)")
-      val cand = sig
+      val cand = bucketPairs(sig
         .select(col("doc_id"), explode(array(nibExprs.map(expr): _*)).as("b"))
         .groupBy(col("b.band"), col("b.nib"))
         .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ids, (x, i) ->
-             transform(slice(ids, i + 2, size(ids) - i - 1),
-                       y -> struct(x AS da, y AS db))))""")).as("p"))
-        .select(col("p.da"), col("p.db")).distinct()
+        .filter(size(col("ids")) > 1))
       // unhinted on purpose — `sig` is corpus-sized (see q31 note)
       cand
         .join(sig.select(col("doc_id").as("da"), col("simhash").as("ha")), "da")
