@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions.{float_dot, float_norm}
 
 /** Deduplication operators over `documents` (SURVEY §2.C6/C7): exact dedup,
   * word-3-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
@@ -333,21 +334,19 @@ object Dedup {
 
   // ---------------------------------------------------------------- q34
   // Embedding-cosine near-dup: pairs blocked on `label`, dot product via
-  // higher-order zip_with/aggregate on the array columns (no row
-  // explosion in Spark); 64-term double sums are stable to ~1e-15, far
-  // below the round(…,6) lattice.
+  // the native codegen'd FloatDot expression (no row explosion in Spark);
+  // 64-term double sums are stable to ~1e-15, far below the round(…,6)
+  // lattice.
   private val q34 = QueryDef(
     "q34_dedup_embedding_cosine",
     (s, d) => {
-      val e = emb(s, d).withColumn("norm",
-        expr("sqrt(aggregate(embedding, 0.0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      val e = emb(s, d).withColumn("norm", float_norm(col("embedding")))
       val a = e.select(col("vec_id").as("ia"), col("label"),
         col("embedding").as("ea"), col("norm").as("na"))
       val b = e.select(col("vec_id").as("ib"), col("label").as("label_b"),
         col("embedding").as("eb"), col("norm").as("nb"))
       a.join(b, col("label") === col("label_b") && col("ia") < col("ib"))
-        .withColumn("dot",
-          expr("aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"))
+        .withColumn("dot", float_dot(col("ea"), col("eb")))
         .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 6))
         .filter(col("cos") >= 0.3)
         .select(col("ia"), col("ib"), col("label"), col("cos"))
