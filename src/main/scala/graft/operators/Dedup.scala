@@ -30,7 +30,7 @@ object Dedup {
   private val P = 2147483647L // 2^31 - 1, Mersenne prime
   private val K = 16 // minhash signature length
   private val Bands = 8 // bands of 2 rows each
-  private val SimBits = 16 // simhash width
+  private val SimBits = 60 // simhash width (4 bands x 15 bits, fits signed long)
 
   /** Affine hash constants, embedded identically in Spark exprs and SQL. */
   private def aK(k: Int): Long = (104729L * (k + 1) + 7L) % P
@@ -266,8 +266,12 @@ object Dedup {
     })
 
   // ---------------------------------------------------------------- q33
-  // SimHash: 16-bit signature from per-shingle pseudo-random bits; dup
-  // candidates meet in 4-bit band buckets; pairs kept at Hamming ≤ 3.
+  // SimHash: 60-bit signature from per-shingle pseudo-random bits; dup
+  // candidates meet in 15-bit band buckets (pigeonhole: Hamming ≤ 3 ⇒ at
+  // least one of 4 bands identical); pairs kept at Hamming ≤ 3. Band
+  // width matters at scale: a 4-bit band has only 16 bucket values, so
+  // every band bucket holds ~N/16 docs and pair generation goes quadratic
+  // in corpus size; 15-bit bands (32k values) keep buckets true-dup-sized.
   private val q33 = QueryDef(
     "q33_dedup_simhash",
     (s, d) => {
@@ -281,10 +285,10 @@ object Dedup {
       val sig = sh.join(dict(sh), "shingle")
         .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"), expr(hashExpr).as("simhash"))
-      // 4-bit band buckets → in-bucket pair generation (one shuffle),
+      // 15-bit band buckets → in-bucket pair generation (one shuffle),
       // then joins back to pick up each side's signature.
       val nibExprs = (0 until 4).map(b =>
-        s"struct(${b}L as band, (simhash div ${1L << (4 * b)}) % 16 as nib)")
+        s"struct(${b}L as band, (simhash div ${1L << (15 * b)}) % 32768 as nib)")
       val cand = bucketPairs(sig
         .select(col("doc_id"), explode(array(nibExprs.map(expr): _*)).as("b"))
         .groupBy(col("b.band"), col("b.nib"))
@@ -309,7 +313,7 @@ object Dedup {
         .mkString(" + ")
       val nibbleSelects = (0 until 4)
         .map(b =>
-          s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (4 * b)}) % 16 AS nib FROM sig")
+          s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (15 * b)}) % 32768 AS nib FROM sig")
         .mkString("\n        UNION ALL ")
       s"""
       WITH $shinglesSql,

@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.VectorFunctions.{float_dot, float_norm}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the native [[graft.functions.FloatDot]] Catalyst expression: the
+  * codegen path must agree with the interpreted HOF formulation, handle
+  * nulls like any binary expression, and truncate to the shorter array
+  * (zip_with product semantics).
+  */
+class FunctionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def df = {
+    import spark.implicits._
+    Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+      (2L, Seq(0.5f, -0.5f), Seq(2.0f, 2.0f)),
+      (3L, Seq.empty[Float], Seq(1.0f))
+    ).toDF("id", "a", "b")
+  }
+
+  test("float_dot matches the interpreted HOF result (codegen path)") {
+    val hof = expr(
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)")
+    val rows = df
+      .filter(size(col("a")) === size(col("b"))) // HOF zip_with pads with null
+      .select(col("id"), float_dot(col("a"), col("b")).as("nat"), hof.as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) === r.getDouble(2), s"id=${r.getLong(0)}"))
+  }
+
+  test("float_dot exact values and shorter-array truncation") {
+    val m = df.select(col("id"), float_dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) === 32.0) // 4 + 10 + 18
+    assert(m(2L) === 0.0)  // 1 - 1
+    assert(m(3L) === 0.0)  // empty side -> 0
+  }
+
+  test("float_dot is null on null input; float_norm is the L2 norm") {
+    val withNull = df.withColumn("a2", when(col("id") === 1, col("a")))
+    val rows = withNull
+      .select(col("id"), float_dot(col("a2"), col("b")).as("d"),
+        float_norm(col("b")).as("n"))
+      .orderBy("id").collect()
+    assert(!rows(0).isNullAt(1) && rows(1).isNullAt(1) && rows(2).isNullAt(1))
+    assert(math.abs(rows(1).getDouble(2) - math.sqrt(8.0)) < 1e-12)
+  }
+
+  test("float_dot survives both eval paths (interpreted fallback)") {
+    // force interpreted eval through a non-codegen context: collect via RDD
+    val v = df.filter(col("id") === 1)
+      .select(float_dot(col("a"), col("b"))).rdd.map(_.getDouble(0)).collect()
+    assert(v.head === 32.0)
+  }
+}
