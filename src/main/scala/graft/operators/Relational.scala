@@ -689,7 +689,83 @@ object Relational {
       GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
 
+  // ---------------------------------------------------------------- q28
+  // AS-OF join: attribute each `purchase` event to the same user's most
+  // recent at-or-before `click`. Spark has no ASOF operator; the scalable
+  // formulation is union + window `last(ignoreNulls)`: tag clicks 0 and
+  // purchases 1, sort each user's merged timeline once, and carry the
+  // latest click id forward. ONE shuffle on the join key, sort within
+  // partition — identical cost profile to any windowed op, with none of
+  // the range-join row explosion a `ts BETWEEN` join would produce.
+  // Tie at equal ts: marker orders the click first, so "at or before" is
+  // inclusive, matching DuckDB's `ASOF JOIN ... ON p.ts >= c.ts` oracle.
+  private val q28 = QueryDef(
+    "q28_asof_join",
+    (s, d) => {
+      val ev = Tables.t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("marker"),
+          lit(null).cast("bigint").as("purchase_id"),
+          col("event_id").as("click_src"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("marker"),
+          col("event_id").as("purchase_id"),
+          lit(null).cast("bigint").as("click_src"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("marker"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("click_id", last(col("click_src"), ignoreNulls = true).over(w))
+        .withColumn("click_ts", last(when(col("marker") === 0, col("ts")),
+          ignoreNulls = true).over(w))
+        .filter(col("marker") === 1)
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY purchase_id"""))
+
+  // ---------------------------------------------------------------- q29
+  // Salted two-phase aggregation — the skew pattern. A hot grouping key
+  // (l_returnflag has 3 values; at 100 TB one reducer would absorb ~33%
+  // of the table) is salted with a uniform 16-way suffix; phase 1 aggs
+  // (key, salt) so the hot key spreads over 16 reducers, phase 2 merges
+  // the 48 partials. Counts and fixed-point sums are associative, so the
+  // result is bit-identical to the unsalted groupBy the oracle runs.
+  // (AQE skew-join handles the JOIN case automatically; aggregation skew
+  // still needs explicit salting — this is that operator.)
+  private val q29 = QueryDef(
+    "q29_skew_salted_agg",
+    (s, d) => {
+      val salted = li(s, d)
+        .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+      // phase 1 carries the exact integer numerator (see Num.sumFixed);
+      // the single double division happens once, after the final merge
+      val partial = salted
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(round(col("l_quantity") * lit(100.0)).cast("long")).as("pq"))
+      partial
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("pn")).as("n"),
+          (sum(col("pq")).cast("double") / lit(100.0)).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
+    q27, q28, q29)
 }
