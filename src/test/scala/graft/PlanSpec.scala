@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the physical-plan properties the 100 TB design rests on. A plan
+  * regression here (lost pushdown, un-broadcast dim, sort instead of
+  * top-k heap) would not change results, only make them 100× slower at
+  * scale — so it must fail a test, not wait for a benchmark.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: filter and column pruning reach the parquet scan") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "shipdate filter must be pushed to the scan")
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q03: dimension joins broadcast, no sort-merge for dims") {
+    val p = planOf("q03_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), "customer/orders dims should broadcast at this SF")
+    assert(p.contains("TakeOrderedAndProject"),
+      "LIMIT+ORDER BY must plan as a top-k heap, not a global sort")
+  }
+
+  test("q09: top-k plans as TakeOrderedAndProject (per-partition heaps)") {
+    assert(planOf("q09_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q34: scoring projection stays in whole-stage codegen (native dot)") {
+    val p = planOf("q34_dedup_embedding_cosine")
+    assert(p.contains("float_dot"), "native FloatDot expression expected in plan")
+    assert(!p.contains("lambdafunction"),
+      "no interpreted higher-order functions in the scoring path")
+  }
+
+  test("float_dot is SQL-callable once registered") {
+    // the injector itself is exercised for shape (extensions only apply
+    // at session build); SQL callability goes through the registry bridge
+    new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+      spark, "float_dot",
+      e => graft.functions.FloatDot(e.head, e(1)))
+    import spark.implicits._
+    val one = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    one.createOrReplaceTempView("v_fd")
+    val r = spark.sql("SELECT float_dot(a, b) AS d FROM v_fd").collect()
+    assert(r.head.getDouble(0) === 11.0)
+  }
+}
