@@ -237,5 +237,43 @@ object TextAnalysis {
       GROUP BY lang, p_lang
       ORDER BY lang, pred_lang"""))
 
-  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44)
+  // ---------------------------------------------------------------- q45
+  // Exact distribution stats per language: interpolated median/p90 and
+  // standard deviation. stddev is computed from exact integer sums
+  // (n_chars is a BIGINT: Σx and Σx² are exact longs, the single double
+  // division happens last), so the value is independent of partitioning
+  // and merge order — the same discipline as Num.sumFixed, extended to
+  // second moments. percentile/quantile_cont share linear-interpolation
+  // semantics between Spark and DuckDB.
+  private val q45 = QueryDef(
+    "q45_stats_moments",
+    (s, d) =>
+      docs(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(n_chars, 0.5D)").as("med_chars"),
+          expr("percentile(n_chars, 0.9D)").as("p90_chars"),
+          sum(col("n_chars")).as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+        .select(col("lang"), col("n"), col("med_chars"), col("p90_chars"),
+          round(sqrt(
+            (col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") /
+                col("n").cast("double")) /
+              (col("n").cast("double") - 1.0)), 6).as("sd_chars"))
+        .orderBy(col("lang")),
+    Some("""
+      SELECT lang, count(*) AS n,
+             quantile_cont(n_chars, 0.5) AS med_chars,
+             quantile_cont(n_chars, 0.9) AS p90_chars,
+             round(sqrt((CAST(sum(n_chars * n_chars) AS DOUBLE)
+                         - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE))
+                        / (CAST(count(*) AS DOUBLE) - 1.0)), 6) AS sd_chars
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45)
 }
