@@ -764,8 +764,43 @@ object Relational {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  // ---------------------------------------------------------------- q60
+  // Custom UDAF surface (SURVEY §2.C11/§7): exact weighted median via the
+  // WeightedQuantile Aggregator — histogram buffer of exact longs,
+  // associative merge, partition-count-independent result. The oracle
+  // replicates the lower-weighted-quantile definition with window
+  // functions over the same integer lattice.
+  private val q60 = QueryDef(
+    "q60_weighted_quantile_udaf",
+    (s, d) => {
+      val wq = udaf(graft.functions.WeightedQuantile(0.5))
+      li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(wq(
+          round(col("l_quantity") * lit(100.0)).cast("long"),
+          round(col("l_extendedprice") * lit(100.0)).cast("long"))
+          .as("wmedian_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS BIGINT) AS v,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+        FROM lineitem GROUP BY 1, 2),
+      c AS (
+        SELECT l_returnflag, v,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        FROM g)
+      SELECT l_returnflag, CAST(min(v) AS DOUBLE) / 100 AS wmedian_qty
+      FROM c
+      WHERE CAST(cw AS DOUBLE) >= 0.5 * CAST(tw AS DOUBLE)
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29)
+    q27, q28, q29, q60)
 }

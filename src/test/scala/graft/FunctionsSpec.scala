@@ -50,6 +50,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(rows(1).getDouble(2) - math.sqrt(8.0)) < 1e-12)
   }
 
+  test("WeightedQuantile is exact and partition-count independent") {
+    import spark.implicits._
+    val wq = udaf(graft.functions.WeightedQuantile(0.5))
+    // weighted median of {1×w9, 2×w1}: cum weight hits 5.0 at v=1
+    val tiny = Seq((100L, 900L), (200L, 100L)).toDF("v", "w")
+    assert(tiny.agg(wq(col("v"), col("w"))).collect().head.getDouble(0) === 1.0)
+    // same data, different partitioning → identical result
+    val data = (1 to 1000).map(i => ((i % 37) * 100L + 100L, (i % 11) * 10L + 1L))
+    val r = (1 to 8 by 3).map { np =>
+      data.toDF("v", "w").repartition(np)
+        .agg(wq(col("v"), col("w"))).collect().head.getDouble(0)
+    }
+    assert(r.distinct.size === 1, s"partition-dependent results: $r")
+  }
+
   test("float_dot survives both eval paths (interpreted fallback)") {
     // force interpreted eval through a non-codegen context: collect via RDD
     val v = df.filter(col("id") === 1)
