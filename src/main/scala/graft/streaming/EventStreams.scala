@@ -200,5 +200,30 @@ object EventStreams {
       GROUP BY user_id
       ORDER BY user_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84)
+  // ---------------------------------------------------------------- q85
+  // Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps a
+  // key's dedup state only until the watermark passes its event time, so
+  // state size is bounded by (keys arriving per watermark window), not by
+  // lifetime key cardinality — the REQUIRED variant at 100 TB where
+  // (user, event_type) space grows without bound. q83 (plain
+  // dropDuplicates) is the unbounded-state contrast. On this bounded
+  // replay every duplicate lands inside the watermark, so the result
+  // equals exact batch dedup and the oracle can hash-check it.
+  private val q85 = QueryDef(
+    "q85_stream_dedup_within_watermark",
+    (s, d) =>
+      run(s, st =>
+        st.withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_first_seen")),
+        readEventsStream(s, d), "complete")
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type, count(DISTINCT user_id) AS n_first_seen
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85)
 }
