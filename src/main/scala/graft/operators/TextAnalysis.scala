@@ -139,7 +139,9 @@ object TextAnalysis {
       val wdict = tok.select("w").distinct()
         .withColumn("wid",
           row_number().over(Window.orderBy(col("w"))).cast("long"))
-      tok.join(broadcast(wdict), "w")
+      // unhinted: wdict is vocabulary-sized (grows with the corpus) —
+      // never force-broadcast it; AQE decides per actual size
+      tok.join(wdict, "w")
         .withColumn("term", (col("i") * col("wid")) % P * 1000003L % P)
         .groupBy(col("doc_id"))
         .agg((sum(col("term")) % P).as("fingerprint"),
