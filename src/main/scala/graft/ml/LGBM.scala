@@ -88,7 +88,10 @@ class LGBMClassifier(val params: LGBMParams = LGBMParams()) {
       weightCol: Option[String] = None): LGBMClassifierModel = {
     val data = Featurize(df, featuresCol)
       .withColumn("label", col(labelCol).cast("double"))
-    val nClasses = data.select("label").distinct().count().toInt
+    // MLlib classification requires dense labels 0..k-1, so k = max+1:
+    // a map-side partial max, not a distinct shuffle over the data
+    val nClasses =
+      data.agg(max(col("label"))).head.getDouble(0).toInt + 1
     val model: ProbabilisticClassificationModel[Vector, _] =
       if (nClasses <= 2) {
         val est = new GBTClassifier()
