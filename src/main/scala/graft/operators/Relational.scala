@@ -799,8 +799,37 @@ object Relational {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  // ---------------------------------------------------------------- q61
+  // SQL entry surface: the same engine through `spark.sql` over temp
+  // views (TPC-H Q6 shape — forecast revenue). Catalyst produces the
+  // identical plan as the DataFrame API: pushed filters, partial+final
+  // agg, no shuffle beyond the single-row exchange.
+  private val q61 = QueryDef(
+    "q61_sql_surface",
+    (s, d) => {
+      li(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000
+                 AS revenue,
+               count(*) AS n
+        FROM v_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24""")
+    },
+    Some("""
+      SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS DOUBLE) / 10000
+               AS revenue,
+             count(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.03 AND 0.07
+        AND l_quantity < 24"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q60)
+    q27, q28, q29, q60, q61)
 }
