@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic properties of the dedup operators that the oracle hash-match
+  * alone doesn't isolate: in-bucket pair generation must be exactly
+  * C(n,2), and prefix filtering must be LOSSLESS at the 0.5 threshold —
+  * the optimized q31 must return the same pairs as the naive
+  * all-shared-shingle formulation.
+  */
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("in-bucket pair generation yields exactly C(n,2) ordered pairs") {
+    // mirrors Dedup.bucketPairs (private): double positional explode
+    import spark.implicits._
+    val buckets = Seq(
+      (Seq(1L, 2L, 3L, 4L)), // C(4,2) = 6
+      (Seq(7L, 9L)),         // 1
+      (Seq(5L, 6L, 7L))      // 3, overlapping ids with bucket 2
+    ).toDF("ids")
+    val pairs = buckets
+      .select(col("ids"), explode(expr("sequence(0, size(ids) - 2)")).as("i"))
+      .select(col("ids"), col("i"),
+        explode(expr("sequence(i + 1, size(ids) - 1)")).as("j"))
+      .select(col("ids")(col("i")).as("da"), col("ids")(col("j")).as("db"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (7L, 9L),
+      (5L, 6L), (5L, 7L), (6L, 7L))
+    assert(pairs === expected)
+    assert(pairs.forall { case (a, b) => a < b }, "pairs must be ordered da < db")
+  }
+
+  test("prefix filtering is lossless at the 0.5 Jaccard threshold (sf0.001)") {
+    // naive reference: every doc pair sharing ANY (lang, shingle),
+    // verified by exact Jaccard — no prefix pruning
+    val optimized = SparkEntry.queries("q31_dedup_ngram_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val docs = Tables.t(spark, sf, "documents")
+    val sh = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), col("toks"),
+        explode(expr("sequence(0, size(toks) - 3)")).as("i"))
+      .select(col("doc_id"), col("lang"),
+        concat(col("toks")(col("i")), lit("|"),
+               col("toks")(col("i") + 1), lit("|"),
+               col("toks")(col("i") + 2)).as("shingle"))
+      .distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val naive = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("ni"))
+      .join(cnt.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(cnt.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jac", round(col("ni").cast("double") /
+        (col("na") + col("nb") - col("ni")).cast("double"), 6))
+      .filter(col("jac") >= 0.5)
+      .select(col("da"), col("db"), col("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(optimized === naive,
+      s"prefix filtering dropped or added pairs: opt=${optimized.size} naive=${naive.size}")
+  }
+}
