@@ -75,7 +75,30 @@ final case class LGBMParams(
 private[ml] object Params {
   /** core.py:122-125: warn+default any unsupported tree_learner to "data". */
   def validatedTreeLearner(t: String): String =
-    if (Seq("data", "feature", "voting").contains(t)) t else "data"
+    if (Seq("data", "feature", "voting").contains(t)) t
+    else {
+      System.err.println(
+        s"[graft.ml] tree_learner='$t' is not supported, using 'data'")
+      "data"
+    }
+
+  /** Derive the class count from labels, with the failure modes the
+    * reference's `classes_` (distinct label values) would surface:
+    * empty/all-null labels fail fast with a clear message, and non-dense
+    * label sets (e.g. {0, 5} or {-1, 1}) are rejected instead of silently
+    * routing a binary problem to a multiclass estimator with phantom
+    * classes. One distributed aggregate — no distinct shuffle, no collect.
+    */
+  def nClasses(data: org.apache.spark.sql.DataFrame): Int = {
+    val row = data.agg(
+      max(col("label")), min(col("label")),
+      count_distinct(col("label")), count(col("label"))).head
+    require(row.getLong(3) > 0, "fit() needs at least one non-null label")
+    val (mx, mn, k) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
+    require(mn == 0.0 && mx == math.floor(mx) && mx + 1 == k.toDouble,
+      s"labels must be dense 0..k-1 (got min=$mn max=$mx distinct=$k)")
+    mx.toInt + 1
+  }
 }
 
 /** Classifier: binary → GBTClassifier; multiclass → RandomForestClassifier
@@ -86,12 +109,12 @@ class LGBMClassifier(val params: LGBMParams = LGBMParams()) {
   def fit(df: DataFrame, featuresCol: Seq[String] = Seq("features"),
       labelCol: String = "label",
       weightCol: Option[String] = None): LGBMClassifierModel = {
+    Params.validatedTreeLearner(params.treeLearner) // core.py:122-125
     val data = Featurize(df, featuresCol)
       .withColumn("label", col(labelCol).cast("double"))
-    // MLlib classification requires dense labels 0..k-1, so k = max+1:
-    // a map-side partial max, not a distinct shuffle over the data
-    val nClasses =
-      data.agg(max(col("label"))).head.getDouble(0).toInt + 1
+    // MLlib classification requires dense labels 0..k-1 — validated by
+    // one distributed aggregate (fails fast on empty or non-dense labels)
+    val nClasses = Params.nClasses(data)
     val model: ProbabilisticClassificationModel[Vector, _] =
       if (nClasses <= 2) {
         val est = new GBTClassifier()
@@ -136,6 +159,7 @@ class LGBMRegressor(val params: LGBMParams = LGBMParams()) {
   def fit(df: DataFrame, featuresCol: Seq[String] = Seq("features"),
       labelCol: String = "label",
       weightCol: Option[String] = None): LGBMRegressorModel = {
+    Params.validatedTreeLearner(params.treeLearner) // core.py:122-125
     val data = Featurize(df, featuresCol)
       .withColumn("label", col(labelCol).cast("double"))
     val est = new GBTRegressor()

@@ -69,26 +69,40 @@ object Multimodal {
       FROM documents
       ORDER BY doc_id"""))
 
+  /** Decode pipeline shared by q91/q92: binary payloads → typed media
+    * features via mapPartitions (batched, no per-row task overhead). The
+    * `array<float>` feature column is kept here for downstream vector ops;
+    * registered queries project SCALAR digests of it (f0, fsum) so the
+    * harness's row-sorting compare never sees an unhashable array column.
+    */
+  private def decoded(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = docs(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val m = FakeDecoder.decode(bytes)
+        // scalar digests computed partition-locally in array order —
+        // deterministic regardless of partitioning
+        val fsum = m.features.foldLeft(0.0)((a, f) => a + f.toDouble)
+        (id, m.width, m.height, m.nFrames, m.features,
+          m.features(0).toDouble, fsum)
+      }
+    }.toDF("doc_id", "width", "height", "n_frames", "features", "f0", "fsum")
+  }
+
   // ---------------------------------------------------------------- q91
-  // Partition-wise decode: binary payloads → typed media features via
-  // mapPartitions (batched, no per-row task overhead). Rows-only check —
-  // the stub decoder is not SQL-expressible; MultimodalSpec pins schema
-  // and determinism.
+  // Partition-wise decode, scalar-digest projection. Rows-only check —
+  // the stub decoder is not SQL-expressible; StreamingMultimodalSpec pins
+  // schema and determinism.
   private val q91 = QueryDef(
     "q91_multimodal_decode_stub",
-    (s, d) => {
-      import s.implicits._
-      val payloads = docs(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-      payloads.mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val m = FakeDecoder.decode(bytes)
-          (id, m.width, m.height, m.nFrames, m.features)
-        }
-      }.toDF("doc_id", "width", "height", "n_frames", "features")
-        .orderBy(col("doc_id"))
-    },
+    (s, d) =>
+      decoded(s, d)
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          round(col("f0"), 6).as("f0"), round(col("fsum"), 6).as("fsum"))
+        .orderBy(col("doc_id")),
     None)
 
   // ---------------------------------------------------------------- q92
@@ -96,20 +110,16 @@ object Multimodal {
   // decode → analyze pipeline (metadata stats over media batches).
   private val q92 = QueryDef(
     "q92_multimodal_feature_stats",
-    (s, d) => {
-      import s.implicits._
-      val decoded = q91.fn(s, d)
-      decoded
+    (s, d) =>
+      decoded(s, d)
         .withColumn("shard", col("doc_id") % 10)
         .groupBy(col("shard"))
         .agg(
           count(lit(1)).as("n_media"),
           sum(col("width").cast("long")).as("total_width"),
           max(col("n_frames").cast("long")).as("max_frames"),
-          round(avg(element_at(col("features"), 1).cast("double")), 6)
-            .as("avg_f0"))
-        .orderBy(col("shard"))
-    },
+          round(avg(col("f0")), 6).as("avg_f0"))
+        .orderBy(col("shard")),
     None)
 
   val defs: Seq[QueryDef] = Seq(q90, q91, q92)

@@ -625,17 +625,26 @@ object Relational {
 
   // ---------------------------------------------------------------- q25
   // CSV source round-trip (SURVEY B1: gzip CSV scan, schema declared):
-  // events → gzip CSV in a temp dir → read back → aggregate. Oracle runs
-  // the same aggregate over the original parquet, proving lossless scan.
+  // events → gzip CSV staged ONCE per (JVM, sf-dir) under java.io.tmpdir
+  // (repeated Bench/Verify runs re-use the copy instead of leaking a fresh
+  // temp dir, and steady-state timings measure the scan, not the write) →
+  // read back → aggregate. Oracle runs the same aggregate over the
+  // original parquet, proving lossless scan.
+  private val csvStage =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val q25 = QueryDef(
     "q25_csv_scan",
     (s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_csv").toString + "/events_csv"
-      ev(s, d)
-        .select(col("event_id"), col("event_type"), col("value"))
-        .write.mode("overwrite").option("compression", "gzip")
-        .option("header", "true").csv(tmp)
+      val tmp = csvStage.computeIfAbsent(d, dir => {
+        val p = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_csv",
+          dir.replaceAll("[^A-Za-z0-9.]", "_"), "events_csv").toString
+        ev(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").option("compression", "gzip")
+          .option("header", "true").csv(p)
+        p
+      })
       val back = s.read
         .schema("event_id BIGINT, event_type STRING, value DOUBLE")
         .option("header", "true").csv(tmp)
@@ -699,6 +708,10 @@ object Relational {
   // the range-join row explosion a `ts BETWEEN` join would produce.
   // Tie at equal ts: marker orders the click first, so "at or before" is
   // inclusive, matching DuckDB's `ASOF JOIN ... ON p.ts >= c.ts` oracle.
+  // Two clicks at the SAME (user_id, ts) would otherwise leave the winner
+  // nondeterministic: event_id is the final window tiebreaker (ascending,
+  // so `last` picks max event_id), and the oracle collapses tied clicks to
+  // max(event_id) before its ASOF join — the same deterministic choice.
   private val q28 = QueryDef(
     "q28_asof_join",
     (s, d) => {
@@ -712,7 +725,7 @@ object Relational {
           col("event_id").as("purchase_id"),
           lit(null).cast("bigint").as("click_src"))
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("marker"))
+        .orderBy(col("ts"), col("marker"), col("click_src").asc_nulls_first)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       clicks.unionByName(purchases)
         .withColumn("click_id", last(col("click_src"), ignoreNulls = true).over(w))
@@ -727,7 +740,9 @@ object Relational {
       SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
              epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                      FROM events WHERE event_type = 'click'
+                      GROUP BY user_id, ts) c
         ON p.user_id = c.user_id AND p.ts >= c.ts
       ORDER BY purchase_id"""))
 

@@ -121,6 +121,53 @@ class MLSpec extends AnyFunSuite {
     assert(viaWrapper.sameElements(viaLocal))
   }
 
+  test("empty / all-null labels fail fast with a clear message") {
+    val empty = blobs(2).filter($"id" < 0)
+    val e1 = intercept[IllegalArgumentException] {
+      new LGBMClassifier(LGBMParams(nEstimators = 5)).fit(empty, Seq("feats"))
+    }
+    assert(e1.getMessage.contains("at least one non-null label"))
+    val allNull = blobs(2).withColumn("label", lit(null).cast("double"))
+    val e2 = intercept[IllegalArgumentException] {
+      new LGBMClassifier(LGBMParams(nEstimators = 5)).fit(allNull, Seq("feats"))
+    }
+    assert(e2.getMessage.contains("at least one non-null label"))
+  }
+
+  test("non-dense labels ({0,5}, {-1,1}) are rejected, not misrouted") {
+    val sparse05 = blobs(2).withColumn("label", $"label" * 5.0)
+    val e1 = intercept[IllegalArgumentException] {
+      new LGBMClassifier(LGBMParams(nEstimators = 5)).fit(sparse05, Seq("feats"))
+    }
+    assert(e1.getMessage.contains("dense 0..k-1"))
+    val pm1 = blobs(2).withColumn("label", $"label" * 2.0 - 1.0)
+    val e2 = intercept[IllegalArgumentException] {
+      new LGBMClassifier(LGBMParams(nEstimators = 5)).fit(pm1, Seq("feats"))
+    }
+    assert(e2.getMessage.contains("dense 0..k-1"))
+  }
+
+  test("regressor weighted fit (sample_weight, core.py:223-235) trains") {
+    val df = regData().withColumn("weight", rand(42) * 0.01)
+    val m = new LGBMRegressor(LGBMParams(nEstimators = 10))
+      .fit(df, Seq("feats"), weightCol = Some("weight"))
+    assert(m.predict(df, Seq("feats")).count() == df.count())
+  }
+
+  test("training is partition-count invariant (tests/test_core.py:82-87)") {
+    val base = blobs(2)
+    val p1 = new LGBMClassifier(LGBMParams(nEstimators = 10))
+      .fit(base.repartition(1), Seq("feats"))
+      .predict(base, Seq("feats"))
+      .orderBy("id").select("prediction").collect().map(_.getDouble(0))
+    val p8 = new LGBMClassifier(LGBMParams(nEstimators = 10))
+      .fit(base.repartition(8), Seq("feats"))
+      .predict(base, Seq("feats"))
+      .orderBy("id").select("prediction").collect().map(_.getDouble(0))
+    assert(p1.sameElements(p8),
+      "fit on 1 vs 8 partitions must produce identical predictions")
+  }
+
   test("task errors propagate to the driver (reference B12)") {
     val df = blobs(2)
     val poisoned = df.map { r =>

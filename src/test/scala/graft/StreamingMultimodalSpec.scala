@@ -46,7 +46,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val out = SparkEntry.queries("q91_multimodal_decode_stub")(spark, sf)
     assert(out.count() == Tables.t(spark, sf, "documents").count())
     assert(out.columns.toSeq ==
-      Seq("doc_id", "width", "height", "n_frames", "features"))
+      Seq("doc_id", "width", "height", "n_frames", "f0", "fsum"))
     // determinism across independent runs (stable partition-wise map)
     val again = SparkEntry.queries("q91_multimodal_decode_stub")(spark, sf)
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
