@@ -12,7 +12,7 @@ import graft.functions.VectorFunctions.{float_dot, float_norm}
   * Scale design:
   *  - Candidate generation NEVER does an all-pairs join: exact dedup groups
   *    by content key; Jaccard/MinHash/SimHash meet only inside an LSH band
-  *    bucket or a blocking key; embedding near-dup blocks on `label`.
+  *    bucket; embedding near-dup buckets on random-hyperplane SimHash bands.
   *    All-pairs at 100 TB is impossible; bucket joins shuffle each doc to
   *    O(#bands) reducers and the pair cardinality follows true duplicates.
   *  - Hashes are affine functions of a dense shingle id (dictionary join)
@@ -344,44 +344,100 @@ object Dedup {
     })
 
   // ---------------------------------------------------------------- q34
-  // Embedding-cosine near-dup: pairs blocked on `label`, dot product via
-  // the native codegen'd FloatDot expression (no row explosion in Spark);
-  // 64-term double sums are stable to ~1e-15, far below the round(…,6)
-  // lattice.
+  // Embedding-cosine near-dup via random-hyperplane LSH (Charikar):
+  // candidates meet ONLY inside a SimHash band bucket — one shuffle keyed
+  // by (band, value), pair cardinality follows true near-dups, never an
+  // all-pairs or within-block O(N²) join. Signatures come from the native
+  // codegen'd EmbedSimHash expression (exact integer math, so the oracle
+  // reproduces every bit); verification is the exact FloatDot cosine.
+  // 14-bit bands keep buckets true-dup-sized (the q33 lesson: 2^14 values
+  // per band, so random collisions stay O(N/16384) per bucket); at 100 TB
+  // add a bucket-size cap as with q32. Recall < 1 by construction — the
+  // oracle replicates the banding, so both engines miss exactly the same
+  // pairs; DedupSpec pins recall on planted near-duplicates.
+  private val EmbBits = 56 // 4 bands × 14 bits
+  private val EmbBandBits = 14
+  private val EmbBands = EmbBits / EmbBandBits
+
+  /** Reusable embedding near-dup operator: LSH-bucketed candidate pairs
+    * (id_a < id_b) with exact cosine ≥ `minCos`, over any frame with a
+    * BIGINT id column and an `array<float>` embedding column. Used by q34
+    * and by DedupSpec's planted-duplicate recall test.
+    */
+  def embeddingNearDup(e0: DataFrame, idCol: String, embCol: String,
+      minCos: Double): DataFrame = {
+    import graft.functions.VectorFunctions.embed_simhash
+    val e = e0
+      .select(col(idCol).as("vid"), col(embCol).as("embv"))
+      .withColumn("norm", float_norm(col("embv")))
+      .withColumn("sig", embed_simhash(col("embv"), EmbBits))
+    val bandExprs = (0 until EmbBands).map(b =>
+      s"struct(${b}L as band, (sig div ${1L << (EmbBandBits * b)}) % ${1 << EmbBandBits} as bv)")
+    val cand = bucketPairs(e
+      .select(col("vid"), explode(array(bandExprs.map(expr): _*)).as("b"))
+      .groupBy(col("b.band"), col("b.bv"))
+      .agg(sort_array(collect_set(col("vid"))).as("ids"))
+      .filter(size(col("ids")) > 1))
+      .select(col("da").as("ia"), col("db").as("ib"))
+    // exact cosine verify; unhinted — `e` is corpus-sized (see q31 note)
+    val ea = e.select(col("vid").as("ia"), col("embv").as("ea"),
+      col("norm").as("na"))
+    val eb = e.select(col("vid").as("ib"), col("embv").as("eb"),
+      col("norm").as("nb"))
+    cand.join(ea, "ia").join(eb, "ib")
+      .withColumn("cos",
+        round(float_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("ia"), col("ib"), col("cos"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
   private val q34 = QueryDef(
     "q34_dedup_embedding_cosine",
-    (s, d) => {
-      val e = emb(s, d).withColumn("norm", float_norm(col("embedding")))
-      val a = e.select(col("vec_id").as("ia"), col("label"),
-        col("embedding").as("ea"), col("norm").as("na"))
-      val b = e.select(col("vec_id").as("ib"), col("label").as("label_b"),
-        col("embedding").as("eb"), col("norm").as("nb"))
-      a.join(b, col("label") === col("label_b") && col("ia") < col("ib"))
-        .withColumn("dot", float_dot(col("ea"), col("eb")))
-        .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 6))
-        .filter(col("cos") >= 0.3)
-        .select(col("ia"), col("ib"), col("label"), col("cos"))
-        .orderBy(col("ia"), col("ib"))
-    },
-    Some("""
+    (s, d) => embeddingNearDup(emb(s, d), "vec_id", "embedding", 0.3),
+    Some {
+      import graft.functions.EmbedSimHash.bitDotSql
+      val bitSums = (0 until EmbBits)
+        .map(j => s"${bitDotSql(j, "i", "q")} AS d$j")
+        .mkString(",\n               ")
+      val sigExpr = (0 until EmbBits)
+        .map(j => s"CASE WHEN d$j >= 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      val bandSelects = (0 until EmbBands)
+        .map(b =>
+          s"SELECT vec_id, $b AS band, (sig // ${1L << (EmbBandBits * b)}) % ${1 << EmbBandBits} AS bv FROM sig")
+        .mkString("\n        UNION ALL ")
+      s"""
       WITH ev AS (
-        SELECT vec_id, label,
+        SELECT vec_id,
                unnest(range(1, len(embedding) + 1)) AS i,
                CAST(unnest(embedding) AS DOUBLE) AS v
         FROM embeddings),
       norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY 1),
+      qv AS (SELECT vec_id, i, CAST(round(v * 1000) AS BIGINT) AS q FROM ev),
+      sums AS (SELECT vec_id,
+               $bitSums
+               FROM qv GROUP BY vec_id),
+      sig AS (SELECT vec_id, $sigExpr AS sig FROM sums),
+      bands AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
       pairs AS (
-        SELECT a.vec_id AS ia, b.vec_id AS ib, a.label AS label,
-               sum(a.v * b.v) AS dot
-        FROM ev a JOIN ev b
-          ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
-        GROUP BY 1, 2, 3)
-      SELECT ia, ib, label, round(dot / (na.nrm * nb.nrm), 6) AS cos
+        SELECT ia, ib, sum(a.v * b.v) AS dot
+        FROM cand
+        JOIN ev a ON a.vec_id = ia
+        JOIN ev b ON b.vec_id = ib AND a.i = b.i
+        GROUP BY 1, 2)
+      SELECT ia, ib, round(dot / (na.nrm * nb.nrm), 6) AS cos
       FROM pairs
       JOIN norms na ON ia = na.vec_id
       JOIN norms nb ON ib = nb.vec_id
       WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.3
-      ORDER BY ia, ib"""))
+      ORDER BY ia, ib"""
+    })
 
   val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34)
 }

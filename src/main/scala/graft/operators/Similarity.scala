@@ -75,16 +75,23 @@ object Similarity {
       ORDER BY qid, rk"""))
 
   // ---------------------------------------------------------------- q51
-  // IVF-bucketed ANN: coarse centroids (every 50th vector), each corpus
-  // vector assigned to its nearest centroid (broadcast join — one corpus
-  // pass), queries probe their 2 nearest cells, exact rerank within the
-  // probed cells only. Recall < 1 by construction; the oracle replicates
-  // the same pruning so both engines return identical results.
+  // IVF-bucketed ANN with FIXED-K coarse centroids (K=16, the first K
+  // vectors by vec_id — a TakeOrdered top-k, deterministic and oracle-
+  // mirrorable; production swaps in seeded MLlib KMeans centers, same
+  // plan shape). K is a CONSTANT, not corpus-proportional, so centroid
+  // assignment is O(N·K) with a K-row broadcast — never a corpus-sized
+  // broadcast or an O(N²) pass. Nearest-cell selection is an aggregation
+  // (partial+final min over a (negcos, cent_id) struct), not a window —
+  // no N·K-row sort, no WindowExec buffering at scale. Queries probe
+  // their 2 nearest cells, exact rerank within the probed cells only.
+  // Recall < 1 by construction; the oracle replicates the same pruning
+  // so both engines return identical results.
+  private val CentK = 16
   private val q51 = QueryDef(
     "q51_ann_ivf",
     (s, d) => {
       val e = emb(s, d).withColumn("norm", float_norm(col("embedding")))
-      val cent = e.filter(col("vec_id") % 50 === 0)
+      val cent = e.orderBy(col("vec_id")).limit(CentK)
         .select(col("vec_id").as("cent_id"), col("embedding").as("ea"),
           col("norm").as("cent_n"))
       // assign every vector to its nearest centroid (1 broadcast join)
@@ -92,12 +99,14 @@ object Similarity {
           col("norm").as("vn"))
         .join(broadcast(cent), lit(true))
         .withColumn("cos", round(float_dot(col("ea"), col("eb")) / (col("cent_n") * col("vn")), 6))
+      // nearest cell = min over (−cos, cent_id): max cos, ties → min id —
+      // identical tie-break to the oracle's row_number ORDER BY
+      val cells = asg.groupBy(col("vec_id"))
+        .agg(min(struct((-col("cos")).as("negcos"), col("cent_id").as("cent"))).as("m"))
+        .select(col("vec_id").as("cid"), col("m.cent").as("cell"))
+      // queries (3 vectors) probe their top-2 cells: window over 3·K rows
       val wAsg = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("cent_id"))
-      val cells = asg.withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") === 1)
-        .select(col("vec_id").as("cid"), col("cent_id").as("cell"))
-      // queries probe their top-2 cells
       val probes = asg.filter(col("vec_id") < 3)
         .withColumn("rn", row_number().over(wAsg))
         .filter(col("rn") <= 2)
@@ -124,7 +133,7 @@ object Similarity {
     },
     Some(s"""
       WITH $evSql,
-      cent AS (SELECT vec_id AS cent_id FROM embeddings WHERE vec_id % 50 = 0),
+      cent AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT $CentK),
       asg AS (
         SELECT e.vec_id, c.cent_id,
                round(sum(e.v * ec.v) / (ne.nrm * nc.nrm), 6) AS cos

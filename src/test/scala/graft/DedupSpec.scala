@@ -70,4 +70,45 @@ class DedupSpec extends AnyFunSuite {
     assert(optimized === naive,
       s"prefix filtering dropped or added pairs: opt=${optimized.size} naive=${naive.size}")
   }
+
+  test("embedding LSH recall >= 0.9 on planted near-duplicates") {
+    // 60 random base vectors (seeded) + 40 planted near-dups (tiny
+    // perturbation, cos ≈ 0.999). Brute force is the ground truth at
+    // this scale; the LSH path must recover ≥90% of true pairs and must
+    // never emit a pair below the threshold (precision 1 by verify).
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val base = (0 until 60).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat))
+    }
+    val planted = (0 until 40).map { i =>
+      val src = base(i)._2
+      (100L + i, src.map(v => v + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val df = (base ++ planted).toDF("vid", "embv").repartition(4)
+    val thresh = 0.95
+    val lsh = graft.operators.Dedup
+      .embeddingNearDup(df, "vid", "embv", thresh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth (driver-side: 100 vectors)
+    val vecs = (base ++ planted).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val truth = (for {
+      x <- ids; y <- ids if x < y
+      if BigDecimal(cos(vecs(x), vecs(y)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) >= thresh
+    } yield (x, y)).toSet
+    assert(truth.size >= 40, s"expected all planted pairs in truth, got ${truth.size}")
+    assert(lsh.subsetOf(truth), "LSH must not emit below-threshold pairs")
+    val recall = lsh.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} true pairs")
+  }
 }

@@ -34,8 +34,20 @@ class PlanSpec extends AnyFunSuite {
   test("q34: scoring projection stays in whole-stage codegen (native dot)") {
     val p = planOf("q34_dedup_embedding_cosine")
     assert(p.contains("float_dot"), "native FloatDot expression expected in plan")
+    assert(p.contains("embed_simhash"),
+      "native EmbedSimHash candidate generation expected in plan")
     assert(!p.contains("lambdafunction"),
       "no interpreted higher-order functions in the scoring path")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      "embedding near-dup must never plan an all-pairs join")
+  }
+
+  test("q51: centroid set is fixed-K (top-k limit), not corpus-proportional") {
+    val p = planOf("q51_ann_ivf")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),
+      "fixed-K centroid selection must plan as a limit, not a corpus scan")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      "assignment must be a K-row broadcast nested loop, not a cartesian")
   }
 
   test("float_dot is SQL-callable once registered") {
