@@ -15,13 +15,14 @@ import graft.functions.VectorFunctions.{float_dot, float_norm}
   *    bucket; embedding near-dup buckets on random-hyperplane SimHash bands.
   *    All-pairs at 100 TB is impossible; bucket joins shuffle each doc to
   *    O(#bands) reducers and the pair cardinality follows true duplicates.
-  *  - Hashes are affine functions of a dense shingle id (dictionary join)
-  *    rather than a native hash so the DuckDB oracle can replicate every
-  *    stage bit-for-bit. In production the dictionary join is replaced by
-  *    `xxhash64(shingle)` (no shuffle, no dictionary) — the pipeline shape
-  *    (shingle → K min-hashes → band buckets → verify) is identical.
-  *  - The dictionary itself is built with a global row_number only for
-  *    oracle determinism; the MinHash math needs ANY injective id.
+  *  - Hashes are affine functions of a PORTABLE 56-bit content hash of the
+  *    shingle (first 14 hex chars of md5 — computable bit-identically in
+  *    Spark via `conv(substr(md5(x),1,14),16,10)` and in DuckDB via
+  *    `('0x' || substr(md5(x),1,14))::BIGINT`). This is the production
+  *    shape: a pure per-row projection — no dictionary join, no vocabulary
+  *    shuffle, and no single-partition global-window id assignment. The
+  *    56-bit id is reduced mod P before the affine step so products stay
+  *    within 63 bits in both engines.
   *
   * Reference scope: the reference has no dedup; these are the [EXT]
   * operators mandated by BASELINE.json:6 (see SURVEY §2.C).
@@ -71,16 +72,17 @@ object Dedup {
              ELSE [] END) AS shingle
       FROM tok)"""
 
-  /** Dense shingle dictionary: shingle → 1-based id, deterministic order. */
-  private def dict(sh: DataFrame): DataFrame =
-    sh.select("shingle").distinct()
-      .withColumn("sid",
-        row_number().over(Window.orderBy(col("shingle"))).cast("long"))
+  /** Portable content id: 56-bit integer from md5's first 14 hex chars,
+    * reduced mod P (< 2³¹, so `id * a` stays within 63 bits). A pure
+    * projection — replaces the r1 dictionary join whose global row_number
+    * forced the whole vocabulary through one task. Collisions (~birthday
+    * at 2³¹) merely merge two shingles, identically in both engines.
+    */
+  private def md5Id(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (conv(substring(md5(c.cast("binary")), 1, 14), 16, 10).cast("long") % P)
 
-  private val dictSql = """
-    dict AS (
-      SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
-      FROM (SELECT DISTINCT shingle FROM sh))"""
+  private def md5IdSql(e: String): String =
+    s"((('0x' || substr(md5($e), 1, 14))::BIGINT) % $P)"
 
   /** All unordered id pairs (da < db) from a bucket's sorted `ids` array,
     * via two lambda-free positional explodes (see [[shingles]] on why
@@ -208,7 +210,7 @@ object Dedup {
       val sigCols = (0 until K).map(k =>
         min((col("sid") * aK(k) + bK(k)) % P).as(s"h$k")) :+
         collect_set(col("sid")).as("sids")
-      val sig = sh.join(dict(sh), "shingle")
+      val sig = sh.withColumn("sid", md5Id(col("shingle")))
         .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       // band buckets via groupBy + collect_set: ONE shuffle keyed by
       // (band, value); pairs generated in-bucket — no self-join.
@@ -245,8 +247,7 @@ object Dedup {
         .mkString("\n        UNION ALL ")
       s"""
       WITH $shinglesSql,
-      $dictSql,
-      ids AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
+      ids AS (SELECT doc_id, ${md5IdSql("shingle")} AS sid FROM sh),
       sig AS (SELECT doc_id,
                $minExprs
               FROM ids GROUP BY doc_id),
@@ -289,7 +290,7 @@ object Dedup {
       val hashExpr = (0 until SimBits)
         .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END")
         .mkString(" + ")
-      val sig = sh.join(dict(sh), "shingle")
+      val sig = sh.withColumn("sid", md5Id(col("shingle")))
         .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"), expr(hashExpr).as("simhash"))
       // 15-bit band buckets → in-bucket pair generation (one shuffle),
@@ -324,8 +325,7 @@ object Dedup {
         .mkString("\n        UNION ALL ")
       s"""
       WITH $shinglesSql,
-      $dictSql,
-      ids AS (SELECT doc_id, sid FROM sh JOIN dict USING (shingle)),
+      ids AS (SELECT doc_id, ${md5IdSql("shingle")} AS sid FROM sh),
       sums AS (SELECT doc_id,
                $bitSums
                FROM ids GROUP BY doc_id),

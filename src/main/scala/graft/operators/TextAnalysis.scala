@@ -125,10 +125,12 @@ object TextAnalysis {
       ORDER BY lang, source"""))
 
   // ---------------------------------------------------------------- q43
-  // Document fingerprint: position-sensitive polynomial hash over dense
-  // word ids (rolling-hash style). Pure 64-bit integer arithmetic with a
-  // per-term mod so it is portable and overflow-safe; at production scale
-  // the dictionary join is replaced by xxhash64(word).
+  // Document fingerprint: position-sensitive polynomial hash over word
+  // ids (rolling-hash style). Word ids are a PORTABLE md5-derived 56-bit
+  // content hash reduced mod P — a pure per-row projection, identical in
+  // both engines, with no vocabulary join and no single-partition
+  // dictionary window (the r1 shape). Pure 64-bit integer arithmetic with
+  // a per-term mod keeps every product within 63 bits.
   private val q43 = QueryDef(
     "q43_fingerprint",
     (s, d) => {
@@ -136,12 +138,10 @@ object TextAnalysis {
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
         .withColumn("i", col("pos").cast("long") + 1L)
-      val wdict = tok.select("w").distinct()
+      tok
         .withColumn("wid",
-          row_number().over(Window.orderBy(col("w"))).cast("long"))
-      // unhinted: wdict is vocabulary-sized (grows with the corpus) —
-      // never force-broadcast it; AQE decides per actual size
-      tok.join(wdict, "w")
+          conv(substring(md5(col("w").cast("binary")), 1, 14), 16, 10)
+            .cast("long") % P)
         .withColumn("term", (col("i") * col("wid")) % P * 1000003L % P)
         .groupBy(col("doc_id"))
         .agg((sum(col("term")) % P).as("fingerprint"),
@@ -154,12 +154,10 @@ object TextAnalysis {
                unnest(string_split(text, ' ')) AS w,
                unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
         FROM documents),
-      wdict AS (
-        SELECT w, CAST(row_number() OVER (ORDER BY w) AS BIGINT) AS wid
-        FROM (SELECT DISTINCT w FROM tok)),
       terms AS (
-        SELECT doc_id, (i * wid) % $P * 1000003 % $P AS term
-        FROM tok JOIN wdict USING (w))
+        SELECT doc_id,
+               (i * ((('0x' || substr(md5(w), 1, 14))::BIGINT) % $P)) % $P * 1000003 % $P AS term
+        FROM tok)
       SELECT doc_id,
              CAST(sum(term) % $P AS BIGINT) AS fingerprint,
              count(*) AS n_tok

@@ -50,6 +50,18 @@ class PlanSpec extends AnyFunSuite {
       "assignment must be a K-row broadcast nested loop, not a cartesian")
   }
 
+  test("q32/q33/q43: no single-partition exchange (dictionary-free ids)") {
+    // the r1 dictionary used row_number over a global window, which forces
+    // the whole vocabulary through ONE task (Exchange SinglePartition);
+    // md5-derived content ids are a pure projection — pin the absence
+    for (q <- Seq("q32_dedup_minhash_lsh", "q33_dedup_simhash",
+        "q43_fingerprint")) {
+      val p = planOf(q)
+      assert(!p.contains("SinglePartition"),
+        s"$q must not move the vocabulary through a single partition")
+    }
+  }
+
   test("float_dot is SQL-callable once registered") {
     // the injector itself is exercised for shape (extensions only apply
     // at session build); SQL callability goes through the registry bridge
