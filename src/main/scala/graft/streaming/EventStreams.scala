@@ -3,7 +3,7 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicInteger
 
 import graft.{QueryDef, Num, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -40,6 +40,114 @@ object EventStreams {
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
+  // ------------------------------------------------------------------
+  // Multi-batch replay (q83/q84/q86/q87).
+  //
+  // A single-file replay arrives in ONE micro-batch: the watermark never
+  // advances mid-query, so late-row filtering and state expiry are never
+  // exercised. Here events are staged as one parquet file per 3-day
+  // event-time slice and read with maxFilesPerTrigger=1, giving ~12 real
+  // micro-batches with the watermark advancing between them.
+  //
+  // Semantics pinned empirically (graft.tools.WmProbe + oracle diffing):
+  //  - the watermark applied in batch j derives from data through batch
+  //    j−2 (not j−1): the offset-log watermark for batch j is snapshotted
+  //    right after batch j−1 completes but BEFORE batch j−1's event-time
+  //    stats are folded into the tracker — a 2-batch lag, verified
+  //    exactly (all 811 windows at sf0.001) against the lag-2 recursion;
+  //  - event-time stats are milliseconds (µs floor-divided);
+  //  - a late row is dropped iff its window.end < watermark (== is kept);
+  //  - the file source age-filters backdated mtimes (default maxFileAge
+  //    7d), so staged files get current-time mtimes, ascending in slice
+  //    order so the backlog replays in event-time order;
+  //  - a sentinel row with a far-future timestamp advances the final
+  //    watermark so append-mode windows flush. It must flow THROUGH the
+  //    aggregation: a filter inside the stream is pushed below the
+  //    watermark node into the scan and the sentinel would never be seen.
+  //
+  // At 100 TB this staging step doesn't exist — data already arrives in
+  // time-ordered files/offsets; the per-slice loop below is bounded by
+  // (time span ÷ 3 days) driver-side file moves, not by data volume.
+  private val SliceUs  = 3L * 86400L * 1000000L // 3-day slices
+  private val stageDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** Write `df` (with a `fid` column) as one parquet file per fid, named
+    * and mtime-stamped in fid order so the file source replays them as
+    * ordered micro-batches. */
+  private def writeSliceFiles(s: SparkSession, df: DataFrame, dir: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Paths}
+    val out = df.select((eventCols.map(col) :+ col("fid")): _*).cache()
+    val fids = out.select("fid").distinct().collect().map(_.getLong(0)).sorted
+    val base = System.currentTimeMillis() - 3600L * 1000
+    fids.zipWithIndex.foreach { case (f, i) =>
+      val stage = dir.resolve(s"_work_$f").toString
+      out.filter(col("fid") === f).select(eventCols.map(col): _*)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val dst = dir.resolve(f"ev_$f%03d.parquet")
+      Files.move(Paths.get(part), dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+    }
+    out.unpersist()
+  }
+
+  /** fid assignment for the late-arrival staging: 3-day slice of the
+    * event time, shifted +1 slice for event_id%7 rows and +2 for %13 —
+    * deterministic, so the DuckDB oracle replays the same file layout. */
+  private def slicedDir(s: SparkSession, d: String): String =
+    stageDirs.computeIfAbsent(s"sliced:$d", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sliced_")
+      dir.toFile.deleteOnExit()
+      val ev = Tables.t(s, d, "events")
+      val Row(t0: Long, tMax: Long) = ev.agg(
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
+      val withFid = ev.withColumn("fid",
+        expr(s"(unix_micros(ts) - ${t0}L) DIV ${SliceUs}L") +
+          expr("CASE WHEN event_id % 13 = 0 THEN 2L WHEN event_id % 7 = 0 THEN 1L ELSE 0L END"))
+      val maxFid = withFid.agg(max(col("fid"))).head.getLong(0)
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        expr(s"timestamp_micros(${tMax + 30L * 86400L * 1000000L}L)").as("ts"),
+        lit(-1L).as("user_id"), lit("_sentinel").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"),
+        lit(maxFid + 1).as("fid"))
+      writeSliceFiles(s, withFid.unionByName(sentinel), dir)
+      dir.toString
+    })
+
+  /** Staging for dedup re-admission (q87): no late lag; instead each
+    * event_id%11 row gets a same-slice duplicate (ts+5min → same batch,
+    * always deduplicated) and each %9 row a duplicate two slices later
+    * (ts+6d → its dedup state expired days of event time earlier, so it
+    * is re-admitted regardless of eviction-timing details). */
+  private def dupDir(s: SparkSession, d: String): String =
+    stageDirs.computeIfAbsent(s"dup:$d", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dup_")
+      dir.toFile.deleteOnExit()
+      val ev = Tables.t(s, d, "events")
+      val t0 = ev.agg(min(unix_micros(col("ts")))).head.getLong(0)
+      val withFid = ev.withColumn("fid",
+        expr(s"(unix_micros(ts) - ${t0}L) DIV ${SliceUs}L"))
+      val near = withFid.filter(col("event_id") % 11 === 0)
+        .withColumn("ts", expr("ts + INTERVAL 5 MINUTES"))
+      val far = withFid.filter(col("event_id") % 9 === 0)
+        .withColumn("ts", expr("ts + INTERVAL 6 DAYS"))
+        .withColumn("fid", col("fid") + 2L)
+      writeSliceFiles(s, withFid.unionByName(near).unionByName(far), dir)
+      dir.toString
+    })
+
+  private def readStaged(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id bigint, ts timestamp, user_id bigint, " +
+          "event_type string, value double, props string"))
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+
   /** Run a bounded stream to completion through a memory sink.
     *
     * Stateful operators create one state-store instance per shuffle
@@ -47,6 +155,11 @@ object EventStreams {
     * replay volume here 8 partitions is plenty (on a real cluster size
     * this to the executor count — it is fixed at the first batch of a
     * query and kept in the checkpoint).
+    *
+    * processAllAvailable is looped until the batch id is quiescent: a
+    * multi-file backlog can report "all available processed" between the
+    * source's list calls (observed in WmProbe), and the trailing no-data
+    * batch that flushes append-mode state arrives after the last file.
     */
   private def run(s: SparkSession, out: DataFrame => DataFrame,
       src: DataFrame, mode: String): DataFrame = {
@@ -56,7 +169,14 @@ object EventStreams {
     try {
       val q = out(src).writeStream.format("memory")
         .queryName(name).outputMode(mode).start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      try {
+        var last = -2L; var cur = -1L
+        while (cur != last) {
+          last = cur
+          q.processAllAvailable()
+          cur = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+        }
+      } finally { q.stop() }
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
     }
@@ -148,6 +268,9 @@ object EventStreams {
   // ---------------------------------------------------------------- q83
   // Streaming dedup (first arrival per (user_id, event_type)) feeding a
   // streaming aggregation. Deduped count per event_type = distinct users.
+  // Replays the sliced multi-batch staging: dedup state genuinely
+  // persists across ~12 micro-batches (no watermark → no eviction, so
+  // the result still equals batch DISTINCT regardless of batching).
   private val q83 = QueryDef(
     "q83_stream_dedup",
     (s, d) =>
@@ -155,7 +278,8 @@ object EventStreams {
         st.dropDuplicates(Seq("user_id", "event_type"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_first_seen")),
-        readEventsStream(s, d), "complete")
+        readStaged(s, slicedDir(s, d)), "complete")
+        .filter(col("event_type") =!= "_sentinel")
         .orderBy(col("event_type")),
     Some("""
       SELECT event_type, count(DISTINCT user_id) AS n_first_seen
@@ -187,8 +311,10 @@ object EventStreams {
               Iterator((uid, c, m))
           }
           .toDF("user_id", "n_events", "max_value")
-      }, readEventsStream(s, d), "append")
-        // bounded replay = one micro-batch; keep the final row per user
+      }, readStaged(s, slicedDir(s, d)), "append")
+        // multi-batch replay emits a running row per (user, batch);
+        // counts are monotone, so max over emissions = final state
+        .filter(col("user_id") =!= -1L)
         .groupBy(col("user_id"))
         .agg(max(col("n_events")).as("n_events"),
           max(col("max_value")).as("max_value"))
@@ -225,5 +351,106 @@ object EventStreams {
       GROUP BY event_type
       ORDER BY event_type"""))
 
-  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85)
+  // ---------------------------------------------------------------- q86
+  // Append-mode tumbling window over the ~12-batch sliced replay: late
+  // rows (event_id%7 one slice late, %13 two slices late) are genuinely
+  // dropped by the advancing watermark. The oracle replays Spark's exact
+  // watermark recursion in SQL: per-file max event-time (ms) → running
+  // max over earlier files − 10 min delay → drop iff window_end < wm
+  // (semantics pinned by graft.tools.WmProbe). This is the semantic a
+  // single-batch replay can never exercise — and at 100 TB it is the
+  // semantic that bounds state: windows are flushed and evicted as the
+  // watermark passes them instead of accumulating forever.
+  private val q86 = QueryDef(
+    "q86_stream_multibatch_late_drop",
+    (s, d) =>
+      run(s, st =>
+        st.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sumFixed(col("value"), 2).as("sum_value"))
+          .select(unix_timestamp(col("window.start")).as("wstart_epoch"),
+            col("event_type"), col("n"), col("sum_value")),
+        readStaged(s, slicedDir(s, d)), "append")
+        .filter(col("event_type") =!= "_sentinel")
+        .orderBy(col("wstart_epoch"), col("event_type")),
+    Some(s"""
+      WITH e AS (
+        SELECT event_type, value, epoch_us(ts) AS ts_us,
+               ((epoch_us(ts) // 3600000000) + 1) * 3600000000 AS wend_us,
+               (epoch_us(ts) - (SELECT min(epoch_us(ts)) FROM events)) // 259200000000
+                 + (CASE WHEN event_id % 13 = 0 THEN 2
+                         WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS fid
+        FROM events),
+      fmax AS (SELECT fid, max(ts_us // 1000) AS fmax_ms FROM e GROUP BY fid),
+      wm AS (SELECT fid,
+               coalesce(max(fmax_ms) OVER (ORDER BY fid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 600000, 0) AS wm_ms
+             FROM fmax),
+      kept AS (SELECT e.event_type, e.value, e.wend_us
+               FROM e JOIN wm USING (fid)
+               WHERE e.wend_us >= wm.wm_ms * 1000)
+      SELECT CAST((wend_us - 3600000000) // 1000000 AS BIGINT) AS wstart_epoch,
+             event_type, count(*) AS n,
+             ${sumFixedSql("value", 2)} AS sum_value
+      FROM kept GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- q87
+  // dropDuplicatesWithinWatermark with duplicates on BOTH sides of state
+  // expiry — the semantic that distinguishes it from q83/q85's plain
+  // dedup. Staging plants two duplicates per selected event_id key:
+  // same-slice (+5 min → same micro-batch, state alive → always dropped)
+  // and two-slices-later (+6 days → usually re-admitted). The oracle
+  // models the expiry decision exactly: a far duplicate is re-admitted
+  // iff the (2-batch-lagged) watermark at its batch has passed the
+  // original's event time + the 10-minute delay; originals whose slice
+  // ends within ~20 min of their timestamp stay in state long enough to
+  // still dedup their far duplicate (3 such keys at sf0.001 — predicted
+  // and observed identically). Under plain dropDuplicates every far
+  // duplicate would be dropped, so a green hash proves state expiry
+  // genuinely happened. At 100 TB this is the required dedup form:
+  // state is bounded by keys per watermark window, not lifetime key
+  // cardinality.
+  private val q87 = QueryDef(
+    "q87_stream_dedup_readmission",
+    (s, d) =>
+      run(s, st =>
+        st.withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark(Seq("event_id"))
+          .select(col("event_type"), col("value")),
+        readStaged(s, dupDir(s, d)), "append")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_admitted"), sumFixed(col("value"), 2).as("sum_value"))
+        .orderBy(col("event_type")),
+    Some(s"""
+      WITH t0 AS (SELECT min(epoch_us(ts)) AS v FROM events),
+      rows_all AS (
+        SELECT event_type, value, epoch_us(ts) AS ts_us,
+               (epoch_us(ts) - (SELECT v FROM t0)) // 259200000000 AS fid,
+               0 AS is_dup
+        FROM events
+        UNION ALL
+        SELECT event_type, value, epoch_us(ts) + 300000000,
+               (epoch_us(ts) - (SELECT v FROM t0)) // 259200000000, 1
+        FROM events WHERE event_id % 11 = 0
+        UNION ALL
+        SELECT event_type, value, epoch_us(ts) + 518400000000,
+               (epoch_us(ts) - (SELECT v FROM t0)) // 259200000000 + 2, 2
+        FROM events WHERE event_id % 9 = 0),
+      fmax AS (SELECT fid, max(ts_us // 1000) AS fmax_ms FROM rows_all GROUP BY fid),
+      wm AS (SELECT fid,
+               coalesce(max(fmax_ms) OVER (ORDER BY fid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 600000, 0) AS wm_ms
+             FROM fmax),
+      admitted AS (
+        SELECT event_type, value FROM rows_all WHERE is_dup = 0
+        UNION ALL
+        SELECT r.event_type, r.value
+        FROM rows_all r JOIN wm w USING (fid)
+        WHERE r.is_dup = 2
+          AND w.wm_ms > (r.ts_us - 518400000000) // 1000 + 600000)
+      SELECT event_type, count(*) AS n_admitted,
+             ${sumFixedSql("value", 2)} AS sum_value
+      FROM admitted GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87)
 }

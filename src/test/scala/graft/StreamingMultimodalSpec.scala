@@ -33,6 +33,35 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(nEvents == Tables.t(spark, sf, "events").count())
   }
 
+  test("multi-batch replay genuinely drops late rows by watermark") {
+    // q86 replays ~12 micro-batches; late rows (event_id%7 one slice
+    // late, %13 two slices late) whose window end fell below the
+    // 2-batch-lagged watermark must be missing vs the no-drop aggregate.
+    val streamed = SparkEntry.queries("q86_stream_multibatch_late_drop")(spark, sf)
+    val noDrop = Tables.t(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type")).count()
+    val streamedRows = streamed.count()
+    assert(streamedRows < noDrop.count(), "no late rows were dropped — replay was not multi-batch")
+    assert(streamed.agg(sum("n")).head.getLong(0) <
+      Tables.t(spark, sf, "events").count())
+  }
+
+  test("dedup-within-watermark re-admits duplicates after state expiry") {
+    // q87's staging plants far duplicates (+6 days) whose dedup state
+    // expired; plain dropDuplicates would drop all of them, so total
+    // admitted must exceed the distinct-key count.
+    val streamed = SparkEntry.queries("q87_stream_dedup_readmission")(spark, sf)
+    val admitted = streamed.agg(sum("n_admitted")).head.getLong(0)
+    val distinctKeys = Tables.t(spark, sf, "events").select("event_id").distinct().count()
+    assert(admitted > distinctKeys,
+      s"no duplicate was re-admitted ($admitted <= $distinctKeys) — state never expired")
+    // and the same-batch near duplicates (event_id%11) must NOT inflate
+    // counts: admitted <= originals + far dups
+    val farDups = Tables.t(spark, sf, "events")
+      .filter(col("event_id") % 9 === 0).count()
+    assert(admitted <= distinctKeys + farDups)
+  }
+
   test("fake decoder is deterministic and well-shaped") {
     val d1 = FakeDecoder.decode("hello world".getBytes)
     val d2 = FakeDecoder.decode("hello world".getBytes)
