@@ -125,6 +125,9 @@ class LGBMClassifier(val params: LGBMParams = LGBMParams()) {
       } else {
         val est = new RandomForestClassifier()
           .setNumTrees(params.nEstimators).setMaxDepth(params.maxDepth)
+          // LightGBM's feature_fraction default is 1.0; MLlib RF's "auto"
+          // would subsample sqrt(n) features per node and diverge from it
+          .setFeatureSubsetStrategy("all")
           .setSeed(params.seed)
         weightCol.foreach(est.setWeightCol)
         est.fit(data)
