@@ -45,8 +45,8 @@ object EventStreams {
   //
   // A single-file replay arrives in ONE micro-batch: the watermark never
   // advances mid-query, so late-row filtering and state expiry are never
-  // exercised. Here events are staged as one parquet file per 3-day
-  // event-time slice and read with maxFilesPerTrigger=1, giving ~12 real
+  // exercised. Here events are staged as one parquet file per 6-day
+  // event-time slice and read with maxFilesPerTrigger=1, giving ~8 real
   // micro-batches with the watermark advancing between them.
   //
   // Semantics pinned empirically (graft.tools.WmProbe + oracle diffing):
@@ -66,36 +66,44 @@ object EventStreams {
   //    watermark node into the scan and the sentinel would never be seen.
   //
   // At 100 TB this staging step doesn't exist — data already arrives in
-  // time-ordered files/offsets; the per-slice loop below is bounded by
-  // (time span ÷ 3 days) driver-side file moves, not by data volume.
-  private val SliceUs  = 3L * 86400L * 1000000L // 3-day slices
+  // time-ordered files/offsets; staging is ONE partitionBy(fid) write job
+  // plus a driver-side rename per slice, not a per-slice data pass.
+  private val SliceUs  = 6L * 86400L * 1000000L // 6-day slices
   private val stageDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
 
   /** Write `df` (with a `fid` column) as one parquet file per fid, named
     * and mtime-stamped in fid order so the file source replays them as
-    * ordered micro-batches. */
+    * ordered micro-batches. A single partitionBy write: repartitioning by
+    * fid first guarantees exactly one part file per fid (the oracle's
+    * file↔batch correspondence depends on it). */
   private def writeSliceFiles(s: SparkSession, df: DataFrame, dir: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Paths}
-    val out = df.select((eventCols.map(col) :+ col("fid")): _*).cache()
-    val fids = out.select("fid").distinct().collect().map(_.getLong(0)).sorted
+    import scala.jdk.CollectionConverters._
+    val stage = dir.resolve("_work").toString
+    df.select((eventCols.map(col) :+ col("fid")): _*)
+      .repartition(col("fid"))
+      .write.mode("overwrite").partitionBy("fid").parquet(stage)
+    val parts = Files.list(Paths.get(stage)).iterator.asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("fid="))
+      .map { d =>
+        val fid = d.getFileName.toString.stripPrefix("fid=").toLong
+        val part = Files.list(d).iterator.asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq
+        require(part.length == 1, s"expected 1 file for fid=$fid, got ${part.length}")
+        (fid, part.head)
+      }.sortBy(_._1)
     val base = System.currentTimeMillis() - 3600L * 1000
-    fids.zipWithIndex.foreach { case (f, i) =>
-      val stage = dir.resolve(s"_work_$f").toString
-      out.filter(col("fid") === f).select(eventCols.map(col): _*)
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).head
+    parts.zipWithIndex.foreach { case ((f, src), i) =>
       val dst = dir.resolve(f"ev_$f%03d.parquet")
-      Files.move(Paths.get(part), dst)
+      Files.move(src, dst)
       Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
     }
-    out.unpersist()
   }
 
-  /** fid assignment for the late-arrival staging: 3-day slice of the
+  /** fid assignment for the late-arrival staging: 6-day slice of the
     * event time, shifted +1 slice for event_id%7 rows and +2 for %13 —
     * deterministic, so the DuckDB oracle replays the same file layout. */
   private def slicedDir(s: SparkSession, d: String): String =
@@ -122,7 +130,7 @@ object EventStreams {
   /** Staging for dedup re-admission (q87): no late lag; instead each
     * event_id%11 row gets a same-slice duplicate (ts+5min → same batch,
     * always deduplicated) and each %9 row a duplicate two slices later
-    * (ts+6d → its dedup state expired days of event time earlier, so it
+    * (ts+12d → its dedup state expired days of event time earlier, so it
     * is re-admitted regardless of eviction-timing details). */
   private def dupDir(s: SparkSession, d: String): String =
     stageDirs.computeIfAbsent(s"dup:$d", _ => {
@@ -135,7 +143,7 @@ object EventStreams {
       val near = withFid.filter(col("event_id") % 11 === 0)
         .withColumn("ts", expr("ts + INTERVAL 5 MINUTES"))
       val far = withFid.filter(col("event_id") % 9 === 0)
-        .withColumn("ts", expr("ts + INTERVAL 6 DAYS"))
+        .withColumn("ts", expr("ts + INTERVAL 12 DAYS"))
         .withColumn("fid", col("fid") + 2L)
       writeSliceFiles(s, withFid.unionByName(near).unionByName(far), dir)
       dir.toString
@@ -151,10 +159,13 @@ object EventStreams {
   /** Run a bounded stream to completion through a memory sink.
     *
     * Stateful operators create one state-store instance per shuffle
-    * partition and pay a per-partition commit each micro-batch; for the
-    * replay volume here 8 partitions is plenty (on a real cluster size
-    * this to the executor count — it is fixed at the first batch of a
-    * query and kept in the checkpoint).
+    * partition and pay a per-partition task + commit each micro-batch —
+    * measured locally this fixed cost scales near-linearly with the
+    * partition count (p2 ≈ 11 s, p8 ≈ 19 s, p32 ≈ 32 s for the same
+    * 8-file replay), so the replay uses 4. On a real cluster size this
+    * to the executor count — it is fixed at the first batch of a query
+    * and kept in the checkpoint; per-batch overhead amortizes over
+    * GB-sized batches instead of the KB-sized slices here.
     *
     * processAllAvailable is looped until the batch id is quiescent: a
     * multi-file backlog can report "all available processed" between the
@@ -165,7 +176,7 @@ object EventStreams {
       src: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runId.incrementAndGet()}"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = out(src).writeStream.format("memory")
         .queryName(name).outputMode(mode).start()
@@ -269,7 +280,7 @@ object EventStreams {
   // Streaming dedup (first arrival per (user_id, event_type)) feeding a
   // streaming aggregation. Deduped count per event_type = distinct users.
   // Replays the sliced multi-batch staging: dedup state genuinely
-  // persists across ~12 micro-batches (no watermark → no eviction, so
+  // persists across multiple micro-batches (no watermark → no eviction, so
   // the result still equals batch DISTINCT regardless of batching).
   private val q83 = QueryDef(
     "q83_stream_dedup",
@@ -377,7 +388,7 @@ object EventStreams {
       WITH e AS (
         SELECT event_type, value, epoch_us(ts) AS ts_us,
                ((epoch_us(ts) // 3600000000) + 1) * 3600000000 AS wend_us,
-               (epoch_us(ts) - (SELECT min(epoch_us(ts)) FROM events)) // 259200000000
+               (epoch_us(ts) - (SELECT min(epoch_us(ts)) FROM events)) // 518400000000
                  + (CASE WHEN event_id % 13 = 0 THEN 2
                          WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS fid
         FROM events),
@@ -399,7 +410,7 @@ object EventStreams {
   // expiry — the semantic that distinguishes it from q83/q85's plain
   // dedup. Staging plants two duplicates per selected event_id key:
   // same-slice (+5 min → same micro-batch, state alive → always dropped)
-  // and two-slices-later (+6 days → usually re-admitted). The oracle
+  // and two-slices-later (+12 days → usually re-admitted). The oracle
   // models the expiry decision exactly: a far duplicate is re-admitted
   // iff the (2-batch-lagged) watermark at its batch has passed the
   // original's event time + the 10-minute delay; originals whose slice
@@ -425,16 +436,16 @@ object EventStreams {
       WITH t0 AS (SELECT min(epoch_us(ts)) AS v FROM events),
       rows_all AS (
         SELECT event_type, value, epoch_us(ts) AS ts_us,
-               (epoch_us(ts) - (SELECT v FROM t0)) // 259200000000 AS fid,
+               (epoch_us(ts) - (SELECT v FROM t0)) // 518400000000 AS fid,
                0 AS is_dup
         FROM events
         UNION ALL
         SELECT event_type, value, epoch_us(ts) + 300000000,
-               (epoch_us(ts) - (SELECT v FROM t0)) // 259200000000, 1
+               (epoch_us(ts) - (SELECT v FROM t0)) // 518400000000, 1
         FROM events WHERE event_id % 11 = 0
         UNION ALL
-        SELECT event_type, value, epoch_us(ts) + 518400000000,
-               (epoch_us(ts) - (SELECT v FROM t0)) // 259200000000 + 2, 2
+        SELECT event_type, value, epoch_us(ts) + 1036800000000,
+               (epoch_us(ts) - (SELECT v FROM t0)) // 518400000000 + 2, 2
         FROM events WHERE event_id % 9 = 0),
       fmax AS (SELECT fid, max(ts_us // 1000) AS fmax_ms FROM rows_all GROUP BY fid),
       wm AS (SELECT fid,
@@ -447,7 +458,7 @@ object EventStreams {
         SELECT r.event_type, r.value
         FROM rows_all r JOIN wm w USING (fid)
         WHERE r.is_dup = 2
-          AND w.wm_ms > (r.ts_us - 518400000000) // 1000 + 600000)
+          AND w.wm_ms > (r.ts_us - 1036800000000) // 1000 + 600000)
       SELECT event_type, count(*) AS n_admitted,
              ${sumFixedSql("value", 2)} AS sum_value
       FROM admitted GROUP BY 1 ORDER BY 1"""))
