@@ -22,26 +22,34 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   /** STUB decode: a real build links an image/audio codec here. Output is
-    * a deterministic function of the bytes so tests/bench are stable.
+    * a deterministic function of the payload's md5 digest — chosen so the
+    * whole decode pipeline is bit-reproducible in ANSI SQL and the DuckDB
+    * oracle can hash-check q91/q92 end-to-end (same portability trick as
+    * the md5-derived shingle ids in [[Dedup]]). Every feature is a
+    * byte/256 dyadic rational, so sums and averages are exact doubles in
+    * both engines.
     */
   object FakeDecoder {
     final case class Decoded(
         width: Int, height: Int, nFrames: Int, features: Array[Float])
 
     def decode(payload: Array[Byte]): Decoded = {
-      // ??? <- real codec goes here; deterministic fake below
-      var h = 1125899906842597L
-      payload.foreach { b => h = h * 31 + (b & 0xff) }
-      def mix(i: Int): Long = {
-        val x = h ^ (2654435761L * (i + 1))
-        (x ^ (x >>> 17)) & 0x7fffffffL
-      }
+      // ??? <- real codec goes here; deterministic md5-based fake below
+      val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      def b(i: Int): Int = md(i) & 0xff
       Decoded(
-        width = 64 + (mix(0) % 193).toInt,
-        height = 64 + (mix(1) % 129).toInt,
-        nFrames = 1 + (mix(2) % 7).toInt,
-        features = Array.tabulate(8)(i => (mix(3 + i) % 1000) / 1000.0f))
+        width = 64 + ((b(0) * 256 + b(1)) % 193),
+        height = 64 + ((b(2) * 256 + b(3)) % 129),
+        nFrames = 1 + ((b(4) * 256 + b(5)) % 7),
+        features = Array.tabulate(8)(i => b(6 + i) / 256.0f))
     }
+  }
+
+  /** SQL for byte `i` (0-based) of md5(text) — mirrors FakeDecoder. */
+  private def mdByteSql(i: Int): String = {
+    def nib(pos: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(text), $pos, 1)) - 1)"
+    s"(16 * ${nib(2 * i + 1)} + ${nib(2 * i + 2)})"
   }
 
   private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
@@ -93,9 +101,9 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------- q91
-  // Partition-wise decode, scalar-digest projection. Rows-only check —
-  // the stub decoder is not SQL-expressible; StreamingMultimodalSpec pins
-  // schema and determinism.
+  // Partition-wise decode, scalar-digest projection — hash-checked: the
+  // oracle recomputes the md5-derived decode byte-for-byte in SQL.
+  // StreamingMultimodalSpec additionally pins schema and determinism.
   private val q91 = QueryDef(
     "q91_multimodal_decode_stub",
     (s, d) =>
@@ -103,11 +111,20 @@ object Multimodal {
         .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
           round(col("f0"), 6).as("f0"), round(col("fsum"), 6).as("fsum"))
         .orderBy(col("doc_id")),
-    None)
+    Some(s"""
+      SELECT doc_id,
+             CAST(64 + ((${mdByteSql(0)} * 256 + ${mdByteSql(1)}) % 193) AS BIGINT) AS width,
+             CAST(64 + ((${mdByteSql(2)} * 256 + ${mdByteSql(3)}) % 129) AS BIGINT) AS height,
+             CAST(1 + ((${mdByteSql(4)} * 256 + ${mdByteSql(5)}) % 7) AS BIGINT) AS n_frames,
+             round(${mdByteSql(6)} / 256.0, 6) AS f0,
+             round((${(6 to 13).map(mdByteSql).mkString(" + ")}) / 256.0, 6) AS fsum
+      FROM documents
+      ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- q92
   // Decoded features → aggregate per synthetic shard: demonstrates the
-  // decode → analyze pipeline (metadata stats over media batches).
+  // decode → analyze pipeline (metadata stats over media batches), also
+  // hash-checked via the SQL mirror of the decode.
   private val q92 = QueryDef(
     "q92_multimodal_feature_stats",
     (s, d) =>
@@ -120,7 +137,18 @@ object Multimodal {
           max(col("n_frames").cast("long")).as("max_frames"),
           round(avg(col("f0")), 6).as("avg_f0"))
         .orderBy(col("shard")),
-    None)
+    Some(s"""
+      WITH dec AS (
+        SELECT doc_id % 10 AS shard,
+               64 + ((${mdByteSql(0)} * 256 + ${mdByteSql(1)}) % 193) AS width,
+               1 + ((${mdByteSql(4)} * 256 + ${mdByteSql(5)}) % 7) AS n_frames,
+               ${mdByteSql(6)} / 256.0 AS f0
+        FROM documents)
+      SELECT shard, count(*) AS n_media,
+             CAST(sum(width) AS BIGINT) AS total_width,
+             CAST(max(n_frames) AS BIGINT) AS max_frames,
+             round(avg(f0), 6) AS avg_f0
+      FROM dec GROUP BY shard ORDER BY shard"""))
 
   val defs: Seq[QueryDef] = Seq(q90, q91, q92)
 }
