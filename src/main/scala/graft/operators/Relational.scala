@@ -659,6 +659,68 @@ object Relational {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------- q62
+  // JSON-lines source round-trip (B1 source family, like q25 for CSV):
+  // events → gzip JSON-lines staged once per (JVM, sf-dir) → schema-first
+  // read back (no inference pass) → aggregate; oracle runs the same
+  // aggregate over the original parquet, proving the scan lossless.
+  // Gzip JSON is unsplittable like gzip CSV — at 100 TB the staged copy
+  // would be many files, and the schema-first read avoids the full
+  // inference scan Spark would otherwise pay.
+  private val q62 = QueryDef(
+    "q62_json_scan",
+    (s, d) => {
+      val tmp = csvStage.computeIfAbsent(s"json:$d", _ => {
+        val p = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_csv",
+          d.replaceAll("[^A-Za-z0-9.]", "_"), "events_json").toString
+        ev(s, d)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .write.mode("overwrite").option("compression", "gzip").json(p)
+        p
+      })
+      val back = s.read
+        .schema("event_id BIGINT, user_id BIGINT, value DOUBLE").json(tmp)
+      back.groupBy((col("user_id") % 10).as("cohort"))
+        .agg(count(lit(1)).as("n"), sumFixed(col("value"), 2).as("sum_value"))
+        .orderBy(col("cohort"))
+    },
+    Some(s"""
+      SELECT user_id % 10 AS cohort, count(*) AS n,
+             ${sumFixedSql("value", 2)} AS sum_value
+      FROM events
+      GROUP BY 1
+      ORDER BY cohort"""))
+
+  // ---------------------------------------------------------------- q63
+  // ORC source round-trip (B1 source family): columnar-to-columnar copy,
+  // predicate pushdown available on read back. Same oracle trick.
+  private val q63 = QueryDef(
+    "q63_orc_scan",
+    (s, d) => {
+      val tmp = csvStage.computeIfAbsent(s"orc:$d", _ => {
+        val p = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_csv",
+          d.replaceAll("[^A-Za-z0-9.]", "_"), "events_orc").toString
+        ev(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").orc(p)
+        p
+      })
+      s.read.orc(tmp)
+        .filter(col("value") > 50.0) // pushed to the ORC reader
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumFixed(col("value"), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      SELECT event_type, count(*) AS n,
+             ${sumFixedSql("value", 2)} AS sum_value
+      FROM events
+      WHERE value > 50.0
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   // ---------------------------------------------------------------- q26
   // from_json → typed MapType + element access (C5 JSON/map surface).
   private val q26 = QueryDef(
@@ -846,5 +908,5 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q60, q61)
+    q27, q28, q29, q60, q61, q62, q63)
 }

@@ -62,6 +62,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q63: value filter is pushed into the ORC scan") {
+    val p = planOf("q63_orc_scan")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(value"),
+      "the value predicate must reach the ORC reader, not a post-scan filter")
+  }
+
   test("float_dot is SQL-callable once registered") {
     // the injector itself is exercised for shape (extensions only apply
     // at session build); SQL callability goes through the registry bridge
