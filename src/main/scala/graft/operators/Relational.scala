@@ -187,6 +187,28 @@ object Relational {
       GROUP BY c_custkey
       ORDER BY c_custkey"""))
 
+  // ---------------------------------------------------------------- q64
+  // Right outer join (C1 completeness): stream side preserved on the
+  // right. Catalyst plans it as the mirrored left join; the point is the
+  // API/semantics row, distinct from q05's left.
+  private val q64 = QueryDef(
+    "q64_right_join_customers",
+    (s, d) =>
+      ord(s, d)
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          count_distinct(col("c_custkey")).as("n_customers"))
+        .orderBy(col("c_nationkey")),
+    Some("""
+      SELECT c_nationkey,
+             count(o_orderkey) AS n_orders,
+             count(DISTINCT c_custkey) AS n_customers
+      FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey"""))
+
   // ---------------------------------------------------------------- q06
   // Full outer join of two aggregates.
   private val q06 = QueryDef(
@@ -908,5 +930,5 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q60, q61, q62, q63)
+    q27, q28, q29, q60, q61, q62, q63, q64)
 }
