@@ -743,6 +743,31 @@ object Relational {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------- q65
+  // Pivot (long→wide): per-cohort sums fanned out to one column per
+  // event_type. The pivot domain is DECLARED (not discovered) — at scale
+  // an undeclared pivot first runs a distinct scan over the pivot column
+  // and caps at spark.sql.pivotMaxValues; declaring it keeps the plan a
+  // single pass. Oracle = conditional aggregation, the relational algebra
+  // pivot desugars to.
+  private val q65 = QueryDef(
+    "q65_pivot_event_types",
+    (s, d) =>
+      ev(s, d)
+        .withColumn("cohort", col("user_id") % 5)
+        .groupBy(col("cohort"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sumFixed(col("value"), 2))
+        .orderBy(col("cohort")),
+    Some(s"""
+      SELECT user_id % 5 AS cohort,
+             ${Seq("click", "error", "purchase", "signup", "view").map(t =>
+        sumFixedSql(s"CASE WHEN event_type = '$t' THEN value END", 2) +
+          s" AS $t").mkString(",\n             ")}
+      FROM events
+      GROUP BY 1
+      ORDER BY cohort"""))
+
   // ---------------------------------------------------------------- q26
   // from_json → typed MapType + element access (C5 JSON/map surface).
   private val q26 = QueryDef(
@@ -930,5 +955,5 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q60, q61, q62, q63, q64)
+    q27, q28, q29, q60, q61, q62, q63, q64, q65)
 }
