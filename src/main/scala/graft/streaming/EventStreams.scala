@@ -5,7 +5,8 @@ import java.util.concurrent.atomic.AtomicInteger
 import graft.{QueryDef, Num, Tables}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators over `events` (SURVEY §2.C10): tumbling,
   * sliding, and session windows, watermarks, streaming dedup, and custom
@@ -463,5 +464,74 @@ object EventStreams {
              ${sumFixedSql("value", 2)} AS sum_value
       FROM admitted GROUP BY 1 ORDER BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87)
+  // ---------------------------------------------------------------- q88
+  // transformWithState (Spark 4's arbitrary-state API, the successor to
+  // flatMapGroupsWithState): a StatefulProcessor with explicit ValueState
+  // tracking per-user (count, cents) across the multi-batch replay.
+  // Requires the RocksDB state-store provider — at 100 TB that is the
+  // provider you want anyway (changelog checkpointing, state larger than
+  // heap). Cents are exact longs (value is 2-decimal fixed), so running
+  // totals are order- and partition-independent; each batch emits the
+  // running row per active user and (count, cents) grows monotonically,
+  // so max(struct(n, cents)) per user in the sink equals final state =
+  // the batch aggregate the oracle runs.
+  private class SpendProcessor
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var state: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)]("agg",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, cents) = if (state.exists()) state.get() else (0L, 0L)
+      rows.foreach { case (_, c) => n += 1; cents += c }
+      state.update((n, cents))
+      Iterator.single((key, n, cents))
+    }
+  }
+
+  private val q88 = QueryDef(
+    "q88_stream_transform_with_state",
+    (s, d) => {
+      val prevProvider = s.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // ship per-batch changelogs instead of full RocksDB snapshots —
+      // the setting a 100 TB deployment runs with, and ~2× less
+      // per-micro-batch commit cost here
+      s.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+      try {
+        run(s, st => {
+          import s.implicits._
+          st.filter(col("user_id") =!= -1L)
+            .select(col("user_id"),
+              round(col("value") * 100).cast("long").as("cents"))
+            .as[(Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new SpendProcessor,
+              TimeMode.None(), OutputMode.Append())
+            .toDF("user_id", "n_events", "cents")
+        }, readStaged(s, slicedDir(s, d)), "append")
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("n_events"), col("cents"))).as("fin"))
+          .select(col("user_id"), col("fin.n_events").as("n_events"),
+            (col("fin.cents").cast("double") / 100.0).as("sum_value"))
+          .orderBy(col("user_id"))
+      } finally {
+        if (prevProvider.isEmpty)
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      }
+    },
+    Some(s"""
+      SELECT user_id, count(*) AS n_events,
+             ${sumFixedSql("value", 2)} AS sum_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }
