@@ -275,5 +275,55 @@ object TextAnalysis {
       GROUP BY lang
       ORDER BY lang"""))
 
-  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45)
+  // ---------------------------------------------------------------- q46
+  // Repetition ratio: fraction of repeated word-3-grams per language — a
+  // standard pre-training quality filter (boilerplate/spam detectors key
+  // on duplicated n-grams). Per-doc (unique, total) counts are exact
+  // integers, aggregated as ratio-of-sums — order- and partition-
+  // independent, unlike an average of per-doc double ratios. Scale: one
+  // explode + two hash aggregations; no shuffle wider than (doc_id).
+  private val q46 = QueryDef(
+    "q46_repetition_ratio",
+    (s, d) => {
+      val grams = docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("lang"), col("toks"),
+          explode(expr("sequence(0, size(toks) - 3)")).as("i"))
+        .select(col("doc_id"), col("lang"),
+          concat(col("toks")(col("i")), lit("|"),
+                 col("toks")(col("i") + 1), lit("|"),
+                 col("toks")(col("i") + 2)).as("g"))
+      grams.groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("total"), count_distinct(col("g")).as("uniq"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("total")).as("total_grams"),
+          round(lit(1.0) -
+            sum(col("uniq")).cast("double") /
+              sum(col("total")).cast("double"), 6).as("rep_ratio"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      grams AS (
+        SELECT doc_id, lang, unnest(
+          CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                                   i -> toks[i] || '|' || toks[i+1] || '|' || toks[i+2])
+               ELSE [] END) AS g
+        FROM tok),
+      per_doc AS (
+        SELECT doc_id, lang, count(*) AS total, count(DISTINCT g) AS uniq
+        FROM grams GROUP BY 1, 2)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(total) AS BIGINT) AS total_grams,
+             round(1.0 - CAST(sum(uniq) AS DOUBLE) / CAST(sum(total) AS DOUBLE), 6)
+               AS rep_ratio
+      FROM per_doc
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46)
 }
