@@ -768,6 +768,43 @@ object Relational {
       GROUP BY 1
       ORDER BY cohort"""))
 
+  // ---------------------------------------------------------------- q66
+  // Partition pruning: events staged once as parquet PARTITIONED BY
+  // event_type (hive-style dirs), read back with a partition-column
+  // filter — the scan lists only the matching directories and the files
+  // carry no event_type column at all. At 100 TB this is the first-order
+  // cost lever (date/tenant partitioning prunes most of the corpus
+  // before any I/O); PlanSpec pins PartitionFilters on the scan.
+  private val q66 = QueryDef(
+    "q66_partition_pruning",
+    (s, d) => {
+      val tmp = csvStage.computeIfAbsent(s"part:$d", _ => {
+        val p = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_csv",
+          d.replaceAll("[^A-Za-z0-9.]", "_"), "events_part").toString
+        ev(s, d)
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(p)
+        p
+      })
+      s.read.parquet(tmp)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sumFixed(col("value"), 2).as("sum_value"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      SELECT event_type, count(*) AS n,
+             ${sumFixedSql("value", 2)} AS sum_value,
+             count(DISTINCT user_id) AS n_users
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   // ---------------------------------------------------------------- q26
   // from_json → typed MapType + element access (C5 JSON/map surface).
   private val q26 = QueryDef(
@@ -955,5 +992,5 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q60, q61, q62, q63, q64, q65)
+    q27, q28, q29, q60, q61, q62, q63, q64, q65, q66)
 }

@@ -68,6 +68,18 @@ class PlanSpec extends AnyFunSuite {
       "the value predicate must reach the ORC reader, not a post-scan filter")
   }
 
+  test("q66: partition filter prunes event_type directories at the scan") {
+    val p = planOf("q66_partition_pruning")
+    assert(p.contains("PartitionFilters") && p.contains("event_type"),
+      "the event_type predicate must prune partitions, not filter rows")
+    // pruned scans read only 2 of 5 partition dirs; the data files carry
+    // no event_type column, so it must not appear in ReadSchema
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("event_type"),
+      s"event_type must be a partition column, not a data column: $readSchema")
+  }
+
   test("float_dot is SQL-callable once registered") {
     // the injector itself is exercised for shape (extensions only apply
     // at session build); SQL callability goes through the registry bridge
