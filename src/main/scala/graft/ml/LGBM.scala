@@ -151,6 +151,29 @@ class LGBMClassifierModel(
 
   /** to_local (core.py:215-218): MLlib models are already driver-local. */
   def toLocal: ProbabilisticClassificationModel[Vector, _] = inner
+
+  /** feature_importances_ analogue (LightGBM sklearn surface): normalized
+    * split-gain importances from the fitted ensemble. */
+  def featureImportances: Array[Double] = (inner match {
+    case m: GBTClassificationModel          => m.featureImportances
+    case m: RandomForestClassificationModel => m.featureImportances
+  }).toArray
+
+  /** Persist the fitted model (booster save/load analogue). */
+  def save(path: String): Unit = inner match {
+    case m: GBTClassificationModel          => m.write.overwrite().save(path)
+    case m: RandomForestClassificationModel => m.write.overwrite().save(path)
+  }
+}
+
+object LGBMClassifierModel {
+  /** Reload a persisted model; `nClasses` is recovered from the model. */
+  def load(path: String): LGBMClassifierModel = {
+    val m =
+      try GBTClassificationModel.load(path)
+      catch { case _: Exception => RandomForestClassificationModel.load(path) }
+    new LGBMClassifierModel(m, m.numClasses)
+  }
 }
 
 /** Regressor: GBTRegressor; quantile objective approximated by absolute
@@ -193,4 +216,23 @@ class LGBMRegressorModel(val inner: GBTRegressionModel, val offset: Double) {
   }
 
   def toLocal: PredictionModel[Vector, _] = inner
+
+  /** feature_importances_ analogue. */
+  def featureImportances: Array[Double] = inner.featureImportances.toArray
+
+  /** Persist the fitted trees + the quantile offset (model state that
+    * lives outside MLlib's writer). */
+  def save(path: String): Unit = {
+    inner.write.overwrite().save(s"$path/trees")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/offset"), offset.toString)
+  }
+}
+
+object LGBMRegressorModel {
+  def load(path: String): LGBMRegressorModel = {
+    val off = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$path/offset")).trim.toDouble
+    new LGBMRegressorModel(GBTRegressionModel.load(s"$path/trees"), off)
+  }
 }

@@ -168,6 +168,43 @@ class MLSpec extends AnyFunSuite {
       "fit on 1 vs 8 partitions must produce identical predictions")
   }
 
+  test("model save/load round-trips predictions and quantile offset") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_model_").toString
+    val dfc = blobs(2)
+    val mc = new LGBMClassifier(LGBMParams(nEstimators = 10)).fit(dfc, Seq("feats"))
+    mc.save(s"$dir/clf")
+    val mc2 = graft.ml.LGBMClassifierModel.load(s"$dir/clf")
+    assert(mc2.nClasses == mc.nClasses)
+    val pc = mc.predict(dfc, Seq("feats")).orderBy("id")
+      .select("prediction").collect().map(_.getDouble(0))
+    val pc2 = mc2.predict(dfc, Seq("feats")).orderBy("id")
+      .select("prediction").collect().map(_.getDouble(0))
+    assert(pc.sameElements(pc2))
+    val dfr = regData()
+    val mr = new LGBMRegressor(LGBMParams(nEstimators = 10,
+      objective = "quantile", alpha = 0.9)).fit(dfr, Seq("feats"))
+    mr.save(s"$dir/reg")
+    val mr2 = graft.ml.LGBMRegressorModel.load(s"$dir/reg")
+    assert(mr2.offset == mr.offset)
+    val pr = mr.predict(dfr, Seq("feats")).orderBy("id")
+      .select("prediction").collect().map(_.getDouble(0))
+    val pr2 = mr2.predict(dfr, Seq("feats")).orderBy("id")
+      .select("prediction").collect().map(_.getDouble(0))
+    assert(pr.sameElements(pr2))
+  }
+
+  test("feature importances are normalized and favor informative features") {
+    val df = blobs(2)
+    val fi = new LGBMClassifier(LGBMParams(nEstimators = 10))
+      .fit(df, Seq("feats")).featureImportances
+    assert(fi.length == 2 && math.abs(fi.sum - 1.0) < 1e-9)
+    val fr = regData() // y = 3x1 - 2x2: both features informative
+      .transform(d => d)
+    val rfi = new LGBMRegressor(LGBMParams(nEstimators = 10))
+      .fit(fr, Seq("feats")).featureImportances
+    assert(rfi.length == 2 && rfi.forall(_ > 0.0))
+  }
+
   test("task errors propagate to the driver (reference B12)") {
     val df = blobs(2)
     val poisoned = df.map { r =>
