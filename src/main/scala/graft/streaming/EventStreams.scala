@@ -533,5 +533,36 @@ object EventStreams {
       GROUP BY user_id
       ORDER BY user_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88)
+  // ---------------------------------------------------------------- q89
+  // Stream–static join (enrichment): each micro-batch joins against a
+  // static dimension (user → segment), then aggregates per segment in
+  // complete mode. The static side is broadcast — the standard shape for
+  // enriching an event stream against a dimension at any scale (the
+  // static side is re-read per batch, so at 100 TB it would be a compact
+  // dim table or a broadcast-refreshed snapshot, never the fact table).
+  // The oracle folds the join into the equivalent batch expression.
+  private val q89 = QueryDef(
+    "q89_stream_static_join",
+    (s, d) => {
+      val maxUid = Tables.t(s, d, "events")
+        .agg(max(col("user_id"))).head.getLong(0)
+      val dim = s.range(0, maxUid + 1).select(col("id").as("user_id"),
+        pmod(col("id"), lit(7L)).as("segment"))
+      run(s, st =>
+        st.filter(col("user_id") =!= -1L)
+          .join(broadcast(dim), "user_id")
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n"), sumFixed(col("value"), 2).as("sum_value")),
+        readStaged(s, slicedDir(s, d)), "complete")
+        .orderBy(col("segment"))
+    },
+    Some(s"""
+      SELECT user_id % 7 AS segment, count(*) AS n,
+             ${sumFixedSql("value", 2)} AS sum_value
+      FROM events
+      GROUP BY 1
+      ORDER BY segment"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }
