@@ -92,7 +92,7 @@ private[ml] object Params {
   def nClasses(data: org.apache.spark.sql.DataFrame): Int = {
     val row = data.agg(
       max(col("label")), min(col("label")),
-      count_distinct(col("label")), count(col("label"))).head
+      count_distinct(col("label")), count(col("label"))).head()
     require(row.getLong(3) > 0, "fit() needs at least one non-null label")
     val (mx, mn, k) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
     require(mn == 0.0 && mx == math.floor(mx) && mx + 1 == k.toDouble,

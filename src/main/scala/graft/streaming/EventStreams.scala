@@ -113,11 +113,11 @@ object EventStreams {
       dir.toFile.deleteOnExit()
       val ev = Tables.t(s, d, "events")
       val Row(t0: Long, tMax: Long) = ev.agg(
-        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
       val withFid = ev.withColumn("fid",
         expr(s"(unix_micros(ts) - ${t0}L) DIV ${SliceUs}L") +
           expr("CASE WHEN event_id % 13 = 0 THEN 2L WHEN event_id % 7 = 0 THEN 1L ELSE 0L END"))
-      val maxFid = withFid.agg(max(col("fid"))).head.getLong(0)
+      val maxFid = withFid.agg(max(col("fid"))).head().getLong(0)
       val sentinel = s.range(1).select(
         lit(-1L).as("event_id"),
         expr(s"timestamp_micros(${tMax + 30L * 86400L * 1000000L}L)").as("ts"),
@@ -138,7 +138,7 @@ object EventStreams {
       val dir = java.nio.file.Files.createTempDirectory("graft_dup_")
       dir.toFile.deleteOnExit()
       val ev = Tables.t(s, d, "events")
-      val t0 = ev.agg(min(unix_micros(col("ts")))).head.getLong(0)
+      val t0 = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
       val withFid = ev.withColumn("fid",
         expr(s"(unix_micros(ts) - ${t0}L) DIV ${SliceUs}L"))
       val near = withFid.filter(col("event_id") % 11 === 0)
@@ -545,7 +545,7 @@ object EventStreams {
     "q89_stream_static_join",
     (s, d) => {
       val maxUid = Tables.t(s, d, "events")
-        .agg(max(col("user_id"))).head.getLong(0)
+        .agg(max(col("user_id"))).head().getLong(0)
       val dim = s.range(0, maxUid + 1).select(col("id").as("user_id"),
         pmod(col("id"), lit(7L)).as("segment"))
       run(s, st =>
