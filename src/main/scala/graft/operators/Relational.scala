@@ -681,6 +681,32 @@ object Relational {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------- q67
+  // Arbitrary GROUPING SETS (beyond q18's rollup / q27's cube): three
+  // hand-picked sets incl. the grand total, with grouping() flags to
+  // disambiguate aggregation level. One Expand + one aggregate exchange —
+  // same cost as a rollup of the same sets.
+  private val q67 = QueryDef(
+    "q67_grouping_sets",
+    (s, d) => {
+      li(s, d).createOrReplaceTempView("v_li_gs")
+      s.sql(s"""
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+               count(*) AS n, ${sumFixedSql("l_quantity", 2)} AS sum_qty
+        FROM v_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""")
+    },
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) AS INT) AS g_rf,
+             CAST(grouping(l_linestatus) AS INT) AS g_ls,
+             count(*) AS n, ${sumFixedSql("l_quantity", 2)} AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      ORDER BY g_rf, g_ls, l_returnflag, l_linestatus"""))
+
   // ---------------------------------------------------------------- q62
   // JSON-lines source round-trip (B1 source family, like q25 for CSV):
   // events → gzip JSON-lines staged once per (JVM, sf-dir) → schema-first
@@ -992,5 +1018,5 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q60, q61, q62, q63, q64, q65, q66)
+    q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67)
 }
