@@ -167,11 +167,17 @@ class LGBMClassifierModel(
 }
 
 object LGBMClassifierModel {
-  /** Reload a persisted model; `nClasses` is recovered from the model. */
+  /** Reload a persisted model, dispatching on the saved metadata's
+    * className rather than try-catch (a corrupt GBT dir must surface its
+    * own error, not a confusing RandomForest one); `nClasses` is
+    * recovered from the model. */
   def load(path: String): LGBMClassifierModel = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val meta = spark.read.text(s"$path/metadata").head().getString(0)
     val m =
-      try GBTClassificationModel.load(path)
-      catch { case _: Exception => RandomForestClassificationModel.load(path) }
+      if (meta.contains("RandomForestClassificationModel"))
+        RandomForestClassificationModel.load(path)
+      else GBTClassificationModel.load(path)
     new LGBMClassifierModel(m, m.numClasses)
   }
 }
@@ -221,18 +227,28 @@ class LGBMRegressorModel(val inner: GBTRegressionModel, val offset: Double) {
   def featureImportances: Array[Double] = inner.featureImportances.toArray
 
   /** Persist the fitted trees + the quantile offset (model state that
-    * lives outside MLlib's writer). */
+    * lives outside MLlib's writer). The offset sidecar goes through the
+    * Hadoop FileSystem API so hdfs:///s3a:// paths work like the trees
+    * writer, not just the local disk. */
   def save(path: String): Unit = {
     inner.write.overwrite().save(s"$path/trees")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$path/offset"), offset.toString)
+    val p = new org.apache.hadoop.fs.Path(s"$path/offset")
+    val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(offset.toString.getBytes("UTF-8")) finally out.close()
   }
 }
 
 object LGBMRegressorModel {
   def load(path: String): LGBMRegressorModel = {
-    val off = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(s"$path/offset")).trim.toDouble
+    val p = new org.apache.hadoop.fs.Path(s"$path/offset")
+    val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val off =
+      try new String(in.readAllBytes(), "UTF-8").trim.toDouble
+      finally in.close()
     new LGBMRegressorModel(GBTRegressionModel.load(s"$path/trees"), off)
   }
 }

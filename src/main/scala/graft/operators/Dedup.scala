@@ -247,7 +247,11 @@ object Dedup {
         .mkString("\n        UNION ALL ")
       s"""
       WITH $shinglesSql,
-      ids AS (SELECT doc_id, ${md5IdSql("shingle")} AS sid FROM sh),
+      -- DISTINCT sid: the verify below must live in the sid domain, like
+      -- Spark's collect_set(sid) — an md5-id collision merges two
+      -- shingles in BOTH engines (counting raw shingles instead would
+      -- diverge on the first collision)
+      ids AS (SELECT DISTINCT doc_id, ${md5IdSql("shingle")} AS sid FROM sh),
       sig AS (SELECT doc_id,
                $minExprs
               FROM ids GROUP BY doc_id),
@@ -257,12 +261,12 @@ object Dedup {
         SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
         FROM bands x JOIN bands y
           ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
-      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      cnt AS (SELECT doc_id, count(*) AS n FROM ids GROUP BY 1),
       inter AS (
         SELECT da, db, count(*) AS ni
         FROM cand
-        JOIN sh a ON a.doc_id = da
-        JOIN sh b ON b.doc_id = db AND a.shingle = b.shingle
+        JOIN ids a ON a.doc_id = da
+        JOIN ids b ON b.doc_id = db AND a.sid = b.sid
         GROUP BY 1, 2)
       SELECT da, db,
              round(CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE), 6) AS jac

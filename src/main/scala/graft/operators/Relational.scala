@@ -654,19 +654,29 @@ object Relational {
   // original parquet, proving lossless scan.
   private val csvStage =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage a derived source copy ONCE per (JVM, sf-dir, flavor) at a
+    * stable tmpdir path — shared by the q25/q62/q63/q66 source-format
+    * round-trips so the path scheme, sanitization, and reuse semantics
+    * live in one place. */
+  private def stagedOnce(flavor: String, d: String)(write: String => Unit): String =
+    csvStage.computeIfAbsent(s"$flavor:$d", _ => {
+      val p = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_csv",
+        d.replaceAll("[^A-Za-z0-9.]", "_"), flavor).toString
+      write(p)
+      p
+    })
+
   private val q25 = QueryDef(
     "q25_csv_scan",
     (s, d) => {
-      val tmp = csvStage.computeIfAbsent(d, dir => {
-        val p = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_csv",
-          dir.replaceAll("[^A-Za-z0-9.]", "_"), "events_csv").toString
-        ev(s, dir)
+      val tmp = stagedOnce("events_csv", d) { p =>
+        ev(s, d)
           .select(col("event_id"), col("event_type"), col("value"))
           .write.mode("overwrite").option("compression", "gzip")
           .option("header", "true").csv(p)
-        p
-      })
+      }
       val back = s.read
         .schema("event_id BIGINT, event_type STRING, value DOUBLE")
         .option("header", "true").csv(tmp)
@@ -718,15 +728,11 @@ object Relational {
   private val q62 = QueryDef(
     "q62_json_scan",
     (s, d) => {
-      val tmp = csvStage.computeIfAbsent(s"json:$d", _ => {
-        val p = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_csv",
-          d.replaceAll("[^A-Za-z0-9.]", "_"), "events_json").toString
+      val tmp = stagedOnce("events_json", d) { p =>
         ev(s, d)
           .select(col("event_id"), col("user_id"), col("value"))
           .write.mode("overwrite").option("compression", "gzip").json(p)
-        p
-      })
+      }
       val back = s.read
         .schema("event_id BIGINT, user_id BIGINT, value DOUBLE").json(tmp)
       back.groupBy((col("user_id") % 10).as("cohort"))
@@ -746,15 +752,11 @@ object Relational {
   private val q63 = QueryDef(
     "q63_orc_scan",
     (s, d) => {
-      val tmp = csvStage.computeIfAbsent(s"orc:$d", _ => {
-        val p = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_csv",
-          d.replaceAll("[^A-Za-z0-9.]", "_"), "events_orc").toString
+      val tmp = stagedOnce("events_orc", d) { p =>
         ev(s, d)
           .select(col("event_id"), col("event_type"), col("value"))
           .write.mode("overwrite").orc(p)
-        p
-      })
+      }
       s.read.orc(tmp)
         .filter(col("value") > 50.0) // pushed to the ORC reader
         .groupBy(col("event_type"))
@@ -804,16 +806,12 @@ object Relational {
   private val q66 = QueryDef(
     "q66_partition_pruning",
     (s, d) => {
-      val tmp = csvStage.computeIfAbsent(s"part:$d", _ => {
-        val p = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_csv",
-          d.replaceAll("[^A-Za-z0-9.]", "_"), "events_part").toString
+      val tmp = stagedOnce("events_part", d) { p =>
         ev(s, d)
           .select(col("event_id"), col("user_id"), col("value"),
             col("event_type"))
           .write.mode("overwrite").partitionBy("event_type").parquet(p)
-        p
-      })
+      }
       s.read.parquet(tmp)
         .filter(col("event_type").isin("click", "purchase"))
         .groupBy(col("event_type"))

@@ -95,22 +95,64 @@ object EventStreams {
         require(part.length == 1, s"expected 1 file for fid=$fid, got ${part.length}")
         (fid, part.head)
       }.sortBy(_._1)
+    parts.foreach { case (f, src) =>
+      Files.move(src, dir.resolve(f"ev_$f%03d.parquet"))
+    }
+    deleteRecursively(Paths.get(stage))
+    restampMtimes(dir)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator.asScala.foreach(java.nio.file.Files.delete)
+    }
+
+  /** (Re)stamp staged-file mtimes ascending in name order: the file
+    * source both age-filters (default maxFileAge 7d) and orders the
+    * backlog by mtime, so a staging reused from an earlier run must be
+    * freshened before replay. */
+  private def restampMtimes(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(dir).iterator.asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
     val base = System.currentTimeMillis() - 3600L * 1000
-    parts.zipWithIndex.foreach { case ((f, src), i) =>
-      val dst = dir.resolve(f"ev_$f%03d.parquet")
-      Files.move(src, dst)
-      Files.setLastModifiedTime(dst,
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.setLastModifiedTime(f,
         java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
     }
   }
+
+  /** Stable staging path per (tmpdir, sf-dir, flavor), built once and
+    * reused across JVM runs — repeated Bench/Verify runs re-stamp and
+    * replay the existing copy instead of leaking a fresh temp dir per
+    * run (same scheme as the q25/q62/q63 source stagings). `_READY` is
+    * written last so a partially-staged dir from a killed run rebuilds;
+    * its underscore prefix keeps it hidden from the file-stream source.
+    */
+  private def stageStable(key: String, leaf: String, d: String)(
+      build: java.nio.file.Path => Unit): String =
+    stageDirs.computeIfAbsent(s"$key:$d", _ => {
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_stream",
+        d.replaceAll("[^A-Za-z0-9.]", "_"), leaf)
+      val ready = dir.resolve("_READY")
+      if (java.nio.file.Files.exists(ready)) restampMtimes(dir)
+      else {
+        deleteRecursively(dir)
+        java.nio.file.Files.createDirectories(dir)
+        build(dir)
+        java.nio.file.Files.createFile(ready)
+      }
+      dir.toString
+    })
 
   /** fid assignment for the late-arrival staging: 6-day slice of the
     * event time, shifted +1 slice for event_id%7 rows and +2 for %13 —
     * deterministic, so the DuckDB oracle replays the same file layout. */
   private def slicedDir(s: SparkSession, d: String): String =
-    stageDirs.computeIfAbsent(s"sliced:$d", _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_sliced_")
-      dir.toFile.deleteOnExit()
+    stageStable("sliced", "sliced", d) { dir =>
       val ev = Tables.t(s, d, "events")
       val Row(t0: Long, tMax: Long) = ev.agg(
         min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
@@ -125,8 +167,7 @@ object EventStreams {
         lit(0.0).as("value"), lit(null).cast("string").as("props"),
         lit(maxFid + 1).as("fid"))
       writeSliceFiles(s, withFid.unionByName(sentinel), dir)
-      dir.toString
-    })
+    }
 
   /** Staging for dedup re-admission (q87): no late lag; instead each
     * event_id%11 row gets a same-slice duplicate (ts+5min → same batch,
@@ -134,9 +175,7 @@ object EventStreams {
     * (ts+12d → its dedup state expired days of event time earlier, so it
     * is re-admitted regardless of eviction-timing details). */
   private def dupDir(s: SparkSession, d: String): String =
-    stageDirs.computeIfAbsent(s"dup:$d", _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_dup_")
-      dir.toFile.deleteOnExit()
+    stageStable("dup", "dup", d) { dir =>
       val ev = Tables.t(s, d, "events")
       val t0 = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
       val withFid = ev.withColumn("fid",
@@ -147,8 +186,7 @@ object EventStreams {
         .withColumn("ts", expr("ts + INTERVAL 12 DAYS"))
         .withColumn("fid", col("fid") + 2L)
       writeSliceFiles(s, withFid.unionByName(near).unionByName(far), dir)
-      dir.toString
-    })
+    }
 
   private def readStaged(s: SparkSession, dir: String): DataFrame =
     s.readStream
@@ -493,16 +531,16 @@ object EventStreams {
   private val q88 = QueryDef(
     "q88_stream_transform_with_state",
     (s, d) => {
-      val prevProvider = s.conf.get(
-        "spark.sql.streaming.stateStore.providerClass", "")
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      val confKeys = Seq(
+        "spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      val prev = confKeys.map(k => k -> s.conf.getOption(k))
+      s.conf.set(confKeys.head,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // ship per-batch changelogs instead of full RocksDB snapshots —
       // the setting a 100 TB deployment runs with, and ~2× less
       // per-micro-batch commit cost here
-      s.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true")
+      s.conf.set(confKeys(1), "true")
       try {
         run(s, st => {
           import s.implicits._
@@ -521,9 +559,10 @@ object EventStreams {
             (col("fin.cents").cast("double") / 100.0).as("sum_value"))
           .orderBy(col("user_id"))
       } finally {
-        if (prevProvider.isEmpty)
-          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        else s.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+        prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None)    => s.conf.unset(k)
+        }
       }
     },
     Some(s"""

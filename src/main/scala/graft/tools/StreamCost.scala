@@ -17,10 +17,11 @@ object StreamCost {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // stage once via the real path (cached in EventStreams)
+    // stage once via the real path (stable per-(tmpdir, sf) location)
     graft.SparkEntry.queries("q83_stream_dedup")(spark, sfDir).count()
-    val staged = java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))
-      .toArray.map(_.toString).filter(_.contains("graft_sliced_")).head
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_stream",
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_"), "sliced").toString
 
     def replay(parts: String, ckpt: Option[String], label: String): Unit = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
