@@ -3,7 +3,6 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions.{float_dot, float_norm}
 
 /** Deduplication operators over `documents` (SURVEY §2.C6/C7): exact dedup,
@@ -98,17 +97,32 @@ object Dedup {
       .distinct()
 
   // ---------------------------------------------------------------- q30
-  // Exact dedup: deterministic representative (min doc_id) per identical
-  // text — a single hash-shuffle on the content key; at scale, group by
-  // xxhash64(text) first and resolve collisions within groups.
+  // Exact dedup, HASH-FIRST (the 100 TB shape): the shuffle key is the
+  // 128-bit md5 of the text plus n_chars (a free second discriminator
+  // already in the payload), and the text itself is projected away BEFORE
+  // the exchange — the shuffle moves ~50-byte rows, not the corpus text
+  // (the r2 formulation windowed on the raw `text` column, so at 100 TB
+  // the whole corpus became shuffle-key bytes). Two different texts
+  // collide only with identical md5 AND identical length — P ≈ 2⁻¹²⁸·C(N,2),
+  // below hardware error rates at any corpus size; this is the standard
+  // production treatment (content-hash identity), with the full-text
+  // in-group compare as the documented escalation if a domain ever
+  // demands it. Representative selection is min(struct(doc_id, lang)):
+  // partial-aggregable map-side (duplicate texts collapse before the
+  // shuffle — a window over text could never partial-agg), deterministic,
+  // and identical to the oracle's row_number-by-doc_id choice.
   private val q30 = QueryDef(
     "q30_dedup_exact",
     (s, d) => {
-      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
-      docs(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .groupBy(col("lang"))
+      val keyed = docs(s, d).select(
+        md5(col("text").cast("binary")).as("h"),
+        col("n_chars"), col("doc_id"), col("lang"))
+      val reps = keyed
+        .groupBy(col("h"), col("n_chars"))
+        .agg(min(struct(col("doc_id"), col("lang"))).as("rep"))
+        .select(col("rep.doc_id").as("doc_id"), col("rep.lang").as("lang"),
+          col("n_chars"))
+      reps.groupBy(col("lang"))
         .agg(
           count(lit(1)).as("n_kept"),
           sum(col("n_chars")).as("chars_kept"),
@@ -121,7 +135,8 @@ object Dedup {
              min(doc_id) AS first_doc
       FROM (
         SELECT lang, n_chars, doc_id,
-               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+               row_number() OVER (PARTITION BY md5(text), n_chars
+                                  ORDER BY doc_id) AS rn
         FROM documents) t
       WHERE rn = 1
       GROUP BY lang

@@ -50,6 +50,20 @@ class PlanSpec extends AnyFunSuite {
       "assignment must be a K-row broadcast nested loop, not a cartesian")
   }
 
+  test("q30: exchanges key on the content hash, never the raw text") {
+    // hash-first exact dedup: the only corpus-sized shuffle must be keyed
+    // by (md5, n_chars) with the text column projected away before the
+    // exchange — and the plan must partial-aggregate (no window sort)
+    val p = planOf("q30_dedup_exact")
+    assert(p.contains("md5"), "content-hash key expected in the plan")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, "expected at least one exchange")
+    assert(exchanges.forall(l => !l.contains("text")),
+      s"no exchange may carry or key on the raw text: $exchanges")
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction"),
+      "hash-first dedup must be an aggregation, not a partition-wide window sort")
+  }
+
   test("q32/q33/q43: no single-partition exchange (dictionary-free ids)") {
     // the r1 dictionary used row_number over a global window, which forces
     // the whole vocabulary through ONE task (Exchange SinglePartition);
