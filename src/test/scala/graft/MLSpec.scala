@@ -57,6 +57,36 @@ class MLSpec extends AnyFunSuite {
     assert(probas.length == 3 && math.abs(probas.sum - 1.0) < 1e-6)
   }
 
+  test("feature_fraction maps to a fraction subset strategy and keeps quality") {
+    // LightGBM feature_fraction surface: 1.0 = all features per split
+    // (the default), a fraction subsamples — quality gate must hold
+    // either way on separable blobs, and out-of-range fractions fail fast
+    assert(graft.ml.Params.subsetStrategy(1.0) === "all")
+    assert(graft.ml.Params.subsetStrategy(0.5) === "0.5")
+    intercept[IllegalArgumentException](LGBMParams(featureFraction = 0.0))
+    intercept[IllegalArgumentException](LGBMParams(featureFraction = 1.5))
+    val df = blobs(3)
+    val m = new LGBMClassifier(
+      LGBMParams(nEstimators = 30, featureFraction = 0.5)).fit(df, Seq("feats"))
+    val acc = m.predict(df, Seq("feats"))
+      .agg(avg(($"label" === $"prediction").cast("double"))).head.getDouble(0)
+    assert(acc > 0.8, s"accuracy $acc")
+  }
+
+  test("predictions come back in the label dtype; classes_ is the label domain") {
+    // reference core.py:206: predict(..., dtype=self.classes_.dtype) — an
+    // int-labeled fit must predict ints, and classes_ must be 0..k-1
+    val df = blobs(3).withColumn("label_i", $"label".cast("int"))
+    val m = new LGBMClassifier(LGBMParams(nEstimators = 10))
+      .fit(df, Seq("feats"), labelCol = "label_i")
+    assert(m.classes_.toSeq === Seq(0.0, 1.0, 2.0))
+    val out = m.predict(df, Seq("feats"))
+    assert(out.schema("prediction").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    val preds = out.select($"prediction").collect().map(_.getInt(0)).toSet
+    assert(preds.subsetOf(Set(0, 1, 2)))
+  }
+
   test("weighted fit (sample_weight analogue) trains") {
     val df = blobs(2)
     val m = new LGBMClassifier(LGBMParams(nEstimators = 10))
