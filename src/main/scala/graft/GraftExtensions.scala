@@ -1,24 +1,63 @@
 package graft
 
-import graft.functions.FloatDot
+import graft.functions.{EmbedSimHash, FloatDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Sqrt}
 
 /** Engine extension injector: registers the native expressions so SQL
   * users get them too (`SELECT float_dot(a, b)`), not just the Column
   * API. Enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
-  * `.withExtensions(new GraftExtensions)` on the session builder.
+  * `.withExtensions(new GraftExtensions)` on the session builder; for an
+  * already-built session, [[graft.GraftExtensions.functions]] can be
+  * registered through `Bridge.registerFunction` (extensions only apply at
+  * session construction).
+  *
+  * Registered surface:
+  *  - `float_dot(a, b)`        — native codegen'd Σ aᵢ·bᵢ over array<float>
+  *  - `float_norm(a)`          — L2 norm, expands to sqrt(float_dot(a, a))
+  *  - `embed_simhash(a, bits)` — random-hyperplane LSH signature; `bits`
+  *                               must be a foldable integer literal (it
+  *                               shapes the generated code, like the
+  *                               Column API's Int parameter)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("float_dot"),
-      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 2, "float_dot takes exactly 2 arguments")
-        FloatDot(children.head, children(1))
-      }))
-  }
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, clazz, build) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        build))
+    }
+}
+
+object GraftExtensions {
+
+  /** The SQL function surface: (name, implementing class, builder). */
+  val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("float_dot", classOf[FloatDot], { children: Seq[Expression] =>
+      require(children.length == 2, "float_dot takes exactly 2 arguments")
+      FloatDot(children.head, children(1))
+    }),
+    ("float_norm", classOf[FloatDot], { children: Seq[Expression] =>
+      require(children.length == 1, "float_norm takes exactly 1 argument")
+      Sqrt(FloatDot(children.head, children.head))
+    }),
+    ("embed_simhash", classOf[EmbedSimHash], { children: Seq[Expression] =>
+      require(children.length == 2, "embed_simhash takes exactly 2 arguments")
+      val bits = children(1) match {
+        case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+        case e if e.foldable => e.eval() match {
+          case i: Int  => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"embed_simhash bits must be an integer literal, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          "embed_simhash bits must be a foldable integer literal")
+      }
+      EmbedSimHash(children.head, bits)
+    }))
 }

@@ -94,17 +94,31 @@ class PlanSpec extends AnyFunSuite {
       s"event_type must be a partition column, not a data column: $readSchema")
   }
 
-  test("float_dot is SQL-callable once registered") {
+  test("native expressions are SQL-callable once registered") {
     // the injector itself is exercised for shape (extensions only apply
-    // at session build); SQL callability goes through the registry bridge
+    // at session build); SQL callability goes through the SAME builders
+    // via the registry bridge, so literal extraction and arity checks are
+    // the production code paths
     new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
-    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
-      spark, "float_dot",
-      e => graft.functions.FloatDot(e.head, e(1)))
+    GraftExtensions.functions.foreach { case (name, _, build) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+        spark, name, build)
+    }
     import spark.implicits._
-    val one = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    val one = Seq((Seq(3.0f, 4.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
     one.createOrReplaceTempView("v_fd")
-    val r = spark.sql("SELECT float_dot(a, b) AS d FROM v_fd").collect()
-    assert(r.head.getDouble(0) === 11.0)
+    val r = spark.sql(
+      """SELECT float_dot(a, b) AS d, float_norm(a) AS n,
+        |       embed_simhash(a, 16) AS s FROM v_fd""".stripMargin).collect()
+    assert(r.head.getDouble(0) === 25.0)
+    assert(r.head.getDouble(1) === 5.0)
+    val colSig = one.select(graft.functions.VectorFunctions
+      .embed_simhash(org.apache.spark.sql.functions.col("a"), 16))
+      .collect().head.getLong(0)
+    assert(r.head.getLong(2) === colSig,
+      "SQL and Column API must produce the same signature")
+    assert(colSig >= 0L && colSig < (1L << 16))
+    // non-literal bits must be rejected, not silently miscompiled
+    intercept[Exception](spark.sql("SELECT embed_simhash(a, CAST(n_x AS INT)) FROM v_fd"))
   }
 }
