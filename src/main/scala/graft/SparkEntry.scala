@@ -17,9 +17,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def modules: Seq[QueryDef] =
     operators.Relational.defs ++ operators.Dedup.defs ++
-      operators.TextAnalysis.defs ++ operators.Similarity.defs ++
-      operators.MLQueries.defs ++ operators.Multimodal.defs ++
-      streaming.EventStreams.defs
+      operators.TextAnalysis.defs ++ operators.Pipeline.defs ++
+      operators.Similarity.defs ++ operators.MLQueries.defs ++
+      operators.Multimodal.defs ++ streaming.EventStreams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

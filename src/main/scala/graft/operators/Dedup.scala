@@ -215,44 +215,56 @@ object Dedup {
   // rows; docs sharing any band bucket become candidates; candidates are
   // verified with exact Jaccard. The oracle replicates the banding, so
   // both engines miss exactly the same below-threshold pairs.
+  /** MinHash+LSH verified near-dup pairs (da < db, exact Jaccard ≥ 0.5) —
+    * the shared machinery of q32 and q35's duplicate-cluster assignment.
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    // one aggregation produces the 16 min-hashes AND the shingle-id set
+    // per doc (the set feeds the exact-Jaccard verify without another
+    // pass over the corpus)
+    val sigCols = (0 until K).map(k =>
+      min((col("sid") * aK(k) + bK(k)) % P).as(s"h$k")) :+
+      collect_set(col("sid")).as("sids")
+    val sig = sh.withColumn("sid", md5Id(col("shingle")))
+      .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // band buckets via groupBy + collect_set: ONE shuffle keyed by
+    // (band, value); pairs generated in-bucket — no self-join.
+    // At 100 TB add a bucket-size cap here (oversized buckets are
+    // near-certain dups already caught by smaller bands).
+    val bandExprs = (0 until Bands).map(j =>
+      s"struct(${j}L as band, h${2 * j} * 2147483648L + h${2 * j + 1} as bv)")
+    val cand = bucketPairs(sig
+      .select(col("doc_id"), explode(array(bandExprs.map(expr): _*)).as("b"))
+      .groupBy(col("b.band"), col("b.bv"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1))
+    // exact-Jaccard verify: two broadcast joins against the per-doc
+    // shingle-id sets, intersection computed with array_intersect.
+    // unhinted on purpose — `sig` is corpus-sized (see q31 note)
+    val sa = sig.select(col("doc_id").as("da"), col("sids").as("sa"))
+    val sb = sig.select(col("doc_id").as("db"), col("sids").as("sb"))
+    cand.join(sa, "da").join(sb, "db")
+      .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jac",
+        round(col("ni").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("ni")).cast("double"), 6))
+      .filter(col("jac") >= 0.5)
+      .select(col("da"), col("db"), col("jac"))
+  }
+
   private val q32 = QueryDef(
     "q32_dedup_minhash_lsh",
-    (s, d) => {
-      val sh = shingles(s, d)
-      // one aggregation produces the 16 min-hashes AND the shingle-id set
-      // per doc (the set feeds the exact-Jaccard verify without another
-      // pass over the corpus)
-      val sigCols = (0 until K).map(k =>
-        min((col("sid") * aK(k) + bK(k)) % P).as(s"h$k")) :+
-        collect_set(col("sid")).as("sids")
-      val sig = sh.withColumn("sid", md5Id(col("shingle")))
-        .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      // band buckets via groupBy + collect_set: ONE shuffle keyed by
-      // (band, value); pairs generated in-bucket — no self-join.
-      // At 100 TB add a bucket-size cap here (oversized buckets are
-      // near-certain dups already caught by smaller bands).
-      val bandExprs = (0 until Bands).map(j =>
-        s"struct(${j}L as band, h${2 * j} * 2147483648L + h${2 * j + 1} as bv)")
-      val cand = bucketPairs(sig
-        .select(col("doc_id"), explode(array(bandExprs.map(expr): _*)).as("b"))
-        .groupBy(col("b.band"), col("b.bv"))
-        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1))
-      // exact-Jaccard verify: two broadcast joins against the per-doc
-      // shingle-id sets, intersection computed with array_intersect.
-      // unhinted on purpose — `sig` is corpus-sized (see q31 note)
-      val sa = sig.select(col("doc_id").as("da"), col("sids").as("sa"))
-      val sb = sig.select(col("doc_id").as("db"), col("sids").as("sb"))
-      cand.join(sa, "da").join(sb, "db")
-        .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-        .withColumn("jac",
-          round(col("ni").cast("double") /
-            (size(col("sa")) + size(col("sb")) - col("ni")).cast("double"), 6))
-        .filter(col("jac") >= 0.5)
-        .select(col("da"), col("db"), col("jac"))
-        .orderBy(col("da"), col("db"))
-    },
-    Some {
+    (s, d) => minhashPairs(s, d).orderBy(col("da"), col("db")),
+    Some(s"""
+      WITH $minhashCtes
+      SELECT da, db, jac FROM mh_pairs
+      ORDER BY da, db"""))
+
+  /** Oracle CTE chain mirroring [[minhashPairs]], ending in
+    * `mh_pairs(da, db, jac)` — shared by the q32 and q35 oracles.
+    */
+  private lazy val minhashCtes: String = {
       val minExprs = (0 until K)
         .map(k => s"min((sid * ${aK(k)} + ${bK(k)}) % $P) AS h$k")
         .mkString(",\n               ")
@@ -260,8 +272,7 @@ object Dedup {
         .map(j =>
           s"SELECT doc_id, $j AS band, h${2 * j} * 2147483648 + h${2 * j + 1} AS bv FROM sig")
         .mkString("\n        UNION ALL ")
-      s"""
-      WITH $shinglesSql,
+      s"""$shinglesSql,
       -- DISTINCT sid: the verify below must live in the sid domain, like
       -- Spark's collect_set(sid) — an md5-id collision merges two
       -- shingles in BOTH engines (counting raw shingles instead would
@@ -282,15 +293,15 @@ object Dedup {
         FROM cand
         JOIN ids a ON a.doc_id = da
         JOIN ids b ON b.doc_id = db AND a.sid = b.sid
-        GROUP BY 1, 2)
-      SELECT da, db,
-             round(CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE), 6) AS jac
-      FROM inter
-      JOIN cnt ca ON da = ca.doc_id
-      JOIN cnt cb ON db = cb.doc_id
-      WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.5
-      ORDER BY da, db"""
-    })
+        GROUP BY 1, 2),
+      mh_pairs AS (
+        SELECT da, db,
+               round(CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE), 6) AS jac
+        FROM inter
+        JOIN cnt ca ON da = ca.doc_id
+        JOIN cnt cb ON db = cb.doc_id
+        WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.5)"""
+  }
 
   // ---------------------------------------------------------------- q33
   // SimHash: 60-bit signature from per-shingle pseudo-random bits; dup
@@ -458,5 +469,91 @@ object Dedup {
       ORDER BY ia, ib"""
     })
 
-  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34)
+  // ---------------------------------------------------------------- q35
+  // Duplicate-CLUSTER assignment: pairwise near-dup output (q32's verified
+  // MinHash pairs) is not yet a dedup decision — "A~B, B~C" must collapse
+  // to one cluster {A,B,C} with one survivor. This is connected components
+  // over the duplicate graph, computed by distributed min-label
+  // propagation: every node starts labeled with its own id; each round,
+  // labels flow across edges and each node keeps the minimum seen
+  // (one edges⋈labels join + one min-aggregation per round — all
+  // shuffle-parallel, nothing driver-side except a one-row convergence
+  // aggregate). Rounds needed = duplicate-cluster diameter, which for
+  // real near-dup graphs is tiny (dups of one document share most
+  // shingles, so clusters are near-cliques); the alternating
+  // large-star/small-star algorithm (Kiveris et al., "Connected
+  // Components in MapReduce and Beyond") is the documented O(log²n)
+  // fallback for adversarial chain graphs. The label frontier is
+  // re-persisted per round and the fixpoint is detected by a strictly
+  // decreasing integer invariant (Σ labels), so iteration count is
+  // data-driven, capped, and deterministic: the fixpoint (min id per
+  // component) is unique regardless of execution order.
+  //
+  // Oracle: DuckDB recursive CTE propagating labels to transitive
+  // closure, then min per node — same unique fixpoint.
+  /** Connected components by min-label propagation over undirected pair
+    * edges `(da, db)` → `(id, comp)` with comp = min id in the component.
+    * The unique fixpoint is reached after diameter rounds; `maxRounds`
+    * caps adversarial chains (DedupSpec drives a worst-case path graph).
+    */
+  def connectedComponents(pairs0: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val pairs = pairs0.toDF("da", "db")
+    val edges = pairs
+      .union(pairs.select(col("db"), col("da")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    def sumComp(df: DataFrame): Long = df
+      .agg(coalesce(org.apache.spark.sql.functions.sum("comp"), lit(0L)))
+      .first().getLong(0)
+    var invariant = sumComp(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min("comp").as("comp")).persist()
+      val nextSum = sumComp(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == invariant // labels only decrease: equal Σ ⇒ fixpoint
+      invariant = nextSum
+      rounds += 1
+    }
+    // the label table is duplicate-graph-sized, far below corpus-sized;
+    // materialize it off the iteration lineage so the caches can release
+    val out = labels.localCheckpoint()
+    edges.unpersist()
+    labels.unpersist()
+    out
+  }
+
+  private val q35 = QueryDef(
+    "q35_dedup_components",
+    (s, d) =>
+      connectedComponents(minhashPairs(s, d).select(col("da"), col("db")))
+        .groupBy(col("comp").as("comp_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("array_join(transform(sort_array(collect_list(id))," +
+            " x -> cast(x as string)), ',')").as("members"))
+        .orderBy(col("comp_id")),
+    Some(s"""
+      WITH RECURSIVE $minhashCtes,
+      edges AS (
+        SELECT da AS src, db AS dst FROM mh_pairs
+        UNION ALL
+        SELECT db, da FROM mh_pairs),
+      reach(id, comp) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id, min(comp) AS comp_id FROM reach GROUP BY id)
+      SELECT comp_id, count(*) AS n_docs,
+             string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+      FROM comp
+      GROUP BY comp_id
+      ORDER BY comp_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35)
 }

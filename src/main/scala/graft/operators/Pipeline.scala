@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` ([EXT], SURVEY §2.C):
+  * deterministic content-keyed train/val/test splitting, weighted corpus
+  * mixing, and the end-to-end curation pipeline (quality filter → exact
+  * dedup → token accounting) every LLM data pipeline runs before training.
+  *
+  * Scale design: all three are single-pass projections + one hash
+  * aggregation (q48 adds the q30-style hash-first dedup exchange). The
+  * split/mix decisions are PURE functions of document CONTENT (md5 of the
+  * text), not of row order, partitioning, or RNG state — re-running the
+  * pipeline on a grown corpus never migrates an old document between
+  * splits (train/test leakage), and byte-identical duplicates always land
+  * in the same split. That is the property a 100 TB training pipeline
+  * needs and `df.sample`/`rand()` cannot give.
+  */
+object Pipeline {
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  /** Deterministic per-document bucket in [0, 1000): first 14 hex chars of
+    * the text md5 (56 bits, positive) mod 1000 — bit-identical in DuckDB.
+    */
+  private def bucket1000(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 14), 16, 10).cast("long") % 1000L
+
+  private def bucket1000Sql(e: String): String =
+    s"((('0x' || substr(md5($e), 1, 14))::BIGINT) % 1000)"
+
+  // ---------------------------------------------------------------- q47
+  // Content-keyed train/val/test split (80/10/10). Hashing the TEXT (not
+  // doc_id) puts byte-identical duplicates in the same split — the
+  // standard leakage guard — and keeps assignment stable under re-ingest
+  // (ids may be reassigned; content hashes are not).
+  private val q47 = QueryDef(
+    "q47_hash_split",
+    (s, d) =>
+      docs(s, d)
+        .withColumn("b", bucket1000(col("text")))
+        .withColumn("split",
+          when(col("b") < 800, lit("train"))
+            .when(col("b") < 900, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("split")),
+    Some(s"""
+      SELECT lang,
+             CASE WHEN b < 800 THEN 'train'
+                  WHEN b < 900 THEN 'val'
+                  ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM (SELECT lang, n_chars, ${bucket1000Sql("text")} AS b
+            FROM documents) t
+      GROUP BY 1, 2
+      ORDER BY lang, split"""))
+
+  // ---------------------------------------------------------------- q48
+  // End-to-end curation pipeline — the composition every training corpus
+  // goes through, in ONE declarative plan Catalyst optimizes as a whole:
+  //   1. quality filter (q41's blended score ≥ 0.96) — a codegen'd scan
+  //      predicate, evaluated before anything shuffles;
+  //   2. exact dedup, hash-first (q30's shape: the exchange key is
+  //      md5+length, text is projected away before the shuffle);
+  //   3. per-language token accounting of the surviving corpus.
+  // Output: what actually feeds the trainer — kept docs and token counts
+  // per language, plus how many docs dedup removed after the filter.
+  private val Stop = Seq("the", "a", "of", "and", "to", "in")
+  private val stopArr = s"array(${Stop.map(w => s"'$w'").mkString(", ")})"
+  private val stopList = s"[${Stop.map(w => s"'$w'").mkString(", ")}]"
+
+  private val q48 = QueryDef(
+    "q48_curation_pipeline",
+    (s, d) => {
+      val scored = docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("n_stop",
+          expr(s"size(filter(toks, w -> array_contains($stopArr, w)))")
+            .cast("long"))
+        .withColumn("n_punct",
+          length(regexp_replace(col("text"), "[^.,!?;]", "")).cast("long"))
+        .withColumn("quality",
+          round(
+            lit(1.0) -
+              (col("n_stop").cast("double") / col("n_tok").cast("double")) * 0.5 -
+              (col("n_punct").cast("double") / col("n_chars").cast("double")) * 0.5,
+            6))
+        .filter(col("quality") >= 0.96)
+      val reps = scored
+        .select(md5(col("text").cast("binary")).as("h"), col("n_chars"),
+          col("doc_id"), col("lang"), col("n_tok"))
+        .groupBy(col("h"), col("n_chars"))
+        .agg(min(struct(col("doc_id"), col("lang"), col("n_tok"))).as("rep"),
+          count(lit(1)).as("grp"))
+        .select(col("rep.lang").as("lang"), col("rep.n_tok").as("n_tok"),
+          col("grp"))
+      reps.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tok")).as("tokens_kept"),
+          (sum(col("grp")) - count(lit(1))).as("n_deduped"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id, lang, text, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               round(1.0
+                 - (CAST(len(list_filter(string_split(text, ' '),
+                              w -> list_contains($stopList, w))) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+                 - (CAST(length(regexp_replace(text, '[^.,!?;]', '', 'g')) AS DOUBLE)
+                    / CAST(n_chars AS DOUBLE)) * 0.5, 6) AS quality
+        FROM documents),
+      kept AS (SELECT * FROM scored WHERE quality >= 0.96),
+      reps AS (
+        SELECT lang, n_tok, grp FROM (
+          SELECT lang, n_tok,
+                 row_number() OVER (PARTITION BY md5(text), n_chars
+                                    ORDER BY doc_id) AS rn,
+                 count(*) OVER (PARTITION BY md5(text), n_chars) AS grp
+          FROM kept) t
+        WHERE rn = 1)
+      SELECT lang, count(*) AS n_kept,
+             CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+             CAST(sum(grp) - count(*) AS BIGINT) AS n_deduped
+      FROM reps
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  // ---------------------------------------------------------------- q49
+  // Weighted corpus mixing: each source gets a deterministic sampling
+  // rate (training mixes upweight curated sources and downsample crawl),
+  // applied with the same content-keyed buckets as q47 — the mix is
+  // reproducible run-to-run and engine-to-engine, and a document's fate
+  // never depends on partitioning. Rates here derive from the source
+  // index (src0..src19 → 25/50/75/100%) so the query is self-contained.
+  private val q49 = QueryDef(
+    "q49_corpus_mix",
+    (s, d) =>
+      docs(s, d)
+        .withColumn("rate_m",
+          (substring(col("source"), 4, 10).cast("long") % 4L + 1L) * 250L)
+        .filter(bucket1000(col("text")) < col("rate_m"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).as("chars_sampled"))
+        .orderBy(col("source")),
+    Some(s"""
+      SELECT source, count(*) AS n_sampled,
+             CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+      FROM (
+        SELECT source, n_chars,
+               ${bucket1000Sql("text")} AS b,
+               (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 250 AS rate_m
+        FROM documents) t
+      WHERE b < rate_m
+      GROUP BY source
+      ORDER BY source"""))
+
+  val defs: Seq[QueryDef] = Seq(q47, q48, q49)
+}

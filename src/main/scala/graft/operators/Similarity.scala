@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions.{float_dot, float_norm}
@@ -74,63 +74,74 @@ object Similarity {
       WHERE rk <= 10
       ORDER BY qid, rk"""))
 
+  /** IVF-bucketed ANN core, callable on any `(id, array<float>)` frame
+    * (q51 runs it on the embeddings table; SimilaritySpec pins its recall
+    * against exact brute force on planted clusters).
+    *
+    * Fixed-K coarse centroids = the first `centK` vectors by id — a
+    * TakeOrdered top-k, deterministic and oracle-mirrorable; production
+    * swaps in seeded MLlib KMeans centers, same plan shape. K is a
+    * CONSTANT, not corpus-proportional, so centroid assignment is O(N·K)
+    * with a K-row broadcast — never a corpus-sized broadcast or an O(N²)
+    * pass. Nearest-cell selection is an aggregation (partial+final min
+    * over a (negcos, cent_id) struct), not a window — no N·K-row sort, no
+    * WindowExec buffering at scale. Rows matching `isQuery` probe their
+    * `nProbe` nearest cells; exact rerank within the probed cells only.
+    * Recall < 1 by construction; the oracle replicates the same pruning
+    * so both engines return identical results.
+    */
+  def ivfTopK(e0: DataFrame, idCol: String, embCol: String,
+      isQuery: Column => Column, centK: Int, nProbe: Int, k: Int): DataFrame = {
+    val e = e0.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+      .withColumn("norm", float_norm(col("embedding")))
+    val cent = e.orderBy(col("vec_id")).limit(centK)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ea"),
+        col("norm").as("cent_n"))
+    // assign every vector to its nearest centroid (1 broadcast join)
+    val asg = e.select(col("vec_id"), col("embedding").as("eb"),
+        col("norm").as("vn"))
+      .join(broadcast(cent), lit(true))
+      .withColumn("cos", round(float_dot(col("ea"), col("eb")) / (col("cent_n") * col("vn")), 6))
+    // nearest cell = min over (−cos, cent_id): max cos, ties → min id —
+    // identical tie-break to the oracle's row_number ORDER BY
+    val cells = asg.groupBy(col("vec_id"))
+      .agg(min(struct((-col("cos")).as("negcos"), col("cent_id").as("cent"))).as("m"))
+      .select(col("vec_id").as("cid"), col("m.cent").as("cell"))
+    // queries probe their top-nProbe cells: window over nQueries·K rows
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cent_id"))
+    val probes = asg.filter(isQuery(col("vec_id")))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
+    // exact rerank within probed cells
+    val q = e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("qid2"), col("embedding").as("ea"),
+        col("norm").as("qn"))
+    val cand = probes.join(cells, "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid")).distinct()
+    val scored = cand
+      .join(broadcast(q), col("qid") === col("qid2"))
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("eb"),
+        col("norm").as("cn")), "cid")
+      .withColumn("cos", round(float_dot(col("ea"), col("eb")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk").cast("long").as("rk"), col("cid"),
+        col("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   // ---------------------------------------------------------------- q51
-  // IVF-bucketed ANN with FIXED-K coarse centroids (K=16, the first K
-  // vectors by vec_id — a TakeOrdered top-k, deterministic and oracle-
-  // mirrorable; production swaps in seeded MLlib KMeans centers, same
-  // plan shape). K is a CONSTANT, not corpus-proportional, so centroid
-  // assignment is O(N·K) with a K-row broadcast — never a corpus-sized
-  // broadcast or an O(N²) pass. Nearest-cell selection is an aggregation
-  // (partial+final min over a (negcos, cent_id) struct), not a window —
-  // no N·K-row sort, no WindowExec buffering at scale. Queries probe
-  // their 2 nearest cells, exact rerank within the probed cells only.
-  // Recall < 1 by construction; the oracle replicates the same pruning
-  // so both engines return identical results.
+  // IVF ANN over the embeddings table: K=16 centroids, 3 query vectors
+  // probing their 2 nearest cells, exact top-5 rerank — see [[ivfTopK]].
   private val CentK = 16
   private val q51 = QueryDef(
     "q51_ann_ivf",
-    (s, d) => {
-      val e = emb(s, d).withColumn("norm", float_norm(col("embedding")))
-      val cent = e.orderBy(col("vec_id")).limit(CentK)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ea"),
-          col("norm").as("cent_n"))
-      // assign every vector to its nearest centroid (1 broadcast join)
-      val asg = e.select(col("vec_id"), col("embedding").as("eb"),
-          col("norm").as("vn"))
-        .join(broadcast(cent), lit(true))
-        .withColumn("cos", round(float_dot(col("ea"), col("eb")) / (col("cent_n") * col("vn")), 6))
-      // nearest cell = min over (−cos, cent_id): max cos, ties → min id —
-      // identical tie-break to the oracle's row_number ORDER BY
-      val cells = asg.groupBy(col("vec_id"))
-        .agg(min(struct((-col("cos")).as("negcos"), col("cent_id").as("cent"))).as("m"))
-        .select(col("vec_id").as("cid"), col("m.cent").as("cell"))
-      // queries (3 vectors) probe their top-2 cells: window over 3·K rows
-      val wAsg = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("cent_id"))
-      val probes = asg.filter(col("vec_id") < 3)
-        .withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") <= 2)
-        .select(col("vec_id").as("qid"), col("cent_id").as("cell"))
-      // exact rerank within probed cells
-      val q = e.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid2"), col("embedding").as("ea"),
-          col("norm").as("qn"))
-      val cand = probes.join(cells, "cell")
-        .filter(col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid")).distinct()
-      val scored = cand
-        .join(broadcast(q), col("qid") === col("qid2"))
-        .join(e.select(col("vec_id").as("cid"), col("embedding").as("eb"),
-          col("norm").as("cn")), "cid")
-        .withColumn("cos", round(float_dot(col("ea"), col("eb")) / (col("qn") * col("cn")), 6))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("cid"))
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("qid"), col("rk").cast("long").as("rk"), col("cid"),
-          col("cos"))
-        .orderBy(col("qid"), col("rk"))
-    },
+    (s, d) => ivfTopK(emb(s, d), "vec_id", "embedding", _ < 3, CentK, 2, 5),
     Some(s"""
       WITH $evSql,
       cent AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT $CentK),

@@ -13,12 +13,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   * state via flatMapGroupsWithState.
   *
   * Each query REPLAYS the events parquet through a real `readStream` →
-  * transform → memory-sink pipeline, runs it to completion synchronously,
-  * and returns the sink table. Because the replayed stream is bounded, the
-  * result equals the equivalent batch query — which is exactly what the
-  * DuckDB oracle runs. In production the source becomes Kafka/files-on-
-  * arrival and the sink `foreachBatch` into a queryable table; the
-  * transform plans are unchanged.
+  * transform → sink pipeline as a staged MULTI-micro-batch backlog
+  * (maxFilesPerTrigger=1 over time-sliced files, watermark advancing
+  * between batches), runs it to completion synchronously, and returns the
+  * sink table. Because the replayed stream is bounded, the result equals
+  * the equivalent batch query — which is exactly what the DuckDB oracle
+  * runs. In production the source becomes Kafka/files-on-arrival; the
+  * production sink shape — `foreachBatch` into a queryable parquet
+  * table — is q93; the transform plans are unchanged.
   *
   * Scale notes: windowed aggregations shuffle by (window, key) with state
   * kept in the state store — bounded by watermark eviction; streaming
@@ -30,19 +32,8 @@ object EventStreams {
 
   private val runId = new AtomicInteger(0)
 
-  /** Bounded replay of events.parquet as a stream (ns ts → µs timestamp). */
-  private def readEventsStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$d/events.parquet").schema // ts: LongType (ns)
-    // the file-stream source wants a directory: stream the sf dir filtered
-    // down to the events file
-    s.readStream.schema(raw).option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-  }
-
   // ------------------------------------------------------------------
-  // Multi-batch replay (q83/q84/q86/q87).
+  // Multi-batch replay (all queries).
   //
   // A single-file replay arrives in ONE micro-batch: the watermark never
   // advances mid-query, so late-row filtering and state expiry are never
@@ -206,46 +197,58 @@ object EventStreams {
     * and kept in the checkpoint; per-batch overhead amortizes over
     * GB-sized batches instead of the KB-sized slices here.
     *
-    * processAllAvailable is looped until the batch id is quiescent: a
+    * The query runs in a FORKED session (`newSession`: same
+    * SparkContext, own SQLConf) so the 4-partition state sizing and any
+    * per-query state-store conf never mutate the caller's session —
+    * concurrent queries in one session cannot race on shared conf. The
+    * source is therefore built by a `SparkSession => DataFrame` thunk
+    * against the forked session.
+    */
+  private def run(s: SparkSession, out: DataFrame => DataFrame,
+      src: SparkSession => DataFrame, mode: String,
+      conf: Seq[(String, String)] = Nil): DataFrame = {
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    conf.foreach { case (k, v) => ss.conf.set(k, v) }
+    val q = out(src(ss)).writeStream.format("memory")
+      .queryName(name).outputMode(mode).start()
+    try drain(q) finally q.stop()
+    ss.table(name)
+  }
+
+  /** processAllAvailable looped until the batch id is quiescent: a
     * multi-file backlog can report "all available processed" between the
     * source's list calls (observed in WmProbe), and the trailing no-data
     * batch that flushes append-mode state arrives after the last file.
     */
-  private def run(s: SparkSession, out: DataFrame => DataFrame,
-      src: DataFrame, mode: String): DataFrame = {
-    val name = s"graft_stream_${runId.incrementAndGet()}"
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      val q = out(src).writeStream.format("memory")
-        .queryName(name).outputMode(mode).start()
-      try {
-        var last = -2L; var cur = -1L
-        while (cur != last) {
-          last = cur
-          q.processAllAvailable()
-          cur = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
-        }
-      } finally { q.stop() }
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prev)
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    var last = -2L; var cur = -1L
+    while (cur != last) {
+      last = cur
+      q.processAllAvailable()
+      cur = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
     }
-    s.table(name)
   }
 
   // ---------------------------------------------------------------- q80
-  // Tumbling window + watermark. Oracle = batch time_bucket (both engines
-  // epoch-align 1h windows on µs timestamps).
+  // Tumbling window + watermark over the multi-batch sliced replay
+  // (~10 real micro-batches, watermark advancing between them). The
+  // sentinel is filtered BEFORE the watermark node — complete mode keeps
+  // all window state regardless of the watermark, so the result equals
+  // the batch aggregate however the backlog is batched. Oracle = batch
+  // time_bucket (both engines epoch-align 1h windows on µs timestamps).
   private val q80 = QueryDef(
     "q80_stream_tumbling_window",
     (s, d) =>
       run(s, st =>
-        st.withWatermark("ts", "10 minutes")
+        st.filter(col("event_id") =!= -1L)
+          .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"), sumFixed(col("value"), 2).as("sum_value"))
           .select(unix_timestamp(col("window.start")).as("wstart_epoch"),
             col("event_type"), col("n"), col("sum_value")),
-        readEventsStream(s, d), "complete")
+        ss => readStaged(ss, slicedDir(s, d)), "complete")
         .orderBy(col("wstart_epoch"), col("event_type")),
     Some(s"""
       SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS wstart_epoch,
@@ -256,18 +259,19 @@ object EventStreams {
       ORDER BY wstart_epoch, event_type"""))
 
   // ---------------------------------------------------------------- q81
-  // Sliding window (2h width, 1h slide): every event lands in 2 windows.
-  // Oracle = union of two offset time_buckets.
+  // Sliding window (2h width, 1h slide) over the sliced replay: every
+  // event lands in 2 windows. Oracle = union of two offset time_buckets.
   private val q81 = QueryDef(
     "q81_stream_sliding_window",
     (s, d) =>
       run(s, st =>
-        st.withWatermark("ts", "10 minutes")
+        st.filter(col("event_id") =!= -1L)
+          .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "2 hours", "1 hour"))
           .agg(count(lit(1)).as("n"))
           .select(unix_timestamp(col("window.start")).as("wstart_epoch"),
             col("n")),
-        readEventsStream(s, d), "complete")
+        ss => readStaged(ss, slicedDir(s, d)), "complete")
         .orderBy(col("wstart_epoch")),
     Some("""
       SELECT wstart_epoch, count(*) AS n FROM (
@@ -280,20 +284,29 @@ object EventStreams {
       ORDER BY wstart_epoch"""))
 
   // ---------------------------------------------------------------- q82
-  // Session window (30 min gap) per user. Oracle = classic gaps-and-
-  // islands SQL (lag + cumulative flag), identical session semantics.
+  // Session window (30 min gap) per user over the sliced replay —
+  // sessions genuinely merge ACROSS micro-batches (complete mode keeps
+  // all session state; merging is associative, so the final state equals
+  // the batch result in any arrival order). Unlike plain window aggs,
+  // the session operator filters late INPUT rows by watermark even in
+  // complete mode (measured: 76/1000 events vanished at a 10-minute
+  // delay), so the delay must cover the replay's max lateness — 31 days,
+  // like q85; genuine late-drop semantics are pinned by q86. Oracle =
+  // classic gaps-and-islands SQL (lag + cumulative flag), identical
+  // session semantics.
   private val q82 = QueryDef(
     "q82_stream_session_window",
     (s, d) =>
       run(s, st =>
-        st.withWatermark("ts", "10 minutes")
+        st.filter(col("event_id") =!= -1L)
+          .withWatermark("ts", "31 days")
           .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n_events"),
             sumFixed(col("value"), 2).as("sum_value"))
           .select(
             unix_timestamp(col("session_window.start")).as("sess_start_epoch"),
             col("user_id"), col("n_events"), col("sum_value")),
-        readEventsStream(s, d), "complete")
+        ss => readStaged(ss, slicedDir(s, d)), "complete")
         .orderBy(col("user_id"), col("sess_start_epoch")),
     Some(s"""
       WITH marked AS (
@@ -328,7 +341,7 @@ object EventStreams {
         st.dropDuplicates(Seq("user_id", "event_type"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_first_seen")),
-        readStaged(s, slicedDir(s, d)), "complete")
+        ss => readStaged(ss, slicedDir(s, d)), "complete")
         .filter(col("event_type") =!= "_sentinel")
         .orderBy(col("event_type")),
     Some("""
@@ -361,7 +374,7 @@ object EventStreams {
               Iterator((uid, c, m))
           }
           .toDF("user_id", "n_events", "max_value")
-      }, readStaged(s, slicedDir(s, d)), "append")
+      }, ss => readStaged(ss, slicedDir(s, d)), "append")
         // multi-batch replay emits a running row per (user, batch);
         // counts are monotone, so max over emissions = final state
         .filter(col("user_id") =!= -1L)
@@ -378,22 +391,30 @@ object EventStreams {
 
   // ---------------------------------------------------------------- q85
   // Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps a
-  // key's dedup state only until the watermark passes its event time, so
-  // state size is bounded by (keys arriving per watermark window), not by
-  // lifetime key cardinality — the REQUIRED variant at 100 TB where
-  // (user, event_type) space grows without bound. q83 (plain
-  // dropDuplicates) is the unbounded-state contrast. On this bounded
-  // replay every duplicate lands inside the watermark, so the result
-  // equals exact batch dedup and the oracle can hash-check it.
+  // key's dedup state only until the watermark passes its event time +
+  // delay, so state size is bounded by (keys arriving per watermark
+  // window), not by lifetime key cardinality — the REQUIRED variant at
+  // 100 TB where (user, event_type) space grows without bound. q83
+  // (plain dropDuplicates) is the unbounded-state contrast.
+  //
+  // Runs over the multi-batch sliced replay with a genuinely advancing
+  // watermark. The events replay spans 30 days of event time, so a
+  // 31-day delay guarantees the watermark (max seen event time − delay)
+  // never passes any key's expiry horizon: no state evicts mid-replay,
+  // every natural duplicate is still in state when it arrives, and the
+  // result equals exact batch dedup — hash-checkable. Short-delay expiry
+  // and re-admission semantics are pinned exactly by q87; here the point
+  // is the bounded-state API form under real multi-batch advancement.
   private val q85 = QueryDef(
     "q85_stream_dedup_within_watermark",
     (s, d) =>
       run(s, st =>
-        st.withWatermark("ts", "10 minutes")
+        st.filter(col("event_id") =!= -1L)
+          .withWatermark("ts", "31 days")
           .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_first_seen")),
-        readEventsStream(s, d), "complete")
+        ss => readStaged(ss, slicedDir(s, d)), "complete")
         .orderBy(col("event_type")),
     Some("""
       SELECT event_type, count(DISTINCT user_id) AS n_first_seen
@@ -420,7 +441,7 @@ object EventStreams {
           .agg(count(lit(1)).as("n"), sumFixed(col("value"), 2).as("sum_value"))
           .select(unix_timestamp(col("window.start")).as("wstart_epoch"),
             col("event_type"), col("n"), col("sum_value")),
-        readStaged(s, slicedDir(s, d)), "append")
+        ss => readStaged(ss, slicedDir(s, d)), "append")
         .filter(col("event_type") =!= "_sentinel")
         .orderBy(col("wstart_epoch"), col("event_type")),
     Some(s"""
@@ -467,7 +488,7 @@ object EventStreams {
         st.withWatermark("ts", "10 minutes")
           .dropDuplicatesWithinWatermark(Seq("event_id"))
           .select(col("event_type"), col("value")),
-        readStaged(s, dupDir(s, d)), "append")
+        ss => readStaged(ss, dupDir(s, d)), "append")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_admitted"), sumFixed(col("value"), 2).as("sum_value"))
         .orderBy(col("event_type")),
@@ -530,41 +551,32 @@ object EventStreams {
 
   private val q88 = QueryDef(
     "q88_stream_transform_with_state",
-    (s, d) => {
-      val confKeys = Seq(
-        "spark.sql.streaming.stateStore.providerClass",
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
-      val prev = confKeys.map(k => k -> s.conf.getOption(k))
-      s.conf.set(confKeys.head,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // ship per-batch changelogs instead of full RocksDB snapshots —
-      // the setting a 100 TB deployment runs with, and ~2× less
-      // per-micro-batch commit cost here
-      s.conf.set(confKeys(1), "true")
-      try {
-        run(s, st => {
-          import s.implicits._
-          st.filter(col("user_id") =!= -1L)
-            .select(col("user_id"),
-              round(col("value") * 100).cast("long").as("cents"))
-            .as[(Long, Long)]
-            .groupByKey(_._1)
-            .transformWithState(new SpendProcessor,
-              TimeMode.None(), OutputMode.Append())
-            .toDF("user_id", "n_events", "cents")
-        }, readStaged(s, slicedDir(s, d)), "append")
-          .groupBy(col("user_id"))
-          .agg(max(struct(col("n_events"), col("cents"))).as("fin"))
-          .select(col("user_id"), col("fin.n_events").as("n_events"),
-            (col("fin.cents").cast("double") / 100.0).as("sum_value"))
-          .orderBy(col("user_id"))
-      } finally {
-        prev.foreach {
-          case (k, Some(v)) => s.conf.set(k, v)
-          case (k, None)    => s.conf.unset(k)
-        }
-      }
-    },
+    (s, d) =>
+      run(s, st => {
+        import s.implicits._
+        st.filter(col("user_id") =!= -1L)
+          .select(col("user_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new SpendProcessor,
+            TimeMode.None(), OutputMode.Append())
+          .toDF("user_id", "n_events", "cents")
+      }, ss => readStaged(ss, slicedDir(s, d)), "append",
+        // RocksDB provider + per-batch changelogs instead of full
+        // snapshots — the settings a 100 TB deployment runs with, and
+        // ~2× less per-micro-batch commit cost here; set on the forked
+        // session only (the caller's conf is never touched)
+        conf = Seq(
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+            "true"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("cents"))).as("fin"))
+        .select(col("user_id"), col("fin.n_events").as("n_events"),
+          (col("fin.cents").cast("double") / 100.0).as("sum_value"))
+        .orderBy(col("user_id")),
     Some(s"""
       SELECT user_id, count(*) AS n_events,
              ${sumFixedSql("value", 2)} AS sum_value
@@ -592,7 +604,7 @@ object EventStreams {
           .join(broadcast(dim), "user_id")
           .groupBy(col("segment"))
           .agg(count(lit(1)).as("n"), sumFixed(col("value"), 2).as("sum_value")),
-        readStaged(s, slicedDir(s, d)), "complete")
+        ss => readStaged(ss, slicedDir(s, d)), "complete")
         .orderBy(col("segment"))
     },
     Some(s"""
@@ -602,6 +614,43 @@ object EventStreams {
       GROUP BY 1
       ORDER BY segment"""))
 
+  // ---------------------------------------------------------------- q93
+  // foreachBatch production sink: the same bounded replay drained into a
+  // PARQUET table per micro-batch instead of the memory sink — the shape
+  // every production pipeline ends in (foreachBatch gives batch-side
+  // sinks: file/table appends, MERGE targets, idempotent-by-batchId
+  // writes). The sink table is then read back as the query result, so
+  // the oracle hash-checks the full stream → foreachBatch → table path.
+  // The output dir is cleared per invocation — append semantics must
+  // start from empty, unlike the staging dirs which are content-stable
+  // and reused across runs.
+  private val q93 = QueryDef(
+    "q93_stream_foreachbatch_sink",
+    (s, d) => {
+      val outDir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_stream",
+        d.replaceAll("[^A-Za-z0-9.]", "_"), "fbsink_out")
+      deleteRecursively(outDir)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = readStaged(ss, slicedDir(s, d))
+        .filter(col("event_id") =!= -1L &&
+          col("event_type") === "purchase" && col("value") > lit(50.0))
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          batch.write.mode("append").parquet(outDir.toString)
+        }
+        .start()
+      try drain(q) finally q.stop()
+      s.read.parquet(outDir.toString).orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, value
+      FROM events
+      WHERE event_type = 'purchase' AND value > 50.0
+      ORDER BY event_id"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q93)
 }

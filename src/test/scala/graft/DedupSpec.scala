@@ -71,6 +71,24 @@ class DedupSpec extends AnyFunSuite {
       s"prefix filtering dropped or added pairs: opt=${optimized.size} naive=${naive.size}")
   }
 
+  test("connected components: unique min-label fixpoint on a worst-case graph") {
+    // a 12-node path (maximum diameter — the propagation-round worst
+    // case), one triangle with a bridge, two isolated edges; expected
+    // components are known exactly
+    import spark.implicits._
+    val pairs = Seq.tabulate(11)(i => (i.toLong, i + 1L)) ++ // path 0..11
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L)) ++ // triangle+bridge
+      Seq((30L, 31L), (40L, 41L))
+    val cc = graft.operators.Dedup
+      .connectedComponents(pairs.toDF("da", "db").repartition(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected =
+      (0L to 11L).map(_ -> 0L).toMap ++
+        (20L to 23L).map(_ -> 20L).toMap ++
+        Map(30L -> 30L, 31L -> 30L, 40L -> 40L, 41L -> 40L)
+    assert(cc === expected)
+  }
+
   test("embedding LSH recall >= 0.9 on planted near-duplicates") {
     // 60 random base vectors (seeded) + 40 planted near-dups (tiny
     // perturbation, cos ≈ 0.999). Brute force is the ground truth at

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the IVF ANN algorithm itself (not just its oracle mirror): on
+  * planted well-separated clusters, probe-2-cells pruning must recover
+  * ≥ 90% of the exact brute-force top-k, and every score it does return
+  * must be the exact cosine (rerank is exact, so precision is 1).
+  * Mirror of DedupSpec's planted-recall test for the q34 embedding LSH.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("IVF probe-2 recall >= 0.9 vs exact top-k on planted clusters") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val nClusters = 8
+    val dim = 32
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    // id i belongs to cluster i % 8, so ids 0..15 (the fixed-K centroid
+    // set for centK=16) hold exactly two anchors per cluster — the shape
+    // a seeded KMeans would give on separated clusters
+    val vecs: Seq[(Long, Array[Float])] = (0 until 96).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(v => v + 0.05f * rng.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("vid", "embv").repartition(4)
+
+    val queries = Seq(2L, 9L, 17L, 40L)
+    val k = 5
+    val ivf = graft.operators.Similarity
+      .ivfTopK(df, "vid", "embv", q => q.isin(queries: _*), 16, 2, k)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+
+    // exact ground truth, driver-side (96 vectors), same round-6 +
+    // cid-ascending tie-break as the distributed formulation
+    val byId = vecs.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      BigDecimal(d / math.sqrt(na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val exact: Map[Long, Seq[(Long, Double)]] = queries.map { qid =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (cid, v) => (cid, cos(byId(qid), v)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(k).toSeq
+    }.toMap
+
+    // precision 1 by exact rerank: every returned score is the true cosine
+    ivf.foreach { case (qid, cid, c) =>
+      assert(math.abs(c - cos(byId(qid), byId(cid))) < 1e-9,
+        s"IVF returned a non-exact score for ($qid, $cid)")
+    }
+    // recall vs exact top-k, per query
+    queries.foreach { qid =>
+      val got = ivf.filter(_._1 == qid).map(_._2).toSet
+      val want = exact(qid).map(_._1).toSet
+      assert(got.size == k, s"query $qid returned ${got.size} of $k rows")
+      val recall = got.intersect(want).size.toDouble / want.size
+      assert(recall >= 0.9, s"query $qid recall $recall (got=$got want=$want)")
+    }
+  }
+}
