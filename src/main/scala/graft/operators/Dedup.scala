@@ -498,11 +498,15 @@ object Dedup {
     */
   def connectedComponents(pairs0: DataFrame, maxRounds: Int = 25): DataFrame = {
     val pairs = pairs0.toDF("da", "db")
+    // localCheckpoint (not persist): the frontier is re-derived from
+    // `edges` every round, so edges too must carry a TRUNCATED lineage —
+    // otherwise each round's plan embeds the whole upstream minhash
+    // pipeline and the per-round convergence aggregate replans it.
     val edges = pairs
       .union(pairs.select(col("db"), col("da")))
-      .toDF("src", "dst").persist()
+      .toDF("src", "dst").localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).persist()
+      .withColumn("comp", col("id")).localCheckpoint()
     def sumComp(df: DataFrame): Long = df
       .agg(coalesce(org.apache.spark.sql.functions.sum("comp"), lit(0L)))
       .first().getLong(0)
@@ -512,21 +516,29 @@ object Dedup {
     while (!converged && rounds < maxRounds) {
       val msgs = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
+      // CHECKPOINT EVERY ROUND: `next` references `labels` twice (once
+      // directly, once through `msgs`), so without lineage truncation the
+      // logical plan DOUBLES per round — at diameter ≳10 the driver dies
+      // on plan strings alone (8 GiB heap OOM on a 12-node path graph)
+      // long before any executor works. localCheckpoint pins the round's
+      // result as RDD blocks and restarts the plan at O(1) size; blocks
+      // from prior rounds are released by the ContextCleaner as their
+      // frames go out of scope.
       val next = labels.unionByName(msgs)
-        .groupBy("id").agg(min("comp").as("comp")).persist()
+        .groupBy("id").agg(min("comp").as("comp")).localCheckpoint()
       val nextSum = sumComp(next)
-      labels.unpersist()
       labels = next
       converged = nextSum == invariant // labels only decrease: equal Σ ⇒ fixpoint
       invariant = nextSum
       rounds += 1
     }
-    // the label table is duplicate-graph-sized, far below corpus-sized;
-    // materialize it off the iteration lineage so the caches can release
-    val out = labels.localCheckpoint()
-    edges.unpersist()
-    labels.unpersist()
-    out
+    // a diameter->maxRounds graph must FAIL, not silently return partially
+    // propagated labels as if they were components
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxRounds rounds " +
+        "(graph diameter exceeds maxRounds; raise it or use the " +
+        "large-star/small-star formulation for adversarial chains)")
+    labels
   }
 
   private val q35 = QueryDef(

@@ -2,10 +2,16 @@ package graft
 
 import graft.operators.Multimodal.FakeDecoder
 import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.{Signaler, TimeLimitedTests}
 import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.time.{Minutes, Span}
 
-class StreamingMultimodalSpec extends AnyFunSuite {
+class StreamingMultimodalSpec extends AnyFunSuite with TimeLimitedTests {
   import TestSpark._
+  // fail-fast guard: a wedged streaming query (the round-4 TTL livelock
+  // shape) must FAIL the test, not hang the whole suite run
+  override val timeLimit: Span = Span(10, Minutes)
+  override val defaultTestSignaler: Signaler = Signaler(_.interrupt())
 
   test("streaming tumbling window equals the batch aggregate") {
     val streamed = SparkEntry.queries("q80_stream_tumbling_window")(spark, sf)
