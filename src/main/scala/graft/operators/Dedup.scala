@@ -83,13 +83,31 @@ object Dedup {
   private def md5IdSql(e: String): String =
     s"((('0x' || substr(md5($e), 1, 14))::BIGINT) % $P)"
 
+  /** Hot-bucket cap for the LSH families (q32/q33/q34): a bucket with
+    * more than this many docs is DROPPED before pair generation. Without
+    * it one adversarial corpus (every doc sharing a boilerplate band —
+    * think a common header, an empty-ish template) re-creates the O(N²)
+    * pair explosion the banding exists to prevent: a single bucket of
+    * 10⁶ docs is 5·10¹¹ pairs. Oversized buckets are near-certain
+    * mass-duplicates whose members still meet in their OTHER, more
+    * selective bands; the cap is mirrored bit-identically in the oracles
+    * so both engines skip exactly the same buckets. Headroom is ~6× the
+    * largest observed real bucket (sf0.1 maxima: q32=10, q33=5, q34=5).
+    * q31 is intentionally uncapped: its guard is prefix filtering, which
+    * is spec-pinned LOSSLESS — a cap there would break that property.
+    */
+  private val MaxBucket = 64
+
   /** All unordered id pairs (da < db) from a bucket's sorted `ids` array,
     * via two lambda-free positional explodes (see [[shingles]] on why
     * generators must not contain lambdas). Input must be pre-filtered to
-    * `size(ids) > 1`.
+    * `size(ids) > 1`; buckets larger than `maxBucket` are dropped (see
+    * [[MaxBucket]]).
     */
-  private def bucketPairs(buckets: DataFrame): DataFrame =
+  private def bucketPairs(buckets: DataFrame,
+      maxBucket: Int = Int.MaxValue): DataFrame =
     buckets
+      .filter(size(col("ids")) <= maxBucket)
       .select(col("ids"), explode(expr("sequence(0, size(ids) - 2)")).as("i"))
       .select(col("ids"), col("i"),
         explode(expr("sequence(i + 1, size(ids) - 1)")).as("j"))
@@ -229,16 +247,15 @@ object Dedup {
     val sig = sh.withColumn("sid", md5Id(col("shingle")))
       .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     // band buckets via groupBy + collect_set: ONE shuffle keyed by
-    // (band, value); pairs generated in-bucket — no self-join.
-    // At 100 TB add a bucket-size cap here (oversized buckets are
-    // near-certain dups already caught by smaller bands).
+    // (band, value); pairs generated in-bucket — no self-join; hot
+    // buckets dropped at MaxBucket (mirrored in the oracle's bsz CTE).
     val bandExprs = (0 until Bands).map(j =>
       s"struct(${j}L as band, h${2 * j} * 2147483648L + h${2 * j + 1} as bv)")
     val cand = bucketPairs(sig
       .select(col("doc_id"), explode(array(bandExprs.map(expr): _*)).as("b"))
       .groupBy(col("b.band"), col("b.bv"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1))
+      .filter(size(col("ids")) > 1), MaxBucket)
     // exact-Jaccard verify: two broadcast joins against the per-doc
     // shingle-id sets, intersection computed with array_intersect.
     // unhinted on purpose — `sig` is corpus-sized (see q31 note)
@@ -283,10 +300,14 @@ object Dedup {
               FROM ids GROUP BY doc_id),
       bands AS (
         $bandSelects),
+      -- hot-bucket cap, mirroring Spark's MaxBucket drop
+      bsz AS (SELECT band, bv FROM bands GROUP BY band, bv
+              HAVING count(*) <= $MaxBucket),
       cand AS (
         SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
         FROM bands x JOIN bands y
-          ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+          ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+        JOIN bsz s ON s.band = x.band AND s.bv = x.bv),
       cnt AS (SELECT doc_id, count(*) AS n FROM ids GROUP BY 1),
       inter AS (
         SELECT da, db, count(*) AS ni
@@ -331,7 +352,7 @@ object Dedup {
         .select(col("doc_id"), explode(array(nibExprs.map(expr): _*)).as("b"))
         .groupBy(col("b.band"), col("b.nib"))
         .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1))
+        .filter(size(col("ids")) > 1), MaxBucket)
       // unhinted on purpose — `sig` is corpus-sized (see q31 note)
       cand
         .join(sig.select(col("doc_id").as("da"), col("simhash").as("ha")), "da")
@@ -362,11 +383,15 @@ object Dedup {
       sig AS (SELECT doc_id, $hashExpr AS simhash FROM sums),
       nib AS (
         $nibbleSelects),
+      -- hot-bucket cap, mirroring Spark's MaxBucket drop
+      bsz AS (SELECT band, nib FROM nib GROUP BY band, nib
+              HAVING count(*) <= $MaxBucket),
       cand AS (
         SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
                x.simhash AS ha, y.simhash AS hb
         FROM nib x JOIN nib y
-          ON x.band = y.band AND x.nib = y.nib AND x.doc_id < y.doc_id)
+          ON x.band = y.band AND x.nib = y.nib AND x.doc_id < y.doc_id
+        JOIN bsz s ON s.band = x.band AND s.nib = x.nib)
       SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
       FROM cand
       WHERE bit_count(xor(ha, hb)) <= 3
@@ -395,7 +420,7 @@ object Dedup {
     * and by DedupSpec's planted-duplicate recall test.
     */
   def embeddingNearDup(e0: DataFrame, idCol: String, embCol: String,
-      minCos: Double): DataFrame = {
+      minCos: Double, maxBucket: Int = MaxBucket): DataFrame = {
     import graft.functions.VectorFunctions.embed_simhash
     val e = e0
       .select(col(idCol).as("vid"), col(embCol).as("embv"))
@@ -407,7 +432,7 @@ object Dedup {
       .select(col("vid"), explode(array(bandExprs.map(expr): _*)).as("b"))
       .groupBy(col("b.band"), col("b.bv"))
       .agg(sort_array(collect_set(col("vid"))).as("ids"))
-      .filter(size(col("ids")) > 1))
+      .filter(size(col("ids")) > 1), maxBucket)
       .select(col("da").as("ia"), col("db").as("ib"))
     // exact cosine verify; unhinted — `e` is corpus-sized (see q31 note)
     val ea = e.select(col("vid").as("ia"), col("embv").as("ea"),
@@ -451,10 +476,14 @@ object Dedup {
       sig AS (SELECT vec_id, $sigExpr AS sig FROM sums),
       bands AS (
         $bandSelects),
+      -- hot-bucket cap, mirroring Spark's MaxBucket drop
+      bsz AS (SELECT band, bv FROM bands GROUP BY band, bv
+              HAVING count(*) <= $MaxBucket),
       cand AS (
         SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
         FROM bands x JOIN bands y
-          ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id),
+          ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id
+        JOIN bsz s ON s.band = x.band AND s.bv = x.bv),
       pairs AS (
         SELECT ia, ib, sum(a.v * b.v) AS dot
         FROM cand

@@ -89,6 +89,27 @@ class DedupSpec extends AnyFunSuite {
     assert(cc === expected)
   }
 
+  test("hot-bucket cap bounds LSH pair generation") {
+    // 200 copies of one boilerplate vector — the adversarial corpus where
+    // every doc shares every band bucket. Without the cap this is
+    // C(200,2) = 19,900 pairs from ONE bucket (and O(N²) at corpus
+    // scale); with the default cap the bucket is dropped and pair output
+    // stays bounded. Raising the cap restores the quadratic set, pinning
+    // that the cap (not some other pruning) bounded the explosion.
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val base = Array.fill(32)(rng.nextGaussian().toFloat)
+    val df = (0 until 200).map(i => (i.toLong, base.clone()))
+      .toDF("vid", "embv").repartition(4)
+    val capped = graft.operators.Dedup
+      .embeddingNearDup(df, "vid", "embv", 0.95).count()
+    assert(capped == 0, s"capped hot bucket must emit no pairs, got $capped")
+    val uncapped = graft.operators.Dedup
+      .embeddingNearDup(df, "vid", "embv", 0.95, maxBucket = 1000).count()
+    assert(uncapped == 200L * 199 / 2,
+      s"uncapped must be C(200,2) = 19900, got $uncapped")
+  }
+
   test("embedding LSH recall >= 0.9 on planted near-duplicates") {
     // 60 random base vectors (seeded) + 40 planted near-dups (tiny
     // perturbation, cos ≈ 0.999). Brute force is the ground truth at
