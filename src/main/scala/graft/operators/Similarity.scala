@@ -78,30 +78,57 @@ object Similarity {
     * (q51 runs it on the embeddings table; SimilaritySpec pins its recall
     * against exact brute force on planted clusters).
     *
-    * Fixed-K coarse centroids = the first `centK` vectors by id — a
-    * TakeOrdered top-k, deterministic and oracle-mirrorable; production
-    * swaps in seeded MLlib KMeans centers, same plan shape. K is a
-    * CONSTANT, not corpus-proportional, so centroid assignment is O(N·K)
-    * with a K-row broadcast — never a corpus-sized broadcast or an O(N²)
-    * pass. Nearest-cell selection is an aggregation (partial+final min
-    * over a (negcos, cent_id) struct), not a window — no N·K-row sort, no
-    * WindowExec buffering at scale. Rows matching `isQuery` probe their
-    * `nProbe` nearest cells; exact rerank within the probed cells only.
-    * Recall < 1 by construction; the oracle replicates the same pruning
-    * so both engines return identical results.
+    * Coarse centroids are SEEDED K-MEANS, run as `lloydIters` Lloyd
+    * refinements from a deterministic seed (the first `centK` vectors by
+    * id): assign every vector to its nearest center by cosine, then
+    * recompute each center as the per-dimension MEAN of its members.
+    * Means use exact fixed-point sums ([[graft.Num.avgFixed]]) and are
+    * cast to float, so the DuckDB oracle reproduces every center bit —
+    * which is why this is hand-rolled Lloyd rather than MLlib KMeans
+    * (whose float reductions are not oracle-replicable). Each iteration
+    * is one O(N·K) broadcast assignment plus one per-dimension hash
+    * aggregation — K is a CONSTANT, so nothing here is corpus-quadratic
+    * and the only shuffles are K·dim-sized. Nearest-cell selection is an
+    * aggregation (partial+final min over a (negcos, cent_id) struct),
+    * not a window — no N·K-row sort, no WindowExec buffering at scale.
+    * Rows matching `isQuery` probe their `nProbe` nearest cells; exact
+    * rerank within the probed cells only. Recall < 1 by construction;
+    * the oracle replicates the same pruning so both engines return
+    * identical results.
     */
   def ivfTopK(e0: DataFrame, idCol: String, embCol: String,
-      isQuery: Column => Column, centK: Int, nProbe: Int, k: Int): DataFrame = {
+      isQuery: Column => Column, centK: Int, nProbe: Int, k: Int,
+      lloydIters: Int = 2): DataFrame = {
     val e = e0.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
       .withColumn("norm", float_norm(col("embedding")))
-    val cent = e.orderBy(col("vec_id")).limit(centK)
+    // deterministic seed: first centK vectors by id (TakeOrdered top-k)
+    var cent = e.orderBy(col("vec_id")).limit(centK)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ea"),
         col("norm").as("cent_n"))
-    // assign every vector to its nearest centroid (1 broadcast join)
-    val asg = e.select(col("vec_id"), col("embedding").as("eb"),
-        col("norm").as("vn"))
-      .join(broadcast(cent), lit(true))
-      .withColumn("cos", round(float_dot(col("ea"), col("eb")) / (col("cent_n") * col("vn")), 6))
+    def assign(c: DataFrame): DataFrame =
+      e.select(col("vec_id"), col("embedding").as("eb"), col("norm").as("vn"))
+        .join(broadcast(c), lit(true))
+        .withColumn("cos",
+          round(float_dot(col("ea"), col("eb")) / (col("cent_n") * col("vn")), 6))
+    for (_ <- 1 to lloydIters) {
+      val cells = assign(cent).groupBy(col("vec_id"))
+        .agg(min(struct((-col("cos")).as("negcos"), col("cent_id").as("cent"))).as("m"))
+        .select(col("vec_id"), col("m.cent").as("cell"))
+      // Lloyd step: per-dimension exact fixed-point mean of the members,
+      // reassembled into a float array (cells that lose all members
+      // simply vanish — deterministic in both engines)
+      cent = cells.join(e, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy(col("cell"), col("i"))
+        .agg(graft.Num.avgFixed(col("v").cast("double"), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, m)))," +
+          " x -> cast(x.m as float))").as("ea"))
+        .select(col("cell").as("cent_id"), col("ea"),
+          float_norm(col("ea")).as("cent_n"))
+    }
+    // assign every vector to its nearest refined centroid
+    val asg = assign(cent)
     // nearest cell = min over (−cos, cent_id): max cos, ties → min id —
     // identical tie-break to the oracle's row_number ORDER BY
     val cells = asg.groupBy(col("vec_id"))
@@ -136,24 +163,67 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------- q51
-  // IVF ANN over the embeddings table: K=16 centroids, 3 query vectors
-  // probing their 2 nearest cells, exact top-5 rerank — see [[ivfTopK]].
+  // IVF ANN over the embeddings table: K=16 seeded-KMeans centroids
+  // (2 Lloyd iterations from the first-16-by-id seed, fixed-point means),
+  // 3 query vectors probing their 2 nearest cells, exact top-5 rerank —
+  // see [[ivfTopK]].
   private val CentK = 16
+  private val LloydIters = 2
+
+  /** Oracle CTE chain mirroring [[ivfTopK]]'s Lloyd refinement: centers
+    * live exploded as `cv<t>(cent_id, i, cv)` + norms `cn<t>`; each
+    * iteration assigns (round-6 cosine, ties to min cent_id) and
+    * recomputes per-dimension fixed-point means cast through FLOAT —
+    * bit-identical to Spark's `avgFixed` + `cast(m as float)`.
+    */
+  private def lloydCtes(iters: Int): String = {
+    val sb = new StringBuilder(s"""
+      cent0 AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT $CentK),
+      cv0 AS (SELECT c.cent_id, e.i, e.v AS cv
+              FROM cent0 c JOIN ev e ON e.vec_id = c.cent_id),
+      cn0 AS (SELECT cent_id, sqrt(sum(cv * cv)) AS cn FROM cv0 GROUP BY 1)""")
+    for (t <- 0 until iters) {
+      sb ++= s""",
+      asg$t AS (
+        SELECT e.vec_id, c.cent_id,
+               round(sum(e.v * c.cv) / (ne.nrm * n.cn), 6) AS cos
+        FROM ev e
+        JOIN cv$t c ON c.i = e.i
+        JOIN norms ne ON ne.vec_id = e.vec_id
+        JOIN cn$t n ON n.cent_id = c.cent_id
+        GROUP BY e.vec_id, c.cent_id, ne.nrm, n.cn),
+      cell$t AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+          FROM asg$t) t
+        WHERE rn = 1),
+      cv${t + 1} AS (
+        SELECT l.cell AS cent_id, e.i,
+               CAST(CAST(${graft.Num.avgFixedSql("e.v", 6)} AS FLOAT) AS DOUBLE) AS cv
+        FROM cell$t l JOIN ev e ON e.vec_id = l.vec_id
+        GROUP BY l.cell, e.i),
+      cn${t + 1} AS (SELECT cent_id, sqrt(sum(cv * cv)) AS cn
+                     FROM cv${t + 1} GROUP BY 1)"""
+    }
+    sb.toString
+  }
+
   private val q51 = QueryDef(
     "q51_ann_ivf",
-    (s, d) => ivfTopK(emb(s, d), "vec_id", "embedding", _ < 3, CentK, 2, 5),
+    (s, d) =>
+      ivfTopK(emb(s, d), "vec_id", "embedding", _ < 3, CentK, 2, 5, LloydIters),
     Some(s"""
       WITH $evSql,
-      cent AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT $CentK),
+      ${lloydCtes(LloydIters)},
       asg AS (
         SELECT e.vec_id, c.cent_id,
-               round(sum(e.v * ec.v) / (ne.nrm * nc.nrm), 6) AS cos
+               round(sum(e.v * c.cv) / (ne.nrm * n.cn), 6) AS cos
         FROM ev e
-        JOIN cent c ON true
-        JOIN ev ec ON ec.vec_id = c.cent_id AND ec.i = e.i
+        JOIN cv$LloydIters c ON c.i = e.i
         JOIN norms ne ON ne.vec_id = e.vec_id
-        JOIN norms nc ON nc.vec_id = c.cent_id
-        GROUP BY e.vec_id, c.cent_id, ne.nrm, nc.nrm),
+        JOIN cn$LloydIters n ON n.cent_id = c.cent_id
+        GROUP BY e.vec_id, c.cent_id, ne.nrm, n.cn),
       cells AS (
         SELECT vec_id AS cid, cent_id AS cell FROM (
           SELECT vec_id, cent_id,
