@@ -534,12 +534,12 @@ object EventStreams {
   // running row per active user and (count, cents) grows monotonically,
   // so max(struct(n, cents)) per user in the sink equals final state =
   // the batch aggregate the oracle runs.
-  private class SpendProcessor
+  private class SpendProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
     @transient private var state: ValueState[(Long, Long)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[(Long, Long)]("agg",
-        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[(Long, Long)], ttl)
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
         timers: TimerValues): Iterator[(Long, Long, Long)] = {
       var (n, cents) = if (state.exists()) state.get() else (0L, 0L)
@@ -577,6 +577,85 @@ object EventStreams {
         .select(col("user_id"), col("fin.n_events").as("n_events"),
           (col("fin.cents").cast("double") / 100.0).as("sum_value"))
         .orderBy(col("user_id")),
+    Some(s"""
+      SELECT user_id, count(*) AS n_events,
+             ${sumFixedSql("value", 2)} AS sum_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------- q94
+  // TTL-BOUNDED arbitrary state: q88's running per-user aggregate with a
+  // processing-time TTL on the ValueState — the knob that keeps per-key
+  // state finite at 100 TB where key cardinality grows without bound
+  // (q88's TTLConfig.NONE is the unbounded running-aggregate form; this
+  // is the bounded production form). The 1-hour TTL is orders of
+  // magnitude longer than the seconds-long replay, so no state expires
+  // mid-run and the result deterministically equals the batch aggregate
+  // — actual eviction semantics are pinned by StreamingTtlSpec.
+  //
+  // Driving: a TTL'd query NEVER QUIESCES — after every batch the
+  // processing-time TTL schedules a cleanup batch, which schedules
+  // another, so `processAllAvailable`/`drain` hang forever (the round-4
+  // livelock, reproduced under Trigger.AvailableNow too). The production
+  // pattern, used here: account for SOURCE PROGRESS via a
+  // StreamingQueryListener and stop once every staged row has been read.
+  // Append-mode emission happens inside each input batch, so when input
+  // accounting closes, the sink is complete.
+  private val q94 = QueryDef(
+    "q94_stream_ttl_bounded_state",
+    (s, d) => {
+      val staged = slicedDir(s, d)
+      // expected input = the POST-FILTER row count: the user_id != -1
+      // predicate is pushed into the file scan, so `numInputRows` never
+      // counts the filtered sentinel row — accounting against the raw
+      // staged count would stall one row short forever
+      val nStaged = s.read.parquet(staged)
+        .filter(col("user_id") =!= -1L).count()
+      val name = s"graft_stream_${runId.incrementAndGet()}"
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          if (e.progress.name == name) seen.addAndGet(e.progress.numInputRows)
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      }
+      ss.streams.addListener(listener)
+      try {
+        import ss.implicits._
+        val q = readStaged(ss, staged)
+          .filter(col("user_id") =!= -1L)
+          .select(col("user_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(
+            new SpendProcessor(TTLConfig(java.time.Duration.ofHours(1))),
+            TimeMode.ProcessingTime(), OutputMode.Append())
+          .toDF("user_id", "n_events", "cents")
+          .writeStream.format("memory")
+          .queryName(name).outputMode("append").start()
+        try {
+          val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+          while (seen.get() < nStaged && q.exception.isEmpty &&
+              System.nanoTime() < deadline) Thread.sleep(50)
+          q.exception.foreach(throw _)
+          require(seen.get() >= nStaged,
+            s"q94: source stalled at ${seen.get()}/$nStaged rows")
+        } finally q.stop()
+      } finally ss.streams.removeListener(listener)
+      ss.table(name)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("cents"))).as("fin"))
+        .select(col("user_id"), col("fin.n_events").as("n_events"),
+          (col("fin.cents").cast("double") / 100.0).as("sum_value"))
+        .orderBy(col("user_id"))
+    },
     Some(s"""
       SELECT user_id, count(*) AS n_events,
              ${sumFixedSql("value", 2)} AS sum_value
@@ -652,5 +731,5 @@ object EventStreams {
       ORDER BY event_id"""))
 
   val defs: Seq[QueryDef] =
-    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q93)
+    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q93, q94)
 }
