@@ -18,6 +18,7 @@ object SparkEntry {
   private def modules: Seq[QueryDef] =
     operators.Relational.defs ++ operators.Dedup.defs ++
       operators.TextAnalysis.defs ++ operators.Pipeline.defs ++
+      operators.Analytics.defs ++
       operators.Similarity.defs ++ operators.MLQueries.defs ++
       operators.Multimodal.defs ++ streaming.EventStreams.defs
 

@@ -1,0 +1,279 @@
+package graft.operators
+
+import graft.{QueryDef, Tables, Num}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Advanced analytics operators ([EXT], SURVEY §2.C depth): batch
+  * sessionization, skew-salted aggregation, exact percentiles, sketch
+  * aggregates (HLL distinct), correlation via exact moment sums, ROLLUP
+  * hierarchies, and semi-structured JSON extraction.
+  *
+  * Scale notes, per query, live on each definition. The common thread:
+  * every aggregate here is made ORDER- and PARTITION-INDEPENDENT either by
+  * summing exact integers (Num.sumFixed / cent-scaled moments) or by using
+  * intrinsically commutative sketches (HLL register-max), so results are
+  * bit-identical from local[4] to a 1000-executor cluster.
+  */
+object Analytics {
+  import Num._
+
+  private def ev(s: SparkSession, d: String) = Tables.t(s, d, "events")
+  private def li(s: SparkSession, d: String) = Tables.t(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables.t(s, d, "orders")
+  private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  // ---------------------------------------------------------------- q52
+  // Batch sessionization: a session breaks after a >12 h silence. ONE
+  // shuffle on user_id serves both the lag() window and the per-session
+  // aggregate (Catalyst keeps the hash partitioning), so at 100 TB this is
+  // a single exchange + linear per-partition work. Ties on ts are broken
+  // by event_id, making the session numbering deterministic.
+  private val GapS = 43200L
+  private val q52 = QueryDef(
+    "q52_sessionize",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull ||
+               col("us") - col("prev_us") > GapS * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          ((max(col("us")) - min(col("us"))) / lit(1000000L)).cast("long")
+            .as("dur_s"),
+          sumFixed(col("value"), 2).as("sum_value"))
+        .orderBy(col("user_id"), col("sess"))
+    },
+    Some(s"""
+      SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS n_events,
+             CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS dur_s,
+             ${sumFixedSql("value", 2)} AS sum_value
+      FROM (
+        SELECT user_id, value, us,
+               sum(CASE WHEN prev_us IS NULL
+                          OR us - prev_us > CAST(${GapS} AS BIGINT) * 1000000 THEN 1
+                        ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess
+        FROM (
+          SELECT user_id, event_id, value, us,
+                 lag(us) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id) AS prev_us
+          FROM (SELECT user_id, event_id, value, epoch_us(ts) AS us
+                FROM events)))
+      GROUP BY user_id, sess
+      ORDER BY user_id, sess"""))
+
+  // ---------------------------------------------------------------- q53
+  // Skew-salted aggregation: low-cardinality keys (3 return flags over the
+  // whole fact table) hot-spot a plain groupBy at scale — 3 reducers do
+  // all the work. Stage 1 fans each key out over 16 salt buckets (48-way
+  // parallelism), stage 2 folds the per-salt partials. Because the
+  // partials are EXACT integer sums, the two-stage result is bit-identical
+  // to the one-stage oracle — the associativity that makes salting safe.
+  private val q53 = QueryDef(
+    "q53_salted_agg",
+    (s, d) =>
+      li(s, d)
+        .select(
+          col("l_returnflag"),
+          pmod(hash(col("l_orderkey")), lit(16)).as("salt"),
+          round(col("l_quantity") * 100).cast("long").as("qc"),
+          round(col("l_extendedprice") * 100).cast("long").as("pc"))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(col("qc")).as("sq"), sum(col("pc")).as("sp"),
+             count(lit(1)).as("n"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          (sum(col("sq")).cast("double") / 100).as("sum_qty"),
+          (sum(col("sp")).cast("double") / 100).as("sum_price"),
+          sum(col("n")).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+    Some(s"""
+      SELECT l_returnflag,
+             ${sumFixedSql("l_quantity", 2)} AS sum_qty,
+             ${sumFixedSql("l_extendedprice", 2)} AS sum_price,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  // ---------------------------------------------------------------- q54
+  // Exact percentiles over cent-scaled integers. Interpolation positions
+  // (n-1)*{0.25,0.5,0.75} and the lerp lower + (upper-lower)*frac are all
+  // exact in binary (integer values, dyadic-adjacent fractions), so Spark's
+  // percentile() and DuckDB's quantile_cont() agree bitwise. percentile()
+  // is a full-sort-free typed-buffer aggregate — fine at scale for
+  // bounded-cardinality groups; for true 100 TB columns the q-digest /
+  // approx_percentile path below (q38 pattern) is the sketch alternative.
+  private val q54 = QueryDef(
+    "q54_percentile",
+    (s, d) =>
+      li(s, d)
+        .withColumn("qc", round(col("l_quantity") * 100).cast("long"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(qc, array(0.25D, 0.5D, 0.75D))").as("ps"),
+             count(lit(1)).as("n_rows"))
+        .select(
+          col("l_returnflag"),
+          (col("ps")(0) / 100).as("p25"),
+          (col("ps")(1) / 100).as("p50"),
+          (col("ps")(2) / 100).as("p75"),
+          col("n_rows"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             ps[1] / 100 AS p25, ps[2] / 100 AS p50, ps[3] / 100 AS p75,
+             n_rows
+      FROM (
+        SELECT l_returnflag,
+               quantile_cont(CAST(round(l_quantity * 100) AS BIGINT),
+                             [0.25, 0.5, 0.75]) AS ps,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag"""))
+
+  // ---------------------------------------------------------------- q55
+  // Pearson correlation from EXACT integer moment sums. corr()'s streaming
+  // co-moment accumulation is order-dependent in IEEE arithmetic — results
+  // drift with partitioning. Instead: sum n, Σx, Σy, Σxy, Σx², Σy² as
+  // BIGINT (exact, associative), then one closed-form double expression.
+  // Every intermediate stays < 2^53, each IEEE op is correctly rounded,
+  // so the result is bit-identical in both engines at any parallelism.
+  private val q55 = QueryDef(
+    "q55_corr_moments",
+    (s, d) =>
+      docs(s, d)
+        .select(
+          col("lang"),
+          col("n_chars").as("x"),
+          size(split(col("text"), " ")).cast("long").as("y"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(
+          col("lang"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("corr_chars_toks"))
+        .orderBy(col("lang")),
+    Some("""
+      SELECT lang, n,
+             CAST(n * sxy - sx * sy AS DOUBLE) /
+               (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_chars_toks
+      FROM (
+        SELECT lang, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+               sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM (SELECT lang, n_chars AS x,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS y
+              FROM documents)
+        GROUP BY lang)
+      ORDER BY lang"""))
+
+  // ---------------------------------------------------------------- q56
+  // ROLLUP hierarchy (year → month → grand total) in one pass: Spark
+  // expands grouping sets map-side, so the fact table is read ONCE and a
+  // single shuffle carries all three levels — vs 3 self-unioned scans.
+  private val q56 = QueryDef(
+    "q56_rollup",
+    (s, d) =>
+      ord(s, d)
+        .select(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          col("o_totalprice"))
+        .rollup(col("yr"), col("mo"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sumFixed(col("o_totalprice"), 2).as("sum_price"),
+          grouping(col("yr")).cast("long").as("g_yr"),
+          grouping(col("mo")).cast("long").as("g_mo"))
+        .orderBy(col("g_yr"), col("g_mo"), col("yr"), col("mo")),
+    Some(s"""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mo,
+             count(*) AS n_orders,
+             ${sumFixedSql("o_totalprice", 2)} AS sum_price,
+             CAST(grouping(year(o_orderdate)) AS BIGINT) AS g_yr,
+             CAST(grouping(month(o_orderdate)) AS BIGINT) AS g_mo
+      FROM orders
+      GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+      ORDER BY g_yr, g_mo, yr, mo"""))
+
+  // ---------------------------------------------------------------- q38
+  // Sketch aggregate: HyperLogLog++ approximate distinct. The sketch merge
+  // is register-wise max — commutative and associative — so the estimate
+  // is deterministic under any partitioning. The harness pin: the estimate
+  // must land within 5% of exact (HLL++ rsd default is 5%), emitted as a
+  // boolean next to the exact count the oracle recomputes. At 100 TB the
+  // sketch needs KBs of state where count(DISTINCT) needs a full shuffle
+  // of every key — this is the scale path for cardinality metrics.
+  private val q38 = QueryDef(
+    "q38_hll_distinct",
+    (s, d) =>
+      li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_distinct"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx"))
+        .select(
+          col("l_returnflag"), col("exact_distinct"),
+          (abs(col("approx") - col("exact_distinct")).cast("double") <=
+            col("exact_distinct").cast("double") * 0.05).as("hll_within_5pct"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_orderkey) AS exact_distinct,
+             TRUE AS hll_within_5pct
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
+  // ---------------------------------------------------------------- q68
+  // Semi-structured extraction: parse the JSON `props` payload with a
+  // declared schema (from_json — codegen'd, no UDF), bucket by the
+  // extracted value, aggregate. Schema-on-read over a string column is
+  // how event pipelines keep evolving payloads out of the table schema;
+  // the parse is per-row work that scales embarrassingly.
+  private val q68 = QueryDef(
+    "q68_json_extract",
+    (s, d) =>
+      ev(s, d)
+        .select(
+          col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").cast("long")
+            .as("k"))
+        .groupBy(col("event_type"), (col("k") % 10L).as("k_bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"), col("k_bucket")),
+    Some("""
+      SELECT event_type, k % 10 AS k_bucket, count(*) AS n,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             min(k) AS min_k, max(k) AS max_k
+      FROM (SELECT event_type,
+                   CAST(props->>'$.k' AS BIGINT) AS k
+            FROM events)
+      GROUP BY event_type, k_bucket
+      ORDER BY event_type, k_bucket"""))
+
+  val defs: Seq[QueryDef] = Seq(q38, q52, q53, q54, q55, q56, q68)
+}

@@ -162,5 +162,40 @@ object Pipeline {
       GROUP BY source
       ORDER BY source"""))
 
-  val defs: Seq[QueryDef] = Seq(q47, q48, q49)
+  // ---------------------------------------------------------------- q36
+  // Deterministic stratified sampling: each language gets its own keep
+  // rate (rare languages kept whole, dominant ones downsampled — the
+  // standard corpus-balancing move). The keep decision is the same
+  // content-hash bucket as q47, so the sample is reproducible, partition-
+  // independent, and stable under re-ingest; `TABLESAMPLE`/`rand()` give
+  // none of those. One scan + one hash aggregate — no shuffle of text.
+  private val rateCase =
+    "CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 250 WHEN 'es' THEN 500 " +
+      "WHEN 'fr' THEN 750 ELSE 1000 END"
+
+  private val q36 = QueryDef(
+    "q36_stratified_sample",
+    (s, d) =>
+      docs(s, d)
+        .withColumn("rate_m", expr(rateCase))
+        .filter(bucket1000(col("text")) < col("rate_m"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).as("chars_sampled"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang")),
+    Some(s"""
+      SELECT lang, count(*) AS n_sampled,
+             CAST(sum(n_chars) AS BIGINT) AS chars_sampled,
+             count(DISTINCT source) AS n_sources
+      FROM (
+        SELECT lang, n_chars, source,
+               ${bucket1000Sql("text")} AS b,
+               $rateCase AS rate_m
+        FROM documents) t
+      WHERE b < rate_m
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  val defs: Seq[QueryDef] = Seq(q36, q47, q48, q49)
 }

@@ -325,5 +325,97 @@ object TextAnalysis {
       GROUP BY lang
       ORDER BY lang"""))
 
-  val defs: Seq[QueryDef] = Seq(q40, q41, q42, q43, q44, q45, q46)
+  // ---------------------------------------------------------------- q37
+  // TF-IDF-style salient terms per language. The weight is the exact
+  // integer ratio tf·N/df evaluated with ONE double division (both
+  // engines correctly round the same exact integers → bit-identical) —
+  // a log() would hit libm rounding differences. Plan shape: one explode
+  // + two hash aggs + a broadcast of the 5-row per-language doc counts;
+  // the row_number window runs over ≤ |vocab| rows per language.
+  private val q37 = QueryDef(
+    "q37_tfidf_terms",
+    (s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("term"))
+      val stats = toks.groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      val nDocs = docs(s, d).groupBy(col("lang"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("weight").desc, col("term"))
+      stats
+        .join(broadcast(nDocs), "lang")
+        .withColumn("weight",
+          (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("term"), col("tf"), col("df"),
+          col("weight"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      stats AS (
+        SELECT lang, term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM toks GROUP BY 1, 2),
+      nd AS (
+        SELECT lang, count(DISTINCT doc_id) AS n_docs
+        FROM documents GROUP BY 1),
+      ranked AS (
+        SELECT s.lang, term, tf, df, n_docs,
+               CAST(tf * n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS weight
+        FROM stats s JOIN nd ON s.lang = nd.lang)
+      SELECT lang, rk, term, tf, df, weight FROM (
+        SELECT lang, term, tf, df, weight,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY weight DESC, term) AS rk
+        FROM ranked) t
+      WHERE rk <= 5
+      ORDER BY lang, rk"""))
+
+  // ---------------------------------------------------------------- q39
+  // Corpus-wide top bigrams per language — collocation mining, the same
+  // explode + hash-agg + bounded-window shape as q37. Ties are broken by
+  // the bigram string, so the top-10 cut is deterministic in both engines.
+  private val q39 = QueryDef(
+    "q39_bigram_topk",
+    (s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("bg"))
+      docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("lang"),
+          explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+            .as("bg"))
+        .groupBy(col("lang"), col("bg"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk"), col("bg"), col("cnt"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT lang, string_split(text, ' ') AS toks FROM documents),
+      grams AS (
+        SELECT lang, unnest(
+          CASE WHEN len(toks) >= 2
+               THEN list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])
+               ELSE [] END) AS bg
+        FROM tok)
+      SELECT lang, rk, bg, cnt FROM (
+        SELECT lang, bg, count(*) AS cnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, bg) AS rk
+        FROM grams GROUP BY lang, bg) t
+      WHERE rk <= 10
+      ORDER BY lang, rk"""))
+
+  val defs: Seq[QueryDef] = Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46)
 }

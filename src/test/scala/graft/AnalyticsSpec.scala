@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the Analytics module that the DuckDB hash-match cannot
+  * express: partition-independence (the property that makes the exact-
+  * integer aggregation designs safe at cluster scale), sketch determinism,
+  * and agreement with straight-line reference computations.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)
+
+  test("q53 salted two-stage agg is bit-identical to the plain groupBy") {
+    val salted = q("q53_salted_agg")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    val li = Tables.t(spark, sf, "lineitem")
+    val plain = li
+      .groupBy(col("l_returnflag"))
+      .agg(
+        (sum(round(col("l_quantity") * 100).cast("long")).cast("double") / 100)
+          .as("sum_qty"),
+        (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100)
+          .as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("q52 sessionize is invariant under input repartitioning") {
+    val base = q("q52_sessionize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    // same logic over a deliberately scrambled layout: 13 hash partitions
+    val ev = Tables.t(spark, sf, "events").repartition(13, col("event_id"))
+    ev.createOrReplaceTempView("ev_scrambled")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val redo = ev
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+             col("us") - col("prev_us") > 43200L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("brk")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / lit(1000000L)).cast("long").as("dur_s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(base.map(x => (x._1, x._2, x._3, x._4)).toSeq == redo.toSeq)
+    // sessions per user are contiguous 1..n
+    val byUser = base.groupBy(_._1)
+    byUser.foreach { case (_, ss) =>
+      assert(ss.map(_._2).sorted.toSeq == (1L to ss.length.toLong))
+    }
+  }
+
+  test("q55 moment-sum correlation matches a driver-side Pearson") {
+    val rows = q("q55_corr_moments")(spark, sf).collect()
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("lang"), col("n_chars").cast("double"),
+        size(split(col("text"), " ")).cast("double"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val xs = docs.filter(_._1 == lang)
+      val n = xs.length.toDouble
+      val (mx, my) = (xs.map(_._2).sum / n, xs.map(_._3).sum / n)
+      val cov = xs.map(t => (t._2 - mx) * (t._3 - my)).sum
+      val ref = cov / math.sqrt(
+        xs.map(t => (t._2 - mx) * (t._2 - mx)).sum *
+        xs.map(t => (t._3 - my) * (t._3 - my)).sum)
+      assert(math.abs(r.getDouble(2) - ref) < 1e-9, s"$lang corr mismatch")
+    }
+  }
+
+  test("q54 percentiles match a sorted-array lerp") {
+    val rows = q("q54_percentile")(spark, sf).collect()
+    val li = Tables.t(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def lerp(v: Array[Double], p: Double): Double = {
+      val pos = (v.length - 1) * p
+      val (lo, hi) = (pos.toInt, math.ceil(pos).toInt)
+      v(lo) + (v(hi) - v(lo)) * (pos - lo)
+    }
+    rows.foreach { r =>
+      val v = li.filter(_._1 == r.getString(0)).map(_._2).sorted
+      assert(math.abs(r.getDouble(1) - lerp(v, 0.25)) < 1e-9)
+      assert(math.abs(r.getDouble(2) - lerp(v, 0.50)) < 1e-9)
+      assert(math.abs(r.getDouble(3) - lerp(v, 0.75)) < 1e-9)
+    }
+  }
+
+  test("q38 HLL sketch is deterministic across partitionings and within 5%") {
+    val a = q("q38_hll_distinct")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(a.forall(_._3), "HLL estimate outside 5% of exact")
+    val li = Tables.t(spark, sf, "lineitem").repartition(17, col("l_partkey"))
+    val b = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val c = Tables.t(spark, sf, "lineitem").repartition(3, col("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(b.toSeq == c.toSeq, "HLL estimate depends on partitioning")
+  }
+
+  test("q36 stratified sample is a deterministic content-keyed subset") {
+    val once = q("q36_stratified_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val again = q("q36_stratified_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(once.toSeq == again.toSeq)
+    val perLang = Tables.t(spark, sf, "documents").groupBy(col("lang"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    once.foreach { case (lang, n, _) => assert(n <= perLang(lang)) }
+  }
+
+  test("q68 JSON extraction covers every event exactly once") {
+    val rows = q("q68_json_extract")(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.t(spark, sf, "events").count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("k_bucket")
+      assert(b >= 0 && b < 10)
+      assert(r.getAs[Long]("min_k") % 10 == b || r.getAs[Long]("min_k") % 10 == b)
+    }
+  }
+}
