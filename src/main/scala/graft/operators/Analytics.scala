@@ -6,9 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Advanced analytics operators ([EXT], SURVEY §2.C depth): batch
-  * sessionization, skew-salted aggregation, exact percentiles, sketch
-  * aggregates (HLL distinct), correlation via exact moment sums, ROLLUP
-  * hierarchies, and semi-structured JSON extraction.
+  * sessionization, sketch aggregates (HLL distinct), and bivariate
+  * correlation via exact moment sums.
   *
   * Scale notes, per query, live on each definition. The common thread:
   * every aggregate here is made ORDER- and PARTITION-INDEPENDENT either by
@@ -21,7 +20,6 @@ object Analytics {
 
   private def ev(s: SparkSession, d: String) = Tables.t(s, d, "events")
   private def li(s: SparkSession, d: String) = Tables.t(s, d, "lineitem")
-  private def ord(s: SparkSession, d: String) = Tables.t(s, d, "orders")
   private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
 
   // ---------------------------------------------------------------- q52
@@ -72,75 +70,6 @@ object Analytics {
       GROUP BY user_id, sess
       ORDER BY user_id, sess"""))
 
-  // ---------------------------------------------------------------- q53
-  // Skew-salted aggregation: low-cardinality keys (3 return flags over the
-  // whole fact table) hot-spot a plain groupBy at scale — 3 reducers do
-  // all the work. Stage 1 fans each key out over 16 salt buckets (48-way
-  // parallelism), stage 2 folds the per-salt partials. Because the
-  // partials are EXACT integer sums, the two-stage result is bit-identical
-  // to the one-stage oracle — the associativity that makes salting safe.
-  private val q53 = QueryDef(
-    "q53_salted_agg",
-    (s, d) =>
-      li(s, d)
-        .select(
-          col("l_returnflag"),
-          pmod(hash(col("l_orderkey")), lit(16)).as("salt"),
-          round(col("l_quantity") * 100).cast("long").as("qc"),
-          round(col("l_extendedprice") * 100).cast("long").as("pc"))
-        .groupBy(col("l_returnflag"), col("salt"))
-        .agg(sum(col("qc")).as("sq"), sum(col("pc")).as("sp"),
-             count(lit(1)).as("n"))
-        .groupBy(col("l_returnflag"))
-        .agg(
-          (sum(col("sq")).cast("double") / 100).as("sum_qty"),
-          (sum(col("sp")).cast("double") / 100).as("sum_price"),
-          sum(col("n")).as("n_rows"))
-        .orderBy(col("l_returnflag")),
-    Some(s"""
-      SELECT l_returnflag,
-             ${sumFixedSql("l_quantity", 2)} AS sum_qty,
-             ${sumFixedSql("l_extendedprice", 2)} AS sum_price,
-             count(*) AS n_rows
-      FROM lineitem
-      GROUP BY l_returnflag
-      ORDER BY l_returnflag"""))
-
-  // ---------------------------------------------------------------- q54
-  // Exact percentiles over cent-scaled integers. Interpolation positions
-  // (n-1)*{0.25,0.5,0.75} and the lerp lower + (upper-lower)*frac are all
-  // exact in binary (integer values, dyadic-adjacent fractions), so Spark's
-  // percentile() and DuckDB's quantile_cont() agree bitwise. percentile()
-  // is a full-sort-free typed-buffer aggregate — fine at scale for
-  // bounded-cardinality groups; for true 100 TB columns the q-digest /
-  // approx_percentile path below (q38 pattern) is the sketch alternative.
-  private val q54 = QueryDef(
-    "q54_percentile",
-    (s, d) =>
-      li(s, d)
-        .withColumn("qc", round(col("l_quantity") * 100).cast("long"))
-        .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(qc, array(0.25D, 0.5D, 0.75D))").as("ps"),
-             count(lit(1)).as("n_rows"))
-        .select(
-          col("l_returnflag"),
-          (col("ps")(0) / 100).as("p25"),
-          (col("ps")(1) / 100).as("p50"),
-          (col("ps")(2) / 100).as("p75"),
-          col("n_rows"))
-        .orderBy(col("l_returnflag")),
-    Some("""
-      SELECT l_returnflag,
-             ps[1] / 100 AS p25, ps[2] / 100 AS p50, ps[3] / 100 AS p75,
-             n_rows
-      FROM (
-        SELECT l_returnflag,
-               quantile_cont(CAST(round(l_quantity * 100) AS BIGINT),
-                             [0.25, 0.5, 0.75]) AS ps,
-               count(*) AS n_rows
-        FROM lineitem GROUP BY l_returnflag)
-      ORDER BY l_returnflag"""))
-
   // ---------------------------------------------------------------- q55
   // Pearson correlation from EXACT integer moment sums. corr()'s streaming
   // co-moment accumulation is order-dependent in IEEE arithmetic — results
@@ -185,36 +114,6 @@ object Analytics {
         GROUP BY lang)
       ORDER BY lang"""))
 
-  // ---------------------------------------------------------------- q56
-  // ROLLUP hierarchy (year → month → grand total) in one pass: Spark
-  // expands grouping sets map-side, so the fact table is read ONCE and a
-  // single shuffle carries all three levels — vs 3 self-unioned scans.
-  private val q56 = QueryDef(
-    "q56_rollup",
-    (s, d) =>
-      ord(s, d)
-        .select(
-          year(col("o_orderdate")).cast("long").as("yr"),
-          month(col("o_orderdate")).cast("long").as("mo"),
-          col("o_totalprice"))
-        .rollup(col("yr"), col("mo"))
-        .agg(
-          count(lit(1)).as("n_orders"),
-          sumFixed(col("o_totalprice"), 2).as("sum_price"),
-          grouping(col("yr")).cast("long").as("g_yr"),
-          grouping(col("mo")).cast("long").as("g_mo"))
-        .orderBy(col("g_yr"), col("g_mo"), col("yr"), col("mo")),
-    Some(s"""
-      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
-             CAST(month(o_orderdate) AS BIGINT) AS mo,
-             count(*) AS n_orders,
-             ${sumFixedSql("o_totalprice", 2)} AS sum_price,
-             CAST(grouping(year(o_orderdate)) AS BIGINT) AS g_yr,
-             CAST(grouping(month(o_orderdate)) AS BIGINT) AS g_mo
-      FROM orders
-      GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
-      ORDER BY g_yr, g_mo, yr, mo"""))
-
   // ---------------------------------------------------------------- q38
   // Sketch aggregate: HyperLogLog++ approximate distinct. The sketch merge
   // is register-wise max — commutative and associative — so the estimate
@@ -244,36 +143,5 @@ object Analytics {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
-  // ---------------------------------------------------------------- q68
-  // Semi-structured extraction: parse the JSON `props` payload with a
-  // declared schema (from_json — codegen'd, no UDF), bucket by the
-  // extracted value, aggregate. Schema-on-read over a string column is
-  // how event pipelines keep evolving payloads out of the table schema;
-  // the parse is per-row work that scales embarrassingly.
-  private val q68 = QueryDef(
-    "q68_json_extract",
-    (s, d) =>
-      ev(s, d)
-        .select(
-          col("event_type"),
-          from_json(col("props"), lit("k INT")).getField("k").cast("long")
-            .as("k"))
-        .groupBy(col("event_type"), (col("k") % 10L).as("k_bucket"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("k")).as("sum_k"),
-          min(col("k")).as("min_k"),
-          max(col("k")).as("max_k"))
-        .orderBy(col("event_type"), col("k_bucket")),
-    Some("""
-      SELECT event_type, k % 10 AS k_bucket, count(*) AS n,
-             CAST(sum(k) AS BIGINT) AS sum_k,
-             min(k) AS min_k, max(k) AS max_k
-      FROM (SELECT event_type,
-                   CAST(props->>'$.k' AS BIGINT) AS k
-            FROM events)
-      GROUP BY event_type, k_bucket
-      ORDER BY event_type, k_bucket"""))
-
-  val defs: Seq[QueryDef] = Seq(q38, q52, q53, q54, q55, q56, q68)
+  val defs: Seq[QueryDef] = Seq(q38, q52, q55)
 }

@@ -150,5 +150,54 @@ object Multimodal {
              round(avg(f0), 6) AS avg_f0
       FROM dec GROUP BY shard ORDER BY shard"""))
 
-  val defs: Seq[QueryDef] = Seq(q90, q91, q92)
+  // ---------------------------------------------------------------- q95
+  // Resize + frame sampling — the remaining two media ops of the
+  // decode / feature-extract / resize / frame-sample family. Resize is
+  // integer-exact (scale the longer edge to 224, `DIV` keeps aspect
+  // ratio without float rounding); sampling takes every 2nd frame index
+  // via an exploded `sequence`, so output size is ⌈n_frames/2⌉ per doc —
+  // bounded, shuffle-free, embarrassingly parallel. The per-frame
+  // feature indexes the decoded feature vector at the frame position,
+  // which the oracle replays byte-for-byte from the md5 stub.
+  private val q95 = QueryDef(
+    "q95_multimodal_frame_sample",
+    (s, d) =>
+      decoded(s, d)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_frames"), col("features"))
+        .withColumn("out_w",
+          expr("CAST(width * 224 AS BIGINT) DIV greatest(width, height)"))
+        .withColumn("out_h",
+          expr("CAST(height * 224 AS BIGINT) DIV greatest(width, height)"))
+        .select(col("doc_id"), col("out_w"), col("out_h"),
+          col("features"),
+          explode(expr("sequence(0, n_frames - 1, 2)")).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("out_w"), col("out_h"),
+          round(col("features")(col("frame_idx")).cast("double"), 6)
+            .as("frame_feat"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+    Some(s"""
+      WITH dec AS (
+        SELECT doc_id, md5(text) AS h,
+               64 + ((${mdByteSql(0)} * 256 + ${mdByteSql(1)}) % 193) AS width,
+               64 + ((${mdByteSql(2)} * 256 + ${mdByteSql(3)}) % 129) AS height,
+               1 + ((${mdByteSql(4)} * 256 + ${mdByteSql(5)}) % 7) AS n_frames
+        FROM documents),
+      frames AS (
+        SELECT doc_id, h, width, height,
+               unnest(range(0, n_frames, 2)) AS frame_idx
+        FROM dec)
+      SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             CAST((width * 224) // greatest(width, height) AS BIGINT) AS out_w,
+             CAST((height * 224) // greatest(width, height) AS BIGINT) AS out_h,
+             round((16 * (strpos('0123456789abcdef',
+                                 substr(h, 2 * (6 + frame_idx) + 1, 1)) - 1)
+                      + (strpos('0123456789abcdef',
+                                 substr(h, 2 * (6 + frame_idx) + 2, 1)) - 1))
+                   / 256.0, 6) AS frame_feat
+      FROM frames
+      ORDER BY doc_id, frame_idx"""))
+
+  val defs: Seq[QueryDef] = Seq(q90, q91, q92, q95)
 }

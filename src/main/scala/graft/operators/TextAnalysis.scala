@@ -380,6 +380,9 @@ object TextAnalysis {
   // Corpus-wide top bigrams per language — collocation mining, the same
   // explode + hash-agg + bounded-window shape as q37. Ties are broken by
   // the bigram string, so the top-10 cut is deterministic in both engines.
+  // The generator explodes integer POSITIONS and projects the bigram
+  // afterwards — explode over a transform(λ) result would fall off
+  // whole-stage codegen (see COVERAGE scale notes).
   private val q39 = QueryDef(
     "q39_bigram_topk",
     (s, d) => {
@@ -388,10 +391,11 @@ object TextAnalysis {
       docs(s, d)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 2)
+        .select(col("lang"), col("toks"),
+          explode(expr("sequence(1, size(toks) - 1)")).as("i"))
         .select(col("lang"),
-          explode(expr(
-            "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
-            .as("bg"))
+          concat(col("toks")(col("i") - 1), lit(" "),
+                 col("toks")(col("i"))).as("bg"))
         .groupBy(col("lang"), col("bg"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rk", row_number().over(w).cast("long"))

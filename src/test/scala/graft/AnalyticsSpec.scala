@@ -13,25 +13,6 @@ class AnalyticsSpec extends AnyFunSuite {
 
   private def q(name: String) = SparkEntry.queries(name)
 
-  test("q53 salted two-stage agg is bit-identical to the plain groupBy") {
-    val salted = q("q53_salted_agg")(spark, sf).collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
-      .sortBy(_._1)
-    val li = Tables.t(spark, sf, "lineitem")
-    val plain = li
-      .groupBy(col("l_returnflag"))
-      .agg(
-        (sum(round(col("l_quantity") * 100).cast("long")).cast("double") / 100)
-          .as("sum_qty"),
-        (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100)
-          .as("sum_price"),
-        count(lit(1)).as("n_rows"))
-      .collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
-      .sortBy(_._1)
-    assert(salted.toSeq == plain.toSeq)
-  }
-
   test("q52 sessionize is invariant under input repartitioning") {
     val base = q("q52_sessionize")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -83,24 +64,6 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
-  test("q54 percentiles match a sorted-array lerp") {
-    val rows = q("q54_percentile")(spark, sf).collect()
-    val li = Tables.t(spark, sf, "lineitem")
-      .select(col("l_returnflag"), col("l_quantity")).collect()
-      .map(r => (r.getString(0), r.getDouble(1)))
-    def lerp(v: Array[Double], p: Double): Double = {
-      val pos = (v.length - 1) * p
-      val (lo, hi) = (pos.toInt, math.ceil(pos).toInt)
-      v(lo) + (v(hi) - v(lo)) * (pos - lo)
-    }
-    rows.foreach { r =>
-      val v = li.filter(_._1 == r.getString(0)).map(_._2).sorted
-      assert(math.abs(r.getDouble(1) - lerp(v, 0.25)) < 1e-9)
-      assert(math.abs(r.getDouble(2) - lerp(v, 0.50)) < 1e-9)
-      assert(math.abs(r.getDouble(3) - lerp(v, 0.75)) < 1e-9)
-    }
-  }
-
   test("q38 HLL sketch is deterministic across partitionings and within 5%") {
     val a = q("q38_hll_distinct")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
@@ -128,14 +91,4 @@ class AnalyticsSpec extends AnyFunSuite {
     once.foreach { case (lang, n, _) => assert(n <= perLang(lang)) }
   }
 
-  test("q68 JSON extraction covers every event exactly once") {
-    val rows = q("q68_json_extract")(spark, sf).collect()
-    val total = rows.map(_.getAs[Long]("n")).sum
-    assert(total == Tables.t(spark, sf, "events").count())
-    rows.foreach { r =>
-      val b = r.getAs[Long]("k_bucket")
-      assert(b >= 0 && b < 10)
-      assert(r.getAs[Long]("min_k") % 10 == b || r.getAs[Long]("min_k") % 10 == b)
-    }
-  }
 }
