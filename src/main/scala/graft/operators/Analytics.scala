@@ -122,19 +122,31 @@ object Analytics {
   // boolean next to the exact count the oracle recomputes. At 100 TB the
   // sketch needs KBs of state where count(DISTINCT) needs a full shuffle
   // of every key — this is the scale path for cardinality metrics.
+  // Implementation note: the exact and approx aggregates are SEPARATE
+  // plans joined on the 3-row result. Combining countDistinct with the
+  // HLL sketch in one .agg forces a distinct-expand + sort-based
+  // fallback that copies the 2^p-register sketch buffer per input row
+  // (measured 51 s at sf0.1 vs ~1 s split). The exact side is a
+  // two-stage (key, value) → key hash agg — the partial-aggregable form
+  // of DISTINCT; the approx side is a plain ObjectHashAggregate.
   private val q38 = QueryDef(
     "q38_hll_distinct",
-    (s, d) =>
-      li(s, d)
+    (s, d) => {
+      val exact = li(s, d)
+        .groupBy(col("l_returnflag"), col("l_orderkey")).agg(lit(1))
         .groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(col("l_orderkey")).as("exact_distinct"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx"))
+        .agg(count(lit(1)).as("exact_distinct"))
+      val approx = li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx"))
+      exact
+        .join(broadcast(approx), "l_returnflag")
         .select(
           col("l_returnflag"), col("exact_distinct"),
           (abs(col("approx") - col("exact_distinct")).cast("double") <=
             col("exact_distinct").cast("double") * 0.05).as("hll_within_5pct"))
-        .orderBy(col("l_returnflag")),
+        .orderBy(col("l_returnflag"))
+    },
     Some("""
       SELECT l_returnflag,
              count(DISTINCT l_orderkey) AS exact_distinct,

@@ -94,6 +94,32 @@ class PlanSpec extends AnyFunSuite {
       s"event_type must be a partition column, not a data column: $readSchema")
   }
 
+  test("q52: one hash exchange serves both the window and the session agg") {
+    // sessionization shuffles once on user_id; the lag window, running
+    // sum, and per-(user, session) aggregate all reuse that partitioning.
+    // A second hash exchange would mean the agg re-shuffles — the thing
+    // that would double the network cost at 100 TB. (The final orderBy's
+    // range exchange over the aggregated rows is fine.)
+    val p = planOf("q52_sessionize")
+    val hashEx = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1, s"expected exactly 1 hash exchange, got:\n$hashEx")
+    assert(hashEx.head.contains("user_id"), "the one exchange keys on user_id")
+  }
+
+  test("q95: frame sampling is shuffle-free (explode, no hash exchange)") {
+    val p = planOf("q95_multimodal_frame_sample")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "resize + frame-sample is per-row work; a hash exchange means a bug")
+    assert(p.contains("Generate"), "frame indices explode via Generate")
+  }
+
+  test("q39: bigram generator stays out of the interpreted-lambda path") {
+    val p = planOf("q39_bigram_topk")
+    assert(!p.contains("lambdafunction"),
+      "bigrams must explode integer positions, not a transform(λ) result")
+  }
+
   test("native expressions are SQL-callable once registered") {
     // the injector itself is exercised for shape (extensions only apply
     // at session build); SQL callability goes through the SAME builders
