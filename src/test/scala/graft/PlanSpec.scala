@@ -120,6 +120,41 @@ class PlanSpec extends AnyFunSuite {
       "bigrams must explode integer positions, not a transform(λ) result")
   }
 
+  test("runtime bloom-filter pruning injects on a selective fact-dim join") {
+    // At 100 TB the cheapest row is the one never shuffled: with
+    // spark.sql.optimizer.runtime.bloomFilter.enabled, Catalyst builds a
+    // bloom filter from the filtered dim side and semi-prunes the fact
+    // scan BEFORE the join exchange. The size thresholds exist for tiny
+    // inputs, so this pin drops them to zero to prove the rewrite fires
+    // on our plan shapes (production leaves the defaults).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import org.apache.spark.sql.functions._
+      val li = Tables.t(spark, sf, "lineitem")
+      val pt = Tables.t(spark, sf, "part")
+        .filter(col("p_size") === 1) // selective dim predicate
+        .select(col("p_partkey"))
+      val j = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_returnflag")).count()
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"expected a runtime bloom filter (might_contain) in:\n$opt")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("native expressions are SQL-callable once registered") {
     // the injector itself is exercised for shape (extensions only apply
     // at session build); SQL callability goes through the SAME builders
