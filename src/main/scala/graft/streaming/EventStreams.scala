@@ -730,6 +730,81 @@ object EventStreams {
       WHERE event_type = 'purchase' AND value > 50.0
       ORDER BY event_id"""))
 
+  /** Staging for the stream–stream join: pure event-time slices (no late
+    * shifts) plus the flush sentinel. The join's correctness argument
+    * needs arrivals in event-time order — see q96. */
+  private def orderedDir(s: SparkSession, d: String): String =
+    stageStable("ordered", "ordered", d) { dir =>
+      val ev = Tables.t(s, d, "events")
+      val Row(t0: Long, tMax: Long) = ev.agg(
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val withFid = ev.withColumn("fid",
+        expr(s"(unix_micros(ts) - ${t0}L) DIV ${SliceUs}L"))
+      val maxFid = withFid.agg(max(col("fid"))).head().getLong(0)
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        expr(s"timestamp_micros(${tMax + 30L * 86400L * 1000000L}L)").as("ts"),
+        lit(-1L).as("user_id"), lit("_sentinel").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"),
+        lit(maxFid + 1).as("fid"))
+      writeSliceFiles(s, withFid.unionByName(sentinel), dir)
+    }
+
+  // ---------------------------------------------------------------- q96
+  // Stream–stream interval join: purchases within 1 h after a view by
+  // the same user, both sides real streams with watermarks. Inner joins
+  // emit on arrival; the watermarks exist to EVICT state — each view is
+  // droppable once the purchase-side watermark passes view.ts + 1 h, so
+  // join state is bounded by (events within the watermark horizon), not
+  // by the stream length: the property that makes stream–stream joins
+  // feasible at 100 TB. Completeness over the bounded replay: slices are
+  // 6 days, the pinned watermark lag is 2 batches, and a purchase can
+  // only match views ≤ 1 h older, so a needed view is at most one slice
+  // behind — far inside the horizon; no pair is ever evicted early. The
+  // result therefore equals the batch interval join the oracle runs.
+  // Two file sources list the same staged dir (1 file/trigger each, same
+  // mtime order), so the sides advance in lockstep and the global
+  // watermark is the min over both.
+  private val q96 = QueryDef(
+    "q96_stream_stream_join",
+    (s, d) => {
+      val dir = orderedDir(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val views = readStaged(ss, dir)
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("v_id"), col("ts").as("v_ts"),
+          col("user_id").as("v_uid"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = readStaged(ss, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+          col("user_id").as("p_uid"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = views.join(purchases,
+        col("v_uid") === col("p_uid") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("v_uid").as("user_id"), col("v_id"), col("p_id"),
+          ((unix_micros(col("p_ts")) - unix_micros(col("v_ts"))) /
+            lit(1000000L)).cast("long").as("lag_s"))
+      val name = s"graft_stream_${runId.incrementAndGet()}"
+      val q = joined.writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try drain(q) finally q.stop()
+      ss.table(name).orderBy(col("user_id"), col("v_id"), col("p_id"))
+    },
+    Some("""
+      SELECT v.user_id, v.event_id AS v_id, p.event_id AS p_id,
+             CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
+               AS lag_s
+      FROM events v
+      JOIN events p
+        ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+      ORDER BY v.user_id, v_id, p_id"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q93, q94)
+    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q93, q94, q96)
 }
