@@ -765,35 +765,45 @@ object EventStreams {
   // Two file sources list the same staged dir (1 file/trigger each, same
   // mtime order), so the sides advance in lockstep and the global
   // watermark is the min over both.
+  private def streamStreamJoin(s: SparkSession, d: String,
+      joinType: String): DataFrame = {
+    val dir = orderedDir(s, d)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    // the sentinel passes BOTH pre-watermark filters (a plain event_type
+    // predicate would be pushed below the watermark node and the final
+    // watermark would never advance — the outer join's unmatched rows in
+    // the last hour of the stream would then never flush); its -1 rows
+    // are dropped from the sink table below
+    val views = readStaged(ss, dir)
+      .filter(col("event_type").isin("view", "_sentinel"))
+      .select(col("event_id").as("v_id"), col("ts").as("v_ts"),
+        col("user_id").as("v_uid"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = readStaged(ss, dir)
+      .filter(col("event_type").isin("purchase", "_sentinel"))
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_uid"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("v_uid") === col("p_uid") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+      joinType)
+      .select(col("v_uid").as("user_id"), col("v_id"), col("p_id"),
+        ((unix_micros(col("p_ts")) - unix_micros(col("v_ts"))) /
+          lit(1000000L)).cast("long").as("lag_s"))
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = joined.writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try drain(q) finally q.stop()
+    ss.table(name).filter(col("v_id") =!= -1L)
+      .orderBy(col("user_id"), col("v_id"), col("p_id"))
+  }
+
   private val q96 = QueryDef(
     "q96_stream_stream_join",
-    (s, d) => {
-      val dir = orderedDir(s, d)
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
-      val views = readStaged(ss, dir)
-        .filter(col("event_type") === "view")
-        .select(col("event_id").as("v_id"), col("ts").as("v_ts"),
-          col("user_id").as("v_uid"))
-        .withWatermark("v_ts", "1 hour")
-      val purchases = readStaged(ss, dir)
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
-          col("user_id").as("p_uid"))
-        .withWatermark("p_ts", "1 hour")
-      val joined = views.join(purchases,
-        col("v_uid") === col("p_uid") &&
-          col("p_ts") >= col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
-        .select(col("v_uid").as("user_id"), col("v_id"), col("p_id"),
-          ((unix_micros(col("p_ts")) - unix_micros(col("v_ts"))) /
-            lit(1000000L)).cast("long").as("lag_s"))
-      val name = s"graft_stream_${runId.incrementAndGet()}"
-      val q = joined.writeStream.format("memory")
-        .queryName(name).outputMode("append").start()
-      try drain(q) finally q.stop()
-      ss.table(name).orderBy(col("user_id"), col("v_id"), col("p_id"))
-    },
+    (s, d) => streamStreamJoin(s, d, "inner"),
     Some("""
       SELECT v.user_id, v.event_id AS v_id, p.event_id AS p_id,
              CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
@@ -805,6 +815,30 @@ object EventStreams {
       WHERE v.event_type = 'view' AND p.event_type = 'purchase'
       ORDER BY v.user_id, v_id, p_id"""))
 
+  // ---------------------------------------------------------------- q97
+  // LEFT OUTER stream–stream join — the semantically hard variant: a
+  // view with no purchase within its hour can only be emitted (with
+  // NULLs) once the watermark proves no future match can arrive, i.e.
+  // after it passes view.ts + 1 h. The staging's far-future sentinel
+  // advances the final watermark past every view, so the bounded replay
+  // flushes ALL unmatched rows and the result equals the batch LEFT
+  // JOIN — hash-checked. Without that watermark-driven nulls mechanism
+  // an outer stream join would have to buffer forever; with it, state
+  // and emission are both bounded by the time horizon (same 100 TB
+  // argument as q96).
+  private val q97 = QueryDef(
+    "q97_stream_stream_left_outer",
+    (s, d) => streamStreamJoin(s, d, "leftOuter"),
+    Some("""
+      SELECT v.user_id, v.event_id AS v_id, p.event_id AS p_id,
+             CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
+               AS lag_s
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      ORDER BY v.user_id, v_id, p_id"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q93, q94, q96)
+    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q93, q94, q96, q97)
 }
