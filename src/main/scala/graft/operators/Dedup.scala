@@ -244,8 +244,19 @@ object Dedup {
     val sigCols = (0 until K).map(k =>
       min((col("sid") * aK(k) + bK(k)) % P).as(s"h$k")) :+
       collect_set(col("sid")).as("sids")
+    // localCheckpoint: `sig` feeds THREE plan branches (band buckets, and
+    // both sides of the verify join). Exchange reuse only shares the
+    // shuffle WRITE below the aggregation — the 16-minhash + collect_set
+    // final aggregation would still run once per branch (measured: ~2.2×
+    // the single-agg cost at sf0.1, Q32Prof). Pinning the signature table
+    // (per-doc: 16 longs + the shingle-id set, a few % of corpus bytes)
+    // runs the shingle scan + aggregation exactly once; at 100 TB this is
+    // the standard production trade — persist the signatures, never
+    // re-derive them from text. Blocks are freed by the ContextCleaner
+    // when the frame exits, as in [[connectedComponents]].
     val sig = sh.withColumn("sid", md5Id(col("shingle")))
       .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .localCheckpoint()
     // band buckets via groupBy + collect_set: ONE shuffle keyed by
     // (band, value); pairs generated in-bucket — no self-join; hot
     // buckets dropped at MaxBucket (mirrored in the oracle's bsz CTE).
