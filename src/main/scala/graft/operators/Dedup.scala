@@ -536,6 +536,75 @@ object Dedup {
     * The unique fixpoint is reached after diameter rounds; `maxRounds`
     * caps adversarial chains (DedupSpec drives a worst-case path graph).
     */
+  /** Alternating large-star/small-star connected components — the
+    * diameter-independent fallback (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", 2014; public algorithm). Converges in
+    * O(log² n) rounds on ANY graph, where min-label propagation needs
+    * diameter rounds — the difference between 6 rounds and 10⁶ rounds on
+    * an adversarial duplicate chain (templated docs with drifting
+    * boilerplate, each ~similar only to its neighbors).
+    *
+    * large-star: each node links its LARGER neighbors to the minimum of
+    * its closed neighborhood. small-star: each node links its SMALLER
+    * neighbors (and itself) to their minimum. Both are one groupBy
+    * shuffle each; edges only ever move toward smaller ids, and the
+    * fixpoint is a forest of stars rooted at each component's min id.
+    *
+    * Convergence is detected structurally, not by set-diff: a star
+    * forest is exactly "every src has ONE outgoing edge, and no node is
+    * both a src and a dst" — one aggregate and one intersect per round
+    * on the (duplicate-graph-sized, corpus-independent) edge table. The
+    * known caveat at extreme scale: the final star's root has degree =
+    * component size, so one task holds one component's member list —
+    * same order as q35's members aggregation itself, acceptable; the
+    * paper's secondary-key variant is the documented escalation.
+    */
+  private[graft] def starComponents(pairs0: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst"), col("src")))
+        .groupBy(col("src").as("u"))
+        .agg(collect_set(col("dst")).as("vs"))
+        .withColumn("m", least(col("u"), array_min(col("vs"))))
+        .select(col("u"), col("m"), explode(col("vs")).as("v"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+    def smallStar(e: DataFrame): DataFrame =
+      e.select(greatest(col("src"), col("dst")).as("u"),
+          least(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .groupBy("u").agg(collect_set(col("v")).as("vs"))
+        .withColumn("m", array_min(col("vs"))) // all vs < u by construction
+        .select(col("m"), explode(concat(col("vs"), array(col("u")))).as("v"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .distinct()
+    val pairs = pairs0.toDF("src", "dst")
+    // per-round localCheckpoint for the same reason as the propagation
+    // loop below: each round references the previous edge set twice
+    var e = pairs.filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val agg = e.agg(count(lit(1)), countDistinct(col("src"))).first()
+      val oneEdgePerSrc = agg.getLong(0) == agg.getLong(1)
+      converged = oneEdgePerSrc &&
+        e.select(col("src")).intersect(e.select(col("dst"))).isEmpty
+      rounds += 1
+    }
+    require(converged,
+      s"starComponents: not a star forest after $maxRounds rounds " +
+        "(theoretical bound is O(log² n); this indicates a bug, not data)")
+    // star forest → labels: members point at their root; roots map to
+    // themselves
+    e.select(col("src").as("id"), col("dst").as("comp"))
+      .unionByName(
+        e.select(col("dst").as("id"), col("dst").as("comp")).distinct())
+  }
+
   def connectedComponents(pairs0: DataFrame, maxRounds: Int = 25): DataFrame = {
     val pairs = pairs0.toDF("da", "db")
     // localCheckpoint (not persist): the frontier is re-derived from
@@ -572,13 +641,12 @@ object Dedup {
       invariant = nextSum
       rounds += 1
     }
-    // a diameter->maxRounds graph must FAIL, not silently return partially
-    // propagated labels as if they were components
-    require(converged,
-      s"connectedComponents: no fixpoint after $maxRounds rounds " +
-        "(graph diameter exceeds maxRounds; raise it or use the " +
-        "large-star/small-star formulation for adversarial chains)")
-    labels
+    // a diameter->maxRounds graph must not silently return partially
+    // propagated labels as if they were components: switch to the
+    // diameter-independent large-star/small-star formulation instead
+    // (real near-dup clusters are near-cliques, so propagation wins the
+    // common case in ≤3 rounds; adversarial chains fall through here)
+    if (!converged) starComponents(pairs) else labels
   }
 
   private val q35 = QueryDef(

@@ -89,6 +89,42 @@ class DedupSpec extends AnyFunSuite {
     assert(cc === expected)
   }
 
+  test("adversarial-diameter graph falls back to large-star/small-star") {
+    // a 51-node path has diameter 50 > the propagation default of 25
+    // rounds — before r6 this raised; now it must fall through to the
+    // Kiveris star formulation and still produce the exact min-label
+    // components. Mixed with a near-clique and a pair to pin that the
+    // fallback handles heterogeneous shapes in one call.
+    import spark.implicits._
+    val pairs = Seq.tabulate(50)(i => (100L + i, 101L + i)) ++ // path 100..150
+      Seq((7L, 8L), (8L, 9L), (7L, 9L)) ++                     // triangle
+      Seq((1L, 2L))
+    val cc = graft.operators.Dedup
+      .connectedComponents(pairs.toDF("da", "db").repartition(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected =
+      (100L to 150L).map(_ -> 100L).toMap ++
+        (7L to 9L).map(_ -> 7L).toMap ++ Map(1L -> 1L, 2L -> 1L)
+    assert(cc === expected)
+  }
+
+  test("starComponents alone matches min-label on the 12-node worst case") {
+    // the fallback must agree with the propagation path on the graph the
+    // propagation test pins (so the two formulations are interchangeable)
+    import spark.implicits._
+    val pairs = Seq.tabulate(11)(i => (i.toLong, i + 1L)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L)) ++
+      Seq((30L, 31L), (40L, 41L))
+    val cc = graft.operators.Dedup
+      .starComponents(pairs.toDF("da", "db").repartition(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected =
+      (0L to 11L).map(_ -> 0L).toMap ++
+        (20L to 23L).map(_ -> 20L).toMap ++
+        Map(30L -> 30L, 31L -> 30L, 40L -> 40L, 41L -> 40L)
+    assert(cc === expected)
+  }
+
   test("hot-bucket cap bounds LSH pair generation") {
     // 200 copies of one boilerplate vector — the adversarial corpus where
     // every doc shares every band bucket. Without the cap this is
