@@ -71,9 +71,12 @@ final case class LGBMParams(
     objective: String = "",
     alpha: Double = 0.5,
     treeLearner: String = "data",
-    featureFraction: Double = 1.0) {
+    featureFraction: Double = 1.0,
+    multiclass: String = "rf") {
   require(featureFraction > 0.0 && featureFraction <= 1.0,
     s"feature_fraction must be in (0, 1], got $featureFraction")
+  require(Seq("rf", "ovr_gbt").contains(multiclass),
+    s"multiclass must be 'rf' or 'ovr_gbt', got '$multiclass'")
 }
 
 private[graft] object Params {
@@ -116,8 +119,64 @@ private[graft] object Params {
   }
 }
 
+/** One-vs-rest GBT ensemble — LightGBM's actual multiclass formulation
+  * (`objective=multiclass` trains `num_class` one-vs-all boosters per
+  * iteration) re-expressed as K independent binary GBTs. LightGBM
+  * interleaves the K boosters within each iteration only to share the
+  * histogram pass; with deterministic binary targets the final ensembles
+  * are the same, so K sequential fits are semantically equivalent (each
+  * seeded `seed + k` to decorrelate row subsampling). `transform` chains
+  * the K per-class scorers in ONE plan — each is a broadcast model
+  * evaluated row-local, so inference stays a single distributed pass —
+  * then softmax-normalizes the per-class P(y=k) scores exactly like
+  * LightGBM normalizes its K raw scores.
+  */
+final class OvRGBTModel private[ml] (val models: Array[GBTClassificationModel]) {
+  def numClasses: Int = models.length
+
+  /** Adds `prediction` (argmax, ties to the lowest class id — MLlib's
+    * own argmax convention) and `probability` (normalized per-class
+    * scores) to `df`, which must already carry `features`. */
+  def transform(df0: DataFrame): DataFrame = {
+    val pcols = models.indices.map(k => s"__ovr_p$k")
+    var df = df0
+    for ((m, k) <- models.zipWithIndex) {
+      // copy() before re-pointing output columns: setters mutate the model
+      val mk = m.copy(org.apache.spark.ml.param.ParamMap.empty)
+        .setPredictionCol(s"__ovr_pred$k")
+        .setRawPredictionCol(s"__ovr_raw$k")
+        .setProbabilityCol(s"__ovr_prob$k")
+      df = mk.transform(df)
+        .withColumn(pcols(k),
+          element_at(vector_to_array(col(s"__ovr_prob$k")), 2)) // P(y=k)
+        .drop(s"__ovr_pred$k", s"__ovr_raw$k", s"__ovr_prob$k")
+    }
+    df.withColumn("__ovr_arr", array(pcols.map(col): _*))
+      .withColumn("__ovr_sum", expr("aggregate(__ovr_arr, 0D, (a, x) -> a + x)"))
+      .withColumn("probability",
+        array_to_vector(expr("transform(__ovr_arr, x -> x / __ovr_sum)")))
+      .withColumn("prediction",
+        (expr("array_position(__ovr_arr, array_max(__ovr_arr))") - 1)
+          .cast("double"))
+      .drop(pcols: _*).drop("__ovr_arr", "__ovr_sum")
+  }
+
+  /** Split-gain importances averaged over the K boosters, renormalized. */
+  def featureImportances: Array[Double] = {
+    val per = models.map(_.featureImportances.toArray)
+    val avg = per.transpose.map(_.sum / models.length)
+    val s = avg.sum
+    if (s == 0.0) avg else avg.map(_ / s)
+  }
+
+  def save(path: String): Unit =
+    for ((m, k) <- models.zipWithIndex) m.write.overwrite().save(s"$path/c$k")
+}
+
 /** Classifier: binary → GBTClassifier; multiclass → RandomForestClassifier
-  * (MLlib GBT is binary-only — SURVEY §7 hard part 1).
+  * by default, or K one-vs-rest GBTs with `multiclass = "ovr_gbt"`
+  * (MLlib GBT is binary-only — SURVEY §7 hard part 1; see COVERAGE.md
+  * §2.A for the default's rationale).
   */
 class LGBMClassifier(val params: LGBMParams = LGBMParams()) {
 
@@ -131,15 +190,23 @@ class LGBMClassifier(val params: LGBMParams = LGBMParams()) {
     // MLlib classification requires dense labels 0..k-1 — validated by
     // one distributed aggregate (fails fast on empty or non-dense labels)
     val nClasses = Params.nClasses(data)
-    val model: ProbabilisticClassificationModel[Vector, _] =
-      if (nClasses <= 2) {
-        val est = new GBTClassifier()
-          .setMaxIter(params.nEstimators).setMaxDepth(params.maxDepth)
-          .setStepSize(params.learningRate).setSeed(params.seed)
-          .setFeatureSubsetStrategy(Params.subsetStrategy(params.featureFraction))
-        weightCol.foreach(est.setWeightCol)
-        est.fit(data)
-      } else {
+    def gbt(seed: Long) = {
+      val est = new GBTClassifier()
+        .setMaxIter(params.nEstimators).setMaxDepth(params.maxDepth)
+        .setStepSize(params.learningRate).setSeed(seed)
+        .setFeatureSubsetStrategy(Params.subsetStrategy(params.featureFraction))
+      weightCol.foreach(est.setWeightCol)
+      est
+    }
+    val backend: Either[ProbabilisticClassificationModel[Vector, _], OvRGBTModel] =
+      if (nClasses <= 2) Left(gbt(params.seed).fit(data))
+      else if (params.multiclass == "ovr_gbt")
+        Right(new OvRGBTModel(Array.tabulate(nClasses) { k =>
+          gbt(params.seed + k)
+            .fit(data.withColumn("label",
+              when(col("label") === k, 1.0).otherwise(0.0)))
+        }))
+      else {
         val est = new RandomForestClassifier()
           .setNumTrees(params.nEstimators).setMaxDepth(params.maxDepth)
           // LightGBM's feature_fraction default is 1.0; MLlib RF's "auto"
@@ -147,17 +214,21 @@ class LGBMClassifier(val params: LGBMParams = LGBMParams()) {
           .setFeatureSubsetStrategy(Params.subsetStrategy(params.featureFraction))
           .setSeed(params.seed)
         weightCol.foreach(est.setWeightCol)
-        est.fit(data)
+        Left(est.fit(data))
       }
-    new LGBMClassifierModel(model, nClasses, labelType)
+    new LGBMClassifierModel(backend, nClasses, labelType)
   }
 }
 
-class LGBMClassifierModel(
-    val inner: ProbabilisticClassificationModel[Vector, _],
+class LGBMClassifierModel private[ml] (
+    private[ml] val backend:
+      Either[ProbabilisticClassificationModel[Vector, _], OvRGBTModel],
     val nClasses: Int,
     val labelType: org.apache.spark.sql.types.DataType =
       org.apache.spark.sql.types.DoubleType) {
+
+  def this(inner: ProbabilisticClassificationModel[Vector, _], nClasses: Int) =
+    this(Left(inner), nClasses)
 
   /** classes_ analogue (reference core.py:206 passes classes_.dtype into
     * predict): the dense 0..k-1 label domain fit validated. */
@@ -167,45 +238,77 @@ class LGBMClassifierModel(
     * The prediction column is cast back to the dtype of the label column
     * the model was fit on — the reference's `dtype=self.classes_.dtype`
     * (core.py:206): an int-labeled fit predicts ints, not doubles. */
-  def predict(df: DataFrame, featuresCol: Seq[String] = Seq("features")): DataFrame =
-    inner.transform(Featurize(df, featuresCol))
+  def predict(df: DataFrame, featuresCol: Seq[String] = Seq("features")): DataFrame = {
+    val feat = Featurize(df, featuresCol)
+    backend.fold(_.transform(feat), _.transform(feat))
       .withColumn("prediction", col("prediction").cast(labelType))
+  }
 
   /** predict_proba: probability vector as array<double> (core.py:209-213). */
   def predictProba(df: DataFrame, featuresCol: Seq[String] = Seq("features")): DataFrame =
     predict(df, featuresCol)
       .withColumn("proba", vector_to_array(col("probability")))
 
-  /** to_local (core.py:215-218): MLlib models are already driver-local. */
-  def toLocal: ProbabilisticClassificationModel[Vector, _] = inner
+  /** to_local (core.py:215-218): MLlib models are already driver-local.
+    * Single-estimator backends (binary GBT, multiclass RF) return the raw
+    * MLlib model; an `ovr_gbt` fit holds K boosters — use [[toLocalOvR]]. */
+  def toLocal: ProbabilisticClassificationModel[Vector, _] = backend match {
+    case Left(m) => m
+    case Right(_) => throw new IllegalStateException(
+      "ovr_gbt model holds one booster per class: use toLocalOvR")
+  }
+
+  /** The K-booster ensemble of an `ovr_gbt` fit (to_local analogue). */
+  def toLocalOvR: OvRGBTModel = backend match {
+    case Right(o) => o
+    case Left(_) => throw new IllegalStateException(
+      "single-estimator model: use toLocal")
+  }
 
   /** feature_importances_ analogue (LightGBM sklearn surface): normalized
     * split-gain importances from the fitted ensemble. */
-  def featureImportances: Array[Double] = (inner match {
-    case m: GBTClassificationModel          => m.featureImportances
-    case m: RandomForestClassificationModel => m.featureImportances
-  }).toArray
+  def featureImportances: Array[Double] = backend match {
+    case Left(m: GBTClassificationModel)          => m.featureImportances.toArray
+    case Left(m: RandomForestClassificationModel) => m.featureImportances.toArray
+    case Left(m) => throw new IllegalStateException(s"unexpected model $m")
+    case Right(o) => o.featureImportances
+  }
 
-  /** Persist the fitted model (booster save/load analogue). */
-  def save(path: String): Unit = inner match {
-    case m: GBTClassificationModel          => m.write.overwrite().save(path)
-    case m: RandomForestClassificationModel => m.write.overwrite().save(path)
+  /** Persist the fitted model (booster save/load analogue). A single
+    * estimator saves flat; an OvR ensemble saves one `c<k>` dir per class
+    * — [[LGBMClassifierModel.load]] dispatches on the layout. */
+  def save(path: String): Unit = backend match {
+    case Left(m: GBTClassificationModel)          => m.write.overwrite().save(path)
+    case Left(m: RandomForestClassificationModel) => m.write.overwrite().save(path)
+    case Left(m) => throw new IllegalStateException(s"unexpected model $m")
+    case Right(o) => o.save(path)
   }
 }
 
 object LGBMClassifierModel {
-  /** Reload a persisted model, dispatching on the saved metadata's
-    * className rather than try-catch (a corrupt GBT dir must surface its
-    * own error, not a confusing RandomForest one); `nClasses` is
-    * recovered from the model. */
+  /** Reload a persisted model, dispatching on the saved layout: an OvR
+    * ensemble is a row of `c<k>` dirs; a single estimator is a flat MLlib
+    * dir, dispatched on the metadata's className rather than try-catch (a
+    * corrupt GBT dir must surface its own error, not a confusing
+    * RandomForest one); `nClasses` is recovered from the layout/model. */
   def load(path: String): LGBMClassifierModel = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val meta = spark.read.text(s"$path/metadata").head().getString(0)
-    val m =
-      if (meta.contains("RandomForestClassificationModel"))
-        RandomForestClassificationModel.load(path)
-      else GBTClassificationModel.load(path)
-    new LGBMClassifierModel(m, m.numClasses)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/c0"))) {
+      val models = Iterator.from(0)
+        .map(k => new org.apache.hadoop.fs.Path(s"$path/c$k"))
+        .takeWhile(fs.exists).map(p => GBTClassificationModel.load(p.toString))
+        .toArray
+      new LGBMClassifierModel(Right(new OvRGBTModel(models)), models.length)
+    } else {
+      val meta = spark.read.text(s"$path/metadata").head().getString(0)
+      val m =
+        if (meta.contains("RandomForestClassificationModel"))
+          RandomForestClassificationModel.load(path)
+        else GBTClassificationModel.load(path)
+      new LGBMClassifierModel(Left(m), m.numClasses)
+    }
   }
 }
 
