@@ -764,7 +764,13 @@ object EventStreams {
   // result therefore equals the batch interval join the oracle runs.
   // Two file sources list the same staged dir (1 file/trigger each, same
   // mtime order), so the sides advance in lockstep and the global
-  // watermark is the min over both.
+  // watermark is the min over both. Lockstep is a throughput nicety, NOT
+  // a correctness dependency: StreamingSkewSpec replays the purchase
+  // side two full slices behind the view side and the join still equals
+  // the batch oracle — min-policy watermarking means a lagging source
+  // holds back eviction for everyone, so skew costs state size, never
+  // rows. (`multipleWatermarkPolicy=max` is the config that would break
+  // this; the default `min` is what the 100 TB argument assumes.)
   private def streamStreamJoin(s: SparkSession, d: String,
       joinType: String): DataFrame = {
     val dir = orderedDir(s, d)
