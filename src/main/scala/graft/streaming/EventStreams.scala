@@ -845,6 +845,65 @@ object EventStreams {
        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
       ORDER BY v.user_id, v_id, p_id"""))
 
+  // ---------------------------------------------------------------- q98
+  // q80's tumbling-window aggregate over a MemoryStream instead of the
+  // staged file source — the staging-independence probe: every other
+  // streaming query replays through writeSliceFiles/readStaged, so a bug
+  // in that machinery (mtime ordering, slice assignment, sentinel
+  // handling) could in principle hide in all of them. Here the SAME
+  // operator runs against Spark's driver-fed source with the sample
+  // delivered in 8 arbitrary chunks, and must still match the batch
+  // oracle — semantics come from the operator + watermark, not the
+  // batching. The driver-side feed is the MemoryStream CONTRACT (it is
+  // Spark's in-process test source), so this is the one query that holds
+  // rows on the driver — bounded by the deterministic 1/97 event_id
+  // sample (~10³ rows at sf0.1, invariant of SF only linearly); the
+  // production path for unbounded data stays file/Kafka sources (q80).
+  private val q98 = QueryDef(
+    "q98_stream_memory_source",
+    (s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+      import ss.implicits._
+      val rows = Tables.t(ss, d, "events")
+        .filter(col("event_id") % 97 === 0)
+        .select(unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+        .orderBy(col("ts_us"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      val in = MemoryStream[(Long, String, Double)]
+      val agg = in.toDF().toDF("ts_us", "event_type", "value")
+        .select(expr("timestamp_micros(ts_us)").as("ts"),
+          col("event_type"), col("value"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumFixed(col("value"), 2).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("wstart_epoch"),
+          col("event_type"), col("n"), col("sum_value"))
+      val name = s"graft_stream_${runId.incrementAndGet()}"
+      val q = agg.writeStream.format("memory")
+        .queryName(name).outputMode("complete").start()
+      try {
+        val chunk = math.max(1, rows.length / 8 + 1)
+        rows.grouped(chunk).foreach { c =>
+          in.addData(c.toSeq); q.processAllAvailable()
+        }
+        drain(q)
+      } finally q.stop()
+      ss.table(name).orderBy(col("wstart_epoch"), col("event_type"))
+    },
+    Some(s"""
+      SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS wstart_epoch,
+             event_type, count(*) AS n,
+             ${sumFixedSql("value", 2)} AS sum_value
+      FROM events
+      WHERE event_id % 97 = 0
+      GROUP BY 1, 2
+      ORDER BY wstart_epoch, event_type"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q93, q94, q96, q97)
+    Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q93, q94, q96, q97,
+      q98)
 }
