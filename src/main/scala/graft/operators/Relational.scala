@@ -380,6 +380,17 @@ object Relational {
 
   // ---------------------------------------------------------------- q13
   // Distinct aggregation (expand-based in Spark; exact, shuffle on key).
+  // Cost shape: TWO countDistinct in one .agg plans a single Expand that
+  // replicates every input row once per distinct column — 3× input
+  // amplification here (2 distinct branches + the plain count), all
+  // hash-aggregable. That is categorically different from the q38 trap
+  // (mixing countDistinct with a SKETCH aggregate forces the sort-based
+  // fallback that copies the sketch buffer per expanded row — 51 s vs
+  // 1.3 s at sf0.1): with only expand-able aggregates the shape stays
+  // linear and this query runs ~1.5 s at sf0.1. Split into two joined
+  // single-distinct aggregations only if a bench ever shows the 3×
+  // scan amplification dominating (it shrinks the Expand to 2×+2×
+  // but pays an extra shuffle + join).
   private val q13 = QueryDef(
     "q13_distinct_agg",
     (s, d) =>
