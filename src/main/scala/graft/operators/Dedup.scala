@@ -166,6 +166,15 @@ object Dedup {
   private val q31 = QueryDef(
     "q31_dedup_ngram_jaccard",
     (s, d) => {
+      // NOT checkpointed, unlike minhashPairs' signature table: `sh` feeds
+      // three branches, but they share the distinct's shuffle write via
+      // exchange reuse and each needs its own re-aggregation regardless
+      // (different grouping keys), so there is no repeated expensive
+      // final-agg to pin. Measured (Profile, sf0.1): checkpointing sh+sets
+      // here costs 8.7→16.3 s cold (materializing the corpus-sized
+      // exploded shingle table) and saves nothing warm — the q32 fix does
+      // not transfer because q32's branches repeat ONE expensive
+      // aggregation where q31's each do different cheap ones.
       val sh = shingles(s, d)
       // per-doc shingle set (one aggregation; reused for the verify side)
       val sets = sh.groupBy(col("doc_id"), col("lang"))
