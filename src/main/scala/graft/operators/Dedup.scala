@@ -684,5 +684,38 @@ object Dedup {
       GROUP BY comp_id
       ORDER BY comp_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35)
+  // ---------------------------------------------------------------- q99
+  // The large-star/small-star fallback run END-TO-END against q35's exact
+  // oracle: both formulations must reach the same unique fixpoint (min id
+  // per component), so forcing the real corpus pairs through the fallback
+  // and hash-matching the recursive-CTE oracle gates the algorithm itself,
+  // not just the DedupSpec toy graphs. (Distinct algorithm, same oracle —
+  // this is the fallback's correctness gate, not a duplicate of q35.)
+  private val q99 = QueryDef(
+    "q99_dedup_components_star",
+    (s, d) =>
+      starComponents(minhashPairs(s, d).select(col("da"), col("db")))
+        .groupBy(col("comp").as("comp_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("array_join(transform(sort_array(collect_list(id))," +
+            " x -> cast(x as string)), ',')").as("members"))
+        .orderBy(col("comp_id")),
+    Some(s"""
+      WITH RECURSIVE $minhashCtes,
+      edges AS (
+        SELECT da AS src, db AS dst FROM mh_pairs
+        UNION ALL
+        SELECT db, da FROM mh_pairs),
+      reach(id, comp) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id, min(comp) AS comp_id FROM reach GROUP BY id)
+      SELECT comp_id, count(*) AS n_docs,
+             string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+      FROM comp
+      GROUP BY comp_id
+      ORDER BY comp_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q99)
 }
