@@ -717,5 +717,104 @@ object Dedup {
       GROUP BY comp_id
       ORDER BY comp_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q99)
+  // --------------------------------------------------------------- q100
+  // INCREMENTAL dedup — the production daily-refresh shape: a "new" batch
+  // (doc_id % 10 = 7 stands in for today's crawl) is checked against the
+  // already-ingested corpus, and each new doc gets a verdict: 'exact'
+  // (content hash already present), 'near' (verified Jaccard ≥ 0.5
+  // against some corpus doc), or 'new'. The 100 TB point is ASYMMETRY:
+  // band buckets are built over both sides in one pass, but pairs are
+  // generated ONLY across sides (new × corpus within a capped bucket) —
+  // the corpus×corpus quadratic term, which full dedup must pay, never
+  // exists here, so a |delta| ≪ |corpus| refresh costs O(|delta| ·
+  // bucket-occupancy), not O(|corpus|²). Exact matches are one
+  // hash-semi-join on (md5, n_chars), the q30 identity treatment.
+  // Cross-side generation inside the SAME capped buckets makes the near
+  // set exactly the mixed-membership subset of q32's mh_pairs, which is
+  // how the oracle states it.
+  private val q100 = QueryDef(
+    "q100_dedup_incremental",
+    (s, d) => {
+      val isNew = col("doc_id") % 10 === 7
+      val hashed = docs(s, d).select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"), col("n_chars"), isNew.as("is_new"))
+      val exact = hashed.filter(col("is_new"))
+        .join(hashed.filter(!col("is_new"))
+            .select(col("h"), col("n_chars")).distinct(),
+          Seq("h", "n_chars"), "left_semi")
+        .select(col("doc_id"), lit(true).as("ex"))
+      // near: one minhash pass over the whole table, then cross-side
+      // pairs from capped buckets (cap on TOTAL bucket size, matching
+      // bucketPairs/minhashCtes semantics bit-for-bit)
+      val sh = shingles(s, d)
+      val sigCols = (0 until K).map(k =>
+        min((col("sid") * aK(k) + bK(k)) % P).as(s"h$k")) :+
+        collect_set(col("sid")).as("sids")
+      val sig = sh.withColumn("sid", md5Id(col("shingle")))
+        .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        .localCheckpoint() // feeds buckets + both verify sides (q32 note)
+      val bandExprs = (0 until Bands).map(j =>
+        s"struct(${j}L as band, h${2 * j} * 2147483648L + h${2 * j + 1} as bv)")
+      val cross = sig
+        .select(col("doc_id"), explode(array(bandExprs.map(expr): _*)).as("b"))
+        .groupBy(col("b.band"), col("b.bv"))
+        .agg(
+          sort_array(collect_set(when(col("doc_id") % 10 === 7,
+            col("doc_id")))).as("new_ids"),
+          sort_array(collect_set(when(col("doc_id") % 10 =!= 7,
+            col("doc_id")))).as("old_ids"))
+        .filter(size(col("new_ids")) > 0 && size(col("old_ids")) > 0 &&
+          size(col("new_ids")) + size(col("old_ids")) <= MaxBucket)
+        .select(col("new_ids"), col("old_ids"),
+          explode(expr("sequence(0, size(new_ids) - 1)")).as("i"))
+        .select(col("new_ids")(col("i")).as("new_id"), col("old_ids"),
+          explode(expr("sequence(0, size(old_ids) - 1)")).as("j"))
+        .select(col("new_id"), col("old_ids")(col("j")).as("old_id"))
+        .distinct()
+      val near = cross
+        .join(sig.select(col("doc_id").as("new_id"), col("sids").as("sa")), "new_id")
+        .join(sig.select(col("doc_id").as("old_id"), col("sids").as("sb")), "old_id")
+        .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .filter(col("ni").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("ni")).cast("double") >= 0.5)
+        .groupBy(col("new_id"))
+        .agg(count(lit(1)).as("n_near"), min(col("old_id")).as("near_min_old"))
+      docs(s, d).filter(isNew).select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("ex"), "exact").when(col("n_near").isNotNull, "near")
+            .otherwise("new").as("verdict"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"),
+          coalesce(col("near_min_old"), lit(-1L)).as("near_min_old"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $minhashCtes,
+      near AS (
+        SELECT CASE WHEN da % 10 = 7 THEN da ELSE db END AS new_id,
+               CASE WHEN da % 10 = 7 THEN db ELSE da END AS old_id
+        FROM mh_pairs
+        WHERE (da % 10 = 7) <> (db % 10 = 7)),
+      nearagg AS (
+        SELECT new_id, count(*) AS n_near, min(old_id) AS near_min_old
+        FROM near GROUP BY new_id),
+      ex AS (
+        SELECT DISTINCT n.doc_id
+        FROM documents n JOIN documents o
+          ON md5(n.text) = md5(o.text) AND n.n_chars = o.n_chars
+        WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7)
+      SELECT d.doc_id,
+             CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                  WHEN a.new_id IS NOT NULL THEN 'near'
+                  ELSE 'new' END AS verdict,
+             CAST(COALESCE(a.n_near, 0) AS BIGINT) AS n_near,
+             CAST(COALESCE(a.near_min_old, -1) AS BIGINT) AS near_min_old
+      FROM documents d
+      LEFT JOIN ex e ON e.doc_id = d.doc_id
+      LEFT JOIN nearagg a ON a.new_id = d.doc_id
+      WHERE d.doc_id % 10 = 7
+      ORDER BY d.doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q99, q100)
 }
