@@ -1024,8 +1024,50 @@ object Relational {
         AND l_discount BETWEEN 0.03 AND 0.07
         AND l_quantity < 24"""))
 
+  // --------------------------------------------------------------- q101
+  // Blocked fuzzy string join (entity matching): near-identical part
+  // names within an equi-block, verified by edit distance ≤ 2 — the
+  // string-similarity analogue of the LSH families' block→verify shape,
+  // and the standard curation primitive for catalog/entity dedup. The
+  // plan is ONE shuffle on the block key (brand, type): the quadratic
+  // term exists only inside a block, whose size is bounded by the key's
+  // domain semantics (here ≤165 rows at sf0.1; at 100 TB a hot block
+  // gets the LSH treatment — cap or sub-block on a name prefix). Two
+  // lossless prefilters keep the O(L²) DP off most pairs: names must
+  // differ (identical names are q30's exact-dup domain, not fuzzy
+  // matches), and |len(a) − len(b)| ≤ 2 (a length gap > t forces
+  // levenshtein > t). Both engines compute the same classic integer
+  // edit distance, so the result hash-matches exactly.
+  private val q101 = QueryDef(
+    "q101_fuzzy_name_join",
+    (s, d) => {
+      val p = part(s, d).select(col("p_partkey"), col("p_name"),
+        col("p_brand"), col("p_type"))
+      val a = p.toDF("da", "name_a", "brand", "ptype")
+      val b = p.toDF("db", "name_b", "brand", "ptype")
+      a.join(b, Seq("brand", "ptype"))
+        .filter(col("da") < col("db") &&
+          col("name_a") =!= col("name_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= 2 &&
+          levenshtein(col("name_a"), col("name_b")) <= 2)
+        .select(col("da"), col("db"), col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some("""
+      SELECT a.p_partkey AS da, b.p_partkey AS db,
+             a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+       AND a.p_partkey < b.p_partkey
+      WHERE a.p_name <> b.p_name
+        AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        AND levenshtein(a.p_name, b.p_name) <= 2
+      ORDER BY da, db"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67)
+    q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101)
 }
