@@ -155,5 +155,60 @@ object Analytics {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
-  val defs: Seq[QueryDef] = Seq(q38, q52, q55)
+  // --------------------------------------------------------------- q102
+  // Exact AUC as a query (metric-as-query, SURVEY §2.B B10 depth): how
+  // well does `value` rank purchases above other events? Mann–Whitney
+  // with exact tie handling, computed in the INTEGER domain so the
+  // result is order- and partition-independent:
+  //   AUC = [Σ_s np(s)·(2·cumneg(<s) + nn(s))] / (2·NP·NN)
+  // where s ranges over DISTINCT score values (ties collapse into one
+  // group, each pos–neg tie counting ½ — the ×2 keeps every term a
+  // BIGINT until the final division). The plan: one distributed groupBy
+  // on score (100k rows → 17.8k groups at sf0.1), then ONE ordered
+  // prefix-sum pass over the collapsed groups. That ordered pass is a
+  // single-partition window — acceptable because its input is the
+  // distinct-score domain, not the corpus; at 100 TB with continuous
+  // scores the production form first quantizes scores to a fixed grid
+  // (the standard histogram-AUC treatment, resolution documented at the
+  // call site), which caps the ordered pass at the grid size while
+  // keeping exactness w.r.t. the quantized scores.
+  private val q102 = QueryDef(
+    "q102_auc_rank_metric",
+    (s, d) => {
+      val e = ev(s, d).select(
+        (col("event_type") === "purchase").cast("long").as("pos"),
+        col("value").as("score"))
+      val g = e.groupBy(col("score")).agg(
+        sum(col("pos")).as("np"),
+        (count(lit(1)) - sum(col("pos"))).as("nn"))
+      val w = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
+        .agg(
+          sum(col("np") * (col("cumneg") * 2 + col("nn"))).as("num2"),
+          sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+        .select(
+          round(col("num2").cast("double") /
+            (col("n_pos") * col("n_neg") * 2).cast("double"), 6).as("auc"),
+          col("n_pos"), col("n_neg"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT value AS score,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS np,
+               CAST(count(*) FILTER (WHERE event_type <> 'purchase') AS BIGINT) AS nn
+        FROM events GROUP BY value),
+      c AS (
+        SELECT np, nn,
+               CAST(COALESCE(sum(nn) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS cumneg
+        FROM g)
+      SELECT round(CAST(sum(np * (cumneg * 2 + nn)) AS DOUBLE) /
+                   CAST(sum(np) * sum(nn) * 2 AS DOUBLE), 6) AS auc,
+             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg
+      FROM c"""))
+
+  val defs: Seq[QueryDef] = Seq(q38, q52, q55, q102)
 }

@@ -155,6 +155,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q101: fuzzy join is an equi-block join, never a nested loop") {
+    // the whole point of blocking: the quadratic term lives INSIDE a
+    // block. If the optimizer ever demotes the (brand, type) equi-keys
+    // to a join condition on a BroadcastNestedLoopJoin/CartesianProduct,
+    // the plan becomes all-pairs over the table — fine at sf0.1, fatal
+    // at 100 TB.
+    val p = planOf("q101_fuzzy_name_join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "block keys must drive a hash or sort-merge join")
+    assert(!p.toLowerCase.contains("cartesianproduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "fuzzy matching must never plan as an all-pairs join")
+  }
+
   test("native expressions are SQL-callable once registered") {
     // the injector itself is exercised for shape (extensions only apply
     // at session build); SQL callability goes through the SAME builders
