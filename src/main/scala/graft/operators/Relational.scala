@@ -1048,10 +1048,15 @@ object Relational {
       a.join(b, Seq("brand", "ptype"))
         .filter(col("da") < col("db") &&
           col("name_a") =!= col("name_b") &&
-          abs(length(col("name_a")) - length(col("name_b"))) <= 2 &&
-          levenshtein(col("name_a"), col("name_b")) <= 2)
+          abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+        // thresholded levenshtein (returns −1 above the threshold) runs a
+        // banded O(t·L) DP instead of the full O(L²) table — the verify
+        // cost per candidate is bounded by the threshold, not the strings
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
+        .filter(col("dist") >= 1)
         .select(col("da"), col("db"), col("name_a"), col("name_b"),
-          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+          col("dist"))
         .orderBy(col("da"), col("db"))
     },
     Some("""
