@@ -197,5 +197,47 @@ object Pipeline {
       GROUP BY lang
       ORDER BY lang"""))
 
-  val defs: Seq[QueryDef] = Seq(q36, q47, q48, q49)
+  // --------------------------------------------------------------- q104
+  // Document chunking: overlapping token windows (W=64, stride S=48 →
+  // 25% overlap), the context-window primitive every embedding/RAG/
+  // training pipeline runs between curation and encoding. A pure
+  // generator op — explode over integer chunk STARTS (lambda-free, the
+  // shingles lesson), then a positional slice per start — so it is a
+  // single scan with no shuffle at all until the final presentation
+  // sort; at 100 TB chunking is embarrassingly parallel and this plan
+  // keeps it that way. Chunk identity is (doc_id, chunk_idx) with the
+  // chunk content itself reduced to md5 + token count in the output —
+  // the downstream contract (stable ids + verifiable content) without
+  // hauling the expanded text through the gate. Chunks start at every
+  // multiple of S below the token count, so a doc shorter than W yields
+  // exactly one (possibly short) chunk; both engines slice past-the-end
+  // as "rest of the list", mirrored by least() clamping in the oracle.
+  private val q104 = QueryDef(
+    "q104_doc_chunking",
+    (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
+          explode(expr("sequence(0, size(toks) - 1, 48)")).as("start"))
+        .select(col("doc_id"),
+          (col("start") / 48).cast("long").as("chunk_idx"),
+          expr("slice(toks, start + 1, 64)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_toks"),
+          md5(expr("array_join(chunk, ' ')").cast("binary")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      starts AS (
+        SELECT doc_id, toks, len(toks) AS n, unnest(range(0, len(toks), 48)) AS start
+        FROM t)
+      SELECT doc_id, start // 48 AS chunk_idx,
+             CAST(least(start + 64, n) - start AS BIGINT) AS n_toks,
+             md5(array_to_string(toks[start + 1 : least(start + 64, n)], ' '))
+               AS chunk_md5
+      FROM starts
+      ORDER BY doc_id, chunk_idx"""))
+
+  val defs: Seq[QueryDef] = Seq(q36, q47, q48, q49, q104)
 }

@@ -114,6 +114,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "frame indices explode via Generate")
   }
 
+  test("q104: chunking is shuffle-free per-row generation") {
+    // context-window chunking is embarrassingly parallel; any hash
+    // exchange before the presentation sort means the plan stopped
+    // being a single scan
+    val p = planOf("q104_doc_chunking")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunk generation must not shuffle")
+    assert(p.contains("Generate"), "chunk starts explode via Generate")
+    assert(!p.contains("lambdafunction"),
+      "chunk slicing must stay codegen-able (no interpreted lambdas)")
+  }
+
   test("q39: bigram generator stays out of the interpreted-lambda path") {
     val p = planOf("q39_bigram_topk")
     assert(!p.contains("lambdafunction"),
