@@ -63,6 +63,41 @@ object Featurize {
   }
 }
 
+/** Two-frame adapter for the reference's `fit(dX, dy[, sample_weight])`
+  * call shape (core.py:95-102): the reference zips the X/y/w delayeds
+  * partition-by-partition and REQUIRES identical chunking — `RDD.zip`
+  * enforces exactly that contract (same partition count AND same row
+  * count per partition, runtime error otherwise), so misaligned frames
+  * fail loudly here just as misaligned dask collections do there. The
+  * single-DataFrame API remains the primary surface (co-locality is
+  * structural, SURVEY §1.3); this adapter exists so a reference caller
+  * holding separate frames can switch without re-keying their data. The
+  * materialization cost is one pass with no shuffle — rows pair up
+  * within co-located partitions.
+  *
+  * Alignment contract: both frames must have a DETERMINISTIC, identical
+  * row order — derive them from a common hash-partitioned + key-sorted
+  * parent and keep the key column in BOTH frames to assert alignment
+  * (dask's index plays that role in the reference). `RDD.zip` catches
+  * count/partition mismatches but cannot detect reordering; in
+  * particular a round-robin `repartition()` orders by the WHOLE row for
+  * its failure-determinism sort, so frames with different columns come
+  * back in different orders (pinned by MLSpec's two-frame test).
+  */
+object ZipFrames {
+  def zip(x: DataFrame, y: DataFrame): DataFrame = {
+    val spark = x.sparkSession
+    val outSchema = org.apache.spark.sql.types.StructType(
+      x.schema.fields ++ y.schema.fields)
+    val dup = x.schema.fieldNames.toSet.intersect(y.schema.fieldNames.toSet)
+    require(dup.isEmpty, s"column name collision across frames: $dup")
+    val rows = x.rdd.zip(y.rdd).map { case (a, b) =>
+      org.apache.spark.sql.Row.fromSeq(a.toSeq ++ b.toSeq)
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+}
+
 final case class LGBMParams(
     nEstimators: Int = 50,
     maxDepth: Int = 5,

@@ -112,6 +112,41 @@ class MLSpec extends AnyFunSuite {
     assert(re.toLocalOvR.numClasses == 3)
   }
 
+  test("two-frame fit(dX, dy) adapter zips partitions like the reference") {
+    // reference call shape core.py:95-102: separate X and y collections,
+    // zipped positionally with identical chunking required. The adapter
+    // must produce the same fit as the single-frame path, and misaligned
+    // partitioning must fail loudly (dask raises on mismatched chunks;
+    // RDD.zip raises on mismatched partitions).
+    val df = blobs(2)
+    // both frames must carry a DETERMINISTIC shared order — the dask
+    // analogue is the index both collections carry. Hash-partition and
+    // sort on the key, then project; a round-robin repartition would
+    // NOT work (its determinism sort keys on the whole row, so pruned
+    // columns change the order — found by this very test).
+    val parent = df.repartition(2, $"id").sortWithinPartitions("id")
+    val x = parent.select($"id", $"feats")
+    val y = parent.select($"id".as("yid"), $"label")
+    val joined = graft.ml.ZipFrames.zip(x, y)
+    assert(joined.columns.toSeq === Seq("id", "feats", "yid", "label"))
+    // index-alignment check, as dask does with its index
+    assert(joined.filter($"id" =!= $"yid").count() == 0,
+      "zip must pair each row with its own label")
+    val m1 = new LGBMClassifier(LGBMParams(nEstimators = 10))
+      .fit(joined, Seq("feats"))
+    val m2 = new LGBMClassifier(LGBMParams(nEstimators = 10))
+      .fit(df, Seq("feats"))
+    val p1 = m1.predict(df, Seq("feats")).orderBy("id")
+      .select("prediction").collect().map(_.getDouble(0))
+    val p2 = m2.predict(df, Seq("feats")).orderBy("id")
+      .select("prediction").collect().map(_.getDouble(0))
+    assert(p1.sameElements(p2), "two-frame fit must equal single-frame fit")
+    // misaligned chunking fails loudly, as in the reference
+    intercept[Exception] {
+      graft.ml.ZipFrames.zip(x.repartition(3), y.repartition(5)).count()
+    }
+  }
+
   test("feature_fraction maps to a fraction subset strategy and keeps quality") {
     // LightGBM feature_fraction surface: 1.0 = all features per split
     // (the default), a fraction subsamples — quality gate must hold
