@@ -239,5 +239,77 @@ object Pipeline {
       FROM starts
       ORDER BY doc_id, chunk_idx"""))
 
-  val defs: Seq[QueryDef] = Seq(q36, q47, q48, q49, q104)
+  // --------------------------------------------------------------- q105
+  // Eval-set decontamination: before trusting a benchmark, every eval
+  // document is checked for 5-gram CONTAINMENT anywhere in the training
+  // corpus — the standard pre-eval hygiene step, and a different shape
+  // from near-dup (q31/q32 score symmetric pairwise similarity; this is
+  // asymmetric membership of a small set against the whole corpus).
+  // Plan, 100 TB-first: the eval side (doc_id % 97 = 3 here) is tiny, so
+  // its distinct 5-gram set BROADCASTS and the corpus-side gram stream is
+  // probed in place — the training corpus is scanned once and never
+  // shuffles on grams; the only exchanged data is the hit set, bounded
+  // by the eval grams. (The corpus-side inverted-index formulation would
+  // shuffle the full gram dictionary — strictly worse while |eval| ≪
+  // |train|.) 5-gram width measured on this corpus: 3-grams flag every
+  // doc (common phrases), 7-grams flag none; 5 discriminates.
+  private val q105 = QueryDef(
+    "q105_decontamination",
+    (s, d) => {
+      val grams = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, size(toks) - 5)")).as("i"))
+        .select(col("doc_id"),
+          expr("array_join(slice(toks, i + 1, 5), ' ')").as("ng"))
+        .distinct()
+      val isEval = col("doc_id") % 97 === 3
+      val evG = grams.filter(isEval)
+      val trG = grams.filter(!isEval).select(col("ng"))
+      // hit set: corpus grams probed against the broadcast eval set;
+      // result is small (⊆ eval grams) so the distinct is cheap
+      val hits = trG
+        .join(broadcast(evG.select(col("ng")).distinct()), Seq("ng"), "left_semi")
+        .distinct().withColumn("hit", lit(1))
+      docs(s, d).filter(isEval).select(col("doc_id"))
+        .join(
+          evG.join(hits, Seq("ng"), "left")
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_ngrams"),
+              count(col("hit")).as("n_hit")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 5
+               THEN list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+4], ' '))
+               ELSE [] END) AS ng
+        FROM t),
+      ev AS (SELECT doc_id, ng FROM g WHERE doc_id % 97 = 3),
+      tr AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 <> 3),
+      agg AS (
+        SELECT ev.doc_id,
+               CAST(count(*) AS BIGINT) AS n_ngrams,
+               CAST(count(tr.ng) AS BIGINT) AS n_hit
+        FROM ev LEFT JOIN tr ON ev.ng = tr.ng
+        GROUP BY ev.doc_id)
+      SELECT d.doc_id,
+             COALESCE(a.n_ngrams, 0) AS n_ngrams,
+             COALESCE(a.n_hit, 0) AS n_hit,
+             COALESCE(a.n_hit, 0) > 0 AS contaminated
+      FROM documents d
+      LEFT JOIN agg a ON a.doc_id = d.doc_id
+      WHERE d.doc_id % 97 = 3
+      ORDER BY d.doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q36, q47, q48, q49, q104, q105)
 }
