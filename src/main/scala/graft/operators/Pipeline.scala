@@ -263,9 +263,14 @@ object Pipeline {
           explode(expr("sequence(0, size(toks) - 5)")).as("i"))
         .select(col("doc_id"),
           expr("array_join(slice(toks, i + 1, 5), ' ')").as("ng"))
-        .distinct()
       val isEval = col("doc_id") % 97 === 3
-      val evG = grams.filter(isEval)
+      // distinct ONLY on the eval side (n_ngrams counts distinct grams
+      // per eval doc); the corpus side stays a raw stream — semi-join
+      // membership doesn't need dedup, and a corpus-wide distinct would
+      // be exactly the gram-dictionary shuffle this plan exists to avoid
+      // (caught by an Explain audit: the shared distinct exchanged the
+      // full gram stream)
+      val evG = grams.filter(isEval).distinct()
       val trG = grams.filter(!isEval).select(col("ng"))
       // hit set: corpus grams probed against the broadcast eval set;
       // result is small (⊆ eval grams) so the distinct is cheap
