@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Training-data pipeline operators over `documents` ([EXT], SURVEY §2.C):
   * deterministic content-keyed train/val/test splitting, weighted corpus
@@ -316,5 +317,53 @@ object Pipeline {
       WHERE d.doc_id % 97 = 3
       ORDER BY d.doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q36, q47, q48, q49, q104, q105)
+  // --------------------------------------------------------------- q106
+  // Sequence packing: assign documents to fixed token-budget training
+  // sequences (B = 1024) by the concatenate-and-chunk rule every
+  // pre-training batcher uses — documents are laid out in a deterministic
+  // order and a document belongs to the bin its first token lands in
+  // (bin = start_offset div B). The layout order is (md5(text), doc_id)
+  // per source: content-keyed like q47's splits, so packing is
+  // reproducible run-to-run and immune to partitioning/ingest order —
+  // rand() or input order would migrate documents between bins on every
+  // rerun and poison resume-from-checkpoint training.
+  // Scale: one shuffle on `source` for the running-offset window, then a
+  // hash aggregation. The cumulative sum is the one inherently sequential
+  // step of packing; at 100 TB the partition key generalizes to
+  // (source, hash-shard) — each shard packs its own bins independently,
+  // which changes bin NUMBERING but not the packing property. Output is
+  // per (source, bin): docs starting there and their token mass.
+  private val q106 = QueryDef(
+    "q106_sequence_packing",
+    (s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("source"), col("doc_id"),
+          md5(col("text").cast("binary")).as("h"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", expr("(cum - n_tok) div 1024"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("source"), col("bin"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT source, doc_id, md5(text) AS h,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT source, n_tok,
+               CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM t)
+      SELECT source, (cum - n_tok) // 1024 AS bin,
+             count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM c
+      GROUP BY 1, 2
+      ORDER BY source, bin"""))
+
+  val defs: Seq[QueryDef] = Seq(q36, q47, q48, q49, q104, q105, q106)
 }

@@ -421,5 +421,59 @@ object TextAnalysis {
       WHERE rk <= 10
       ORDER BY lang, rk"""))
 
-  val defs: Seq[QueryDef] = Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46)
+  // --------------------------------------------------------------- q107
+  // Vocabulary coverage / OOV rate: build the top-V corpus vocabulary by
+  // token frequency (V = 50, ties broken by token text so the cut is
+  // deterministic), then measure each language's out-of-vocabulary token
+  // rate against it — the primitive behind tokenizer training and the
+  // "does my tokenizer cover this slice" audit run before adding a new
+  // corpus to the mix.
+  // Scale: tokens aggregate once into per-(lang, token) counts (Zipf skew
+  // is absorbed by map-side partial aggregation — the hot token combines
+  // within every partition before the exchange); global counts derive
+  // from that same aggregate, NOT a second scan of the corpus. The top-V
+  // cut is a TakeOrdered over the token dictionary (dictionary-sized, not
+  // corpus-sized), and the vocabulary — V rows — broadcasts to the
+  // per-language join, so the corpus-sized side never reshuffles.
+  private val q107 = QueryDef(
+    "q107_vocab_oov",
+    (s, d) => {
+      val perLang = docs(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+      val vocab = perLang
+        .groupBy(col("tok")).agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(50)
+        .select(col("tok"), lit(1).as("in_v"))
+      perLang.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).as("n_tokens"),
+          sum(when(col("in_v").isNull, col("n")).otherwise(lit(0L))).as("n_oov"),
+          round(sum(when(col("in_v").isNull, col("n")).otherwise(lit(0L)))
+            .cast("double") / sum(col("n")).cast("double"), 6).as("oov_rate"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      pl AS (
+        SELECT lang, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+      vocab AS (
+        SELECT tok FROM (
+          SELECT tok, sum(n) AS c FROM pl GROUP BY 1
+          ORDER BY c DESC, tok LIMIT 50)),
+      j AS (
+        SELECT pl.lang, pl.n, v.tok AS vtok
+        FROM pl LEFT JOIN vocab v ON pl.tok = v.tok)
+      SELECT lang,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN vtok IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_oov,
+             round(CAST(sum(CASE WHEN vtok IS NULL THEN n ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(n) AS DOUBLE), 6) AS oov_rate
+      FROM j
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  val defs: Seq[QueryDef] = Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107)
 }
