@@ -91,4 +91,67 @@ class AnalyticsSpec extends AnyFunSuite {
     once.foreach { case (lang, n, _) => assert(n <= perLang(lang)) }
   }
 
+  test("q106 packing is invariant under input repartitioning and conserves mass") {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = q("q106_sequence_packing")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    // same packing logic over a deliberately scrambled layout
+    val w = W.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val redo = Tables.t(spark, sf, "documents").repartition(13, col("doc_id"))
+      .select(col("source"), col("doc_id"),
+        md5(col("text").cast("binary")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr("(cum - n_tok) div 1024"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(base.toSeq == redo.toSeq)
+    // bins are contiguous 0..max per source (offsets leave no gaps) and
+    // the packed token mass equals the corpus token count
+    base.groupBy(_._1).foreach { case (_, bins) =>
+      assert(bins.map(_._2).sorted.toSeq == (0L until bins.length.toLong))
+    }
+    val totalToks = Tables.t(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(base.map(_._4).sum == totalToks)
+  }
+
+  test("q107 vocab/OOV is internally consistent and layout-independent") {
+    val rows = q("q107_vocab_oov")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // token mass: per-lang totals sum to the corpus token count
+    val total = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t")).count()
+    assert(rows.map(_._2).sum == total)
+    // rate column agrees with the integer counts it summarizes
+    rows.foreach { case (_, n, oov, rate) =>
+      assert(oov <= n && math.abs(rate - oov.toDouble / n) < 1e-5)
+    }
+    // the vocabulary cut (count desc, token asc) is a total order, so a
+    // scrambled layout must reproduce the same per-lang numbers
+    val redo = {
+      val perLang = Tables.t(spark, sf, "documents")
+        .repartition(13, col("doc_id"))
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("n"))
+      val vocab = perLang.groupBy(col("tok")).agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(50)
+        .select(col("tok"), lit(1).as("in_v"))
+      perLang.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).as("n_tokens"),
+          sum(when(col("in_v").isNull, col("n")).otherwise(lit(0L))).as("n_oov"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+    }
+    assert(rows.map(x => (x._1, x._2, x._3)).toSeq == redo.toSeq)
+  }
+
 }
