@@ -126,6 +126,27 @@ class PlanSpec extends AnyFunSuite {
       "chunk slicing must stay codegen-able (no interpreted lambdas)")
   }
 
+  test("q105: corpus gram stream is probed raw, never aggregated or exchanged") {
+    // the decontamination plan's whole point: the training-corpus side
+    // flows scan → explode → semi-join against the BROADCAST eval gram
+    // set. A distinct on the shared gram stream (the shape this pin
+    // guards against — it shipped once) exchanges the full corpus gram
+    // dictionary, which at 100 TB is the dominant cost of the query.
+    val p = planOf("q105_decontamination")
+    assert(p.contains("LeftSemi"),
+      "corpus grams must semi-probe the broadcast eval set")
+    // the only per-doc gram distinct (keys = doc_id, ng) is the
+    // eval-side partial+final pair; a corpus-side distinct doubles it
+    val docGramAggs = "HashAggregate\\(keys=\\[doc_id#\\d+L?, ng#\\d+"
+      .r.findAllIn(p).size
+    assert(docGramAggs == 2,
+      s"expected only the eval-side (doc_id, ng) distinct pair, found $docGramAggs")
+    // and, as everywhere: no exchange may carry the raw document text
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => !l.contains("text#")),
+      s"no exchange may carry document text: $exchanges")
+  }
+
   test("q39: bigram generator stays out of the interpreted-lambda path") {
     val p = planOf("q39_bigram_topk")
     assert(!p.contains("lambdafunction"),
