@@ -327,43 +327,61 @@ object Pipeline {
   // reproducible run-to-run and immune to partitioning/ingest order —
   // rand() or input order would migrate documents between bins on every
   // rerun and poison resume-from-checkpoint training.
-  // Scale: one shuffle on `source` for the running-offset window, then a
-  // hash aggregation. The cumulative sum is the one inherently sequential
-  // step of packing; at 100 TB the partition key generalizes to
-  // (source, hash-shard) — each shard packs its own bins independently,
-  // which changes bin NUMBERING but not the packing property. Output is
-  // per (source, bin): docs starting there and their token mass.
+  // Scale: the cumulative sum is the one inherently sequential step of
+  // packing, so the window key must bound what one task sorts. Keying by
+  // `source` alone puts an entire source in ONE window partition — a
+  // corpus-sized single-task sort when one source dominates (the common
+  // case: a 100 TB crawl is one source). So the window partitions by
+  // (source, shard) where shard = content-hash % 16 — the same
+  // cross-engine md5 idiom as q47's buckets, derived from `h` so it adds
+  // no hash work and keeps byte-identical duplicates co-sharded. Each
+  // shard packs its own bins independently: bin NUMBERING is per-shard
+  // but the packing property (every bin except a shard's last holds ≥
+  // B tokens' worth of starts; offsets leave no gaps) is preserved, and
+  // the per-task work drops from O(|source|) to O(|source|/16) — at
+  // larger scale S rises with the cluster, the numbers stay exact.
+  // One shuffle total: the (source, shard) exchange feeds the window,
+  // and the (source, shard, bin) aggregation reuses that partitioning
+  // (group keys ⊇ partition keys), so no second exchange — PlanSpec
+  // pins both properties.
   private val q106 = QueryDef(
     "q106_sequence_packing",
     (s, d) => {
-      val w = Window.partitionBy(col("source"))
+      val w = Window.partitionBy(col("source"), col("shard"))
         .orderBy(col("h"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       docs(s, d)
         .select(col("source"), col("doc_id"),
           md5(col("text").cast("binary")).as("h"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("shard",
+          conv(substring(col("h"), 1, 14), 16, 10).cast("long") % 16L)
         .withColumn("cum", sum(col("n_tok")).over(w))
         .withColumn("bin", expr("(cum - n_tok) div 1024"))
-        .groupBy(col("source"), col("bin"))
+        .groupBy(col("source"), col("shard"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-        .orderBy(col("source"), col("bin"))
+        .orderBy(col("source"), col("shard"), col("bin"))
     },
     Some("""
       WITH t AS (
         SELECT source, doc_id, md5(text) AS h,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
         FROM documents),
+      s AS (
+        SELECT source, doc_id, h, n_tok,
+               (('0x' || substr(h, 1, 14))::BIGINT) % 16 AS shard
+        FROM t),
       c AS (
-        SELECT source, n_tok,
-               CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+        SELECT source, shard, n_tok,
+               CAST(sum(n_tok) OVER (PARTITION BY source, shard
+                                     ORDER BY h, doc_id
                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-        FROM t)
-      SELECT source, (cum - n_tok) // 1024 AS bin,
+        FROM s)
+      SELECT source, shard, (cum - n_tok) // 1024 AS bin,
              count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
       FROM c
-      GROUP BY 1, 2
-      ORDER BY source, bin"""))
+      GROUP BY 1, 2, 3
+      ORDER BY source, shard, bin"""))
 
   val defs: Seq[QueryDef] = Seq(q36, q47, q48, q49, q104, q105, q106)
 }

@@ -94,32 +94,42 @@ class AnalyticsSpec extends AnyFunSuite {
   test("q106 packing is invariant under input repartitioning and conserves mass") {
     val W = org.apache.spark.sql.expressions.Window
     val base = q("q106_sequence_packing")(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sortBy(x => (x._1, x._2))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(x => (x._1, x._2, x._3))
     // same packing logic over a deliberately scrambled layout
-    val w = W.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val w = W.partitionBy(col("source"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
       .rowsBetween(W.unboundedPreceding, W.currentRow)
     val redo = Tables.t(spark, sf, "documents").repartition(13, col("doc_id"))
       .select(col("source"), col("doc_id"),
         md5(col("text").cast("binary")).as("h"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 14), 16, 10).cast("long") % 16L)
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("bin", expr("(cum - n_tok) div 1024"))
-      .groupBy(col("source"), col("bin"))
+      .groupBy(col("source"), col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sortBy(x => (x._1, x._2))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(x => (x._1, x._2, x._3))
     assert(base.toSeq == redo.toSeq)
-    // bins are contiguous 0..max per source (offsets leave no gaps) and
-    // the packed token mass equals the corpus token count
-    base.groupBy(_._1).foreach { case (_, bins) =>
-      assert(bins.map(_._2).sorted.toSeq == (0L until bins.length.toLong))
+    // bins are contiguous 0..max per (source, shard) — per-shard offsets
+    // leave no gaps — and the packed token mass equals the corpus count
+    base.groupBy(x => (x._1, x._2)).foreach { case (_, bins) =>
+      assert(bins.map(_._3).sorted.toSeq == (0L until bins.length.toLong))
     }
     val totalToks = Tables.t(spark, sf, "documents")
       .select(size(split(col("text"), " ")).cast("long").as("n"))
       .agg(sum(col("n"))).collect()(0).getLong(0)
-    assert(base.map(_._4).sum == totalToks)
+    assert(base.map(_._5).sum == totalToks)
+    // every shard's non-final bins are "full": a bin closes only once the
+    // running offset crosses the 1024 boundary, so each bin except the
+    // shard's last must carry ≥ 1 doc and the shard's bins partition its
+    // token mass exactly (already implied by contiguity + conservation)
+    base.groupBy(x => (x._1, x._2)).foreach { case (_, bins) =>
+      assert(bins.forall(_._4 >= 1L))
+    }
   }
 
   test("q107 vocab/OOV is internally consistent and layout-independent") {

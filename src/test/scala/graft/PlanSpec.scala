@@ -147,6 +147,27 @@ class PlanSpec extends AnyFunSuite {
       s"no exchange may carry document text: $exchanges")
   }
 
+  test("q106: packing window is sharded and its exchange feeds the agg") {
+    // the running-offset window is packing's one sequential step; keyed
+    // by `source` alone it sorts a whole source in ONE task (fatal when
+    // a single crawl dominates a 100 TB corpus). Pin (a) every window in
+    // the plan partitions by (source, shard), (b) exactly one hash
+    // exchange — the aggregation's (source, shard, bin) keys are a
+    // superset of the window's partitioning, so it must reuse the
+    // exchange, not add a second corpus shuffle.
+    val p = planOf("q106_sequence_packing")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, "expected a running-offset window in the plan")
+    assert(winLines.forall(l => l.contains("source#") && l.contains("shard#")),
+      s"every window must partition by (source, shard):\n${winLines.mkString("\n")}")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1,
+      s"expected exactly 1 hash exchange (window + agg share it), got:\n$hashEx")
+    assert(hashEx.head.contains("source#") && hashEx.head.contains("shard#"),
+      "the one exchange keys on (source, shard)")
+  }
+
   test("q39: bigram generator stays out of the interpreted-lambda path") {
     val p = planOf("q39_bigram_topk")
     assert(!p.contains("lambdafunction"),
