@@ -154,19 +154,19 @@ private[graft] object Params {
   }
 }
 
-/** One-vs-rest GBT ensemble — LightGBM's actual multiclass formulation
-  * (`objective=multiclass` trains `num_class` one-vs-all boosters per
-  * iteration) re-expressed as K independent binary GBTs. LightGBM
-  * interleaves the K boosters within each iteration only to share the
-  * histogram pass; with deterministic binary targets the final ensembles
-  * are the same, so K sequential fits are semantically equivalent (each
-  * seeded `seed + k` to decorrelate row subsampling). `transform` chains
-  * the K per-class scorers in ONE plan — each is a broadcast model
-  * evaluated row-local, so inference stays a single distributed pass —
-  * then softmax-normalizes the per-class P(y=k) scores exactly like
-  * LightGBM normalizes its K raw scores.
+/** One-vs-rest GBT ensemble — LightGBM's `objective=multiclassova`
+  * formulation (`num_class` independent one-vs-all boosters; the default
+  * `multiclass` objective is coupled softmax, whose gradients depend on
+  * all K scores and which K separate binary fits cannot reproduce)
+  * re-expressed as K independent binary GBTs, each seeded `seed + k` to
+  * decorrelate row subsampling. `transform` chains the K per-class
+  * scorers in ONE plan — each is a broadcast model evaluated row-local,
+  * so inference stays a single distributed pass — then L1
+  * sum-normalizes the per-class sigmoid scores (argmax-preserving;
+  * calibration differs from softmax, which is why MLSpec gates proba
+  * behavior by sums-to-1 + sharpness, not cross-algorithm parity).
   */
-final class OvRGBTModel private[ml] (val models: Array[GBTClassificationModel]) {
+final class OvRGBTModel private[graft] (val models: Array[GBTClassificationModel]) {
   def numClasses: Int = models.length
 
   /** Adds `prediction` (argmax, ties to the lowest class id — MLlib's
@@ -204,8 +204,19 @@ final class OvRGBTModel private[ml] (val models: Array[GBTClassificationModel]) 
     if (s == 0.0) avg else avg.map(_ / s)
   }
 
-  def save(path: String): Unit =
-    for ((m, k) <- models.zipWithIndex) m.write.overwrite().save(s"$path/c$k")
+  def save(path: String): Unit = {
+    // Clear the whole target first (what MLlib's overwrite does for a
+    // single flat model dir): per-class overwrite only replaces the c<k>
+    // dirs this ensemble writes, so saving a K-class model over a path
+    // that previously held K'>K classes would leave stale c<K>..c<K'-1>
+    // dirs — and load() walks c0,c1,... takeWhile(exists), silently
+    // assembling a mixed ensemble from two different fits.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    for ((m, k) <- models.zipWithIndex) m.write.save(s"$path/c$k")
+  }
 }
 
 /** Classifier: binary → GBTClassifier; multiclass → RandomForestClassifier

@@ -609,9 +609,18 @@ object Dedup {
         "(theoretical bound is O(log² n); this indicates a bug, not data)")
     // star forest → labels: members point at their root; roots map to
     // themselves
-    e.select(col("src").as("id"), col("dst").as("comp"))
+    val labels = e.select(col("src").as("id"), col("dst").as("comp"))
       .unionByName(
         e.select(col("dst").as("id"), col("dst").as("comp")).distinct())
+    // self-loop-only nodes: the star rounds drop (a,a) edges, but the
+    // propagation formulation labels such a node a singleton — re-attach
+    // them so both formulations agree on degenerate input (unreachable
+    // from minhashPairs, which always emits da < db, but direct callers
+    // may pass anything). Duplicate-graph-sized anti-join, corpus-free.
+    val selfOnly = pairs.filter(col("src") === col("dst"))
+      .select(col("src").as("id")).distinct()
+      .join(labels, Seq("id"), "left_anti")
+    labels.unionByName(selfOnly.withColumn("comp", col("id")))
   }
 
   def connectedComponents(pairs0: DataFrame, maxRounds: Int = 25): DataFrame = {
@@ -775,8 +784,13 @@ object Dedup {
         .join(sig.select(col("doc_id").as("new_id"), col("sids").as("sa")), "new_id")
         .join(sig.select(col("doc_id").as("old_id"), col("sids").as("sb")), "old_id")
         .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-        .filter(col("ni").cast("double") /
-          (size(col("sa")) + size(col("sb")) - col("ni")).cast("double") >= 0.5)
+        // the SAME rounded filter as minhashPairs / the mh_pairs oracle
+        // CTE — not the raw ratio — so "near" is exactly the
+        // mixed-membership subset of q32's pairs by construction, with no
+        // boundary pair (true jac in [0.4999995, 0.5)) classed 'near' by
+        // one formulation and 'new' by the other
+        .filter(round(col("ni").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("ni")).cast("double"), 6) >= 0.5)
         .groupBy(col("new_id"))
         .agg(count(lit(1)).as("n_near"), min(col("old_id")).as("near_min_old"))
       docs(s, d).filter(isNew).select(col("doc_id"))

@@ -125,6 +125,22 @@ class DedupSpec extends AnyFunSuite {
     assert(cc === expected)
   }
 
+  test("both formulations label a self-loop-only node a singleton") {
+    // the star rounds drop (a,a) edges, so a node appearing ONLY as a
+    // self-loop would vanish from starComponents while the propagation
+    // path labels it a singleton — starComponents re-attaches such ids,
+    // keeping the two formulations interchangeable on degenerate input
+    import spark.implicits._
+    val pairs = Seq((5L, 5L), (1L, 2L), (2L, 2L)).toDF("da", "db")
+    val expected = Map(5L -> 5L, 1L -> 1L, 2L -> 1L)
+    val star = graft.operators.Dedup.starComponents(pairs.repartition(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val prop = graft.operators.Dedup.connectedComponents(pairs.repartition(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star === expected)
+    assert(prop === expected)
+  }
+
   test("hot-bucket cap bounds LSH pair generation") {
     // 200 copies of one boilerplate vector — the adversarial corpus where
     // every doc shares every band bucket. Without the cap this is

@@ -110,6 +110,13 @@ class MLSpec extends AnyFunSuite {
       .select("prediction").collect().map(_.getDouble(0))
     assert(p1.sameElements(p2))
     assert(re.toLocalOvR.numClasses == 3)
+    // overwrite with FEWER classes must not leave stale c<k> dirs: load()
+    // walks c0,c1,... takeWhile(exists), so a surviving c2 from the 3-class
+    // save would silently splice two fits into one ensemble
+    new graft.ml.OvRGBTModel(re.toLocalOvR.models.take(2)).save(s"$dir/m")
+    val re2 = graft.ml.LGBMClassifierModel.load(s"$dir/m")
+    assert(re2.nClasses == 2,
+      s"stale per-class dirs survived the overwrite: nClasses=${re2.nClasses}")
   }
 
   test("two-frame fit(dX, dy) adapter zips partitions like the reference") {
