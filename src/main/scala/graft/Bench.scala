@@ -11,7 +11,18 @@ import org.apache.spark.sql.SparkSession
   * JVM/codegen startup so per-query numbers reflect steady state.
   */
 object Bench {
+  /** 1-minute system load average — recorded at run start and end so a
+    * cross-session ratio can be read against the machine state that
+    * produced it (two best-of-2 runs of near-identical code measured
+    * 1.17× apart in r6; without markers that spread is uninterpretable
+    * after the fact). */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
+    val load0 = loadAvg
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -67,19 +78,36 @@ object Bench {
     // queries, then all again) so pass 2 never reuses pass 1's JIT-hot
     // loop body cache-resident data beyond what a steady-state cluster
     // would also have.
+    // probe knob (unset in driver runs): SPARK_GRAFT_BENCH_ONLY restricts
+    // the run to a comma-separated list of query-name prefixes, so a
+    // family can be measured ALONE on a fresh JVM through the exact same
+    // harness — the controlled A/B that attributes family-level growth
+    // (in-bench context cost vs machine load) without a second code path
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val pass1 = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }
     val pass2 = ordered.map { case (name, fn) => name -> timeOnce(name, fn) }
     val results = pass1.zip(pass2).map { case ((name, t1), (_, t2)) =>
       name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
     val failed = results.filter(_._2 < 0).map(_._1)
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // run-environment markers: 1-min load at start/end, total wall time,
+    // and BOTH passes per query (the min alone hides the pass spread —
+    // a large pass1/pass2 gap on one query is the machine, a consistent
+    // pair is the plan)
+    val env = f"""{"load_avg_start":$load0%.2f,"load_avg_end":$loadAvg%.2f,""" +
+      f""""wall_sec":${(System.nanoTime() - wall0) / 1e9}%.1f,""" +
+      s""""cpus":$cpus,"pass1":${jmap(pass1)},"pass2":${jmap(pass2)}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","env":$env}"""
     println(line)
     // also persist the JSON so the result survives driver-log truncation
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out"), line + "\n")
