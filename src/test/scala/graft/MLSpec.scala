@@ -217,6 +217,35 @@ class MLSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile objective: coverage holds WITHIN prediction quartiles") {
+    // the global residual-quantile offset passes marginal coverage by
+    // construction; what it could get wrong is CONDITIONAL coverage —
+    // over-covering where predictions are low and under-covering where
+    // they are high (or vice versa) while the average still lands on α.
+    // Slice the prediction range into quartiles and require coverage in
+    // EACH (atol 0.15 at ~50 rows/slice; binomial sd ≈ 0.05). On
+    // near-homoskedastic residuals (this data, mirroring the reference's
+    // quantile test) a constant shift is the correct calibration, and
+    // this pins that it actually is — not just on average.
+    val df = regData()
+    val W = org.apache.spark.sql.expressions.Window.orderBy($"prediction")
+    for (alpha <- Seq(0.1, 0.9)) {
+      val m = new LGBMRegressor(LGBMParams(nEstimators = 30,
+        objective = "quantile", alpha = alpha)).fit(df, Seq("feats"))
+      val byQ = m.predict(df, Seq("feats"))
+        .withColumn("q", ntile(4).over(W))
+        .groupBy($"q")
+        .agg(avg(($"label" <= $"prediction").cast("double")).as("cov"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(byQ.size == 4)
+      byQ.foreach { case (qt, cov) =>
+        assert(math.abs(cov - alpha) < 0.15,
+          s"alpha=$alpha quartile=$qt coverage=$cov — global offset is " +
+            "conditionally miscalibrated on this slice")
+      }
+    }
+  }
+
   test("feature adapters: plain columns, array col, sparse vectors agree") {
     val df = blobs(2)
       .withColumn("x1", $"feats" (0)).withColumn("x2", $"feats" (1))

@@ -64,4 +64,35 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
       s"expected pushed filter in plan:\n$plan")
   }
+
+  test("q25 CSV: schema inference agrees with the declared read") {
+    // the reference's dd.read_csv INFERS its schema
+    // (system_tests/test_fit_predict.py:26); q25 reads schema-first (the
+    // right call at 100 TB — inference is a second full pass over
+    // unsplittable gzip). This pins their equivalence: an inferred read
+    // of the same staged gzip CSV must produce the identical aggregate,
+    // so schema-first is an optimization, not a semantic divergence.
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("q25_csv_scan")(spark, sf).collect() // stages the CSV
+    val staged = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_csv",
+      sf.replaceAll("[^A-Za-z0-9.]", "_"), "events_csv").toString
+    val inferred = spark.read
+      .option("header", "true").option("inferSchema", "true").csv(staged)
+    // inference must land on workable numeric/string types (integral ids
+    // may infer as INT where the declared read says BIGINT — values, not
+    // physical widths, are the parity that matters)
+    val byName = inferred.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(byName("event_type").typeName == "string")
+    assert(Set("integer", "long")(byName("event_id").typeName))
+    assert(byName("value").typeName == "double")
+    val agg = inferred.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Num.sumFixed(col("value"), 2).as("sum_value"))
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val declared = SparkEntry.queries("q25_csv_scan")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(agg.toSeq == declared.toSeq,
+      "inferred-schema read must aggregate bit-identically to the declared read")
+  }
 }
