@@ -210,5 +210,58 @@ object Analytics {
              CAST(sum(nn) AS BIGINT) AS n_neg
       FROM c"""))
 
-  val defs: Seq[QueryDef] = Seq(q38, q52, q55, q102)
+  // --------------------------------------------------------------- q108
+  // Quantized AUC — q102's documented production escalation, made real.
+  // Scores snap to a fixed grid (eps = 0.25 → bin = floor(score·4); ×4 is
+  // a power-of-two scale, so the double arithmetic is exact and engine-
+  // independent). The Mann–Whitney computation is then EXACT w.r.t. the
+  // quantized scores, and the single-partition ordered pass is capped at
+  // the grid size — bounded by the VALUE RANGE (≈ 2.3k bins here), never
+  // the corpus, so the final stage is constant-size at 100 TB no matter
+  // how continuous the raw scores are. Quantization only reclassifies
+  // pos–neg pairs whose scores differ by < eps (they become half-credit
+  // ties), so |auc_q − auc| is bounded by half the near-tied pair mass;
+  // AnalyticsSpec measures the two forms against each other.
+  private val Q108Eps = 0.25
+  private val q108 = QueryDef(
+    "q108_auc_quantized",
+    (s, d) => {
+      val e = ev(s, d).select(
+        (col("event_type") === "purchase").cast("long").as("pos"),
+        floor(col("value") * lit(1.0 / Q108Eps)).cast("long").as("bin"))
+      val g = e.groupBy(col("bin")).agg(
+        sum(col("pos")).as("np"),
+        (count(lit(1)) - sum(col("pos"))).as("nn"))
+      val w = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
+        .agg(
+          sum(col("np") * (col("cumneg") * 2 + col("nn"))).as("num2"),
+          sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+          count(lit(1)).as("nb"))
+        .select(
+          round(col("num2").cast("double") /
+            (col("n_pos") * col("n_neg") * 2).cast("double"), 6).as("auc_q"),
+          col("n_pos"), col("n_neg"), col("nb").as("n_bins"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT CAST(floor(value * 4.0) AS BIGINT) AS bin,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS np,
+               CAST(count(*) FILTER (WHERE event_type <> 'purchase') AS BIGINT) AS nn
+        FROM events GROUP BY 1),
+      c AS (
+        SELECT np, nn,
+               CAST(COALESCE(sum(nn) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS cumneg
+        FROM g)
+      SELECT round(CAST(sum(np * (cumneg * 2 + nn)) AS DOUBLE) /
+                   CAST(sum(np) * sum(nn) * 2 AS DOUBLE), 6) AS auc_q,
+             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg,
+             count(*) AS n_bins
+      FROM c"""))
+
+  val defs: Seq[QueryDef] = Seq(q38, q52, q55, q102, q108)
 }

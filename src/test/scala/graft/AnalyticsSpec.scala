@@ -132,6 +132,25 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q108 quantized AUC agrees with q102's exact AUC to grid resolution") {
+    val exact = q("q102_auc_rank_metric")(spark, sf).collect()(0)
+    val grid  = q("q108_auc_quantized")(spark, sf).collect()(0)
+    // same population either way
+    assert(exact.getLong(1) == grid.getLong(1) &&
+           exact.getLong(2) == grid.getLong(2))
+    // quantization only turns near-tied (< eps apart) pos–neg pairs into
+    // half-credit ties; with eps = 0.25 over a ~[0, 500] 2-decimal score
+    // domain that mass is tiny — the two AUCs must agree well inside it
+    assert(math.abs(exact.getDouble(0) - grid.getDouble(0)) < 0.005,
+      s"grid AUC ${grid.getDouble(0)} vs exact ${exact.getDouble(0)}")
+    // the scale property itself: the ordered pass's input is capped by the
+    // VALUE RANGE (range/eps + 1 bins), independent of corpus size
+    val mx = Tables.t(spark, sf, "events")
+      .agg(max(col("value"))).collect()(0).getDouble(0)
+    assert(grid.getLong(3) <= (mx * 4).toLong + 1,
+      s"n_bins ${grid.getLong(3)} exceeds the range cap")
+  }
+
   test("q107 vocab/OOV is internally consistent and layout-independent") {
     val rows = q("q107_vocab_oov")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
