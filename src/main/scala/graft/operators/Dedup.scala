@@ -830,5 +830,83 @@ object Dedup {
       WHERE d.doc_id % 10 = 7
       ORDER BY d.doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q99, q100)
+  // --------------------------------------------------------------- q109
+  // Cluster-representative selection — the step every dedup pipeline runs
+  // AFTER clustering: from each near-duplicate cluster keep exactly one
+  // canonical copy (highest q41 quality score, doc_id as the tie-break)
+  // and account for what deduplication saves. Detection (q32) and
+  // clustering (q35) without this step leave the corpus un-deduplicated;
+  // this closes the loop.
+  //
+  // Scale: the component table is duplicate-graph-sized, not corpus-sized;
+  // joining it to the corpus on doc_id prunes the corpus to cluster
+  // members before the quality projection is ever aggregated. The argmax
+  // window partitions by component — each partition is ONE cluster
+  // (near-dup clusters are small by nature; the hot-bucket cap bounds
+  // pathological ones), so no corpus-scaled window partition exists. The
+  // final aggregate is one hash agg over cluster members.
+  private val q109 = QueryDef(
+    "q109_dedup_keep_best",
+    (s, d) => {
+      val comp = connectedComponents(
+        minhashPairs(s, d).select(col("da"), col("db")))
+      // q41's blended quality score, shared stopword literal (TextAnalysis)
+      val qual = docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("n_chars"),
+          round(lit(1.0) -
+            (expr(s"size(filter(toks, w -> array_contains(${TextAnalysis.stopArr}, w)))")
+              .cast("double") / size(col("toks")).cast("double")) * 0.5 -
+            (length(regexp_replace(col("text"), "[^.,!?;]", "")).cast("double") /
+              col("n_chars").cast("double")) * 0.5, 6).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("comp")).orderBy(col("quality").desc, col("doc_id"))
+      comp.join(qual, comp("id") === qual("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("comp").as("comp_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(when(col("rk") === 1, col("doc_id"))).as("keep_id"),
+          max(when(col("rk") === 1, col("quality"))).as("keep_quality"),
+          sum(col("n_chars")).as("chars_total"),
+          coalesce(sum(when(col("rk") > 1, col("n_chars"))), lit(0L))
+            .as("chars_saved"))
+        .orderBy(col("comp_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashCtes,
+      edges AS (
+        SELECT da AS src, db AS dst FROM mh_pairs
+        UNION ALL
+        SELECT db, da FROM mh_pairs),
+      reach(id, comp) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+      qual AS (
+        SELECT doc_id, n_chars,
+               round(1.0
+                     - (CAST(len(list_filter(toks, w -> list_contains(${TextAnalysis.stopList}, w))) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE)) * 0.5
+                     - (CAST(length(regexp_replace(text, '[^.,!?;]', '', 'g')) AS DOUBLE)
+                        / CAST(n_chars AS DOUBLE)) * 0.5, 6) AS quality
+        FROM (SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks
+              FROM documents) t),
+      ranked AS (
+        SELECT c.comp, q.doc_id, q.n_chars, q.quality,
+               row_number() OVER (PARTITION BY c.comp
+                                  ORDER BY q.quality DESC, q.doc_id) AS rk
+        FROM comp c JOIN qual q ON q.doc_id = c.id)
+      SELECT comp AS comp_id,
+             count(*) AS n_docs,
+             max(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+             max(CASE WHEN rk = 1 THEN quality END) AS keep_quality,
+             CAST(sum(n_chars) AS BIGINT) AS chars_total,
+             CAST(COALESCE(sum(CASE WHEN rk > 1 THEN n_chars END), 0) AS BIGINT)
+               AS chars_saved
+      FROM ranked
+      GROUP BY comp
+      ORDER BY comp"""))
+
+  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109)
 }

@@ -256,5 +256,88 @@ object Similarity {
       WHERE rk <= 5
       ORDER BY qid, rk"""))
 
-  val defs: Seq[QueryDef] = Seq(q50, q51)
+  // --------------------------------------------------------------- q111
+  // Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.):
+  // fuse a lexical arm (q110's rational-idf BM25 over the query terms)
+  // with a vector arm (cosine against a probe embedding) by summing
+  // 1/(60 + rank) over the arms each document appears in — the standard
+  // score-free fusion used when lexical and vector scores are not
+  // calibrated against each other. The testbed treats embeddings.vec_id
+  // as the embedding of documents.doc_id (same 0..N−1 id domain); vec 0
+  // is the probe and doc 0 is excluded from both arms as "the query".
+  //
+  // Scale: each arm is already bounded — BM25 filters the token stream to
+  // |Q| terms before aggregating and TakeOrders k=20 rows; the cosine arm
+  // broadcasts ONE probe vector so the corpus never shuffles, then
+  // TakeOrders 20. The rank windows and the full-outer fusion join run
+  // over ≤ 20 rows per arm — driver-mergeable, corpus-independent. RRF
+  // arithmetic is two IEEE divisions and one add on identically-written
+  // literals, bit-deterministic across engines.
+  private val q111 = QueryDef(
+    "q111_hybrid_rrf",
+    (s, d) => {
+      val e = emb(s, d).withColumn("norm", float_norm(col("embedding")))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("ea"), col("norm").as("qn"))
+      val ctop = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("eb"),
+          col("norm").as("cn"))
+        .crossJoin(broadcast(q))
+        .withColumn("cos",
+          round(float_dot(col("ea"), col("eb")) / (col("qn") * col("cn")), 6))
+        .orderBy(col("cos").desc, col("cid")).limit(20)
+      val wc = Window.orderBy(col("cos").desc, col("cid"))
+      val crank = ctop.withColumn("cos_rk", row_number().over(wc).cast("long"))
+        .select(col("cid").as("doc_id"), col("cos_rk"))
+      val btop = TextAnalysis.bm25Scores(s, d)
+        .filter(col("doc_id") =!= 0)
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+      val wb = Window.orderBy(col("score").desc, col("doc_id"))
+      val brank = btop.withColumn("bm25_rk", row_number().over(wb).cast("long"))
+        .select(col("doc_id"), col("bm25_rk"))
+      brank.join(crank, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60L) + col("bm25_rk")).cast("double"),
+            lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("cos_rk")).cast("double"),
+            lit(0.0)), 6))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), col("bm25_rk"), col("cos_rk"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+    },
+    Some(s"""
+      WITH $evSql,
+      ${TextAnalysis.bm25Ctes},
+      cpairs AS (
+        SELECT c.vec_id AS cid, sum(q.v * c.v) AS dot
+        FROM ev q JOIN ev c ON q.i = c.i AND q.vec_id = 0 AND c.vec_id <> 0
+        GROUP BY 1),
+      cscore AS (
+        SELECT cid, round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        FROM cpairs
+        JOIN norms nq ON nq.vec_id = 0
+        JOIN norms nc ON nc.vec_id = cid),
+      crank AS (
+        SELECT cid AS doc_id, CAST(rn AS BIGINT) AS cos_rk FROM (
+          SELECT cid, row_number() OVER (ORDER BY cos DESC, cid) AS rn
+          FROM cscore) t
+        WHERE rn <= 20),
+      brank AS (
+        SELECT doc_id, CAST(rn AS BIGINT) AS bm25_rk FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+          FROM bm25 WHERE doc_id <> 0) t
+        WHERE rn <= 20),
+      fused AS (
+        SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id, b.bm25_rk, c.cos_rk,
+               round(COALESCE(1.0 / CAST(60 + b.bm25_rk AS DOUBLE), 0.0)
+                     + COALESCE(1.0 / CAST(60 + c.cos_rk AS DOUBLE), 0.0), 6) AS rrf
+        FROM brank b FULL OUTER JOIN crank c ON b.doc_id = c.doc_id)
+      SELECT doc_id, bm25_rk, cos_rk, rrf FROM (
+        SELECT doc_id, bm25_rk, cos_rk, rrf,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+        FROM fused) t
+      WHERE rn <= 10
+      ORDER BY rrf DESC, doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q50, q51, q111)
 }

@@ -23,8 +23,8 @@ object TextAnalysis {
 
   /** Literal stopword set shared by Spark and the oracle SQL. */
   private val Stop = Seq("the", "a", "of", "and", "to", "in")
-  private val stopArr = s"array(${Stop.map(w => s"'$w'").mkString(", ")})"
-  private val stopList = s"[${Stop.map(w => s"'$w'").mkString(", ")}]"
+  private[graft] val stopArr = s"array(${Stop.map(w => s"'$w'").mkString(", ")})"
+  private[graft] val stopList = s"[${Stop.map(w => s"'$w'").mkString(", ")}]"
 
   // ---------------------------------------------------------------- q40
   // Per-language corpus stats (counts are exact; avg over BIGINT is an
@@ -475,5 +475,100 @@ object TextAnalysis {
       GROUP BY lang
       ORDER BY lang"""))
 
-  val defs: Seq[QueryDef] = Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107)
+  // --------------------------------------------------------------- q110
+  // BM25 top-k retrieval: the classic lexical ranking function, scoring
+  // documents against a fixed query-term set. idf is the RATIONAL surrogate
+  // (N − df + 0.5)/(df + 0.5) — BM25's idf without the log wrapper — for
+  // the same reason q37 avoids log(): libm rounding differs between
+  // engines, while +,·,/ are IEEE-correctly-rounded in both, so writing
+  // the identical expression tree on both sides is bit-deterministic.
+  // (Rankings differ from log-BM25 since the sum over terms is not
+  // rank-preserved under a per-term monotone transform; the metric is
+  // documented as rational-idf BM25 and used consistently on both sides.)
+  //
+  // Scale: the token stream is filtered to the |Q| query terms BEFORE any
+  // aggregation — the per-(doc,term) tf table is |matching docs|·|Q|-sized,
+  // never vocabulary-sized; df derives from that table; doc lengths are a
+  // per-row projection; N/avgdl is a 1-row broadcast. The top-k cut is
+  // TakeOrdered (per-partition heap + driver merge of k rows), and the
+  // rank window then runs over exactly k rows — no global corpus sort.
+
+  /** Query terms + constants, embedded identically in Spark and SQL.
+    * k1 = 1.2, b = 0.75 (the standard Robertson defaults); literals are
+    * written with the same decimal text in both engines so they parse to
+    * identical doubles. */
+  private[graft] val Bm25Terms = Seq("spark", "window", "merge")
+  private val bm25TermArr = s"array(${Bm25Terms.map(t => s"'$t'").mkString(", ")})"
+  private val bm25TermList = s"[${Bm25Terms.map(t => s"'$t'").mkString(", ")}]"
+
+  /** Full rational-idf BM25 score per matching document — the shared core
+    * of q110 and q111's lexical arm. Returns (doc_id, score). */
+  private[graft] def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val dl = docs(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val glob = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(expr(s"array_contains($bm25TermArr, term)"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(glob))
+      .withColumn("ts", round(
+        (((col("n") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+          (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") /
+                (col("sum_dl").cast("double") / col("n").cast("double"))))), 6))
+      .groupBy(col("doc_id")).agg(sumFixed(col("ts"), 6).as("score"))
+  }
+
+  /** Oracle CTE chain mirroring [[bm25Scores]], ending in
+    * `bm25(doc_id, score)` — shared by the q110 and q111 oracles. */
+  private[graft] val bm25Ctes: String = s"""
+      dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+             FROM documents),
+      gstats AS (SELECT count(*) AS n, sum(dl) AS sum_dl FROM dl),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+               SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents) t
+             WHERE list_contains($bm25TermList, term)
+             GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      tscore AS (
+        SELECT doc_id,
+               round(((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                     * (CAST(tf AS DOUBLE) * 2.2)
+                     / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                        * (CAST(dl AS DOUBLE)
+                           / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE))))), 6) AS ts
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN gstats),
+      bm25 AS (SELECT doc_id, ${sumFixedSql("ts", 6)} AS score
+               FROM tscore GROUP BY doc_id)"""
+
+  private val q110 = QueryDef(
+    "q110_bm25_topk",
+    (s, d) => {
+      val top = bm25Scores(s, d)
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+      // rank window runs over the 10 TakeOrdered survivors only
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      top.withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("rk"), col("doc_id"), col("score"))
+        .orderBy(col("rk"))
+    },
+    Some(s"""
+      WITH $bm25Ctes
+      SELECT CAST(rk AS BIGINT) AS rk, doc_id, score FROM (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        FROM bm25) t
+      WHERE rk <= 10
+      ORDER BY rk"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110)
 }

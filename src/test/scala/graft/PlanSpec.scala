@@ -168,6 +168,32 @@ class PlanSpec extends AnyFunSuite {
       "the one exchange keys on (source, shard)")
   }
 
+  test("q110/q111: retrieval top-k cuts are heaps; no corpus cartesian") {
+    // BM25's top-k must be TakeOrdered (per-partition heap + driver merge
+    // of k rows) — a global Sort over matched docs would be corpus-sized
+    // for a common query term. The only nested-loop joins allowed are the
+    // 1-row broadcasts (corpus stats / probe vector); a CartesianProduct
+    // would mean a corpus×corpus arm.
+    for (q <- Seq("q110_bm25_topk", "q111_hybrid_rrf")) {
+      val p = planOf(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: top-k must plan as a heap, not a global sort")
+      assert(!p.toLowerCase.contains("cartesianproduct"),
+        s"$q: no unhinted cartesian anywhere in the retrieval path")
+    }
+  }
+
+  test("q109: keeper window partitions by component, never corpus-wide") {
+    // the argmax-quality window must key on the duplicate component —
+    // an unpartitioned window here would sort every cluster member in
+    // one task; partitioned, each partition is one (small) cluster.
+    val p = planOf("q109_dedup_keep_best")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, "expected the argmax window in the plan")
+    assert(winLines.forall(_.contains("windowspecdefinition(comp#")),
+      s"keeper window must partition by comp:\n${winLines.mkString("\n")}")
+  }
+
   test("q39: bigram generator stays out of the interpreted-lambda path") {
     val p = planOf("q39_bigram_topk")
     assert(!p.contains("lambdafunction"),
