@@ -254,16 +254,22 @@ object Pipeline {
   // shuffle the full gram dictionary — strictly worse while |eval| ≪
   // |train|.) 5-gram width measured on this corpus: 3-grams flag every
   // doc (common phrases), 7-grams flag none; 5 discriminates.
+  /** (doc_id, ng): the word-5-gram stream, one row per gram occurrence —
+    * lambda-free generator (positions exploded, gram projected after),
+    * shared by q105/q112/q113. */
+  private def fiveGrams(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, size(toks) - 5)")).as("i"))
+      .select(col("doc_id"),
+        expr("array_join(slice(toks, i + 1, 5), ' ')").as("ng"))
+
   private val q105 = QueryDef(
     "q105_decontamination",
     (s, d) => {
-      val grams = docs(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 5)
-        .select(col("doc_id"), col("toks"),
-          explode(expr("sequence(0, size(toks) - 5)")).as("i"))
-        .select(col("doc_id"),
-          expr("array_join(slice(toks, i + 1, 5), ' ')").as("ng"))
+      val grams = fiveGrams(s, d)
       val isEval = col("doc_id") % 97 === 3
       // distinct ONLY on the eval side (n_ngrams counts distinct grams
       // per eval doc); the corpus side stays a raw stream — semi-join
@@ -383,5 +389,110 @@ object Pipeline {
       GROUP BY 1, 2, 3
       ORDER BY source, shard, bin"""))
 
-  val defs: Seq[QueryDef] = Seq(q36, q47, q48, q49, q104, q105, q106)
+  // --------------------------------------------------------------- q112
+  // Corpus-side decontamination FILTER — the production action q105's
+  // flags feed: drop every training document that shares any 5-gram with
+  // the eval split and report per-source survival stats. Same asymmetric
+  // membership as q105 (the eval gram set broadcasts; the corpus gram
+  // stream is probed RAW and never shuffles on grams); the contaminated-id
+  // set that survives the semi-join is leakage — the exception by
+  // construction — so it broadcasts into the corpus-side left join and the
+  // corpus never reshuffles there either. One corpus scan for grams, one
+  // for the stats aggregation; zero corpus-keyed exchanges.
+  private val q112 = QueryDef(
+    "q112_decontaminate_corpus",
+    (s, d) => {
+      val isEval = col("doc_id") % 97 === 3
+      val grams = fiveGrams(s, d)
+      val evSet = grams.filter(isEval).select(col("ng")).distinct()
+      val bad = grams.filter(!isEval)
+        .join(broadcast(evSet), Seq("ng"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("bad", lit(1))
+      docs(s, d).filter(!isEval)
+        .join(broadcast(bad), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("bad").isNotNull, lit(1L)).otherwise(lit(0L)))
+            .as("n_dropped"),
+          sum(when(col("bad").isNull, lit(1L)).otherwise(lit(0L)))
+            .as("n_kept"),
+          sum(when(col("bad").isNull,
+            size(split(col("text"), " ")).cast("long")).otherwise(lit(0L)))
+            .as("tokens_kept"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+               THEN list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+4], ' '))
+               ELSE [] END) AS ng
+        FROM t),
+      ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 3),
+      bad AS (
+        SELECT DISTINCT g.doc_id
+        FROM g JOIN ev USING (ng)
+        WHERE g.doc_id % 97 <> 3)
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+             CAST(sum(CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(sum(CASE WHEN b.doc_id IS NULL
+                  THEN CAST(len(string_split(text, ' ')) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS tokens_kept
+      FROM documents d
+      LEFT JOIN bad b ON b.doc_id = d.doc_id
+      WHERE d.doc_id % 97 <> 3
+      GROUP BY source
+      ORDER BY source"""))
+
+  // --------------------------------------------------------------- q113
+  // Boilerplate detection: the word-5-grams recurring across the most
+  // DOCUMENTS (doc-frequency, not occurrence count — a gram repeated
+  // inside one template doc is repetition, q46's business; a gram shared
+  // across many docs is boilerplate: headers, footers, license blocks —
+  // what C4-style curation strips before training).
+  // Scale: cross-document counting is inherently a gram-keyed statistic,
+  // so this op pays ONE gram-keyed exchange (the q107-vocab shape — the
+  // cost is the point, unlike q105 where it was avoidable); Zipf skew is
+  // absorbed by partial aggregation below the exchange. The df >= 2
+  // filter drops the singleton long tail — the overwhelming majority of
+  // grams — before the top-k heap, and the cut is a TakeOrdered over the
+  // gram dictionary, never a global sort.
+  private val q113 = QueryDef(
+    "q113_boilerplate_ngrams",
+    (s, d) => {
+      val dfq = fiveGrams(s, d)
+        .groupBy(col("ng")).agg(count_distinct(col("doc_id")).as("df"))
+      val top = dfq.filter(col("df") >= 2)
+        .orderBy(col("df").desc, col("ng")).limit(20)
+      // rank window runs over the 20 TakeOrdered survivors only
+      val w = Window.orderBy(col("df").desc, col("ng"))
+      top.withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("rk"), col("ng"), col("df"))
+        .orderBy(col("rk"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+               THEN list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+4], ' '))
+               ELSE [] END) AS ng
+        FROM t),
+      dfq AS (SELECT ng, count(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+      SELECT CAST(rk AS BIGINT) AS rk, ng, df FROM (
+        SELECT ng, df, row_number() OVER (ORDER BY df DESC, ng) AS rk
+        FROM dfq WHERE df >= 2) t
+      WHERE rk <= 20
+      ORDER BY rk"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113)
 }
