@@ -194,6 +194,42 @@ class PlanSpec extends AnyFunSuite {
       s"keeper window must partition by comp:\n${winLines.mkString("\n")}")
   }
 
+  test("q112: corpus never reshuffles — eval grams and leak ids both broadcast") {
+    // the filter action inherits q105's asymmetric-membership design and
+    // adds a second asymmetry: the contaminated-id set (leakage — small by
+    // construction) must BROADCAST into the corpus-side left join. A
+    // sort-merge there would shuffle the full corpus on doc_id; a distinct
+    // on the corpus gram stream would exchange the gram dictionary.
+    val p = planOf("q112_decontaminate_corpus")
+    assert(p.contains("LeftSemi"),
+      "corpus grams must semi-probe the broadcast eval gram set")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftOuter")),
+      "contaminated ids must broadcast into the corpus left join")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-keyed sort-merge join anywhere in the filter path")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => !l.contains("text#")),
+      s"no exchange may carry document text: $exchanges")
+  }
+
+  test("q113: df counting pays gram-keyed exchanges only; cut is a heap") {
+    // cross-document frequency is inherently gram-keyed — the exchange is
+    // the point — but it must be the ONLY exchange shape: the partial
+    // (ng, doc_id) dedup pair plus the (ng) final, never a doc- or
+    // corpus-keyed shuffle, and the top-20 cut must be TakeOrdered (a
+    // global Sort over the gram dictionary would be vocabulary-sized).
+    val p = planOf("q113_boilerplate_ngrams")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("ng#")),
+      s"every hash exchange must key on the gram:\n${hashEx.mkString("\n")}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 boilerplate cut must plan as a heap, not a global sort")
+    assert(!p.contains("lambdafunction"),
+      "gram generator must stay codegen-able (no interpreted lambdas)")
+  }
+
   test("q39: bigram generator stays out of the interpreted-lambda path") {
     val p = planOf("q39_bigram_topk")
     assert(!p.contains("lambdafunction"),
