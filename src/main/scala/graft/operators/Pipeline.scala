@@ -493,6 +493,153 @@ object Pipeline {
       WHERE rk <= 20
       ORDER BY rk"""))
 
+  // --------------------------------------------------------------- q114
+  // PII redaction — scrub emails / phone numbers / IPv4s before training,
+  // reporting per-source match and length accounting. The synthetic
+  // corpus carries no PII by construction, so a DETERMINISTIC injection
+  // (doc_id-keyed, mirrored bit-for-bit in the oracle) plants each PII
+  // kind in 1/7 of docs — the cross-engine regex parity check is real,
+  // not vacuously zero-matches; the 4/7 uninjected docs are the
+  // negatives. Patterns stay in the Java-regex ∩ RE2 common subset
+  // (character classes, no backrefs/lookarounds) so Spark and DuckDB
+  // compile them identically; Spark's regexp_replace is global by
+  // default while DuckDB needs the explicit 'g' flag.
+  // Scale: one corpus scan, three codegen'd regex passes per row, one
+  // per-source aggregation — no shuffle wider than the 20-row source key.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** doc_id-keyed deterministic PII injection (q114's test harness). */
+  def injectPii(text: Column, docId: Column): Column =
+    when(docId % 7 === 0,
+      concat(text, lit(" contact user"), docId.cast("string"),
+        lit("@example.com now")))
+      .when(docId % 7 === 1,
+        concat(text, lit(" call 555-"),
+          lpad((docId % 1000).cast("string"), 3, "0"), lit("-0199")))
+      .when(docId % 7 === 2,
+        concat(text, lit(" from 10.0."), (docId % 256).cast("string"),
+          lit(".77 port")))
+      .otherwise(text)
+
+  /** Email → phone → IPv4 redaction chain (order is safe: the three
+    * pattern alphabets cannot produce a new match for a later pass). */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+
+  private val q114 = QueryDef(
+    "q114_pii_redaction",
+    (s, d) => {
+      val raw = docs(s, d).select(col("source"),
+        injectPii(col("text"), col("doc_id")).as("raw"))
+      val red = raw.withColumn("red", redactPii(col("raw")))
+      red.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0)))
+            .cast("long")).as("n_emails"),
+          sum(size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0)))
+            .cast("long")).as("n_phones"),
+          sum(size(regexp_extract_all(col("raw"), lit(IpRe), lit(0)))
+            .cast("long")).as("n_ips"),
+          sum(length(col("raw")).cast("long")).as("len_raw"),
+          sum(length(col("red")).cast("long")).as("len_red"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH raw AS (
+        SELECT source,
+               CASE WHEN doc_id % 7 = 0
+                      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com now'
+                    WHEN doc_id % 7 = 1
+                      THEN text || ' call 555-'
+                           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                           || '-0199'
+                    WHEN doc_id % 7 = 2
+                      THEN text || ' from 10.0.'
+                           || CAST(doc_id % 256 AS VARCHAR) || '.77 port'
+                    ELSE text END AS raw
+        FROM documents),
+      red AS (
+        SELECT source, raw,
+               regexp_replace(regexp_replace(regexp_replace(raw,
+                 '$EmailRe', '<EMAIL>', 'g'),
+                 '$PhoneRe', '<PHONE>', 'g'),
+                 '$IpRe', '<IP>', 'g') AS red
+        FROM raw)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(regexp_extract_all(raw, '$EmailRe'))) AS BIGINT)
+               AS n_emails,
+             CAST(sum(len(regexp_extract_all(raw, '$PhoneRe'))) AS BIGINT)
+               AS n_phones,
+             CAST(sum(len(regexp_extract_all(raw, '$IpRe'))) AS BIGINT)
+               AS n_ips,
+             CAST(sum(length(raw)) AS BIGINT) AS len_raw,
+             CAST(sum(length(red)) AS BIGINT) AS len_red
+      FROM red
+      GROUP BY source
+      ORDER BY source"""))
+
+  // --------------------------------------------------------------- q115
+  // Temperature-scaled source mixture weights — deriving the per-source
+  // sampling distribution that q49's weighted mix CONSUMES. Proportional
+  // sampling lets one dominant crawl swamp the mixture; uniform
+  // over-samples tiny sources; the standard compromise samples source i
+  // ∝ tokens_i^α with temperature α = 1/2 (multilingual-LM practice).
+  // Exactness: the α=1/2 mass is floor(sqrt(tokens)) — IEEE sqrt is
+  // correctly rounded and floor of it is exact — so masses are BIGINTs,
+  // their total is an exact BIGINT sum, and each weight is ONE double
+  // division of two exact integers: order- and partition-independent,
+  // bit-identical across engines. epochs_i is the repeat factor source i
+  // needs to fill its quota of a one-epoch total-token budget; its
+  // operands stay exact integers (products evaluated in IEEE double —
+  // deterministic in both engines even past 2^53).
+  // Scale: one corpus scan → |sources| rows; the 1-row totals broadcast
+  // back (the q37 scalar-join idiom). Nothing here is corpus-keyed.
+  private val q115 = QueryDef(
+    "q115_mixture_weights",
+    (s, d) => {
+      val perSrc = docs(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("mass",
+          floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      val tot = perSrc.agg(sum(col("mass")).as("tot_mass"),
+        sum(col("n_tokens")).as("tot_tokens"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("mass"),
+          round(col("mass").cast("double") / col("tot_mass").cast("double"),
+            6).as("weight"),
+          round((col("mass").cast("double") * col("tot_tokens").cast("double"))
+            / (col("tot_mass").cast("double") * col("n_tokens").cast("double")),
+            6).as("epochs"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      m AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS mass
+        FROM s),
+      t AS (SELECT CAST(sum(mass) AS BIGINT) AS tot_mass,
+                   CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM m)
+      SELECT source, n_docs, n_tokens, mass,
+             round(CAST(mass AS DOUBLE) / CAST(tot_mass AS DOUBLE), 6)
+               AS weight,
+             round((CAST(mass AS DOUBLE) * CAST(tot_tokens AS DOUBLE))
+               / (CAST(tot_mass AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+               AS epochs
+      FROM m, t
+      ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113)
+    Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113, q114, q115)
 }

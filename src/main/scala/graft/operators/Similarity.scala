@@ -96,11 +96,19 @@ object Similarity {
     * the oracle replicates the same pruning so both engines return
     * identical results.
     */
-  def ivfTopK(e0: DataFrame, idCol: String, embCol: String,
-      isQuery: Column => Column, centK: Int, nProbe: Int, k: Int,
-      lloydIters: Int = 2): DataFrame = {
-    val e = e0.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+  private def withNorm(e0: DataFrame, idCol: String, embCol: String): DataFrame =
+    e0.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
       .withColumn("norm", float_norm(col("embedding")))
+
+  /** The shared front half of [[ivfTopK]] and q116's corpus profile: runs
+    * `lloydIters` seeded Lloyd refinements and returns the full
+    * vector × refined-centroid cosine table `(vec_id, cent_id, cos)`.
+    * O(N·K) per iteration via a broadcast of the K centroids; the only
+    * shuffles are the K·dim-sized mean recomputations.
+    */
+  def lloydAsg(e0: DataFrame, idCol: String, embCol: String, centK: Int,
+      lloydIters: Int): DataFrame = {
+    val e = withNorm(e0, idCol, embCol)
     // deterministic seed: first centK vectors by id (TakeOrdered top-k)
     var cent = e.orderBy(col("vec_id")).limit(centK)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ea"),
@@ -127,8 +135,15 @@ object Similarity {
         .select(col("cell").as("cent_id"), col("ea"),
           float_norm(col("ea")).as("cent_n"))
     }
-    // assign every vector to its nearest refined centroid
-    val asg = assign(cent)
+    assign(cent)
+  }
+
+  def ivfTopK(e0: DataFrame, idCol: String, embCol: String,
+      isQuery: Column => Column, centK: Int, nProbe: Int, k: Int,
+      lloydIters: Int = 2): DataFrame = {
+    val e = withNorm(e0, idCol, embCol)
+    // every vector scored against its nearest refined centroid set
+    val asg = lloydAsg(e0, idCol, embCol, centK, lloydIters)
     // nearest cell = min over (−cos, cent_id): max cos, ties → min id —
     // identical tie-break to the oracle's row_number ORDER BY
     val cells = asg.groupBy(col("vec_id"))
@@ -339,5 +354,84 @@ object Similarity {
       WHERE rn <= 10
       ORDER BY rrf DESC, doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q50, q51, q111)
+  // --------------------------------------------------------------- q116
+  // Corpus cluster profile — the "organize the corpus by topic" report:
+  // assign EVERY embedding to its nearest refined centroid (the same
+  // seeded-KMeans [[lloydAsg]] front half q51's index uses) and summarize
+  // each cluster: size, mean cosine-to-centroid (cohesion), majority
+  // label + its count (purity proxy), smallest member id. Where q51
+  // answers point lookups, this is the full-corpus curation view — which
+  // clusters are tight, which are junk drawers worth re-clustering.
+  // Scale: assignment is a broadcast of K centroids against the corpus
+  // (O(N·K), no corpus shuffle); the label attach is one co-keyed
+  // equi-join on vec_id; every aggregate downstream is K- or
+  // (K·|labels|)-sized. Mean cohesion uses the exact fixed-point
+  // [[graft.Num.avgFixed]] so both engines emit identical bits; majority
+  // label ties break to the smaller label via the same min-over-struct
+  // idiom as nearest-cell selection.
+  private val q116 = QueryDef(
+    "q116_cluster_profile",
+    (s, d) => {
+      val asg = lloydAsg(emb(s, d), "vec_id", "embedding", CentK, LloydIters)
+      val cells = asg.groupBy(col("vec_id"))
+        .agg(min(struct((-col("cos")).as("negcos"),
+          col("cent_id").as("cent"))).as("m"))
+        .select(col("vec_id"), col("m.cent").as("cell"),
+          (-col("m.negcos")).as("cos"))
+      val withLab = cells
+        .join(emb(s, d).select(col("vec_id"), col("label")), "vec_id")
+      val top = withLab.groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("cell"))
+        .agg(min(struct((-col("c")).as("negc"), col("label").as("lab"))).as("m"))
+        .select(col("cell"), col("m.lab").cast("long").as("top_label"),
+          (-col("m.negc")).as("top_n"))
+      withLab.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+          graft.Num.avgFixed(col("cos"), 6).as("mean_cos"),
+          min(col("vec_id")).as("min_vec"))
+        .join(top, "cell")
+        .select(col("cell"), col("n_vecs"), col("mean_cos"), col("min_vec"),
+          col("top_label"), col("top_n"))
+        .orderBy(col("cell"))
+    },
+    Some(s"""
+      WITH $evSql,
+      ${lloydCtes(LloydIters)},
+      asg AS (
+        SELECT e.vec_id, c.cent_id,
+               round(sum(e.v * c.cv) / (ne.nrm * n.cn), 6) AS cos
+        FROM ev e
+        JOIN cv$LloydIters c ON c.i = e.i
+        JOIN norms ne ON ne.vec_id = e.vec_id
+        JOIN cn$LloydIters n ON n.cent_id = c.cent_id
+        GROUP BY e.vec_id, c.cent_id, ne.nrm, n.cn),
+      cells AS (
+        SELECT vec_id, cent_id AS cell, cos FROM (
+          SELECT vec_id, cent_id, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cent_id) AS rn
+          FROM asg) t
+        WHERE rn = 1),
+      wl AS (
+        SELECT c.vec_id, c.cell, c.cos, e.label
+        FROM cells c JOIN embeddings e USING (vec_id)),
+      top AS (
+        SELECT cell, CAST(label AS BIGINT) AS top_label,
+               CAST(c AS BIGINT) AS top_n FROM (
+          SELECT cell, label, count(*) AS c,
+                 row_number() OVER (PARTITION BY cell
+                                    ORDER BY count(*) DESC, label) AS rn
+          FROM wl GROUP BY cell, label) t
+        WHERE rn = 1),
+      agg AS (
+        SELECT cell, count(*) AS n_vecs,
+               ${graft.Num.avgFixedSql("cos", 6)} AS mean_cos,
+               CAST(min(vec_id) AS BIGINT) AS min_vec
+        FROM wl GROUP BY cell)
+      SELECT a.cell, a.n_vecs, a.mean_cos, a.min_vec, t.top_label, t.top_n
+      FROM agg a JOIN top t USING (cell)
+      ORDER BY a.cell"""))
+
+  val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116)
 }

@@ -13,6 +13,36 @@ class AnalyticsSpec extends AnyFunSuite {
 
   private def q(name: String) = SparkEntry.queries(name)
 
+  test("q115 mixture weights are exact integer-mass ratios (driver recompute)") {
+    // the α=1/2 temperature design holds only if every operand reaching
+    // the one double division is an exact integer; recompute the whole
+    // chain driver-side and demand bit equality
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = q("q115_mixture_weights")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val perDoc = Tables.t(spark, sf, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = perDoc.groupBy(_._1).map { case (s, xs) =>
+      s -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    val masses = bySrc.map { case (s, (_, t)) =>
+      s -> math.floor(math.sqrt(t.toDouble)).toLong
+    }
+    val totMass = masses.values.sum
+    val totToks = bySrc.values.map(_._2).sum
+    assert(rows.length == bySrc.size)
+    rows.foreach { case (s, nDocs, nToks, mass, w, ep) =>
+      assert((nDocs, nToks) == bySrc(s), s"source $s counts")
+      assert(mass == masses(s), s"source $s mass")
+      assert(w == round6(mass.toDouble / totMass.toDouble), s"source $s weight")
+      assert(ep == round6((mass.toDouble * totToks.toDouble) /
+        (totMass.toDouble * nToks.toDouble)), s"source $s epochs")
+    }
+  }
+
   test("q52 sessionize is invariant under input repartitioning") {
     val base = q("q52_sessionize")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

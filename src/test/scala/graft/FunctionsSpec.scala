@@ -71,4 +71,41 @@ class FunctionsSpec extends AnyFunSuite {
       .select(float_dot(col("a"), col("b"))).rdd.map(_.getDouble(0)).collect()
     assert(v.head === 32.0)
   }
+
+  test("q114 PII redaction: exact replacements, near-miss negatives untouched") {
+    import spark.implicits._
+    val in = Seq(
+      (0L, "reach jane.doe+spam@mail.example.org today"),
+      (1L, "call 555-123-4567 or 55-123-4567"),
+      (2L, "from 192.168.0.1 and 999.999.999.999"),
+      (3L, "plain text with an @ sign but no address"),
+      (4L, "x@y.io tight 1.2.3.4 and 000-000-0000")
+    ).toDF("id", "t")
+    val out = in
+      .select(col("id"), graft.operators.Pipeline.redactPii(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "reach <EMAIL> today")
+    assert(out(1L) == "call <PHONE> or 55-123-4567") // 2-digit prefix: no match
+    assert(out(2L) == "from <IP> and <IP>") // syntactic IPv4, not range-checked
+    assert(out(3L) == "plain text with an @ sign but no address")
+    assert(out(4L) == "<EMAIL> tight <IP> and <PHONE>")
+  }
+
+  test("q114 injection round-trip: every injected kind redacts to its marker") {
+    import spark.implicits._
+    val P = graft.operators.Pipeline
+    val ids = (0L to 13L).toDF("doc_id").withColumn("t", lit("w"))
+    val rows = ids
+      .select(col("doc_id"), P.redactPii(P.injectPii(col("t"), col("doc_id"))).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L to 13L).foreach { id =>
+      val expected = (id % 7) match {
+        case 0 => "w contact <EMAIL> now"
+        case 1 => "w call <PHONE>"
+        case 2 => "w from <IP> port"
+        case _ => "w"
+      }
+      assert(rows(id) == expected, s"doc_id=$id")
+    }
+  }
 }

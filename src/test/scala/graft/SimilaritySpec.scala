@@ -12,19 +12,25 @@ import org.scalatest.funsuite.AnyFunSuite
 class SimilaritySpec extends AnyFunSuite {
   import TestSpark._
 
-  test("IVF probe-2 recall >= 0.9 vs exact top-k on planted clusters") {
-    import spark.implicits._
+  private val NClusters = 8
+
+  /** 96 planted vectors in 8 well-separated clusters (id i → cluster
+    * i % 8), so ids 0..15 — the fixed-K centroid seed for centK=16 —
+    * hold exactly two anchors per cluster. Shared by the recall and
+    * cell-purity tests. */
+  private def planted(): Seq[(Long, Array[Float])] = {
     val rng = new scala.util.Random(11)
-    val nClusters = 8
     val dim = 32
-    val centers = Array.fill(nClusters)(Array.fill(dim)(rng.nextGaussian().toFloat))
-    // id i belongs to cluster i % 8, so ids 0..15 (the fixed-K centroid
-    // set for centK=16) hold exactly two anchors per cluster — the shape
-    // a seeded KMeans would give on separated clusters
-    val vecs: Seq[(Long, Array[Float])] = (0 until 96).map { i =>
-      val c = centers(i % nClusters)
+    val centers = Array.fill(NClusters)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    (0 until 96).map { i =>
+      val c = centers(i % NClusters)
       (i.toLong, c.map(v => v + 0.05f * rng.nextGaussian().toFloat))
     }
+  }
+
+  test("IVF probe-2 recall >= 0.9 vs exact top-k on planted clusters") {
+    import spark.implicits._
+    val vecs = planted()
     val df = vecs.toDF("vid", "embv").repartition(4)
 
     val queries = Seq(2L, 9L, 17L, 40L)
@@ -63,6 +69,36 @@ class SimilaritySpec extends AnyFunSuite {
       assert(got.size == k, s"query $qid returned ${got.size} of $k rows")
       val recall = got.intersect(want).size.toDouble / want.size
       assert(recall >= 0.9, s"query $qid recall $recall (got=$got want=$want)")
+    }
+  }
+
+  test("q116 cluster profile partitions the corpus; cohesion/purity fields sane") {
+    val rows = SparkEntry.queries("q116_cluster_profile")(spark, sf).collect()
+    val total = Tables.t(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "cluster sizes must partition the corpus — every vector in exactly one cell")
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= 1.0 + 1e-9, s"cell ${r.getLong(0)}: mean cos > 1")
+      assert(r.getLong(5) >= 1L && r.getLong(5) <= r.getLong(1),
+        s"cell ${r.getLong(0)}: majority-label count out of [1, n_vecs]")
+    }
+  }
+
+  test("lloydAsg nearest cells are pure on planted separated clusters") {
+    import spark.implicits._
+    // with 16 seeds over 8 clusters a true cluster MAY split across two
+    // cells, but no cell may MIX clusters — that is the property the
+    // q116 profile's purity column rests on
+    val df = planted().toDF("vid", "embv").repartition(4)
+    val asg = graft.operators.Similarity.lloydAsg(df, "vid", "embv", 16, 2)
+    val cells = asg.groupBy(col("vec_id"))
+      .agg(min(struct((-col("cos")).as("negcos"), col("cent_id").as("cent"))).as("m"))
+      .select(col("vec_id"), col("m.cent").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cells.length == 96, "every planted vector must be assigned")
+    cells.groupBy(_._2).foreach { case (cell, members) =>
+      val trueClusters = members.map(_._1 % NClusters).toSet
+      assert(trueClusters.size == 1, s"cell $cell mixes true clusters $trueClusters")
     }
   }
 }
