@@ -373,6 +373,11 @@ object Similarity {
     "q116_cluster_profile",
     (s, d) => {
       val asg = lloydAsg(emb(s, d), "vec_id", "embedding", CentK, LloydIters)
+      // cells feeds two branches (sizes/cohesion + label purity); a
+      // localCheckpoint here was measured (sf0.1, warm JVM) at 2.8 s vs
+      // 2.2 s WITHOUT — exchange reuse already shares the Lloyd chain's
+      // shuffles between the branches, so materialization only adds cost
+      // (the q31 precedent, not the q32 one)
       val cells = asg.groupBy(col("vec_id"))
         .agg(min(struct((-col("cos")).as("negcos"),
           col("cent_id").as("cent"))).as("m"))
