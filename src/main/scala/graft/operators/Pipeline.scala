@@ -640,6 +640,81 @@ object Pipeline {
       FROM m, t
       ORDER BY source"""))
 
+  // --------------------------------------------------------------- q117
+  // Source capping: keep at most CapN docs per source — the curation step
+  // that stops one dominant crawl from swamping the mixture (the blunt
+  // sibling of q115's temperature reweighting). "Which" docs survive must
+  // be deterministic and re-ingest-stable, so the kept set is the CapN
+  // SMALLEST BY CONTENT HASH (md5, doc_id tie-break), not head(N).
+  //
+  // Scale design — the naive form is a skew trap: row_number over
+  // Window.partitionBy(source) sorts an entire source in ONE task (the
+  // q106 lesson). Instead, an exact two-phase cap:
+  //   1. CALIBRATE: count docs per (source, b) where b = the first 3 hex
+  //      digits of the hash (monotone in hash order, 4096 cells); the
+  //      per-source running sum lives on a ≤ 4096·|sources| dictionary —
+  //      each window partition is ≤ 4096 rows regardless of corpus size.
+  //      b* = the smallest b whose running count reaches CapN (all-pass
+  //      4095 for under-cap sources).
+  //   2. PREFILTER + EXACT: broadcast the |sources|-row thresholds, keep
+  //      rows with b ≤ b*, and run the exact rank window on the
+  //      survivors — per source that is ≈ CapN + one boundary bucket
+  //      (corpus/4096 of the source, deepen the prefix as sources grow),
+  //      never the whole source.
+  // The oracle states the naive single-window semantics; AnalyticsSpec
+  // additionally pins two-phase ≡ naive on the real table, and PlanSpec
+  // pins that the corpus-sized window input sits above the broadcast
+  // threshold filter.
+  private val CapN = 15
+
+  private val q117 = QueryDef(
+    "q117_source_cap",
+    (s, d) => {
+      val base = docs(s, d).select(col("source"), col("doc_id"),
+        md5(col("text").cast("binary")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("b", conv(substring(col("h"), 1, 3), 16, 10).cast("long"))
+      // phase 1: dictionary-sized calibration of the per-source cutoff
+      val wCum = Window.partitionBy(col("source")).orderBy(col("b"))
+      val thr = base.groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .groupBy(col("source"))
+        .agg(coalesce(min(when(col("cum") >= CapN, col("b"))), lit(4095L))
+          .as("bstar"),
+          sum(col("c")).as("n_docs"))
+      // phase 2: broadcast prefilter, exact rank over ~CapN survivors
+      val wRank = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+      base.join(broadcast(thr), "source")
+        .filter(col("b") <= col("bstar"))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= CapN)
+        .groupBy(col("source"))
+        .agg(max(col("n_docs")).as("n_docs"),
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("sum_kept_ids"),
+          sum(col("n_tok")).as("tokens_kept"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH r AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(text), doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n_docs
+        FROM documents)
+      SELECT source,
+             CAST(max(n_docs) AS BIGINT) AS n_docs,
+             count(*) AS n_kept,
+             CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
+             CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+      FROM r
+      WHERE rn <= $CapN
+      GROUP BY source
+      ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113, q114, q115)
+    Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113, q114, q115, q117)
 }

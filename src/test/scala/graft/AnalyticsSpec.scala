@@ -43,6 +43,36 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q117 two-phase source cap equals the naive single-window form") {
+    val W = org.apache.spark.sql.expressions.Window
+    val twoPhase = q("q117_source_cap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // the semantics the oracle states, computed the skew-trap way —
+    // correct at this SF, corpus-sized-single-task at 100 TB
+    val wAll = W.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    val naive = Tables.t(spark, sf, "documents")
+      .select(col("source"), col("doc_id"),
+        md5(col("text").cast("binary")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("n_docs",
+        count(lit(1)).over(W.partitionBy(col("source"))))
+      .withColumn("rn", row_number().over(wAll))
+      .filter(col("rn") <= 15)
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"), count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("sum_kept_ids"), sum(col("n_tok")).as("tokens_kept"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(twoPhase.toSeq == naive.toSeq,
+      "threshold prefilter must not change which docs survive the cap")
+    twoPhase.foreach { case (s, nDocs, nKept, _, _) =>
+      assert(nKept == math.min(nDocs, 15L), s"source $s kept-count")
+    }
+  }
+
   test("q52 sessionize is invariant under input repartitioning") {
     val base = q("q52_sessionize")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

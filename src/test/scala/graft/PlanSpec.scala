@@ -230,6 +230,25 @@ class PlanSpec extends AnyFunSuite {
       "gram generator must stay codegen-able (no interpreted lambdas)")
   }
 
+  test("q117: rank window input is prefiltered by the broadcast threshold") {
+    // the exact per-source rank must run over ~CapN survivors, never the
+    // whole source: the plan needs the broadcast threshold join and a
+    // Filter on (b <= bstar) feeding the window — without them this is
+    // the q106 skew trap (one task sorts the dominant source)
+    val p = planOf("q117_source_cap")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source thresholds must broadcast into the corpus side")
+    // Catalyst folds the b <= bstar predicate into the broadcast join
+    // condition itself (and adds WindowGroupLimit rank pushdown on top) —
+    // accept the predicate anywhere below the rank window
+    assert(p.contains("<= bstar#"),
+      "corpus rows must be prefiltered by the calibrated threshold")
+    assert(p.contains("WindowGroupLimit"),
+      "rank-limit pushdown must prune each partition before the sort")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      "threshold join must be keyed, not a cartesian")
+  }
+
   test("q39: bigram generator stays out of the interpreted-lambda path") {
     val p = planOf("q39_bigram_topk")
     assert(!p.contains("lambdafunction"),
