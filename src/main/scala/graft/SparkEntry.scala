@@ -10,6 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - [[graft.operators.Dedup]]      — §2.C6 exact + near-dup dedup
   *   - [[graft.operators.Similarity]] — §2.C7 vector similarity search
   *   - [[graft.operators.TextAnalysis]] — §2.C8 text analysis
+  *   - [[graft.operators.Pipeline]]   — training-data pipeline (split/mix/
+  *     curation/chunking/packing/decontamination/redaction/capping)
+  *   - [[graft.operators.Analytics]]  — sketches, sessionization, metrics
+  *   - [[graft.operators.MLQueries]]  — §2.A queries through the gate
   *   - [[graft.operators.Multimodal]] — §2.C9 binary/multimodal plumbing
   *   - [[graft.streaming.EventStreams]] — §2.C10 Structured Streaming
   *   - [[graft.ml]]                   — §2.A LGBMClassifier/LGBMRegressor
