@@ -257,14 +257,18 @@ object Pipeline {
   /** (doc_id, ng): the word-5-gram stream, one row per gram occurrence —
     * lambda-free generator (positions exploded, gram projected after),
     * shared by q105/q112/q113. */
-  private def fiveGrams(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+  /** Word-5-gram stream of any (doc_id, text) frame — the testable core
+    * behind [[fiveGrams]]. */
+  def fiveGramsOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 5)
       .select(col("doc_id"), col("toks"),
         explode(expr("sequence(0, size(toks) - 5)")).as("i"))
       .select(col("doc_id"),
         expr("array_join(slice(toks, i + 1, 5), ' ')").as("ng"))
+
+  private def fiveGrams(s: SparkSession, d: String): DataFrame =
+    fiveGramsOf(docs(s, d))
 
   private val q105 = QueryDef(
     "q105_decontamination",
@@ -399,20 +403,19 @@ object Pipeline {
   // construction — so it broadcasts into the corpus-side left join and the
   // corpus never reshuffles there either. One corpus scan for grams, one
   // for the stats aggregation; zero corpus-keyed exchanges.
-  private val q112 = QueryDef(
-    "q112_decontaminate_corpus",
-    (s, d) => {
-      val isEval = col("doc_id") % 97 === 3
-      val grams = fiveGrams(s, d)
-      val evSet = grams.filter(isEval).select(col("ng")).distinct()
-      val bad = grams.filter(!isEval)
-        .join(broadcast(evSet), Seq("ng"), "left_semi")
-        .select(col("doc_id")).distinct()
-        .withColumn("bad", lit(1))
-      docs(s, d).filter(!isEval)
-        .join(broadcast(bad), Seq("doc_id"), "left")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
+  /** The q112 filter + survival-stats pipeline over any
+    * (doc_id, text, source) frame — the testable core. */
+  def decontaminateStats(d: DataFrame, isEval: Column): DataFrame = {
+    val grams = fiveGramsOf(d)
+    val evSet = grams.filter(isEval).select(col("ng")).distinct()
+    val bad = grams.filter(!isEval)
+      .join(broadcast(evSet), Seq("ng"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("bad", lit(1))
+    d.filter(!isEval)
+      .join(broadcast(bad), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
           sum(when(col("bad").isNotNull, lit(1L)).otherwise(lit(0L)))
             .as("n_dropped"),
           sum(when(col("bad").isNull, lit(1L)).otherwise(lit(0L)))
@@ -420,8 +423,12 @@ object Pipeline {
           sum(when(col("bad").isNull,
             size(split(col("text"), " ")).cast("long")).otherwise(lit(0L)))
             .as("tokens_kept"))
-        .orderBy(col("source"))
-    },
+      .orderBy(col("source"))
+  }
+
+  private val q112 = QueryDef(
+    "q112_decontaminate_corpus",
+    (s, d) => decontaminateStats(docs(s, d), col("doc_id") % 97 === 3),
     Some("""
       WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -464,19 +471,23 @@ object Pipeline {
   // filter drops the singleton long tail — the overwhelming majority of
   // grams — before the top-k heap, and the cut is a TakeOrdered over the
   // gram dictionary, never a global sort.
+  /** The q113 doc-frequency top-k over any (doc_id, text) frame — the
+    * testable core. */
+  def boilerplateTopK(d: DataFrame, k: Int): DataFrame = {
+    val dfq = fiveGramsOf(d)
+      .groupBy(col("ng")).agg(count_distinct(col("doc_id")).as("df"))
+    val top = dfq.filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("ng")).limit(k)
+    // rank window runs over the k TakeOrdered survivors only
+    val w = Window.orderBy(col("df").desc, col("ng"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("rk"), col("ng"), col("df"))
+      .orderBy(col("rk"))
+  }
+
   private val q113 = QueryDef(
     "q113_boilerplate_ngrams",
-    (s, d) => {
-      val dfq = fiveGrams(s, d)
-        .groupBy(col("ng")).agg(count_distinct(col("doc_id")).as("df"))
-      val top = dfq.filter(col("df") >= 2)
-        .orderBy(col("df").desc, col("ng")).limit(20)
-      // rank window runs over the 20 TakeOrdered survivors only
-      val w = Window.orderBy(col("df").desc, col("ng"))
-      top.withColumn("rk", row_number().over(w).cast("long"))
-        .select(col("rk"), col("ng"), col("df"))
-        .orderBy(col("rk"))
-    },
+    (s, d) => boilerplateTopK(docs(s, d), 20),
     Some("""
       WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

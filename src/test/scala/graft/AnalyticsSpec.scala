@@ -43,6 +43,47 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q112 decontamination drops exactly the gram-sharing docs (planted)") {
+    import spark.implicits._
+    // eval doc 3 carries the gram "a b c d e"; corpus docs 5 and 9
+    // contain it verbatim; 6 shares only a 4-token prefix (no full
+    // 5-gram); the rest are clean
+    val d = Seq(
+      (3L, "a b c d e", "src1"), // eval
+      (5L, "x a b c d e y", "src1"), // contaminated
+      (9L, "q r a b c d e", "src2"), // contaminated
+      (6L, "a b c d x x x", "src1"), // 4-gram overlap only -> kept
+      (7L, "u v w x y z t", "src2"), // clean
+      (8L, "m n o p q r s", "src2") // clean
+    ).toDF("doc_id", "text", "source")
+    val out = graft.operators.Pipeline
+      .decontaminateStats(d, col("doc_id") === 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("src1") == ((2L, 1L, 1L, 7L)), "src1: doc5 dropped, doc6 kept")
+    assert(out("src2") == ((3L, 1L, 2L, 14L)), "src2: doc9 dropped, 7/8 kept")
+  }
+
+  test("q113 boilerplate surfaces the planted shared footer at rank 1") {
+    import spark.implicits._
+    // 5 docs share the exact footer "end of document footer line"; each
+    // body is unique, so the only cross-document 5-gram is the footer —
+    // df counts DOCUMENTS (the in-doc repeat in doc 40 must not inflate
+    // it past 5)
+    val footer = "end of document footer line"
+    val d = ((0 until 5).map(i =>
+      (i.toLong, s"body$i word$i token$i extra$i more$i " + footer)) :+
+      (40L, s"$footer filler filler2 $footer"))
+      .toDF("doc_id", "text")
+    val rows = graft.operators.Pipeline.boilerplateTopK(d, 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.head._2 == footer,
+      s"rank 1 must be the planted footer, got ${rows.head}")
+    assert(rows.head._3 == 6L, "df counts distinct docs incl. doc 40 once")
+    // no unique body gram may reach the board (df >= 2 floor)
+    assert(rows.forall(_._3 >= 2L))
+  }
+
   test("q117 two-phase source cap equals the naive single-window form") {
     val W = org.apache.spark.sql.expressions.Window
     val twoPhase = q("q117_source_cap")(spark, sf).collect()
