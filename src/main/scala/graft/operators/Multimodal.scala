@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Multimodal-column plumbing (SURVEY §2.C9): media payloads are opaque
   * `binary` columns with typed metadata; decode / feature-extract runs as a
@@ -199,5 +200,65 @@ object Multimodal {
       FROM frames
       ORDER BY doc_id, frame_idx"""))
 
-  val defs: Seq[QueryDef] = Seq(q90, q91, q92, q95)
+  // --------------------------------------------------------------- q118
+  // Media near-dup: decode → 8-dim feature vector → brute-force cosine
+  // top-5 of probe media against the media corpus — the visual-dedup /
+  // reverse-image-search shape every multimodal pipeline needs, here
+  // wired end-to-end through the decode stub so the WHOLE path (binary
+  // payload → features → native FloatDot scoring → per-probe rank) is
+  // hash-checked: the oracle recomputes the md5-derived features
+  // byte-for-byte in SQL. Every feature is a dyadic rational (byte/256),
+  // so dot products and norms are exact doubles in both engines.
+  // Scale: the q50 design — probes broadcast, the media corpus never
+  // shuffles, scoring is a per-partition codegen'd projection; swap in
+  // [[graft.operators.Similarity.ivfTopK]] when the probe set grows.
+  private val q118 = QueryDef(
+    "q118_media_near_dup",
+    (s, d) => {
+      import graft.functions.VectorFunctions.{float_dot, float_norm}
+      val feats = decoded(s, d).select(col("doc_id"), col("features"))
+        .withColumn("nrm", float_norm(col("features")))
+      val probes = feats.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("features").as("fa"),
+          col("nrm").as("na"))
+      val scored = feats
+        .select(col("doc_id").as("cid"), col("features").as("fb"),
+          col("nrm").as("nb"))
+        .join(broadcast(probes), col("qid") =!= col("cid"))
+        .withColumn("cos",
+          round(float_dot(col("fa"), col("fb")) / (col("na") * col("nb")), 6))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("rk").cast("long").as("rk"), col("cid"),
+          col("cos"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some {
+      val featSql = (6 to 13).map(i => s"${mdByteSql(i)} / 256.0")
+      val dot = featSql.zipWithIndex
+        .map { case (f, i) => s"q.f$i * c.f$i" }.mkString(" + ")
+      val nrm = featSql.indices.map(i => s"f$i * f$i").mkString(" + ")
+      val cols = featSql.zipWithIndex
+        .map { case (f, i) => s"$f AS f$i" }.mkString(", ")
+      s"""
+      WITH f AS (SELECT doc_id, $cols FROM documents),
+      n AS (SELECT doc_id, sqrt($nrm) AS nrm FROM f),
+      scored AS (
+        SELECT q.doc_id AS qid, c.doc_id AS cid,
+               round(($dot) / (nq.nrm * nc.nrm), 6) AS cos
+        FROM f q
+        JOIN f c ON q.doc_id < 3 AND q.doc_id <> c.doc_id
+        JOIN n nq ON nq.doc_id = q.doc_id
+        JOIN n nc ON nc.doc_id = c.doc_id)
+      SELECT qid, CAST(rk AS BIGINT) AS rk, cid, cos FROM (
+        SELECT qid, cid, cos,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+        FROM scored) t
+      WHERE rk <= 5
+      ORDER BY qid, rk"""
+    })
+
+  val defs: Seq[QueryDef] = Seq(q90, q91, q92, q95, q118)
 }
