@@ -1024,6 +1024,43 @@ object Relational {
         AND l_discount BETWEEN 0.03 AND 0.07
         AND l_quantity < 24"""))
 
+  // --------------------------------------------------------------- q119
+  // Correlated SCALAR subquery (TPC-H Q17 shape — small-quantity-order
+  // revenue): each lineitem row compares against 0.2 × the avg quantity
+  // of ITS OWN part, written as a correlated subquery through the SQL
+  // surface. Catalyst's RewriteCorrelatedScalarSubquery decorrelates it
+  // into a per-partkey aggregate + equi-join — the plan a hand-written
+  // DataFrame formulation would produce — so nothing here is
+  // row-at-a-time; the subquery surface is free at scale.
+  // Exactness: l_quantity is integral, so avg = (exact double sum)/count
+  // is bit-identical in both engines regardless of partitioning; the
+  // revenue sum uses the fixed-point BIGINT trick; /7.0 is one exact
+  // IEEE division.
+  private val q119 = QueryDef(
+    "q119_correlated_scalar",
+    (s, d) => {
+      li(s, d).createOrReplaceTempView("v_lineitem")
+      part(s, d).createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE)
+                 / 10000 / 7.0 AS avg_yearly,
+               count(*) AS n
+        FROM v_lineitem l JOIN v_part p ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#13'
+          AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM v_lineitem l2
+                            WHERE l2.l_partkey = l.l_partkey)""")
+    },
+    Some("""
+      SELECT CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE)
+               / 10000 / 7.0 AS avg_yearly,
+             count(*) AS n
+      FROM lineitem l JOIN part p ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#13'
+        AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)"""))
+
   // --------------------------------------------------------------- q101
   // Blocked fuzzy string join (entity matching): near-identical part
   // names within an equi-block, verified by edit distance ≤ 2 — the
@@ -1074,5 +1111,5 @@ object Relational {
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101)
+    q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119)
 }

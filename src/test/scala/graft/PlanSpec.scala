@@ -249,6 +249,19 @@ class PlanSpec extends AnyFunSuite {
       "threshold join must be keyed, not a cartesian")
   }
 
+  test("q119: correlated scalar subquery is decorrelated to agg + join") {
+    // RewriteCorrelatedScalarSubquery must turn the per-part avg into a
+    // grouped aggregate joined back to lineitem — a surviving Subquery
+    // node or a cartesian would mean per-row re-execution
+    val p = planOf("q119_correlated_scalar")
+    assert(!p.contains("Subquery"),
+      "correlated scalar subquery must be decorrelated before execution")
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("l_partkey")),
+      "decorrelation must produce the per-partkey aggregate")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
+
   test("q39: bigram generator stays out of the interpreted-lambda path") {
     val p = planOf("q39_bigram_topk")
     assert(!p.contains("lambdafunction"),
