@@ -47,8 +47,9 @@ object Dedup {
     * puts a lambda (CodegenFallback) under Generate and runs ~18× slower
     * (measured 6.3s → 0.34s on sf0.1): keep generators lambda-free.
     */
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+  /** Word-3-shingle set of any (doc_id, lang, text) frame. */
+  private def shinglesOf(d0: DataFrame): DataFrame =
+    d0
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), col("toks"),
@@ -58,6 +59,9 @@ object Dedup {
                col("toks")(col("i") + 1), lit("|"),
                col("toks")(col("i") + 2)).as("shingle"))
       .distinct()
+
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(docs(s, d))
 
   /** SQL mirror of [[shingles]] (DuckDB list lambda, 1-based subscripts). */
   private val shinglesSql = """
@@ -908,5 +912,122 @@ object Dedup {
       GROUP BY comp
       ORDER BY comp"""))
 
-  val defs: Seq[QueryDef] = Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109)
+  // --------------------------------------------------------------- q120
+  // Near-decontamination via CONTAINMENT: for each eval doc, the corpus
+  // docs whose shingle overlap covers ≥ 50% of the EVAL doc's shingles —
+  // the asymmetric |A∩B|/|A| score (GPT-3-style eval-in-train leakage),
+  // which catches an eval snippet embedded in a longer training doc that
+  // symmetric Jaccard (q32, denominator |A∪B|) dilutes below threshold
+  // and exact 5-gram membership (q105/q112) only flags, not scores.
+  // Scale: q100's cross-side shape with the eval split as the small
+  // side — band buckets over both sides in one pass, pairs generated
+  // ONLY eval × corpus inside capped buckets, so the corpus² term never
+  // exists; the signature table is localCheckpointed (the q32/q100
+  // precedent: it feeds buckets + both verify sides). The containment
+  // verify runs in the same md5-id shingle-set domain as the oracle.
+  // Honest limitation, mirrored in the oracle so both engines agree:
+  // CANDIDATE recall uses symmetric minhash bands, whose collision
+  // probability falls as the containing doc grows (a band needs the
+  // whole-doc minhash to land inside the shared snippet) — a heavily
+  // diluted containment pair can be missed by both engines identically.
+  // The scale fix is a dedicated containment sketch over eval-side
+  // partitioned minhashes; the exact-5-gram q105/q112 path is the
+  // recall-1 backstop for verbatim leakage, which is why both ship.
+  /** The q120 containment pipeline over any (doc_id, lang, text) frame —
+    * the testable core. `isEval` marks the small side. */
+  def containmentStats(d0: DataFrame,
+      isEv: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+      val sigCols = (0 until K).map(k =>
+        min((col("sid") * aK(k) + bK(k)) % P).as(s"h$k")) :+
+        collect_set(col("sid")).as("sids")
+      val sig = shinglesOf(d0).withColumn("sid", md5Id(col("shingle")))
+        .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        .localCheckpoint()
+      val bandExprs = (0 until Bands).map(j =>
+        s"struct(${j}L as band, h${2 * j} * 2147483648L + h${2 * j + 1} as bv)")
+      val cross = sig
+        .select(col("doc_id"), explode(array(bandExprs.map(expr): _*)).as("b"))
+        .groupBy(col("b.band"), col("b.bv"))
+        .agg(
+          sort_array(collect_set(when(isEv(col("doc_id")), col("doc_id"))))
+            .as("ev_ids"),
+          sort_array(collect_set(when(!isEv(col("doc_id")), col("doc_id"))))
+            .as("co_ids"))
+        .filter(size(col("ev_ids")) > 0 && size(col("co_ids")) > 0 &&
+          size(col("ev_ids")) + size(col("co_ids")) <= MaxBucket)
+        .select(col("ev_ids"), col("co_ids"),
+          explode(expr("sequence(0, size(ev_ids) - 1)")).as("i"))
+        .select(col("ev_ids")(col("i")).as("eid"), col("co_ids"),
+          explode(expr("sequence(0, size(co_ids) - 1)")).as("j"))
+        .select(col("eid"), col("co_ids")(col("j")).as("cid"))
+        .distinct()
+      cross
+        .join(sig.select(col("doc_id").as("eid"), col("sids").as("sa")), "eid")
+        .join(sig.select(col("doc_id").as("cid"), col("sids").as("sb")), "cid")
+        .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("cont",
+          round(col("ni").cast("double") / size(col("sa")).cast("double"), 6))
+        .filter(col("cont") >= 0.5)
+        .groupBy(col("eid"))
+        .agg(count(lit(1)).as("n_hits"),
+          min(struct((-col("cont")).as("negc"), col("cid").as("c"))).as("m"))
+        .select(col("eid").as("eval_id"), col("n_hits"),
+          (-col("m.negc")).as("best_cont"), col("m.c").as("best_corpus_id"))
+        .orderBy(col("eval_id"))
+  }
+
+  private val q120 = QueryDef(
+    "q120_decontaminate_containment",
+    (s, d) => containmentStats(docs(s, d), _ % 97 === 3),
+    Some {
+      val minExprs = (0 until K)
+        .map(k => s"min((sid * ${aK(k)} + ${bK(k)}) % $P) AS h$k")
+        .mkString(",\n               ")
+      val bandSelects = (0 until Bands)
+        .map(j =>
+          s"SELECT doc_id, $j AS band, h${2 * j} * 2147483648 + h${2 * j + 1} AS bv FROM sig")
+        .mkString("\n        UNION ALL ")
+      s"""
+      WITH $shinglesSql,
+      ids AS (SELECT DISTINCT doc_id, ${md5IdSql("shingle")} AS sid FROM sh),
+      sig AS (SELECT doc_id,
+               $minExprs
+              FROM ids GROUP BY doc_id),
+      bands AS (
+        $bandSelects),
+      bsz AS (SELECT band, bv FROM bands GROUP BY band, bv
+              HAVING count(*) <= $MaxBucket),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS eid, y.doc_id AS cid
+        FROM bands x
+        JOIN bands y ON x.band = y.band AND x.bv = y.bv
+        JOIN bsz s ON s.band = x.band AND s.bv = x.bv
+        WHERE x.doc_id % 97 = 3 AND y.doc_id % 97 <> 3),
+      cnt AS (SELECT doc_id, count(*) AS n FROM ids GROUP BY 1),
+      inter AS (
+        SELECT eid, cid, count(*) AS ni
+        FROM cand
+        JOIN ids a ON a.doc_id = eid
+        JOIN ids b ON b.doc_id = cid AND a.sid = b.sid
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT eid, cid,
+               round(CAST(ni AS DOUBLE) / CAST(ca.n AS DOUBLE), 6) AS cont
+        FROM inter JOIN cnt ca ON eid = ca.doc_id
+        WHERE round(CAST(ni AS DOUBLE) / CAST(ca.n AS DOUBLE), 6) >= 0.5)
+      SELECT eid AS eval_id,
+             count(*) AS n_hits,
+             max(cont) AS best_cont,
+             CAST(min(CASE WHEN rk = 1 THEN cid END) AS BIGINT)
+               AS best_corpus_id
+      FROM (SELECT eid, cid, cont,
+                   row_number() OVER (PARTITION BY eid
+                                      ORDER BY cont DESC, cid) AS rk
+            FROM scored) t
+      GROUP BY eid
+      ORDER BY eval_id"""
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120)
 }

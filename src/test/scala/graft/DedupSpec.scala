@@ -162,6 +162,34 @@ class DedupSpec extends AnyFunSuite {
       s"uncapped must be C(200,2) = 19900, got $uncapped")
   }
 
+  test("q120 containment flags a contained snippet that Jaccard misses") {
+    import spark.implicits._
+    // eval doc 3 is a 12-token snippet embedded VERBATIM inside corpus
+    // doc 10, whose 24 tokens of extra context push symmetric Jaccard to
+    // 10/34 ≈ 0.29 while eval-side containment is exactly 1.0 — the
+    // asymmetry that justifies q120 next to q32. (Band collision under
+    // the fixed hash family was checked offline for THESE sizes; banding
+    // recall for diluted containment pairs is probabilistic by design —
+    // the scaladoc documents that limitation.) Doc 20 shares nothing.
+    val snippet = (1 to 12).map(i => s"s$i").mkString(" ")
+    val context = (1 to 24).map(i => s"c$i").mkString(" ")
+    val d = Seq(
+      (3L, "en", snippet),
+      (10L, "en", s"$context $snippet"),
+      (20L, "en", (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val rows = graft.operators.Dedup
+      .containmentStats(d, _ % 97 === 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.length == 1, s"exactly one flagged eval doc, got ${rows.toSeq}")
+    val (eid, nHits, cont, cid) = rows.head
+    assert(eid == 3L && cid == 10L && nHits == 1L)
+    assert(cont == 1.0, s"snippet fully contained -> containment 1.0, got $cont")
+    // and the symmetric Jaccard of the same pair is below the q32 bar:
+    // |A| = 10 shingles, |B| = 34, A subset of B -> jac = 10/34 < 0.5
+    assert(10.0 / 34.0 < 0.5)
+  }
+
   test("embedding LSH recall >= 0.9 on planted near-duplicates") {
     // 60 random base vectors (seeded) + 40 planted near-dups (tiny
     // perturbation, cos ≈ 0.999). Brute force is the ground truth at
