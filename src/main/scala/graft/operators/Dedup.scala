@@ -1028,6 +1028,68 @@ object Dedup {
       ORDER BY eval_id"""
     })
 
+  // --------------------------------------------------------------- q122
+  // Passage-level exact dedup (CCNet-style line dedup, adapted to this
+  // corpus's single-line docs): split each doc into consecutive
+  // non-overlapping 10-token passages, keep only the globally-first
+  // occurrence (min (doc_id, pos)) of each distinct passage, and
+  // reconstruct each document's surviving text.
+  //
+  // Scale shape: both heavy steps are PRE-COMBINED hash aggregations.
+  // The per-passage argmin gets map-side partial aggregation, so a
+  // boilerplate passage repeated 10^9 times collapses to one row per
+  // input task BEFORE the exchange — the hot key never ships its copies
+  // (this is why it is an agg, not a row_number window: a window sorts
+  // every copy of the hot passage in one task). The per-doc counts and
+  // the kept-text rebuild are likewise combiner-friendly aggs keyed by
+  // doc_id, and the final join aligns two doc_id-partitioned sides.
+  private val q122 = QueryDef(
+    "q122_dedup_passages",
+    (s, d) => {
+      val p = docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1)"))
+            .as("i"))
+        .select(col("doc_id"), col("i").cast("long").as("pos"),
+          concat_ws(" ", expr("slice(toks, i * 10 + 1, 10)")).as("pass"))
+      val firsts = p
+        .groupBy(col("pass"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("m"))
+        .select(col("m.doc_id").as("doc_id"), col("m.pos").as("pos"), col("pass"))
+      val keptAgg = firsts
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ",
+            expr("transform(array_sort(collect_list(struct(pos, pass)))," +
+                 " x -> x.pass)")).as("kept_text"))
+      p.groupBy(col("doc_id")).agg(count(lit(1)).as("n_pass"))
+        .join(keptAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_pass"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_text"), lit("")).as("kept_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      px AS (SELECT doc_id, toks,
+                    unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)))
+                      AS pos
+             FROM t),
+      p AS (SELECT doc_id, pos,
+                   array_to_string(toks[(pos * 10 + 1):(pos * 10 + 10)], ' ')
+                     AS pass
+            FROM px),
+      r AS (SELECT doc_id, pos, pass,
+                   row_number() OVER (PARTITION BY pass
+                                      ORDER BY doc_id, pos) AS rk
+            FROM p)
+      SELECT doc_id, count(*) AS n_pass,
+             CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             COALESCE(string_agg(CASE WHEN rk = 1 THEN pass END, ' '
+                                 ORDER BY pos), '') AS kept_text
+      FROM r GROUP BY doc_id ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120)
+    Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122)
 }

@@ -569,6 +569,99 @@ object TextAnalysis {
       WHERE rk <= 10
       ORDER BY rk"""))
 
+  // --------------------------------------------------------------- q121
+  /** Misra–Gries frequency summary of one partition's item stream: returns
+    * the ≤ k surviving keys. Guarantee: any item whose count in THIS
+    * partition exceeds N_p/(k+1) survives (each decrement event removes
+    * k+1 total mass, so ≤ N_p/(k+1) events can touch it). Pure streaming,
+    * O(k) memory, amortized O(1) per item — no shuffle, no sort. */
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { g =>
+      m.get(g) match {
+        case Some(c) => m.update(g, c + 1L)
+        case None =>
+          if (m.size < k) m.update(g, 1L)
+          else {
+            // decrement-all event: drop the incoming item and one count
+            // from each stored key (k+1 mass removed per event)
+            val keys = m.keysIterator.toArray
+            var i = 0
+            while (i < keys.length) {
+              val c = m(keys(i))
+              if (c == 1L) m.remove(keys(i)) else m.update(keys(i), c - 1L)
+              i += 1
+            }
+          }
+      }
+    }
+    m.keysIterator
+  }
+
+  // Heavy hitters with support φ = 1/500 over a boilerplate-weighted bigram
+  // stream — the "find template lines that dominate the corpus" operator.
+  // The corpus is synthetic-uniform (no natural skew; measured max bigram
+  // frequency ≈ N/744 at sf0.1), so the skew is PLANTED deterministically,
+  // mirrored in the oracle (q114 precedent): bigrams from template docs
+  // (doc_id % 97 == 3) stream with multiplicity 201.
+  //
+  // Scale shape (the reason this query exists): candidate generation is a
+  // per-partition Misra–Gries pass — ZERO shuffle of the token stream.
+  // With capacity k = 1024 > 1/φ - 1 = 499, any item with global count
+  // ≥ φN has count_p/N_p ≥ φ in some partition (weighted-average
+  // argument), hence count_p > N_p/(k+1) there, hence survives → the
+  // candidate union is a guaranteed superset of the true heavy hitters.
+  // Only the ≤ partitions×k candidates are then exactly recounted via a
+  // broadcast semi-join (at 1000+ executors with tiny φ, swap the
+  // broadcast for a shuffle semi-join on the candidate table — the
+  // candidate bound, not the broadcast, is the load-bearing part).
+  // Correctness never depends on the sketch: the final counts are exact,
+  // so the result hash-matches DuckDB's full GROUP BY.
+  private val q121 = QueryDef(
+    "q121_heavy_hitters_mg",
+    (s, d) => {
+      import s.implicits._
+      val grams = docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(1, size(toks) - 1)")).as("i"))
+        .select(col("doc_id"),
+          concat(col("toks")(col("i") - 1), lit(" "),
+                 col("toks")(col("i"))).as("g"))
+        .select(col("g"),
+          explode(expr("sequence(1, if(doc_id % 97 = 3, 201, 1))")).as("rep"))
+        .select(col("g"))
+      val cand = grams.as[String]
+        .mapPartitions(it => misraGries(it, 1024))
+        .toDF("g").distinct()
+      val tot = grams.agg(count(lit(1)).as("n_stream"))
+      grams.join(broadcast(cand), Seq("g"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") * 500 >= col("n_stream"))
+        .select(col("g").as("gram"), col("cnt"), col("n_stream"))
+        .orderBy(col("cnt").desc, col("gram"))
+    },
+    Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g0 AS (
+        SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+          THEN list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])
+          ELSE [] END) AS g
+        FROM tok),
+      grams AS (
+        SELECT g FROM g0,
+          unnest(range(0, CASE WHEN doc_id % 97 = 3 THEN 201 ELSE 1 END)) u),
+      tot AS (SELECT count(*) AS n_stream FROM grams)
+      SELECT g AS gram, count(*) AS cnt,
+             (SELECT n_stream FROM tot) AS n_stream
+      FROM grams GROUP BY g
+      HAVING count(*) * 500 >= (SELECT n_stream FROM tot)
+      ORDER BY cnt DESC, gram"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110)
+    Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121)
 }
