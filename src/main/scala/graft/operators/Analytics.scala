@@ -263,5 +263,60 @@ object Analytics {
              count(*) AS n_bins
       FROM c"""))
 
-  val defs: Seq[QueryDef] = Seq(q38, q52, q55, q102, q108)
+  // --------------------------------------------------------------- q125
+  // Ordered funnel conversion over the event stream: users who viewed,
+  // then clicked strictly AFTER their first view, then purchased strictly
+  // AFTER that first qualifying click — the classic product-analytics
+  // funnel where step N must temporally follow step N-1 (a plain
+  // GROUP BY event_type cannot express the ordering).
+  // Shape: three min-aggregations chained by inner joins, every one keyed
+  // by user_id — Catalyst plans ONE user_id exchange and reuses it across
+  // all stages (no broadcast needed, no re-shuffle); per-user state is one
+  // timestamp per step, so skewed users cost nothing. Conversion ratios
+  // are exact-integer divisions → bit-identical doubles.
+  private val q125 = QueryDef(
+    "q125_funnel_conversion",
+    (s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("ts"), col("event_type"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.agg(count(lit(1)).as("n_view_users"))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_users")))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_users")))
+        .select(col("n_view_users"), col("n_click_users"),
+          col("n_purchase_users"),
+          (col("n_click_users").cast("double") /
+            col("n_view_users").cast("double")).as("conv_view_click"),
+          (col("n_purchase_users").cast("double") /
+            col("n_click_users").cast("double")).as("conv_click_purchase"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id)
+      SELECT (SELECT count(*) FROM v) AS n_view_users,
+             (SELECT count(*) FROM c) AS n_click_users,
+             (SELECT count(*) FROM p) AS n_purchase_users,
+             CAST((SELECT count(*) FROM c) AS DOUBLE) /
+               CAST((SELECT count(*) FROM v) AS DOUBLE) AS conv_view_click,
+             CAST((SELECT count(*) FROM p) AS DOUBLE) /
+               CAST((SELECT count(*) FROM c) AS DOUBLE) AS conv_click_purchase"""))
+
+  val defs: Seq[QueryDef] = Seq(q38, q52, q55, q102, q108, q125)
 }

@@ -726,6 +726,48 @@ object Pipeline {
       GROUP BY source
       ORDER BY source"""))
 
+  // --------------------------------------------------------------- q124
+  // Changelog → SCD-Type-2 history build: treat `events` as a per-user
+  // change stream and construct versioned validity intervals
+  // [valid_from, valid_to) with lead(), plus the version number and the
+  // is_current flag — the dimension-history / dataset-versioning operator
+  // a warehouse runs on every CDC feed (MERGE-less: pure window algebra,
+  // no table format required).
+  // Determinism: (ts, event_id) is a total order per user, so lead() and
+  // row_number() are partitioning-independent; `value` passes through
+  // un-aggregated (exact).
+  // Scale: ONE shuffle keyed by user_id; the sort is per-user (bounded —
+  // no global sort). At 100 TB the same plan holds: key cardinality is
+  // users, and AQE splits any hot user. Rebuilding history incrementally
+  // = running this over (old tail ∪ new batch) per key, which the same
+  // window expresses.
+  private val q124 = QueryDef(
+    "q124_scd2_intervals",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("ver", row_number().over(w).cast("long"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("ver"), col("ts").as("valid_from"),
+          col("valid_to"), col("event_type"), col("value"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("ver"))
+    },
+    Some("""
+      SELECT user_id,
+             CAST(row_number() OVER w AS BIGINT) AS ver,
+             ts AS valid_from,
+             lead(ts, 1) OVER w AS valid_to,
+             event_type, value,
+             (lead(ts, 1) OVER w IS NULL) AS is_current
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, ver"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113, q114, q115, q117)
+    Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113, q114, q115, q117,
+      q124)
 }

@@ -1108,8 +1108,60 @@ object Relational {
         AND levenshtein(a.p_name, b.p_name) <= 2
       ORDER BY da, db"""))
 
+  // --------------------------------------------------------------- q123
+  // Distribution-analytic window pack — the window functions q10/q11 do
+  // not cover: ntile (equi-depth deciles), percent_rank / cume_dist
+  // (empirical CDF position), and a value-based RANGE frame (trailing
+  // 30-day revenue), all partitioned by o_orderstatus.
+  // Determinism: ntile needs a TOTAL order → tiebreak on o_orderkey;
+  // percent_rank/cume_dist are rank-based (tie-stable by definition) and
+  // their (rank-1)/(n-1), n_le/n divisions are exact-integer ratios →
+  // bit-identical doubles in both engines. The RANGE frame is defined by
+  // the epoch-day VALUE, not row position, so frame contents are
+  // partitioning-independent; revenue sums integer cents (exact).
+  // Scale: one shuffle on o_orderstatus; each window is one sort within
+  // the partition. Low-cardinality partition keys are the honest limit of
+  // global-CDF analytics — at 100 TB you either accept few fat sorted
+  // partitions or approximate the CDF with a sketch (q60's GK path).
+  private val q123 = QueryDef(
+    "q123_window_analytics",
+    (s, d) => {
+      val byPrice = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"))
+      val byPriceUnique = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val byDay = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("day")).rangeBetween(-29, 0)
+      ord(s, d)
+        .withColumn("day", expr("unix_timestamp(o_orderdate) DIV 86400"))
+        .withColumn("cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          ntile(10).over(byPriceUnique).cast("long").as("decile"),
+          percent_rank().over(byPrice).as("pr"),
+          cume_dist().over(byPrice).as("cd"),
+          (sum(col("cents")).over(byDay).cast("double") / 100.0).as("r30"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             CAST(ntile(10) OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice, o_orderkey)
+                  AS BIGINT) AS decile,
+             percent_rank() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice) AS pr,
+             cume_dist() OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice) AS cd,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    OVER (PARTITION BY o_orderstatus
+                          ORDER BY CAST(epoch(o_orderdate) AS BIGINT) // 86400
+                          RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / 100.0 AS r30
+      FROM orders
+      ORDER BY o_orderkey"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119)
+    q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
+    q123)
 }
