@@ -1053,10 +1053,16 @@ object Dedup {
             .as("i"))
         .select(col("doc_id"), col("i").cast("long").as("pos"),
           concat_ws(" ", expr("slice(toks, i * 10 + 1, 10)")).as("pass"))
+      // argmin packed into ONE int64 (doc_id * 2^20 + pos; pos < 2^20 —
+      // a doc would need >10M tokens to overflow): min(struct(...)) plans
+      // as SortAggregate + per-task sort, while min(BIGINT) stays in
+      // whole-stage-codegen HashAggregate with map-side combine.
       val firsts = p
+        .withColumn("mkey", col("doc_id") * 1048576L + col("pos"))
         .groupBy(col("pass"))
-        .agg(min(struct(col("doc_id"), col("pos"))).as("m"))
-        .select(col("m.doc_id").as("doc_id"), col("m.pos").as("pos"), col("pass"))
+        .agg(min(col("mkey")).as("mkey"))
+        .select(expr("mkey DIV 1048576").as("doc_id"),
+          (col("mkey") % 1048576L).as("pos"), col("pass"))
       val keptAgg = firsts
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_kept"),
