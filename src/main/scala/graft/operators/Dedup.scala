@@ -1043,10 +1043,9 @@ object Dedup {
   // every copy of the hot passage in one task). The per-doc counts and
   // the kept-text rebuild are likewise combiner-friendly aggs keyed by
   // doc_id, and the final join aligns two doc_id-partitioned sides.
-  private val q122 = QueryDef(
-    "q122_dedup_passages",
-    (s, d) => {
-      val p = docs(s, d)
+  /** The q122 pipeline over any (doc_id, text) frame — the testable core. */
+  def passageDedup(d0: DataFrame): DataFrame = {
+      val p = d0
         .withColumn("toks", split(col("text"), " "))
         .select(col("doc_id"), col("toks"),
           explode(expr("sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1)"))
@@ -1075,7 +1074,11 @@ object Dedup {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("kept_text"), lit("")).as("kept_text"))
         .orderBy(col("doc_id"))
-    },
+  }
+
+  private val q122 = QueryDef(
+    "q122_dedup_passages",
+    (s, d) => passageDedup(docs(s, d)),
     Some("""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       px AS (SELECT doc_id, toks,

@@ -230,4 +230,24 @@ class DedupSpec extends AnyFunSuite {
     val recall = lsh.intersect(truth).size.toDouble / truth.size
     assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} true pairs")
   }
+  test("q122 passage dedup keeps exactly the first occurrence (planted)") {
+    import spark.implicits._
+    // doc 1: two passages A=(w1..w10), B=(w11..w20)
+    // doc 2: byte-identical to doc 1 -> both passages dropped, text ""
+    // doc 3: passage B again, plus a unique 5-token tail -> keeps tail only
+    val w = (1 to 20).map(i => s"w$i")
+    val a = w.take(10).mkString(" "); val b = w.drop(10).mkString(" ")
+    val tail = "t1 t2 t3 t4 t5"
+    val d = Seq(
+      (1L, s"$a $b"),
+      (2L, s"$a $b"),
+      (3L, s"$b $tail")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.passageDedup(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, s"$a $b"),
+      (2L, 2L, 0L, ""),
+      (3L, 2L, 1L, tail)))
+  }
 }
