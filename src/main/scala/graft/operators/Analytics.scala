@@ -318,5 +318,93 @@ object Analytics {
              CAST((SELECT count(*) FROM p) AS DOUBLE) /
                CAST((SELECT count(*) FROM c) AS DOUBLE) AS conv_click_purchase"""))
 
-  val defs: Seq[QueryDef] = Seq(q38, q52, q55, q102, q108, q125)
+  // --------------------------------------------------------------- q131
+  // Incremental statistics maintenance via MERGEABLE aggregation state —
+  // the pattern behind every "update corpus stats without rescanning
+  // 100 TB" job: per-slice partial states (n, Σx, Σx²) are computed
+  // independently (here: the standing corpus doc_id % 3 < 2 vs the new
+  // batch doc_id % 3 = 2), then MERGED by plain addition, and mean /
+  // population variance are derived only at the end from the merged
+  // integers. The oracle computes the SAME statistics in one direct
+  // pass — the hash match is therefore a PROOF that the merge path is
+  // exact, not approximately right: merging loses nothing because every
+  // state component is an exact BIGINT (token counts are integers; at
+  // 100 TB promote Σx² to DECIMAL(38,0) — same algebra).
+  // Catalyst detail: both groupBys are hash aggs with map-side combine;
+  // the (source, slice) pre-agg output is tiny, so the merge is free.
+  private val q131 = QueryDef(
+    "q131_incremental_stats_merge",
+    (s, d) => {
+      val base = docs(s, d).select(col("source"),
+        (col("doc_id") % 3 === 2).as("is_new"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      val partials = base
+        .groupBy(col("source"), col("is_new"))
+        .agg(count(lit(1)).as("n"), sum(col("nt")).as("s1"),
+          sum(col("nt") * col("nt")).as("s2"))
+      partials
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_docs"), sum(col("s1")).as("tok_total"),
+          sum(col("s2")).as("s2"))
+        .select(col("source"), col("n_docs"), col("tok_total"),
+          (col("tok_total").cast("double") / col("n_docs").cast("double"))
+            .as("mean_tok"),
+          ((col("n_docs") * col("s2") - col("tok_total") * col("tok_total"))
+            .cast("double") /
+            (col("n_docs") * col("n_docs")).cast("double")).as("var_tok"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS tok_total,
+             CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_tok,
+             CAST(count(*) * sum(nt * nt) - sum(nt) * sum(nt) AS DOUBLE) /
+               CAST(count(*) * count(*) AS DOUBLE) AS var_tok
+      FROM (SELECT source, len(string_split(text, ' ')) AS nt
+            FROM documents)
+      GROUP BY source
+      ORDER BY source"""))
+
+  // --------------------------------------------------------------- q132
+  // Last-touch attribution: each purchase is credited to the user's most
+  // recent PRIOR non-purchase event (the marketing-attribution join that
+  // is really a per-key ordered scan, not a join). last(..., ignoreNulls)
+  // over ROWS UNBOUNDED PRECEDING..1 PRECEDING is a running O(1) state
+  // per row — no self-join, no per-purchase backward probe.
+  // Scale: ONE user_id exchange; the window sort is per-user and bounded.
+  // Revenue sums integer cents (Num.sumFixed) — order-independent.
+  private val q132 = QueryDef(
+    "q132_last_touch_attribution",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev(s, d)
+        .withColumn("prior",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("prior"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sumFixed(col("value"), 2).as("revenue"))
+        .orderBy(col("channel"))
+    },
+    Some(s"""
+      WITH a AS (
+        SELECT user_id, event_type, value,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prior
+        FROM events)
+      SELECT COALESCE(prior, 'none') AS channel,
+             count(*) AS n_purchases,
+             ${sumFixedSql("value", 2)} AS revenue
+      FROM a
+      WHERE event_type = 'purchase'
+      GROUP BY channel
+      ORDER BY channel"""))
+
+  val defs: Seq[QueryDef] = Seq(q38, q52, q55, q102, q108, q125, q131, q132)
 }
