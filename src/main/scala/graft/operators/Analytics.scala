@@ -406,5 +406,78 @@ object Analytics {
       GROUP BY channel
       ORDER BY channel"""))
 
-  val defs: Seq[QueryDef] = Seq(q38, q52, q55, q102, q108, q125, q131, q132)
+  // --------------------------------------------------------------- q134
+  // Calendar gap-fill + last-observation-carried-forward: densify each
+  // event type's daily revenue series over the full corpus date range
+  // (missing days appear as rows), then fill gaps with the last observed
+  // value — the timeseries-regularization op every downstream
+  // forecasting/feature job needs before it can window by day.
+  // Shape: daily agg (cents, exact) → one tiny min/max scalar → calendar
+  // explode per type (sequence of days — generated, not joined from a
+  // calendar table) → LEFT join observed days → LOCF via
+  // last(ignoreNulls) over ROWS UNBOUNDED PRECEDING.
+  // Scale: the dense grid is |types| × |days| — independent of event
+  // count; the daily agg is a map-side-combined hash agg, and the LOCF
+  // window sorts per type only. Everything after the first agg operates
+  // on the GRID, so 100 TB of raw events never reaches the window.
+  // The synthetic feed has NO missing days (every type reports daily), so
+  // gaps are PLANTED deterministically and mirrored in the oracle (q114
+  // precedent): days with day % 7 ∈ {3, 5} are dropped as "outages" —
+  // without this the LOCF path would never execute.
+  private val q134 = QueryDef(
+    "q134_gapfill_locf",
+    (s, d) => {
+      val daily = ev(s, d)
+        .select(col("event_type"),
+          expr("unix_timestamp(ts) DIV 86400").as("day"),
+          col("value"))
+        .filter(col("day") % 7 =!= 3 && col("day") % 7 =!= 5)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sumFixed(col("value"), 2).as("rev"))
+      val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val grid = daily.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(expr("sequence(d0, d1)")).as("day"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val filled = grid.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("rev_f", last(col("rev"), ignoreNulls = true).over(w))
+      filled.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("rev").isNull, 1L).otherwise(0L)).as("n_gap_days"),
+          sumFixed(col("rev_f"), 2).as("filled_total"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT event_type, CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+               ${sumFixedSql("value", 2)} AS rev
+        FROM events
+        WHERE (CAST(epoch(ts) AS BIGINT) // 86400) % 7 NOT IN (3, 5)
+        GROUP BY 1, 2),
+      span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      grid AS (
+        SELECT t.event_type, gs.day
+        FROM (SELECT DISTINCT event_type FROM daily) t,
+             (SELECT unnest(generate_series(d0, d1)) AS day FROM span) gs),
+      filled AS (
+        SELECT g.event_type, g.day, daily.rev,
+               last_value(daily.rev IGNORE NULLS)
+                 OVER (PARTITION BY g.event_type ORDER BY g.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS rev_f
+        FROM grid g
+        LEFT JOIN daily ON daily.event_type = g.event_type
+                       AND daily.day = g.day)
+      SELECT event_type, count(*) AS n_days,
+             CAST(sum(CASE WHEN rev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gap_days,
+             ${sumFixedSql("rev_f", 2)} AS filled_total
+      FROM filled
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(q38, q52, q55, q102, q108, q125, q131, q132, q134)
 }

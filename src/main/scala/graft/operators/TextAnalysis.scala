@@ -662,6 +662,79 @@ object TextAnalysis {
       HAVING count(*) * 500 >= (SELECT n_stream FROM tot)
       ORDER BY cnt DESC, gram"""))
 
+  // --------------------------------------------------------------- q133
+  // Token co-occurrence statistics over the top-20 document-frequency
+  // tokens — the PMI-style prep pass embedding/word-vector training runs
+  // over a corpus. Emits the exact ratio p(a,b)/(p(a)p(b)) as
+  // N·c_ab/(c_a·c_b) instead of its log: every operand is an exact
+  // integer, so the one double division is bit-identical cross-engine
+  // (libm log is not a cross-engine contract).
+  // Scale: the pair space is CAPPED by the dictionary (≤ C(20,2) keys),
+  // never by the corpus — per-doc pair generation explodes positions over
+  // the ≤20 within-doc top tokens (C(20,2)=190 pairs max per doc), and
+  // the counts collapse in a map-side-combined hash agg. The top-20
+  // dictionary and the per-token df table are broadcast (21 rows).
+  private val q133 = QueryDef(
+    "q133_token_cooccurrence",
+    (s, d) => {
+      val dt = docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .distinct()
+      val dfCnt = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val wTop = Window.orderBy(col("df").desc, col("tok"))
+      val top = dfCnt.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 20).select(col("tok"), col("df"))
+      val nDocs = docs(s, d).agg(count(lit(1)).as("n_docs"))
+      val pairs = dt.join(broadcast(top.select(col("tok"))), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("tok"))).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("ts"), explode(expr("sequence(0, size(ts) - 2)")).as("i"))
+        .select(col("ts"), col("i"),
+          explode(expr("sequence(i + 1, size(ts) - 1)")).as("j"))
+        .select(col("ts")(col("i")).as("ta"), col("ts")(col("j")).as("tb"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(top.select(col("tok").as("ta"), col("df").as("n_a"))),
+          Seq("ta"))
+        .join(broadcast(top.select(col("tok").as("tb"), col("df").as("n_b"))),
+          Seq("tb"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("ta"), col("tb"), col("n_ab"), col("n_a"), col("n_b"),
+          round((col("n_docs") * col("n_ab")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6).as("pmi_ratio"))
+        .orderBy(col("ta"), col("tb"))
+    },
+    Some("""
+      WITH dt AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)),
+      dfc AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+      top AS (
+        SELECT tok, df FROM (
+          SELECT tok, df,
+                 row_number() OVER (ORDER BY df DESC, tok) AS rk
+          FROM dfc) t
+        WHERE rk <= 20),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      pairs AS (
+        SELECT a.tok AS ta, b.tok AS tb, count(*) AS n_ab
+        FROM dt a
+        JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        JOIN top x ON x.tok = a.tok
+        JOIN top y ON y.tok = b.tok
+        GROUP BY a.tok, b.tok)
+      SELECT ta, tb, n_ab, x.df AS n_a, y.df AS n_b,
+             round(CAST((SELECT n_docs FROM nd) * n_ab AS DOUBLE) /
+                   CAST(x.df * y.df AS DOUBLE), 6) AS pmi_ratio
+      FROM pairs
+      JOIN top x ON x.tok = ta
+      JOIN top y ON y.tok = tb
+      ORDER BY ta, tb"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121)
+    Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133)
 }
