@@ -767,7 +767,80 @@ object Pipeline {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY user_id, ver"""))
 
+  // --------------------------------------------------------------- q136
+  // Exact-quota stratified sampling via largest-remainder allocation —
+  // the eval-set construction q36's hash-Bernoulli split cannot do: hit
+  // floor(N/10) TOTAL rows exactly, with per-stratum (source) quotas
+  // floor(n_s/10) plus largest-remainder extras, and pick WHICH docs by
+  // content-hash rank (deterministic, content-keyed — the q47 property:
+  // re-running on a grown corpus never swaps an already-picked doc for
+  // an equal-hash reason; ties broken by doc_id).
+  // Scale: the allocation table is |strata| rows (a driver-free window
+  // over a broadcast-sized frame); the pick is a per-stratum rank
+  // window. The rank window sorts each stratum — the honest cost of
+  // EXACT quotas at 100 TB; the cheap approximation (hash-threshold
+  // pre-filter to ~quota + exact top-up over survivors) shrinks the
+  // sorted set by 10× per decade of threshold margin and composes with
+  // this same plan.
+  private val q136 = QueryDef(
+    "q136_exact_quota_sample",
+    (s, d) => {
+      val base = docs(s, d).select(col("source"), col("doc_id"),
+        conv(substring(md5(col("text").cast("binary")), 1, 14), 16, 10)
+          .cast("long").as("hk"))
+      val strata = base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("base_q", expr("n_docs DIV 10"))
+        .withColumn("rem", col("n_docs") % 10)
+      val tot = strata.agg(sum(col("n_docs")).as("n_tot"),
+        sum(col("base_q")).as("base_tot"))
+      val wRem = Window.orderBy(col("rem").desc, col("source"))
+      val quotas = strata.crossJoin(broadcast(tot))
+        .withColumn("xr", row_number().over(wRem).cast("long"))
+        .select(col("source"), col("n_docs"),
+          (col("base_q") + when(
+            col("xr") <= expr("n_tot DIV 10") - col("base_tot"), 1L)
+            .otherwise(0L)).as("quota"))
+      val wPick = Window.partitionBy(col("source"))
+        .orderBy(col("hk"), col("doc_id"))
+      base.withColumn("rk", row_number().over(wPick).cast("long"))
+        .join(broadcast(quotas), Seq("source"))
+        .filter(col("rk") <= col("quota"))
+        .groupBy(col("source"), col("n_docs"), col("quota"))
+        .agg(count(lit(1)).as("picked"),
+          sum(col("doc_id")).as("picked_id_sum"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT source, doc_id,
+               ('0x' || substr(md5(text), 1, 14))::BIGINT AS hk
+        FROM documents),
+      st AS (
+        SELECT source, count(*) AS n_docs,
+               count(*) // 10 AS base_q, count(*) % 10 AS rem
+        FROM base GROUP BY source),
+      tot AS (SELECT sum(n_docs) AS n_tot, sum(base_q) AS base_tot FROM st),
+      quotas AS (
+        SELECT source, n_docs,
+               base_q + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                             <= (SELECT n_tot // 10 - base_tot FROM tot)
+                        THEN 1 ELSE 0 END AS quota
+        FROM st),
+      ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY hk, doc_id) AS rk
+        FROM base)
+      SELECT q.source, q.n_docs, CAST(q.quota AS BIGINT) AS quota,
+             count(*) AS picked,
+             CAST(sum(r.doc_id) AS BIGINT) AS picked_id_sum
+      FROM ranked r JOIN quotas q ON q.source = r.source
+      WHERE r.rk <= q.quota
+      GROUP BY q.source, q.n_docs, q.quota
+      ORDER BY q.source"""))
+
   val defs: Seq[QueryDef] =
     Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113, q114, q115, q117,
-      q124)
+      q124, q136)
 }

@@ -1159,9 +1159,65 @@ object Relational {
       FROM orders
       ORDER BY o_orderkey"""))
 
+  // --------------------------------------------------------------- q135
+  // TPC-H Q22 shape through the SQL surface: lapsed high-balance
+  // customers — an uncorrelated scalar subquery (global avg balance,
+  // exact cents arithmetic so the threshold is bit-identical
+  // cross-engine) AND a correlated NOT EXISTS (no orders since the
+  // cutoff). Catalyst decorrelates NOT EXISTS into a left-anti join and
+  // evaluates the scalar subquery once as a broadcast scalar — no
+  // per-row probing survives in the physical plan. The anti join's
+  // build side is orders FILTERED by the pushed-down date predicate
+  // (recent orders only), so the anti join is against the small recent
+  // slice, not the full history — the shape that matters at 100 TB.
+  private val q135 = QueryDef(
+    "q135_lapsed_customers",
+    (s, d) => {
+      cust(s, d).createOrReplaceTempView("v_customer")
+      ord(s, d).createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT c_nationkey % 10 AS cntry,
+               count(*) AS numcust,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS totacctbal
+        FROM v_customer c
+        WHERE c_nationkey % 10 IN (1, 3, 5, 7)
+          AND c_acctbal > (
+                SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+                            AS DOUBLE) / (count(*) * 100.0)
+                FROM v_customer c2
+                WHERE c2.c_acctbal > 0.0
+                  AND c2.c_nationkey % 10 IN (1, 3, 5, 7))
+          AND NOT EXISTS (
+                SELECT 1 FROM v_orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+        GROUP BY c_nationkey % 10
+        ORDER BY cntry""")
+    },
+    Some("""
+      SELECT c_nationkey % 10 AS cntry,
+             count(*) AS numcust,
+             CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS totacctbal
+      FROM customer c
+      WHERE c_nationkey % 10 IN (1, 3, 5, 7)
+        AND c_acctbal > (
+              SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+                          AS DOUBLE) / (count(*) * 100.0)
+              FROM customer c2
+              WHERE c2.c_acctbal > 0.0
+                AND c2.c_nationkey % 10 IN (1, 3, 5, 7))
+        AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+      GROUP BY c_nationkey % 10
+      ORDER BY cntry"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
-    q123)
+    q123, q135)
 }

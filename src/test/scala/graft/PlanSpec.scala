@@ -344,4 +344,29 @@ class PlanSpec extends AnyFunSuite {
     // non-literal bits must be rejected, not silently miscompiled
     intercept[Exception](spark.sql("SELECT embed_simhash(a, CAST(n_x AS INT)) FROM v_fd"))
   }
+  test("q122: passage argmin stays in hash aggregation (no per-task sort)") {
+    // min(struct) would plan SortAggregate + Sort per task; the packed
+    // int64 argmin must keep every aggregate in HashAggregate codegen
+    val p = planOf("q122_dedup_passages")
+    assert(!p.contains("SortAggregate"),
+      "packed-argmin aggregation must not fall back to SortAggregate")
+  }
+
+  test("q121: candidate recount joins via broadcast, no sort-merge join") {
+    val p = planOf("q121_heavy_hitters_mg")
+    assert(p.contains("BroadcastHashJoin"),
+      "MG candidate set must broadcast into the exact recount")
+    assert(!p.contains("SortMergeJoin"),
+      "no corpus-sized shuffle join in the heavy-hitter path")
+  }
+
+  test("q133: dictionary joins broadcast; pair space never cartesian") {
+    val p = planOf("q133_token_cooccurrence")
+    assert(p.contains("BroadcastHashJoin"),
+      "top-20 dictionary joins must broadcast")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      "co-occurrence must come from within-doc pair explode, not a cross join")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join anywhere in the co-occurrence path")
+  }
 }
