@@ -438,5 +438,86 @@ object Similarity {
       FROM agg a JOIN top t USING (cell)
       ORDER BY a.cell"""))
 
-  val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116)
+  // --------------------------------------------------------------- q137
+  // Semantic dedup — cluster-then-prune (the SemDeDup recipe, Abbas et
+  // al., arXiv:2303.09540): assign every embedding to a seeded-KMeans
+  // cell (the same [[lloydAsg]] front half as q51/q116), then compare
+  // pairs ONLY within a cell and drop every vector that has a
+  // smaller-id cell-mate with cosine ≥ τ — one survivor per ε-ball,
+  // deterministically the minimum id. Where q34 finds near-dups by LSH
+  // banding (recall < 1 by construction), this is the embedding-space
+  // curation pass that bounds the pair space by CLUSTERING: the
+  // quadratic term is Σ|cell|², never N².
+  //
+  // Scale: the assignment is q51's broadcast O(N·K) pass — no corpus
+  // shuffle. The pairwise stage shuffles members once, keyed by cell;
+  // in-cell work is quadratic, which is exactly the SemDeDup contract —
+  // K grows with the corpus (practical deployments use K ≈ 10⁵) so
+  // |cell| ≈ N/K stays bounded; the testbed pins K=16 because the
+  // oracle replays every Lloyd bit. The keeper choice min(struct(ia,
+  // cos)) is an aggregation, not a window — partial+final hash agg, no
+  // per-cell sort. Cosines are exact FloatDot/norm bits both engines.
+  private val SemTau = 0.35
+  private val q137 = QueryDef(
+    "q137_semantic_dedup",
+    (s, d) => {
+      val e = withNorm(emb(s, d), "vec_id", "embedding")
+      val asg = lloydAsg(emb(s, d), "vec_id", "embedding", CentK, LloydIters)
+      val cells = asg.groupBy(col("vec_id"))
+        .agg(min(struct((-col("cos")).as("negcos"),
+          col("cent_id").as("cent"))).as("m"))
+        .select(col("vec_id"), col("m.cent").as("cell"))
+      val m = cells.join(e, "vec_id")
+      val a = m.select(col("cell"), col("vec_id").as("ia"),
+        col("embedding").as("ea"), col("norm").as("na"))
+      val b = m.select(col("cell").as("cellb"), col("vec_id").as("ib"),
+        col("embedding").as("eb"), col("norm").as("nb"))
+      a.join(b, col("cell") === col("cellb") && col("ia") < col("ib"))
+        .withColumn("cos",
+          round(float_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= SemTau)
+        .groupBy(col("cell"), col("ib").as("dropped_id"))
+        .agg(min(struct(col("ia"), col("cos"))).as("m"))
+        .select(col("cell"), col("dropped_id"), col("m.ia").as("keeper_id"),
+          col("m.cos").as("keeper_cos"))
+        .orderBy(col("dropped_id"))
+    },
+    Some(s"""
+      WITH $evSql,
+      ${lloydCtes(LloydIters)},
+      asg AS (
+        SELECT e.vec_id, c.cent_id,
+               round(sum(e.v * c.cv) / (ne.nrm * n.cn), 6) AS cos
+        FROM ev e
+        JOIN cv$LloydIters c ON c.i = e.i
+        JOIN norms ne ON ne.vec_id = e.vec_id
+        JOIN cn$LloydIters n ON n.cent_id = c.cent_id
+        GROUP BY e.vec_id, c.cent_id, ne.nrm, n.cn),
+      cells AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cent_id) AS rn
+          FROM asg) t
+        WHERE rn = 1),
+      pairs AS (
+        SELECT x.cell, x.vec_id AS ia, y.vec_id AS ib, sum(a.v * b.v) AS dot
+        FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        JOIN ev a ON a.vec_id = x.vec_id
+        JOIN ev b ON b.vec_id = y.vec_id AND a.i = b.i
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT cell, ia, ib, round(dot / (na.nrm * nb.nrm), 6) AS cos
+        FROM pairs
+        JOIN norms na ON ia = na.vec_id
+        JOIN norms nb ON ib = nb.vec_id)
+      SELECT cell, ib AS dropped_id, ia AS keeper_id, cos AS keeper_cos
+      FROM (
+        SELECT cell, ia, ib, cos,
+               row_number() OVER (PARTITION BY ib ORDER BY ia) AS rn
+        FROM scored WHERE cos >= $SemTau) t
+      WHERE rn = 1
+      ORDER BY dropped_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q137)
 }
