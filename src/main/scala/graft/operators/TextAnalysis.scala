@@ -735,6 +735,58 @@ object TextAnalysis {
       JOIN top y ON y.tok = tb
       ORDER BY ta, tb"""))
 
+  // --------------------------------------------------------------- q138
+  // Source-vocabulary overlap matrix — pairwise Jaccard between the
+  // distinct-token vocabularies of every source pair: the "how similar
+  // are my data sources" report that drives mixture design (near-clone
+  // crawls get merged; disjoint sources get their own q115 temperature
+  // weight). Intersections come from ONE token-keyed self-join of the
+  // deduplicated (source, token) vocabulary: a token joins at most
+  // |sources| rows per side, so per-key fan-out is bounded by
+  // C(|sources|, 2) — corpus size only enters through the one
+  // (source, token)-keyed distinct, which partial-aggregates map-side.
+  // Vocabulary sizes are a |sources|-row broadcast; union counts come
+  // from inclusion–exclusion over exact BIGINTs, so the only IEEE op is
+  // the final rounded division.
+  private val q138 = QueryDef(
+    "q138_vocab_overlap",
+    (s, d) => {
+      val vocab = docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("v"))
+      val inter = vocab.select(col("source").as("sa"), col("tok"))
+        .join(vocab.select(col("source").as("sb"), col("tok")), Seq("tok"))
+        .filter(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("sa"), col("v").as("v_a"))), Seq("sa"))
+        .join(broadcast(sizes.select(col("source").as("sb"), col("v").as("v_b"))), Seq("sb"))
+        .select(col("sa"), col("sb"), col("n_inter"), col("v_a"), col("v_b"),
+          round(col("n_inter").cast("double") /
+            (col("v_a") + col("v_b") - col("n_inter")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("sa"), col("sb"))
+    },
+    Some("""
+      WITH vocab AS (
+        SELECT DISTINCT source, tok FROM (
+          SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents) t),
+      sizes AS (SELECT source, count(*) AS v FROM vocab GROUP BY 1),
+      inter AS (
+        SELECT a.source AS sa, b.source AS sb, count(*) AS n_inter
+        FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT sa, sb, n_inter, x.v AS v_a, y.v AS v_b,
+             round(CAST(n_inter AS DOUBLE)
+                   / CAST(x.v + y.v - n_inter AS DOUBLE), 6) AS jaccard
+      FROM inter
+      JOIN sizes x ON x.source = sa
+      JOIN sizes y ON y.source = sb
+      ORDER BY sa, sb"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133)
+    Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
+      q138)
 }
