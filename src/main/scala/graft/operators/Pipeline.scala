@@ -840,7 +840,107 @@ object Pipeline {
       GROUP BY q.source, q.n_docs, q.quota
       ORDER BY q.source"""))
 
+  // --------------------------------------------------------------- q139
+  // Quality-percentile pruning: keep the top 30% of each source by the
+  // q41 quality score — the FineWeb/DataComp-style "train on the best
+  // slice" action that turns a quality SCORE into a quality FILTER.
+  // "Which 30%" must be deterministic: quality desc, doc_id tie-break.
+  //
+  // Scale design — same trap as q117, different key: a per-source rank
+  // window sorts whole sources. But the score lives on a BOUNDED integer
+  // grid (round(quality, 6) ⇒ qint = round(quality·1e6), ≤ 1e6+1 values),
+  // so the exact two-phase selection is:
+  //   1. CALIBRATE on the (source, qint) histogram — dictionary-sized,
+  //      corpus-independent: running count over qint DESC gives the
+  //      crossing score q* where the cumulative count reaches the quota,
+  //      plus how many docs sit strictly above q*.
+  //   2. Broadcast (q*, need): docs with qint > q* are kept outright with
+  //      NO window at all; only the one boundary-score bucket runs a
+  //      doc_id rank to fill the remaining `need` slots.
+  // The quota (3·n_s DIV 10) derives from the histogram, not a second
+  // corpus scan. The oracle states the naive single-window semantics —
+  // the hash match proves two-phase ≡ naive on the real table.
+  private val q139 = QueryDef(
+    "q139_quality_prune",
+    (s, d) => {
+      val base = docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("n_stop",
+          expr(s"size(filter(toks, w -> array_contains(${TextAnalysis.stopArr}, w)))")
+            .cast("long"))
+        .withColumn("n_punct",
+          length(regexp_replace(col("text"), "[^.,!?;]", "")).cast("long"))
+        .withColumn("quality", round(
+          lit(1.0) -
+            (col("n_stop").cast("double") / col("n_tok").cast("double")) * 0.5 -
+            (col("n_punct").cast("double") / col("n_chars").cast("double")) * 0.5,
+          6))
+        .withColumn("qint", round(col("quality") * 1e6).cast("long"))
+        .select(col("source"), col("doc_id"), col("quality"), col("qint"))
+      // phase 1: dictionary-sized calibration of the per-source crossing
+      val hist = base.groupBy(col("source"), col("qint"))
+        .agg(count(lit(1)).as("c"))
+      val nd = hist.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_docs"))
+        .withColumn("quota", expr("(3 * n_docs) DIV 10"))
+      val wCum = Window.partitionBy(col("source")).orderBy(col("qint").desc)
+      val thr = hist.withColumn("cum", sum(col("c")).over(wCum))
+        .join(broadcast(nd), "source")
+        .filter(col("cum") >= col("quota"))
+        .groupBy(col("source"))
+        .agg(min(struct((-col("qint")).as("nq"),
+          (col("cum") - col("c")).as("above"))).as("m"),
+          max(col("n_docs")).as("n_docs"), max(col("quota")).as("quota"))
+        .select(col("source"), (-col("m.nq")).as("qstar"),
+          col("m.above").as("kept_above"), col("n_docs"), col("quota"))
+        .withColumn("need", col("quota") - col("kept_above"))
+      // phase 2: windowless keep above q*; rank ONLY the boundary bucket
+      val en = base.join(broadcast(thr), "source")
+      val cols = Seq("source", "doc_id", "quality", "n_docs", "quota")
+        .map(col)
+      val above = en.filter(col("qint") > col("qstar")).select(cols: _*)
+      val wB = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val bnd = en.filter(col("qint") === col("qstar"))
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= col("need"))
+        .select(cols: _*)
+      above.union(bnd)
+        .groupBy(col("source"))
+        .agg(max(col("n_docs")).as("n_docs"), max(col("quota")).as("quota"),
+          count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids"),
+          min(col("quality")).as("min_quality"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT source, doc_id,
+               round(1.0
+                 - (CAST(len(list_filter(toks, w -> list_contains(${TextAnalysis.stopList}, w))) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE)) * 0.5
+                 - (CAST(length(regexp_replace(text, '[^.,!?;]', '', 'g')) AS DOUBLE)
+                    / CAST(n_chars AS DOUBLE)) * 0.5, 6) AS quality
+        FROM (SELECT source, doc_id, text, n_chars,
+                     string_split(text, ' ') AS toks
+              FROM documents) t),
+      r AS (
+        SELECT source, doc_id, quality,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n_docs
+        FROM q)
+      SELECT source,
+             CAST(max(n_docs) AS BIGINT) AS n_docs,
+             CAST((3 * max(n_docs)) // 10 AS BIGINT) AS quota,
+             count(*) AS n_kept,
+             CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
+             min(quality) AS min_quality
+      FROM r
+      WHERE rn <= (3 * n_docs) // 10
+      GROUP BY source
+      ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113, q114, q115, q117,
-      q124, q136)
+      q124, q136, q139)
 }
