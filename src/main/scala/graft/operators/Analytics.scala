@@ -478,6 +478,91 @@ object Analytics {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  // --------------------------------------------------------------- q140
+  // PageRank over the order↔part bipartite graph — the iterative graph
+  // family beyond q35/q99's connected components: 3 unrolled power
+  // iterations of r ← B + Σ_{u→v} d·r(u)/outdeg(u) with d = 0.85.
+  // Every quantity is a SCALED BIGINT (total mass 1e12): the damping
+  // step is (r·85) DIV (100·outdeg) and the base is (1e12·15) DIV
+  // (100·N) — integer DIV truncation is part of the declared semantics,
+  // which is what makes the recursion order- and partition-independent
+  // and bit-identical across engines (floating-point PageRank is
+  // neither). No dangling mass: the bipartite construction emits both
+  // directions of every edge, so outdeg ≥ 1 for every node.
+  // Scale: Pregel-in-SQL — each iteration is one src-keyed equi-join
+  // (ranks are already hash-partitioned by node from the previous
+  // dst-keyed aggregation; at 100 TB bucket the edge list by src so the
+  // join side never re-shuffles) plus one dst-keyed partial+final sum.
+  // The node dictionary and N are derived from the edge aggregation,
+  // not a second scan; the final cut is a TakeOrdered heap, not a
+  // global sort.
+  private val PRScale = 1000000000000L
+  private val PRIters = 3
+  private val q140 = QueryDef(
+    "q140_pagerank_bipartite",
+    (s, d) => {
+      val e0 = li(s, d)
+        .select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .select(col("src").as("node"), col("outdeg"))
+      val nN = deg.agg(count(lit(1)).as("n_nodes"))
+      var ranks = deg.crossJoin(broadcast(nN))
+        .select(col("node"), col("outdeg"), col("n_nodes"),
+          expr(s"${PRScale}L DIV n_nodes").as("r"))
+      for (_ <- 1 to PRIters) {
+        val inflow = edges
+          .join(ranks.select(col("node").as("src"), col("outdeg").as("od"),
+            col("r")), "src")
+          .groupBy(col("dst"))
+          .agg(sum(expr("(r * 85) DIV (100 * od)")).as("inflow"))
+        ranks = deg.crossJoin(broadcast(nN))
+          .join(inflow.select(col("dst").as("node"), col("inflow")),
+            Seq("node"), "left")
+          .select(col("node"), col("outdeg"), col("n_nodes"),
+            (expr(s"(${PRScale}L * 15) DIV (100 * n_nodes)") +
+              coalesce(col("inflow"), lit(0L))).as("r"))
+      }
+      ranks.orderBy(col("r").desc, col("node")).limit(20)
+        .select(
+          when(col("node") % 2 === 0, lit("order")).otherwise(lit("part"))
+            .as("kind"),
+          expr("node DIV 2").as("key"), col("r").as("pr"))
+    },
+    Some {
+      val iters = (1 to PRIters).map { t =>
+        s"""r$t AS (
+        SELECT d.node, d.outdeg,
+               ($PRScale * 15) // (100 * nn.n_nodes)
+                 + COALESCE(f.inflow, 0) AS r
+        FROM deg d CROSS JOIN nn
+        LEFT JOIN (
+          SELECT e.dst AS node,
+                 sum((p.r * 85) // (100 * p.outdeg)) AS inflow
+          FROM edges e JOIN r${t - 1} p ON p.node = e.src
+          GROUP BY 1) f ON f.node = d.node)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e0 AS (
+        SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        FROM lineitem),
+      edges AS (SELECT src, dst FROM e0
+                UNION ALL SELECT dst, src FROM e0),
+      deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+      nn AS (SELECT count(*) AS n_nodes FROM deg),
+      r0 AS (SELECT node, outdeg, $PRScale // n_nodes AS r
+             FROM deg CROSS JOIN nn),
+      $iters
+      SELECT CASE WHEN node % 2 = 0 THEN 'order' ELSE 'part' END AS kind,
+             CAST(node // 2 AS BIGINT) AS key,
+             CAST(r AS BIGINT) AS pr
+      FROM r$PRIters
+      ORDER BY r DESC, node
+      LIMIT 20"""
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q38, q52, q55, q102, q108, q125, q131, q132, q134)
+    Seq(q38, q52, q55, q102, q108, q125, q131, q132, q134, q140)
 }
