@@ -1075,27 +1075,42 @@ object Relational {
   // matches), and |len(a) − len(b)| ≤ 2 (a length gap > t forces
   // levenshtein > t). Both engines compute the same classic integer
   // edit distance, so the result hash-matches exactly.
+  /** q101's block→verify fuzzy-match pairs `(da, db, name_a, name_b,
+    * dist)`, shared with q141's entity-resolution closure. */
+  private[graft] def fuzzyPairs(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).select(col("p_partkey"), col("p_name"),
+      col("p_brand"), col("p_type"))
+    val a = p.toDF("da", "name_a", "brand", "ptype")
+    val b = p.toDF("db", "name_b", "brand", "ptype")
+    a.join(b, Seq("brand", "ptype"))
+      .filter(col("da") < col("db") &&
+        col("name_a") =!= col("name_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+      // thresholded levenshtein (returns −1 above the threshold) runs a
+      // banded O(t·L) DP instead of the full O(L²) table — the verify
+      // cost per candidate is bounded by the threshold, not the strings
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
+      .filter(col("dist") >= 1)
+      .select(col("da"), col("db"), col("name_a"), col("name_b"),
+        col("dist"))
+  }
+
+  /** The same candidate pairs as ANSI SQL, shared by the q101/q141
+    * oracles. */
+  private[graft] val fuzzyPairsSql = """
+      SELECT a.p_partkey AS da, b.p_partkey AS db,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+       AND a.p_partkey < b.p_partkey
+      WHERE a.p_name <> b.p_name
+        AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        AND levenshtein(a.p_name, b.p_name) <= 2"""
+
   private val q101 = QueryDef(
     "q101_fuzzy_name_join",
-    (s, d) => {
-      val p = part(s, d).select(col("p_partkey"), col("p_name"),
-        col("p_brand"), col("p_type"))
-      val a = p.toDF("da", "name_a", "brand", "ptype")
-      val b = p.toDF("db", "name_b", "brand", "ptype")
-      a.join(b, Seq("brand", "ptype"))
-        .filter(col("da") < col("db") &&
-          col("name_a") =!= col("name_b") &&
-          abs(length(col("name_a")) - length(col("name_b"))) <= 2)
-        // thresholded levenshtein (returns −1 above the threshold) runs a
-        // banded O(t·L) DP instead of the full O(L²) table — the verify
-        // cost per candidate is bounded by the threshold, not the strings
-        .withColumn("dist",
-          levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
-        .filter(col("dist") >= 1)
-        .select(col("da"), col("db"), col("name_a"), col("name_b"),
-          col("dist"))
-        .orderBy(col("da"), col("db"))
-    },
+    (s, d) => fuzzyPairs(s, d).orderBy(col("da"), col("db")),
     Some("""
       SELECT a.p_partkey AS da, b.p_partkey AS db,
              a.p_name AS name_a, b.p_name AS name_b,
@@ -1107,6 +1122,54 @@ object Relational {
         AND abs(length(a.p_name) - length(b.p_name)) <= 2
         AND levenshtein(a.p_name, b.p_name) <= 2
       ORDER BY da, db"""))
+
+  // --------------------------------------------------------------- q141
+  // Entity resolution CLOSURE — q101 stops at pairwise matches, but a
+  // real master-data pipeline needs the transitive closure: if A~B and
+  // B~C, all three are one entity even when A~C fails the edit-distance
+  // test. Composition: q101's block→verify pairs feed the same
+  // large-scale connected-components machinery as near-dup (q35/q99),
+  // then each component becomes one resolved entity with the min-id
+  // member as canonical. Scale: the match graph is duplicate-sized
+  // (137 edges at sf0.01), so the component loop runs on a table that is
+  // corpus-INDEPENDENT — the only corpus-sized work is q101's blocked
+  // self-join, already bounded by the (brand, type) blocking key. The
+  // canonical-name join keys on entity_id = a p_partkey, and the cluster
+  // table is tiny → AQE broadcasts it; parts with no fuzzy neighbor
+  // never enter the edge set and stay implicit singletons, exactly as
+  // the oracle's recursive reach does.
+  private val q141 = QueryDef(
+    "q141_entity_resolution",
+    (s, d) => {
+      val comp = Dedup.connectedComponents(
+        fuzzyPairs(s, d).select(col("da"), col("db")))
+      comp.groupBy(col("comp").as("entity_id"))
+        .agg(count(lit(1)).as("n_parts"),
+          expr("array_join(transform(sort_array(collect_list(id))," +
+            " x -> cast(x as string)), ',')").as("members"))
+        .join(part(s, d).select(col("p_partkey").as("entity_id"),
+          col("p_name").as("canonical_name")), Seq("entity_id"))
+        .select(col("entity_id"), col("canonical_name"), col("n_parts"),
+          col("members"))
+        .orderBy(col("entity_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE fp AS ($fuzzyPairsSql),
+      edges AS (
+        SELECT da AS src, db AS dst FROM fp
+        UNION ALL
+        SELECT db, da FROM fp),
+      reach(id, comp) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id, min(comp) AS entity_id FROM reach GROUP BY id)
+      SELECT c.entity_id, p.p_name AS canonical_name,
+             count(*) AS n_parts,
+             string_agg(CAST(c.id AS VARCHAR), ',' ORDER BY c.id) AS members
+      FROM comp c JOIN part p ON p.p_partkey = c.entity_id
+      GROUP BY c.entity_id, p.p_name
+      ORDER BY c.entity_id"""))
 
   // --------------------------------------------------------------- q123
   // Distribution-analytic window pack — the window functions q10/q11 do
@@ -1219,5 +1282,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
-    q123, q135)
+    q123, q135, q141)
 }
