@@ -478,6 +478,108 @@ object Analytics {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  // --------------------------------------------------------------- q126
+  // Cohort retention matrix — the product-analytics staple: users are
+  // grouped by the week of their FIRST event (cohort), then each
+  // (cohort, weeks-since-signup) cell counts how many cohort members
+  // were still active that week, plus the retention ratio against the
+  // cohort's week-0 size.
+  // Shape: distinct (user, week) activity → per-user min week (the
+  // cohort) → grid-sized counts. Scale: ONE user_id exchange does all
+  // the work — the distinct and the min-week agg share the same hash
+  // partitioning (Catalyst reuses the exchange), the re-join of the
+  // cohort label is user-keyed on that same layout, and everything
+  // after is |cohorts| × |weeks| — independent of event volume. The
+  // week-0 sizes come from the grid itself (filter offset = 0), not a
+  // second scan, and broadcast into the ratio join.
+  private val q126 = QueryDef(
+    "q126_cohort_retention",
+    (s, d) => {
+      val uw = ev(s, d)
+        .select(col("user_id"),
+          expr("unix_timestamp(ts) DIV 604800").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+      val act = uw.join(cohort, "user_id")
+        .groupBy(col("cwk").as("cohort_week"),
+          (col("wk") - col("cwk")).as("offset_weeks"))
+        .agg(count(lit(1)).as("n_active"))
+      val sz = act.filter(col("offset_weeks") === 0)
+        .select(col("cohort_week"), col("n_active").as("cohort_size"))
+      act.join(broadcast(sz), "cohort_week")
+        .select(col("cohort_week"), col("offset_weeks"), col("cohort_size"),
+          col("n_active"),
+          round(col("n_active").cast("double") / col("cohort_size"), 6)
+            .as("retention"))
+        .orderBy(col("cohort_week"), col("offset_weeks"))
+    },
+    Some("""
+      WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch(ts) AS BIGINT) // 604800 AS wk
+        FROM events),
+      ch AS (SELECT user_id, min(wk) AS cwk FROM uw GROUP BY 1),
+      act AS (
+        SELECT c.cwk AS cohort_week, u.wk - c.cwk AS offset_weeks,
+               count(*) AS n_active
+        FROM uw u JOIN ch c ON u.user_id = c.user_id
+        GROUP BY 1, 2),
+      sz AS (SELECT cohort_week, n_active AS cohort_size
+             FROM act WHERE offset_weeks = 0)
+      SELECT a.cohort_week, a.offset_weeks, s.cohort_size, a.n_active,
+             round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6)
+               AS retention
+      FROM act a JOIN sz s ON a.cohort_week = s.cohort_week
+      ORDER BY a.cohort_week, a.offset_weeks"""))
+
+  // --------------------------------------------------------------- q127
+  // Markov transition matrix over per-user event sequences: count every
+  // adjacent (from → to) event-type pair in each user's timeline and
+  // derive the empirical transition probability. This is the
+  // sequence-model prior a behavioral pipeline estimates before any
+  // training run, and the batch sibling of q88's streaming per-user
+  // state: lead() over (user, ts) is the same "previous element of this
+  // key's stream" recurrence, expressed as a window.
+  // Scale: ONE user_id exchange + per-user bounded sort; the transition
+  // agg is map-side combined down to |types|² rows, and the probability
+  // normalization is a window over that tiny matrix — no second pass
+  // over the events.
+  private val q127 = QueryDef(
+    "q127_markov_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wf = Window.partitionBy(col("from_type"))
+      ev(s, d)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+        .withColumn("n_from", sum(col("n_trans")).over(wf))
+        .select(col("from_type"), col("to_type"), col("n_trans"),
+          col("n_from"),
+          round(col("n_trans").cast("double") / col("n_from"), 6)
+            .as("prob"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events),
+      m AS (
+        SELECT from_type, to_type, count(*) AS n_trans
+        FROM t WHERE to_type IS NOT NULL
+        GROUP BY 1, 2)
+      SELECT from_type, to_type, n_trans,
+             CAST(sum(n_trans) OVER (PARTITION BY from_type) AS BIGINT)
+               AS n_from,
+             round(CAST(n_trans AS DOUBLE) /
+                   sum(n_trans) OVER (PARTITION BY from_type), 6) AS prob
+      FROM m
+      ORDER BY from_type, to_type"""))
+
   // --------------------------------------------------------------- q140
   // PageRank over the order↔part bipartite graph — the iterative graph
   // family beyond q35/q99's connected components: 3 unrolled power
@@ -564,5 +666,6 @@ object Analytics {
     })
 
   val defs: Seq[QueryDef] =
-    Seq(q38, q52, q55, q102, q108, q125, q131, q132, q134, q140)
+    Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
+      q140)
 }

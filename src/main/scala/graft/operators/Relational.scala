@@ -1171,6 +1171,123 @@ object Relational {
       GROUP BY c.entity_id, p.p_name
       ORDER BY c.entity_id"""))
 
+  // --------------------------------------------------------------- q129
+  // Winsorized robust statistics — clamp each order's price to its
+  // priority group's exact [P05, P95] before averaging, the outlier
+  // treatment a feature pipeline applies before any scale-sensitive
+  // model sees the column. Percentiles are RANK-EXACT (value at row
+  // ceil(p·n) of the sorted group), not interpolated, so every engine
+  // agrees bit-for-bit.
+  // Two-phase like q117/q139: phase 1 builds a (priority, cents) value
+  // histogram — bounded by the price DOMAIN, not the row count — and
+  // finds each threshold as min cents with cumulative count ≥ ceil(p·n)
+  // via one cumulative window over the histogram. Phase 2 computes the
+  // winsorized sum FROM THE HISTOGRAM (clamp each distinct value, weight
+  // by its count): the raw table is scanned exactly once, the clamped
+  // aggregate touches only histogram cells, and the thresholds travel by
+  // broadcast. At this SF prices are near-distinct so the histogram is
+  // row-sized; at 100 TB repetition makes it domain-bounded, which is
+  // the point. The oracle states the naive per-row row_number()
+  // semantics — the hash match proves histogram ≡ naive.
+  private val q129 = QueryDef(
+    "q129_winsorized_stats",
+    (s, d) => {
+      val o = ord(s, d).select(col("o_orderpriority").as("pri"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val hist = o.groupBy(col("pri"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("pri")).orderBy(col("cents"))
+      val wPri = Window.partitionBy(col("pri"))
+      val thr = hist
+        .withColumn("cum", sum(col("c")).over(
+          wCum.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", sum(col("c")).over(wPri))
+        .withColumn("lo_rk", expr("(5 * n + 99) DIV 100"))
+        .withColumn("hi_rk", expr("(95 * n + 99) DIV 100"))
+        .groupBy(col("pri"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") >= col("lo_rk"), col("cents"))).as("lo"),
+          min(when(col("cum") >= col("hi_rk"), col("cents"))).as("hi"))
+      hist.join(broadcast(thr), "pri")
+        .withColumn("cl", greatest(col("lo"), least(col("hi"), col("cents"))))
+        .groupBy(col("pri"))
+        .agg(max(col("n")).as("n_orders"),
+          max(col("lo")).as("p05_cents"), max(col("hi")).as("p95_cents"),
+          sum(col("cl") * col("c")).as("wsum"))
+        .select(col("pri"), col("n_orders"), col("p05_cents"),
+          col("p95_cents"),
+          round(col("wsum").cast("double") / (col("n_orders") * lit(100.0)),
+            6).as("wins_mean"))
+        .orderBy(col("pri"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderpriority AS pri,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      r AS (
+        SELECT pri, cents,
+               row_number() OVER (PARTITION BY pri ORDER BY cents) AS rn,
+               count(*) OVER (PARTITION BY pri) AS n
+        FROM o),
+      thr AS (
+        SELECT pri, CAST(max(n) AS BIGINT) AS n,
+               min(CASE WHEN rn = (5 * n + 99) // 100 THEN cents END) AS lo,
+               min(CASE WHEN rn = (95 * n + 99) // 100 THEN cents END) AS hi
+        FROM r GROUP BY pri)
+      SELECT o.pri, max(t.n) AS n_orders,
+             max(t.lo) AS p05_cents, max(t.hi) AS p95_cents,
+             round(CAST(sum(greatest(t.lo, least(t.hi, o.cents)))
+                        AS DOUBLE) / (max(t.n) * 100.0), 6) AS wins_mean
+      FROM o JOIN thr t ON t.pri = o.pri
+      GROUP BY o.pri
+      ORDER BY o.pri"""))
+
+  // --------------------------------------------------------------- q130
+  // Pareto skyline per brand — the parts no same-brand part dominates on
+  // (price ↓, size ↓): the multi-objective shortlist (cheapest-for-its-
+  // size frontier) that product/catalog curation computes per group.
+  // The naive semantics is a quadratic NOT-EXISTS self-join (the oracle
+  // states exactly that); the Spark plan replaces it with two windows
+  // over ONE brand-keyed sort: a part is dominated iff a strictly
+  // cheaper same-brand part has size ≤ its own (running min of size
+  // over the strict-price-predecessor RANGE frame) or an equal-priced
+  // one has size strictly smaller (min size over the price tie group).
+  // Scale: one exchange + one per-brand sort versus the self-join's
+  // |brand-group|² — and both windows share the same sort order, so
+  // Catalyst plans a single Window node. Prices are compared in exact
+  // cents (2-dp doubles, lossless), sizes are ints.
+  private val q130 = QueryDef(
+    "q130_brand_skyline",
+    (s, d) => {
+      val p = part(s, d).select(col("p_brand").as("brand"),
+        col("p_partkey").as("partkey"), col("p_retailprice").as("price"),
+        col("p_size").as("size"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)").as("cents"))
+      val wCheaper = Window.partitionBy(col("brand")).orderBy(col("cents"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wTie = Window.partitionBy(col("brand"), col("cents"))
+      p.withColumn("min_sz_cheaper", min(col("size")).over(wCheaper))
+        .withColumn("min_sz_tie", min(col("size")).over(wTie))
+        .filter((col("min_sz_cheaper").isNull ||
+            col("min_sz_cheaper") > col("size")) &&
+          col("min_sz_tie") === col("size"))
+        .select(col("brand"), col("partkey"), col("price"), col("size"))
+        .orderBy(col("brand"), col("partkey"))
+    },
+    Some("""
+      SELECT p.p_brand AS brand, p.p_partkey AS partkey,
+             p.p_retailprice AS price, p.p_size AS size
+      FROM part p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_brand = p.p_brand
+          AND q.p_retailprice <= p.p_retailprice
+          AND q.p_size <= p.p_size
+          AND (q.p_retailprice < p.p_retailprice
+               OR q.p_size < p.p_size))
+      ORDER BY brand, partkey"""))
+
   // --------------------------------------------------------------- q123
   // Distribution-analytic window pack — the window functions q10/q11 do
   // not cover: ntile (equi-depth deciles), percent_rank / cume_dist
@@ -1282,5 +1399,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
-    q123, q135, q141)
+    q123, q129, q130, q135, q141)
 }

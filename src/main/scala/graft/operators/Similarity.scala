@@ -519,5 +519,81 @@ object Similarity {
       WHERE rn = 1
       ORDER BY dropped_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q137)
+  // --------------------------------------------------------------- q128
+  // Hard-negative mining for contrastive training: for each anchor
+  // vector, the top-1 SAME-label neighbor (the positive) and the top-1
+  // DIFFERENT-label neighbor (the hard negative — the most confusable
+  // impostor), plus the cosine margin between them. This is the triplet
+  // construction step of every embedding-model curriculum; anchors with
+  // a small or negative margin are the valuable training examples.
+  // Shape: q50's broadcast-anchor scoring with a label predicate fused
+  // in — one scored pass, ranked per (anchor, pos|neg) group, then a
+  // tiny conditional pivot to one row per anchor. Scale: the corpus
+  // never shuffles (anchors broadcast; scoring is partition-local map
+  // work inside WholeStageCodegen via FloatDot); the window ranks
+  // |anchors| × corpus rows hash-partitioned by anchor, and everything
+  // after is |anchors|-sized.
+  private val q128 = QueryDef(
+    "q128_hard_negatives",
+    (s, d) => {
+      val e = emb(s, d).withColumn("norm", float_norm(col("embedding")))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("embedding").as("ea"), col("norm").as("qn"))
+      val c = e.select(col("vec_id").as("cid"), col("label").as("clabel"),
+        col("embedding").as("eb"), col("norm").as("cn"))
+      val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+        .withColumn("grp",
+          when(col("qlabel") === col("clabel"), "pos").otherwise("neg"))
+        .withColumn("cos",
+          round(float_dot(col("ea"), col("eb")) / (col("qn") * col("cn")), 6))
+      val w = Window.partitionBy(col("qid"), col("grp"))
+        .orderBy(col("cos").desc, col("cid"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("qid"))
+        .agg(
+          max(when(col("grp") === "pos", col("cid"))).as("pos_cid"),
+          max(when(col("grp") === "pos", col("cos"))).as("pos_cos"),
+          max(when(col("grp") === "neg", col("cid"))).as("neg_cid"),
+          max(when(col("grp") === "neg", col("cos"))).as("neg_cos"))
+        .withColumn("margin", round(col("pos_cos") - col("neg_cos"), 6))
+        .orderBy(col("qid"))
+    },
+    Some(s"""
+      WITH $evSql,
+      pairs AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.v * c.v) AS dot
+        FROM ev q JOIN ev c ON q.i = c.i
+         AND q.vec_id < 20 AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT qid, cid,
+               CASE WHEN ql.label = cl.label THEN 'pos' ELSE 'neg' END
+                 AS grp,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        FROM pairs
+        JOIN norms nq ON qid = nq.vec_id
+        JOIN norms nc ON cid = nc.vec_id
+        JOIN embeddings ql ON ql.vec_id = qid
+        JOIN embeddings cl ON cl.vec_id = cid),
+      top AS (
+        SELECT qid, cid, grp, cos FROM (
+          SELECT qid, cid, grp, cos,
+                 row_number() OVER (PARTITION BY qid, grp
+                                    ORDER BY cos DESC, cid) AS rk
+          FROM scored) t
+        WHERE rk = 1)
+      SELECT qid,
+             max(CASE WHEN grp = 'pos' THEN cid END) AS pos_cid,
+             max(CASE WHEN grp = 'pos' THEN cos END) AS pos_cos,
+             max(CASE WHEN grp = 'neg' THEN cid END) AS neg_cid,
+             max(CASE WHEN grp = 'neg' THEN cos END) AS neg_cos,
+             round(max(CASE WHEN grp = 'pos' THEN cos END) -
+                   max(CASE WHEN grp = 'neg' THEN cos END), 6) AS margin
+      FROM top
+      GROUP BY qid
+      ORDER BY qid"""))
+
+  val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q128, q137)
 }
