@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{EmbedSimHash, FloatDot}
+import graft.functions.{EmbedSimHash, FloatDot, JaroWinkler}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Sqrt}
@@ -21,6 +21,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *                               must be a foldable integer literal (it
   *                               shapes the generated code, like the
   *                               Column API's Int parameter)
+  *  - `jaro_winkler(a, b)`     — native Jaro–Winkler similarity, pinned
+  *                               to DuckDB's semantics
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -59,5 +61,9 @@ object GraftExtensions {
           "embed_simhash bits must be a foldable integer literal")
       }
       EmbedSimHash(children.head, bits)
+    }),
+    ("jaro_winkler", classOf[JaroWinkler], { children: Seq[Expression] =>
+      require(children.length == 2, "jaro_winkler takes exactly 2 arguments")
+      JaroWinkler(children.head, children(1))
     }))
 }

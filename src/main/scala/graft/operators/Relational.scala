@@ -1171,6 +1171,48 @@ object Relational {
       GROUP BY c.entity_id, p.p_name
       ORDER BY c.entity_id"""))
 
+  // --------------------------------------------------------------- q142
+  // Prefix-weighted fuzzy matching with the NATIVE [[graft.functions
+  // .JaroWinkler]] expression — the record-linkage metric edit distance
+  // cannot express (q101 charges transpositions + gaps uniformly;
+  // Jaro–Winkler rewards shared prefixes, which is what makes it the
+  // standard name-matching score). Same (brand, type) blocking as q101,
+  // then the codegen'd kernel scores every candidate and a global
+  // top-500 cut keeps the output bounded.
+  // Scale: blocking bounds candidates exactly as q101; the scorer is a
+  // single static call inside WholeStageCodegen (no UDF boxing, no
+  // interpreted fallback), and the cut is TakeOrderedAndProject — a
+  // per-partition heap + driver merge of 500 rows, never a global sort.
+  // Raw doubles (not rounded) are safe here: the kernel is pinned
+  // bit-identical to DuckDB's jaro_winkler_similarity, so threshold and
+  // ordering agree exactly.
+  private val q142 = QueryDef(
+    "q142_jaro_winkler_match",
+    (s, d) => {
+      import graft.functions.JaroWinkler.jaro_winkler
+      val p = part(s, d).select(col("p_partkey"), col("p_name"),
+        col("p_brand"), col("p_type"))
+      val a = p.toDF("da", "name_a", "brand", "ptype")
+      val b = p.toDF("db", "name_b", "brand", "ptype")
+      a.join(b, Seq("brand", "ptype"))
+        .filter(col("da") < col("db"))
+        .withColumn("jw", jaro_winkler(col("name_a"), col("name_b")))
+        .filter(col("jw") >= 0.93 && col("name_a") =!= col("name_b"))
+        .select(col("da"), col("db"), col("jw"))
+        .orderBy(col("jw").desc, col("da"), col("db"))
+        .limit(500)
+    },
+    Some("""
+      SELECT a.p_partkey AS da, b.p_partkey AS db,
+             jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+       AND a.p_partkey < b.p_partkey
+      WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.93
+        AND a.p_name <> b.p_name
+      ORDER BY jw DESC, da, db
+      LIMIT 500"""))
+
   // --------------------------------------------------------------- q129
   // Winsorized robust statistics — clamp each order's price to its
   // priority group's exact [P05, P95] before averaging, the outlier
@@ -1399,5 +1441,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
-    q123, q129, q130, q135, q141)
+    q123, q129, q130, q135, q141, q142)
 }

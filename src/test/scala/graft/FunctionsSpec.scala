@@ -91,6 +91,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out(4L) == "<EMAIL> tight <IP> and <PHONE>")
   }
 
+  test("jaro_winkler: known values, edge cases, both eval paths") {
+    import graft.functions.JaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      JaroWinkler.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+    // classic textbook pairs (exact rational values)
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-15)
+    assert(jw("abc", "abc") == 1.0)
+    // DuckDB conventions this kernel is pinned to:
+    assert(jw("", "") == 0.0)     // both-empty is 0, not the classic 1
+    assert(jw("a", "") == 0.0)
+    assert(jw("ab", "ba") == 0.0) // window 0 => adjacent transposition no match
+    // prefix boost caps at 4 shared chars and needs jaro > 0.7
+    assert(math.abs(jw("aaaaaa", "aaaaab") -
+      (1.0 - 2.0 / 18 + 4 * 0.1 * (2.0 / 18))) < 1e-15)
+    // codegen path through a DataFrame filter agrees with the kernel
+    import spark.implicits._
+    import graft.functions.JaroWinkler.jaro_winkler
+    val got = Seq(("martha", "marhta"), ("dixon", "dicksonx"))
+      .toDF("a", "b")
+      .select(jaro_winkler(col("a"), col("b")).as("jw"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(0.9611111111111111, 0.8133333333333332))
+    // SQL registration via Bridge.registerFunction
+    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+      spark, "jaro_winkler", { es =>
+        require(es.length == 2); JaroWinkler(es.head, es(1))
+      })
+    assert(spark.sql("SELECT jaro_winkler('martha', 'marhta') AS j")
+      .head().getDouble(0) == 0.9611111111111111)
+  }
+
   test("q114 injection round-trip: every injected kind redacts to its marker") {
     import spark.implicits._
     val P = graft.operators.Pipeline
