@@ -580,6 +580,140 @@ object Analytics {
       FROM m
       ORDER BY from_type, to_type"""))
 
+  // --------------------------------------------------------------- q144
+  // Group-wise ordinary-least-squares trend — per event type, the
+  // slope/intercept of daily value against days-since-corpus-start: the
+  // "is this metric drifting" regression a monitoring pipeline fits per
+  // series without any ML runtime. Sibling of q55's correlation: the
+  // sufficient statistics (n, Σx, Σy, Σx², Σxy) are EXACT BIGINT sums of
+  // cent-scaled values over mean-shiftable day offsets, so the moment
+  // pass is order- and partition-independent; the closed-form solve
+  // casts each exact moment to double ONCE and then applies the
+  // identical IEEE expression in both engines — bit-identical without
+  // needing the (overflow-prone) all-integer numerator.
+  // Scale: one map-side-combined hash agg over the events scan (the day
+  // offset needs min(day), a 1-row broadcast); the solve runs on
+  // |types| rows. No window, no second scan.
+  private val q144 = QueryDef(
+    "q144_groupwise_ols",
+    (s, d) => {
+      val e = ev(s, d).select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val d0 = e.agg(min(col("day")).as("d0"))
+      val m = e.crossJoin(broadcast(d0))
+        .withColumn("x", col("day") - col("d0"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("cents")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("cents")).as("sxy"))
+      m.select(col("event_type"), col("n"),
+          round((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) /
+            lit(100.0), 6).as("slope"),
+          round((col("sy").cast("double") -
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+              col("sx").cast("double")) /
+            col("n").cast("double") / lit(100.0), 6).as("intercept"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      d0 AS (SELECT min(day) AS d0 FROM e),
+      m AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(day - d0) AS BIGINT) AS sx,
+               CAST(sum(cents) AS BIGINT) AS sy,
+               CAST(sum((day - d0) * (day - d0)) AS BIGINT) AS sxx,
+               CAST(sum((day - d0) * cents) AS BIGINT) AS sxy
+        FROM e CROSS JOIN d0
+        GROUP BY event_type)
+      SELECT event_type, n,
+             round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0, 6)
+               AS slope,
+             round((CAST(sy AS DOUBLE) -
+                    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                    CAST(sx AS DOUBLE)) /
+                   CAST(n AS DOUBLE) / 100.0, 6) AS intercept
+      FROM m
+      ORDER BY event_type"""))
+
+  // --------------------------------------------------------------- q145
+  // Top navigation paths — sessionize each user's stream (q52's 30-min
+  // gap rule), serialize every session to its ordered event-type path,
+  // and keep the 20 most common paths: the clickstream-mining op behind
+  // "what do users actually do" dashboards.
+  // Shape: gap-flag window → running session counter (two windows, ONE
+  // user-keyed sort — same frame, Catalyst plans a single sort) →
+  // per-session path via sort_array(collect_list(struct)) — array_sort
+  // on (ts, event_id) makes the serialization deterministic under any
+  // partitioning, which string_agg-with-ORDER-BY pins on the oracle
+  // side → path-keyed count → TakeOrdered 20.
+  // Scale: sessions shrink the data before the path agg (the struct
+  // list is bounded by session length, not user history); the final cut
+  // is a heap, not a sort. At 100 TB the only big exchanges are the
+  // user-keyed sessionize and the path-keyed count, both unavoidable
+  // and both map-side combined.
+  private val q145 = QueryDef(
+    "q145_top_paths",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = ev(s, d)
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("gap",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+            .otherwise(when(lag(col("us"), 1).over(w).isNull, 1L)
+              .otherwise(0L)))
+        .withColumn("sess", sum(col("gap")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      val paths = sess
+        .groupBy(col("user_id"), col("sess"))
+        .agg(expr("array_join(transform(" +
+          "array_sort(collect_list(struct(ts, event_id, event_type)))," +
+          " x -> x.event_type), '>')").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      paths.orderBy(col("n_sessions").desc, col("path")).limit(20)
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > 1800000000 THEN 1 ELSE 0 END AS gap
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sg AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+        FROM g),
+      p AS (
+        SELECT user_id, sess,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sg GROUP BY user_id, sess)
+      SELECT path, count(*) AS n_sessions
+      FROM p
+      GROUP BY path
+      ORDER BY n_sessions DESC, path
+      LIMIT 20"""))
+
   // --------------------------------------------------------------- q140
   // PageRank over the order↔part bipartite graph — the iterative graph
   // family beyond q35/q99's connected components: 3 unrolled power
@@ -667,5 +801,5 @@ object Analytics {
 
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
-      q140)
+      q140, q144, q145)
 }

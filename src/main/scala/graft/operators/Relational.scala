@@ -1213,6 +1213,70 @@ object Relational {
       ORDER BY jw DESC, da, db
       LIMIT 500"""))
 
+  // --------------------------------------------------------------- q143
+  // Snapshot reconciliation (data diff) — the CDC-validation op every
+  // warehouse migration runs: full-outer-join two snapshots of a table
+  // on the business key and classify every key as added / removed /
+  // changed / unchanged, with per-class key checksums and the net value
+  // drift of the changed set. The two snapshots are PLANTED
+  // deterministically from orders (q114/q134 precedent — the corpus has
+  // no second snapshot): A drops keys ≡ 0 (mod 11) [so they show as
+  // added], B drops keys ≡ 3 (mod 7) [removed] and bumps prices by
+  // $1.00 on keys ≡ 0 (mod 5) [changed].
+  // Scale: ONE key-keyed exchange per side feeding a shuffle join; the
+  // classification is a map-side projection over the joined row and the
+  // rollup is a 4-row hash agg — at 100 TB this is the canonical
+  // sort-merge-join diff, and bucketing both snapshots by the key makes
+  // it exchange-free. Checksums are exact integer sums, so the result
+  // is partition- and order-independent.
+  private val q143 = QueryDef(
+    "q143_snapshot_diff",
+    (s, d) => {
+      val o = ord(s, d).select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val a = o.filter(col("k") % 11 =!= 0)
+        .select(col("k").as("ka"), col("cents").as("ca"))
+      val b = o.filter(col("k") % 7 =!= 3)
+        .select(col("k").as("kb"),
+          (col("cents") + when(col("k") % 5 === 0, 100L).otherwise(0L))
+            .as("cb"))
+      a.join(b, col("ka") === col("kb"), "full_outer")
+        .withColumn("status",
+          when(col("ka").isNull, "added")
+            .when(col("kb").isNull, "removed")
+            .when(col("ca") =!= col("cb"), "changed")
+            .otherwise("unchanged"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(coalesce(col("ka"), col("kb"))).as("key_checksum"),
+          sum(when(col("status") === "changed", col("cb") - col("ca"))
+            .otherwise(0L)).as("drift_cents"))
+        .orderBy(col("status"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      a AS (SELECT k AS ka, cents AS ca FROM o WHERE k % 11 <> 0),
+      b AS (SELECT k AS kb,
+                   cents + CASE WHEN k % 5 = 0 THEN 100 ELSE 0 END AS cb
+            FROM o WHERE k % 7 <> 3),
+      j AS (
+        SELECT ka, ca, kb, cb,
+               CASE WHEN ka IS NULL THEN 'added'
+                    WHEN kb IS NULL THEN 'removed'
+                    WHEN ca <> cb THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM a FULL OUTER JOIN b ON ka = kb)
+      SELECT status, count(*) AS n_keys,
+             CAST(sum(COALESCE(ka, kb)) AS BIGINT) AS key_checksum,
+             CAST(sum(CASE WHEN status = 'changed' THEN cb - ca
+                           ELSE 0 END) AS BIGINT) AS drift_cents
+      FROM j
+      GROUP BY status
+      ORDER BY status"""))
+
   // --------------------------------------------------------------- q129
   // Winsorized robust statistics — clamp each order's price to its
   // priority group's exact [P05, P95] before averaging, the outlier
@@ -1441,5 +1505,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
-    q123, q129, q130, q135, q141, q142)
+    q123, q129, q130, q135, q141, q142, q143)
 }
