@@ -799,7 +799,80 @@ object Analytics {
       LIMIT 20"""
     })
 
+  // --------------------------------------------------------------- q146
+  // k-core peeling on the order↔part bipartite graph — the third
+  // iterative-graph family member after connected components (q35/q99)
+  // and PageRank (q140): repeatedly delete nodes with degree < k, the
+  // standard densification step before community detection and the
+  // graph analogue of q117's source capping. Semantics DECLARED as
+  // exactly KCRounds rounds of simultaneous peeling with k = KCoreK
+  // (full convergence would need a data-dependent round count, which no
+  // cross-engine oracle can unroll) — each round recomputes degrees on
+  // the surviving subgraph and drops every node below k at once.
+  // Scale: each round is one src-keyed count (map-side combined) plus
+  // two LEFT SEMI joins (src side reuses the degree agg's partitioning;
+  // the dst side is the one real shuffle). The edge set only shrinks, so
+  // round cost is monotone non-increasing; localCheckpoint after each
+  // round truncates the doubling lineage (edges feed both the degree
+  // agg and the filter — the q32/q35 lesson).
+  private val KCoreK = 3
+  private val KCRounds = 3
+  private val q146 = QueryDef(
+    "q146_kcore_peel",
+    (s, d) => {
+      val e0 = li(s, d)
+        .select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      var edges = e0
+        .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      for (_ <- 1 to KCRounds) {
+        val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= KCoreK)
+          .select(col("src").as("node"))
+        edges = edges
+          .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint()
+      }
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .groupBy(when(col("src") % 2 === 0, lit("order"))
+          .otherwise(lit("part")).as("kind"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(expr("src DIV 2")).as("key_checksum"),
+          sum(col("deg")).as("n_edges"))
+        .orderBy(col("kind"))
+    },
+    Some {
+      val rounds = (1 to KCRounds).map { t =>
+        s"""k$t AS (
+        SELECT src AS node FROM e${t - 1}
+        GROUP BY src HAVING count(*) >= $KCoreK),
+      e$t AS (
+        SELECT src, dst FROM e${t - 1}
+        WHERE src IN (SELECT node FROM k$t)
+          AND dst IN (SELECT node FROM k$t))"""
+      }.mkString(",\n      ")
+      s"""
+      WITH b0 AS (
+        SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        FROM lineitem),
+      e0 AS (SELECT src, dst FROM b0
+             UNION ALL SELECT dst, src FROM b0),
+      $rounds,
+      sd AS (SELECT src, count(*) AS deg FROM e$KCRounds GROUP BY src)
+      SELECT CASE WHEN src % 2 = 0 THEN 'order' ELSE 'part' END AS kind,
+             count(*) AS n_nodes,
+             CAST(sum(src // 2) AS BIGINT) AS key_checksum,
+             CAST(sum(deg) AS BIGINT) AS n_edges
+      FROM sd
+      GROUP BY 1
+      ORDER BY kind"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
-      q140, q144, q145)
+      q140, q144, q145, q146)
 }
