@@ -22,11 +22,17 @@ object Tables {
 
   /** Parquet scan — columnar, vectorized, filter/column pushdown for free.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively; we read it as a nanosecond long (legacy conf) and convert to
-    * a microsecond TimestampType with integer `DIV` (no double round-trip —
-    * ns-since-2024 exceeds 2^53). DuckDB truncates ns→µs the same way, so
-    * the two engines agree on every derived epoch/window value.
+    * `events.ts` normalization: the driver has generated this column two
+    * ways across rounds — parquet TIMESTAMP(NANOS) (which Spark 4 refuses
+    * to read natively; the legacy conf reads it as a nanosecond long that
+    * we truncate to µs with integer `DIV` — no double round-trip, since
+    * ns-since-2024 exceeds 2^53) and plain TIMESTAMP(MICROS) without UTC
+    * adjustment (which Spark 4 reads as TIMESTAMP_NTZ). We dispatch on the
+    * OBSERVED read schema, not an assumed writer layout, and normalize both
+    * to a µs TimestampType. All graft sessions pin
+    * `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast relabels the
+    * same wall-clock instant DuckDB sees when it reads the naive column —
+    * every derived epoch/window value agrees across engines either way.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df0 = {
@@ -35,7 +41,13 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     }
     if (name == "events")
-      df0.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      df0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) via legacy conf
+          df0.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType => // TIMESTAMP(MICROS), naive
+          df0.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df0 // already µs TimestampType
+      }
     else df0
   }
 }
