@@ -872,7 +872,241 @@ object Analytics {
       ORDER BY kind"""
     })
 
+  // --------------------------------------------------------------- q149
+  // Welch's two-sample t-test per event type — the A/B-experiment
+  // readout: users split into arms by user_id parity (deterministic
+  // assignment, the hash-bucket idiom), and for each event type the test
+  // statistic t = (m̄_a − m̄_b) / √(v_a/n_a + v_b/n_b) plus the
+  // Welch–Satterthwaite degrees of freedom are computed from EXACT
+  // integer moments (Σcents, Σcents² as BIGINT — cents² ≤ 1e8 ×
+  // corpus rows stays far inside 2^63). The closed-form solve uses only
+  // +, −, ×, /, √ — all IEEE correctly-rounded operations, so unlike a
+  // libm log/erf the result is bit-identical cross-engine (q144's
+  // discipline); the p-value lookup (t-CDF, a libm call) is deliberately
+  // left to the consumer.
+  // Scale: ONE map-side-combined hash aggregation over the events scan —
+  // both arms' five moments come from conditional aggregates in the same
+  // groupBy(event_type), so adding an arm never adds a scan or a shuffle.
+  // |event types| result rows.
+  private val q149 = QueryDef(
+    "q149_welch_ttest",
+    (s, d) => {
+      val e = ev(s, d).select(col("event_type"),
+        (col("user_id") % 2).as("arm"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      val m = e.groupBy(col("event_type")).agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("sa"),
+        sum(when(col("arm") === 0, col("c") * col("c")).otherwise(0L)).as("qa"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("arm") === 1, col("c")).otherwise(0L)).as("sb"),
+        sum(when(col("arm") === 1, col("c") * col("c")).otherwise(0L)).as("qb"))
+      val va = (col("na").cast("double") * col("qa").cast("double") -
+        col("sa").cast("double") * col("sa").cast("double")) /
+        (col("na").cast("double") * (col("na") - 1).cast("double")) / lit(1e4)
+      val vb = (col("nb").cast("double") * col("qb").cast("double") -
+        col("sb").cast("double") * col("sb").cast("double")) /
+        (col("nb").cast("double") * (col("nb") - 1).cast("double")) / lit(1e4)
+      val sea = va / col("na").cast("double")
+      val seb = vb / col("nb").cast("double")
+      val md = (col("sa").cast("double") / col("na").cast("double") -
+        col("sb").cast("double") / col("nb").cast("double")) / lit(100.0)
+      m.filter(col("na") > 1 && col("nb") > 1)
+        .select(col("event_type"), col("na"), col("nb"),
+          round(md, 6).as("mean_diff"),
+          round(md / sqrt(sea + seb), 6).as("t_stat"),
+          round((sea + seb) * (sea + seb) /
+            (sea * sea / (col("na") - 1).cast("double") +
+             seb * seb / (col("nb") - 1).cast("double")), 6).as("df"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, user_id % 2 AS arm,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events),
+      m AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN arm = 0 THEN c * c ELSE 0 END) AS BIGINT) AS qa,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+               CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS sb,
+               CAST(sum(CASE WHEN arm = 1 THEN c * c ELSE 0 END) AS BIGINT) AS qb
+        FROM e GROUP BY event_type)
+      SELECT event_type, na, nb,
+             round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100.0, 6)
+               AS mean_diff,
+             round(((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                   - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100.0)
+               / sqrt(
+                 (CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                 / (CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE)) / 1e4
+                 / CAST(na AS DOUBLE)
+               + (CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE)
+                  - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)) / 1e4
+                 / CAST(nb AS DOUBLE)), 6) AS t_stat,
+             round(
+               ((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                / (CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE)) / 1e4
+                / CAST(na AS DOUBLE)
+              + (CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                / (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)) / 1e4
+                / CAST(nb AS DOUBLE))
+             * ((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                / (CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE)) / 1e4
+                / CAST(na AS DOUBLE)
+              + (CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                / (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)) / 1e4
+                / CAST(nb AS DOUBLE))
+             / (
+               ((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                / (CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE)) / 1e4
+                / CAST(na AS DOUBLE))
+               * ((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                / (CAST(na AS DOUBLE) * CAST(na - 1 AS DOUBLE)) / 1e4
+                / CAST(na AS DOUBLE))
+               / CAST(na - 1 AS DOUBLE)
+             + ((CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                / (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)) / 1e4
+                / CAST(nb AS DOUBLE))
+               * ((CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE)
+                 - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+                / (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)) / 1e4
+                / CAST(nb AS DOUBLE))
+               / CAST(nb - 1 AS DOUBLE)), 6) AS df
+      FROM m
+      WHERE na > 1 AND nb > 1
+      ORDER BY event_type"""))
+
+  // --------------------------------------------------------------- q150
+  // Chi-squared test of independence, lang × source over documents — the
+  // "is language distribution independent of data source" audit every
+  // multilingual corpus build runs before setting per-source mixture
+  // weights. Emits the full contingency diagnostics: per-cell observed
+  // count, expected count, and χ² contribution, each derived from exact
+  // BIGINT counts. The contribution (o·N − r·c)² / (N·r·c) keeps the
+  // numerator difference as an exact BIGINT (≤ N², safe in 2^63 at any
+  // SF the driver ships; at 100 TB promote the squared term to DOUBLE —
+  // both engines cast the SAME exact integers, so determinism survives),
+  // and the one division is IEEE-correctly-rounded. Rounded per-cell
+  // values mean the overall χ² = Σ contributions is reconstructible
+  // exactly by the consumer; no libm anywhere.
+  // Scale: three hash aggregations over one documents scan (cell, row,
+  // column margins — the latter two derive from the cell counts, so the
+  // corpus is scanned ONCE); the |langs|×|sources| grid then joins two
+  // broadcast margin tables. Corpus size never enters the join graph.
+  private val q150 = QueryDef(
+    "q150_chi2_lang_source",
+    (s, d) => {
+      val cell = docs(s, d).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o"))
+      val rm = cell.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+      val cm = cell.groupBy(col("source")).agg(sum(col("o")).as("c"))
+      val n = cell.agg(sum(col("o")).as("n"))
+      cell.join(broadcast(rm), Seq("lang"))
+        .join(broadcast(cm), Seq("source"))
+        .crossJoin(broadcast(n))
+        .withColumn("dnum", col("o") * col("n") - col("r") * col("c"))
+        .select(col("lang"), col("source"), col("o"),
+          round((col("r") * col("c")).cast("double") /
+            col("n").cast("double"), 6).as("expected"),
+          round((col("dnum") * col("dnum")).cast("double") /
+            (col("n") * col("r") * col("c")).cast("double"), 6)
+            .as("contrib"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""
+      WITH cell AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source),
+      rm AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cell GROUP BY lang),
+      cm AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cell GROUP BY source),
+      n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cell)
+      SELECT cell.lang, cell.source, o,
+             round(CAST(r * c AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS expected,
+             round(CAST((o * n.n - r * c) * (o * n.n - r * c) AS DOUBLE)
+                   / CAST(n.n * r * c AS DOUBLE), 6) AS contrib
+      FROM cell
+      JOIN rm ON rm.lang = cell.lang
+      JOIN cm ON cm.source = cell.source
+      CROSS JOIN n
+      ORDER BY cell.lang, cell.source"""))
+
+  // --------------------------------------------------------------- q152
+  // Time-weighted average — each user's `value` stream integrated over
+  // the time it was in effect (value_i held from ts_i until ts_{i+1}),
+  // divided by the observed span: the step-function mean behind billing
+  // meters, IoT sensor rollups, and position-weighted exposure. Naive
+  // avg(value) over-weights bursty periods; the TWA weights each reading
+  // by its holding duration. Exactness: durations are integer seconds
+  // (µs DIV 1e6 — both engines truncate the same way), values are exact
+  // cents, and the cents×seconds products sum as BIGINTs (≤ 1e11 per
+  // term — overflow needs a quadrillion-second span), so the single
+  // closing division is the only IEEE op.
+  // Scale: one user-keyed exchange feeds BOTH the lead() window and the
+  // final per-user aggregate (group key = partition key, Catalyst reuses
+  // the sort), map-side-combinable thereafter; per-user state is one
+  // window row, never the history.
+  private val q152 = QueryDef(
+    "q152_time_weighted_avg",
+    (s, d) => {
+      // the window orders by the TRUNCATED second + event_id (not raw µs
+      // ts) so intra-second pairing is identical in both engines
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      ev(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts) DIV 1000000").as("sec"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("nsec", lead(col("sec"), 1).over(w))
+        .filter(col("nsec").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum((col("nsec") - col("sec")) * col("cents")).as("wsum"),
+          sum(col("nsec") - col("sec")).as("dur"))
+        .filter(col("dur") > 0)
+        .select(col("user_id"), col("n_intervals"), col("dur").as("dur_s"),
+          round(col("wsum").cast("double") /
+            col("dur").cast("double") / lit(100.0), 6).as("twa"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, ts,
+               epoch_us(ts) // 1000000 AS sec,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      iv AS (
+        SELECT user_id, sec, cents,
+               lead(sec) OVER (PARTITION BY user_id
+                               ORDER BY sec, event_id) AS nsec
+        FROM e),
+      agg AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(sum((nsec - sec) * cents) AS BIGINT) AS wsum,
+               CAST(sum(nsec - sec) AS BIGINT) AS dur_s
+        FROM iv WHERE nsec IS NOT NULL
+        GROUP BY user_id)
+      SELECT user_id, n_intervals, dur_s,
+             round(CAST(wsum AS DOUBLE) / CAST(dur_s AS DOUBLE) / 100.0, 6)
+               AS twa
+      FROM agg
+      WHERE dur_s > 0
+      ORDER BY user_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
-      q140, q144, q145, q146)
+      q140, q144, q145, q146, q149, q150, q152)
 }

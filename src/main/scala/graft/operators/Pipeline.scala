@@ -940,7 +940,70 @@ object Pipeline {
       GROUP BY source
       ORDER BY source"""))
 
+  // --------------------------------------------------------------- q148
+  // Systematic probability-proportional-to-size sampling — k = 5
+  // customers per market segment, inclusion probability proportional to
+  // account balance: the classic PPS design behind importance-weighted
+  // corpus subsampling (sample documents ∝ quality weight) and survey
+  // estimation, HERE in its fully deterministic systematic form. Rows are
+  // laid out in content-hash order (md5(c_name), custkey — q47's
+  // reingest-stable idiom, no rand()), weights are exact cents clamped to
+  // ≥ 1, and a row is selected iff its cumulative-weight interval
+  // (cum - w, cum] crosses a multiple of the stride W div k. Every
+  // quantity is a BIGINT — selection is exact integer arithmetic, immune
+  // to partitioning, rerun, and engine. A row heavier than the stride
+  // crosses several multiples but is emitted once (true WOR semantics;
+  // standard PPS caveat, detectable here as |result| < 5k).
+  // Scale: one exchange on the segment key feeds the cumulative window.
+  // The prefix sum is sampling's inherently sequential step and — unlike
+  // q106's packing, whose bins renumber freely per shard — a systematic
+  // sample is DEFINED by one global order per stratum, so the exact form
+  // keeps one window partition per segment. At 100 TB the same plan holds
+  // by raising the stratum count (shard each segment by hash, draw k/S
+  // per shard — a stratified PPS with the same inclusion probabilities),
+  // or by the two-phase distributed prefix sum (per-partition subtotals
+  // broadcast as offsets) when the single-stratum form is required.
+  private val q148 = QueryDef(
+    "q148_pps_systematic_sample",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("h"), col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wk = Tables.t(s, d, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_name"),
+          md5(col("c_name").cast("binary")).as("h"),
+          greatest(lit(1L),
+            round(col("c_acctbal") * 100).cast("long")).as("wt"))
+      val tot = wk.groupBy(col("c_mktsegment"))
+        .agg((sum(col("wt")).cast("long")).as("tw"))
+      wk.withColumn("cum", sum(col("wt")).over(w))
+        .join(broadcast(tot), Seq("c_mktsegment"))
+        .withColumn("stride", expr("tw div 5"))
+        .filter(expr("cum div stride > (cum - wt) div stride" +
+          " and (cum - wt) div stride < 5"))
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_name"),
+          col("wt"), col("cum"))
+        .orderBy(col("c_mktsegment"), col("cum"))
+    },
+    Some("""
+      WITH wk AS (
+        SELECT c_mktsegment, c_custkey, c_name, md5(c_name) AS h,
+               greatest(1, CAST(round(c_acctbal * 100) AS BIGINT)) AS wt
+        FROM customer),
+      cw AS (
+        SELECT *,
+               CAST(sum(wt) OVER (PARTITION BY c_mktsegment
+                 ORDER BY h, c_custkey
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(sum(wt) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS tw
+        FROM wk)
+      SELECT c_mktsegment, c_custkey, c_name, wt, cum
+      FROM cw
+      WHERE cum // (tw // 5) > (cum - wt) // (tw // 5)
+        AND (cum - wt) // (tw // 5) < 5
+      ORDER BY c_mktsegment, cum"""))
+
   val defs: Seq[QueryDef] =
     Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113, q114, q115, q117,
-      q124, q136, q139)
+      q124, q136, q139, q148)
 }

@@ -1501,9 +1501,67 @@ object Relational {
       GROUP BY c_nationkey % 10
       ORDER BY cntry"""))
 
+  // --------------------------------------------------------------- q151
+  // Column-profile / data-quality audit over lineitem — per column: null
+  // count and exact distinct cardinality, the first report any ingest
+  // pipeline runs on a new drop. The table unpivots to (column, value)
+  // pairs via one generator (stack-style posexplode of a literal
+  // name/value array — no per-column scan), so ONE pass reads the table
+  // regardless of width. Values profile through an injective per-engine
+  // string rendering: distinct COUNTS are invariant under any injective
+  // encoding, so the two engines never need to agree on how a double or
+  // timestamp prints — only the counts compare, which is why the profile
+  // deliberately reports counts and not min/max literals.
+  // Scale: the exchange carries (column, value) keyed by BOTH — 11×
+  // row-count pairs, but each is a short string and the distinct
+  // collapses map-side (most columns are low-cardinality). At 100 TB
+  // swap the exact distinct for the q38 HLL-sketch form per column — the
+  // unpivot shape is unchanged. Null counts ride the same pass as a
+  // conditional aggregate.
+  private val q151 = QueryDef(
+    "q151_column_profile",
+    (s, d) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      val pairs = cols.map(c =>
+        s"struct('$c' as col, CAST(`$c` AS STRING) as v)").mkString(",")
+      li(s, d)
+        .select(explode(expr(s"array($pairs)")).as("p"))
+        .select(col("p.col").as("column_name"), col("p.v").as("v"))
+        .groupBy(col("column_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col("v")).as("n_distinct"))
+        .orderBy(col("column_name"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT unnest([
+          struct_pack(col := 'l_orderkey',      v := l_orderkey::VARCHAR),
+          struct_pack(col := 'l_partkey',       v := l_partkey::VARCHAR),
+          struct_pack(col := 'l_suppkey',       v := l_suppkey::VARCHAR),
+          struct_pack(col := 'l_linenumber',    v := l_linenumber::VARCHAR),
+          struct_pack(col := 'l_quantity',      v := l_quantity::VARCHAR),
+          struct_pack(col := 'l_extendedprice', v := l_extendedprice::VARCHAR),
+          struct_pack(col := 'l_discount',      v := l_discount::VARCHAR),
+          struct_pack(col := 'l_tax',           v := l_tax::VARCHAR),
+          struct_pack(col := 'l_returnflag',    v := l_returnflag::VARCHAR),
+          struct_pack(col := 'l_linestatus',    v := l_linestatus::VARCHAR),
+          struct_pack(col := 'l_shipdate',      v := l_shipdate::VARCHAR)],
+          recursive := true) FROM lineitem)
+      SELECT col AS column_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+             CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+      FROM p
+      GROUP BY col
+      ORDER BY col"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
-    q123, q129, q130, q135, q141, q142, q143)
+    q123, q129, q130, q135, q141, q142, q143, q151)
 }

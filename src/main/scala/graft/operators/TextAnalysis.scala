@@ -786,7 +786,104 @@ object TextAnalysis {
       JOIN sizes y ON y.source = sb
       ORDER BY sa, sb"""))
 
+  // --------------------------------------------------------------- q147
+  // N-gram language-model quality scoring (the CCNet/RefinedWeb "score
+  // each document with a model trained on the corpus" pass): an add-one-
+  // smoothed bigram model is fit on the training partition (doc_id % 97
+  // != 3, q105's split) and every held-out document is scored by its mean
+  // per-token predicted probability p(w_i | w_{i-1}) = (c_bi + 1) /
+  // (c_uni + V). Templated/boilerplate text scores high, noise scores
+  // low — the same signal a perplexity filter thresholds on. The mean
+  // replaces perplexity's geometric mean deliberately: every p here is a
+  // ratio of exact BIGINTs, and IEEE division is correctly rounded, so
+  // the score is bit-identical cross-engine with ZERO libm calls (q133's
+  // rationale — log/exp are not a cross-engine contract). Per-token
+  // probabilities round to 1e-9 and sum as scaled BIGINTs, making the
+  // per-doc mean order- and partition-independent. A deployment wanting
+  // true perplexity swaps the mean for exp(avg ln p) at the cost of that
+  // contract.
+  // Scale shape (q105's asymmetric-membership discipline): the corpus-
+  // sized side is ONLY ever filtered and counted — the distinct eval
+  // bigram/prefix dictionaries (held-out slice, 1/97 of the corpus)
+  // broadcast as semi-join filters BEFORE the count aggregations, so the
+  // model tables materialize just the rows the eval side will probe,
+  // bounded by |eval grams|, never |train grams|. V is one map-side-
+  // combined distinct over train tokens (dictionary-sized exchange). At
+  // a scale where the eval slice itself outgrows broadcast, both
+  // semi-joins become shuffle semi-joins on the gram key — the
+  // filter-before-aggregate shape is the load-bearing part.
+  private val q147 = QueryDef(
+    "q147_lm_quality_score",
+    (s, d) => {
+      val toks = docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+      val bi = toks
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(1, size(toks) - 1)")).as("i"))
+        .select(col("doc_id"),
+          concat(col("toks")(col("i") - 1), lit(" "),
+                 col("toks")(col("i"))).as("g"),
+          col("toks")(col("i") - 1).as("w1"))
+      val train = bi.filter(col("doc_id") % 97 =!= 3)
+      val evalB = bi.filter(col("doc_id") % 97 === 3)
+      val vocabN = toks.filter(col("doc_id") % 97 =!= 3)
+        .select(explode(col("toks")).as("t"))
+        .agg(countDistinct(col("t")).as("v"))
+      val cb = train
+        .join(broadcast(evalB.select(col("g")).distinct()), Seq("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("cb"))
+      val cu = train
+        .join(broadcast(evalB.select(col("w1")).distinct()), Seq("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+      evalB
+        .join(broadcast(cb), Seq("g"), "left")
+        .join(broadcast(cu), Seq("w1"), "left")
+        .crossJoin(broadcast(vocabN))
+        .withColumn("p",
+          (coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("cu"), lit(0L)) + col("v")).cast("double"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(round(col("p") * lit(1e9)).cast("long")).as("sp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("sp").cast("double") / lit(1e9) /
+            col("n_bigrams").cast("double"), 6).as("avg_p"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      bi AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS g
+        FROM tok),
+      bi2 AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM bi),
+      vocab AS (
+        SELECT count(DISTINCT t) AS v FROM (
+          SELECT unnest(toks) AS t FROM tok WHERE doc_id % 97 <> 3)),
+      cb AS (
+        SELECT g, count(*) AS cb FROM bi2 WHERE doc_id % 97 <> 3 GROUP BY g),
+      cu AS (
+        SELECT w1, count(*) AS cu FROM bi2 WHERE doc_id % 97 <> 3 GROUP BY w1),
+      scored AS (
+        SELECT e.doc_id,
+               CAST(round((COALESCE(cb.cb, 0) + 1)
+                     / CAST(COALESCE(cu.cu, 0) + (SELECT v FROM vocab) AS DOUBLE)
+                     * 1e9) AS BIGINT) AS sp9
+        FROM bi2 e
+        LEFT JOIN cb ON cb.g = e.g
+        LEFT JOIN cu ON cu.w1 = e.w1
+        WHERE e.doc_id % 97 = 3)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(CAST(sum(sp9) AS BIGINT) / 1e9 / count(*), 6) AS avg_p
+      FROM scored
+      GROUP BY doc_id
+      ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
-      q138)
+      q138, q147)
 }
