@@ -284,4 +284,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(x => (x._1, x._2, x._3)).toSeq == redo.toSeq)
   }
 
+  test("q148 PPS sample: exactly k per stratum and every row crosses a stride") {
+    val rows = SparkEntry.queries("q148_pps_systematic_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // systematic WOR draws exactly k = 5 per segment whenever no single
+    // weight exceeds the stride (true on this data — verify, then count)
+    val bySeg = rows.groupBy(_._1)
+    val wk = Tables.t(spark, sf, "customer")
+      .select(col("c_mktsegment"),
+        greatest(lit(1L), round(col("c_acctbal") * 100).cast("long")).as("wt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("wt")).as("tw"), max(col("wt")).as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    wk.foreach { case (seg, tw, mx) =>
+      assert(mx <= tw / 5, s"$seg: a weight exceeds the stride — k not guaranteed")
+      assert(bySeg(seg).length == 5, s"$seg: expected exactly 5 sampled rows")
+    }
+    // every selected row's interval really crosses a stride multiple
+    val tws = wk.map(x => x._1 -> x._2).toMap
+    rows.foreach { case (seg, _, wt, cum) =>
+      val stride = tws(seg) / 5
+      assert(cum / stride > (cum - wt) / stride && (cum - wt) / stride < 5,
+        s"$seg: selected row does not cross a stride multiple")
+    }
+  }
+
+  test("q147 LM score: probabilities in (0,1], eval split only, train unseen") {
+    val rows = SparkEntry.queries("q147_lm_quality_score")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, p) =>
+      assert(id % 97 == 3, "only held-out documents may be scored")
+      assert(n >= 1 && p > 0.0 && p <= 1.0, s"doc $id: avg_p=$p out of range")
+    }
+  }
+
 }

@@ -369,4 +369,54 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "no shuffle join anywhere in the co-occurrence path")
   }
+
+  test("q147: train grams only ever broadcast-filtered, never shuffle-joined") {
+    // q105's asymmetric-membership discipline: the corpus-sized train side
+    // must be reduced by BROADCAST eval dictionaries before its count
+    // aggregations, and the model tables must broadcast back into the
+    // eval probe — a SortMergeJoin anywhere means a corpus-keyed shuffle
+    // of the gram stream, the thing that dominates at 100 TB.
+    val p = planOf("q147_lm_quality_score")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval dictionaries must broadcast into the train-side filters")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join anywhere in the scoring path")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => !l.contains("text#")),
+      s"no exchange may carry document text: $exchanges")
+  }
+
+  test("q148: PPS window partitions by the stratum; totals broadcast") {
+    // systematic sampling's prefix sum is per-stratum sequential by
+    // definition — the window must key on the segment (never global),
+    // and the per-segment totals join must broadcast (5 rows).
+    val p = planOf("q148_pps_systematic_sample")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("c_mktsegment#")),
+      s"cumulative window must partition by segment:\n${winLines.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-segment stride totals must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join in the sample path")
+  }
+
+  test("q151: profile unpivot reads lineitem exactly once") {
+    // the whole point of the stack-style unpivot is ONE scan regardless
+    // of profiled width — a per-column scan union would read the table
+    // 11 times at 100 TB
+    val p = planOf("q151_column_profile")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly 1 lineitem scan, got $scans")
+    assert(p.contains("Generate"), "unpivot must explode via Generate")
+  }
+
+  test("q152: one user-keyed exchange feeds both the lead window and the agg") {
+    // group key == window partition key → Catalyst must reuse the sort
+    // and exchange; a second hash exchange would re-shuffle the events
+    val p = planOf("q152_time_weighted_avg")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1,
+      s"expected exactly 1 hash exchange (window + agg share it), got:\n$hashEx")
+    assert(hashEx.head.contains("user_id"), "the one exchange keys on user_id")
+  }
 }
