@@ -1106,7 +1106,80 @@ object Analytics {
       WHERE dur_s > 0
       ORDER BY user_id"""))
 
+  // --------------------------------------------------------------- q153
+  // Time-decay (exponential) multi-touch attribution — every purchase
+  // distributes one unit of credit over the user's earlier touch events,
+  // weighted by 2^-(days before conversion): the standard marketing-
+  // attribution model between q132's last-touch (all credit to one
+  // event) and linear (equal credit). The decay base is DELIBERATELY 2
+  // with integer-day exponents: 2^-k is a dyadic rational that IEEE
+  // doubles represent exactly (shiftleft + one exact division — no libm
+  // exp/pow, q133's contract), and a per-conversion sum of multiples of
+  // 2^-40 needs ≤ 50 mantissa bits, so even the window SUM is exact and
+  // order-independent BEFORE any rounding. Shares are rounded to 1e-9
+  // and summed as scaled BIGINTs per touch type.
+  // Scale: one user-keyed join pairs conversions with their prior
+  // touches (per-user quadratic, bounded by the 40-day horizon — the
+  // skew knob is the horizon, and a pathological power-user key salts
+  // like q29); one conversion-keyed window normalizes; the final
+  // event-type aggregate is map-side combined. Three exchanges total,
+  // none corpus²-sized.
+  private val q153 = QueryDef(
+    "q153_time_decay_attribution",
+    (s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), expr("unix_micros(ts) DIV 1000000").as("sec"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("cid"),
+          col("sec").as("csec"))
+      val touch = e.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("touch_type"),
+          col("sec").as("tsec"))
+      val wNorm = Window.partitionBy(col("cid"))
+      conv.join(touch, Seq("user_id"))
+        .filter(col("tsec") < col("csec") &&
+          col("csec") - col("tsec") < lit(86400L * 40))
+        .withColumn("dk", expr("(csec - tsec) div 86400"))
+        .withColumn("w",
+          lit(1.0) / expr("CAST(shiftleft(1L, CAST(dk AS INT)) AS DOUBLE)"))
+        .withColumn("share", col("w") / sum(col("w")).over(wNorm))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(round(col("share") * lit(1e9)).cast("long")).as("sc"))
+        .select(col("touch_type"), col("n_touches"),
+          round(col("sc").cast("double") / lit(1e9), 6).as("credit"))
+        .orderBy(col("touch_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts) // 1000000 AS sec
+        FROM events),
+      conv AS (
+        SELECT user_id, event_id AS cid, sec AS csec
+        FROM e WHERE event_type = 'purchase'),
+      touch AS (
+        SELECT user_id, event_type AS touch_type, sec AS tsec
+        FROM e WHERE event_type <> 'purchase'),
+      pairs AS (
+        SELECT c.cid, t.touch_type,
+               1.0 / CAST(1::BIGINT << ((c.csec - t.tsec) // 86400)
+                          AS DOUBLE) AS w
+        FROM conv c JOIN touch t ON t.user_id = c.user_id
+        WHERE t.tsec < c.csec AND c.csec - t.tsec < 86400 * 40),
+      shared AS (
+        SELECT touch_type,
+               CAST(round(w / sum(w) OVER (PARTITION BY cid) * 1e9)
+                    AS BIGINT) AS s9
+        FROM pairs)
+      SELECT touch_type,
+             CAST(count(*) AS BIGINT) AS n_touches,
+             round(CAST(sum(s9) AS BIGINT) / 1e9, 6) AS credit
+      FROM shared
+      GROUP BY touch_type
+      ORDER BY touch_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
-      q140, q144, q145, q146, q149, q150, q152)
+      q140, q144, q145, q146, q149, q150, q152, q153)
 }

@@ -1099,6 +1099,61 @@ object Dedup {
                                  ORDER BY pos), '') AS kept_text
       FROM r GROUP BY doc_id ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q154
+  // Duplicate-provenance matrix — q32's verified near-dup pairs rolled
+  // up by (source, source): how much duplication lives WITHIN each data
+  // source vs ACROSS source pairs. This is the dedup-observability
+  // report that decides pipeline policy (a crawl duplicating itself is
+  // re-crawl noise to drop; two sources duplicating each other means
+  // one is a mirror and q49's mix double-counts it). Sources are
+  // normalized with least/greatest so the matrix is upper-triangular
+  // regardless of pair orientation; mean Jaccard aggregates the
+  // already-rounded q32 similarity as scaled BIGINTs (order-independent,
+  // one closing division).
+  // Scale: the pair table is |near-dups|-sized — tiny relative to the
+  // corpus — so it BROADCASTS into the two doc_id→source lookups; the
+  // corpus-side projection carries only (doc_id, source). The matrix
+  // aggregate is ≤ C(|sources|+1, 2) rows. Nothing here re-touches text
+  // or signatures; the minhash signature table is reused via
+  // [[minhashPairs]]'s localCheckpoint exactly once.
+  private val q154 = QueryDef(
+    "q154_dup_source_matrix",
+    (s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      val pairs = minhashPairs(s, d)
+      pairs
+        .join(src.select(col("doc_id").as("da"), col("source").as("srca")),
+          Seq("da"))
+        .join(src.select(col("doc_id").as("db"), col("source").as("srcb")),
+          Seq("db"))
+        .select(least(col("srca"), col("srcb")).as("source_a"),
+          greatest(col("srca"), col("srcb")).as("source_b"),
+          col("jac"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(round(col("jac") * lit(1e6)).cast("long")).as("sj"))
+        .select(col("source_a"), col("source_b"), col("n_pairs"),
+          round(col("sj").cast("double") / lit(1e6) /
+            col("n_pairs").cast("double"), 6).as("mean_jac"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(s"""
+      WITH $minhashCtes,
+      lab AS (
+        SELECT least(x.source, y.source) AS source_a,
+               greatest(x.source, y.source) AS source_b,
+               p.jac
+        FROM mh_pairs p
+        JOIN documents x ON x.doc_id = p.da
+        JOIN documents y ON y.doc_id = p.db)
+      SELECT source_a, source_b,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             round(CAST(sum(CAST(round(jac * 1e6) AS BIGINT)) AS BIGINT)
+                   / 1e6 / count(*), 6) AS mean_jac
+      FROM lab
+      GROUP BY source_a, source_b
+      ORDER BY source_a, source_b"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122)
+    Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154)
 }

@@ -883,7 +883,52 @@ object TextAnalysis {
       GROUP BY doc_id
       ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q155
+  // Token-length histogram over power-of-2 bins, per language — the
+  // length-distribution report that drives q104's chunk size and q106's
+  // packing budget (how much of the corpus is short-tail vs long-tail).
+  // Log-spaced bins without libm: bin = floor(log2 n) + 1 computed as
+  // the BIT LENGTH of the integer token count (length of its binary
+  // rendering — exact integer arithmetic in both engines, no log2()
+  // whose libm rounding is not a cross-engine contract); bin bounds
+  // reconstruct exactly via shiftleft.
+  // Scale: one corpus scan into a map-side-combined hash aggregate on
+  // (lang, bin) — ≤ |langs| × 64 groups. Nothing else.
+  private val q155 = QueryDef(
+    "q155_length_histogram",
+    (s, d) => {
+      docs(s, d)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+        .withColumn("b", length(expr("bin(n)")).cast("long"))
+        .groupBy(col("lang"), col("b"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n")).as("min_tok"), max(col("n")).as("max_tok"))
+        .select(col("lang"), col("b").as("bin"),
+          expr("shiftleft(1L, CAST(b AS INT) - 1)").as("bin_lo"),
+          expr("shiftleft(1L, CAST(b AS INT)) - 1").as("bin_hi"),
+          col("n_docs"), col("min_tok"), col("max_tok"))
+        .orderBy(col("lang"), col("bin"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+      h AS (
+        SELECT lang, CAST(length(bin(n)) AS BIGINT) AS bin,
+               n
+        FROM t)
+      SELECT lang, bin,
+             CAST(1::BIGINT << (bin - 1) AS BIGINT) AS bin_lo,
+             CAST((1::BIGINT << bin) - 1 AS BIGINT) AS bin_hi,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             min(n) AS min_tok, max(n) AS max_tok
+      FROM h
+      GROUP BY lang, bin
+      ORDER BY lang, bin"""))
+
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
-      q138, q147)
+      q138, q147, q155)
 }
