@@ -1179,7 +1179,358 @@ object Analytics {
       GROUP BY touch_type
       ORDER BY touch_type"""))
 
+  // --------------------------------------------------------------- q157
+  // Per-key EWMA via an ordered fold — the bounded-state recursion
+  // y_d = y_prev · 2^-gap + x_d over each user's daily purchase spend,
+  // demonstrating the per-key sequential-recurrence operator (the shape
+  // behind pattern matching, debouncing, online smoothing) that plain
+  // window frames cannot express (the weight depends on BOTH endpoints).
+  // Implementation: one hash aggregate collects each user's (day, cents)
+  // series (state bounded by the DAY RANGE — ≤366/year — never by event
+  // count, because the daily pre-aggregate collapses first), then a
+  // higher-order `aggregate()` lambda folds it in day order, entirely
+  // inside codegen, no second shuffle.
+  // Exactness: the decay base is 2 with integer-day gaps, so the fold
+  // runs in 2^40 fixed-point BIGINTs — y·2^-gap is `shiftright`, each
+  // day's deposit is `cents << 40` — every step exact, order fixed by the
+  // sorted array. The DuckDB oracle uses the closed form
+  // Σ cents_d · 2^(40-(T-d)), also exact-integer; fold ≡ closed form
+  // whenever the oldest in-horizon term is ≤ 40 days old (testdata spans
+  // 30; for longer spans add an age cutoff to both sides — documented
+  // contract, same shape as q153's 40-day horizon).
+  // Overflow headroom: Σ ≤ 2·max_daily_cents·2^40 (geometric), with
+  // max_daily_cents ≈ 6.2e4 at sf0.1 → ≈ 1.4e17 ≪ 2^63.
+  private val q157 = QueryDef(
+    "q157_ewma_fold",
+    (s, d) => {
+      val daily = ev(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+            .as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      daily.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"),
+          max(col("day")).as("last_day"),
+          sort_array(collect_list(struct(col("day"), col("cents"))))
+            .as("arr"))
+        .withColumn("s", expr(
+          """aggregate(arr,
+               named_struct('d', CAST(-1 AS BIGINT), 's', CAST(0 AS BIGINT)),
+               (acc, x) -> named_struct(
+                 'd', x.day,
+                 's', CASE WHEN acc.d < 0 THEN shiftleft(x.cents, 40)
+                           ELSE shiftright(acc.s, CAST(x.day - acc.d AS INT))
+                                + shiftleft(x.cents, 40) END),
+               acc -> acc.s)"""))
+        .select(col("user_id"), col("n_days"), col("last_day"),
+          round(col("s").cast("double") / lit(1099511627776.0) / lit(100.0), 6)
+            .as("ewma"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT
+                 AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2),
+      m AS (SELECT user_id, max(day) AS t FROM daily GROUP BY 1)
+      SELECT d.user_id,
+             CAST(count(*) AS BIGINT) AS n_days,
+             max(d.day) AS last_day,
+             round(CAST(sum(d.cents
+                            * (1::BIGINT << CAST(40 - (m.t - d.day) AS INT)))
+                        AS DOUBLE) / 1099511627776.0 / 100.0, 6) AS ewma
+      FROM daily d JOIN m USING (user_id)
+      GROUP BY d.user_id
+      ORDER BY d.user_id"""))
+
+  // --------------------------------------------------------------- q158
+  // Poisson-bootstrap confidence interval for a mean — THE way to
+  // bootstrap at 100 TB: instead of resampling-with-replacement (which
+  // needs global coordination), each row independently draws a
+  // Poisson(1) replication count per replica, so the whole B=64-replica
+  // bootstrap is ONE scan with a map-side-combined 64-group aggregate.
+  // Determinism: the per-(row, replica) uniform is 60 bits of
+  // md5('bs'||b||':'||key) — the house cross-engine hash — and the
+  // inverse-CDF thresholds are the SAME 64-bit integer literals
+  // (⌊CDF_Poisson(1)(k)·2^60⌋, k=0..5, precomputed below) in both
+  // engines: exact integer compares, no libm exp anywhere. Replication
+  // counts are truncated at 6 (P[K>6] ≈ 6e-5, absorbed into the
+  // documented truncation — identically on both sides).
+  // CI: order statistics 2 and 63 of the 64 replica means ≈ the 2.5/97.5
+  // percentile bootstrap interval. The rank window runs over B=64 rows —
+  // replica-count-sized, a constant, never corpus-sized.
+  private val bsThresholds: Seq[Long] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    .map(p => (p * 1152921504606846976.0).toLong)
+
+  private val q158 = QueryDef(
+    "q158_bootstrap_ci",
+    (s, d) => {
+      val o = Tables.t(s, d, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val wExpr = bsThresholds
+        .map(t => when(col("v") >= lit(t), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val rep = o
+        .withColumn("b", explode(expr("sequence(0, 63)")))
+        .withColumn("v", expr(
+          """CAST(conv(substr(md5(concat('bs', CAST(b AS STRING), ':',
+             CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT)"""))
+        .withColumn("w", wExpr)
+        .groupBy(col("b"))
+        .agg(sum(col("w")).as("ws"), sum(col("w") * col("cents")).as("wc"))
+        .withColumn("mean", col("wc").cast("double") / col("ws").cast("double"))
+      val wRank = Window.orderBy(col("mean"), col("b"))
+      val ci = rep.withColumn("rn", row_number().over(wRank))
+        .agg(count(lit(1)).as("n_replicas"),
+          min(when(col("rn") === 2, col("mean"))).as("lo"),
+          min(when(col("rn") === 63, col("mean"))).as("hi"))
+      val est = o.agg(
+        (sum(col("cents")).cast("double") / count(lit(1)).cast("double"))
+          .as("full_mean"))
+      ci.crossJoin(broadcast(est))
+        .select(col("n_replicas"),
+          round(col("full_mean") / 100.0, 6).as("est_mean"),
+          round(col("lo") / 100.0, 6).as("ci_lo"),
+          round(col("hi") / 100.0, 6).as("ci_hi"))
+    },
+    Some(s"""
+      WITH o AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      rep AS (
+        SELECT t.b,
+               ('0x' || substr(md5('bs' || CAST(t.b AS VARCHAR) || ':' ||
+                                   CAST(o.o_orderkey AS VARCHAR)), 1, 15))
+                 ::BIGINT AS v,
+               o.cents
+        FROM o, range(64) AS t(b)),
+      repw AS (
+        SELECT b,
+               ${bsThresholds.map(t => s"(CASE WHEN v >= $t THEN 1 ELSE 0 END)")
+                 .mkString(" + ")} AS w,
+               cents
+        FROM rep),
+      means AS (
+        SELECT b, CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+                 AS mean
+        FROM repw GROUP BY b),
+      ranked AS (
+        SELECT mean, row_number() OVER (ORDER BY mean, b) AS rn FROM means),
+      est AS (
+        SELECT CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 AS full_mean
+        FROM o)
+      SELECT CAST((SELECT count(*) FROM means) AS BIGINT) AS n_replicas,
+             round((SELECT full_mean FROM est) / 100.0, 6) AS est_mean,
+             round((SELECT mean FROM ranked WHERE rn = 2) / 100.0, 6)
+               AS ci_lo,
+             round((SELECT mean FROM ranked WHERE rn = 63) / 100.0, 6)
+               AS ci_hi"""))
+
+  // --------------------------------------------------------------- q160
+  // Calibration report (reliability bins + ECE) — the model-observability
+  // query every scoring pipeline runs: does a score's confidence match
+  // the observed rate? Score here is the order's price percentile on a
+  // FIXED $1000 grid (q139's two-phase exact-percentile pattern: the
+  // cumulative window runs over the ≤500-row grid, never the corpus —
+  // grid size is set by the value RANGE, not N, so the plan is unchanged
+  // at 100 TB); outcome is o_orderstatus = 'F'. Rows join their bucket's
+  // cumulative count back via broadcast (the grid is tiny), decile bins
+  // come from exact integer arithmetic ((10·cum) DIV N — no double until
+  // presentation), and ECE aggregates the per-bin |conf − acc| gaps as
+  // 1e-6-scaled BIGINTs over the 10-row bin table, so every reported
+  // number is order-independent and bit-identical cross-engine.
+  private val q160 = QueryDef(
+    "q160_calibration_bins",
+    (s, d) => {
+      val o = Tables.t(s, d, "orders").select(
+        (floor(col("o_totalprice") / 1000.0)).cast("long").as("gb"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("label"))
+      val wCum = Window.orderBy(col("gb"))
+      val grid = o.groupBy(col("gb")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cumb",
+          coalesce(sum(col("cnt"))
+            .over(wCum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val tot = o.agg(count(lit(1)).as("n_total"))
+      val binned = o.join(broadcast(grid.select(col("gb"), col("cumb"))), Seq("gb"))
+        .crossJoin(broadcast(tot))
+        .withColumn("bin", expr("(10 * cumb) DIV n_total"))
+      val bins = binned.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
+          sum(col("cumb")).as("sc"), max(col("n_total")).as("n_total"))
+        .withColumn("conf",
+          col("sc").cast("double") /
+            (col("n").cast("double") * col("n_total").cast("double")))
+        .withColumn("acc", col("n_pos").cast("double") / col("n").cast("double"))
+        .withColumn("g6",
+          round(abs(col("conf") - col("acc")) * lit(1e6)).cast("long"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      bins
+        .withColumn("ece_n", sum(col("n") * col("g6")).over(wAll))
+        .select(col("bin"), col("n"), round(col("conf"), 6).as("conf"),
+          round(col("acc"), 6).as("acc"),
+          (col("g6").cast("double") / lit(1e6)).as("gap"),
+          round(col("ece_n").cast("double") /
+            (col("n_total").cast("double") * lit(1e6)), 6).as("ece"))
+        .orderBy(col("bin"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS gb,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        FROM orders),
+      grid AS (
+        SELECT gb, count(*) AS cnt,
+               coalesce(sum(count(*)) OVER (ORDER BY gb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cumb
+        FROM o GROUP BY gb),
+      tot AS (SELECT count(*) AS n_total FROM o),
+      binned AS (
+        SELECT o.label, g.cumb, t.n_total,
+               CAST((10 * g.cumb) // t.n_total AS BIGINT) AS bin
+        FROM o JOIN grid g USING (gb) CROSS JOIN tot t),
+      bins AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(label) AS BIGINT) AS n_pos,
+               CAST(sum(cumb) AS BIGINT) AS sc,
+               max(n_total) AS n_total
+        FROM binned GROUP BY bin),
+      gapped AS (
+        SELECT bin, n, n_total,
+               CAST(sc AS DOUBLE) / (CAST(n AS DOUBLE) *
+                                     CAST(n_total AS DOUBLE)) AS conf,
+               CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+               CAST(round(abs(CAST(sc AS DOUBLE) /
+                              (CAST(n AS DOUBLE) * CAST(n_total AS DOUBLE))
+                              - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                          * 1e6) AS BIGINT) AS g6
+        FROM bins)
+      SELECT bin, n, round(conf, 6) AS conf, round(acc, 6) AS acc,
+             CAST(g6 AS DOUBLE) / 1e6 AS gap,
+             round(CAST(sum(n * g6) OVER () AS DOUBLE) /
+                   (CAST(n_total AS DOUBLE) * 1e6), 6) AS ece
+      FROM gapped
+      ORDER BY bin"""))
+
+  // --------------------------------------------------------------- q164
+  // OHLC time-series downsampling — per (user, day) open/high/low/close
+  // bars over purchase values, the canonical "compact a tick stream into
+  // candles" operator every metrics store runs. Like q156 this is
+  // deliberately a PURE HASH AGGREGATE: open/close are min_by/max_by on
+  // an integer order key, so each partition reduces to one partial bar
+  // per (user, day) map-side and the exchange carries bars, not ticks —
+  // the window/sort formulation would shuffle every tick. The order key
+  // packs (µs-within-day, event_id) into one BIGINT (8.64e10·2^22 ≈
+  // 3.6e17 < 2^63; event_id < 2^22 at any SF the driver generates —
+  // documented bound, widen the shift if ids outgrow it); ties are
+  // impossible because event_id is unique.
+  private val q164 = QueryDef(
+    "q164_ohlc_bars",
+    (s, d) => {
+      val t = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+            .as("day"),
+          expr("unix_micros(ts) % 86400000000").as("usod"),
+          col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("ok", expr("usod * 4194304 + event_id"))
+      t.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_trades"),
+          expr("min_by(cents, ok)").as("o"), max(col("cents")).as("h"),
+          min(col("cents")).as("l"), expr("max_by(cents, ok)").as("c"))
+        .select(col("user_id"), col("day"), col("n_trades"),
+          (col("o").cast("double") / 100.0).as("open"),
+          (col("h").cast("double") / 100.0).as("high"),
+          (col("l").cast("double") / 100.0).as("low"),
+          (col("c").cast("double") / 100.0).as("close"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT
+                 AS day,
+               (epoch_us(ts) % 86400000000) * 4194304 + event_id AS ok,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase')
+      SELECT user_id, day,
+             CAST(count(*) AS BIGINT) AS n_trades,
+             CAST(arg_min(cents, ok) AS DOUBLE) / 100.0 AS open,
+             CAST(max(cents) AS DOUBLE) / 100.0 AS high,
+             CAST(min(cents) AS DOUBLE) / 100.0 AS low,
+             CAST(arg_max(cents, ok) AS DOUBLE) / 100.0 AS close
+      FROM t
+      GROUP BY user_id, day
+      ORDER BY user_id, day"""))
+
+  // --------------------------------------------------------------- q168
+  // Exact percentile bands (p50/p90/p99) per event type — the SLO-report
+  // operator, computed with q139's two-phase integer-grid pattern so it
+  // scales: phase 1 collapses the corpus to (event_type, cents) counts
+  // (map-side combined; the group count is bounded by the VALUE RANGE —
+  // ≤ ~5e4 distinct cents — not by N), phase 2 runs the cumulative
+  // window over that bounded grid partitioned by event_type. The
+  // percentile definition is the lower exact quantile: the smallest
+  // value with at least ⌈q·n⌉ mass at or below it, decided by the
+  // integer comparison 100·cum ≥ q₁₀₀·n — no doubles until the final
+  // cents→dollars presentation divide.
+  private val q168 = QueryDef(
+    "q168_percentile_bands",
+    (s, d) => {
+      val g = ev(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      g.withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          min(when(col("cum") * 100 >= col("n") * 50, col("cents"))).as("p50c"),
+          min(when(col("cum") * 100 >= col("n") * 90, col("cents"))).as("p90c"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("cents"))).as("p99c"))
+        .select(col("event_type"), col("n"),
+          (col("p50c").cast("double") / 100.0).as("p50"),
+          (col("p90c").cast("double") / 100.0).as("p90"),
+          (col("p99c").cast("double") / 100.0).as("p99"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      c AS (
+        SELECT event_type, cents,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM g)
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             CAST(min(CASE WHEN cum * 100 >= n * 50 THEN cents END)
+                  AS DOUBLE) / 100.0 AS p50,
+             CAST(min(CASE WHEN cum * 100 >= n * 90 THEN cents END)
+                  AS DOUBLE) / 100.0 AS p90,
+             CAST(min(CASE WHEN cum * 100 >= n * 99 THEN cents END)
+                  AS DOUBLE) / 100.0 AS p99
+      FROM c
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
-      q140, q144, q145, q146, q149, q150, q152, q153)
+      q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
+      q164, q168)
 }

@@ -1154,6 +1154,72 @@ object Dedup {
       GROUP BY source_a, source_b
       ORDER BY source_a, source_b"""))
 
+  // --------------------------------------------------------------- q161
+  // MinHash estimator calibration — the sketch-observability companion
+  // to q32 (and the q159 pattern applied to similarity): for every
+  // verified near-dup pair, compare the SKETCH's Jaccard estimate (the
+  // fraction of the K=16 minhash components that agree — the unbiased
+  // estimator LSH banding is built on) against the exact Jaccard the
+  // verify step computed. Grouping by the match count yields the
+  // 17-bucket reliability table you inspect before trusting banding
+  // thresholds on a new corpus.
+  // Scale: the verified pair table (q32's output, tiny) broadcasts onto
+  // the signature table TWICE — the corpus-sized signatures never
+  // reshuffle; the final aggregate has ≤ K+1 groups. Signatures are
+  // recomputed here for self-containment; production would read the
+  // persisted signature table q32's scaladoc already calls for.
+  // Exactness: component equality is integer compare; mean exact-Jaccard
+  // aggregates the already-6dp-rounded jac as 1e6-scaled BIGINTs.
+  private val q161 = QueryDef(
+    "q161_minhash_calibration",
+    (s, d) => {
+      val sigCols = (0 until K).map(k =>
+        min((col("sid") * aK(k) + bK(k)) % P).as(s"h$k"))
+      val sig = shingles(s, d).withColumn("sid", md5Id(col("shingle")))
+        .groupBy("doc_id")
+        .agg(sigCols.head, sigCols.tail: _*)
+      val sa = sig.select(col("doc_id").as("da") +:
+        (0 until K).map(k => col(s"h$k").as(s"ha$k")): _*)
+      val sb = sig.select(col("doc_id").as("db") +:
+        (0 until K).map(k => col(s"h$k").as(s"hb$k")): _*)
+      val est = (0 until K)
+        .map(k => when(col(s"ha$k") === col(s"hb$k"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      broadcast(minhashPairs(s, d))
+        .join(sa, "da").join(sb, "db")
+        .withColumn("n_match", est)
+        .groupBy(col("n_match"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(round(col("jac") * lit(1e6)).cast("long")).as("sj"))
+        .select(col("n_match"),
+          (col("n_match").cast("double") / lit(16.0)).as("est_jac"),
+          col("n_pairs"),
+          round(col("sj").cast("double") /
+            (lit(1e6) * col("n_pairs").cast("double")), 6).as("avg_jac"))
+        .orderBy(col("n_match"))
+    },
+    Some {
+      val eq = (0 until K)
+        .map(k => s"(CASE WHEN a.h$k = b.h$k THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH $minhashCtes,
+      scored AS (
+        SELECT $eq AS n_match, p.jac
+        FROM mh_pairs p
+        JOIN sig a ON p.da = a.doc_id
+        JOIN sig b ON p.db = b.doc_id)
+      SELECT CAST(n_match AS BIGINT) AS n_match,
+             CAST(n_match AS DOUBLE) / 16.0 AS est_jac,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             round(CAST(sum(CAST(round(jac * 1e6) AS BIGINT)) AS DOUBLE) /
+                   (1e6 * CAST(count(*) AS DOUBLE)), 6) AS avg_jac
+      FROM scored
+      GROUP BY n_match
+      ORDER BY n_match"""
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154)
+    Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154,
+      q161)
 }

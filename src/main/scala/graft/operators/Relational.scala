@@ -1559,9 +1559,61 @@ object Relational {
       GROUP BY col
       ORDER BY col"""))
 
+  // --------------------------------------------------------------- q156
+  // CDC changelog compaction (MERGE-style upsert apply) — the operator
+  // that maintains a keyed snapshot from an append-only change stream,
+  // what a Delta/Hudi/Iceberg table service does at 100 TB. `events` is
+  // read as a changelog on key user_id: `event_id` is the log sequence
+  // number (the apply-order contract — `ts` is informational only, real
+  // CDC streams order by LSN precisely because wall clocks tie and skew),
+  // `error` rows are tombstones (op=D), everything else upserts (op=U).
+  // Last-writer-wins per key; a key whose final op is a tombstone leaves
+  // the snapshot.
+  // Scale: deliberately NO window/sort — compaction is ONE hash aggregate
+  // with max_by(payload, lsn), which partial-aggregates map-side: each
+  // input partition reduces to ≤ |keys| rows before the single exchange.
+  // A sort-based row_number() formulation shuffles the full changelog and
+  // sorts per key; max_by carries one row per key per partition. The
+  // ordkey is the raw BIGINT LSN — exact integer compare in both engines.
+  private val q156 = QueryDef(
+    "q156_cdc_compaction",
+    (s, d) => {
+      val log = ev(s, d).select(
+        col("user_id"), col("event_id"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("event_type"),
+        expr("unix_micros(ts) DIV 1000000").as("sec"))
+      log.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_versions"),
+          max(col("event_id")).as("last_lsn"),
+          expr("max_by(op, event_id)").as("last_op"),
+          expr("max_by(event_type, event_id)").as("last_type"),
+          expr("max_by(sec, event_id)").as("last_sec"))
+        .filter(col("last_op") === "U")
+        .select(col("user_id"), col("n_versions"), col("last_lsn"),
+          col("last_type"), col("last_sec"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH log AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               event_type, epoch_us(ts) // 1000000 AS sec
+        FROM events)
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_versions,
+             max(event_id) AS last_lsn,
+             arg_max(event_type, event_id) AS last_type,
+             arg_max(sec, event_id) AS last_sec
+      FROM log
+      GROUP BY user_id
+      HAVING arg_max(op, event_id) = 'U'
+      ORDER BY user_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
-    q123, q129, q130, q135, q141, q142, q143, q151)
+    q123, q129, q130, q135, q141, q142, q143, q151, q156)
 }

@@ -595,5 +595,72 @@ object Similarity {
       GROUP BY qid
       ORDER BY qid"""))
 
-  val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q128, q137)
+  // --------------------------------------------------------------- q163
+  // Gram / covariance matrix of the embedding corpus — the one-pass
+  // moment computation feeding PCA / whitening / drift detection over a
+  // vector column. Spark side is deliberately JOIN-FREE: each row
+  // generates its own upper-triangle (i ≤ j) coordinate pairs with two
+  // chained `posexplode` generators (d(d+1)/2 pairs per row, a constant
+  // in corpus size), and ONE map-side-combined hash aggregate collapses
+  // to d(d+1)/2 groups — the exchange carries ≤ 2080 rows per partition
+  // no matter how many vectors flow through. The oracle self-joins the
+  // exploded form instead (fine single-node; the generator chain is the
+  // distributed formulation).
+  // Exactness: embedding floats widen to double (exact), products round
+  // to 1e-8-scaled BIGINTs (sums exact, order-independent: |x| < 1 ⇒
+  // scaled products < 1e8, corpus sums ≪ 2^63), and every double step
+  // after the integer sums is the same single-rounding expression in
+  // both engines. Within an (i,j) group Σxi IS the global Σ over
+  // dimension i (every vector contributes exactly once), so the
+  // covariance needs no second pass or broadcast of means.
+  private val q163 = QueryDef(
+    "q163_embedding_covariance",
+    (s, d) => {
+      val pairs = emb(s, d)
+        .select(col("embedding"), posexplode(col("embedding")))
+        .toDF("embedding", "i0", "xi")
+        .select(col("i0"), col("xi").cast("double").as("xi"),
+          posexplode(col("embedding")))
+        .toDF("i0", "xi", "j0", "xj")
+        .filter(col("i0") <= col("j0"))
+        .select((col("i0") + 1).cast("long").as("i"),
+          (col("j0") + 1).cast("long").as("j"),
+          col("xi"), col("xj").cast("double").as("xj"))
+      pairs.groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("xi") * lit(1e8)).cast("long")).as("si"),
+          sum(round(col("xj") * lit(1e8)).cast("long")).as("sj"),
+          sum(round(col("xi") * col("xj") * lit(1e8)).cast("long")).as("sij"))
+        .select(col("i"), col("j"), col("n"),
+          round(col("sij").cast("double") / lit(1e8) / col("n").cast("double"),
+            6).as("gram"),
+          round((col("sij").cast("double") / lit(1e8)
+              - (col("si").cast("double") / lit(1e8))
+                * (col("sj").cast("double") / lit(1e8))
+                / col("n").cast("double"))
+            / (col("n").cast("double") - lit(1.0)), 6).as("cov"))
+        .orderBy(col("i"), col("j"))
+    },
+    Some(s"""
+      WITH $evSql,
+      p AS (
+        SELECT a.i AS i, b.i AS j, a.v AS xi, b.v AS xj
+        FROM ev a JOIN ev b
+          ON a.vec_id = b.vec_id AND a.i <= b.i),
+      agg AS (
+        SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(xi * 1e8) AS BIGINT)) AS BIGINT) AS si,
+               CAST(sum(CAST(round(xj * 1e8) AS BIGINT)) AS BIGINT) AS sj,
+               CAST(sum(CAST(round(xi * xj * 1e8) AS BIGINT)) AS BIGINT) AS sij
+        FROM p GROUP BY i, j)
+      SELECT i, j, n,
+             round(CAST(sij AS DOUBLE) / 1e8 / CAST(n AS DOUBLE), 6) AS gram,
+             round((CAST(sij AS DOUBLE) / 1e8
+                    - (CAST(si AS DOUBLE) / 1e8) * (CAST(sj AS DOUBLE) / 1e8)
+                      / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0), 6) AS cov
+      FROM agg
+      ORDER BY i, j"""))
+
+  val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q128, q137, q163)
 }

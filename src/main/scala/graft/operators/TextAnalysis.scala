@@ -928,7 +928,78 @@ object TextAnalysis {
       GROUP BY lang, bin
       ORDER BY lang, bin"""))
 
+  // --------------------------------------------------------------- q159
+  // Count-Min sketch — the third member of the mergeable-sketch family
+  // (q38 HLL = distinct, q121 Misra–Gries = candidates, CM = frequency
+  // ESTIMATES with a one-sided error bound est ∈ [true, true + εN]).
+  // Depth d=4, width w=256: the counter table is a FIXED 1024 cells no
+  // matter the corpus size, built by one map-side-combined hash
+  // aggregate — the sketch is a sum, so 1000 executors each build a
+  // partial table and the exchange carries 1024 rows per partition. The
+  // row hashes are the house md5 idiom (8 hex chars → 32 bits → mod w),
+  // identical integer arithmetic in both engines. The query estimates
+  // the exact top-20 tokens (candidates from a TakeOrdered top-k; at
+  // 100 TB they'd come from q121's shuffle-free MG pass) against the
+  // sketch and reports the guaranteed-nonnegative overestimate — the
+  // observability check you run before trusting a sketch in production.
+  private val q159 = QueryDef(
+    "q159_countmin_sketch",
+    (s, d) => {
+      val toks = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+      val cand = exact.orderBy(col("exact_n").desc, col("tok")).limit(20)
+      val bucketed = toks
+        .withColumn("j", explode(expr("sequence(0, 3)")))
+        .withColumn("bucket", expr(
+          """CAST(conv(substr(md5(concat('cm', CAST(j AS STRING), ':', tok)),
+             1, 8), 16, 10) AS BIGINT) % 256"""))
+      val cells = bucketed.groupBy(col("j"), col("bucket"))
+        .agg(count(lit(1)).as("cell_n"))
+      cand
+        .withColumn("j", explode(expr("sequence(0, 3)")))
+        .withColumn("bucket", expr(
+          """CAST(conv(substr(md5(concat('cm', CAST(j AS STRING), ':', tok)),
+             1, 8), 16, 10) AS BIGINT) % 256"""))
+        .join(broadcast(cells), Seq("j", "bucket"))
+        .groupBy(col("tok"))
+        .agg(max(col("exact_n")).as("exact_n"), min(col("cell_n")).as("cm_est"))
+        .select(col("tok").as("token"), col("exact_n"), col("cm_est"),
+          (col("cm_est") - col("exact_n")).as("overest"))
+        .orderBy(col("exact_n").desc, col("token"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      t AS (SELECT tok FROM toks WHERE length(tok) > 0),
+      exact AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM t GROUP BY tok),
+      cand AS (
+        SELECT tok, exact_n FROM exact
+        ORDER BY exact_n DESC, tok LIMIT 20),
+      bucketed AS (
+        SELECT j.j,
+               ('0x' || substr(md5('cm' || CAST(j.j AS VARCHAR) || ':' || tok),
+                               1, 8))::BIGINT % 256 AS bucket
+        FROM t, range(4) AS j(j)),
+      cells AS (
+        SELECT j, bucket, CAST(count(*) AS BIGINT) AS cell_n
+        FROM bucketed GROUP BY j, bucket),
+      est AS (
+        SELECT c.tok, c.exact_n, min(cl.cell_n) AS cm_est
+        FROM cand c, range(4) AS j(j)
+        JOIN cells cl
+          ON cl.j = j.j
+         AND cl.bucket = ('0x' || substr(md5('cm' || CAST(j.j AS VARCHAR)
+                                             || ':' || c.tok), 1, 8))
+                           ::BIGINT % 256
+        GROUP BY c.tok, c.exact_n)
+      SELECT tok AS token, exact_n, cm_est, cm_est - exact_n AS overest
+      FROM est
+      ORDER BY exact_n DESC, token"""))
+
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
-      q138, q147, q155)
+      q138, q147, q155, q159)
 }

@@ -319,4 +319,139 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q157 EWMA fold equals the closed form recomputed on the driver") {
+    // The query computes the recursion y = y·2^-gap + x via the
+    // higher-order fold; this recomputes Σ cents_d · 2^(40-(T-d)) from
+    // the raw events per user in exact Long arithmetic and compares.
+    val got = q("q157_ewma_fold")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val daily = Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+          .as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(got.keySet == daily.keySet)
+    daily.foreach { case (u, rows) =>
+      val t = rows.map(_._2).max
+      val s = rows.map { case (_, d, c) => c << (40 - (t - d)).toInt }.sum
+      val ewma = BigDecimal(s.toDouble / 1099511627776.0 / 100.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (nDays, lastDay, gotEwma) = got(u)
+      assert(nDays == rows.size && lastDay == t)
+      assert(math.abs(gotEwma - ewma) < 1e-9, s"user $u: $gotEwma vs $ewma")
+    }
+  }
+
+  test("q158 bootstrap CI brackets the full-sample mean with 64 replicas") {
+    val r = q("q158_bootstrap_ci")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (n, est, lo, hi) =
+      (row.getLong(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    assert(n == 64L)
+    assert(lo < hi, s"degenerate interval [$lo, $hi]")
+    // deterministic data + deterministic hashes → this is a fixed fact of
+    // the dataset, not a flaky statistical assertion
+    assert(lo <= est && est <= hi, s"est $est outside [$lo, $hi]")
+  }
+
+  test("q159 Count-Min estimates are one-sided: est >= exact for every candidate") {
+    val rows = q("q159_countmin_sketch")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"token ${r.getString(0)}: CM under-estimated")
+      assert(over == est - exact)
+    }
+  }
+
+  test("q160 calibration bins partition the table; conf stays inside its bin") {
+    val rows = q("q160_calibration_bins")(spark, sf).collect()
+    val total = Tables.t(spark, sf, "orders").count()
+    assert(rows.map(_.getLong(1)).sum == total, "bins must partition all rows")
+    rows.foreach { r =>
+      val (bin, conf, acc) = (r.getLong(0), r.getDouble(2), r.getDouble(3))
+      // score = cumb/N with bin = floor(10·score) ⇒ the bin's mean score
+      // lies in [bin/10, (bin+1)/10) by construction
+      assert(conf >= bin / 10.0 - 1e-9 && conf < (bin + 1) / 10.0 + 1e-9,
+        s"bin $bin: conf $conf outside its decile")
+      assert(acc >= 0.0 && acc <= 1.0)
+      val gap = r.getDouble(4)
+      assert(math.abs(gap - math.abs(conf - acc)) < 2e-6)
+    }
+    val eces = rows.map(_.getDouble(5)).distinct
+    assert(eces.length == 1, "ECE is a single corpus-level number")
+  }
+
+  test("q164 OHLC bars: invariants hold and trades are conserved") {
+    val rows = q("q164_ohlc_bars")(spark, sf).collect()
+    val purchases = Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(2)).sum == purchases,
+      "every purchase lands in exactly one bar")
+    rows.foreach { r =>
+      val (n, o, h, l, c) = (r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))
+      assert(l <= o && o <= h && l <= c && c <= h,
+        s"bar ${r.getLong(0)}/${r.getLong(1)}: OHLC ordering violated")
+      if (n == 1) assert(o == c && o == h && o == l)
+    }
+  }
+
+  test("q168 percentile bands match a driver-side sorted-percentile recompute") {
+    val rows = q("q168_percentile_bands")(spark, sf).collect()
+    val byType = Tables.t(spark, sf, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val sorted = byType(et).map(_._2).sorted
+      val n = sorted.length
+      assert(r.getLong(1) == n.toLong)
+      def pct(q100: Int): Double = {
+        // smallest value with ≥ ⌈q·n⌉ mass at or below — the query's
+        // integer-compare definition, recomputed directly
+        val need = (q100 * n + 99) / 100
+        sorted(need - 1).toDouble / 100.0
+      }
+      assert(r.getDouble(2) == pct(50) && r.getDouble(3) == pct(90) &&
+        r.getDouble(4) == pct(99), s"$et: bands disagree with recompute")
+    }
+  }
+
+  test("q163 covariance agrees with a driver recompute on dimension (1,1) and (1,2)") {
+    val rows = q("q163_embedding_covariance")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val vecs = Tables.t(spark, sf, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    assert(rows.size == 64 * 65 / 2, "upper triangle of a 64-dim matrix")
+    for ((i, j) <- Seq((1, 1), (1, 2))) {
+      val si = vecs.map(v => math.round(v(i - 1) * 1e8)).sum
+      val sj = vecs.map(v => math.round(v(j - 1) * 1e8)).sum
+      val sij = vecs.map(v => math.round(v(i - 1) * v(j - 1) * 1e8)).sum
+      val gram = BigDecimal(sij.toDouble / 1e8 / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val cov = BigDecimal((sij.toDouble / 1e8 -
+          (si.toDouble / 1e8) * (sj.toDouble / 1e8) / n) / (n - 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gn, ggram, gcov) = rows((i.toLong, j.toLong))
+      assert(gn == n.toLong)
+      assert(math.abs(ggram - gram) < 1e-9 && math.abs(gcov - cov) < 1e-9,
+        s"($i,$j): got ($ggram,$gcov) want ($gram,$cov)")
+    }
+    // diagonal covariance entries are variances — nonnegative by algebra,
+    // so a negative one means the exact-integer plumbing broke
+    (1 to 64).foreach { i =>
+      assert(rows((i.toLong, i.toLong))._3 >= 0.0, s"negative variance at $i")
+    }
+  }
+
 }

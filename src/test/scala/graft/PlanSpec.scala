@@ -419,4 +419,35 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 hash exchange (window + agg share it), got:\n$hashEx")
     assert(hashEx.head.contains("user_id"), "the one exchange keys on user_id")
   }
+
+  test("q156: CDC compaction is a pure hash aggregate — no window, no per-key sort") {
+    // the load-bearing choice: max_by partial-aggregates map-side, so the
+    // exchange carries ≤ |keys| rows per partition; a row_number window
+    // would shuffle + sort the full changelog
+    val p = planOf("q156_cdc_compaction")
+    assert(!p.contains("Window"), "compaction must not plan a window")
+    assert(p.contains("max_by"), "last-writer-wins must be max_by aggregates")
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("user_id"),
+      s"one user_id exchange expected, got:\n$hashEx")
+  }
+
+  test("q159: CM cell lookup broadcasts; candidates come from a top-k heap") {
+    val p = planOf("q159_countmin_sketch")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 candidates must plan as a heap, not a global sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 1024-cell counter table must broadcast to the candidates")
+    assert(!p.contains("SortMergeJoin"), "nothing here justifies a sort-merge")
+  }
+
+  test("q160: grid and total broadcast back to the fact side; no sort-merge join") {
+    // the cumulative window runs over the ≤500-row $1000 grid — the fact
+    // table must re-join it via broadcast, never co-shuffle with it
+    val p = planOf("q160_calibration_bins")
+    assert(p.contains("BroadcastHashJoin"), "grid must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "fact-side rows must never shuffle against the tiny grid")
+  }
 }

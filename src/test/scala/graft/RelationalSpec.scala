@@ -97,4 +97,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(agg.toSeq == declared.toSeq,
       "inferred-schema read must aggregate bit-identically to the declared read")
   }
+
+  test("q156 max_by compaction equals the row_number-window formulation") {
+    // two independent implementations of last-writer-wins must agree —
+    // the shipped aggregate form (scales: map-side partial) and the
+    // textbook window form (doesn't: full shuffle + per-key sort)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("q156_cdc_compaction")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+    val ref = Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts) DIV 1000000").as("sec"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_versions",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("n_versions"),
+        col("event_id").as("last_lsn"), col("event_type").as("last_type"),
+        col("sec").as("last_sec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == ref.toSeq)
+  }
 }
