@@ -1529,8 +1529,199 @@ object Analytics {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  // --------------------------------------------------------------- q162
+  // Triangle counting on the part co-purchase graph — the clustering /
+  // community-density primitive (graph family: q140 PageRank, q146
+  // k-core, q35/q99 components). Edges are part pairs co-ordered in ≥ 2
+  // orders (support pruning keeps the graph at affinity signal, not
+  // one-off noise). The count uses the DEGREE-ORIENTED wedge algorithm
+  // (Schank–Wagner / Cohen's MapReduce form): orient every edge from its
+  // (degree, id)-smaller endpoint, generate wedges only from each
+  // node's OUT-edges, and close them against the canonical edge table.
+  // Orientation is the load-bearing scale choice: out-degrees are
+  // O(√E) amortized, so wedge volume is O(E^1.5) instead of Σ deg² —
+  // the difference between feasible and explosive on a skewed graph.
+  // Shuffles: pair-gen keys on l_orderkey (bounded per order — ≤ C(17,2)
+  // pairs here), then edge/degree/wedge joins key on node ids. Every
+  // quantity is an exact integer.
+  private val q162 = QueryDef(
+    "q162_triangle_count",
+    (s, d) => {
+      val e0 = li(s, d).select(col("l_orderkey").as("o"),
+        col("l_partkey").as("p")).distinct()
+      val pr = e0.as("a").join(e0.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select(col("u"), col("v"))
+      val deg = pr.select(col("u").as("n"))
+        .union(pr.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val ort = pr
+        .join(deg.select(col("n").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("dg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+               (col("du") === col("dv") && col("u") < col("v")),
+            col("u")).otherwise(col("v")).as("s"),
+          when(col("du") < col("dv") ||
+               (col("du") === col("dv") && col("u") < col("v")),
+            col("v")).otherwise(col("u")).as("t"))
+      val wedges = ort.as("o1").join(ort.as("o2"),
+          col("o1.s") === col("o2.s") && col("o1.t") < col("o2.t"))
+        .select(col("o1.t").as("a"), col("o2.t").as("b"))
+      val tri = wedges.join(pr,
+        col("u") === least(col("a"), col("b")) &&
+          col("v") === greatest(col("a"), col("b")))
+      val eCnt = pr.agg(count(lit(1)).as("n_edges"))
+      val wCnt = wedges.agg(count(lit(1)).as("n_wedges"))
+      val tCnt = tri.agg(count(lit(1)).as("n_triangles"))
+      eCnt.crossJoin(broadcast(wCnt)).crossJoin(broadcast(tCnt))
+    },
+    Some("""
+      WITH e0 AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pr AS (
+        SELECT a.p AS u, b.p AS v
+        FROM e0 a JOIN e0 b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (
+        SELECT n, count(*) AS dg FROM (
+          SELECT u AS n FROM pr UNION ALL SELECT v FROM pr) t GROUP BY 1),
+      ort AS (
+        SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+                    THEN u ELSE v END AS s,
+               CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+                    THEN v ELSE u END AS t
+        FROM pr JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+      w AS (
+        SELECT o1.t AS a, o2.t AS b
+        FROM ort o1 JOIN ort o2 ON o1.s = o2.s AND o1.t < o2.t)
+      SELECT (SELECT count(*) FROM pr) AS n_edges,
+             (SELECT count(*) FROM w) AS n_wedges,
+             count(*) AS n_triangles
+      FROM w JOIN pr ON pr.u = least(a, b) AND pr.v = greatest(a, b)"""))
+
+  // --------------------------------------------------------------- q165
+  // Day-of-week seasonality profile — per (event_type, weekday): volume,
+  // exact mean value, and the seasonal index mean_dow / mean_overall
+  // that capacity planning and anomaly baselines consume. One corpus
+  // scan into a ≤ 5×7-group aggregate; the per-type overall means come
+  // from a second tiny aggregate over THOSE 35 rows (no second corpus
+  // pass) and broadcast back. Weekday is Monday=0: Spark's weekday()
+  // and DuckDB's isodow()-1 — pinned explicitly because the engines'
+  // default dayofweek() disagree on week start. Means divide exact
+  // cent-sums; the index divides the two exact rationals in one mirrored
+  // expression.
+  private val q165 = QueryDef(
+    "q165_seasonal_profile",
+    (s, d) => {
+      val base = ev(s, d).select(col("event_type"),
+        expr("CAST(weekday(ts) AS BIGINT)").as("dow"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val byDow = base.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      val byType = byDow.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("nt"), sum(col("sc")).as("sct"))
+      byDow.join(broadcast(byType), "event_type")
+        .select(col("event_type"), col("dow"), col("n"),
+          round(col("sc").cast("double") /
+            (col("n").cast("double") * 100.0), 6).as("mean_value"),
+          round((col("sc").cast("double") / col("n").cast("double")) /
+            (col("sct").cast("double") / col("nt").cast("double")), 6)
+            .as("seasonal_idx"))
+        .orderBy(col("event_type"), col("dow"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_type, CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      by_dow AS (
+        SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS sc
+        FROM base GROUP BY 1, 2),
+      by_type AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(sc) AS BIGINT) AS sct
+        FROM by_dow GROUP BY 1)
+      SELECT event_type, dow, n,
+             round(CAST(sc AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6)
+               AS mean_value,
+             round((CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) /
+                   (CAST(sct AS DOUBLE) / CAST(nt AS DOUBLE)), 6)
+               AS seasonal_idx
+      FROM by_dow JOIN by_type USING (event_type)
+      ORDER BY event_type, dow"""))
+
+  // --------------------------------------------------------------- q166
+  // Spend-anomaly detection — flag each user's days whose daily purchase
+  // total sits ≥ 2 population-σ from that user's own mean: the per-entity
+  // z-score monitor every metrics pipeline runs. Two-level aggregation,
+  // both map-side combined: (user, day) daily cents, then per-user exact
+  // moments (n, Σx, Σx²) from those ≤366 rows — the q45 moment pattern,
+  // so mean and variance come from exact BIGINTs and the only doubles
+  // are the final mirrored expressions (sqrt is IEEE-correctly-rounded
+  // in both engines, so z and the |z| ≥ 2 cut are bit-identical).
+  // Users need ≥ 5 active days for a meaningful σ. Σx² bound: daily
+  // cents ≤ ~6.2e4 at sf0.1 → x² ≤ 4e9, ×366 days ≪ 2^63.
+  private val q166 = QueryDef(
+    "q166_spend_anomalies",
+    (s, d) => {
+      val daily = ev(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+            .as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val stats = daily.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nd"), sum(col("cents")).as("sx"),
+          sum(col("cents") * col("cents")).as("sxx"))
+        .filter(col("nd") >= 5)
+      daily.join(stats, "user_id")
+        .withColumn("mu", col("sx").cast("double") / col("nd").cast("double"))
+        .withColumn("sd", sqrt(
+          (col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+            / col("nd").cast("double")) / col("nd").cast("double")))
+        .withColumn("z", (col("cents").cast("double") - col("mu")) / col("sd"))
+        .filter(abs(col("z")) >= 2.0)
+        .select(col("user_id"), col("day"), col("nd").as("n_days"),
+          (col("cents").cast("double") / 100.0).as("spend"),
+          round(col("z"), 4).as("z"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT
+                 AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2),
+      stats AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS nd,
+               CAST(sum(cents) AS BIGINT) AS sx,
+               CAST(sum(cents * cents) AS BIGINT) AS sxx
+        FROM daily GROUP BY 1
+        HAVING count(*) >= 5),
+      z AS (
+        SELECT d.user_id, d.day, s.nd,
+               CAST(d.cents AS DOUBLE) AS c,
+               (CAST(d.cents AS DOUBLE)
+                - CAST(s.sx AS DOUBLE) / CAST(s.nd AS DOUBLE))
+               / sqrt((CAST(s.sxx AS DOUBLE)
+                       - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE)
+                         / CAST(s.nd AS DOUBLE)) / CAST(s.nd AS DOUBLE))
+                 AS zv
+        FROM daily d JOIN stats s USING (user_id))
+      SELECT user_id, day, nd AS n_days, c / 100.0 AS spend,
+             round(zv, 4) AS z
+      FROM z
+      WHERE abs(zv) >= 2.0
+      ORDER BY user_id, day"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
-      q164, q168)
+      q162, q164, q165, q166, q168)
 }

@@ -999,7 +999,91 @@ object TextAnalysis {
       FROM est
       ORDER BY exact_n DESC, token"""))
 
+  // --------------------------------------------------------------- q167
+  // Retrieval-quality evaluation: graded nDCG@10 of the BM25 ranking
+  // (q110's list) against term-frequency-graded relevance — the eval
+  // harness every retrieval stack runs before shipping a ranker change.
+  // Gains are 2^min(tf,4)−1 (exact shifts); the 1/log2(rank+1) position
+  // discounts are PRECOMPUTED 1e6-scaled integer literals generated once
+  // in Scala and inlined into BOTH engines (libm log2 is not a
+  // cross-engine contract — the q158 threshold trick), so DCG and the
+  // ideal-permutation IDCG are exact BIGINT sums; the one double
+  // division happens at the end. All windows/joins run over the 10-row
+  // retrieved list — corpus work is exactly q110's (scored scan + tf
+  // recount for the ≤|terms| dictionary), nothing rank-quadratic.
+  private val ndcgW6: Seq[Long] = (1 to 10)
+    .map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  private val q167 = QueryDef(
+    "q167_ndcg_eval",
+    (s, d) => {
+      val wAll = Window.orderBy(col("score").desc, col("doc_id"))
+      val top = bm25Scores(s, d)
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+        .withColumn("rk", row_number().over(wAll).cast("long"))
+      val rel = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(expr(s"array_contains($bm25TermArr, term)"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+      val w6 = (1 to 10).map(i => when(col("rk") === i, lit(ndcgW6(i - 1))))
+        .reduceRight(_.otherwise(_))
+      val gained = top.join(rel, Seq("doc_id"), "left")
+        .withColumn("gain",
+          expr("shiftleft(1L, CAST(least(coalesce(tf, 0L), 4L) AS INT)) - 1L"))
+        .withColumn("w6", w6)
+        .withColumn("irk",
+          row_number().over(Window.orderBy(col("gain").desc, col("rk"))).cast("long"))
+      val iw6 = (1 to 10).map(i => when(col("irk") === i, lit(ndcgW6(i - 1))))
+        .reduceRight(_.otherwise(_))
+      gained.withColumn("iw6", iw6)
+        .agg(sum(when(col("gain") > 0, 1L).otherwise(0L)).as("n_rel"),
+          sum(col("gain") * col("w6")).as("dcg6"),
+          sum(col("gain") * col("iw6")).as("idcg6"))
+        .select(col("n_rel"),
+          round(col("dcg6").cast("double") / lit(1e6), 6).as("dcg"),
+          round(col("idcg6").cast("double") / lit(1e6), 6).as("idcg"),
+          round(col("dcg6").cast("double") / col("idcg6").cast("double"), 6)
+            .as("ndcg"))
+    },
+    Some {
+      val wCase = (1 to 10)
+        .map(i => s"WHEN rk = $i THEN ${ndcgW6(i - 1)}").mkString(" ")
+      val iwCase = (1 to 10)
+        .map(i => s"WHEN irk = $i THEN ${ndcgW6(i - 1)}").mkString(" ")
+      s"""
+      WITH $bm25Ctes,
+      top AS (
+        SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id)
+                 AS rk
+        FROM bm25
+        ORDER BY score DESC, doc_id LIMIT 10),
+      rel AS (
+        SELECT doc_id, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents) t
+        WHERE list_contains($bm25TermList, term)
+        GROUP BY 1),
+      gained AS (
+        SELECT rk,
+               (1::BIGINT << CAST(least(coalesce(tf, 0), 4) AS INT)) - 1
+                 AS gain,
+               CASE $wCase END AS w6
+        FROM top LEFT JOIN rel USING (doc_id)),
+      ideal AS (
+        SELECT gain, w6,
+               row_number() OVER (ORDER BY gain DESC, rk) AS irk
+        FROM gained)
+      SELECT CAST(sum(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel,
+             round(CAST(sum(gain * w6) AS DOUBLE) / 1e6, 6) AS dcg,
+             round(CAST(sum(gain * CASE $iwCase END) AS DOUBLE) / 1e6, 6)
+               AS idcg,
+             round(CAST(sum(gain * w6) AS DOUBLE) /
+                   CAST(sum(gain * CASE $iwCase END) AS DOUBLE), 6) AS ndcg
+      FROM ideal"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
-      q138, q147, q155, q159)
+      q138, q147, q155, q159, q167)
 }

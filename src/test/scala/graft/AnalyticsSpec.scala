@@ -454,4 +454,76 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q162 oriented-wedge triangle count equals a brute-force recompute") {
+    val r = q("q162_triangle_count")(spark, sf).collect()(0)
+    // independent path: collect the support-2 edge set and count
+    // triangles by direct 3-way membership — no orientation involved
+    val li = Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select("u", "v").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val eset = edges.toSet
+    val adj = edges.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toArray }
+    var tri = 0L
+    for ((u, v) <- edges; w <- adj(u) if w > v)  // u < v < w canonical
+      if (eset.contains((v, w))) tri += 1
+    assert(r.getLong(0) == edges.length.toLong, "edge count mismatch")
+    assert(r.getLong(2) == tri, s"triangles: got ${r.getLong(2)}, want $tri")
+  }
+
+  test("q165 seasonal indices average to 1 under volume weighting") {
+    val rows = q("q165_seasonal_profile")(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (et, dows) =>
+      val nt = dows.map(_.getLong(2)).sum.toDouble
+      val weighted = dows.map(r => r.getLong(2) * r.getDouble(4)).sum / nt
+      assert(math.abs(weighted - 1.0) < 1e-4,
+        s"$et: volume-weighted mean index $weighted != 1")
+    }
+  }
+
+  test("q166 flags exactly the >=2-sigma days a driver recompute finds") {
+    val got = q("q166_spend_anomalies")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val daily = Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+          .as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val want = daily.toSeq.filter(_._2.length >= 5).flatMap { case (u, rows) =>
+      val n = rows.length.toDouble
+      val mu = rows.map(_._3).sum / n
+      val sd = math.sqrt(rows.map(x => (x._3 - mu) * (x._3 - mu)).sum / n)
+      rows.filter(x => math.abs((x._3 - mu) / sd) >= 2.0).map(x => (u, x._2))
+    }.toSet
+    assert(got == want, s"missed ${want -- got}, spurious ${got -- want}")
+  }
+
+  test("q167 nDCG matches a driver recompute from the q110 list") {
+    val r = q("q167_ndcg_eval")(spark, sf).collect()(0)
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getDouble(2) >= r.getDouble(1), "IDCG >= DCG always")
+    // recompute from q110's ranked list + raw term frequencies
+    val terms = operators.TextAnalysis.Bm25Terms.toSet
+    val top = q("q110_bm25_topk")(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))           // (rk, doc_id)
+    val tf = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(x => x.getLong(0) ->
+        x.getString(1).split(" ").count(terms.contains)).toMap
+    val w = (1 to 10).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+    val gains = top.sortBy(_._1).map { case (_, id) =>
+      (1L << math.min(tf.getOrElse(id, 0), 4)) - 1 }
+    val dcg6 = gains.zip(w).map { case (g, wi) => g * wi }.sum
+    val idcg6 = gains.sorted.reverse.zip(w).map { case (g, wi) => g * wi }.sum
+    assert(math.abs(r.getDouble(1) - dcg6 / 1e6) < 1e-6)
+    assert(math.abs(r.getDouble(3) - dcg6.toDouble / idcg6) < 1e-6)
+  }
+
 }
