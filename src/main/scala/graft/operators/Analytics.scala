@@ -1720,8 +1720,121 @@ object Analytics {
       WHERE abs(zv) >= 2.0
       ORDER BY user_id, day"""))
 
+  // --------------------------------------------------------------- q169
+  // Rolling 7-day distinct users via HLL register MERGE — the reason
+  // sketches exist at 100 TB: per-day registers are computed ONCE from
+  // the corpus (one scan, 256 registers/day), and any trailing window's
+  // distinct estimate is a register-wise max over the already-tiny
+  // per-day tables — re-scanning the corpus per window (what the exact
+  // rolling count below does, kept here as the accuracy reference and
+  // droppable at scale) is exactly what the merge avoids. Unlike q38
+  // (which trusts Spark's approx_count_distinct and oracle-checks only
+  // a tolerance flag), the registers here are HAND-ROLLED from the
+  // house md5-derived 60-bit hash: bucket = h % 256, rho = leading
+  // zeros of the remaining 52 bits + 1 via the bin()-length idiom —
+  // every register is bit-identical cross-engine, so the ESTIMATE
+  // itself hash-matches. Σ 2^-reg is kept exact as Σ 2^(52-reg) in
+  // BIGINT. Raw HLL estimate only — the standard small-range linear-
+  // counting correction needs ln(), and libm is not a cross-engine
+  // contract (q133/q158); the accuracy cost at low counts is visible in
+  // the err_pct column by design.
+  private val hllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+
+  private val q169 = QueryDef(
+    "q169_rolling_hll_users",
+    (s, d) => {
+      val base = ev(s, d).select(
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+          .as("day"),
+        col("user_id"))
+      val h = base.withColumn("hv", expr(
+        """CAST(conv(substr(md5(concat('hll', CAST(user_id AS STRING))),
+           1, 15), 16, 10) AS BIGINT)"""))
+        .withColumn("bucket", col("hv") % 256)
+        .withColumn("rest", expr("hv DIV 256"))
+        // rest = 0 (P ≈ 2^-52) capped at 52 so 52-reg is never a negative
+        // shift — Java and DuckDB disagree on negative shift semantics
+        .withColumn("rho", when(col("rest") === 0, lit(52L))
+          .otherwise(lit(53L) - length(expr("bin(rest)")).cast("long")))
+      val regs = h.groupBy(col("day"), col("bucket"))
+        .agg(max(col("rho")).as("reg"))
+      val days = base.select(col("day")).distinct()
+      val grid = days
+        .select(col("day"), explode(expr("sequence(0L, 255L)")).as("bucket"))
+        .join(regs, Seq("day", "bucket"), "left")
+        .withColumn("reg", coalesce(col("reg"), lit(0L)))
+      val wRoll = Window.partitionBy(col("bucket")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      val est = grid
+        .withColumn("mreg", max(col("reg")).over(wRoll))
+        .groupBy(col("day"))
+        .agg(sum(expr("shiftleft(1L, CAST(52 - mreg AS INT))")).as("s52"))
+        .withColumn("hll_d", round(lit(hllAlphaM2) /
+          (col("s52").cast("double") / lit(4503599627370496.0)), 4))
+      val du = base.distinct()
+      val exact = du.join(days.select(col("day").as("wd")),
+          col("day").between(col("wd") - 6, col("wd")))
+        .groupBy(col("wd")).agg(countDistinct(col("user_id")).as("exact_d"))
+        .select(col("wd").as("day"), col("exact_d"))
+      est.join(exact, "day")
+        .select(col("day"), col("exact_d"), col("hll_d"),
+          round(abs(col("hll_d") - col("exact_d").cast("double")) /
+            col("exact_d").cast("double") * 100.0, 2).as("err_pct"))
+        .orderBy(col("day"))
+    },
+    Some(s"""
+      WITH base AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT
+                 AS day,
+               user_id
+        FROM events),
+      h AS (
+        SELECT day,
+               ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)), 1, 15))
+                 ::BIGINT AS hv
+        FROM base),
+      rr AS (
+        SELECT day, hv % 256 AS bucket, hv // 256 AS rest FROM h),
+      rho AS (
+        SELECT day, bucket,
+               CASE WHEN rest = 0 THEN 52
+                    ELSE 53 - CAST(length(bin(rest)) AS BIGINT) END AS rho
+        FROM rr),
+      regs AS (
+        SELECT day, bucket, max(rho) AS reg FROM rho GROUP BY 1, 2),
+      days AS (SELECT DISTINCT day FROM base),
+      grid AS (
+        SELECT d.day, b.bucket, coalesce(r.reg, 0) AS reg
+        FROM days d
+        CROSS JOIN range(256) AS b(bucket)
+        LEFT JOIN regs r ON r.day = d.day AND r.bucket = b.bucket),
+      merged AS (
+        SELECT day, bucket,
+               max(reg) OVER (PARTITION BY bucket ORDER BY day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mreg
+        FROM grid),
+      est AS (
+        SELECT day,
+               CAST(sum(1::BIGINT << CAST(52 - mreg AS INT)) AS BIGINT)
+                 AS s52
+        FROM merged GROUP BY day),
+      du AS (SELECT DISTINCT day, user_id FROM base),
+      exact AS (
+        SELECT d.day AS day, count(DISTINCT u.user_id) AS exact_d
+        FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY 1)
+      SELECT e.day, CAST(x.exact_d AS BIGINT) AS exact_d,
+             round($hllAlphaM2 /
+                   (CAST(e.s52 AS DOUBLE) / 4503599627370496.0), 4) AS hll_d,
+             round(abs(round($hllAlphaM2 /
+                     (CAST(e.s52 AS DOUBLE) / 4503599627370496.0), 4)
+                   - CAST(x.exact_d AS DOUBLE))
+                   / CAST(x.exact_d AS DOUBLE) * 100.0, 2) AS err_pct
+      FROM est e JOIN exact x ON e.day = x.day
+      ORDER BY e.day"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
-      q162, q164, q165, q166, q168)
+      q162, q164, q165, q166, q168, q169)
 }

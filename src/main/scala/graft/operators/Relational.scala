@@ -1611,9 +1611,59 @@ object Relational {
       HAVING arg_max(op, event_id) = 'U'
       ORDER BY user_id"""))
 
+  // --------------------------------------------------------------- q170
+  // Referential-integrity audit — orphan foreign keys across the whole
+  // star schema in one report: the check every ingest runs before
+  // publishing a drop (data-quality family, with q151's column profile
+  // and q143's snapshot diff). Each relation is one anti-join count;
+  // dimension key sets (customer/part/supplier at 100 TB are dims)
+  // broadcast, and the orders-side anti-join keys on the FK — with AQE's
+  // runtime filters the fact scans prune before the exchange. The four
+  // audits share nothing, so Catalyst runs them as independent branches
+  // of one union — a single driver action audits the whole schema.
+  private val q170 = QueryDef(
+    "q170_fk_integrity",
+    (s, d) => {
+      def audit(rel: String, child: DataFrame, fk: String,
+                parent: DataFrame, pk: String): DataFrame = {
+        val orphans = child.join(parent.select(col(pk).as(fk)), Seq(fk),
+          "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphan"))))
+          .select(lit(rel).as("relation"), col("n_child"), col("n_orphan"))
+      }
+      audit("lineitem->orders", li(s, d), "l_orderkey", ord(s, d), "o_orderkey")
+        .union(audit("lineitem->part", li(s, d), "l_partkey", part(s, d), "p_partkey"))
+        .union(audit("lineitem->supplier", li(s, d), "l_suppkey", sup(s, d), "s_suppkey"))
+        .union(audit("orders->customer", ord(s, d), "o_custkey", cust(s, d), "c_custkey"))
+        .orderBy(col("relation"))
+    },
+    Some("""
+      SELECT 'lineitem->orders' AS relation,
+             (SELECT count(*) FROM lineitem) AS n_child,
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphan
+      UNION ALL
+      SELECT 'lineitem->part',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'lineitem->supplier',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+      UNION ALL
+      SELECT 'orders->customer',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      ORDER BY relation"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
-    q123, q129, q130, q135, q141, q142, q143, q151, q156)
+    q123, q129, q130, q135, q141, q142, q143, q151, q156, q170)
 }

@@ -526,4 +526,49 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - dcg6.toDouble / idcg6) < 1e-6)
   }
 
+  test("q169 rolling HLL merge equals a from-scratch sketch of the window union") {
+    // THE mergeability property: register-wise max over per-day sketches
+    // must equal the sketch built directly from the union of those days'
+    // users. Recomputed on the driver with the same hash/rho pipeline.
+    val got = q("q169_rolling_hll_users")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rows = Tables.t(spark, sf, "events")
+      .select(
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+          .as("day"),
+        col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = rows.groupBy(_._1)
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+    got.keys.foreach { d =>
+      val users = (d - 6 to d).flatMap(byDay.get).flatten.map(_._2).distinct
+      val regs = new Array[Long](256)
+      users.foreach { u =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"hll$u".getBytes("UTF-8"))
+        val hex = md.map("%02x".format(_)).mkString.take(15)
+        val hv = java.lang.Long.parseLong(hex, 16)
+        val b = (hv % 256).toInt
+        val rest = hv / 256
+        val rho = if (rest == 0) 52L else 53L - java.lang.Long.toBinaryString(rest).length
+        if (rho > regs(b)) regs(b) = rho
+      }
+      val s52 = regs.map(r => 1L << (52 - r).toInt).sum
+      val est = BigDecimal(alphaM2 / (s52.toDouble / 4503599627370496.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(d) - est) < 1e-9,
+        s"day $d: merged ${got(d)} != union-sketch $est")
+    }
+  }
+
+  test("q170 integrity audit: zero orphans on generated data, counts match") {
+    val rows = q("q170_fk_integrity")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 4)
+    rows.values.foreach { case (_, orphans) => assert(orphans == 0L) }
+    val nLi = Tables.t(spark, sf, "lineitem").count()
+    assert(rows("lineitem->orders")._1 == nLi)
+    assert(rows("orders->customer")._1 == Tables.t(spark, sf, "orders").count())
+  }
+
 }
