@@ -1661,9 +1661,355 @@ object Relational {
                (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
       ORDER BY relation"""))
 
+  // ---------------------------------------------------------------- q171
+  // binaryFile source (B1 source family — the multimodal ingestion path):
+  // a deterministic subset of `documents` is staged as one raw file per
+  // document under object-store-style keys (lang=<l>/doc_<id>.bin), then
+  // read back with `format("binaryFile")` — Spark's source for opaque
+  // media payloads (images/audio), yielding (path, length, content).
+  // doc_id and lang are recovered from the KEY, not the payload, the way
+  // real media lakes carry metadata; content integrity is proven by
+  // hash-matching md5(bytes) + byte length against DuckDB over the
+  // original table. At 100 TB this direction reverses — the files already
+  // live on the store and `binaryFile` packs many small objects per task
+  // via maxPartitionBytes; the staging here is test plumbing only.
+  private val q171 = QueryDef(
+    "q171_binaryfile_scan",
+    (s, d) => {
+      val tmp = stagedOnce("docs_bin", d) { p =>
+        docs(s, d).filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("lang"), col("text"))
+          .foreachPartition { it: java.util.Iterator[org.apache.spark.sql.Row] =>
+            it.forEachRemaining { r =>
+              val dir = java.nio.file.Paths.get(p, s"lang=${r.getString(1)}")
+              java.nio.file.Files.createDirectories(dir)
+              java.nio.file.Files.write(
+                dir.resolve(s"doc_${r.getLong(0)}.bin"),
+                r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+      }
+      s.read.format("binaryFile").load(tmp)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long")
+            .as("doc_id"),
+          regexp_extract(col("path"), "lang=([a-z]+)/", 1).as("lang"),
+          col("length").as("bytes"),
+          md5(col("content")).as("digest"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, lang,
+             CAST(octet_length(encode(text)) AS BIGINT) AS bytes,
+             md5(text) AS digest
+      FROM documents
+      WHERE doc_id % 7 = 0
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q172
+  // Whole-file text source + partition discovery on a non-parquet source:
+  // the q171 staged layout (lang=<l>/ dirs of one-file-per-document) read
+  // back with `text` in wholetext mode — each file one row, and the
+  // hive-style lang= directory becomes a partition column inferred by the
+  // shared file-source partition discovery (same machinery q66 pins for
+  // parquet). This is the one-doc-per-object corpus ingestion shape;
+  // lang-pruning a read would skip whole directories before listing.
+  // Char counts (not bytes) prove the UTF-8 round-trip is lossless for
+  // the multibyte langs (zh) where q171's byte length diverges.
+  private val q172 = QueryDef(
+    "q172_wholetext_corpus",
+    (s, d) => {
+      val tmp = stagedOnce("docs_bin", d) { p =>
+        docs(s, d).filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("lang"), col("text"))
+          .foreachPartition { it: java.util.Iterator[org.apache.spark.sql.Row] =>
+            it.forEachRemaining { r =>
+              val dir = java.nio.file.Paths.get(p, s"lang=${r.getString(1)}")
+              java.nio.file.Files.createDirectories(dir)
+              java.nio.file.Files.write(
+                dir.resolve(s"doc_${r.getLong(0)}.bin"),
+                r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+      }
+      s.read.option("wholetext", "true").text(tmp)
+        .groupBy(col("lang").cast("string").as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("value"))).as("chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(length(text)) AS BIGINT) AS chars
+      FROM documents
+      WHERE doc_id % 7 = 0
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  // ---------------------------------------------------------------- q173
+  // Observed metrics (`Dataset.observe` + `Observation`): accumulator-style
+  // aggregates piggybacked on a pass that is doing OTHER work — here a
+  // noop-sink write stands in for a real production write. At 100 TB this
+  // is the idiom for row-count / quality-floor telemetry on an ETL write
+  // WITHOUT a second scan of the input: the metrics ride the task results,
+  // cost zero extra I/O, and arrive exactly once per action. The observed
+  // values are re-emitted as a 1-row frame and hash-checked against DuckDB
+  // computing the same aggregates directly — proving the piggybacked pass
+  // sees every row the direct aggregate sees.
+  private val q173 = QueryDef(
+    "q173_observe_metrics",
+    (s, d) => {
+      val obs = new org.apache.spark.sql.Observation()
+      ev(s, d).filter(col("event_type") === "purchase")
+        .observe(obs,
+          count(lit(1)).as("n"),
+          sumFixed(col("value"), 2).as("sum_value"))
+        .write.format("noop").mode("overwrite").save()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n").asInstanceOf[Long], m("sum_value").asInstanceOf[Double]))
+        .toDF("n", "sum_value")
+    },
+    Some(s"""
+      SELECT count(*) AS n, ${sumFixedSql("value", 2)} AS sum_value
+      FROM events
+      WHERE event_type = 'purchase'"""))
+
+  // ---------------------------------------------------------------- q174
+  // Contingency crosstab (`DataFrameStatFunctions.crosstab`): lang × source
+  // document counts as a wide table. The API DISCOVERS the pivot domain
+  // (distinct scan, capped at 1e4 values) — fine for exploratory profiling
+  // of dictionary-sized domains like these; q65's declared-domain pivot is
+  // the production form when the domain is known. Counts are exact longs.
+  private val q174 = QueryDef(
+    "q174_crosstab_profile",
+    (s, d) =>
+      docs(s, d).stat.crosstab("lang", "source")
+        .orderBy(col("lang_source")),
+    Some {
+      val srcs = (0 until 20).map(i => s"src$i")
+      s"""
+      SELECT lang AS lang_source,
+             ${srcs.map(t =>
+        s"CAST(sum(CASE WHEN source = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+        .mkString(",\n             ")}
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang_source"""
+    })
+
+  // ---------------------------------------------------------------- q175
+  // Correlated LATERAL subquery with ORDER BY + LIMIT — per-customer top-2
+  // orders through the SQL surface. Catalyst's DecorrelateInnerQuery turns
+  // the per-row LIMIT into a rank window over ONE o_custkey exchange (no
+  // per-customer re-scan survives — the same decorrelation family PlanSpec
+  // pins for q119's scalar subquery). DuckDB executes the identical SQL
+  // with its native LATERAL, so the oracle exercises the same semantics.
+  private val q175 = QueryDef(
+    "q175_lateral_topn",
+    (s, d) => {
+      cust(s, d).createOrReplaceTempView("v_cust_lat")
+      ord(s, d).createOrReplaceTempView("v_ord_lat")
+      s.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM v_cust_lat c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM v_ord_lat
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2) o
+        WHERE c.c_custkey < 200
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""")
+    },
+    Some("""
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer c
+      JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2) o ON true
+      WHERE c.c_custkey < 200
+      ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"""))
+
+  // ---------------------------------------------------------------- q176
+  // VARIANT semi-structured path (Spark 4): parse_json → a binary-encoded
+  // VARIANT column → typed variant_get extraction, vs q17's string-sliced
+  // get_json_object. At scale VARIANT is the right shape for ragged props:
+  // the value parses ONCE into a traversable binary encoding (shreddable
+  // in parquet), instead of re-tokenizing the JSON text per extraction.
+  private val q176 = QueryDef(
+    "q176_variant_extract",
+    (s, d) =>
+      ev(s, d)
+        .select(col("value"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sumFixed(col("value"), 2).as("sum_value"))
+        .orderBy(col("k")),
+    Some(s"""
+      SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+             count(*) AS n, ${sumFixedSql("value", 2)} AS sum_value
+      FROM events
+      GROUP BY 1
+      ORDER BY k"""))
+
+  // ---------------------------------------------------------------- q177
+  // Typed melt (`Dataset.unpivot`): three lineitem measures folded into
+  // (measure, val) long form, then per-measure exact aggregates — the
+  // wide→long inverse of q65's pivot. unpivot plans a single Expand (each
+  // input row fans out to 3, no shuffle before the aggregate), so the cost
+  // is one scan regardless of measure count.
+  private val q177 = QueryDef(
+    "q177_unpivot_measures",
+    (s, d) =>
+      li(s, d)
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), sumFixed(col("val"), 2).as("sum_val"))
+        .orderBy(col("measure")),
+    Some(s"""
+      SELECT measure, n, sum_val FROM (
+        SELECT 'l_quantity' AS measure, count(*) AS n,
+               ${sumFixedSql("l_quantity", 2)} AS sum_val FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', count(*), ${sumFixedSql("l_discount", 2)}
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_tax', count(*), ${sumFixedSql("l_tax", 2)} FROM lineitem)
+      ORDER BY measure"""))
+
+  // ---------------------------------------------------------------- q179
+  // Z-order layout cells — the multi-dimensional clustering lever behind
+  // parquet min/max data skipping. Interleaving the low 16 bits of
+  // (l_partkey, l_suppkey) gives a Morton code; sorting a write by it
+  // (repartitionByRange(zval) + sortWithinPartitions(zval)) makes every
+  // file a small hyper-rectangle in BOTH key dimensions, so row-group
+  // min/max stats prune scans filtered on EITHER key — a single-column
+  // sort gives that only for its leading column. This query materializes
+  // the per-cell bounding boxes (cell = the 32-bit code >> 16, a 256×256
+  // block of key space — the skipping metadata a z-ordered write yields) and
+  // hash-checks the interleave arithmetic bit-for-bit against DuckDB —
+  // both engines run the SAME generated shift/mask SQL. Production
+  // interleaves 32 bits per key into a 64-bit code; 16 bits here keeps
+  // every operand exact in both engines' BIGINT.
+  private val zorderSelect: String = {
+    val z = (0 until 16).map(i =>
+      s"((((pk >> $i) & 1)) << ${2 * i + 1}) | ((((sk >> $i) & 1)) << ${2 * i})")
+      .mkString(" | ")
+    s"""
+      SELECT zcell, count(*) AS n,
+             min(pk) AS pk_min, max(pk) AS pk_max,
+             min(sk) AS sk_min, max(sk) AS sk_max
+      FROM (
+        SELECT (($z) >> 16) AS zcell, pk, sk
+        FROM (SELECT CAST(l_partkey & 65535 AS BIGINT) AS pk,
+                     CAST(l_suppkey & 65535 AS BIGINT) AS sk
+              FROM %TBL%) raw) coded
+      GROUP BY zcell
+      ORDER BY zcell"""
+  }
+
+  // ---------------------------------------------------------------- q180
+  // Parquet schema evolution (`mergeSchema`): a table whose later files
+  // carry an ADDED column — the normal life of a 100 TB fact table, where
+  // a backfill of old files is off the table. The staged copy splits
+  // orders into an old-layout half (no o_orderstatus) and a new-layout
+  // half; the merged read reconciles the schemas, old rows surfacing NULL
+  // for the added column. Aggregating BY the evolved column proves both
+  // halves land in one frame with the right nullability. mergeSchema is
+  // opt-in because reconciliation must footer-read every file — at scale
+  // you pin the merged schema in a metastore and pay that once, not per
+  // read (the scaladoc'd production form).
+  private val q180 = QueryDef(
+    "q180_schema_evolution",
+    (s, d) => {
+      val tmp = stagedOnce("orders_evo", d) { p =>
+        ord(s, d).filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$p/v1")
+        ord(s, d).filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .write.mode("overwrite").parquet(s"$p/v2")
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"), sumFixed(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy(col("status"))
+    },
+    Some(s"""
+      SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status,
+             count(*) AS n, ${sumFixedSql("o_totalprice", 2)} AS sum_price
+      FROM orders
+      GROUP BY 1
+      ORDER BY status"""))
+
+  // ---------------------------------------------------------------- q181
+  // Smoothed target encoding — the categorical-feature prep a tree/linear
+  // model consumes at scale: each c_mktsegment encoded as
+  // (sum_seg + m·global_mean) / (n_seg + m), m = 50, shrinking sparse
+  // categories toward the global mean. All operands stay exact BIGINTs
+  // (cents; the one cross-multiplied numerator fits 2^63 with orders of
+  // headroom) until a single double division, so the encoding is
+  // bit-identical across engines and partitionings. The category
+  // dictionary is segment-sized: the encode table broadcasts back onto
+  // the fact side in production (the same broadcast shape as q89), and
+  // the leave-one-out variant subtracts the own-row contribution from
+  // the same two aggregates — no extra pass. One orders⋈customer join
+  // (customer broadcast at this SF), one segment aggregate, a 1-row
+  // global crossJoin broadcast: no corpus-sized exchange anywhere.
+  private val q181 = QueryDef(
+    "q181_target_encoding",
+    (s, d) => {
+      val cents = round(col("o_totalprice") * lit(100.0)).cast("long")
+      val joined = ord(s, d)
+        .join(broadcast(cust(s, d).select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+      val glob = ord(s, d).agg(
+        sum(cents).as("g_sum"), count(lit(1)).as("g_n"))
+      joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_seg"), sum(cents).as("seg_sum"))
+        .crossJoin(broadcast(glob))
+        .select(col("c_mktsegment"), col("n_seg"),
+          round((col("seg_sum") * col("g_n") + lit(50L) * col("g_sum"))
+            .cast("double") /
+            ((col("n_seg") + lit(50L)) * col("g_n") * lit(100L)).cast("double"),
+            6).as("enc"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      WITH g_tot AS (
+        SELECT CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS g_sum,
+               count(*) AS g_n
+        FROM orders),
+      seg AS (
+        SELECT c_mktsegment, count(*) AS n_seg,
+               CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS seg_sum
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment)
+      SELECT c_mktsegment, n_seg,
+             round(CAST(seg_sum * g_n + 50 * g_sum AS DOUBLE)
+                   / CAST((n_seg + 50) * g_n * 100 AS DOUBLE), 6) AS enc
+      FROM seg, g_tot
+      ORDER BY c_mktsegment"""))
+
+  private val q179 = QueryDef(
+    "q179_zorder_layout",
+    (s, d) => {
+      li(s, d).createOrReplaceTempView("v_li_zord")
+      s.sql(zorderSelect.replace("%TBL%", "v_li_zord"))
+    },
+    Some(zorderSelect.replace("%TBL%", "lineitem")))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
-    q123, q129, q130, q135, q141, q142, q143, q151, q156, q170)
+    q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
+    q171, q172, q173, q174, q175, q176, q177, q179, q180, q181)
 }

@@ -903,7 +903,77 @@ object EventStreams {
       GROUP BY 1, 2
       ORDER BY wstart_epoch, event_type"""))
 
+  // ---------------------------------------------------------------- q178
+  // Checkpoint restart / exactly-once resume — the production failure-and-
+  // upgrade story no single-run query exercises: a streaming aggregation
+  // is run to completion with Trigger.AvailableNow over HALF the staged
+  // backlog and STOPPED; more files then arrive; a brand-new query object
+  // with the SAME checkpointLocation resumes. The second run must (a) skip
+  // every file the first run committed (offset-log recovery — re-reading
+  // one would double-count `n`), and (b) restore the aggregation state
+  // store (the first run's counts survive the restart — losing state
+  // would under-count). Complete-mode foreachBatch overwrites the sink
+  // parquet each micro-batch, so the table read back after run 2 is the
+  // final restored+updated state, hash-checked against the one-shot batch
+  // aggregate DuckDB runs over the whole table. At 100 TB this is the
+  // mechanism that makes a streaming pipeline restartable at all:
+  // checkpointed offsets + state mean a crash or planned upgrade costs
+  // one micro-batch of recovery, never a reprocess of the stream.
+  private val q178 = QueryDef(
+    "q178_stream_restart_resume",
+    (s, d) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import scala.jdk.CollectionConverters._
+      val all = Paths.get(slicedDir(s, d))
+      val files = Files.list(all).iterator.asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString)
+      val base = Paths.get(
+        sys.props("java.io.tmpdir"), "graft_stream",
+        d.replaceAll("[^A-Za-z0-9.]", "_"), "resume")
+      deleteRecursively(base) // checkpoint semantics need a fresh lineage
+      val live = base.resolve("live")
+      val ckpt = base.resolve("ckpt").toString
+      val sink = base.resolve("sink").toString
+      Files.createDirectories(live)
+      // COPY_ATTRIBUTES keeps the staged ascending mtimes, so the file
+      // source's age filter and backlog ordering see the original layout
+      def arrive(fs: Seq[java.nio.file.Path]): Unit = fs.foreach { f =>
+        Files.copy(f, live.resolve(f.getFileName),
+          StandardCopyOption.COPY_ATTRIBUTES)
+      }
+      def runToCompletion(): Unit = {
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = readStaged(ss, live.toString)
+          .filter(col("event_id") =!= -1L)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sumFixed(col("value"), 2).as("sum_value"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            batch.coalesce(1).write.mode("overwrite").parquet(sink)
+          }
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val (firstHalf, rest) = files.splitAt(files.length / 2)
+      arrive(firstHalf)
+      runToCompletion() // run 1: commits offsets + state to the checkpoint
+      arrive(rest)
+      runToCompletion() // run 2: a NEW query resumes from the checkpoint
+      s.read.parquet(sink).orderBy(col("event_type"))
+    },
+    Some(s"""
+      SELECT event_type, count(*) AS n,
+             ${sumFixedSql("value", 2)} AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q93, q94, q96, q97,
-      q98)
+      q98, q178)
 }

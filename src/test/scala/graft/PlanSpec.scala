@@ -450,4 +450,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "fact-side rows must never shuffle against the tiny grid")
   }
+
+  test("q175: LATERAL LIMIT decorrelates to rank-pushdown, not a per-row subquery") {
+    // the correlated LATERAL (ORDER BY + LIMIT 2) must become ONE
+    // o_custkey exchange with WindowGroupLimit pruning BEFORE it (each
+    // task keeps ≤2 rows per key pre-shuffle), joined broadcast-side to
+    // the filtered customer dim; a surviving Subquery node would mean a
+    // per-customer re-scan of orders — quadratic at scale
+    val p = planOf("q175_lateral_topn")
+    assert(!p.contains("Subquery"), "no per-row correlated subquery may survive")
+    assert(p.contains("WindowGroupLimit"),
+      "per-key LIMIT must push a group-limit below the exchange")
+    assert(p.contains("BroadcastHashJoin"),
+      "filtered customer side must broadcast")
+  }
+
+  test("q177: unpivot plans one Expand with map-side partial aggregation") {
+    // wide→long melt must be a single scan fanned by Expand, partial
+    // HashAggregate before the (3-key) exchange, and the id column the
+    // aggregate never uses must be pruned from the scan
+    val p = planOf("q177_unpivot_measures")
+    assert(p.contains("Expand"), "unpivot must plan an Expand")
+    assert(!p.contains("Union"), "melt must not scan the table per measure")
+    assert(!p.contains("l_orderkey"),
+      "unused id column must be pruned from the scan")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"exactly one scan expected, got $scans")
+  }
 }
