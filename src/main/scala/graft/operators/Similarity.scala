@@ -616,7 +616,13 @@ object Similarity {
   private val q163 = QueryDef(
     "q163_embedding_covariance",
     (s, d) => {
+      // spread rows BEFORE the d(d+1)/2-amplifying generator chain: the
+      // corpus file is small enough to scan as one split, and without the
+      // explicit count AQE would size the shuffle on its (tiny) input
+      // bytes, blind to the 2080× downstream fan-out (the q158 lesson)
       val pairs = emb(s, d)
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("vec_id"))
         .select(col("embedding"), posexplode(col("embedding")))
         .toDF("embedding", "i0", "xi")
         .select(col("i0"), col("xi").cast("double").as("xi"),
