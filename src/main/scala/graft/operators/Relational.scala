@@ -1998,6 +1998,45 @@ object Relational {
       FROM seg, g_tot
       ORDER BY c_mktsegment"""))
 
+  // ---------------------------------------------------------------- q182
+  // Dynamic partition overwrite — the writer semantics behind daily
+  // re-materialization at 100 TB: `INSERT OVERWRITE` with
+  // partitionOverwriteMode=dynamic replaces ONLY the partitions present
+  // in the incoming batch and leaves every other partition untouched
+  // (static mode would truncate the whole table first — the classic
+  // footgun). Staged here as: full partitioned write of events by
+  // event_type, then a curated rewrite of just the 'purchase' partition
+  // (value > 100) through a dynamic overwrite; the read-back proves the
+  // other four partitions survived intact while 'purchase' was replaced.
+  // The conf is set on a FORKED session so the caller's conf is never
+  // mutated. Fresh dir per invocation: overwrite semantics must start
+  // from a known base, unlike the content-stable staging dirs.
+  private val q182 = QueryDef(
+    "q182_dynamic_partition_overwrite",
+    (s, d) => {
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_csv",
+        d.replaceAll("[^A-Za-z0-9.]", "_"), "dyn_overwrite").toString
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val evs = Tables.t(ss, d, "events")
+        .select(col("event_id"), col("value"), col("event_type"))
+      evs.write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      evs.filter(col("event_type") === "purchase" && col("value") > 100.0)
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      ss.read.parquet(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumFixed(col("value"), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      SELECT event_type, count(*) AS n,
+             ${sumFixedSql("value", 2)} AS sum_value
+      FROM events
+      WHERE event_type <> 'purchase' OR value > 100.0
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   private val q179 = QueryDef(
     "q179_zorder_layout",
     (s, d) => {
@@ -2011,5 +2050,5 @@ object Relational {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
-    q171, q172, q173, q174, q175, q176, q177, q179, q180, q181)
+    q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182)
 }
