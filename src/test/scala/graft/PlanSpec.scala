@@ -465,6 +465,21 @@ class PlanSpec extends AnyFunSuite {
       "filtered customer side must broadcast")
   }
 
+  test("q158/q163: explicit-count spread survives below the amplifying generator") {
+    // sub-4MB inputs scan as one split and a bare repartition(col) is
+    // AQE-coalescible (it sizes on shuffle BYTES, blind to the 64×/2080×
+    // explode fan-out downstream) — the fix is REPARTITION_BY_NUM, which
+    // AQE must honor; regressing to either trap re-serializes the whole
+    // hash/outer-product stage onto one task (measured 7.3 s vs 1.2 s)
+    for (q <- Seq("q158_bootstrap_ci", "q163_embedding_covariance")) {
+      val p = planOf(q)
+      assert(p.contains("REPARTITION_BY_NUM"),
+        s"$q: explicit-count repartition must precede the generator")
+      val gen = p.linesIterator.indexWhere(_.contains("Generate"))
+      assert(gen >= 0, s"$q: expected a Generate node")
+    }
+  }
+
   test("q177: unpivot plans one Expand with map-side partial aggregation") {
     // wide→long melt must be a single scan fanned by Expand, partial
     // HashAggregate before the (3-key) exchange, and the id column the
