@@ -1854,8 +1854,187 @@ object Analytics {
       FROM est e JOIN exact x ON e.day = x.day
       ORDER BY e.day"""))
 
+  // --------------------------------------------------------------- q183
+  // k-hop BFS frontier expansion over the customer↔part co-purchase
+  // graph — the reachability member of the iterative-graph family
+  // (components q35/q99, PageRank q140, k-core q146): which parts are
+  // within 3 hops of a seed customer set, with hop = first-visit
+  // distance. The frontier alternates sides on the bipartite graph, so
+  // each round is ONE join keyed on the frontier's side plus an
+  // anti-join against the visited set of that side — the frontier is the
+  // small side and shrinks relative to the corpus as saturation sets in.
+  // Bounded rounds (K=3, a declared contract like q146's) and a
+  // localCheckpoint per round keep the plan O(1) in K — the q35 lesson.
+  // First-visit ≡ min-hop because the anti-join never readmits a node;
+  // the DuckDB oracle proves it against an UNBOUNDED recursive CTE
+  // collapsed by min(hop). Output is per-(hop, side) frontier size +
+  // id-range + checksum, so a single wrong node fails the hash.
+  private val q183 = QueryDef(
+    "q183_khop_frontier",
+    (s, d) => {
+      val e = Tables.t(s, d, "orders")
+        .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint()
+      var visited = Tables.t(s, d, "customer")
+        .filter(col("c_custkey") < 10)
+        .select(col("c_custkey").as("node"), lit("c").as("side"),
+          lit(0).as("hop"))
+        .localCheckpoint()
+      var frontier = visited
+      for (k <- 1 to 3) {
+        val side = if (k % 2 == 1) "p" else "c"
+        val stepped =
+          if (k % 2 == 1)
+            frontier.join(e, col("node") === col("c"))
+              .select(col("p").as("node"))
+          else
+            frontier.join(e, col("node") === col("p"))
+              .select(col("c").as("node"))
+        frontier = stepped.distinct()
+          .join(visited.filter(col("side") === side).select(col("node")),
+            Seq("node"), "left_anti")
+          .select(col("node"), lit(side).as("side"), lit(k).as("hop"))
+          .localCheckpoint()
+        visited = visited.union(frontier).localCheckpoint()
+      }
+      visited.groupBy(col("hop"), col("side"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("node_min"), max(col("node")).as("node_max"),
+          sum(col("node")).as("checksum"))
+        .orderBy(col("hop"))
+    },
+    Some("""
+      WITH RECURSIVE e AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      r AS (
+        SELECT c_custkey AS node, 'c' AS side, 0 AS hop
+        FROM customer WHERE c_custkey < 10
+        UNION
+        SELECT CASE WHEN r.side = 'c' THEN e.p ELSE e.c END,
+               CASE WHEN r.side = 'c' THEN 'p' ELSE 'c' END,
+               r.hop + 1
+        FROM r JOIN e ON (r.side = 'c' AND e.c = r.node)
+                      OR (r.side = 'p' AND e.p = r.node)
+        WHERE r.hop < 3),
+      mh AS (SELECT node, side, min(hop) AS hop FROM r GROUP BY 1, 2)
+      SELECT hop, side, count(*) AS n_nodes,
+             min(node) AS node_min, max(node) AS node_max,
+             CAST(sum(node) AS BIGINT) AS checksum
+      FROM mh
+      GROUP BY 1, 2
+      ORDER BY hop"""))
+
+  // --------------------------------------------------------------- q184
+  // K-fold cross-validation from ONE scan — the mergeable-moments trick
+  // applied to model selection: per-fold OLS sufficient statistics
+  // (n, Σx, Σy, Σx², Σxy as exact BIGINTs) are computed once, the
+  // grand totals derive from the 5-row fold table, and each fold's
+  // TRAINING moments are global − own (subtraction of exact integers) —
+  // so K models cost one corpus pass + a 5-row solve, not K passes.
+  // The closed-form solve and the per-row residual use only IEEE
+  // +,−,×,/,√ on operands that are exact BIGINT→double conversions
+  // (every sum < 2^53 or combined in double identically on both
+  // engines), and squared residuals round to integer dollars² before
+  // the final sum — order-independent, bit-identical cross-engine
+  // (q144/q149's discipline). Eval joins its fold's 2 coefficients back
+  // by broadcast; fold assignment is deterministic arithmetic (the
+  // content-hash form of q47 is the reingest-stable production choice).
+  private val q184 = QueryDef(
+    "q184_kfold_cv",
+    (s, d) => {
+      val rows = li(s, d).select(
+        ((col("l_orderkey") * 31 + col("l_linenumber")) % 5).as("fold"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("x"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("yc"))
+      val folds = rows.groupBy(col("fold")).agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("yc")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("yc")).as("sxy"))
+      val tot = folds.agg(
+        sum(col("n")).as("tn"), sum(col("sx")).as("tsx"),
+        sum(col("sy")).as("tsy"), sum(col("sxx")).as("tsxx"),
+        sum(col("sxy")).as("tsxy"))
+      val params = folds.crossJoin(broadcast(tot))
+        .select(col("fold"),
+          (col("tn") - col("n")).cast("double").as("n_tr"),
+          (col("tsx") - col("sx")).cast("double").as("sx_tr"),
+          (col("tsy") - col("sy")).cast("double").as("sy_tr"),
+          (col("tsxx") - col("sxx")).cast("double").as("sxx_tr"),
+          (col("tsxy") - col("sxy")).cast("double").as("sxy_tr"))
+        .select(col("fold"),
+          ((col("n_tr") * col("sxy_tr") - col("sx_tr") * col("sy_tr")) /
+            (col("n_tr") * col("sxx_tr") - col("sx_tr") * col("sx_tr")))
+            .as("b"),
+          col("n_tr"), col("sx_tr"), col("sy_tr"))
+        .select(col("fold"), col("b"),
+          ((col("sy_tr") - col("b") * col("sx_tr")) / col("n_tr")).as("a"))
+      rows.join(broadcast(params), Seq("fold"))
+        .select(col("fold"),
+          ((col("yc").cast("double") - col("a") - col("b") * col("x").cast("double")) / lit(100.0)).as("r"),
+          col("a"), col("b"))
+        .groupBy(col("fold"), col("a"), col("b"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(round(col("r") * col("r")).cast("long")).as("ssr"))
+        .select(col("fold"), col("n_eval"),
+          round(col("b"), 6).as("slope_cents"),
+          round(col("a") / lit(100.0), 6).as("intercept_usd"),
+          round(sqrt(col("ssr").cast("double") / col("n_eval").cast("double")), 6)
+            .as("rmse_usd"))
+        .orderBy(col("fold"))
+    },
+    Some("""
+      WITH rows0 AS (
+        SELECT (l_orderkey * 31 + l_linenumber) % 5 AS fold,
+               CAST(round(l_quantity) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+        FROM lineitem),
+      folds AS (
+        SELECT fold, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * yc) AS BIGINT) AS sxy
+        FROM rows0 GROUP BY fold),
+      tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sx) AS BIGINT) AS tsx,
+               CAST(sum(sy) AS BIGINT) AS tsy,
+               CAST(sum(sxx) AS BIGINT) AS tsxx,
+               CAST(sum(sxy) AS BIGINT) AS tsxy
+        FROM folds),
+      params AS (
+        SELECT fold,
+               (CAST(tn - n AS DOUBLE) * CAST(tsxy - sxy AS DOUBLE)
+                - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE))
+               / (CAST(tn - n AS DOUBLE) * CAST(tsxx - sxx AS DOUBLE)
+                  - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE))
+                 AS b,
+               CAST(tn - n AS DOUBLE) AS n_tr,
+               CAST(tsx - sx AS DOUBLE) AS sx_tr,
+               CAST(tsy - sy AS DOUBLE) AS sy_tr
+        FROM folds, tot),
+      params2 AS (
+        SELECT fold, b, (sy_tr - b * sx_tr) / n_tr AS a FROM params),
+      ev2 AS (
+        SELECT r.fold, p.a, p.b,
+               (CAST(r.yc AS DOUBLE) - p.a - p.b * CAST(r.x AS DOUBLE))
+                 / 100.0 AS res
+        FROM rows0 r JOIN params2 p ON r.fold = p.fold),
+      agg AS (
+        SELECT fold, a, b, count(*) AS n_eval,
+               CAST(sum(CAST(round(res * res) AS BIGINT)) AS BIGINT) AS ssr
+        FROM ev2 GROUP BY 1, 2, 3)
+      SELECT fold, n_eval,
+             round(b, 6) AS slope_cents,
+             round(a / 100.0, 6) AS intercept_usd,
+             round(sqrt(CAST(ssr AS DOUBLE) / CAST(n_eval AS DOUBLE)), 6)
+               AS rmse_usd
+      FROM agg
+      ORDER BY fold"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
-      q162, q164, q165, q166, q168, q169)
+      q162, q164, q165, q166, q168, q169, q183, q184)
 }
