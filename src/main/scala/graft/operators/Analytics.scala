@@ -2033,8 +2033,139 @@ object Analytics {
       FROM agg
       ORDER BY fold"""))
 
+  // --------------------------------------------------------------- q187
+  // Two-sample Kolmogorov–Smirnov drift statistic — the distribution-
+  // shift monitor between two slices (arms by user_id parity here; in
+  // production: this week vs last week, source A vs source B). KS needs
+  // a supremum over the merged CDF — naively a corpus-sized sort. The
+  // shipped form is q168's bounded-grid two-phase: ONE conditional
+  // aggregate collapses events to per-cents-bucket counts (grid ≤ the
+  // VALUE RANGE — 56k cells max here — never corpus-sized), the
+  // cumulative window runs over that grid, and the sup is
+  // max |cum_a·n_b − cum_b·n_a| in exact BIGINTs (≤ 1e5·1e5 ≪ 2^63),
+  // divided once at the end — order-independent, bit-identical
+  // cross-engine, no libm (unlike PSI/KL, which need log and are
+  // deliberately not the house drift metric).
+  private val q187 = QueryDef(
+    "q187_ks_drift",
+    (s, d) => {
+      val e = ev(s, d).select((col("user_id") % 2).as("arm"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      val grid = e.groupBy(col("c")).agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("da"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("db"))
+      val tot = grid.agg(sum(col("da")).as("na"), sum(col("db")).as("nb"))
+      val w = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("ca", sum(col("da")).over(w))
+        .withColumn("cb", sum(col("db")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(abs(col("ca") * col("nb") - col("cb") * col("na"))
+          .as("diff"), col("na"), col("nb"))
+        .groupBy(col("na"), col("nb"))
+        .agg(max(col("diff")).as("mx"))
+        .select(col("na"), col("nb"),
+          round(col("mx").cast("double") /
+            (col("na") * col("nb")).cast("double"), 6).as("ks"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id % 2 AS arm, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events),
+      grid AS (
+        SELECT c,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS da,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS db
+        FROM e GROUP BY c),
+      cum AS (
+        SELECT c,
+               CAST(sum(da) OVER (ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS ca,
+               CAST(sum(db) OVER (ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cb
+        FROM grid),
+      tot AS (
+        SELECT CAST(sum(da) AS BIGINT) AS na, CAST(sum(db) AS BIGINT) AS nb
+        FROM grid)
+      SELECT na, nb,
+             round(CAST(max(abs(ca * nb - cb * na)) AS DOUBLE)
+                   / CAST(na * nb AS DOUBLE), 6) AS ks
+      FROM cum, tot
+      GROUP BY na, nb"""))
+
+  // --------------------------------------------------------------- q188
+  // Item-item collaborative filtering — "customers who bought X also
+  // bought Y" as co-occurrence cosine: sim(a,b) = n_ab / √(n_a·n_b)
+  // over order baskets. Pair generation is WITHIN-basket (a < b), so the
+  // pair space is Σ C(basket,2) — bounded by basket size, never
+  // items² — and the degree table is a broadcastable |items|-row
+  // dictionary joined back twice. Top-3 per anchor item runs as a rank
+  // window over the anchor's candidate list (pairs per item are bounded
+  // by co-purchase fan-out); the anchor filter (partkey < 50) keeps the
+  // output presentation-sized. √ of an exact BIGINT product is one
+  // correctly-rounded IEEE op, so the scores and the ranking are
+  // bit-identical cross-engine (ties broken by item id).
+  private val q188 = QueryDef(
+    "q188_item_item_cf",
+    (s, d) => {
+      val bask = li(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+        .distinct()
+      val deg = bask.groupBy(col("item")).agg(count(lit(1)).as("n"))
+      val pairs = bask.as("x")
+        .join(bask.as("y"), col("x.ok") === col("y.ok") &&
+          col("x.item") < col("y.item"))
+        .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+        .agg(count(lit(1)).as("nab"))
+      val sym = pairs.select(col("a"), col("b"), col("nab"))
+        .union(pairs.select(col("b").as("a"), col("a").as("b"), col("nab")))
+      val scored = sym.filter(col("a") < 50)
+        .join(deg.select(col("item").as("a"), col("n").as("na")), Seq("a"))
+        .join(deg.select(col("item").as("b"), col("n").as("nb")), Seq("b"))
+        .select(col("a"), col("b"), col("nab"),
+          (col("nab").cast("double") /
+            sqrt((col("na") * col("nb")).cast("double"))).as("cos"))
+      val wr = Window.partitionBy(col("a"))
+        .orderBy(col("cos").desc, col("b"))
+      scored.withColumn("rk", row_number().over(wr))
+        .filter(col("rk") <= 3)
+        .select(col("a"), col("rk"), col("b"), col("nab"),
+          round(col("cos"), 6).as("cosine"))
+        .orderBy(col("a"), col("rk"))
+    },
+    Some("""
+      WITH bask AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+      deg AS (SELECT item, count(*) AS n FROM bask GROUP BY item),
+      pairs AS (
+        SELECT x.item AS a, y.item AS b, count(*) AS nab
+        FROM bask x JOIN bask y ON x.ok = y.ok AND x.item < y.item
+        GROUP BY 1, 2),
+      sym AS (
+        SELECT a, b, nab FROM pairs
+        UNION ALL SELECT b, a, nab FROM pairs),
+      scored AS (
+        SELECT s.a, s.b, s.nab,
+               CAST(s.nab AS DOUBLE)
+                 / sqrt(CAST(da.n * db.n AS DOUBLE)) AS cos
+        FROM sym s
+        JOIN deg da ON s.a = da.item
+        JOIN deg db ON s.b = db.item
+        WHERE s.a < 50),
+      ranked AS (
+        SELECT a, b, nab, cos,
+               row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rk
+        FROM scored)
+      SELECT a, rk, b, nab, round(cos, 6) AS cosine
+      FROM ranked
+      WHERE rk <= 3
+      ORDER BY a, rk"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
-      q162, q164, q165, q166, q168, q169, q183, q184)
+      q162, q164, q165, q166, q168, q169, q183, q184, q187, q188)
 }

@@ -136,5 +136,77 @@ object MLQueries {
     },
     None)
 
-  val defs: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74, q103)
+  // --------------------------------------------------------------- q185
+  // Streaming model inference — the online half of the train-batch /
+  // score-stream split every production ML pipeline runs: the classifier
+  // is fit ONCE on the static table, then the same rows replayed as a
+  // 4-file stream are scored per micro-batch by `model.transform` inside
+  // the streaming query. The model is driver-held tree state broadcast
+  // into each batch's tasks (a pure projection — no state store, no
+  // shuffle, watermark-free), so scoring throughput scales with executor
+  // count exactly like a stateless map. Gate: rows-only here (no SQL
+  // oracle for tree ensembles, like q70–q74) + StreamingMLSpec pins
+  // stream-scored ≡ batch-scored row-for-row — the claim that batching
+  // boundaries cannot change a stateless model's output.
+  private val q185 = QueryDef(
+    "q185_stream_ml_scoring",
+    (s, d) => {
+      val df = features(s, d)
+      val m = new LGBMClassifier(LGBMParams(nEstimators = 10, maxDepth = 4))
+        .fit(df, featuresCol = Seq("embedding"), labelCol = "label_bin")
+      // stage the feature table as 4 mtime-ordered slice files (stable
+      // per (tmpdir, sf-dir); _READY written last, the EventStreams
+      // staging contract)
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_stream",
+        d.replaceAll("[^A-Za-z0-9.]", "_"), "ml_score")
+      val ready = dir.resolve("_READY")
+      if (!java.nio.file.Files.exists(ready)) {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(dir))
+          java.nio.file.Files.walk(dir)
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator.asScala.foreach(java.nio.file.Files.delete)
+        java.nio.file.Files.createDirectories(dir)
+        val stage = dir.resolve("_work").toString
+        df.withColumn("fid", (col("vec_id") % 4).cast("int"))
+          .repartition(col("fid"))
+          .write.mode("overwrite").partitionBy("fid").parquet(stage)
+        val parts = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .iterator.asScala.filter(_.getFileName.toString.startsWith("fid="))
+          .toSeq.sortBy(_.getFileName.toString)
+        parts.foreach { p =>
+          val f = java.nio.file.Files.list(p).iterator.asScala
+            .filter(_.toString.endsWith(".parquet")).toSeq.head
+          java.nio.file.Files.move(f,
+            dir.resolve(s"${p.getFileName.toString.replace("=", "_")}.parquet"))
+        }
+        java.nio.file.Files.walk(java.nio.file.Paths.get(stage))
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator.asScala.foreach(java.nio.file.Files.delete)
+        java.nio.file.Files.createFile(ready)
+      }
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val src = ss.readStream
+        .schema(df.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      val name = s"graft_ml_stream_${System.identityHashCode(src).toHexString}"
+      val q = m.predict(src, Seq("embedding"))
+        .select(col("vec_id"), col("label_bin"), col("prediction"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        var last = -2L; var cur = -1L
+        while (cur != last) {
+          last = cur
+          q.processAllAvailable()
+          cur = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+        }
+      } finally q.stop()
+      ss.table(name).orderBy(col("vec_id"))
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74, q103, q185)
 }

@@ -1083,7 +1083,62 @@ object TextAnalysis {
       FROM ideal"""
     })
 
+  // --------------------------------------------------------------- q186
+  // Feature hashing (the hashing trick) — fixed-dimension sparse
+  // featurization for linear/online models over an unbounded vocabulary:
+  // every token maps to index md5(token) mod 4096, so the feature space
+  // is a CONSTANT regardless of corpus vocabulary — no dictionary build,
+  // no vocabulary broadcast, no OOV (the q107 dictionary pipeline's
+  // trade-off partner). The query materializes the collision accounting
+  // a user of the trick needs: for the 20 heaviest feature cells
+  // (deterministic count-desc/index-asc cut), the total token mass,
+  // document reach, and how many DISTINCT tokens share the cell
+  // (collisions are the trick's quality cost; 4096 cells over this
+  // corpus's vocabulary gives a visible, checkable collision rate).
+  // One token-keyed pre-aggregate absorbs Zipf skew map-side before the
+  // cell-keyed rollup (the q107 layout-independence discipline); the
+  // top-20 cut is a TakeOrdered heap.
+  private val q186 = QueryDef(
+    "q186_feature_hashing",
+    (s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("doc_id"), col("tok"),
+          (conv(substring(md5(col("tok")), 1, 14), 16, 10).cast("long")
+            % 4096L).as("feat"))
+      toks
+        .groupBy(col("feat"), col("tok"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("doc_id")).as("nd"))
+        .groupBy(col("feat"))
+        .agg(sum(col("cnt")).as("token_mass"),
+          count(lit(1)).as("n_distinct_tokens"),
+          sum(col("nd")).as("doc_hits"))
+        .orderBy(col("token_mass").desc, col("feat"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, tok,
+               ('0x' || substr(md5(tok), 1, 14))::BIGINT % 4096 AS feat
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE length(tok) > 0),
+      per_tok AS (
+        SELECT feat, tok, count(*) AS cnt,
+               count(DISTINCT doc_id) AS nd
+        FROM toks GROUP BY 1, 2)
+      SELECT feat,
+             CAST(sum(cnt) AS BIGINT) AS token_mass,
+             count(*) AS n_distinct_tokens,
+             CAST(sum(nd) AS BIGINT) AS doc_hits
+      FROM per_tok
+      GROUP BY feat
+      ORDER BY token_mass DESC, feat
+      LIMIT 20"""))
+
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
-      q138, q147, q155, q159, q167)
+      q138, q147, q155, q159, q167, q186)
 }
