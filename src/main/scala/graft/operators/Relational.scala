@@ -1998,6 +1998,49 @@ object Relational {
       FROM seg, g_tot
       ORDER BY c_mktsegment"""))
 
+  // ---------------------------------------------------------------- q190
+  // Dynamic partition pruning — with q66's static pruning and the bloom
+  // filter, the third runtime I/O lever at 100 TB: when a partitioned
+  // fact joins a FILTERED dim on the partition column, Catalyst injects
+  // a dynamic-pruning subquery into the fact scan that reuses the dim's
+  // broadcast, so only the partitions matching the filtered dim are ever
+  // listed/read — the filter value need not be known at plan time (the
+  // classic star-schema "this quarter's dates" join). Staged: the q66
+  // hive-partitioned events layout + a 5-row event_type dim carrying a
+  // team attribute; the query filters the DIM (team = 'rev') and the
+  // fact scan must prune to the 2 matching partitions at runtime —
+  // PlanSpec pins the dynamicpruning expression in the scan.
+  private val q190 = QueryDef(
+    "q190_dynamic_partition_pruning",
+    (s, d) => {
+      val fact = stagedOnce("events_part", d) { p =>
+        ev(s, d)
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(p)
+      }
+      val dimDir = stagedOnce("etype_dim", d) { p =>
+        s.createDataFrame(Seq(
+          ("click", "eng"), ("error", "eng"), ("purchase", "rev"),
+          ("signup", "rev"), ("view", "eng")))
+          .toDF("etype", "team")
+          .coalesce(1).write.mode("overwrite").parquet(p)
+      }
+      val dim = s.read.parquet(dimDir).filter(col("team") === "rev")
+      s.read.parquet(fact)
+        .join(broadcast(dim), col("event_type") === col("etype"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumFixed(col("value"), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      SELECT event_type, count(*) AS n,
+             ${sumFixedSql("value", 2)} AS sum_value
+      FROM events
+      WHERE event_type IN ('purchase', 'signup')
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   // ---------------------------------------------------------------- q182
   // Dynamic partition overwrite — the writer semantics behind daily
   // re-materialization at 100 TB: `INSERT OVERWRITE` with
@@ -2050,5 +2093,5 @@ object Relational {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
-    q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182)
+    q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190)
 }

@@ -973,7 +973,53 @@ object EventStreams {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------- q189
+  // Update-mode streaming upsert — the third output mode (q80 complete,
+  // q86 append), composed with q182's dynamic partition overwrite into
+  // the "continuously materialized aggregate table" pattern: a running
+  // per-segment aggregate emits ONLY the keys whose value changed each
+  // micro-batch (update mode), and foreachBatch upserts exactly those
+  // keys by dynamically overwriting their partitions of a segment-
+  // partitioned parquet table. Per batch the write cost is
+  // O(changed keys), never O(all keys); the final table read back equals
+  // the batch aggregate — which is what the oracle checks. No watermark:
+  // a running all-time aggregate keeps |keys| state by design (the
+  // windowed+watermarked variant is q80's shape; TTL state is q94's).
+  private val q189 = QueryDef(
+    "q189_stream_update_upsert",
+    (s, d) => {
+      val outDir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_stream",
+        d.replaceAll("[^A-Za-z0-9.]", "_"), "upsert_out")
+      deleteRecursively(outDir)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val q = readStaged(ss, slicedDir(s, d))
+        .filter(col("event_id") =!= -1L)
+        .groupBy((col("user_id") % 100).as("segment"))
+        .agg(count(lit(1)).as("n"), sumFixed(col("value"), 2).as("sum_value"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          batch.write.mode("overwrite").partitionBy("segment")
+            .parquet(outDir.toString)
+        }
+        .outputMode("update")
+        .start()
+      try drain(q) finally q.stop()
+      s.read.parquet(outDir.toString)
+        .select(col("segment").cast("long").as("segment"), col("n"),
+          col("sum_value"))
+        .orderBy(col("segment"))
+    },
+    Some(s"""
+      SELECT user_id % 100 AS segment, count(*) AS n,
+             ${sumFixedSql("value", 2)} AS sum_value
+      FROM events
+      GROUP BY 1
+      ORDER BY segment"""))
+
   val defs: Seq[QueryDef] =
     Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q93, q94, q96, q97,
-      q98, q178)
+      q98, q178, q189)
 }

@@ -480,6 +480,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q190: dynamic partition pruning fires on the fact scan") {
+    // the filtered dim's broadcast must be reused as a runtime pruning
+    // subquery on the partitioned fact scan — losing it means reading
+    // every partition for a 2-partition answer (at 100 TB: the quarter
+    // join reading years)
+    val p = planOf("q190_dynamic_partition_pruning")
+    assert(p.contains("dynamicpruning"),
+      "fact scan must carry a dynamicpruningexpression PartitionFilter")
+    assert(p.contains("BroadcastHashJoin"), "dim must broadcast")
+  }
+
   test("q177: unpivot plans one Expand with map-side partial aggregation") {
     // wide→long melt must be a single scan fanned by Expand, partial
     // HashAggregate before the (3-key) exchange, and the id column the
