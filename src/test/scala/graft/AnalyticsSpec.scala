@@ -571,4 +571,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows("orders->customer")._1 == Tables.t(spark, sf, "orders").count())
   }
 
+  test("built-in approx sketches: bounded error under any partitioning") {
+    // the board's exact percentile/distinct paths (q45/q168, q13) have a
+    // documented 100 TB escalation to Spark's mergeable sketches
+    // (GK approx_percentile, HLL++ approx_count_distinct). Pin the two
+    // claims that make that swap safe: error stays inside the sketch's
+    // contract, and the answer does not depend on how rows are
+    // partitioned (sketch merge, not a single-node pass)
+    val e = Tables.t(spark, sf, "events")
+      .select(round(col("value") * 100).cast("long").as("c"), col("user_id"))
+    val exact = e.selectExpr("percentile(c, 0.5) AS p50",
+      "percentile(c, 0.95) AS p95").collect()(0)
+    val exactD = e.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    for (parts <- Seq(1, 7)) {
+      val ep = e.repartition(parts)
+      val a = ep.selectExpr(
+        "approx_percentile(c, 0.5, 10000) AS p50",
+        "approx_percentile(c, 0.95, 10000) AS p95").collect()(0)
+      assert(math.abs(a.getLong(0) - exact.getDouble(0)) <=
+        0.01 * exact.getDouble(0) + 1,
+        s"p50 off at parts=$parts: ${a.getLong(0)} vs ${exact.getDouble(0)}")
+      assert(math.abs(a.getLong(1) - exact.getDouble(1)) <=
+        0.01 * exact.getDouble(1) + 1,
+        s"p95 off at parts=$parts: ${a.getLong(1)} vs ${exact.getDouble(1)}")
+      val ad = ep.select(approx_count_distinct(col("user_id")))
+        .collect()(0).getLong(0)
+      assert(math.abs(ad - exactD).toDouble / exactD <= 0.05,
+        s"approx distinct off >5% at parts=$parts: $ad vs $exactD")
+    }
+  }
+
 }

@@ -480,6 +480,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew-join rewrite)") {
+    // the join-side answer to q29's aggregation salting: when one key
+    // dominates a shuffle join, AQE must split the oversized partition
+    // into parallel sub-tasks instead of letting one task process it
+    // alone. Planted 90%-hot-key data; thresholds lowered so the rewrite
+    // triggers at test scale (production keeps defaults — the split only
+    // pays off when a partition is actually huge). Pinned on the FINAL
+    // adaptive plan: the SMJ must be marked skew=true after execution.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "10KB")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val left = ss.range(0, 20000)
+      .select((when(col("id") % 10 === 0, 7L).otherwise(col("id"))).as("k"),
+        concat(lit("x"), col("id").cast("string")).as("pad"))
+    val right = ss.range(0, 2000)
+      .select((when(col("id") % 10 === 0, 7L).otherwise(col("id"))).as("k"),
+        col("id").as("v"))
+    val j = left.join(right, "k")
+    j.collect() // materialize THIS QueryExecution so AQE finalizes its plan
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"AQE skew-join rewrite did not fire; final plan:\n${p.take(1500)}")
+  }
+
   test("q190: dynamic partition pruning fires on the fact scan") {
     // the filtered dim's broadcast must be reused as a runtime pruning
     // subquery on the partitioned fact scan — losing it means reading

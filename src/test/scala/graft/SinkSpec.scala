@@ -74,4 +74,42 @@ class SinkSpec extends AnyFunSuite {
     assert(new java.io.File(out).listFiles
       .exists(_.getName.contains(".zstd.parquet")), "zstd codec in file name")
   }
+
+  test("z-ordered write: per-file zval ranges are non-overlapping and 2-D-bounded") {
+    // closes q179's loop with a real layout: repartitionByRange(zval) +
+    // sortWithinPartitions(zval) must yield files whose zval ranges are
+    // DISJOINT (range partitioning) — which is exactly what makes
+    // per-file min/max stats selective on the interleaved key, and via
+    // the Morton property bounds BOTH original dimensions per file
+    val z = (0 until 16).map(i =>
+      s"((((pk >> $i) & 1)) << ${2 * i + 1}) | ((((sk >> $i) & 1)) << ${2 * i})")
+      .mkString(" | ")
+    val out = freshDir("zorder").getAbsolutePath
+    Tables.t(spark, sf, "lineitem")
+      .selectExpr("CAST(l_partkey & 65535 AS BIGINT) AS pk",
+        "CAST(l_suppkey & 65535 AS BIGINT) AS sk")
+      .selectExpr(s"($z) AS zval", "pk", "sk")
+      .repartitionByRange(8, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").parquet(out)
+
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("zval")).as("zlo"), max(col("zval")).as("zhi"),
+        min(col("pk")).as("plo"), max(col("pk")).as("phi"))
+      .collect()
+    assert(perFile.length >= 4, s"expected >=4 files, got ${perFile.length}")
+    val ranges = perFile.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping zval ranges: $hi1 > $lo2")
+      case _ =>
+    }
+    // 2-D locality: total pk-span across files must beat one global span
+    // by a wide margin (each file covers a small pk window, not the table)
+    val spans = perFile.map(r => r.getLong(4) - r.getLong(3))
+    val globalSpan = perFile.map(_.getLong(4)).max - perFile.map(_.getLong(3)).min
+    assert(spans.max < globalSpan,
+      s"no file may span the whole pk domain (${spans.max} vs $globalSpan)")
+  }
 }
