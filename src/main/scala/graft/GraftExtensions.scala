@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{EmbedSimHash, FloatDot, JaroWinkler}
+import graft.functions.{EmbedSimHash, FloatDot, JaroWinkler, Morton32}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Sqrt}
@@ -23,6 +23,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *                               Column API's Int parameter)
   *  - `jaro_winkler(a, b)`     — native Jaro–Winkler similarity, pinned
   *                               to DuckDB's semantics
+  *  - `morton32(x, y)`         — z-order interleave of two BIGINT keys
+  *                               (low 16 bits each), the layout key for
+  *                               2-D min/max data skipping (q179)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -65,5 +68,9 @@ object GraftExtensions {
     ("jaro_winkler", classOf[JaroWinkler], { children: Seq[Expression] =>
       require(children.length == 2, "jaro_winkler takes exactly 2 arguments")
       JaroWinkler(children.head, children(1))
+    }),
+    ("morton32", classOf[Morton32], { children: Seq[Expression] =>
+      require(children.length == 2, "morton32 takes exactly 2 arguments")
+      Morton32(children.head, children(1))
     }))
 }

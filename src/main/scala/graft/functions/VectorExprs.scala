@@ -186,6 +186,60 @@ object EmbedSimHash {
   }
 }
 
+/** Morton (z-order) interleave of the low 16 bits of two BIGINT keys —
+  * the production form of q179's generated shift/mask SQL, as ONE
+  * codegen'd expression: `morton32(x, y)` spreads each 16-bit input to
+  * even/odd bit positions with four magic-mask rounds (O(log w), not the
+  * SQL form's 32 shift terms) and ORs them into a 32-bit z-value. The
+  * write path (`repartitionByRange(morton32(a, b)) .sortWithinPartitions`)
+  * clusters files into 2-D key rectangles for min/max skipping —
+  * SinkSpec pins the layout, and q179's DuckDB oracle (which keeps the
+  * portable shift/mask formulation) hash-proves this expression
+  * bit-equal to the reference arithmetic over the whole table.
+  */
+case class Morton32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"morton32 needs two bigint args, got ${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "morton32"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Morton32.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.Morton32.interleave($x, $y);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Morton32 {
+  /** Spread the low 16 bits of `v` to even bit positions (0,2,4,…,30). */
+  private def spread(v: Long): Long = {
+    var x = v & 0xFFFFL
+    x = (x | (x << 8)) & 0x00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0FL
+    x = (x | (x << 2)) & 0x33333333L
+    x = (x | (x << 1)) & 0x55555555L
+    x
+  }
+
+  /** 32-bit Morton code: bits of `x` at odd positions, `y` at even —
+    * matching q179's `(x_bit << 2i+1) | (y_bit << 2i)` SQL layout.
+    * Called from both the interpreted eval and the generated code, so
+    * the two paths cannot diverge. */
+  def interleave(x: Long, y: Long): Long =
+    (spread(x) << 1) | spread(y)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorFunctions {
   /** Σᵢ a[i]·b[i] in double; null if either array is null. */
@@ -201,4 +255,8 @@ object VectorFunctions {
   /** `bits`-bit random-hyperplane SimHash of an `array<float>` column. */
   def embed_simhash(a: Column, bits: Int): Column =
     Bridge.column(EmbedSimHash(Bridge.expression(a), bits))
+
+  /** 32-bit Morton interleave of two BIGINT key columns (low 16 bits). */
+  def morton32(a: Column, b: Column): Column =
+    Bridge.column(Morton32(Bridge.expression(a), Bridge.expression(b)))
 }

