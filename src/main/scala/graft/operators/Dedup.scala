@@ -136,13 +136,26 @@ object Dedup {
   private val q30 = QueryDef(
     "q30_dedup_exact",
     (s, d) => {
+      // representative = argmin(doc_id), carrying lang. min(struct(...))
+      // would plan SortAggregate (struct buffers aren't hash-able) — a
+      // per-task sort of the whole corpus before the partial agg, the
+      // q122 trap. Instead pack (doc_id, lang) into ONE int64
+      // (doc_id << 10 | 2-letter-code; doc_id is unique so the packed
+      // min IS the argmin) and the aggregate stays a pure HashAggregate,
+      // zero sorts. Contract: 2-letter lowercase lang codes and
+      // doc_id < 2^53 (wider codes → dictionary-encode the lang first).
       val keyed = docs(s, d).select(
         md5(col("text").cast("binary")).as("h"),
-        col("n_chars"), col("doc_id"), col("lang"))
+        col("n_chars"),
+        (col("doc_id") * 1024L +
+          (ascii(substring(col("lang"), 1, 1)) - 97) * 26L +
+          (ascii(substring(col("lang"), 2, 1)) - 97L)).as("packed"))
       val reps = keyed
         .groupBy(col("h"), col("n_chars"))
-        .agg(min(struct(col("doc_id"), col("lang"))).as("rep"))
-        .select(col("rep.doc_id").as("doc_id"), col("rep.lang").as("lang"),
+        .agg(min(col("packed")).as("p"))
+        .select(expr("p DIV 1024").as("doc_id"),
+          concat(char(lit(97) + expr("(p % 1024) DIV 26")),
+            char(lit(97) + expr("(p % 1024) % 26"))).as("lang"),
           col("n_chars"))
       reps.groupBy(col("lang"))
         .agg(
@@ -968,11 +981,19 @@ object Dedup {
         .withColumn("cont",
           round(col("ni").cast("double") / size(col("sa")).cast("double"), 6))
         .filter(col("cont") >= 0.5)
+        // best match = argmin over (−cont, cid) packed into one int64
+        // ((1e6 − 1e6·cont) · 2^42 + cid; cont is round(·,6) so the
+        // scaled value is exact, corpus ids < 2^42) — pure HashAggregate
+        // instead of min(struct)'s SortAggregate (the nearestCell
+        // discipline)
         .groupBy(col("eid"))
         .agg(count(lit(1)).as("n_hits"),
-          min(struct((-col("cont")).as("negc"), col("cid").as("c"))).as("m"))
+          min((lit(1000000L) - round(col("cont") * 1e6).cast("long")) *
+            4398046511104L + col("cid")).as("p"))
         .select(col("eid").as("eval_id"), col("n_hits"),
-          (-col("m.negc")).as("best_cont"), col("m.c").as("best_corpus_id"))
+          ((lit(1000000L) - expr("p DIV 4398046511104")).cast("double") /
+            lit(1e6)).as("best_cont"),
+          (col("p") % 4398046511104L).as("best_corpus_id"))
         .orderBy(col("eval_id"))
   }
 

@@ -92,13 +92,26 @@ object Pipeline {
               (col("n_punct").cast("double") / col("n_chars").cast("double")) * 0.5,
             6))
         .filter(col("quality") >= 0.96)
+      // representative = argmin(doc_id), carrying (lang, n_tok).
+      // min(struct(...)) would plan SortAggregate (per-task corpus sort —
+      // the q122/q30 trap); instead TWO packed int64 argmins in ONE hash
+      // aggregate: both key on the same unique doc_id in the high bits,
+      // so they pick the same row, and the payload rides the low bits
+      // (lang as a 10-bit 2-letter code, n_tok under 2^20 — a ≥1M-token
+      // doc would need the wider dictionary-encoded form, documented).
       val reps = scored
         .select(md5(col("text").cast("binary")).as("h"), col("n_chars"),
-          col("doc_id"), col("lang"), col("n_tok"))
+          (col("doc_id") * 1024L +
+            (ascii(substring(col("lang"), 1, 1)) - 97) * 26L +
+            (ascii(substring(col("lang"), 2, 1)) - 97L)).as("pl"),
+          (col("doc_id") * 1048576L + col("n_tok")).as("pt"))
         .groupBy(col("h"), col("n_chars"))
-        .agg(min(struct(col("doc_id"), col("lang"), col("n_tok"))).as("rep"),
+        .agg(min(col("pl")).as("mpl"), min(col("pt")).as("mpt"),
           count(lit(1)).as("grp"))
-        .select(col("rep.lang").as("lang"), col("rep.n_tok").as("n_tok"),
+        .select(
+          concat(char(lit(97) + expr("(mpl % 1024) DIV 26")),
+            char(lit(97) + expr("(mpl % 1024) % 26"))).as("lang"),
+          (col("mpt") % 1048576L).as("n_tok"),
           col("grp"))
       reps.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"),

@@ -1575,6 +1575,15 @@ object Relational {
   // A sort-based row_number() formulation shuffles the full changelog and
   // sorts per key; max_by carries one row per key per partition. The
   // ordkey is the raw BIGINT LSN — exact integer compare in both engines.
+  // Known plan shape: max_by's (value, ordering) buffer is not hash-able,
+  // so Spark plans SortAggregate — the sort is per-task, MAP-side, before
+  // the key-only exchange (the plan audit's one accepted SortAggregate on
+  // a corpus-sized input). The q30/q48/nearestCell int64-packing fix does
+  // not apply: three heterogeneous payload columns (two strings + a long)
+  // cannot ride one int64, and a pack-per-column scheme would need the
+  // LSN duplicated into every pack — at which point the max_by sort,
+  // which is local, spillable, and amortized by partial aggregation, is
+  // the cheaper and clearer plan.
   private val q156 = QueryDef(
     "q156_cdc_compaction",
     (s, d) => {

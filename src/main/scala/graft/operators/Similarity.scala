@@ -100,6 +100,28 @@ object Similarity {
     e0.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
       .withColumn("norm", float_norm(col("embedding")))
 
+  /** Nearest-cell selection — argmin over (−cos, cent_id) per vector —
+    * as a packed-int64 HASH aggregate. The direct
+    * `min(struct(negcos, cent))` plans SortAggregate (struct buffers are
+    * not hash-able), i.e. a per-task SORT of the N·K assignment table
+    * before the partial agg — the q122/q30 trap at the N·K scale. `cos`
+    * is always a `round(·, 6)` value here, so `1e6·cos` is an exact
+    * integer: pack `(1e6 − 1e6·cos)` into the high bits and `cent_id`
+    * into the low 21 (cent ids < 2^21 — the K ≈ 10⁵ production regime
+    * fits with a 20× margin), take ONE integer `min`, and unpack. The
+    * reconstructed cos (k/1e6 by correctly-rounded IEEE division) is
+    * bit-equal to the original `round(·, 6)` double, and the integer
+    * order equals the (−cos, cent_id) struct order exactly.
+    */
+  private def nearestCell(asg: DataFrame): DataFrame =
+    asg.groupBy(col("vec_id"))
+      .agg(min(
+        (lit(1000000L) - round(col("cos") * 1e6).cast("long")) * 2097152L +
+          col("cent_id")).as("p"))
+      .select(col("vec_id"), (col("p") % 2097152L).as("cell"),
+        ((lit(1000000L) - expr("p DIV 2097152")).cast("double") /
+          lit(1e6)).as("cos"))
+
   /** The shared front half of [[ivfTopK]] and q116's corpus profile: runs
     * `lloydIters` seeded Lloyd refinements and returns the full
     * vector × refined-centroid cosine table `(vec_id, cent_id, cos)`.
@@ -119,9 +141,8 @@ object Similarity {
         .withColumn("cos",
           round(float_dot(col("ea"), col("eb")) / (col("cent_n") * col("vn")), 6))
     for (_ <- 1 to lloydIters) {
-      val cells = assign(cent).groupBy(col("vec_id"))
-        .agg(min(struct((-col("cos")).as("negcos"), col("cent_id").as("cent"))).as("m"))
-        .select(col("vec_id"), col("m.cent").as("cell"))
+      val cells = nearestCell(assign(cent))
+        .select(col("vec_id"), col("cell"))
       // Lloyd step: per-dimension exact fixed-point mean of the members,
       // reassembled into a float array (cells that lose all members
       // simply vanish — deterministic in both engines)
@@ -146,9 +167,8 @@ object Similarity {
     val asg = lloydAsg(e0, idCol, embCol, centK, lloydIters)
     // nearest cell = min over (−cos, cent_id): max cos, ties → min id —
     // identical tie-break to the oracle's row_number ORDER BY
-    val cells = asg.groupBy(col("vec_id"))
-      .agg(min(struct((-col("cos")).as("negcos"), col("cent_id").as("cent"))).as("m"))
-      .select(col("vec_id").as("cid"), col("m.cent").as("cell"))
+    val cells = nearestCell(asg)
+      .select(col("vec_id").as("cid"), col("cell"))
     // queries probe their top-nProbe cells: window over nQueries·K rows
     val wAsg = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("cent_id"))
@@ -378,19 +398,21 @@ object Similarity {
       // 2.2 s WITHOUT — exchange reuse already shares the Lloyd chain's
       // shuffles between the branches, so materialization only adds cost
       // (the q31 precedent, not the q32 one)
-      val cells = asg.groupBy(col("vec_id"))
-        .agg(min(struct((-col("cos")).as("negcos"),
-          col("cent_id").as("cent"))).as("m"))
-        .select(col("vec_id"), col("m.cent").as("cell"),
-          (-col("m.negcos")).as("cos"))
+      val cells = nearestCell(asg)
       val withLab = cells
         .join(emb(s, d).select(col("vec_id"), col("label")), "vec_id")
+      // majority label = argmin over (−count, label), packed into one
+      // int64 ((2^42 − c) · 2^20 + label; counts < 2^42, labels < 2^20)
+      // so the aggregate is a pure HashAggregate like [[nearestCell]] —
+      // the input is only |cells|·|labels| rows, but the packed form
+      // costs nothing and keeps the plan sort-free end to end
       val top = withLab.groupBy(col("cell"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("cell"))
-        .agg(min(struct((-col("c")).as("negc"), col("label").as("lab"))).as("m"))
-        .select(col("cell"), col("m.lab").cast("long").as("top_label"),
-          (-col("m.negc")).as("top_n"))
+        .agg(min((lit(4398046511104L) - col("c")) * 1048576L +
+          col("label").cast("long")).as("p"))
+        .select(col("cell"), (col("p") % 1048576L).as("top_label"),
+          (lit(4398046511104L) - expr("p DIV 1048576")).as("top_n"))
       withLab.groupBy(col("cell"))
         .agg(count(lit(1)).as("n_vecs"),
           graft.Num.avgFixed(col("cos"), 6).as("mean_cos"),
@@ -463,10 +485,7 @@ object Similarity {
     (s, d) => {
       val e = withNorm(emb(s, d), "vec_id", "embedding")
       val asg = lloydAsg(emb(s, d), "vec_id", "embedding", CentK, LloydIters)
-      val cells = asg.groupBy(col("vec_id"))
-        .agg(min(struct((-col("cos")).as("negcos"),
-          col("cent_id").as("cent"))).as("m"))
-        .select(col("vec_id"), col("m.cent").as("cell"))
+      val cells = nearestCell(asg).select(col("vec_id"), col("cell"))
       val m = cells.join(e, "vec_id")
       val a = m.select(col("cell"), col("vec_id").as("ia"),
         col("embedding").as("ea"), col("norm").as("na"))
@@ -476,10 +495,18 @@ object Similarity {
         .withColumn("cos",
           round(float_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
         .filter(col("cos") >= SemTau)
+        // keeper = argmin by ia (each ia appears once per (cell, ib), so
+        // cos never participates in the ordering — it just rides along):
+        // pack ia into the high bits and the exact 1e6-scaled cos into
+        // the low 21, one integer min, pure HashAggregate (the
+        // [[nearestCell]] discipline; ia < 2^42 contract)
         .groupBy(col("cell"), col("ib").as("dropped_id"))
-        .agg(min(struct(col("ia"), col("cos"))).as("m"))
-        .select(col("cell"), col("dropped_id"), col("m.ia").as("keeper_id"),
-          col("m.cos").as("keeper_cos"))
+        .agg(min(col("ia") * 2097152L +
+          (round(col("cos") * 1e6).cast("long") + 1000000L)).as("p"))
+        .select(col("cell"), col("dropped_id"),
+          expr("p DIV 2097152").as("keeper_id"),
+          ((col("p") % 2097152L - 1000000L).cast("double") / lit(1e6))
+            .as("keeper_cos"))
         .orderBy(col("dropped_id"))
     },
     Some(s"""
