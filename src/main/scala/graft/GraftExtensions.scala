@@ -29,13 +29,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, clazz, build) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(clazz.getName, name),
         build))
     }
+    // optimizer surface: strength-reduce naive edit-distance predicates
+    // (full-DP levenshtein <= k → length prefilter + k-banded DP)
+    ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinPrefilter)
+  }
 }
 
 object GraftExtensions {

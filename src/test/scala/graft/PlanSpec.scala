@@ -510,6 +510,34 @@ class PlanSpec extends AnyFunSuite {
       s"AQE skew-join rewrite did not fire; final plan:\n${p.take(1500)}")
   }
 
+  test("BoundedLevenshteinPrefilter: naive edit-distance predicate gets banded + prefiltered") {
+    // the injected Rule[LogicalPlan] must rewrite `levenshtein(a,b) <= k`
+    // (full O(|a|·|b|) DP per row) into the length-gap prefilter + the
+    // k-banded 3-arg levenshtein — q101's hand optimization, automated.
+    // Results must be unchanged row-for-row (the rewrite is lossless).
+    val ss = spark.newSession()
+    ss.experimental.extraOptimizations =
+      Seq(graft.plans.BoundedLevenshteinPrefilter)
+    // local test data would otherwise be folded away before the rewrite
+    // is observable (parquet inputs, as in production, are never folded)
+    ss.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    import org.apache.spark.sql.functions.{col, levenshtein, lit}
+    import ss.implicits._
+    val d = Seq(("kitten", "sitting"), ("flaw", "lawn"), ("a", "abcdefgh"),
+      ("same", "same"), (null, "x"))
+      .toDF("a", "b")
+    val naive = d.filter(levenshtein(col("a"), col("b")) <= lit(2))
+    val opt = naive.queryExecution.optimizedPlan.toString
+    assert(opt.contains("levenshtein") && opt.contains("Some(2)"),
+      s"banded (3-arg) levenshtein expected in optimized plan:\n$opt")
+    assert(opt.contains("abs((length"),
+      s"length-gap prefilter expected in optimized plan:\n$opt")
+    val got = naive.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("flaw", "lawn"), ("same", "same")),
+      s"rewrite changed results: $got")
+  }
+
   test("q190: dynamic partition pruning fires on the fact scan") {
     // the filtered dim's broadcast must be reused as a runtime pruning
     // subquery on the partitioned fact scan — losing it means reading
