@@ -2007,6 +2007,36 @@ object Relational {
       FROM seg, g_tot
       ORDER BY c_mktsegment"""))
 
+  // ---------------------------------------------------------------- q191
+  // SQL pipe syntax + named-parameter binding (Spark 4): the q61 SQL
+  // surface exercised through both newer entry points at once — the
+  // query text is a `|>` pipeline (FROM … |> WHERE … |> AGGREGATE …
+  // |> ORDER BY, the composable form Spark 4 added for incremental query
+  // building) and the threshold arrives as a NAMED PARAMETER via
+  // `spark.sql(text, args)` rather than string interpolation — the
+  // injection-safe templating production SQL entry points need. Catalyst
+  // lowers the pipe form to the same logical plan as the classic SQL the
+  // oracle runs, so the hash match pins the equivalence.
+  private val q191 = QueryDef(
+    "q191_pipe_sql",
+    (s, d) => {
+      ev(s, d).createOrReplaceTempView("v_ev_pipe")
+      s.sql(
+        s"""FROM v_ev_pipe
+           ||> WHERE value > :minval AND event_type <> :skiptype
+           ||> AGGREGATE count(*) AS n, ${sumFixedSql("value", 2)} AS sum_value
+           |   GROUP BY event_type
+           ||> ORDER BY event_type""".stripMargin,
+        Map("minval" -> 100.0, "skiptype" -> "error"))
+    },
+    Some(s"""
+      SELECT event_type, count(*) AS n,
+             ${sumFixedSql("value", 2)} AS sum_value
+      FROM events
+      WHERE value > 100.0 AND event_type <> 'error'
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   // ---------------------------------------------------------------- q190
   // Dynamic partition pruning — with q66's static pruning and the bloom
   // filter, the third runtime I/O lever at 100 TB: when a partitioned
@@ -2117,5 +2147,6 @@ object Relational {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
-    q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190)
+    q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
+    q191)
 }
