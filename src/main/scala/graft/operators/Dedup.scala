@@ -49,6 +49,13 @@ object Dedup {
     */
   /** Word-3-shingle set of any (doc_id, lang, text) frame. */
   private def shinglesOf(d0: DataFrame): DataFrame =
+    rawShinglesOf(d0).distinct()
+
+  /** Pre-distinct shingle stream — for pipelines that reduce shingles to
+    * int64 ids BEFORE the first exchange (q31): mapping to [[md5Id]] on
+    * the map side means the dedup exchange and every downstream shuffle
+    * carry 8-byte ids instead of ~30-byte strings. */
+  private def rawShinglesOf(d0: DataFrame): DataFrame =
     d0
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
@@ -58,7 +65,6 @@ object Dedup {
         concat(col("toks")(col("i")), lit("|"),
                col("toks")(col("i") + 1), lit("|"),
                col("toks")(col("i") + 2)).as("shingle"))
-      .distinct()
 
   private def shingles(s: SparkSession, d: String): DataFrame =
     shinglesOf(docs(s, d))
@@ -192,10 +198,20 @@ object Dedup {
       // exploded shingle table) and saves nothing warm — the q32 fix does
       // not transfer because q32's branches repeat ONE expensive
       // aggregation where q31's each do different cheap ones.
-      val sh = shingles(s, d)
+      // shingles reduce to int64 ids ON THE MAP SIDE, before the first
+      // exchange: every shuffle in this pipeline (dedup distinct, set
+      // agg, frequency count, prefix join, inverted index) then carries
+      // 8-byte ids instead of ~30-byte strings — ShuffleProf measured
+      // the string form at 22.4 MB shuffled per 1.2 MB read (18.8×); ids
+      // cut the exchanged volume ~3×. md5Id collisions merge shingles
+      // IDENTICALLY in both engines because the oracle maps through the
+      // same md5-derived id before its own distinct.
+      val sh = rawShinglesOf(docs(s, d))
+        .select(col("doc_id"), col("lang"), md5Id(col("shingle")).as("sid"))
+        .distinct()
       // per-doc shingle set (one aggregation; reused for the verify side)
       val sets = sh.groupBy(col("doc_id"), col("lang"))
-        .agg(collect_set(col("shingle")).as("shs"))
+        .agg(collect_set(col("sid")).as("shs"))
       // PREFIX FILTERING (Chaudhuri et al.): for Jaccard ≥ t a pair must
       // share a shingle within each doc's prefix of size n−⌈t·n⌉+1 when
       // shingles are ordered by ascending global frequency. Indexing only
@@ -203,25 +219,25 @@ object Dedup {
       // hot-bucket pair explosion (quadratic in common-shingle frequency)
       // disappears, and the filter is LOSSLESS for the 0.5 threshold, so
       // the oracle's unfiltered formulation returns identical rows.
-      val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gf"))
+      val freq = sh.groupBy(col("sid")).agg(count(lit(1)).as("gf"))
       // per-doc prefix via array_sort + slice rather than window
       // row_number: one aggregation and ~50-element in-memory sorts per
       // doc instead of a partition-wide sort pass — same rows, ~3× less
       // single-shot cost, and no WindowExec buffering at scale
-      val prefix = sh.join(freq, "shingle")
+      val prefix = sh.join(freq, "sid")
         .groupBy(col("doc_id"), col("lang"))
-        .agg(array_sort(collect_list(struct(col("gf"), col("shingle")))).as("a"))
+        .agg(array_sort(collect_list(struct(col("gf"), col("sid")))).as("a"))
         .select(col("doc_id"), col("lang"),
           slice(col("a"), lit(1),
             (size(col("a")) - ceil(size(col("a")) * 0.5) + 1).cast("int")).as("a"))
         .select(col("doc_id"), col("lang"),
           explode(expr("sequence(0, size(a) - 1)")).as("i"), col("a"))
         .select(col("doc_id"), col("lang"),
-          col("a")(col("i")).getField("shingle").as("shingle"))
-      // inverted index over prefixes: docs sharing a rare (lang, shingle)
-      // become candidates; pairs generated in-bucket, no row self-join
+          col("a")(col("i")).getField("sid").as("sid"))
+      // inverted index over prefixes: docs sharing a rare (lang, shingle
+      // id) become candidates; pairs generated in-bucket, no row self-join
       val cand = bucketPairs(prefix
-        .groupBy(col("lang"), col("shingle"))
+        .groupBy(col("lang"), col("sid"))
         .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) > 1))
       // verify joins UNHINTED: `sets` is corpus-sized (never broadcast it);
@@ -240,10 +256,13 @@ object Dedup {
     },
     Some(s"""
       WITH $shinglesSql,
-      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      shid AS (
+        SELECT DISTINCT doc_id, lang, ${md5IdSql("shingle")} AS shingle
+        FROM sh),
+      cnt AS (SELECT doc_id, count(*) AS n FROM shid GROUP BY 1),
       inter AS (
         SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
-        FROM sh a JOIN sh b
+        FROM shid a JOIN shid b
           ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT da, db,
