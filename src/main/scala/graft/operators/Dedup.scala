@@ -282,7 +282,14 @@ object Dedup {
     * the shared machinery of q32 and q35's duplicate-cluster assignment.
     */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+    // map-side id reduction (the q31/q33 lesson): the shingle-dedup
+    // exchange — hidden from ShuffleProf behind the localCheckpoint but
+    // paid on every cold run — carries (doc_id, sid) int64 pairs instead
+    // of strings. The oracle's ids CTE already distincts over the
+    // md5-derived id, so this matches it even more directly.
+    val sh = rawShinglesOf(docs(s, d))
+      .select(col("doc_id"), md5Id(col("shingle")).as("sid"))
+      .distinct()
     // one aggregation produces the 16 min-hashes AND the shingle-id set
     // per doc (the set feeds the exact-Jaccard verify without another
     // pass over the corpus)
@@ -299,7 +306,7 @@ object Dedup {
     // the standard production trade — persist the signatures, never
     // re-derive them from text. Blocks are freed by the ContextCleaner
     // when the frame exits, as in [[connectedComponents]].
-    val sig = sh.withColumn("sid", md5Id(col("shingle")))
+    val sig = sh
       .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       .localCheckpoint()
     // band buckets via groupBy + collect_set: ONE shuffle keyed by
@@ -390,14 +397,21 @@ object Dedup {
   private val q33 = QueryDef(
     "q33_dedup_simhash",
     (s, d) => {
-      val sh = shingles(s, d)
+      // map-side id reduction (the q31 lesson, measured 18.7 → ~6 MB
+      // shuffled): the shingle-dedup exchange carries (doc_id, sid)
+      // int64 pairs, never strings; the oracle's ids CTE applies the
+      // same DISTINCT over md5-derived ids so collisions merge
+      // identically in both engines
+      val sh = rawShinglesOf(docs(s, d))
+        .select(col("doc_id"), md5Id(col("shingle")).as("sid"))
+        .distinct()
       val bitSums = (0 until SimBits).map(j =>
         sum(when((col("sid") * aK(j) + bK(j)) % P % 2 === 1, lit(1L))
           .otherwise(lit(-1L))).as(s"s$j"))
       val hashExpr = (0 until SimBits)
         .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END")
         .mkString(" + ")
-      val sig = sh.withColumn("sid", md5Id(col("shingle")))
+      val sig = sh
         .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"), expr(hashExpr).as("simhash"))
       // 15-bit band buckets → in-bucket pair generation (one shuffle),
@@ -432,7 +446,7 @@ object Dedup {
         .mkString("\n        UNION ALL ")
       s"""
       WITH $shinglesSql,
-      ids AS (SELECT doc_id, ${md5IdSql("shingle")} AS sid FROM sh),
+      ids AS (SELECT DISTINCT doc_id, ${md5IdSql("shingle")} AS sid FROM sh),
       sums AS (SELECT doc_id,
                $bitSums
                FROM ids GROUP BY doc_id),
