@@ -1,9 +1,11 @@
 package graft
 
 import graft.functions.{EmbedSimHash, FloatDot, JaroWinkler, Morton32}
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Engine extension injector: registers the native expressions so SQL
   * users get them too (`SELECT float_dot(a, b)`), not just the Column
@@ -26,6 +28,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `morton32(x, y)`         — z-order interleave of two BIGINT keys
   *                               (low 16 bits each), the layout key for
   *                               2-D min/max data skipping (q179)
+  *  - `bloom_agg(h[, n[, bits]])` — Spark's own `BloomFilterAggregate`
+  *                               (the sketch `InjectRuntimeFilter` builds
+  *                               for runtime row-filters), surfaced as a
+  *                               SQL aggregate over xxhash64 longs
+  *  - `bloom_contains(bf, h)`  — codegen'd `BloomFilterMightContain`
+  *                               probe; `bf` must be a constant or a
+  *                               scalar subquery (the engine inserts the
+  *                               built sketch exactly once)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -76,5 +86,35 @@ object GraftExtensions {
     ("morton32", classOf[Morton32], { children: Seq[Expression] =>
       require(children.length == 2, "morton32 takes exactly 2 arguments")
       Morton32(children.head, children(1))
+    }),
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain as the
+    // internal machinery behind InjectRuntimeFilter but registers no SQL
+    // names for them; surfacing the pair makes the asymmetric-membership
+    // prefilter (q192) expressible as one declarative plan — sketch built
+    // by an uncorrelated scalar subquery, probe codegen'd into the scan
+    // projection, the exact mechanism of Spark's own runtime row-filters.
+    ("bloom_agg", classOf[BloomFilterAggregate], { children: Seq[Expression] =>
+      require(children.nonEmpty && children.length <= 3,
+        "bloom_agg takes 1-3 arguments: value[, estimatedItems[, numBits]]")
+      val agg = children.length match {
+        case 1 => new BloomFilterAggregate(children.head)
+        case 2 => new BloomFilterAggregate(children.head, children(1))
+        case _ => new BloomFilterAggregate(children.head, children(1), children(2))
+      }
+      agg.toAggregateExpression()
+    }),
+    ("bloom_contains", classOf[BloomFilterMightContain], { children: Seq[Expression] =>
+      require(children.length == 2, "bloom_contains takes exactly 2 arguments")
+      BloomFilterMightContain(children.head, children(1))
     }))
+
+  /** Idempotently install the SQL surface on an ALREADY-BUILT session
+    * (the extensions injector only runs at session construction; queries
+    * that go through the SQL names call this first so they work on any
+    * driver-provided session).
+    */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, build) =>
+      Bridge.registerFunction(spark, name, build)
+    }
 }

@@ -1016,7 +1016,73 @@ object Pipeline {
         AND (cum - wt) // (tw // 5) < 5
       ORDER BY c_mktsegment, cum"""))
 
+  // --------------------------------------------------------------- q192
+  // Bloom-prefiltered decontamination — the 100 TB form of q105/q112's
+  // asymmetric membership. q112 broadcasts the eval gram set as an EXACT
+  // hash relation: at real eval-suite scale (~1e8 distinct 5-grams ×
+  // ~40-byte strings) that is a multi-GB build side per executor. The
+  // scale path is Spark's own runtime-row-filter mechanism, surfaced
+  // here as an operator: aggregate the eval grams into a
+  // `BloomFilterAggregate` sketch (fixed size: 1.44·n·log2(1/p) bits ≈
+  // 120 MB at n=1e8, p=1% — independent of string length), insert it
+  // once via an uncorrelated scalar subquery, and probe the corpus gram
+  // stream with the codegen'd `BloomFilterMightContain` (k ≈ 7 bit
+  // tests per gram, inside the scan's WholeStageCodegen projection — no
+  // exchange, no build side). Bloom filters have NO false negatives, so
+  // chasing the survivors (true hits + ~p of the stream) with the exact
+  // semi-join q112 runs makes the prefilter LOSSLESS: the result is
+  // bit-identical to the exact formulation for every p, which is why a
+  // plain-SQL DuckDB oracle can hash-check a sketch-accelerated plan.
+  // FunctionsSpec pins the no-false-negative property and measures the
+  // false-positive rate against the sketch's configured bound.
+  // Output: the leakage report — every contaminated training doc with
+  // how many distinct eval grams it leaks.
+  private val q192 = QueryDef(
+    "q192_bloom_decontamination",
+    (s, d) => {
+      graft.GraftExtensions.register(s)
+      docs(s, d).createOrReplaceTempView("v_docs192")
+      fiveGramsOf(docs(s, d)).createOrReplaceTempView("v_grams192")
+      s.sql("""
+        WITH ev AS (
+          SELECT DISTINCT ng FROM v_grams192 WHERE doc_id % 97 = 3),
+        pass AS (
+          SELECT g.doc_id, g.ng
+          FROM v_grams192 g
+          WHERE g.doc_id % 97 <> 3
+            AND bloom_contains(
+                  (SELECT bloom_agg(xxhash64(ng), CAST(100000 AS BIGINT))
+                   FROM ev),
+                  xxhash64(g.ng))),
+        hits AS (
+          SELECT p.doc_id, count(DISTINCT p.ng) AS n_eval_grams
+          FROM pass p JOIN ev ON p.ng = ev.ng
+          GROUP BY p.doc_id)
+        SELECT d.doc_id, d.source, h.n_eval_grams
+        FROM hits h JOIN v_docs192 d ON d.doc_id = h.doc_id
+        ORDER BY d.doc_id""")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      g AS (
+        SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+               THEN list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i:i+4], ' '))
+               ELSE [] END) AS ng
+        FROM t),
+      ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 3),
+      hits AS (
+        SELECT g.doc_id, count(DISTINCT g.ng) AS n_eval_grams
+        FROM g JOIN ev USING (ng)
+        WHERE g.doc_id % 97 <> 3
+        GROUP BY g.doc_id)
+      SELECT d.doc_id, d.source, h.n_eval_grams
+      FROM hits h
+      JOIN documents d ON d.doc_id = h.doc_id
+      ORDER BY d.doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113, q114, q115, q117,
-      q124, q136, q139, q148)
+      q124, q136, q139, q148, q192)
 }

@@ -149,6 +149,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sqlGot == 11L)
   }
 
+  test("bloom_agg/bloom_contains: zero false negatives, bounded false positives") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    (0 until 20000).map(i => s"member-$i").toDF("s")
+      .createOrReplaceTempView("v_bloom_members")
+    (0 until 20000).map(i => s"absent-$i").toDF("s")
+      .createOrReplaceTempView("v_bloom_probes")
+    // losslessness (what makes q192's prefilter exact): a bloom filter has
+    // NO false negatives — every inserted member must pass its own sketch
+    val misses = spark.sql("""
+      SELECT count(*) FROM v_bloom_members
+      WHERE NOT bloom_contains(
+        (SELECT bloom_agg(xxhash64(s), CAST(20000 AS BIGINT))
+         FROM v_bloom_members),
+        xxhash64(s))""").collect().head.getLong(0)
+    assert(misses === 0L, "bloom filter produced a false negative")
+    // effectiveness: default sizing is 8 bits/item (~2% FPR with optimal
+    // k); a disjoint probe set must pass at well under 10%
+    val fps = spark.sql("""
+      SELECT count(*) FROM v_bloom_probes
+      WHERE bloom_contains(
+        (SELECT bloom_agg(xxhash64(s), CAST(20000 AS BIGINT))
+         FROM v_bloom_members),
+        xxhash64(s))""").collect().head.getLong(0)
+    assert(fps < 2000L, s"false-positive rate ${fps / 20000.0} exceeds 10%")
+  }
+
   test("q114 injection round-trip: every injected kind redacts to its marker") {
     import spark.implicits._
     val P = graft.operators.Pipeline
