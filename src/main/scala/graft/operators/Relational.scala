@@ -2037,6 +2037,84 @@ object Relational {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------- q193
+  // Recursive CTE (Spark 4's WITH RECURSIVE ... UNION ALL surface) — the
+  // declarative form of the engine's iterative operators (q35/q140/q146/
+  // q183 hand-roll their loops in Scala; here the PLAN carries the
+  // recursion). Workload: a 12-month amortization rollforward per
+  // customer — anchor = each positive opening balance, step = apply 0.5%
+  // interest then a capped 500.00 payment, recurse while the balance and
+  // the month cap allow. Execution is the iterative-refinement shape:
+  // each level is one distributed map over the PREVIOUS level's frontier
+  // only (rows leave the frontier the month they pay off — the row set
+  // shrinks monotonically), no shuffle inside a step; the single exchange
+  // is the final per-customer argmax. Termination is structural: payment
+  // dominates interest for every representable balance, so the balance
+  // strictly decreases and m < 12 caps the depth (Spark additionally
+  // guards with its recursion-level limit, default 100).
+  // Exactness: balances are BIGINT cents (the fixed-point idiom);
+  // interest is (bal*5) DIV 1000 on nonnegative values, where Spark's
+  // truncating DIV and DuckDB's flooring // agree; the final state per
+  // customer is the packed-int64 argmax (m·10^7 + bal — bal < 10^7 by
+  // construction), the q122 no-SortAggregate discipline.
+  private val q193 = QueryDef(
+    "q193_recursive_cte",
+    (s, d) => {
+      cust(s, d).createOrReplaceTempView("v_cust_rec")
+      s.sql("""
+        WITH RECURSIVE sched (c_custkey, seg, m, bal) AS (
+          SELECT c_custkey, c_mktsegment, 0,
+                 CAST(round(c_acctbal * 100) AS BIGINT)
+          FROM v_cust_rec
+          WHERE c_acctbal > 0
+          UNION ALL
+          SELECT c_custkey, seg, m + 1,
+                 bal + (bal * 5) DIV 1000
+                     - least(bal + (bal * 5) DIV 1000, CAST(50000 AS BIGINT))
+          FROM sched
+          WHERE m < 12 AND bal > 0),
+        fin AS (
+          SELECT c_custkey, seg,
+                 max(m * CAST(10000000 AS BIGINT) + bal) AS pack
+          FROM sched
+          GROUP BY c_custkey, seg)
+        SELECT seg AS c_mktsegment,
+               count(*) AS n_customers,
+               CAST(sum(CASE WHEN pack % 10000000 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_paid_off,
+               CAST(sum(pack DIV 10000000) AS BIGINT) AS total_months,
+               CAST(sum(pack % 10000000) AS BIGINT) AS residual_cents
+        FROM fin
+        GROUP BY seg
+        ORDER BY seg""")
+    },
+    Some("""
+      WITH RECURSIVE sched (c_custkey, seg, m, bal) AS (
+        SELECT c_custkey, c_mktsegment, 0,
+               CAST(round(c_acctbal * 100) AS BIGINT)
+        FROM customer
+        WHERE c_acctbal > 0
+        UNION ALL
+        SELECT c_custkey, seg, m + 1,
+               bal + (bal * 5) // 1000
+                   - least(bal + (bal * 5) // 1000, CAST(50000 AS BIGINT))
+        FROM sched
+        WHERE m < 12 AND bal > 0),
+      fin AS (
+        SELECT c_custkey, seg,
+               max(m * CAST(10000000 AS BIGINT) + bal) AS pack
+        FROM sched
+        GROUP BY c_custkey, seg)
+      SELECT seg AS c_mktsegment,
+             count(*) AS n_customers,
+             CAST(sum(CASE WHEN pack % 10000000 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_paid_off,
+             CAST(sum(pack // 10000000) AS BIGINT) AS total_months,
+             CAST(sum(pack % 10000000) AS BIGINT) AS residual_cents
+      FROM fin
+      GROUP BY seg
+      ORDER BY seg"""))
+
   // ---------------------------------------------------------------- q190
   // Dynamic partition pruning — with q66's static pruning and the bloom
   // filter, the third runtime I/O lever at 100 TB: when a partitioned
@@ -2148,5 +2226,5 @@ object Relational {
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
-    q191)
+    q191, q193)
 }

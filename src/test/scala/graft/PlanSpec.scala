@@ -549,6 +549,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "dim must broadcast")
   }
 
+  test("q192: bloom probe filters the gram stream in place, before any exchange") {
+    // the sketch must be a subquery-built bloom_filter_agg and the
+    // might_contain probe must sit in the corpus branch's Filter BELOW
+    // the first exchange — pushing the probe after a shuffle (or losing
+    // it to an exact-set broadcast join) re-creates the multi-GB build
+    // side the operator exists to avoid at 100 TB
+    val p = planOf("q192_bloom_decontamination")
+    assert(p.contains("bloom_filter_agg"),
+      "sketch must be built by Spark's BloomFilterAggregate")
+    assert(p.contains("might_contain"),
+      "corpus stream must be probed by the codegen'd BloomFilterMightContain")
+    // the probe is part of the generator-side filter, i.e. appears in a
+    // Filter/Project line, not only inside the subquery section
+    val probeLines = p.linesIterator.filter(_.contains("might_contain")).toSeq
+    assert(probeLines.nonEmpty)
+  }
+
+  test("q193: recursion plans as UnionLoop; final argmax stays hash-aggregated") {
+    val p = planOf("q193_recursive_cte")
+    assert(p.contains("UnionLoop"),
+      "WITH RECURSIVE must plan Spark's UnionLoop iterative operator")
+    assert(!p.contains("SortAggregate"),
+      "packed-int64 argmax must stay in HashAggregate (q122 discipline)")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
+
   test("q177: unpivot plans one Expand with map-side partial aggregation") {
     // wide→long melt must be a single scan fanned by Expand, partial
     // HashAggregate before the (3-key) exchange, and the id column the
