@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{EmbedSimHash, FloatDot, JaroWinkler, Morton32}
+import graft.functions.{EmbedSimHash, FloatDot, JaroWinkler, LongDot, Morton32}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, Sqrt}
@@ -28,6 +28,8 @@ import org.apache.spark.sql.graftbridge.Bridge
   *  - `morton32(x, y)`         — z-order interleave of two BIGINT keys
   *                               (low 16 bits each), the layout key for
   *                               2-D min/max data skipping (q179)
+  *  - `long_dot(a, b)`         — native codegen'd Σ aᵢ·bᵢ over
+  *                               array<bigint> (int8-quantized scoring)
   *  - `bloom_agg(h[, n[, bits]])` — Spark's own `BloomFilterAggregate`
   *                               (the sketch `InjectRuntimeFilter` builds
   *                               for runtime row-filters), surfaced as a
@@ -86,6 +88,10 @@ object GraftExtensions {
     ("morton32", classOf[Morton32], { children: Seq[Expression] =>
       require(children.length == 2, "morton32 takes exactly 2 arguments")
       Morton32(children.head, children(1))
+    }),
+    ("long_dot", classOf[LongDot], { children: Seq[Expression] =>
+      require(children.length == 2, "long_dot takes exactly 2 arguments")
+      LongDot(children.head, children(1))
     }),
     // Spark ships BloomFilterAggregate/BloomFilterMightContain as the
     // internal machinery behind InjectRuntimeFilter but registers no SQL

@@ -72,6 +72,62 @@ case class FloatDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native integer dot product over two `array<bigint>` columns — the
+  * scoring kernel for int8-quantized embeddings (q194). Quantized cosine
+  * is Σ qaᵢ·qbᵢ / (√Σ qaᵢ² · √Σ qbᵢ²): every sum is exact 64-bit integer
+  * arithmetic (|q| ≤ 127 ⇒ a 4096-dim dot stays < 2²⁶ — overflow needs
+  * dims ≈ 2⁴⁹), which is what makes a quantized ANN hash-checkable
+  * against a SQL oracle. Same codegen shape as [[FloatDot]]: primitive
+  * `ArrayData` reads inside WholeStageCodegen, shorter-array truncation.
+  */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"long_dot needs two array<bigint> args, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $x.getLong($i) * $y.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Random-hyperplane SimHash over an `array<float>` embedding, as one
   * codegen'd pass — the LSH signature for embedding near-dup candidate
   * generation (Charikar 2002 shape).
@@ -259,4 +315,8 @@ object VectorFunctions {
   /** 32-bit Morton interleave of two BIGINT key columns (low 16 bits). */
   def morton32(a: Column, b: Column): Column =
     Bridge.column(Morton32(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Σᵢ a[i]·b[i] as BIGINT over two `array<bigint>` columns (q194). */
+  def long_dot(a: Column, b: Column): Column =
+    Bridge.column(LongDot(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -2115,6 +2115,83 @@ object Relational {
       GROUP BY seg
       ORDER BY seg"""))
 
+  // ---------------------------------------------------------------- q195
+  // SCD Type-2 dimension build: materialize the full validity-interval
+  // history of a tracked attribute (event_type as the user's "state")
+  // from an append-only event log — the warehouse dimension-history
+  // pattern. q156's CDC compaction answers "latest state per key"; SCD2
+  // answers "every state, with [valid_from, valid_to) intervals and an
+  // is_current flag" so facts can join the dimension AS OF any time
+  // (q28's as-of join is the consumer of exactly this shape).
+  // Build: per user ordered by (ts, event_id), a change flag via lag →
+  // running sum = version id → per-version aggregate (open timestamp,
+  // event count) → valid_to = lead(valid_from). Scale: ONE user-keyed
+  // exchange feeds everything — the version window, the per-version
+  // aggregate (group keys ⊇ partition key), and the valid_to lead
+  // (same user_id partitioning) all reuse it; no corpus-wide window, and
+  // per-task work is bounded by the hottest user's history (q52's
+  // sessionization contract). Consecutive duplicate states collapse into
+  // one interval, so the dimension's size tracks state CHANGES, not raw
+  // event volume.
+  private val q195 = QueryDef(
+    "q195_scd2_intervals",
+    (s, d) => {
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      ev(s, d).filter(col("user_id") % 101 === 7)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev",
+          lag(col("event_type"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+        .withColumn("chg",
+          when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(wOrd))
+        .groupBy(col("user_id"), col("version"), col("event_type"))
+        .agg(min(col("ts")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wVer))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from"), col("valid_to"), col("is_current"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("version"))
+    },
+    Some("""
+      WITH src AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM events WHERE user_id % 101 = 7),
+      flg AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM src
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      ver AS (
+        SELECT user_id, event_type, ts,
+               CAST(sum(chg) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS version
+        FROM flg),
+      hist AS (
+        SELECT user_id, version, event_type,
+               min(ts) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM ver
+        GROUP BY 1, 2, 3)
+      SELECT user_id, version, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               IS NULL AS is_current,
+             n_events
+      FROM hist
+      ORDER BY user_id, version"""))
+
   // ---------------------------------------------------------------- q190
   // Dynamic partition pruning — with q66's static pruning and the bloom
   // filter, the third runtime I/O lever at 100 TB: when a partitioned
@@ -2226,5 +2303,5 @@ object Relational {
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
-    q191, q193)
+    q191, q193, q195)
 }

@@ -4,7 +4,7 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.VectorFunctions.{float_dot, float_norm}
+import graft.functions.VectorFunctions.{float_dot, float_norm, long_dot}
 
 /** Similarity search over the `embeddings` table (SURVEY §2.C7/C9):
   * brute-force cosine top-k as the exact baseline, and an IVF-style
@@ -695,5 +695,100 @@ object Similarity {
       FROM agg
       ORDER BY i, j"""))
 
-  val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q128, q137, q163)
+  // ---------------------------------------------------------------- q194
+  // Int8-quantized ANN with in-query recall — the memory/bandwidth lever
+  // for vector search at 100 TB. Each vector is quantized to int8 by its
+  // own max-abs scale (qᵢ = round(127·xᵢ / max|x|)): 4× less rerank IO
+  // than fp32, and because cosine is scale-invariant the per-vector scale
+  // CANCELS out of the score — quantized cosine is Σ qaᵢ·qbᵢ /
+  // (√Σ qaᵢ²·√Σ qbᵢ²), pure 64-bit integer sums + two IEEE sqrt/div.
+  // That exactness (no float accumulation anywhere) is what lets a hash
+  // oracle certify a quantized index byte-for-byte — and it holds at any
+  // partition count. Scoring is the native codegen'd [[graft.functions
+  // .LongDot]]; the probe set broadcasts and the corpus never shuffles
+  // (q50's contract). The query scores BOTH representations in one pass
+  // and reports per-probe overlap@10 against the exact fp32 ranking —
+  // the recall observability a production quantized index ships with.
+  // (Both rankings share one qid-keyed exchange; the two in-partition
+  // window sorts are 10-row-deep rank cuts, not corpus sorts.)
+  private val q194 = QueryDef(
+    "q194_quantized_ann",
+    (s, d) => {
+      val base = emb(s, d)
+        .withColumn("gmax", expr(
+          "CAST(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE)"))
+        .withColumn("qv", expr(
+          """CASE WHEN gmax = 0D THEN transform(embedding, x -> CAST(0 AS BIGINT))
+            |ELSE transform(embedding,
+            |  x -> CAST(round(CAST(x AS DOUBLE) * 127.0D / gmax) AS BIGINT))
+            |END""".stripMargin))
+        .withColumn("qn2", long_dot(col("qv"), col("qv")))
+        .withColumn("norm", float_norm(col("embedding")))
+      val probes = base.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("qv").as("qa"),
+          col("embedding").as("fa"), col("qn2").as("na"), col("norm").as("fna"))
+      val cand = base.select(col("vec_id").as("cid"), col("qv").as("qb"),
+        col("embedding").as("fb"), col("qn2").as("nb"), col("norm").as("fnb"))
+      val scored = cand.join(broadcast(probes), col("qid") =!= col("cid"))
+        .withColumn("cosq", round(long_dot(col("qa"), col("qb")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6))
+        .withColumn("cosf", round(float_dot(col("fa"), col("fb")) /
+          (col("fna") * col("fnb")), 6))
+      val wq = Window.partitionBy(col("qid")).orderBy(col("cosq").desc, col("cid"))
+      val wf = Window.partitionBy(col("qid")).orderBy(col("cosf").desc, col("cid"))
+      scored
+        .select(col("qid"), col("cid"), col("cosq"), col("cosf"))
+        .withColumn("rkq", row_number().over(wq))
+        .withColumn("rkf", row_number().over(wf))
+        .groupBy(col("qid"))
+        .agg(sum(when(col("rkq") <= 10 && col("rkf") <= 10, 1L).otherwise(0L))
+          .as("n_overlap"))
+        .select(col("qid"), col("n_overlap"),
+          (col("n_overlap").cast("double") / lit(10.0)).as("recall_at_10"))
+        .orderBy(col("qid"))
+    },
+    Some(s"""
+      WITH $evSql,
+      g AS (SELECT vec_id, max(abs(v)) AS gm FROM ev GROUP BY 1),
+      qv AS (
+        SELECT ev.vec_id, i,
+               CASE WHEN gm = 0 THEN 0
+                    ELSE CAST(round(v * 127.0 / gm) AS BIGINT) END AS q
+        FROM ev JOIN g USING (vec_id)),
+      qn AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM qv GROUP BY 1),
+      pq AS (
+        SELECT a.vec_id AS qid, b.vec_id AS cid,
+               CAST(sum(a.q * b.q) AS BIGINT) AS dotq
+        FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id < 3 AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2),
+      pf AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.v * c.v) AS dot
+        FROM ev q JOIN ev c ON q.i = c.i AND q.vec_id < 3 AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2),
+      sq AS (
+        SELECT qid, cid,
+               round(CAST(dotq AS DOUBLE) /
+                 (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+                 AS cosq
+        FROM pq JOIN qn na ON qid = na.vec_id JOIN qn nb ON cid = nb.vec_id),
+      sf AS (
+        SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cosf
+        FROM pf JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON cid = nc.vec_id),
+      rk AS (
+        SELECT sq.qid, sq.cid,
+               row_number() OVER (PARTITION BY sq.qid
+                                  ORDER BY cosq DESC, sq.cid) AS rkq,
+               row_number() OVER (PARTITION BY sq.qid
+                                  ORDER BY cosf DESC, sq.cid) AS rkf
+        FROM sq JOIN sf ON sq.qid = sf.qid AND sq.cid = sf.cid)
+      SELECT qid,
+             CAST(sum(CASE WHEN rkq <= 10 AND rkf <= 10 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_overlap,
+             CAST(sum(CASE WHEN rkq <= 10 AND rkf <= 10 THEN 1 ELSE 0 END)
+               AS DOUBLE) / 10.0 AS recall_at_10
+      FROM rk
+      GROUP BY qid
+      ORDER BY qid"""))
+
+  val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q128, q137, q163, q194)
 }

@@ -72,6 +72,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(v.head === 32.0)
   }
 
+  test("long_dot: exact values, truncation, nulls, both eval paths") {
+    import graft.functions.VectorFunctions.long_dot
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (2L, Seq(127L, -127L), Seq(127L, 127L, 99L)), // truncates to min length
+      (3L, Seq.empty[Long], Seq(1L))
+    ).toDF("id", "a", "b")
+    val m = d.select(col("id"), long_dot(col("a"), col("b")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === 32L && m(2L) === 0L && m(3L) === 0L)
+    // null propagation + interpreted path (RDD collect bypasses codegen)
+    val withNull = d.withColumn("a2", when(col("id") === 1, col("a")))
+    val rows = withNull.select(long_dot(col("a2"), col("b"))).orderBy(col("id"))
+      .rdd.map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).collect()
+    assert(rows.count(_.isDefined) == 1 && rows.flatten.head == 32L)
+  }
+
   test("q114 PII redaction: exact replacements, near-miss negatives untouched") {
     import spark.implicits._
     val in = Seq(

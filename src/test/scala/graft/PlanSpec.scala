@@ -575,6 +575,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("cartesianproduct"))
   }
 
+  test("q194: quantized scoring is native long_dot; probes broadcast, no cartesian") {
+    val p = planOf("q194_quantized_ann")
+    assert(p.contains("long_dot"), "native LongDot expected in the scoring path")
+    assert(p.contains("float_dot"), "fp32 reference ranking shares the same pass")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "probe set must broadcast — the corpus side never shuffles")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
+
+  test("q195: one user-keyed exchange feeds both windows and the aggregate") {
+    // SCD2's lag window, version running sum, per-version aggregate and
+    // valid_to lead must all reuse hashpartitioning(user_id) — a second
+    // user-keyed exchange would reshuffle the corpus once per step
+    val p = planOf("q195_scd2_intervals")
+    val dataExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning"))
+      .filter(_.contains("user_id")).toSeq
+    assert(dataExchanges.size == 1,
+      s"expected exactly one user-keyed exchange, got ${dataExchanges.size}")
+    assert(!p.contains("SortAggregate"))
+  }
+
   test("q177: unpivot plans one Expand with map-side partial aggregation") {
     // wide→long melt must be a single scan fanned by Expand, partial
     // HashAggregate before the (3-key) exchange, and the id column the
