@@ -2164,8 +2164,78 @@ object Analytics {
       WHERE rk <= 3
       ORDER BY a, rk"""))
 
+  // ---------------------------------------------------------------- q196
+  // Time-grid resampling with forward-fill — the sparse→dense conversion
+  // every time-series consumer (charting, feature windows, model input
+  // tensors) runs over an event stream: build the full hourly grid per
+  // key, mark the empty slots, and carry the last observed value forward.
+  // A sparse user slice (user_id % 13 = 5) makes real gaps at every SF.
+  // Scale shape: the ONLY corpus-scale stage is the (key, hour) hash
+  // aggregate over raw events — canonical partial+final, map-side
+  // combined. Everything after runs on the GRID, whose size is
+  // |keys| × |hours| (time span × key cardinality — independent of event
+  // volume): the per-key min/max bounds are a dimension-sized aggregate,
+  // `sequence()` explodes the grid from 5 bound rows, the left join
+  // hangs the sparse aggregates on it, and the forward-fill window
+  // partitions by key over grid rows only — its per-task work is bounded
+  // by the time span, never by the corpus. (A formulation that
+  // forward-filled over raw events before aggregating would drag the
+  // full stream through the window sort — the shape this query exists
+  // to avoid.)
+  private val q196 = QueryDef(
+    "q196_resample_ffill",
+    (s, d) => {
+      val sparse = ev(s, d).filter(col("user_id") % 13 === 5)
+        .select(col("event_type"),
+          date_trunc("HOUR", col("ts")).as("hr"), col("value"))
+      val hourly = sparse.groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          sumFixed(col("value"), 2).as("hour_value"))
+      val grid = sparse.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(col("event_type"),
+          explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "hr"), "left")
+        .withColumn("is_gap", col("n_events").isNull)
+        .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+        .withColumn("filled_value",
+          last(col("hour_value"), ignoreNulls = true).over(w))
+        .select(col("event_type"), col("hr"), col("n_events"),
+          col("hour_value"), col("filled_value"), col("is_gap"))
+        .orderBy(col("event_type"), col("hr"))
+    },
+    Some(s"""
+      WITH sparse AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, value
+        FROM events WHERE user_id % 13 = 5),
+      hourly AS (
+        SELECT event_type, hr,
+               CAST(count(*) AS BIGINT) AS n_events,
+               ${sumFixedSql("value", 2)} AS hour_value
+        FROM sparse GROUP BY 1, 2),
+      bounds AS (
+        SELECT event_type, min(hr) AS lo, max(hr) AS hi
+        FROM sparse GROUP BY 1),
+      grid AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        FROM bounds)
+      SELECT g.event_type, g.hr,
+             COALESCE(h.n_events, 0) AS n_events,
+             h.hour_value,
+             last_value(h.hour_value IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_value,
+             h.n_events IS NULL AS is_gap
+      FROM grid g
+      LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hr = g.hr
+      ORDER BY g.event_type, g.hr"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
-      q162, q164, q165, q166, q168, q169, q183, q184, q187, q188)
+      q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196)
 }
