@@ -5,8 +5,9 @@ import java.util.concurrent.atomic.AtomicInteger
 import graft.{QueryDef, Num, Tables}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators over `events` (SURVEY §2.C10): tumbling,
   * sliding, and session windows, watermarks, streaming dedup, and custom
@@ -1019,7 +1020,150 @@ object EventStreams {
       GROUP BY 1
       ORDER BY segment"""))
 
+  // ---------------------------------------------------------------- q197
+  // EVENT-TIME TIMERS — the transformWithState surface q88/q94 leave
+  // unexercised: per-key timers that fire when the WATERMARK passes a
+  // registered event-time, letting a processor act on keys that receive
+  // no further input (the only way to close a session for a user who
+  // simply went away). Workload: arbitrary-state reimplementation of
+  // per-user session windows (30-min gap) — what Spark's built-in
+  // session_window (q82) does internally, opened up:
+  //  - state = ListState of open sessions (start_ms, last_ms, n);
+  //  - input events below `timerValues.getCurrentWatermarkInMs()` are
+  //    dropped. Pinned empirically (oracle diffing at sf0.001, exact
+  //    session-count match 757 under lag-1 vs 875/946 under lag-2/3):
+  //    the watermark transformWithState EXPOSES in batch j derives from
+  //    data through batch j−1 — the EVICTION watermark, one batch LESS
+  //    lagged than the lag-2 offset-log watermark the built-in
+  //    operators apply to late rows (q86/q87's model). The two models
+  //    genuinely differ; the oracle here uses 1 PRECEDING;
+  //  - a kept event merges every open session within the 30-min gap of
+  //    it (interval connected-components — ORDER-INDEPENDENT, so intra-
+  //    batch arrival order and cross-batch splits cannot change the
+  //    result);
+  //  - ONE timer per key, at the earliest open-session close time; on
+  //    expiry the processor emits+drops every session the watermark has
+  //    passed and re-arms for the next — emission is single-shot by
+  //    construction (a future kept event has ts ≥ wm > close+gap, so it
+  //    can never merge into an emitted session).
+  // The staged sentinel (+30 d) drives the final watermark past every
+  // real close time, so ALL sessions of kept rows emit deterministically
+  // — the oracle is plain batch sessionization over the kept set, with
+  // no emission-timing term at all.
+  // Scale: state per key = open sessions inside the watermark horizon
+  // (bounded by lag × session rate, not history); timers are one per key;
+  // everything shuffles once on user_id — the q82/q84 contract.
+  private class SessionTimerProcessor
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp),
+        (Long, Long, Long, Long)] {
+    private val GapMs = 30L * 60 * 1000
+    @transient private var open: ListState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getListState[(Long, Long, Long)]("open",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        TTLConfig.NONE)
+
+    /** Persist the open-session set (the store rejects empty list PUTs —
+      * an empty set is a clear()) and re-arm the single per-key timer at
+      * the earliest close time. */
+    private def save(sessions: Seq[(Long, Long, Long)]): Unit = {
+      if (sessions.isEmpty) open.clear() else open.put(sessions.toArray)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (sessions.nonEmpty)
+        getHandle.registerTimer(sessions.map(_._2).min + GapMs)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      var sessions = open.get().toList
+      rows.foreach { case (_, t) =>
+        val ms = t.getTime // µs floor-divided, the engine's event-time unit
+        if (ms >= wm) {
+          val (near, far) = sessions.partition { case (s0, l, _) =>
+            ms >= s0 - GapMs && ms <= l + GapMs
+          }
+          val merged = near.foldLeft((ms, ms, 1L)) {
+            case ((s0, l, n), (s1, l1, n1)) =>
+              (math.min(s0, s1), math.max(l, l1), n + n1)
+          }
+          sessions = merged :: far
+        }
+      }
+      save(sessions)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val (due, still) = open.get().toList.partition(_._2 + GapMs <= wm)
+      save(still)
+      due.sortBy(_._1)
+        .map { case (s0, l, n) => (key, s0, l, n) }.iterator
+    }
+  }
+
+  private val q197 = QueryDef(
+    "q197_stream_timer_sessions",
+    (s, d) =>
+      run(s, st => {
+        import s.implicits._
+        st.withWatermark("ts", "10 minutes")
+          .select(col("user_id"), col("ts"))
+          .as[(Long, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .transformWithState(new SessionTimerProcessor,
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "start_ms", "end_ms", "n_events")
+      }, ss => readStaged(ss, slicedDir(s, d)), "append",
+        // timers + ListState = multiple state column families — RocksDB
+        // provider required (HDFS-backed refuses), changelogs as in q88
+        conf = Seq(
+          "spark.sql.streaming.stateStore.providerClass" ->
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+            "true"))
+        .filter(col("user_id") =!= -1L)
+        .orderBy(col("user_id"), col("start_ms")),
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               (epoch_us(ts) - (SELECT min(epoch_us(ts)) FROM events))
+                 // ${SliceUs}
+                 + (CASE WHEN event_id % 13 = 0 THEN 2
+                         WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS fid
+        FROM events),
+      fmax AS (SELECT fid, max(ts_us // 1000) AS fmax_ms FROM e GROUP BY fid),
+      wm AS (SELECT fid,
+               coalesce(max(fmax_ms) OVER (ORDER BY fid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 600000, 0)
+                 AS wm_ms
+             FROM fmax),
+      kept AS (
+        SELECT e.user_id, e.ts_us // 1000 AS ms
+        FROM e JOIN wm USING (fid)
+        WHERE e.ts_us // 1000 >= wm.wm_ms),
+      flg AS (
+        SELECT user_id, ms,
+               CASE WHEN lag(ms) OVER w IS NULL
+                      OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS brk
+        FROM kept
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+      sess AS (
+        SELECT user_id, ms,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flg)
+      SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sess
+      GROUP BY user_id, sid
+      ORDER BY user_id, start_ms"""))
+
   val defs: Seq[QueryDef] =
     Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q93, q94, q96, q97,
-      q98, q178, q189)
+      q98, q178, q189, q197)
 }
