@@ -510,6 +510,34 @@ class PlanSpec extends AnyFunSuite {
       s"AQE skew-join rewrite did not fire; final plan:\n${p.take(1500)}")
   }
 
+  test("InjectRuntimeFilter: selective dim filter becomes a bloom row-filter on the fact scan") {
+    // the optimizer-injected counterpart of q192's explicit operator and
+    // q190's partition pruning: on a SHUFFLE join with a selectively
+    // filtered creation side, Spark plants a bloom_filter_agg subquery
+    // on the dim and a might_contain predicate on the fact leg, dropping
+    // non-joining fact rows BEFORE the exchange. At 100 TB this is the
+    // row-level analogue of DPP for non-partition join keys. Thresholds
+    // lowered to fire at test scale (production defaults: creation side
+    // < 100MB, application scan > 10GB — exactly the 1000-executor
+    // star-join regime).
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ss.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val li = graft.Tables.t(ss, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = graft.Tables.t(ss, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+      s"runtime bloom filter did not inject; plan:\n${p.take(2000)}")
+  }
+
   test("BoundedLevenshteinPrefilter: naive edit-distance predicate gets banded + prefiltered") {
     // the injected Rule[LogicalPlan] must rewrite `levenshtein(a,b) <= k`
     // (full O(|a|·|b|) DP per row) into the length-gap prefilter + the
