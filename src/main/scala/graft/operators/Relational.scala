@@ -2116,25 +2116,26 @@ object Relational {
       ORDER BY seg"""))
 
   // ---------------------------------------------------------------- q195
-  // SCD Type-2 dimension build: materialize the full validity-interval
-  // history of a tracked attribute (event_type as the user's "state")
-  // from an append-only event log — the warehouse dimension-history
-  // pattern. q156's CDC compaction answers "latest state per key"; SCD2
-  // answers "every state, with [valid_from, valid_to) intervals and an
-  // is_current flag" so facts can join the dimension AS OF any time
-  // (q28's as-of join is the consumer of exactly this shape).
+  // Gaps-and-islands state collapse: runs of CONSECUTIVE EQUAL states
+  // (event_type as the user's "state") merge into one validity interval
+  // with a run length. The third member of the history-tracking family:
+  // q156's CDC compaction answers "latest state per key", q124's SCD2
+  // versions EVERY event, and this collapses q124's row-per-event
+  // history into a row-per-CHANGE dimension — the islands the classic
+  // gaps-and-islands pattern names, and the deduplicated SCD2 a fact
+  // table actually as-of-joins (q28 is the consumer). A state that
+  // repeats 10⁶ times between changes costs q124 10⁶ dimension rows and
+  // this query exactly one.
   // Build: per user ordered by (ts, event_id), a change flag via lag →
-  // running sum = version id → per-version aggregate (open timestamp,
+  // running sum = island id → per-island aggregate (open timestamp,
   // event count) → valid_to = lead(valid_from). Scale: ONE user-keyed
-  // exchange feeds everything — the version window, the per-version
+  // exchange feeds everything — the island window, the per-island
   // aggregate (group keys ⊇ partition key), and the valid_to lead
   // (same user_id partitioning) all reuse it; no corpus-wide window, and
   // per-task work is bounded by the hottest user's history (q52's
-  // sessionization contract). Consecutive duplicate states collapse into
-  // one interval, so the dimension's size tracks state CHANGES, not raw
-  // event volume.
+  // sessionization contract). PlanSpec pins the single exchange.
   private val q195 = QueryDef(
-    "q195_scd2_intervals",
+    "q195_state_islands",
     (s, d) => {
       val wOrd = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))

@@ -613,10 +613,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q195: one user-keyed exchange feeds both windows and the aggregate") {
-    // SCD2's lag window, version running sum, per-version aggregate and
+    // the islands lag window, running sum, per-island aggregate and
     // valid_to lead must all reuse hashpartitioning(user_id) — a second
     // user-keyed exchange would reshuffle the corpus once per step
-    val p = planOf("q195_scd2_intervals")
+    val p = planOf("q195_state_islands")
     val dataExchanges = p.linesIterator
       .filter(l => l.contains("Exchange hashpartitioning"))
       .filter(_.contains("user_id")).toSeq
