@@ -2193,6 +2193,82 @@ object Relational {
       FROM hist
       ORDER BY user_id, version"""))
 
+  // ---------------------------------------------------------------- q198
+  // Built-in XML source (Spark 4 absorbed spark-xml): one more ingestion
+  // format on the q25/q62/q63 round-trip contract — write a staged copy,
+  // read it back SCHEMA-FIRST (no inference pass over the corpus), prove
+  // the round-trip lossless by hash-matching an aggregate against the
+  // original table. XML is the interchange format enterprise feeds still
+  // speak; at 100 TB the same reader runs per-file-parallel over an
+  // object store, and the declared schema skips the inference scan that
+  // would otherwise read the corpus twice. 2-decimal doubles round-trip
+  // exactly through decimal text (value ↔ "123.45" — no binary float
+  // drift), which the hash match proves.
+  private val q198 = QueryDef(
+    "q198_xml_scan",
+    (s, d) => {
+      val tmp = stagedOnce("events_xml", d) { p =>
+        ev(s, d)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .write.mode("overwrite")
+          .option("rowTag", "event").option("rootTag", "events")
+          .format("xml").save(p)
+      }
+      val back = s.read
+        .schema("event_id BIGINT, event_type STRING, value DOUBLE")
+        .option("rowTag", "event").xml(tmp)
+      back.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sumFixed(col("value"), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      SELECT event_type, count(*) AS n,
+             ${sumFixedSql("value", 2)} AS sum_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------- q199
+  // SQL-body functions (Spark 4 CREATE FUNCTION ... RETURN): a scalar
+  // UDF and a parameterized TABLE function defined in pure SQL. The
+  // point at scale: unlike a JVM/Python UDF, a SQL-body function is
+  // INLINED by the analyzer into the caller's plan — the net-cents
+  // arithmetic lands inside WholeStageCodegen and the table function's
+  // WHERE clause reaches the parquet scan as a pushed filter (PlanSpec
+  // pins both: no black-box udf node, quantity filter in PushedFilters).
+  // Extensibility without the codegen/pushdown tax is exactly what you
+  // want users writing instead of opaque lambdas. The scalar fn returns
+  // exact BIGINT 1e4-cents (the Num.sumFixed contract), so the sum is
+  // partition-independent and the oracle inlines the same expressions.
+  private val q199 = QueryDef(
+    "q199_sql_body_udf",
+    (s, d) => {
+      li(s, d).createOrReplaceTempView("v_li_udf")
+      s.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION graft_net_e4(p DOUBLE, disc DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(round(p * (1.0D - disc) * 10000) AS BIGINT)""")
+      s.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION graft_big_items(qmin DOUBLE)
+        RETURNS TABLE (l_returnflag STRING, net_e4 BIGINT)
+        RETURN SELECT l_returnflag, graft_net_e4(l_extendedprice, l_discount)
+               FROM v_li_udf WHERE l_quantity >= qmin""")
+      s.sql("""
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(net_e4) AS DOUBLE) / 10000 AS net_revenue
+        FROM graft_big_items(30.0)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    },
+    Some("""
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+                  AS BIGINT)) AS DOUBLE) / 10000 AS net_revenue
+      FROM lineitem
+      WHERE l_quantity >= 30.0
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   // ---------------------------------------------------------------- q190
   // Dynamic partition pruning — with q66's static pruning and the bloom
   // filter, the third runtime I/O lever at 100 TB: when a partitioned
@@ -2304,5 +2380,5 @@ object Relational {
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
-    q191, q193, q195)
+    q191, q193, q195, q198, q199)
 }

@@ -625,6 +625,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("q199: SQL-body functions inline — no udf node, table-fn WHERE pushed to scan") {
+    // the scalar fn's arithmetic and the table fn's filter must dissolve
+    // into the caller's plan: a black-box function boundary would cost
+    // codegen AND the parquet pushdown at 100 TB
+    val p = planOf("q199_sql_body_udf")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,30.0)"),
+      "table-function WHERE must reach PushedFilters")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"),
+      "SQL-body functions must inline, not plan a udf call node")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"exactly one scan expected, got $scans")
+  }
+
   test("q177: unpivot plans one Expand with map-side partial aggregation") {
     // wide→long melt must be a single scan fanned by Expand, partial
     // HashAggregate before the (3-key) exchange, and the id column the
