@@ -1053,7 +1053,7 @@ object EventStreams {
   // Scale: state per key = open sessions inside the watermark horizon
   // (bounded by lag × session rate, not history); timers are one per key;
   // everything shuffles once on user_id — the q82/q84 contract.
-  private class SessionTimerProcessor
+  private[graft] class SessionTimerProcessor
       extends StatefulProcessor[Long, (Long, java.sql.Timestamp),
         (Long, Long, Long, Long)] {
     private val GapMs = 30L * 60 * 1000
