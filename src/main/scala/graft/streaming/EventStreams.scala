@@ -808,6 +808,65 @@ object EventStreams {
       .orderBy(col("user_id"), col("v_id"), col("p_id"))
   }
 
+  // ---------------------------------------------------------------- q200
+  // FULL OUTER stream–stream join — completes the streaming join-mode
+  // matrix (q96 inner, q97 left outer): BOTH sides' unmatched rows must
+  // flush with NULLs, each only once its own side's watermark proves no
+  // future match can arrive. State and emission are symmetric — a
+  // purchase with no qualifying view is as late-bound as a view with no
+  // purchase — so this exercises the join operator's two-sided state
+  // eviction at once. Same interval condition, same sentinel discipline
+  // (it must pass BOTH pre-watermark filters); sentinel rows drop from
+  // the sink with null-safe predicates (a plain =!= would silently drop
+  // every half-null outer row — the classic three-valued-logic trap).
+  // user_id comes from COALESCE across sides, since either can be null.
+  private def streamStreamFullOuter(s: SparkSession, d: String): DataFrame = {
+    val dir = orderedDir(s, d)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val views = readStaged(ss, dir)
+      .filter(col("event_type").isin("view", "_sentinel"))
+      .select(col("event_id").as("v_id"), col("ts").as("v_ts"),
+        col("user_id").as("v_uid"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = readStaged(ss, dir)
+      .filter(col("event_type").isin("purchase", "_sentinel"))
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_uid"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("v_uid") === col("p_uid") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+      "fullOuter")
+      .select(coalesce(col("v_uid"), col("p_uid")).as("user_id"),
+        col("v_id"), col("p_id"),
+        ((unix_micros(col("p_ts")) - unix_micros(col("v_ts"))) /
+          lit(1000000L)).cast("long").as("lag_s"))
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = joined.writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try drain(q) finally q.stop()
+    ss.table(name)
+      .filter(coalesce(col("v_id"), lit(0L)) =!= -1L &&
+        coalesce(col("p_id"), lit(0L)) =!= -1L)
+      .orderBy(col("user_id"), col("v_id"), col("p_id"))
+  }
+
+  private val q200 = QueryDef(
+    "q200_stream_stream_full_outer",
+    (s, d) => streamStreamFullOuter(s, d),
+    Some("""
+      SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+             v.event_id AS v_id, p.event_id AS p_id,
+             CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
+               AS lag_s
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      ORDER BY user_id, v_id, p_id"""))
+
   private val q96 = QueryDef(
     "q96_stream_stream_join",
     (s, d) => streamStreamJoin(s, d, "inner"),
@@ -1165,5 +1224,5 @@ object EventStreams {
 
   val defs: Seq[QueryDef] =
     Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q93, q94, q96, q97,
-      q98, q178, q189, q197)
+      q98, q178, q189, q197, q200)
 }

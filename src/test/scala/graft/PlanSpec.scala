@@ -638,6 +638,41 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"exactly one scan expected, got $scans")
   }
 
+  test("join hints are honored: SHUFFLE_HASH and MERGE plan the requested joins") {
+    // at 100 TB the join strategy is sometimes a human decision (stats
+    // missing or wrong); the hint surface must actually reach the
+    // planner — a silently-ignored hint is worse than none
+    import org.apache.spark.sql.functions.col
+    val li = graft.Tables.t(spark, sf, "lineitem").select(col("l_orderkey"))
+    val ord = graft.Tables.t(spark, sf, "orders").select(col("o_orderkey"))
+    val sh = li.hint("SHUFFLE_HASH")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+    assert(sh.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      "SHUFFLE_HASH hint must plan a shuffled hash join")
+    val mg = li.hint("MERGE")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+    assert(mg.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      "MERGE hint must plan a sort-merge join")
+  }
+
+  test("nested-struct schema pruning reaches the parquet reader") {
+    // selecting one field of a struct must read ONLY that field — at
+    // 100 TB of nested telemetry, reading the whole struct for a
+    // one-field projection is the columnar win thrown away
+    import org.apache.spark.sql.functions.{col, struct, lit}
+    val dir = java.nio.file.Files.createTempDirectory("nested_prune").toString
+    import spark.implicits._
+    (1L to 100L).toDF("id")
+      .select(col("id"), struct(col("id").as("a"),
+        (col("id") * 2).as("b"), lit("pad").as("c")).as("s"))
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).select(col("s.b"))
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("struct<b:bigint>") || p.contains("ReadSchema: struct<s:struct<b:bigint>>"),
+      s"reader schema must prune to the single struct field; plan:\n${p.take(800)}")
+    assert(!p.contains("c:string"), "unused struct fields must not be read")
+  }
+
   test("q177: unpivot plans one Expand with map-side partial aggregation") {
     // wide→long melt must be a single scan fanned by Expand, partial
     // HashAggregate before the (3-key) exchange, and the id column the
