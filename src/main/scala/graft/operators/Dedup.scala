@@ -1273,7 +1273,79 @@ object Dedup {
       ORDER BY n_match"""
     })
 
+  // ---------------------------------------------------------------- q205
+  // Cluster-safe (leakage-safe) train/eval split. q47 splits on a
+  // per-document content hash, which keeps byte-identical duplicates on
+  // one side but lets NEAR-duplicates straddle the split — the classic
+  // eval-contamination leak: a paraphrase of a training document lands in
+  // eval and inflates every metric. The fix is to make the split decision
+  // per near-dup CLUSTER, not per document: q32's verified MinHash pairs →
+  // connected components (q35's machinery) → each cluster keyed by its
+  // minimum member content-hash (content-pure like q47: stable under
+  // re-ingest and doc_id renumbering, because the key is derived from
+  // member TEXTS, not ids) → one md5 bucket decides the side for the
+  // whole cluster. Singletons (docs in no pair) are their own cluster via
+  // coalesce. By construction no cluster straddles the split (DedupSpec
+  // pins straddle = 0 end-to-end); the registered output is the per-side
+  // distribution. Scale shape: text is reduced to md5+n_chars before any
+  // exchange; beyond the pair generation the plan adds two narrow
+  // shuffles (component join on doc_id, rep-key aggregate on comp_id) and
+  // the side decision is a scalar expression — no corpus-sized windows,
+  // no driver state, output is 2 rows.
+  private val q205 = QueryDef(
+    "q205_cluster_safe_split",
+    (s, d) => {
+      val comps = connectedComponents(
+        minhashPairs(s, d).select(col("da"), col("db")))
+      val dd = docs(s, d).select(col("doc_id"), col("n_chars"),
+        md5(col("text").cast("binary")).as("h"))
+      val withComp = dd
+        .join(comps, dd("doc_id") === comps("id"), "left")
+        .select(col("doc_id"), col("n_chars"), col("h"),
+          coalesce(col("comp"), col("doc_id")).as("comp_id"))
+      val repKey = withComp.groupBy(col("comp_id"))
+        .agg(min(col("h")).as("rep_h"))
+      withComp.join(repKey, "comp_id")
+        .withColumn("bucket",
+          conv(substring(col("rep_h"), 1, 14), 16, 10).cast("long") % 1000L)
+        .withColumn("side",
+          when(col("bucket") < 800, "train").otherwise("eval"))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("comp_id")).as("n_clusters"),
+          sum(col("n_chars")).as("n_chars_sum"))
+        .orderBy(col("side"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashCtes,
+      edges AS (
+        SELECT da AS src, db AS dst FROM mh_pairs
+        UNION ALL
+        SELECT db, da FROM mh_pairs),
+      reach(id, comp) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id, min(comp) AS comp_id FROM reach GROUP BY id),
+      dd AS (SELECT doc_id, n_chars, md5(text) AS h FROM documents),
+      wc AS (
+        SELECT d.doc_id, d.n_chars, d.h,
+               coalesce(c.comp_id, d.doc_id) AS comp_id
+        FROM dd d LEFT JOIN comp c ON c.id = d.doc_id),
+      rep AS (SELECT comp_id, min(h) AS rep_h FROM wc GROUP BY comp_id),
+      keyed AS (
+        SELECT w.doc_id, w.n_chars, w.comp_id,
+               (('0x' || substr(r.rep_h, 1, 14))::BIGINT) % 1000 AS bucket
+        FROM wc w JOIN rep r ON w.comp_id = r.comp_id)
+      SELECT CASE WHEN bucket < 800 THEN 'train' ELSE 'eval' END AS side,
+             count(*) AS n_docs,
+             count(DISTINCT comp_id) AS n_clusters,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+      FROM keyed
+      GROUP BY 1
+      ORDER BY side"""))
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154,
-      q161)
+      q161, q205)
 }

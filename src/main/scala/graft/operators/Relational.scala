@@ -2374,11 +2374,227 @@ object Relational {
     },
     Some(zorderSelect.replace("%TBL%", "lineitem")))
 
+  // ---------------------------------------------------------------- q201
+  // MULTISET set operations — q12/q65 cover the DISTINCT forms (EXCEPT /
+  // INTERSECT / UNION dedup); this adds the bag-semantics ALL variants,
+  // which are what data-pipeline reconciliation actually needs (row
+  // multiplicity is the signal: "how many MORE urgent orders does segment
+  // A have than B" is a bag difference, not a set difference). Spark has
+  // no physical except-all operator: Catalyst rewrites `exceptAll` into a
+  // +1/-1 counted aggregate over the row key followed by a replicating
+  // generate (RewriteExceptAll / RewriteIntersectAll), so the whole thing
+  // costs ONE shuffle on the projected key — and because the projection
+  // here is two low-cardinality columns, map-side partial aggregation
+  // collapses each partition to ~30 rows before the exchange; the plan
+  // scales with distinct keys, not corpus rows. The two bags are then
+  // re-aggregated to (op, key, multiplicity) so the registered result is
+  // presentation-sized while still proving multiset semantics (counts
+  // differ from the DISTINCT variants). `unionByName` merges the two
+  // branches by column NAME, not position.
+  private val q201 = QueryDef(
+    "q201_multiset_setops",
+    (s, d) => {
+      val base = ord(s, d)
+        .join(broadcast(cust(s, d)),
+          col("o_custkey") === col("c_custkey"))
+      val bagA = base.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("o_orderpriority"), col("o_orderstatus"))
+      val bagB = base.filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("o_orderpriority"), col("o_orderstatus"))
+      val exAll = bagA.exceptAll(bagB)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all"))
+      val inAll = bagA.intersectAll(bagB)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect_all"))
+      exAll.unionByName(inAll)
+        .orderBy(col("op"), col("o_orderpriority"), col("o_orderstatus"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderpriority, o_orderstatus, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      bag_a AS (SELECT o_orderpriority, o_orderstatus FROM base
+                WHERE c_mktsegment = 'BUILDING'),
+      bag_b AS (SELECT o_orderpriority, o_orderstatus FROM base
+                WHERE c_mktsegment = 'MACHINERY')
+      SELECT o_orderpriority, o_orderstatus, n, op FROM (
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               'except_all' AS op
+        FROM (SELECT * FROM bag_a EXCEPT ALL SELECT * FROM bag_b)
+        GROUP BY o_orderpriority, o_orderstatus
+        UNION ALL
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               'intersect_all' AS op
+        FROM (SELECT * FROM bag_a INTERSECT ALL SELECT * FROM bag_b)
+        GROUP BY o_orderpriority, o_orderstatus)
+      ORDER BY op, o_orderpriority, o_orderstatus"""))
+
+  // ---------------------------------------------------------------- q202
+  // Error-tolerant ingestion: the try_* function family. Spark 4 runs
+  // ANSI mode by default, so a divide-by-zero or a bad cast THROWS and
+  // kills the job — on a 100 TB ingest of messy upstream data, one
+  // malformed record must yield a NULL (quarantined and counted), not a
+  // dead 6-hour pipeline. try_cast parses the JSON-extracted string to
+  // int (NULL on malformed), try_divide turns the k=50 denominator-zero
+  // rows into NULLs instead of exceptions, and the aggregate then
+  // QUANTIFIES the damage per event_type (n_div_zero) — the
+  // dead-letter-count pattern. All codegen'd expressions inside one
+  // hash aggregate; the oracle mirrors try_divide with NULLIF (ANSI NULL
+  // propagation) and TRY_CAST natively.
+  private val q202 = QueryDef(
+    "q202_try_ingest",
+    (s, d) =>
+      ev(s, d)
+        .select(col("event_type"), col("value"),
+          expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"))
+        .select(col("event_type"), col("value"),
+          expr("try_divide(value, cast(k - 50 AS DOUBLE))").as("ratio"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          (count(lit(1)) - count(col("ratio"))).as("n_div_zero"),
+          sumFixed(col("ratio"), 4).as("ratio_sum"))
+        .orderBy(col("event_type")),
+    Some(s"""
+      WITH parsed AS (
+        SELECT event_type, value,
+               value / NULLIF(TRY_CAST(json_extract_string(props, '$$.k')
+                                       AS INTEGER) - 50, 0) AS ratio
+        FROM events)
+      SELECT event_type, count(*) AS n,
+             count(*) - count(ratio) AS n_div_zero,
+             ${sumFixedSql("ratio", 4)} AS ratio_sum
+      FROM parsed
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------- q203
+  // Timezone-aware calendar analytics: event timestamps land in UTC, but
+  // "9am traffic spike" questions are asked in a business timezone, and
+  // getting this wrong (string-chopping dates in UTC) silently shifts
+  // every evening event to the wrong day. from_utc_timestamp reinterprets
+  // the UTC instant as America/New_York wall-clock; the aggregate is the
+  // weekly seasonality profile (dow × hour, ≤168 groups — output size is
+  // calendar-bounded, independent of corpus size) plus n_date_shift: how
+  // many events change calendar DATE under the conversion — the exact
+  // rows a UTC-date partition key would misfile (in January, UTC-5 moves
+  // every 00:00–05:00 UTC event to the previous NY day). Spark dayofweek
+  // is 1=Sunday, DuckDB's is 0=Sunday: the -1 aligns them — cross-engine
+  // calendar semantics pinned, IANA tzdata on both sides. Timezone shift
+  // + field extraction are per-row codegen'd scalar ops; the single
+  // exchange is the 168-group aggregate.
+  private val q203 = QueryDef(
+    "q203_calendar_tz",
+    (s, d) =>
+      ev(s, d)
+        .select(col("ts"), col("value"),
+          from_utc_timestamp(col("ts"), "America/New_York").as("local"))
+        .groupBy(
+          (dayofweek(col("local")) - 1).as("local_dow"),
+          hour(col("local")).as("local_hour"))
+        .agg(
+          count(lit(1)).as("n"),
+          sumFixed(col("value"), 2).as("sum_value"),
+          sum(when(to_date(col("local")) =!= to_date(col("ts")), 1L)
+            .otherwise(0L)).as("n_date_shift"))
+        .orderBy(col("local_dow"), col("local_hour")),
+    Some(s"""
+      WITH localized AS (
+        SELECT ts, value,
+               ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS local
+        FROM events)
+      SELECT dayofweek(local) AS local_dow, hour(local) AS local_hour,
+             count(*) AS n,
+             ${sumFixedSql("value", 2)} AS sum_value,
+             CAST(sum(CASE WHEN CAST(local AS DATE) <> CAST(ts AS DATE)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_date_shift
+      FROM localized
+      GROUP BY 1, 2
+      ORDER BY local_dow, local_hour"""))
+
+  // ---------------------------------------------------------------- q206
+  // Null-aware anti join — the NOT IN trap, pinned cross-engine. ANSI
+  // three-valued logic makes `x NOT IN (subquery)` UNKNOWN for every x
+  // the moment the subquery yields a single NULL, so the whole result
+  // silently collapses to zero rows — the classic production incident
+  // when an exclusion list gains one null key. Three variants over the
+  // same exclusion set (AUTOMOBILE-segment customers, with negative-
+  // balance keys NULLed to model a dirty list): (1) raw NOT IN → 0 rows,
+  // by ANSI semantics, on both engines; (2) NOT EXISTS — null-safe by
+  // construction since `=` never matches NULL; (3) NOT IN with the nulls
+  // filtered AND the key made STATICALLY non-null — identical count to
+  // (2). Physically Spark cannot use a plain hash anti join for (1): it
+  // plans a null-aware anti join (broadcast variant when the build side
+  // fits, as here) whose probe must distinguish "matched", "unmatched",
+  // and "list has null". The subtlety PlanSpec pins (measured, not
+  // assumed): NO amount of null-proofing the NOT IN restores the plain
+  // plan — not `WHERE xkey IS NOT NULL`, not even coalescing both keys
+  // to statically non-nullable expressions — because Spark's subquery
+  // rewrite runs AFTER expression simplification and always emits the
+  // null-tracking `Or(key = x, IsNull(key = x))` join condition, which
+  // the planner then pattern-matches into the null-aware exec. Only the
+  // NOT EXISTS form (2) plans the ordinary LeftAnti
+  // (isNullAwareAntiJoin = false). That asymmetry is the 100 TB point:
+  // a null-aware anti join exists ONLY as a broadcast operator — there
+  // is no shuffle variant — so a NOT IN whose exclusion list outgrows
+  // the broadcast threshold degrades to a nested-loop anti (or an OOM on
+  // the build side), while NOT EXISTS scales through an ordinary
+  // shuffle/broadcast anti join. Rewrite exclusion-list NOT IN to NOT
+  // EXISTS; the trap is both semantic (variant 1's zero rows) and
+  // physical.
+  private val q206 = QueryDef(
+    "q206_null_aware_anti_join",
+    (s, d) => {
+      ord(s, d).createOrReplaceTempView("v_naaj_orders")
+      cust(s, d).createOrReplaceTempView("v_naaj_cust")
+      s.sql("""
+        WITH excl AS (
+          SELECT CASE WHEN c_acctbal < 0 THEN CAST(NULL AS BIGINT)
+                      ELSE c_custkey END AS xkey
+          FROM v_naaj_cust WHERE c_mktsegment = 'AUTOMOBILE')
+        SELECT variant, n_orders FROM (
+          SELECT 'not_in_nullable' AS variant, count(*) AS n_orders
+          FROM v_naaj_orders
+          WHERE o_custkey NOT IN (SELECT xkey FROM excl)
+          UNION ALL
+          SELECT 'not_exists' AS variant, count(*) AS n_orders
+          FROM v_naaj_orders o
+          WHERE NOT EXISTS (SELECT 1 FROM excl e WHERE e.xkey = o.o_custkey)
+          UNION ALL
+          SELECT 'not_in_filtered' AS variant, count(*) AS n_orders
+          FROM v_naaj_orders
+          WHERE o_custkey NOT IN (SELECT xkey FROM excl
+                                  WHERE xkey IS NOT NULL))
+        ORDER BY variant""")
+    },
+    Some("""
+      WITH excl AS (
+        SELECT CASE WHEN c_acctbal < 0 THEN CAST(NULL AS BIGINT)
+                    ELSE c_custkey END AS xkey
+        FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+      SELECT variant, n_orders FROM (
+        SELECT 'not_in_nullable' AS variant, count(*) AS n_orders
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT xkey FROM excl)
+        UNION ALL
+        SELECT 'not_exists' AS variant, count(*) AS n_orders
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM excl e WHERE e.xkey = o.o_custkey)
+        UNION ALL
+        SELECT 'not_in_filtered' AS variant, count(*) AS n_orders
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT xkey FROM excl
+                                WHERE xkey IS NOT NULL))
+      ORDER BY variant"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
-    q191, q193, q195, q198, q199)
+    q191, q193, q195, q198, q199, q201, q202, q203, q206)
 }

@@ -1138,7 +1138,61 @@ object TextAnalysis {
       ORDER BY token_mass DESC, feat
       LIMIT 20"""))
 
+  // ---------------------------------------------------------------- q204
+  // Intra-document repetition filter (Gopher-style, Rae et al. 2021
+  // "Scaling Language Models", table A1): the fraction of a document's
+  // word 3-grams that are repeats of an earlier 3-gram in the SAME
+  // document. Degenerate generated/boilerplate text repeats itself
+  // internally, which corpus-level dedup (q31–q35) and corpus-level
+  // boilerplate mining (q113) cannot see — those compare ACROSS
+  // documents; this scores repetition WITHIN one. The whole computation
+  // is per-row scalar array algebra (split → sequence → transform →
+  // array_distinct), so the n-gram bag never leaves its row: no explode,
+  // no shuffle, perfectly data-parallel over a 100 TB corpus — the only
+  // exchange in the plan is the presentation sort. Contrast with q113,
+  // whose cross-document n-grams must shuffle by gram. Emits the 20 most
+  // repetitive docs with their diagnostic counts — a deterministic
+  // (dup_frac DESC, doc_id) top-k, which Spark plans as
+  // TakeOrderedAndProject (per-partition heaps, no global sort), so the
+  // presentation stage is O(k) per partition too (n≥3 guard keeps the
+  // sequence() bounds legal on both engines; Spark's sequence(0,-1)
+  // would DESCEND, DuckDB's range(1,0) is empty — the guard makes the
+  // edge case unreachable rather than engine-dependent).
+  private val q204 = QueryDef(
+    "q204_doc_repetition",
+    (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") >= 3)
+        .select(col("doc_id"), (col("n") - 2).as("n_tri"),
+          size(array_distinct(expr(
+            "transform(sequence(0, n - 3)," +
+              " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+            .as("n_uniq"))
+        .withColumn("dup_frac",
+          round((col("n_tri") - col("n_uniq")).cast("double") /
+            col("n_tri"), 6))
+        .orderBy(col("dup_frac").desc, col("doc_id"))
+        .limit(20),
+    Some("""
+      SELECT doc_id, n_tri, n_uniq, dup_frac FROM (
+        SELECT doc_id, n_tri, n_uniq,
+               round(CAST(n_tri - n_uniq AS DOUBLE) / n_tri, 6) AS dup_frac
+        FROM (
+          SELECT doc_id, n - 2 AS n_tri,
+                 len(list_distinct(list_transform(range(1, n - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                   AS n_uniq
+          FROM (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents)
+          WHERE n >= 3))
+      ORDER BY dup_frac DESC, doc_id
+      LIMIT 20"""))
+
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
-      q138, q147, q155, q159, q167, q186)
+      q138, q147, q155, q159, q167, q186, q204)
 }

@@ -250,4 +250,48 @@ class DedupSpec extends AnyFunSuite {
       (2L, 2L, 0L, ""),
       (3L, 2L, 1L, tail)))
   }
+
+  test("q205: no near-dup pair and no cluster straddles the split (sf0.001)") {
+    // End-to-end leakage pin for the cluster-safe split: recompute the
+    // side assignment exactly as q205 does, from the REGISTERED q32 pair
+    // output (the verified near-dup relation) + the public
+    // connectedComponents, and assert the property the summary query
+    // cannot show: (1) every duplicate cluster maps to exactly one side,
+    // and (2) — the user-facing guarantee — no q32 pair has its two docs
+    // on different sides. Also sanity-bound the eval share: the md5
+    // bucket cut is 800/1000, so train should carry roughly 80% of docs.
+    val pairs = SparkEntry.queries("q32_dedup_minhash_lsh")(spark, sf)
+      .select(col("da"), col("db"))
+    val comps = graft.operators.Dedup.connectedComponents(pairs)
+    val dd = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val withComp = dd.join(comps, dd("doc_id") === comps("id"), "left")
+      .select(col("doc_id"), col("h"),
+        coalesce(col("comp"), col("doc_id")).as("comp_id"))
+    val repKey = withComp.groupBy(col("comp_id"))
+      .agg(min(col("h")).as("rep_h"))
+    val keyed = withComp.join(repKey, "comp_id")
+      .withColumn("side",
+        when(conv(substring(col("rep_h"), 1, 14), 16, 10).cast("long")
+          % 1000L < 800, "train").otherwise("eval"))
+      .select(col("doc_id"), col("comp_id"), col("side"))
+    val straddling = keyed.groupBy(col("comp_id"))
+      .agg(countDistinct(col("side")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddling == 0L, "a duplicate cluster straddles the split")
+    val sideOf = keyed.select(col("doc_id"), col("side"))
+    val pairSides = pairs
+      .join(sideOf.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("side", "side_a"), "da")
+      .join(sideOf.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("side", "side_b"), "db")
+      .filter(col("side_a") =!= col("side_b")).count()
+    assert(pairSides == 0L, "a near-dup pair straddles the split")
+    val bysSide = keyed.groupBy(col("side")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = bysSide.values.sum.toDouble
+    val evalShare = bysSide.getOrElse("eval", 0L) / total
+    assert(evalShare > 0.05 && evalShare < 0.40,
+      s"eval share $evalShare outside the plausible band for an 80/20 cut")
+  }
 }

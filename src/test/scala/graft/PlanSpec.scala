@@ -685,4 +685,39 @@ class PlanSpec extends AnyFunSuite {
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, s"exactly one scan expected, got $scans")
   }
+
+  test("q206: every NOT IN plans null-aware anti; only NOT EXISTS is plain") {
+    // Measured planner behavior the q206 scaladoc documents: BOTH NOT IN
+    // variants carry isNullAwareAntiJoin = true (the trailing boolean in
+    // BroadcastHashJoin's argString) — even the null-filtered one,
+    // because the subquery rewrite emits the Or(=, IsNull(=)) condition
+    // after simplification has run — while NOT EXISTS plans the ordinary
+    // LeftAnti. If a Spark upgrade ever starts planning the filtered
+    // NOT IN as plain anti, this pin fails and the scaladoc's rewrite
+    // guidance should be re-verified, not silently kept.
+    val p = planOf("q206_null_aware_anti_join")
+    val anti = p.linesIterator
+      .filter(l => l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
+      .toSeq
+    assert(anti.size == 3, s"three anti joins expected:\n${anti.mkString("\n")}")
+    assert(anti.count(_.trim.endsWith("true")) == 2,
+      s"both NOT IN variants expected null-aware:\n${anti.mkString("\n")}")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      "no variant may degrade to a nested-loop anti join at this scale")
+  }
+
+  test("q204: intra-doc repetition never explodes or shuffles the n-grams") {
+    // The whole score is per-row scalar array algebra; the only plan
+    // nodes past the scan must be projection + the top-k heap. A
+    // Generate (explode) or a non-limit Exchange would mean the n-gram
+    // bag left its row — the scale property the scaladoc claims.
+    val p = planOf("q204_doc_repetition")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must plan as per-partition heaps, not a global sort")
+    assert(!p.contains("Generate"),
+      "n-grams must stay inside their row (no explode)")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange") && !l.contains("Broadcast")),
+      "no shuffle expected before the top-k heap")
+  }
 }
