@@ -1297,17 +1297,24 @@ object Dedup {
     (s, d) => {
       val comps = connectedComponents(
         minhashPairs(s, d).select(col("da"), col("db")))
+      // hb: the 56-bit numeric md5 prefix (the q47 idiom). The cluster rep
+      // key is min(hb) — NOT min(h) over the hex STRING, which would kick
+      // the aggregate out of HashAggregate into a SortAggregate (string
+      // min has no mutable agg buffer); fixed-length lowercase hex is
+      // lexicographically monotone in its numeric prefix, so
+      // min(prefix56(h)) ≡ prefix56(min(h)) and the bucket decision is
+      // identical while the aggregate stays codegen'd.
       val dd = docs(s, d).select(col("doc_id"), col("n_chars"),
-        md5(col("text").cast("binary")).as("h"))
+        conv(substring(md5(col("text").cast("binary")), 1, 14), 16, 10)
+          .cast("long").as("hb"))
       val withComp = dd
         .join(comps, dd("doc_id") === comps("id"), "left")
-        .select(col("doc_id"), col("n_chars"), col("h"),
+        .select(col("doc_id"), col("n_chars"), col("hb"),
           coalesce(col("comp"), col("doc_id")).as("comp_id"))
       val repKey = withComp.groupBy(col("comp_id"))
-        .agg(min(col("h")).as("rep_h"))
+        .agg(min(col("hb")).as("rep_hb"))
       withComp.join(repKey, "comp_id")
-        .withColumn("bucket",
-          conv(substring(col("rep_h"), 1, 14), 16, 10).cast("long") % 1000L)
+        .withColumn("bucket", col("rep_hb") % 1000L)
         .withColumn("side",
           when(col("bucket") < 800, "train").otherwise("eval"))
         .groupBy(col("side"))
@@ -1327,15 +1334,16 @@ object Dedup {
         UNION
         SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
       comp AS (SELECT id, min(comp) AS comp_id FROM reach GROUP BY id),
-      dd AS (SELECT doc_id, n_chars, md5(text) AS h FROM documents),
+      dd AS (SELECT doc_id, n_chars,
+                    (('0x' || substr(md5(text), 1, 14))::BIGINT) AS hb
+             FROM documents),
       wc AS (
-        SELECT d.doc_id, d.n_chars, d.h,
+        SELECT d.doc_id, d.n_chars, d.hb,
                coalesce(c.comp_id, d.doc_id) AS comp_id
         FROM dd d LEFT JOIN comp c ON c.id = d.doc_id),
-      rep AS (SELECT comp_id, min(h) AS rep_h FROM wc GROUP BY comp_id),
+      rep AS (SELECT comp_id, min(hb) AS rep_hb FROM wc GROUP BY comp_id),
       keyed AS (
-        SELECT w.doc_id, w.n_chars, w.comp_id,
-               (('0x' || substr(r.rep_h, 1, 14))::BIGINT) % 1000 AS bucket
+        SELECT w.doc_id, w.n_chars, w.comp_id, r.rep_hb % 1000 AS bucket
         FROM wc w JOIN rep r ON w.comp_id = r.comp_id)
       SELECT CASE WHEN bucket < 800 THEN 'train' ELSE 'eval' END AS side,
              count(*) AS n_docs,

@@ -264,16 +264,17 @@ class DedupSpec extends AnyFunSuite {
       .select(col("da"), col("db"))
     val comps = graft.operators.Dedup.connectedComponents(pairs)
     val dd = graft.Tables.t(spark, sf, "documents")
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("text").cast("binary")), 1, 14), 16, 10)
+          .cast("long").as("hb"))
     val withComp = dd.join(comps, dd("doc_id") === comps("id"), "left")
-      .select(col("doc_id"), col("h"),
+      .select(col("doc_id"), col("hb"),
         coalesce(col("comp"), col("doc_id")).as("comp_id"))
     val repKey = withComp.groupBy(col("comp_id"))
-      .agg(min(col("h")).as("rep_h"))
+      .agg(min(col("hb")).as("rep_hb"))
     val keyed = withComp.join(repKey, "comp_id")
       .withColumn("side",
-        when(conv(substring(col("rep_h"), 1, 14), 16, 10).cast("long")
-          % 1000L < 800, "train").otherwise("eval"))
+        when(col("rep_hb") % 1000L < 800, "train").otherwise("eval"))
       .select(col("doc_id"), col("comp_id"), col("side"))
     val straddling = keyed.groupBy(col("comp_id"))
       .agg(countDistinct(col("side")).as("ns"))
