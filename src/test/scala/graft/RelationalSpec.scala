@@ -123,4 +123,38 @@ class RelationalSpec extends AnyFunSuite {
       .sortBy(_._1)
     assert(got.toSeq == ref.toSeq)
   }
+
+  test("observe: data-quality metrics ride the main pass, no second scan") {
+    // The production shape for "count rows/nulls/max watermark while
+    // writing 100 TB": df.observe attaches accumulator-backed metrics at
+    // a point in the plan, collected DURING the one action — where a
+    // naive pipeline runs a second full scan for its QA counters. The
+    // metrics observe the pre-filter stream even though the action only
+    // materializes the filtered one; values must equal an independent
+    // second-pass computation, and the plan must contain the
+    // CollectMetrics node over a single scan.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Observation
+    val obs = Observation("dq")
+    val df = Tables.t(spark, sf, "lineitem")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("n_null_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("price_e2"))
+      .filter(col("l_quantity") > 25)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("CollectMetrics"), "metrics node expected in the plan")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      "metrics must not add a scan")
+    val kept = df.count()
+    val m = obs.get
+    val second = Tables.t(spark, sf, "lineitem")
+      .agg(count(lit(1)), sum(round(col("l_extendedprice") * 100).cast("long")))
+      .head()
+    assert(m("n_rows") == second.getLong(0), "observed count != second pass")
+    assert(m("n_null_qty") == 0L)
+    assert(m("price_e2") == second.getLong(1), "observed sum != second pass")
+    assert(kept > 0 && kept < second.getLong(0),
+      "filter must keep a strict subset while metrics see the full stream")
+  }
 }
