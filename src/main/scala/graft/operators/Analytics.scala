@@ -2234,8 +2234,60 @@ object Analytics {
       LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hr = g.hr
       ORDER BY g.event_type, g.hr"""))
 
+  // ---------------------------------------------------------------- q209
+  // Batch `session_window` — the built-in session operator (the one q82
+  // uses in streaming) run over the batch corpus, closing the
+  // sessionization matrix: q52 hand-builds gap sessions with lag/running
+  // sum, q82 streams them, q197 reimplements them on arbitrary state;
+  // this is the declarative batch form. Semantics: each event opens
+  // [ts, ts+30min) and overlapping windows merge — identical session
+  // membership to q52's gap>30min break rule; session END is
+  // last_event + gap by definition, which the oracle mirrors as
+  // max(ts) + INTERVAL 30 MINUTE over the same islands. Physical note:
+  // a session aggregate cannot pre-merge map-side (session identity
+  // isn't known until a key's events are sorted together), so the plan
+  // is one user-keyed exchange + per-partition (user, ts) sort —
+  // exactly q52's single-exchange shape with the sort moved inside the
+  // aggregate. Output is capped at 40 sessions (deterministic
+  // (user, start) order) so presentation stays scale-free.
+  private val q209 = QueryDef(
+    "q209_batch_session_window",
+    (s, d) =>
+      ev(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sumFixed(col("value"), 2).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("sess_start"),
+          col("session_window.end").as("sess_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("sess_start"))
+        .limit(40),
+    Some(s"""
+      SELECT user_id, min(ts) AS sess_start,
+             max(ts) + INTERVAL 30 MINUTE AS sess_end,
+             count(*) AS n_events,
+             ${sumFixedSql("value", 2)} AS sum_value
+      FROM (
+        SELECT user_id, ts, value,
+               sum(CASE WHEN prev_us IS NULL
+                          OR us - prev_us > 1800 * 1000000 THEN 1
+                        ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess
+        FROM (
+          SELECT user_id, event_id, value, ts, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts), event_id)
+                   AS prev_us
+          FROM events))
+      GROUP BY user_id, sess
+      ORDER BY user_id, sess_start
+      LIMIT 40"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
-      q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196)
+      q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
+      q209)
 }

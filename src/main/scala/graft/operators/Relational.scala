@@ -2590,11 +2590,91 @@ object Relational {
                                 WHERE xkey IS NOT NULL))
       ORDER BY variant"""))
 
+  // ---------------------------------------------------------------- q207
+  // Schema-drift union — the COMPUTE-layer half of evolution (q180's
+  // mergeSchema is the storage-layer half): a pre-migration feed without
+  // the new `k` column reconciled with a post-migration feed that has it,
+  // via unionByName(allowMissingColumns = true). Positional union would
+  // silently misalign columns or refuse; by-name union with NULL-fill is
+  // the correct drift semantics, and the aggregate then reports adoption
+  // (n_with_k) alongside the blended totals — the canary a rolling
+  // producer migration is monitored by. Pure narrow ops until one
+  // group-by exchange; the parity split keeps both feeds corpus-sized
+  // halves of the same table so the oracle is exact.
+  private val q207 = QueryDef(
+    "q207_union_schema_drift",
+    (s, d) => {
+      val oldFeed = ev(s, d)
+        .filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val newFeed = ev(s, d)
+        .filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      oldFeed.unionByName(newFeed, allowMissingColumns = true)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_with_k"),
+          sumFixed(col("value"), 2).as("sum_value"),
+          sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+             ${sumFixedSql("value", 2)} AS sum_value,
+             CAST(sum(k) AS BIGINT) AS sum_k
+      FROM (
+        SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+        UNION ALL BY NAME
+        SELECT event_id, event_type, value,
+               CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+        FROM events WHERE event_id % 2 = 1)
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------- q208
+  // SQL-standard inverse-distribution aggregates: percentile_cont /
+  // percentile_disc WITHIN GROUP (ORDER BY ...) — the ANSI surface over
+  // what q45 hand-builds. Both engines define percentile_cont identically
+  // (rank p·(n−1), linear interpolation between the two neighbors), and
+  // l_quantity's integral values make every interpolant an exact binary
+  // double, so the match is bit-exact, not approximate. The 100 TB note
+  // is the flip side: an exact inverse-distribution aggregate buffers
+  // each group's values (ObjectHashAggregate, memory O(|group|)) — fine
+  // here where groups are the 3-value returnflag domain, wrong for
+  // corpus-keyed groups, where q45's two-phase integer-grid counting or
+  // approx_percentile is the scalable form. This query pins the API and
+  // documents the boundary.
+  private val q208 = QueryDef(
+    "q208_percentile_within_group",
+    (s, d) => {
+      li(s, d).createOrReplaceTempView("v_li_pct")
+      s.sql("""
+        SELECT l_returnflag,
+               count(*) AS n,
+               percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+               percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50,
+               percentile_cont(0.95) WITHIN GROUP (ORDER BY l_quantity) AS p95,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50_disc
+        FROM v_li_pct
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")
+    },
+    Some("""
+      SELECT l_returnflag,
+             count(*) AS n,
+             percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+             percentile_cont(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY l_quantity) AS p95,
+             percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50_disc
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
-    q191, q193, q195, q198, q199, q201, q202, q203, q206)
+    q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208)
 }

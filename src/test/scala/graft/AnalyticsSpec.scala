@@ -601,4 +601,44 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q209: built-in session_window equals manual lag-islands, full board") {
+    // The registered query caps output at 40 rows for presentation; this
+    // pins the FULL result: Spark's session_window (merge-on-overlap)
+    // must produce byte-identical (user, start, end, n) sessions to the
+    // q52-style gap>30min lag/running-sum formulation over every user at
+    // sf0.001 — the two definitions of a session are equivalent, and the
+    // built-in's end = last_event + gap convention is reproduced exactly.
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.Tables.t(spark, sf, "events")
+    val built = e
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("st"),
+        col("session_window.end").as("en"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3))).sortBy(t => (t._1, t._2.getTime))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val manual = e
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull ||
+          col("us") - col("prev") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("ts")).as("st"),
+        (max(col("us")) + 1800L * 1000000L).as("en_us"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("st"),
+        expr("timestamp_micros(en_us)").as("en"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3))).sortBy(t => (t._1, t._2.getTime))
+    assert(built.length == manual.length,
+      s"session counts differ: ${built.length} vs ${manual.length}")
+    assert(built.toSeq == manual.toSeq,
+      "session_window and lag-islands disagree on some session")
+  }
 }
