@@ -1353,7 +1353,235 @@ object Dedup {
       GROUP BY 1
       ORDER BY side"""))
 
+  // --------------------------------------------------------------- q210
+  /** Staged document feed for q210: the doc_id % 5 == 0 fifth of the
+    * corpus written as 4 parquet slices (by (doc_id/5) % 4) into a
+    * stable per-SF temp dir, `_READY`-marked and mtime-stamped ascending
+    * so a reused staging replays identically (same scheme as the
+    * EventStreams stagings). */
+  private val feedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedDocFeed(s: SparkSession, d: String): String =
+    feedDirs.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_stream",
+        d.replaceAll("[^A-Za-z0-9.]", "_"), "doc_feed")
+      val ready = dir.resolve("_READY")
+      if (!Files.exists(ready)) {
+        if (Files.exists(dir))
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .iterator.asScala.foreach(Files.delete)
+        Files.createDirectories(dir)
+        val stage = dir.resolve("_work")
+        docs(s, d).filter(col("doc_id") % 5 === 0)
+          .withColumn("fid", (col("doc_id") / 5) % 4)
+          .repartition(col("fid"))
+          .write.mode("overwrite").partitionBy("fid").parquet(stage.toString)
+        Files.list(stage).iterator.asScala
+          .filter(_.getFileName.toString.startsWith("fid=")).toSeq
+          .sortBy(_.getFileName.toString)
+          .foreach { pd =>
+            val fid = pd.getFileName.toString.stripPrefix("fid=")
+            val part = Files.list(pd).iterator.asScala
+              .filter(_.toString.endsWith(".parquet")).toSeq
+            require(part.length == 1, s"one file expected for fid=$fid")
+            Files.move(part.head, dir.resolve(s"feed_$fid.parquet"))
+          }
+        Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
+          .iterator.asScala.foreach(Files.delete)
+        Files.createFile(ready)
+      }
+      // ascending mtimes, fresh enough for the source's maxFileAge filter
+      val fs = Files.list(dir).iterator.asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString)
+      val base = System.currentTimeMillis() - 3600L * 1000
+      fs.zipWithIndex.foreach { case (f, i) =>
+        Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+      }
+      dir.toString
+    })
+
+  /** Core of q210, parameterized on files-per-trigger so DedupSpec can
+    * pin chunking invariance (1 file per micro-batch vs the whole feed
+    * in one batch must yield identical verdicts). */
+  private[graft] def streamAdmission(s: SparkSession, d: String,
+      filesPerTrigger: Int): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val feedDir = stagedDocFeed(s, d)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    // ---- static corpus index, built once and pinned (localCheckpoint):
+    // per-batch work must touch only the arriving feed slice, never
+    // re-derive corpus state — the persisted-signatures production shape.
+    val corpus = Tables.t(ss, d, "documents").filter(col("doc_id") % 5 =!= 0)
+    val csh = rawShinglesOf(corpus)
+      .select(col("doc_id"), md5Id(col("shingle")).as("sid")).distinct()
+    val sigCols = (0 until K).map(k =>
+      min((col("sid") * aK(k) + bK(k)) % P).as(s"h$k")) :+
+      collect_set(col("sid")).as("sids")
+    val corpSig = csh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .localCheckpoint()
+    val bandExprs = (0 until Bands).map(j =>
+      s"struct(${j}L as band, h${2 * j} * 2147483648L + h${2 * j + 1} as bv)")
+    val corpBands = corpSig
+      .select(col("doc_id").as("old_id"),
+        explode(array(bandExprs.map(expr): _*)).as("b"))
+      .select(col("old_id"), col("b.band").as("band"), col("b.bv").as("bv"))
+    // CORPUS-SIDE-ONLY hot-bucket cap: a static property of the index,
+    // so per-doc verdicts cannot depend on how the feed is chunked into
+    // micro-batches (a union-side cap like q100's would make a bucket's
+    // fate depend on which feed docs share the batch — DedupSpec pins
+    // the invariance this buys).
+    val okBuckets = corpBands.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= MaxBucket)
+      .select(col("band"), col("bv"))
+    val corpProbe = corpBands.join(okBuckets, Seq("band", "bv"))
+      .localCheckpoint()
+    val corpSids = corpSig.select(col("doc_id").as("old_id"),
+      col("sids").as("sb"))
+    val corpHash = corpus
+      .select(md5(col("text").cast("binary")).as("h"), col("n_chars"))
+      .distinct().localCheckpoint()
+    // ---- fresh sink + checkpoint per run (append sink would otherwise
+    // double-count on reuse)
+    val outDir = Files.createTempDirectory("graft_q210_out_").toString
+    val ckpt = Files.createTempDirectory("graft_q210_ckpt_").toString
+    val q = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"))
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .parquet(feedDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val fsig = rawShinglesOf(batch)
+          .select(col("doc_id"), md5Id(col("shingle")).as("sid")).distinct()
+          .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        val cand = fsig
+          .select(col("doc_id").as("new_id"),
+            explode(array(bandExprs.map(expr): _*)).as("b"))
+          .select(col("new_id"), col("b.band").as("band"),
+            col("b.bv").as("bv"))
+          .join(corpProbe, Seq("band", "bv"))
+          .select(col("new_id"), col("old_id")).distinct()
+        val near = cand
+          .join(fsig.select(col("doc_id").as("new_id"),
+            col("sids").as("sa")), "new_id")
+          .join(corpSids, "old_id")
+          .withColumn("ni",
+            size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .filter(round(col("ni").cast("double") /
+            (size(col("sa")) + size(col("sb")) - col("ni")).cast("double"),
+            6) >= 0.5)
+          .groupBy(col("new_id"))
+          .agg(count(lit(1)).as("n_near"), min(col("old_id")).as("near_min_old"))
+        val ex = batch
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h"),
+            col("n_chars"))
+          .join(corpHash, Seq("h", "n_chars"), "left_semi")
+          .select(col("doc_id"), lit(true).as("ex"))
+        batch.select(col("doc_id"))
+          .join(ex, Seq("doc_id"), "left")
+          .join(near.withColumnRenamed("new_id", "doc_id"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("ex"), "exact")
+              .when(col("n_near").isNotNull, "near")
+              .otherwise("new").as("verdict"),
+            coalesce(col("n_near"), lit(0L)).as("n_near"),
+            coalesce(col("near_min_old"), lit(-1L)).as("near_min_old"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir).orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------------- q210
+  // Streaming near-dup ADMISSION CONTROL — q100's daily-refresh dedup
+  // (new batch vs ingested corpus) run as a continuous pipeline: the
+  // feed (every 5th doc) streams in 4 file micro-batches; each batch is
+  // classified exact / near / new against a STATIC corpus index built
+  // once (signatures + band buckets + content hashes, localCheckpointed
+  // — persist-the-signatures, never re-derive). Each arriving doc's
+  // verdict is independent of every other feed doc, so the operator
+  // needs NO cross-batch state: per-batch work is minhash signatures of
+  // the slice (scalar + one tiny aggregate), a band-key equi-join into
+  // the corpus probe table, and the exact-Jaccard verify — O(|batch| ·
+  // bucket-occupancy) per batch, the corpus term paid once at index
+  // build. foreachBatch gives the batch the full batch-API surface
+  // (groupBy et al. would be stateful operators in a pure streaming
+  // plan) — the standard Kafka→dedup→store admission shape. The one
+  // design decision that MAKES it streamable: the hot-bucket cap is
+  // corpus-side-only (a static index property), never union-side like
+  // q100's, so verdicts are chunking-invariant — DedupSpec pins
+  // 1-file-per-trigger ≡ whole-feed-in-one-batch, and the oracle
+  // expresses the same cap. At 100 TB: the index lives in a store
+  // keyed by band value; each micro-batch probes only its own keys.
+  private val q210 = QueryDef(
+    "q210_stream_dedup_admission",
+    (s, d) => streamAdmission(s, d, 1),
+    Some(s"""
+      WITH $shinglesSql,
+      ids AS (SELECT DISTINCT doc_id, ${md5IdSql("shingle")} AS sid FROM sh),
+      sig AS (SELECT doc_id,
+               ${(0 until K).map(k =>
+                 s"min((sid * ${aK(k)} + ${bK(k)}) % $P) AS h$k")
+                 .mkString(",\n               ")}
+              FROM ids GROUP BY doc_id),
+      bands AS (
+        ${(0 until Bands).map(j =>
+          s"SELECT doc_id, $j AS band, h${2 * j} * 2147483648 + h${2 * j + 1} AS bv FROM sig")
+          .mkString("\n        UNION ALL ")}),
+      corp_bands AS (SELECT doc_id, band, bv FROM bands WHERE doc_id % 5 <> 0),
+      ok AS (SELECT band, bv FROM corp_bands GROUP BY band, bv
+             HAVING count(*) <= $MaxBucket),
+      cand AS (
+        SELECT DISTINCT f.doc_id AS new_id, c.doc_id AS old_id
+        FROM bands f
+        JOIN corp_bands c ON f.band = c.band AND f.bv = c.bv
+        JOIN ok o ON o.band = f.band AND o.bv = f.bv
+        WHERE f.doc_id % 5 = 0),
+      cnt AS (SELECT doc_id, count(*) AS n FROM ids GROUP BY 1),
+      inter AS (
+        SELECT new_id, old_id, count(*) AS ni
+        FROM cand
+        JOIN ids a ON a.doc_id = new_id
+        JOIN ids b ON b.doc_id = old_id AND a.sid = b.sid
+        GROUP BY 1, 2),
+      near AS (
+        SELECT new_id, old_id
+        FROM inter
+        JOIN cnt ca ON new_id = ca.doc_id
+        JOIN cnt cb ON old_id = cb.doc_id
+        WHERE round(CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE), 6)
+              >= 0.5),
+      nearagg AS (SELECT new_id, count(*) AS n_near,
+                         min(old_id) AS near_min_old
+                  FROM near GROUP BY 1),
+      ex AS (
+        SELECT DISTINCT f.doc_id
+        FROM documents f JOIN documents c
+          ON md5(f.text) = md5(c.text) AND f.n_chars = c.n_chars
+        WHERE f.doc_id % 5 = 0 AND c.doc_id % 5 <> 0)
+      SELECT d.doc_id,
+             CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                  WHEN a.new_id IS NOT NULL THEN 'near'
+                  ELSE 'new' END AS verdict,
+             CAST(COALESCE(a.n_near, 0) AS BIGINT) AS n_near,
+             CAST(COALESCE(a.near_min_old, -1) AS BIGINT) AS near_min_old
+      FROM documents d
+      LEFT JOIN ex e ON e.doc_id = d.doc_id
+      LEFT JOIN nearagg a ON a.new_id = d.doc_id
+      WHERE d.doc_id % 5 = 0
+      ORDER BY d.doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154,
-      q161, q205)
+      q161, q205, q210)
 }

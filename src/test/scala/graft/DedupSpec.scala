@@ -295,4 +295,26 @@ class DedupSpec extends AnyFunSuite {
     assert(evalShare > 0.05 && evalShare < 0.40,
       s"eval share $evalShare outside the plausible band for an 80/20 cut")
   }
+
+  test("q210: admission verdicts are invariant to micro-batch chunking") {
+    // The design claim that makes q210 a legitimate STREAMING operator:
+    // because the hot-bucket cap is a static corpus-index property
+    // (never computed over corpus ∪ batch like q100's union-side cap),
+    // each feed doc's verdict depends only on (doc, corpus) — so the
+    // same feed processed one file per micro-batch (4 batches) and all
+    // at once (1 batch) must emit byte-identical verdict rows. A
+    // union-side cap would fail this: a bucket's fate would depend on
+    // which feed docs happened to share the trigger.
+    def run(fpt: Int) =
+      graft.operators.Dedup.streamAdmission(spark, sf, fpt)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+    val perFile = run(1)
+    val oneShot = run(4)
+    assert(perFile.length == oneShot.length && perFile.nonEmpty,
+      s"row counts differ: ${perFile.length} vs ${oneShot.length}")
+    assert(perFile.toSeq == oneShot.toSeq,
+      "verdicts depend on micro-batch chunking")
+  }
 }
