@@ -19,6 +19,14 @@ import org.apache.spark.sql.expressions.Window
   * /root/reference/system_tests/test_fit_predict.py:26-56 and
   * /root/reference/dask_lightgbm/core.py:5-6 (see SURVEY §2.B).
   */
+/** Typed row for q211's Dataset[T] pipeline (top-level so the product
+  * encoder derives; fields mirror the pruned read schema exactly). */
+final case class Q211Li(
+    l_quantity: Double,
+    l_extendedprice: Double,
+    l_discount: Double,
+    l_returnflag: String)
+
 object Relational {
   import Num._
 
@@ -2670,11 +2678,67 @@ object Relational {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  // ---------------------------------------------------------------- q211
+  // Typed Dataset[T] pipeline — the case-class API SURVEY §1.3 maps the
+  // reference's pandas-typed frames onto: read → filter → as[Q211Li] →
+  // typed map (exact-cents net revenue in plain Scala) → groupByKey +
+  // typed Aggregator → back to columns. The discipline this query
+  // demonstrates is WHERE to put the typed section: the Column filter
+  // and projection come BEFORE as[T], so Catalyst still pushes the
+  // quantity predicate into the parquet scan and prunes the read schema
+  // to 4 fields (PlanSpec pins both) — a lambda filter instead would
+  // read and deserialize the whole table, because closures are opaque to
+  // the optimizer. Inside the typed section, rows pay one
+  // DeserializeToObject/SerializeFromObject pass (object-pipeline
+  // codegen, no vectorization) — the measured price of compile-time
+  // types, bounded here to the post-filter survivors. The typed
+  // Aggregator reduces to exact Long cents (associative,
+  // partition-independent); Scala's math.round and SQL round agree on
+  // positive cents so the oracle is bit-exact.
+  private val q211 = QueryDef(
+    "q211_typed_dataset_pipeline",
+    (s, d) => {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      import org.apache.spark.sql.expressions.Aggregator
+      implicit val liEnc: Encoder[Q211Li] = Encoders.product[Q211Li]
+      implicit val tupEnc: Encoder[(String, Long)] =
+        Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+      val sumCents = new Aggregator[(String, Long), Long, Long] {
+        def zero: Long = 0L
+        def reduce(b: Long, a: (String, Long)): Long = b + a._2
+        def merge(b1: Long, b2: Long): Long = b1 + b2
+        def finish(r: Long): Long = r
+        def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+        def outputEncoder: Encoder[Long] = Encoders.scalaLong
+      }
+      li(s, d)
+        .select(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_returnflag"))
+        .filter(col("l_quantity") >= 30.0)
+        .as[Q211Li]
+        .map(r => (r.l_returnflag,
+          math.round(r.l_extendedprice * (1.0 - r.l_discount) * 100.0)))
+        .groupByKey(_._1)(Encoders.STRING)
+        .agg(sumCents.toColumn.name("cents"))
+        .toDF("l_returnflag", "cents")
+        .select(col("l_returnflag"),
+          (col("cents").cast("double") / 100.0).as("net_revenue"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag,
+             CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                  AS BIGINT)) AS DOUBLE) / 100 AS net_revenue
+      FROM lineitem
+      WHERE l_quantity >= 30.0
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
-    q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208)
+    q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208, q211)
 }

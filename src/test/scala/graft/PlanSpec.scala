@@ -706,6 +706,21 @@ class PlanSpec extends AnyFunSuite {
       "no variant may degrade to a nested-loop anti join at this scale")
   }
 
+  test("q211: typed section does not block pushdown or pruning") {
+    // The Column filter/projection precede as[T], so the scan must keep
+    // the quantity predicate in PushedFilters and a 4-field ReadSchema
+    // even though an opaque typed map/Aggregator follows; the typed
+    // section itself must be present (DeserializeToObject) — otherwise
+    // the test isn't exercising the boundary it claims to pin.
+    val p = planOf("q211_typed_dataset_pipeline")
+    assert(p.contains("DeserializeToObject"),
+      "typed object section expected in the plan")
+    assert(p.contains("GreaterThanOrEqual(l_quantity"),
+      "quantity filter must reach the parquet scan")
+    assert(!p.contains("l_shipdate") && !p.contains("l_orderkey"),
+      "unused columns must be pruned despite the typed section")
+  }
+
   test("q204: intra-doc repetition never explodes or shuffles the n-grams") {
     // The whole score is per-row scalar array algebra; the only plan
     // nodes past the scan must be projection + the top-k heap. A
