@@ -2734,11 +2734,118 @@ object Relational {
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""))
 
+  // ---------------------------------------------------------------- q212
+  // Data-quality constraint suite (Deequ/Great-Expectations shape):
+  // declarative expectations evaluated as DATA — one row per constraint
+  // with its measured metric and verdict. The scale discipline is
+  // FUSION: all row-local checks (completeness, domain membership,
+  // range, duplicate-free key) compile into a SINGLE scan + aggregate —
+  // where naively running one validation query per constraint re-reads
+  // a 100 TB table N times. Two checks need more than row-local state
+  // and get exactly one extra shape each: key uniqueness is a count vs
+  // count(distinct) on the composite key inside the same aggregate
+  // (distinct-expand, key-sized), and referential integrity is the one
+  // join — an orphan anti-count against broadcast order keys. Metrics
+  // are exact integer ratios rounded once; verdicts derive from the
+  // metric so the report is bit-identical cross-engine. Contrast with
+  // q151 (exploratory per-column profile) and q170 (FK audit): this is
+  // the gating form — a named pass/fail contract a pipeline run asserts
+  // before publishing.
+  private val q212 = QueryDef(
+    "q212_dq_constraint_suite",
+    (s, d) => {
+      val lf = li(s, d)
+      val one = lf.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_orderkey")).as("n_ok_nonnull"),
+        sum(when(col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+          .as("n_flag_dom"),
+        sum(when(col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0, 1L)
+          .otherwise(0L)).as("n_qty_rng"),
+        sum(when(col("l_discount") >= 0.0 && col("l_discount") <= 0.1, 1L)
+          .otherwise(0L)).as("n_disc_rng"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_key"))
+      val orphans = lf.select(col("l_orderkey"))
+        .join(broadcast(ord(s, d).select(col("o_orderkey"))),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan"))
+      val m = one.crossJoin(broadcast(orphans))
+      // report reshaping is an UNPIVOT of the one metrics row — a union
+      // of per-constraint selects would re-evaluate the whole metrics
+      // subtree per branch (measured: 18 scans instead of 3 before this
+      // form; the PlanSpec pin is what caught it)
+      m.select(expr("""stack(6,
+          'completeness_l_orderkey',
+            round(cast(n_ok_nonnull as double) / n_rows, 6),
+            n_ok_nonnull = n_rows,
+          'domain_l_returnflag',
+            round(cast(n_flag_dom as double) / n_rows, 6),
+            n_flag_dom = n_rows,
+          'range_l_quantity_1_50',
+            round(cast(n_qty_rng as double) / n_rows, 6),
+            n_qty_rng = n_rows,
+          'range_l_discount_0_01',
+            round(cast(n_disc_rng as double) / n_rows, 6),
+            n_disc_rng = n_rows,
+          'unique_key_orderkey_linenumber',
+            round(cast(n_key as double) / n_rows, 6),
+            n_key = n_rows,
+          'referential_orderkey_in_orders',
+            round(1.0D - cast(n_orphan as double) / n_rows, 6),
+            n_orphan = 0L
+        ) AS (check_name, metric, pass)"""))
+        .orderBy(col("check_name"))
+    },
+    Some("""
+      WITH one AS (
+        SELECT count(*) AS n_rows,
+               count(l_orderkey) AS n_ok_nonnull,
+               sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END)
+                 AS n_flag_dom,
+               sum(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END)
+                 AS n_qty_rng,
+               sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END)
+                 AS n_disc_rng,
+               count(DISTINCT (l_orderkey, l_linenumber)) AS n_key
+        FROM lineitem),
+      orph AS (
+        SELECT count(*) AS n_orphan
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)),
+      m AS (SELECT * FROM one CROSS JOIN orph)
+      SELECT check_name, metric, pass FROM (
+        SELECT 'completeness_l_orderkey' AS check_name,
+               round(CAST(n_ok_nonnull AS DOUBLE) / n_rows, 6) AS metric,
+               n_ok_nonnull = n_rows AS pass FROM m
+        UNION ALL
+        SELECT 'domain_l_returnflag',
+               round(CAST(n_flag_dom AS DOUBLE) / n_rows, 6),
+               n_flag_dom = n_rows FROM m
+        UNION ALL
+        SELECT 'range_l_quantity_1_50',
+               round(CAST(n_qty_rng AS DOUBLE) / n_rows, 6),
+               n_qty_rng = n_rows FROM m
+        UNION ALL
+        SELECT 'range_l_discount_0_01',
+               round(CAST(n_disc_rng AS DOUBLE) / n_rows, 6),
+               n_disc_rng = n_rows FROM m
+        UNION ALL
+        SELECT 'unique_key_orderkey_linenumber',
+               round(CAST(n_key AS DOUBLE) / n_rows, 6),
+               n_key = n_rows FROM m
+        UNION ALL
+        SELECT 'referential_orderkey_in_orders',
+               round(1.0 - CAST(n_orphan AS DOUBLE) / n_rows, 6),
+               n_orphan = 0 FROM m)
+      ORDER BY check_name"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q60, q61, q62, q63, q64, q65, q66, q67, q101, q119,
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
-    q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208, q211)
+    q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208, q211,
+    q212)
 }

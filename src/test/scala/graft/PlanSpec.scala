@@ -721,6 +721,19 @@ class PlanSpec extends AnyFunSuite {
       "unused columns must be pruned despite the typed section")
   }
 
+  test("q212: six constraints cost two fact scans, not six") {
+    // The fusion claim: all row-local expectations compile into ONE
+    // lineitem scan (single fused aggregate), the referential check adds
+    // exactly one more (the anti-join branch), plus the orders dim scan
+    // — six declared constraints, three scans total. A regression to
+    // scan-per-constraint would multiply 100 TB I/O by the suite size.
+    val p = planOf("q212_dq_constraint_suite")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 3, s"expected <= 3 scans (2 fact + 1 dim), got $scans")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      "referential check must broadcast the order keys")
+  }
+
   test("q204: intra-doc repetition never explodes or shuffles the n-grams") {
     // The whole score is per-row scalar array algebra; the only plan
     // nodes past the scan must be projection + the top-k heap. A
