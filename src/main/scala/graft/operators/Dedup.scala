@@ -1581,7 +1581,161 @@ object Dedup {
       WHERE d.doc_id % 5 = 0
       ORDER BY d.doc_id"""))
 
+  // --------------------------------------------------------------- q213
+  // The curation FUNNEL — the operators composed into the pipeline they
+  // exist for, as ONE declarative plan: raw corpus → language filter →
+  // length-quality cut → near-dup cluster pruning (MinHash pairs
+  // restricted to the surviving subgraph, connected components, keep the
+  // min-id representative) → eval-set 5-gram decontamination → packed
+  // 512-token training bins. Per q212's lesson, the funnel is NOT a
+  // union of per-stage re-aggregations: every stage becomes a boolean
+  // FLAG on one annotated frame (each flag implies its predecessor), a
+  // single fused aggregate produces every stage's (docs, tokens) pair,
+  // and stack() unpivots the one metrics row into the report. The two
+  // genuinely non-row-local inputs — cluster reps and contaminated ids —
+  // are computed once and localCheckpointed before annotation (each
+  // embeds a corpus pass by construction; the checkpoint keeps it to
+  // exactly one). Eval docs need no special-casing in training: an eval
+  // doc that reaches the decon stage shares its own 5-grams and drops
+  // itself. At 100 TB every stage is a shape already proven on this
+  // board: q40's filter, q41's cut, q32+q35+q109's prune, q105's
+  // broadcast-membership decon, q106's packing arithmetic.
+  private val q213 = QueryDef(
+    "q213_curation_funnel",
+    (s, d) => {
+      val raw = docs(s, d).select(col("doc_id"), col("lang"), col("source"),
+        col("text"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      // stage-3 survivors (lang + length-quality), ids only
+      val s3ids = raw.filter(col("lang") === "en" &&
+        col("ntok").between(20, 95)).select(col("doc_id"))
+      // near-dup components over the SURVIVING subgraph: corpus pairs
+      // restricted to edges with both endpoints alive, so a cluster
+      // whose min member was filtered upstream still keeps its best
+      // surviving member (restricting edges, not re-labeling, is what
+      // makes that work)
+      val within = minhashPairs(s, d).select(col("da"), col("db"))
+        .join(s3ids.withColumnRenamed("doc_id", "da"), "da")
+        .join(s3ids.withColumnRenamed("doc_id", "db"), "db")
+      val comps = connectedComponents(within).localCheckpoint()
+      // eval split + contaminated survivors, one gram pass each side
+      def grams5(df: DataFrame): DataFrame = df
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 5), i -> concat_ws(' '," +
+            " toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))"))
+          .as("gram"))
+      val evalGrams = grams5(raw.filter(col("doc_id") % 50 === 3))
+        .select(col("gram")).distinct()
+      val contaminated = grams5(raw)
+        .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+        .select(col("doc_id")).distinct().localCheckpoint()
+      // one annotated frame; each flag implies its predecessor
+      val ann = raw
+        .join(comps, raw("doc_id") === comps("id"), "left")
+        .join(contaminated.withColumn("bad", lit(true)),
+          Seq("doc_id"), "left")
+        .withColumn("f2", col("lang") === "en")
+        .withColumn("f3", col("f2") && col("ntok").between(20, 95))
+        .withColumn("f4", col("f3") &&
+          coalesce(col("comp"), col("doc_id")) === col("doc_id"))
+        .withColumn("f5", col("f4") && col("bad").isNull)
+      def cnt(f: String) = sum(when(col(f), 1L).otherwise(0L))
+      def tok(f: String) = sum(when(col(f), col("ntok")).otherwise(0L))
+      val one = ann.agg(
+        count(lit(1)).as("n1"), sum(col("ntok")).as("t1"),
+        cnt("f2").as("n2"), tok("f2").as("t2"),
+        cnt("f3").as("n3"), tok("f3").as("t3"),
+        cnt("f4").as("n4"), tok("f4").as("t4"),
+        cnt("f5").as("n5"), tok("f5").as("t5"))
+      val bins = ann.filter(col("f5"))
+        .groupBy(col("source")).agg(sum(col("ntok")).as("t"))
+        .agg(sum(expr("(t + 511) DIV 512")).as("n_bins"))
+      one.crossJoin(broadcast(bins))
+        .select(expr("""stack(6,
+            1, 'raw',            n1, t1, 0L,
+            2, 'lang_en',        n2, t2, 0L,
+            3, 'quality_len',    n3, t3, 0L,
+            4, 'near_dedup',     n4, t4, 0L,
+            5, 'decontaminated', n5, t5, 0L,
+            6, 'packed',         n5, t5, n_bins
+          ) AS (stage, name, n_docs, n_tokens, n_bins)"""))
+        .orderBy(col("stage"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashCtes,
+      raw AS (SELECT doc_id, lang, source,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+                     text
+              FROM documents),
+      s3 AS (SELECT doc_id FROM raw
+             WHERE lang = 'en' AND ntok BETWEEN 20 AND 95),
+      edges AS (
+        SELECT da AS src, db AS dst FROM mh_pairs
+          JOIN s3 a ON a.doc_id = da JOIN s3 b ON b.doc_id = db
+        UNION ALL
+        SELECT db, da FROM mh_pairs
+          JOIN s3 a ON a.doc_id = da JOIN s3 b ON b.doc_id = db),
+      reach(id, comp) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id, min(comp) AS comp_id FROM reach GROUP BY id),
+      g5 AS (
+        SELECT doc_id, unnest(
+          CASE WHEN len(toks) >= 5
+               THEN list_transform(range(1, len(toks) - 3),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      || ' ' || toks[i+3] || ' ' || toks[i+4])
+               ELSE [] END) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      evg AS (SELECT DISTINCT gram FROM g5 WHERE doc_id % 50 = 3),
+      contaminated AS (
+        SELECT DISTINCT g5.doc_id FROM g5 JOIN evg USING (gram)),
+      -- MATERIALIZED: ann is consumed by two aggregates and the report
+      -- rows; inlined it would re-run the recursive closure and the
+      -- gram join once per consumer (the q212 trap, SQL edition)
+      ann AS MATERIALIZED (
+        SELECT r.doc_id, r.source, r.ntok,
+               (r.lang = 'en') AS f2,
+               (r.lang = 'en' AND r.ntok BETWEEN 20 AND 95) AS f3,
+               (r.lang = 'en' AND r.ntok BETWEEN 20 AND 95
+                AND coalesce(c.comp_id, r.doc_id) = r.doc_id) AS f4,
+               (r.lang = 'en' AND r.ntok BETWEEN 20 AND 95
+                AND coalesce(c.comp_id, r.doc_id) = r.doc_id
+                AND x.doc_id IS NULL) AS f5
+        FROM raw r
+        LEFT JOIN comp c ON c.id = r.doc_id
+        LEFT JOIN contaminated x ON x.doc_id = r.doc_id),
+      one AS (
+        SELECT count(*) AS n1, CAST(sum(ntok) AS BIGINT) AS t1,
+               CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN f2 THEN ntok ELSE 0 END) AS BIGINT) AS t2,
+               CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+               CAST(sum(CASE WHEN f3 THEN ntok ELSE 0 END) AS BIGINT) AS t3,
+               CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+               CAST(sum(CASE WHEN f4 THEN ntok ELSE 0 END) AS BIGINT) AS t4,
+               CAST(sum(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+               CAST(sum(CASE WHEN f5 THEN ntok ELSE 0 END) AS BIGINT) AS t5
+        FROM ann),
+      bins AS (
+        SELECT CAST(sum((t + 511) // 512) AS BIGINT) AS n_bins
+        FROM (SELECT source, sum(ntok) AS t FROM ann
+              WHERE f5 GROUP BY source)),
+      m AS (SELECT * FROM one CROSS JOIN bins)
+      SELECT s.stage, s.name,
+             CASE s.stage WHEN 1 THEN n1 WHEN 2 THEN n2 WHEN 3 THEN n3
+                          WHEN 4 THEN n4 ELSE n5 END AS n_docs,
+             CASE s.stage WHEN 1 THEN t1 WHEN 2 THEN t2 WHEN 3 THEN t3
+                          WHEN 4 THEN t4 ELSE t5 END AS n_tokens,
+             CASE WHEN s.stage = 6 THEN n_bins
+                  ELSE CAST(0 AS BIGINT) END AS n_bins
+      FROM m, (VALUES (1, 'raw'), (2, 'lang_en'), (3, 'quality_len'),
+                      (4, 'near_dedup'), (5, 'decontaminated'),
+                      (6, 'packed')) AS s(stage, name)
+      ORDER BY s.stage"""))
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154,
-      q161, q205, q210)
+      q161, q205, q210, q213)
 }
