@@ -2285,9 +2285,251 @@ object Analytics {
       ORDER BY user_id, sess_start
       LIMIT 40"""))
 
+  // --------------------------------------------------------------- q214
+  // Kaplan–Meier survival over user lifetimes ([EXT] — churn/survival
+  // analysis, a standard product-analytics operator the board lacked).
+  // Observation model: a user "churns" (event observed) when their last
+  // event is >24 HOURS before the corpus horizon (the events table spans
+  // ~30 days with a median inter-event gap of hours, so hour granularity
+  // is where the hazard lives; p90 of last-event→horizon gaps is ~24 h);
+  // otherwise they are right-censored at the horizon. t = hours from
+  // first event to last (churned) or to horizon (censored). KM
+  // product-limit:
+  // S(t) = Π_{death times t_j ≤ t} (n_j − d_j)/n_j with risk set
+  // n_j = #{t_i ≥ t_j} (censored-at-t still at risk — standard tie rule).
+  //
+  // Determinism: the product is computed as exp(Σ ln-factors) where each
+  // per-row ln((n−d)/n) — ln of an IDENTICAL double in both engines since
+  // (n−d)/n is a correctly-rounded quotient of exact BIGINTs — is
+  // quantized to a BIGINT at 1e-10 before the cumulative sum. Summing
+  // integers is exact in ANY order, so DuckDB's segment-tree window sum
+  // and Spark's sequential running sum agree bit-for-bit; only then does
+  // one exp() + round(6) produce the double output. The d == n_risk
+  // corner (everyone remaining dies) would be ln(0) = −∞; a cumulative
+  // max flag pins S = 0 from that point on instead.
+  //
+  // Scale: the corpus-sized work is ONE user-keyed aggregate (first/last
+  // event per user — map-side partials apply). Everything after operates
+  // on the (t → counts) table, bounded by the CALENDAR (distinct
+  // lifetime-hour values ≤ horizon span in hours, ~720 here), not the
+  // corpus, so the unpartitioned windows downstream are O(few hundred
+  // rows) at any SF — the same boundedness argument as q169's register
+  // grid.
+  private val q214 = QueryDef(
+    "q214_survival_km",
+    (s, d) => {
+      val hr = expr("unix_micros(ts) DIV 3600000000")
+      val pu = ev(s, d).groupBy(col("user_id"))
+        .agg(min(hr).as("fd"), max(hr).as("ld"))
+      val hz = ev(s, d).agg(max(hr).as("hz"))
+      val obs = pu.crossJoin(broadcast(hz))
+        .withColumn("died",
+          when(col("hz") - col("ld") > 24L, 1L).otherwise(0L))
+        .withColumn("t",
+          when(col("died") === 1L, col("ld") - col("fd"))
+            .otherwise(col("hz") - col("fd")).cast("long"))
+      val byT = obs.groupBy(col("t"))
+        .agg(sum(col("died")).as("d"),
+          (count(lit(1)) - sum(col("died"))).as("cens"),
+          count(lit(1)).as("cnt"))
+      val wRisk = Window.orderBy(col("t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT
+        .withColumn("n_risk", sum(col("cnt")).over(wRisk))
+        .withColumn("zf", max(when(col("d") >= col("n_risk"), 1L)
+          .otherwise(0L)).over(wCum))
+        .withColumn("li",
+          when(col("d") < col("n_risk"),
+            round(log((col("n_risk") - col("d")).cast("double") /
+              col("n_risk").cast("double")) * lit(1e10)).cast("long"))
+            .otherwise(lit(0L)))
+        .withColumn("km",
+          when(col("zf") === 1L, lit(0.0))
+            .otherwise(round(exp(sum(col("li")).over(wCum).cast("double") /
+              lit(1e10)), 6)))
+        .select(col("t"), col("n_risk"), col("d"), col("cens"), col("km"))
+        .orderBy(col("t"))
+    },
+    Some("""
+      WITH pu AS (
+        SELECT user_id, min(epoch_us(ts) // 3600000000) AS fd,
+               max(epoch_us(ts) // 3600000000) AS ld
+        FROM events GROUP BY user_id),
+      hz AS (SELECT max(epoch_us(ts) // 3600000000) AS hz FROM events),
+      obs AS (
+        SELECT CASE WHEN hz - ld > 24 THEN 1 ELSE 0 END AS died,
+               CAST(CASE WHEN hz - ld > 24 THEN ld - fd
+                         ELSE hz - fd END AS BIGINT) AS t
+        FROM pu, hz),
+      byt AS (
+        SELECT t, CAST(sum(died) AS BIGINT) AS d,
+               CAST(count(*) - sum(died) AS BIGINT) AS cens,
+               count(*) AS cnt
+        FROM obs GROUP BY t),
+      r AS (
+        SELECT t, d, cens,
+               CAST(sum(cnt) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        FROM byt),
+      f AS (
+        SELECT *,
+               max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS zf,
+               CASE WHEN d < n_risk
+                    THEN CAST(round(ln(CAST(n_risk - d AS DOUBLE) /
+                           CAST(n_risk AS DOUBLE)) * 1e10) AS BIGINT)
+                    ELSE 0 END AS li
+        FROM r)
+      SELECT t, n_risk, d, cens,
+             CASE WHEN zf = 1 THEN 0.0
+                  ELSE round(exp(CAST(sum(li) OVER (ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e10), 6)
+             END AS km
+      FROM f
+      ORDER BY t"""))
+
+  // --------------------------------------------------------------- q215
+  // Interval-union coverage (sweep-line) ([EXT]): each event opens a
+  // half-open interval [ts, ts + 0.6s·cents(value)); per user, report
+  // the UNION length of those overlapping intervals, the count of merged
+  // disjoint blocks, and utilization vs the first→last span. The classic
+  // formulation needs a sweep; declaratively it is one ordered window per
+  // user: eff_start = max(start, running-max of prior ends), contribution
+  // = max(0, end − eff_start) — summing contributions gives exactly the
+  // union measure, and start > prior-max-end marks a new disjoint block.
+  //
+  // Determinism: everything is exact BIGINT µs (duration derives from the
+  // 2-decimal `value` via its exact cent integer ×600000 µs); the only
+  // double is the final utilization, a correctly-rounded quotient of two
+  // exact integers. Scale: ONE exchange on user_id serves both the
+  // running-max window and the per-user aggregate (Catalyst keeps the
+  // hash partitioning — q52's single-exchange shape); per-partition work
+  // is a linear scan after sort. No corpus-sized single-partition stage.
+  private val q215 = QueryDef(
+    "q215_interval_union",
+    (s, d) => {
+      val iv = ev(s, d).select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) +
+          greatest(round(col("value") * 100).cast("long"), lit(0L)) *
+            lit(600000L)).as("en"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("st"), col("event_id"))
+      iv
+        .withColumn("pm",
+          max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("contrib",
+          greatest(lit(0L),
+            col("en") - greatest(col("st"), coalesce(col("pm"), col("st")))))
+        .withColumn("nb",
+          when(col("pm").isNull || col("st") > col("pm"), 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_iv"),
+          sum(col("nb")).as("blocks"),
+          sum(col("contrib")).as("covered_us"),
+          (max(col("en")) - min(col("st"))).as("span_us"))
+        .withColumn("util",
+          round(col("covered_us").cast("double") /
+            col("span_us").cast("double"), 6))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS st,
+               epoch_us(ts) + greatest(CAST(round(value * 100) AS BIGINT), 0)
+                 * 600000 AS en
+        FROM events),
+      sw AS (
+        SELECT user_id, st, en,
+               max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS pm
+        FROM iv),
+      c AS (
+        SELECT user_id, st, en,
+               greatest(0, en - greatest(st, coalesce(pm, st))) AS contrib,
+               CASE WHEN pm IS NULL OR st > pm THEN 1 ELSE 0 END AS nb
+        FROM sw)
+      SELECT user_id, count(*) AS n_iv, CAST(sum(nb) AS BIGINT) AS blocks,
+             CAST(sum(contrib) AS BIGINT) AS covered_us,
+             CAST(max(en) - min(st) AS BIGINT) AS span_us,
+             round(CAST(sum(contrib) AS DOUBLE) /
+                   CAST(max(en) - min(st) AS DOUBLE), 6) AS util
+      FROM c
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
+  // --------------------------------------------------------------- q219
+  // Benford first-digit audit ([EXT] data-quality): per order priority,
+  // compare the first-significant-digit distribution of o_totalprice
+  // against Benford's law and report a χ²-style distance — the standard
+  // screen for fabricated/synthetic monetary columns (complements q212's
+  // constraint suite, which checks declared invariants, with a
+  // DISTRIBUTIONAL audit nothing has to declare).
+  //
+  // First digit comes from the exact cent integer's decimal string (same
+  // leading digit as the price). Determinism: expected shares
+  // log10(1+1/d) and each group's χ² term are doubles, but every term is
+  // quantized to a BIGINT at 1e-12 BEFORE the 9-term sum, so Spark's
+  // arrival-order hash-agg and DuckDB's order agree exactly (same
+  // integer-quantization discipline as q214/q169). Scale: one map-side-
+  // combinable (priority, digit) count — 45 cells total — then
+  // dictionary-sized arithmetic; nothing downstream scales with rows.
+  private val q219 = QueryDef(
+    "q219_benford_digits",
+    (s, d) => {
+      val ord = Tables.t(s, d, "orders")
+      val dig = ord.select(col("o_orderpriority").as("prio"),
+        substring(round(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("int").as("dg"))
+        .groupBy(col("prio"), col("dg")).agg(count(lit(1)).as("c"))
+      val n = dig.groupBy(col("prio")).agg(sum(col("c")).as("n"))
+      dig.join(n, "prio")
+        .withColumn("e", round(log(10.0,
+          lit(1.0) + lit(1.0) / col("dg").cast("double")), 10))
+        .withColumn("term",
+          round((((col("c").cast("double") / col("n").cast("double")) -
+            col("e")) * ((col("c").cast("double") / col("n").cast("double")) -
+            col("e")) / col("e")) * lit(1e12)).cast("long"))
+        .groupBy(col("prio"), col("n"))
+        .agg(round(sum(col("term")).cast("double") / lit(1e12), 6)
+          .as("chi2"),
+          max(when(col("dg") === 1,
+            round(col("c").cast("double") / col("n").cast("double"), 6)))
+            .as("share_d1"))
+        .select(col("prio"), col("n"), col("chi2"), col("share_d1"))
+        .orderBy(col("prio"))
+    },
+    Some("""
+      WITH dig AS (
+        SELECT o_orderpriority AS prio,
+               CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                 AS VARCHAR), 1, 1) AS INT) AS dg,
+               count(*) AS c
+        FROM orders GROUP BY 1, 2),
+      n AS (SELECT prio, CAST(sum(c) AS BIGINT) AS n FROM dig GROUP BY prio),
+      t AS (
+        SELECT dig.prio, n.n, dig.dg, dig.c,
+               round(log10(1.0 + 1.0 / CAST(dg AS DOUBLE)), 10) AS e
+        FROM dig JOIN n ON dig.prio = n.prio)
+      SELECT prio, n,
+             round(CAST(sum(CAST(round(
+               ((CAST(c AS DOUBLE) / CAST(n AS DOUBLE) - e) *
+                (CAST(c AS DOUBLE) / CAST(n AS DOUBLE) - e) / e) * 1e12)
+               AS BIGINT)) AS DOUBLE) / 1e12, 6) AS chi2,
+             max(CASE WHEN dg = 1 THEN
+               round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) END)
+               AS share_d1
+      FROM t
+      GROUP BY prio, n
+      ORDER BY prio"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
-      q209)
+      q209, q214, q215, q219)
 }

@@ -1082,7 +1082,71 @@ object Pipeline {
       JOIN documents d ON d.doc_id = h.doc_id
       ORDER BY d.doc_id"""))
 
+  // --------------------------------------------------------------- q218
+  // Weighted sampling without replacement, Efraimidis–Spirakis A-ES
+  // ([EXT]): per language, draw k=10 documents with inclusion probability
+  // ∝ n_chars by ranking on key = ln(u)/w (monotone-equivalent to the
+  // paper's u^(1/w)) and keeping the top k — the distributed-native
+  // weighted reservoir: no sequential reservoir state, just a per-group
+  // top-k. Complements q36 (stratified), q136 (exact quota) and q148
+  // (PPS systematic): A-ES is the one that gives exact
+  // without-replacement ∝-size semantics from a PURE per-row priority.
+  //
+  // Determinism: u is a content-seeded 52-bit uniform (md5, the q47
+  // idiom), so the sample is reproducible across engines and reingests —
+  // u/2^52 is EXACT (power-of-two divide), ln rounds at 1e-12 before the
+  // correctly-rounded divide by the exact integer weight (q23/q214
+  // transcendental discipline). Ties cannot occur (distinct 52-bit u);
+  // doc_id breaks them anyway.
+  //
+  // Scale: the rank ≤ k filter compiles to WindowGroupLimit (PlanSpec
+  // pins this shape on q175/q128), which keeps a k-row heap PER MAP
+  // PARTITION before the lang exchange — the shuffle carries ≤ k·P rows,
+  // so few-language skew never concentrates a corpus partition in one
+  // task. This is why A-ES beats "sort by priority, take k per group" at
+  // 100 TB: selection pushes down; a full sort would not.
+  private val q218 = QueryDef(
+    "q218_weighted_sample",
+    (s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars"),
+        (conv(substring(md5(concat(lit("es"), col("doc_id").cast("string"))
+          .cast("binary")), 1, 13), 16, 10).cast("long") + 1L).as("u52"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("key").desc, col("doc_id"))
+      base
+        .withColumn("lnu", round(
+          log(col("u52").cast("double") / lit(4.503599627370496e15)), 12))
+        .withColumn("key", col("lnu") / col("n_chars").cast("double"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"),
+          round(col("key"), 10).as("priority"))
+        .orderBy(col("lang"), col("rk"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, lang, n_chars,
+               (('0x' || substr(md5('es' || CAST(doc_id AS VARCHAR)),
+                 1, 13))::BIGINT + 1) AS u52
+        FROM documents),
+      k AS (
+        SELECT doc_id, lang, n_chars,
+               round(ln(CAST(u52 AS DOUBLE) / 4503599627370496.0), 12) /
+                 CAST(n_chars AS DOUBLE) AS key
+        FROM base),
+      r AS (
+        SELECT lang, doc_id, n_chars, key,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY key DESC, doc_id) AS rk
+        FROM k)
+      SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars,
+             round(key, 10) AS priority
+      FROM r
+      WHERE rk <= 10
+      ORDER BY lang, rk"""))
+
   val defs: Seq[QueryDef] =
     Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113, q114, q115, q117,
-      q124, q136, q139, q148, q192)
+      q124, q136, q139, q148, q192, q218)
 }

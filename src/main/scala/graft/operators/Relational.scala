@@ -2840,6 +2840,108 @@ object Relational {
                n_orphan = 0 FROM m)
       ORDER BY check_name"""))
 
+  // --------------------------------------------------------------- q216
+  // Fellegi–Sunter probabilistic record linkage ([EXT]): the classic
+  // log-likelihood-ratio scoring layer that q141's deterministic entity
+  // resolution lacks. Candidate pairs come from q101's (brand, type)
+  // blocking (the quadratic term is bounded by block size, never corpus²);
+  // each pair is scored on three field comparators — size equality, name
+  // distinct-token overlap ≥ 3, price within $2 — with weight
+  // log2(m/u) on agreement and log2((1−m)/(1−u)) on disagreement.
+  // m-probabilities are declared priors (literals, interpolated
+  // IDENTICALLY into both engines from one Scala constant); the size
+  // u-probability is ESTIMATED FROM DATA the standard way — the chance two
+  // random records agree, Σ c·(c−1)/(N·(N−1)) — as a correctly-rounded
+  // quotient of exact BIGINTs, so both engines feed log2 the identical
+  // double (then round 8; same transcendental discipline as q23/q214).
+  // The three weights add in one fixed-order expression (no aggregate
+  // reassociation), total rounds at 6.
+  //
+  // Scale: one shuffle on the block key (plus a broadcast 1-row u-scalar);
+  // per-block work is the bounded candidate square; the output is a
+  // (brand × class) grid — dictionary-sized. Classification thresholds
+  // (link ≥ 8, non-link < 0) sit between the prior weight magnitudes
+  // (full agreement ≈ +15, full disagreement ≈ −10).
+  private val fsMName = 0.9; private val fsUName = 0.02
+  private val fsMPrice = 0.85; private val fsUPrice = 0.05
+  private val fsMSize = 0.95
+  private def lg2(x: Double): String =
+    f"${math.log(x) / math.log(2.0)}%.8f"
+  private val q216 = QueryDef(
+    "q216_fs_linkage",
+    (s, d) => {
+      val p = part(s, d)
+      val uSize = p.groupBy(col("p_size")).agg(count(lit(1)).as("c"))
+        .agg((sum(col("c") * (col("c") - 1)).cast("double") /
+          (sum(col("c")).cast("double") *
+            (sum(col("c")) - 1).cast("double"))).as("u_size"))
+        .select(round(log2(lit(fsMSize) / col("u_size")), 8).as("wa_size"),
+          round(log2(lit(1.0 - fsMSize) / (lit(1.0) - col("u_size"))), 8)
+            .as("wd_size"))
+      val cols = p.select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+      val a = cols.toDF("da", "name_a", "brand", "ptype", "size_a", "cents_a")
+      val b = cols.toDF("db", "name_b", "brand", "ptype", "size_b", "cents_b")
+      a.join(b, Seq("brand", "ptype")).filter(col("da") < col("db"))
+        .crossJoin(broadcast(uSize))
+        .withColumn("w1", when(col("size_a") === col("size_b"),
+          col("wa_size")).otherwise(col("wd_size")))
+        .withColumn("w2", when(
+          size(array_intersect(split(col("name_a"), " "),
+            split(col("name_b"), " "))) >= 3,
+          lit(lg2(fsMName / fsUName).toDouble))
+          .otherwise(lit(lg2((1 - fsMName) / (1 - fsUName)).toDouble)))
+        .withColumn("w3", when(abs(col("cents_a") - col("cents_b")) <= 200,
+          lit(lg2(fsMPrice / fsUPrice).toDouble))
+          .otherwise(lit(lg2((1 - fsMPrice) / (1 - fsUPrice)).toDouble)))
+        .withColumn("score", round(col("w1") + col("w2") + col("w3"), 6))
+        .withColumn("cls", when(col("score") >= 8, "link")
+          .when(col("score") < 0, "non_link").otherwise("possible"))
+        .groupBy(col("brand"), col("cls"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("score")).as("score_min"),
+          max(col("score")).as("score_max"))
+        .orderBy(col("brand"), col("cls"))
+    },
+    Some(s"""
+      WITH us AS (
+        SELECT round(log2($fsMSize / u), 8) AS wa_size,
+               round(log2(${1.0 - fsMSize} / (1.0 - u)), 8) AS wd_size
+        FROM (
+          SELECT CAST(sum(c * (c - 1)) AS DOUBLE) /
+                 (CAST(sum(c) AS DOUBLE) * CAST(sum(c) - 1 AS DOUBLE)) AS u
+          FROM (SELECT p_size, count(*) AS c FROM part GROUP BY 1))),
+      pr AS (
+        SELECT a.p_brand AS brand,
+               CASE WHEN a.p_size = b.p_size THEN us.wa_size
+                    ELSE us.wd_size END
+               + CASE WHEN len(list_intersect(
+                     list_distinct(str_split(a.p_name, ' ')),
+                     list_distinct(str_split(b.p_name, ' ')))) >= 3
+                      THEN ${lg2(fsMName / fsUName)}
+                      ELSE ${lg2((1 - fsMName) / (1 - fsUName))} END
+               + CASE WHEN abs(CAST(round(a.p_retailprice * 100) AS BIGINT) -
+                               CAST(round(b.p_retailprice * 100) AS BIGINT))
+                          <= 200
+                      THEN ${lg2(fsMPrice / fsUPrice)}
+                      ELSE ${lg2((1 - fsMPrice) / (1 - fsUPrice))} END
+                 AS raw
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+         AND a.p_partkey < b.p_partkey, us),
+      sc AS (
+        SELECT brand, round(raw, 6) AS score,
+               CASE WHEN round(raw, 6) >= 8 THEN 'link'
+                    WHEN round(raw, 6) < 0 THEN 'non_link'
+                    ELSE 'possible' END AS cls
+        FROM pr)
+      SELECT brand, cls, count(*) AS n_pairs,
+             min(score) AS score_min, max(score) AS score_max
+      FROM sc
+      GROUP BY brand, cls
+      ORDER BY brand, cls"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2847,5 +2949,5 @@ object Relational {
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
     q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208, q211,
-    q212)
+    q212, q216)
 }

@@ -1192,7 +1192,81 @@ object TextAnalysis {
       ORDER BY dup_frac DESC, doc_id
       LIMIT 20"""))
 
+  // --------------------------------------------------------------- q217
+  // Positional inverted index ([EXT]): real posting lists —
+  // "docId@pos1:pos2;docId@…", doc- and position-ordered — over BIGRAM
+  // phrase terms (the unigram vocabulary of this corpus is ~31 words,
+  // all stopword-hot; bigrams give a real df spectrum and make the
+  // positions a usable phrase index). Indexed band: 3 ≤ df ≤ 40, the
+  // mid-frequency range a retrieval index actually serves (rarer is
+  // noise, hotter is effectively a stop-phrase). This is also the
+  // board's ordered-string-aggregation surface: both levels use ANSI
+  // `listagg(…) WITHIN GROUP (ORDER BY …)` (Spark 4) mirrored by
+  // DuckDB's ordered string_agg, so the strings are deterministic
+  // without any sort_array/collect_list nondeterminism. Bigrams explode
+  // integer positions via `sequence` (q39's lambda-free generator
+  // discipline — keeps whole-stage codegen).
+  //
+  // Scale discipline: df is computed FIRST on (gram, doc) counts and the
+  // band filter joins back BEFORE any posting string is aggregated — a
+  // stop-phrase's corpus-sized posting list is never materialized and
+  // then discarded. The join keys the band's gram list (data-dependent,
+  // not safely broadcastable at 100 TB) through a hash join on gram; the
+  // final listagg reuses that partitioning, so giant-string work only
+  // ever touches df-banded grams (each bounded at 40 docs). Presentation
+  // cut (df desc, gram) is deterministic across engines.
+  private val q217 = QueryDef(
+    "q217_inverted_index",
+    (s, d) => {
+      val tokpos = docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(1, size(toks) - 1)")).as("i"))
+        .select(col("doc_id"),
+          concat(col("toks")(col("i") - 1), lit(" "),
+            col("toks")(col("i"))).as("g"),
+          (col("i") - 1).cast("long").as("pos"))
+      val perdoc = tokpos.groupBy(col("g"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"),
+          expr("listagg(CAST(pos AS STRING), ':') " +
+            "WITHIN GROUP (ORDER BY pos)").as("poss"))
+      val band = perdoc.groupBy(col("g"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("ttf"))
+        .filter(col("df").between(3, 40))
+      perdoc.join(band, "g")
+        .groupBy(col("g"), col("df"), col("ttf"))
+        .agg(expr("listagg(CAST(doc_id AS STRING) || '@' || poss, ';') " +
+          "WITHIN GROUP (ORDER BY doc_id)").as("postings"))
+        .select(col("g"), col("df"), col("ttf"), col("postings"))
+        .orderBy(col("df").desc, col("g"))
+        .limit(100)
+    },
+    Some("""
+      WITH tokpos AS (
+        SELECT doc_id,
+               toks[i] || ' ' || toks[i + 1] AS g,
+               CAST(i - 1 AS BIGINT) AS pos
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+        WHERE len(toks) >= 2),
+      perdoc AS (
+        SELECT g, doc_id, count(*) AS tf,
+               string_agg(CAST(pos AS VARCHAR), ':' ORDER BY pos) AS poss
+        FROM tokpos GROUP BY g, doc_id),
+      band AS (
+        SELECT g, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+        FROM perdoc GROUP BY g
+        HAVING count(*) BETWEEN 3 AND 40)
+      SELECT band.g, band.df, band.ttf,
+             string_agg(CAST(perdoc.doc_id AS VARCHAR) || '@' || perdoc.poss,
+                        ';' ORDER BY perdoc.doc_id) AS postings
+      FROM perdoc JOIN band ON perdoc.g = band.g
+      GROUP BY band.g, band.df, band.ttf
+      ORDER BY band.df DESC, band.g
+      LIMIT 100"""))
+
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
-      q138, q147, q155, q159, q167, q186, q204)
+      q138, q147, q155, q159, q167, q186, q204, q217)
 }

@@ -641,4 +641,118 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(built.toSeq == manual.toSeq,
       "session_window and lag-islands disagree on some session")
   }
+
+  test("q214 Kaplan–Meier matches a driver-side product-limit recompute") {
+    val rows = q("q214_survival_km")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // reference: straight product-limit over per-user (t, died) computed
+    // from raw events on the driver
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hz = ev.map(_._2).max
+    val perUser = ev.groupBy(_._1).toSeq.map { case (_, xs) =>
+      val (fd, ld) = (xs.map(_._2).min, xs.map(_._2).max)
+      val died = hz - ld > 24
+      (if (died) ld - fd else hz - fd, died)
+    }.toSeq
+    val n = perUser.size.toLong
+    val byT = perUser.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.count(_._2).toLong, xs.size.toLong)
+    }.toSeq.sortBy(_._1)
+    var atRisk = n; var s = 1.0; var zero = false
+    val expect = byT.map { case (t, d, cnt) =>
+      if (d >= atRisk) zero = true
+      if (!zero) s *= (atRisk - d).toDouble / atRisk.toDouble
+      val km = if (zero) 0.0 else s
+      val row = (t, atRisk, d, cnt - d, km)
+      atRisk -= cnt
+      row
+    }
+    assert(rows.length == expect.length, "row count")
+    rows.zip(expect).foreach { case ((t, nr, d, c, km), (et, enr, ed, ec, ekm)) =>
+      assert((t, nr, d, c) == (et, enr, ed, ec), s"counts at t=$t")
+      assert(math.abs(km - ekm) < 1e-5, s"km at t=$t: $km vs $ekm")
+    }
+    // product-limit shape: non-increasing, starts ≤ 1
+    rows.toSeq.sliding(2).filter(_.size == 2).foreach { w =>
+      assert(w(1)._5 <= w(0)._5 + 1e-12, s"km not monotone at t=${w(1)._1}") }
+    assert(rows.head._2 == n, "first risk set must be the full cohort")
+  }
+
+  test("q215 interval union equals a brute-force merge per user") {
+    val rows = q("q215_interval_union")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val iv = Tables.t(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) +
+          greatest(round(col("value") * 100).cast("long"), lit(0L)) *
+            lit(600000L)).as("en"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = iv.groupBy(_._1)
+    rows.foreach { case (u, nIv, blocks, covered, span) =>
+      val xs = byUser(u).map(t => (t._2, t._3)).sortBy(identity)
+      assert(nIv == xs.length.toLong, s"user $u n_iv")
+      // classic merge sweep
+      var (cov, blk) = (0L, 0L)
+      var curS = Long.MinValue; var curE = Long.MinValue
+      xs.foreach { case (s0, e0) =>
+        if (curE == Long.MinValue || s0 > curE) {
+          if (curE != Long.MinValue) cov += curE - curS
+          curS = s0; curE = math.max(s0, e0); blk += 1
+        } else curE = math.max(curE, e0)
+      }
+      if (curE != Long.MinValue) cov += curE - curS
+      assert(blocks == blk, s"user $u blocks")
+      assert(covered == cov, s"user $u covered_us")
+      assert(span == xs.map(_._2).max - xs.map(_._1).min, s"user $u span")
+      assert(covered <= span, s"user $u union exceeds span")
+    }
+  }
+
+  test("q218 A-ES sample equals the u^(1/w) formulation recomputed driver-side") {
+    // ln(u)/w ranking (shipped) and u^(1/w) ranking (the paper's key) are
+    // monotone-equivalent; an independent MessageDigest-based recompute
+    // must select the same documents in the same order per language
+    import java.security.MessageDigest
+    val rows = q("q218_weighted_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docsL = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val md = MessageDigest.getInstance("MD5")
+    def u52(id: Long): Long = {
+      val hex = md.digest(s"es$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16) + 1L
+    }
+    val expect = docsL.groupBy(_._2).toSeq.flatMap { case (lang, xs) =>
+      xs.map { case (id, _, w) =>
+        (lang, id, math.pow(u52(id).toDouble / 4503599627370496.0,
+          1.0 / w.toDouble))
+      }.sortBy { case (_, id, k) => (-k, id) }.take(10).zipWithIndex
+        .map { case ((l, id, _), i) => (l, i.toLong + 1L, id) }
+    }.toSet
+    assert(rows.toSet == expect, "A-ES selection/order mismatch")
+  }
+
+  test("q219 Benford: chi2 non-negative, d1 share consistent, masses sum") {
+    val rows = q("q219_benford_digits")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val ord = Tables.t(spark, sf, "orders")
+      .select(col("o_orderpriority"),
+        substring(round(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("int").as("dg"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val byP = ord.groupBy(_._1)
+    assert(rows.map(_._1).toSet == byP.keySet, "priority coverage")
+    rows.foreach { case (p, n, chi2, shareD1) =>
+      assert(n == byP(p).size.toLong, s"$p group size")
+      assert(chi2 >= 0.0, s"$p chi2 negative")
+      val d1 = byP(p).count(_._2 == 1).toDouble / n.toDouble
+      assert(math.abs(shareD1 - d1) < 1e-6, s"$p share_d1")
+    }
+  }
 }

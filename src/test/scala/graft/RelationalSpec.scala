@@ -157,4 +157,39 @@ class RelationalSpec extends AnyFunSuite {
     assert(kept > 0 && kept < second.getLong(0),
       "filter must keep a strict subset while metrics see the full stream")
   }
+
+  test("q216 FS linkage: pair mass conserved, scores bounded by the weight sums") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q216_fs_linkage")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // independent blocked-pair count per brand
+    val parts = Tables.t(spark, sf, "part")
+      .select(col("p_brand"), col("p_type"), col("p_size"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val pairsPerBrand = parts.groupBy(identity).toSeq
+      .map { case ((b, _), xs) => (b, xs.length.toLong * (xs.length - 1) / 2) }
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+    rows.groupBy(_._1).foreach { case (b, xs) =>
+      assert(xs.map(_._3).sum == pairsPerBrand.getOrElse(b, 0L),
+        s"brand $b: classification must partition the blocked pairs")
+    }
+    // the priors bound every score: full agreement / full disagreement
+    val n = Tables.t(spark, sf, "part").count().toDouble
+    val sizes = Tables.t(spark, sf, "part").groupBy("p_size").count()
+      .collect().map(_.getLong(1))
+    val u = sizes.map(c => c.toDouble * (c - 1)).sum / (n * (n - 1))
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val hi = lg2(0.95 / u) + lg2(0.9 / 0.02) + lg2(0.85 / 0.05)
+    val lo = lg2(0.05 / (1 - u)) + lg2(0.1 / 0.98) + lg2(0.15 / 0.95)
+    rows.foreach { case (b, cls, _, mn, mx) =>
+      assert(mn >= lo - 1e-6 && mx <= hi + 1e-6, s"$b/$cls score out of bounds")
+      cls match {
+        case "link"     => assert(mn >= 8.0)
+        case "non_link" => assert(mx < 0.0)
+        case "possible" => assert(mn >= 0.0 && mx < 8.0)
+      }
+    }
+    assert(rows.map(_._3).sum > 0, "no candidate pairs at all")
+  }
 }

@@ -52,4 +52,40 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect { case (g, xs) if xs.size * 500L >= nTot => g -> xs.size }
     assert(fromCand.toMap == full.toMap)
   }
+
+  test("q217 posting lists parse back to exact (doc, positions) occurrences") {
+    val rows = SparkEntry.queries("q217_inverted_index")(
+      TestSpark.spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty, "empty index")
+    // ground truth: every bigram occurrence with its 0-based first-word
+    // position, recomputed directly from the corpus on the driver
+    val truth = Tables.t(TestSpark.spark, TestSpark.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().flatMap { r =>
+        val toks = r.getString(1).split(" ", -1)
+        toks.sliding(2).zipWithIndex.collect {
+          case (Array(a, b), i) => (s"$a $b", r.getLong(0), i.toLong)
+        }
+      }.groupBy(_._1)
+    rows.foreach { case (g, df, ttf, postings) =>
+      val occ = truth(g).map(t => (t._2, t._3))
+      val byDoc = occ.groupBy(_._1)
+      assert(df == byDoc.size.toLong, s"$g df")
+      assert(ttf == occ.length.toLong, s"$g ttf")
+      assert(df >= 3 && df <= 40, s"$g df outside the indexed band")
+      val parsed = postings.split(";").map { e =>
+        val Array(docS, posS) = e.split("@")
+        docS.toLong -> posS.split(":").map(_.toLong).toSeq
+      }
+      assert(parsed.map(_._1).toSeq == parsed.map(_._1).toSeq.sorted,
+        s"$g docs not ordered")
+      parsed.foreach { case (doc, ps) =>
+        assert(ps == ps.sorted, s"$g doc $doc positions not ordered")
+        assert(ps.toSet == byDoc(doc).map(_._2).toSet,
+          s"$g doc $doc positions mismatch")
+      }
+    }
+  }
 }
