@@ -2527,9 +2527,266 @@ object Analytics {
       GROUP BY prio, n
       ORDER BY prio"""))
 
+  // --------------------------------------------------------------- q220
+  // Mergeable BINARY sketches via the built-in DataSketches HLL surface
+  // ([EXT]): per-day `hll_sketch_agg` sketches (lgK=12, the portable
+  // Apache DataSketches format — the interop story q169's hand-rolled
+  // registers deliberately avoid), then a 7-day ROLLING `hll_union_agg`
+  // window over the day-level sketch table. This is the production shape
+  // for "rolling distinct" at 100 TB: the corpus is sketched ONCE per
+  // day (mergeable, map-side combinable, KBs of state); every window
+  // after that unions day-level blobs and never rescans history — the
+  // same never-rescan argument as q169, but through Spark's own
+  // serialized-sketch type so the blobs could be persisted and unioned
+  // by ANY DataSketches-speaking system (Druid, Hive, datasketches-java).
+  //
+  // Oracle: DataSketches estimates are not reproducible in DuckDB, so
+  // the q38 pattern applies — the oracle recomputes the EXACT rolling
+  // distinct and pins a TRUE for the 5%-tolerance boolean; an estimate
+  // drifting out of band flips the boolean and fails the hash gate.
+  // The exact side reuses q169's bounded (day×window) join, fine at any
+  // SF because `days` is calendar-sized.
+  private val q220 = QueryDef(
+    "q220_hll_sketch_union",
+    (s, d) => {
+      val base = ev(s, d).select(
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+          .as("day"),
+        col("user_id"))
+      val daily = base.groupBy(col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      val wRoll = Window.orderBy(col("day")).rangeBetween(-6, 0)
+      val est = daily
+        .withColumn("usk", expr("hll_union_agg(sk, false)").over(wRoll))
+        .select(col("day"),
+          expr("hll_sketch_estimate(usk)").as("est"))
+      val du = base.distinct()
+      val days = base.select(col("day")).distinct()
+      val exact = du.join(days.select(col("day").as("wd")),
+          col("day").between(col("wd") - 6, col("wd")))
+        .groupBy(col("wd")).agg(countDistinct(col("user_id")).as("exact_u"))
+        .select(col("wd").as("day"), col("exact_u"))
+      est.join(exact, "day")
+        .select(col("day"), col("exact_u"),
+          (abs(col("est") - col("exact_u").cast("double")) <=
+            col("exact_u").cast("double") * 0.05).as("sketch_within_5pct"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT
+                 AS day,
+               user_id
+        FROM events),
+      days AS (SELECT DISTINCT day FROM base),
+      du AS (SELECT DISTINCT day, user_id FROM base)
+      SELECT d.day AS day,
+             CAST(count(DISTINCT u.user_id) AS BIGINT) AS exact_u,
+             TRUE AS sketch_within_5pct
+      FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day
+      ORDER BY d.day"""))
+
+  // --------------------------------------------------------------- q221
+  // Mann–Kendall trend test + Theil–Sen slope per event_type ([EXT]):
+  // the standard nonparametric "is this metric trending?" pair, over the
+  // DAILY revenue series. S = Σ_{i<j} sign(v_j − v_i) with the tie-
+  // corrected variance Var18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5); the
+  // continuity-corrected Z = (S ∓ 1)/sqrt(Var18/18) is deterministic
+  // because sqrt and division are IEEE-correctly-rounded on exact
+  // integer inputs — no transcendental rounding needed anywhere.
+  // Theil–Sen is the exact median of all pairwise slopes, computed by
+  // rank (row_number with a full tiebreak), averaging the two middle
+  // slopes for even counts via one (a+b)/2 — bit-identical cross-engine
+  // since every slope is a correctly-rounded quotient of exact cents.
+  //
+  // Scale: the corpus collapses to (event_type, day) daily aggregates
+  // FIRST (map-side combinable); the O(days²) pair join runs on the
+  // calendar-bounded daily table (~30×30 per type) — the q102/q169
+  // "heavy math only on the bounded domain" discipline.
+  private val q221 = QueryDef(
+    "q221_trend_mannkendall",
+    (s, d) => {
+      val daily = ev(s, d).select(col("event_type"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+            .as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("v"))
+      val a = daily.toDF("event_type", "d1", "v1")
+      val b = daily.toDF("event_type", "d2", "v2")
+      val pairs = a.join(b, Seq("event_type")).filter(col("d2") > col("d1"))
+        .withColumn("sgn", signum((col("v2") - col("v1")).cast("double"))
+          .cast("long"))
+        .withColumn("slope", (col("v2") - col("v1")).cast("double") /
+          (col("d2") - col("d1")).cast("double"))
+      val sStat = pairs.groupBy(col("event_type"))
+        .agg(sum(col("sgn")).as("s_stat"), count(lit(1)).as("n_pairs"))
+      val nD = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"))
+      val ties = daily.groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .as("tie18"))
+      val wRk = Window.partitionBy(col("event_type"))
+        .orderBy(col("slope"), col("d1"), col("d2"))
+      val med = pairs.withColumn("rk", row_number().over(wRk))
+        .join(sStat.select(col("event_type"), col("n_pairs")), "event_type")
+        .filter(col("rk") === expr("(n_pairs + 1) DIV 2") ||
+          col("rk") === expr("n_pairs DIV 2 + 1"))
+        .groupBy(col("event_type"))
+        .agg(round((sum(col("slope")) / count(lit(1))) / lit(100.0), 6)
+          .as("sen_slope"))
+      sStat.join(nD, "event_type").join(ties, "event_type")
+        .withColumn("var18",
+          col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5)
+            - col("tie18"))
+        .withColumn("z", round(
+          when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+            .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+            .otherwise(lit(0.0)) /
+            sqrt(col("var18").cast("double") / lit(18.0)), 6))
+        .join(med, "event_type")
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          col("var18"), col("z"), col("sen_slope"),
+          when(abs(col("z")) > 1.96,
+            when(col("s_stat") > 0, "increasing").otherwise("decreasing"))
+            .otherwise("no_trend").as("trend"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT
+                 AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.event_type,
+               CAST(sign(b.v - a.v) AS BIGINT) AS sgn,
+               CAST(b.v - a.v AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+                 AS slope,
+               a.day AS d1, b.day AS d2
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND b.day > a.day),
+      sstat AS (
+        SELECT event_type, CAST(sum(sgn) AS BIGINT) AS s_stat,
+               count(*) AS n_pairs
+        FROM pairs GROUP BY 1),
+      nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1),
+      ties AS (
+        SELECT event_type,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        FROM (SELECT event_type, v, count(*) AS t FROM daily GROUP BY 1, 2)
+        GROUP BY 1),
+      med AS (
+        SELECT event_type,
+               round((sum(slope) / count(*)) / 100.0, 6) AS sen_slope
+        FROM (
+          SELECT p.event_type, p.slope,
+                 row_number() OVER (PARTITION BY p.event_type
+                   ORDER BY p.slope, p.d1, p.d2) AS rk,
+                 s.n_pairs
+          FROM pairs p JOIN sstat s ON p.event_type = s.event_type)
+        WHERE rk = (n_pairs + 1) // 2 OR rk = n_pairs // 2 + 1
+        GROUP BY event_type)
+      SELECT s.event_type, CAST(n.n_days AS BIGINT) AS n_days, s.s_stat,
+             CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie18
+               AS BIGINT) AS var18,
+             round(CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                        WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                        ELSE 0.0 END /
+                   sqrt(CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                        - t.tie18 AS DOUBLE) / 18.0), 6) AS z,
+             m.sen_slope,
+             CASE WHEN abs(CASE WHEN s.s_stat > 0
+                                THEN CAST(s.s_stat - 1 AS DOUBLE)
+                                WHEN s.s_stat < 0
+                                THEN CAST(s.s_stat + 1 AS DOUBLE)
+                                ELSE 0.0 END /
+                   sqrt(CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                        - t.tie18 AS DOUBLE) / 18.0)) > 1.96
+                  THEN CASE WHEN s.s_stat > 0 THEN 'increasing'
+                            ELSE 'decreasing' END
+                  ELSE 'no_trend' END AS trend
+      FROM sstat s JOIN nd n ON s.event_type = n.event_type
+      JOIN ties t ON s.event_type = t.event_type
+      JOIN med m ON s.event_type = m.event_type
+      ORDER BY s.event_type"""))
+
+  // --------------------------------------------------------------- q222
+  // Gini coefficient / Lorenz concentration of customer spend per market
+  // segment ([EXT]): the standard inequality metric (how concentrated is
+  // revenue across customers?), computed SCALE-SAFELY. The naive form
+  // ranks every customer in one per-segment window — a corpus-sized
+  // single-task sort. Instead ranks live on the VALUE DOMAIN: group
+  // customers by exact spend cents, then over the (segment, cents) table
+  // — bounded by the money grid, not the customer count — a cumulative
+  // window gives each tied group its rank-sum in closed form:
+  // Σ ranks(v) = c·F + c(c+1)/2 (F = customers below v), so
+  // Σ i·x_i = Σ_v v·(c·F + c(c+1)/2) exactly, and
+  // G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx). Every operand is an exact
+  // BIGINT; one final correctly-rounded division. (At true 100 TB the
+  // v·c·F products approach 2^63 — the documented escalation is the same
+  // arithmetic in DECIMAL(38,0), which Spark and DuckDB both support;
+  // the PLAN is unchanged.)
+  private val q222 = QueryDef(
+    "q222_gini_spend",
+    (s, d) => {
+      val spend = Tables.t(s, d, "orders")
+        .join(Tables.t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val byV = spend.groupBy(col("seg"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("seg")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byV
+        .withColumn("f", coalesce(sum(col("c")).over(wCum), lit(0L)))
+        .withColumn("ranksum",
+          col("c") * col("f") + expr("c * (c + 1) DIV 2"))
+        .groupBy(col("seg"))
+        .agg(sum(col("c")).as("n"),
+          sum(col("cents") * col("c")).as("total_cents"),
+          sum(col("cents") * col("ranksum")).as("six"))
+        .select(col("seg"), col("n"), col("total_cents"),
+          round((lit(2.0) * col("six").cast("double") -
+            (col("n") + 1).cast("double") * col("total_cents").cast("double"))
+            / (col("n").cast("double") * col("total_cents").cast("double")),
+            6).as("gini"))
+        .orderBy(col("seg"))
+    },
+    Some("""
+      WITH spend AS (
+        SELECT c.c_mktsegment AS seg, c.c_custkey,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2),
+      byv AS (
+        SELECT seg, cents, count(*) AS c FROM spend GROUP BY 1, 2),
+      rk AS (
+        SELECT seg, cents, c,
+               coalesce(sum(c) OVER (PARTITION BY seg ORDER BY cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f
+        FROM byv)
+      SELECT seg, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(cents * c) AS BIGINT) AS total_cents,
+             round((2.0 * CAST(sum(cents * (c * f + c * (c + 1) // 2))
+                     AS DOUBLE)
+                    - CAST(sum(c) + 1 AS DOUBLE) *
+                      CAST(sum(cents * c) AS DOUBLE))
+                   / (CAST(sum(c) AS DOUBLE) *
+                      CAST(sum(cents * c) AS DOUBLE)), 6) AS gini
+      FROM rk
+      GROUP BY seg
+      ORDER BY seg"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
-      q209, q214, q215, q219)
+      q209, q214, q215, q219, q220, q221, q222)
 }

@@ -2942,6 +2942,170 @@ object Relational {
       GROUP BY brand, cls
       ORDER BY brand, cls"""))
 
+  // --------------------------------------------------------------- q223
+  // Market-basket association rules ([EXT]): 2-itemset rules A→B over
+  // order baskets with items = part BRANDS (the item domain must be
+  // dictionary-sized for pairwise rules to make sense — raw partkeys
+  // would be a different algorithm, FP-growth). support/confidence/lift
+  // from exact integer counts: conf = n_ab/n_a, lift = n_ab·N/(n_a·n_b),
+  // both correctly-rounded quotients of BIGINTs. Rules below 0.5%
+  // pair-support are cut EXACTLY in the integer domain (200·n_ab ≥ N —
+  // no float threshold drift).
+  //
+  // Scale: baskets dedup to (order, brand) — one shuffle on orderkey —
+  // then the pair GENERATION is a self-join co-located on that same
+  // orderkey partitioning (per-order work bounded by brands² ≤ 625);
+  // pair counts aggregate into a ≤ |brands|² dictionary. Nothing
+  // downstream of the two corpus-keyed exchanges scales with rows. This
+  // is the degenerate-but-dominant case of frequent-itemset mining where
+  // the item dictionary fits anywhere; the k>2 generalization is
+  // FP-growth, out of scope by design.
+  private val q223 = QueryDef(
+    "q223_assoc_rules",
+    (s, d) => {
+      val baskets = li(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+        .distinct()
+      val nOrders = baskets.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val itemN = baskets.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+      val pa = baskets.toDF("ok", "a")
+      val pb = baskets.toDF("ok", "b")
+      val pairN = pa.join(pb, Seq("ok")).filter(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      pairN
+        .join(itemN.toDF("a", "n_a"), "a")
+        .join(itemN.toDF("b", "n_b"), "b")
+        .crossJoin(broadcast(nOrders))
+        .filter(col("n_ab") * 200 >= col("n_orders"))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+            .as("conf"),
+          round((col("n_ab") * col("n_orders")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+        .orderBy(col("lift").desc, col("a"), col("b"))
+        .limit(50)
+    },
+    Some("""
+      WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      n AS (SELECT count(DISTINCT ok) AS n_orders FROM baskets),
+      itemn AS (SELECT item, count(*) AS n_i FROM baskets GROUP BY item),
+      pairn AS (
+        SELECT a.item AS a, b.item AS b, count(*) AS n_ab
+        FROM baskets a JOIN baskets b
+          ON a.ok = b.ok AND a.item <> b.item
+        GROUP BY 1, 2)
+      SELECT p.a, p.b, p.n_ab, ia.n_i AS n_a, ib.n_i AS n_b,
+             round(CAST(p.n_ab AS DOUBLE) / CAST(ia.n_i AS DOUBLE), 6)
+               AS conf,
+             round(CAST(p.n_ab * n.n_orders AS DOUBLE) /
+                   CAST(ia.n_i * ib.n_i AS DOUBLE), 6) AS lift
+      FROM pairn p
+      JOIN itemn ia ON p.a = ia.item
+      JOIN itemn ib ON p.b = ib.item, n
+      WHERE p.n_ab * 200 >= n.n_orders
+      ORDER BY lift DESC, p.a, p.b
+      LIMIT 50"""))
+
+  // --------------------------------------------------------------- q224
+  // RFM segmentation ([EXT]): classic recency/frequency/monetary scoring
+  // of every customer, 1–5 per axis, then segment-level rollup. The
+  // textbook form ntile(5)s customers per metric — an unpartitioned
+  // corpus-sized window (three of them). Here scores are assigned on the
+  // VALUE DOMAIN instead (q222's trick): per distinct metric value, a
+  // cumulative count window — bounded by the value grid (days / order
+  // counts / cents), not by customers — yields the value's quantile
+  // bucket 1 + floor(5·F/n) from exact integers. Ties share a score by
+  // construction (a property plain ntile does NOT have — it splits ties
+  // arbitrarily), which is what makes the result deterministic AND the
+  // window scale-free. Output: 5³-bounded segment grid with exact
+  // customer counts and per-segment averages.
+  private val q224 = QueryDef(
+    "q224_rfm_segments",
+    (s, d) => {
+      val horizon = Tables.t(s, d, "orders")
+        .agg(max(to_date(col("o_orderdate"))).as("hz"))
+      val rfm = Tables.t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("f"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("m"))
+        .crossJoin(broadcast(horizon))
+        .select(col("o_custkey").as("ck"),
+          datediff(col("hz"), col("last_d")).cast("long").as("r"),
+          col("f"), col("m"))
+      // score = 1 + floor(5·F/n), F = customers ranked WORSE than this
+      // value, n in-plan via an unbounded window sum (value-domain table,
+      // so both windows are grid-bounded, no driver action, no collect).
+      // For recency smaller is better → DESC ordering puts worst first
+      // and the most recent values accumulate the largest F → score 5;
+      // frequency/monetary score ASC for the same reason.
+      def score(df: DataFrame, metric: String, asc: Boolean): DataFrame = {
+        val byV = df.groupBy(col(metric).as("v"))
+          .agg(count(lit(1)).as("c"))
+        val ord = if (asc) col("v").asc else col("v").desc
+        val wPrev = Window.orderBy(ord)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll = Window.orderBy(ord)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        byV.withColumn("f0", coalesce(sum(col("c")).over(wPrev), lit(0L)))
+          .withColumn("tot", sum(col("c")).over(wAll))
+          .select(col("v"),
+            expr("1 + (f0 * 5) DIV tot").as(s"s_$metric"))
+      }
+      val sr = score(rfm.select(col("r")), "r", asc = false)
+      val sf2 = score(rfm.select(col("f")), "f", asc = true)
+      val sm = score(rfm.select(col("m")), "m", asc = true)
+      rfm
+        .join(sr.withColumnRenamed("v", "r"), "r")
+        .join(sf2.withColumnRenamed("v", "f"), "f")
+        .join(sm.withColumnRenamed("v", "m"), "m")
+        .groupBy(col("s_r"), col("s_f"), col("s_m"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("m")).as("m_cents"),
+          sum(col("f")).as("orders"))
+        .orderBy(col("s_r"), col("s_f"), col("s_m"))
+    },
+    Some("""
+      WITH hz AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
+      rfm AS (
+        SELECT o_custkey AS ck,
+               CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+                 (SELECT h FROM hz)) AS BIGINT) AS r,
+               count(*) AS f,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS m
+        FROM orders GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM rfm),
+      sr AS (
+        SELECT v, 1 + (f0 * 5) // (SELECT n FROM n) AS s_r FROM (
+          SELECT r AS v, coalesce(sum(c) OVER (ORDER BY r DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f0
+          FROM (SELECT r, count(*) AS c FROM rfm GROUP BY r))),
+      sf AS (
+        SELECT v, 1 + (f0 * 5) // (SELECT n FROM n) AS s_f FROM (
+          SELECT f AS v, coalesce(sum(c) OVER (ORDER BY f ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f0
+          FROM (SELECT f, count(*) AS c FROM rfm GROUP BY f))),
+      sm AS (
+        SELECT v, 1 + (f0 * 5) // (SELECT n FROM n) AS s_m FROM (
+          SELECT m AS v, coalesce(sum(c) OVER (ORDER BY m ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f0
+          FROM (SELECT m, count(*) AS c FROM rfm GROUP BY m)))
+      SELECT CAST(sr.s_r AS BIGINT) AS s_r, CAST(sf.s_f AS BIGINT) AS s_f,
+             CAST(sm.s_m AS BIGINT) AS s_m,
+             count(*) AS n_cust, CAST(sum(rfm.m) AS BIGINT) AS m_cents,
+             CAST(sum(rfm.f) AS BIGINT) AS orders
+      FROM rfm
+      JOIN sr ON rfm.r = sr.v
+      JOIN sf ON rfm.f = sf.v
+      JOIN sm ON rfm.m = sm.v
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2949,5 +3113,5 @@ object Relational {
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
     q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208, q211,
-    q212, q216)
+    q212, q216, q223, q224)
 }

@@ -1266,7 +1266,83 @@ object TextAnalysis {
       ORDER BY band.df DESC, band.g
       LIMIT 100"""))
 
+  // --------------------------------------------------------------- q225
+  // Jensen–Shannon divergence of each source's language mix vs the
+  // corpus ([EXT]): the symmetric, bounded (≤ ln 2) drift measure a
+  // curation pipeline watches per ingest source — complements q187 (KS,
+  // for CONTINUOUS distributions) and q150 (χ² independence test) with
+  // the information-theoretic divergence over a CATEGORICAL axis.
+  // JS(P‖Q) = ½ Σ_l [P·ln(P/M) + Q·ln(Q/M)], M = (P+Q)/2, over the
+  // source × lang grid (absent languages contribute only the Q side).
+  //
+  // Determinism: P and Q are correctly-rounded quotients of exact
+  // BIGINTs; M = (P+Q)/2 is two exact IEEE ops; each ln-term is
+  // quantized to a BIGINT at 1e-12 BEFORE the per-source sum (q214's
+  // integer-quantization discipline), so aggregation order is
+  // irrelevant. Scale: three map-side-combinable counts off one corpus
+  // scan shape; the grid is |sources|×|langs| — dictionary-sized — and
+  // every join below the counts is a broadcast of tiny aggregates.
+  private val q225 = QueryDef(
+    "q225_js_divergence",
+    (s, d) => {
+      val base = docs(s, d).select(col("source"), col("lang"))
+      val csl = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c_sl"))
+      val ns = base.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val cl = base.groupBy(col("lang")).agg(count(lit(1)).as("c_l"))
+      val nTot = base.agg(count(lit(1)).as("n_tot"))
+      val grid = ns.crossJoin(broadcast(cl))
+        .join(csl, Seq("source", "lang"), "left")
+        .crossJoin(broadcast(nTot))
+        .withColumn("p", coalesce(col("c_sl"), lit(0L)).cast("double") /
+          col("n_s").cast("double"))
+        .withColumn("q", col("c_l").cast("double") /
+          col("n_tot").cast("double"))
+        .withColumn("m", (col("p") + col("q")) / lit(2.0))
+        .withColumn("tp", when(col("p") > 0,
+          round(col("p") * log(col("p") / col("m")) * lit(1e12)).cast("long"))
+          .otherwise(lit(0L)))
+        .withColumn("tq",
+          round(col("q") * log(col("q") / col("m")) * lit(1e12)).cast("long"))
+      grid.groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_docs"),
+          round((sum(col("tp") + col("tq")).cast("double") / lit(1e12)) /
+            lit(2.0), 6).as("js_nats"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH base AS (SELECT source, lang FROM documents),
+      csl AS (SELECT source, lang, count(*) AS c_sl FROM base GROUP BY 1, 2),
+      ns AS (SELECT source, count(*) AS n_s FROM base GROUP BY 1),
+      cl AS (SELECT lang, count(*) AS c_l FROM base GROUP BY 1),
+      nt AS (SELECT count(*) AS n_tot FROM base),
+      grid AS (
+        SELECT ns.source, ns.n_s, cl.lang, cl.c_l,
+               coalesce(csl.c_sl, 0) AS c_sl, nt.n_tot
+        FROM ns CROSS JOIN cl
+        LEFT JOIN csl ON csl.source = ns.source AND csl.lang = cl.lang,
+        nt),
+      terms AS (
+        SELECT source, n_s,
+               CAST(c_sl AS DOUBLE) / CAST(n_s AS DOUBLE) AS p,
+               CAST(c_l AS DOUBLE) / CAST(n_tot AS DOUBLE) AS q
+        FROM grid),
+      qt AS (
+        SELECT source, n_s,
+               CASE WHEN p > 0 THEN CAST(round(
+                 p * ln(p / ((p + q) / 2.0)) * 1e12) AS BIGINT)
+                    ELSE 0 END AS tp,
+               CAST(round(q * ln(q / ((p + q) / 2.0)) * 1e12) AS BIGINT)
+                 AS tq
+        FROM terms)
+      SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+             round((CAST(sum(tp + tq) AS DOUBLE) / 1e12) / 2.0, 6)
+               AS js_nats
+      FROM qt
+      GROUP BY source
+      ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
-      q138, q147, q155, q159, q167, q186, q204, q217)
+      q138, q147, q155, q159, q167, q186, q204, q217, q225)
 }

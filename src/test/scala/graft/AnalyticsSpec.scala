@@ -738,6 +738,67 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.toSet == expect, "A-ES selection/order mismatch")
   }
 
+  test("q221 Mann–Kendall S/var/slope match a brute-force driver recompute") {
+    val rows = q("q221_trend_mannkendall")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getString(6)))
+    val daily = Tables.t(spark, sf, "events")
+      .select(col("event_type"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+          .as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    rows.foreach { case (et, nDays, sStat, var18, z, slope, trend) =>
+      val xs = byType(et).map(t => (t._2, t._3)).sortBy(_._1)
+      assert(nDays == xs.length.toLong)
+      val pairs = for (i <- xs.indices; j <- i + 1 until xs.length)
+        yield (xs(i), xs(j))
+      val sRef = pairs.map { case ((_, v1), (_, v2)) =>
+        java.lang.Long.signum(v2 - v1).toLong }.sum
+      assert(sStat == sRef, s"$et S")
+      val n = xs.length.toLong
+      val tieRef = xs.groupBy(_._2).values.map(_.size.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      assert(var18 == n * (n - 1) * (2 * n + 5) - tieRef, s"$et var18")
+      val zRef =
+        (if (sRef > 0) sRef - 1.0 else if (sRef < 0) sRef + 1.0 else 0.0) /
+          math.sqrt(var18.toDouble / 18.0)
+      assert(math.abs(z - zRef) < 1e-6, s"$et z")
+      val slopes = pairs.map { case ((d1, v1), (d2, v2)) =>
+        (v2 - v1).toDouble / (d2 - d1).toDouble }.sorted
+      val m = slopes.length
+      val medRef = if (m % 2 == 1) slopes(m / 2)
+        else (slopes(m / 2 - 1) + slopes(m / 2)) / 2.0
+      assert(math.abs(slope - medRef / 100.0) < 1e-6, s"$et sen slope")
+      val expTrend = if (math.abs(zRef) > 1.96)
+        (if (sRef > 0) "increasing" else "decreasing") else "no_trend"
+      assert(trend == expTrend, s"$et trend label")
+    }
+  }
+
+  test("q222 value-domain Gini equals the textbook sorted-rank formula") {
+    val rows = q("q222_gini_spend")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val spend = Tables.t(spark, sf, "orders")
+      .join(Tables.t(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val bySeg = spend.groupBy(_._1)
+    rows.foreach { case (seg, n, tot, gini) =>
+      val xs = bySeg(seg).map(_._2).sorted
+      assert(n == xs.length.toLong && tot == xs.sum, s"$seg mass")
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+      val gRef = (2.0 * six - (n + 1.0) * tot) / (n.toDouble * tot)
+      assert(math.abs(gini - gRef) < 1e-6, s"$seg gini $gini vs $gRef")
+      assert(gini >= 0.0 && gini < 1.0, s"$seg gini range")
+    }
+  }
+
   test("q219 Benford: chi2 non-negative, d1 share consistent, masses sum") {
     val rows = q("q219_benford_digits")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))

@@ -192,4 +192,63 @@ class RelationalSpec extends AnyFunSuite {
     }
     assert(rows.map(_._3).sum > 0, "no candidate pairs at all")
   }
+
+  test("q223 association rules: conf/lift recompute from raw baskets") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q223_assoc_rules")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val baskets = Tables.t(spark, sf, "lineitem")
+      .join(Tables.t(spark, sf, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val nOrders = baskets.map(_._1).distinct.length.toLong
+    val itemN = baskets.groupBy(_._2).map { case (b, xs) =>
+      b -> xs.length.toLong }
+    val pairN = baskets.groupBy(_._1).values.toSeq.flatMap { xs =>
+      val items = xs.map(_._2).toSeq
+      for (a <- items; b <- items if a != b) yield (a, b)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    rows.foreach { case (a, b, nAb, nA, nB, conf, lift) =>
+      assert(nAb == pairN((a, b)), s"$a->$b pair count")
+      assert(nA == itemN(a) && nB == itemN(b), s"$a->$b item counts")
+      assert(nAb * 200 >= nOrders, s"$a->$b below min support")
+      assert(math.abs(conf - nAb.toDouble / nA.toDouble) < 1e-6)
+      assert(math.abs(lift -
+        (nAb * nOrders).toDouble / (nA * nB).toDouble) < 1e-6)
+    }
+    // top-50 cut is by lift desc: the weakest emitted lift must dominate
+    // every qualifying rule left out
+    val emitted = rows.map(r => (r._1, r._2)).toSet
+    val minLift = rows.map(_._7).min
+    pairN.foreach { case ((a, b), nAb) =>
+      if (nAb * 200 >= nOrders && !emitted((a, b))) {
+        val l = (nAb * nOrders).toDouble / (itemN(a) * itemN(b)).toDouble
+        assert(l <= minLift + 1e-9, s"$a->$b lift $l beats emitted min")
+      }
+    }
+  }
+
+  test("q224 RFM: scores in 1..5, ties share scores, customer mass conserved") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q224_rfm_segments")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val nCust = Tables.t(spark, sf, "orders")
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_._4).sum == nCust, "every customer lands in a segment")
+    rows.foreach { case (sr, sf2, sm, n, _, _) =>
+      assert(sr >= 1 && sr <= 5 && sf2 >= 1 && sf2 <= 5 &&
+        sm >= 1 && sm <= 5, "score out of range")
+      assert(n > 0)
+    }
+    // determinism across runs (value-domain scoring has no arbitrary
+    // tie-splitting, unlike ntile)
+    val again = SparkEntry.queries("q224_rfm_segments")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq == again.toSeq, "segment grid not deterministic")
+  }
 }

@@ -88,4 +88,32 @@ class TextAnalysisSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q225 JS divergence: bounded by ln 2, zero iff mix matches corpus") {
+    val rows = SparkEntry.queries("q225_js_divergence")(
+      TestSpark.spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val docsL = Tables.t(TestSpark.spark, TestSpark.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("lang"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val nTot = docsL.length.toDouble
+    val byLang = docsL.groupBy(_._2).map { case (l, xs) =>
+      l -> xs.length.toDouble / nTot }
+    val bySrc = docsL.groupBy(_._1)
+    rows.foreach { case (src, nDocs, js) =>
+      assert(nDocs == bySrc(src).length.toLong, s"$src doc count")
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9, s"$src js bound")
+      val nS = bySrc(src).length.toDouble
+      val pSrc = bySrc(src).groupBy(_._2).map { case (l, xs) =>
+        l -> xs.length.toDouble / nS }
+      val ref = byLang.map { case (l, q) =>
+        val p = pSrc.getOrElse(l, 0.0)
+        val m = (p + q) / 2.0
+        (if (p > 0) p * math.log(p / m) else 0.0) + q * math.log(q / m)
+      }.sum / 2.0
+      assert(math.abs(js - ref) < 1e-6, s"$src js $js vs $ref")
+    }
+  }
 }
