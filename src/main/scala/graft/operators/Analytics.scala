@@ -2784,9 +2784,105 @@ object Analytics {
       GROUP BY seg
       ORDER BY seg"""))
 
+  // --------------------------------------------------------------- q226
+  // CUSUM changepoint detection per event_type ([EXT]): where does the
+  // daily-revenue level SHIFT? The classic offline CUSUM statistic
+  // C_k = Σ_{i≤k} (v_i − mean) peaks at the changepoint; the argmax of
+  // |C_k| splits the series into before/after regimes. Completes the
+  // trend-analysis trio: q221 asks IF there is a monotone trend, q166
+  // flags outlier DAYS, this locates the level-shift POINT.
+  //
+  // Determinism: the mean subtraction is kept in the INTEGER domain by
+  // scaling — C'_k = Σ_{i≤k} (n·v_i − T) = n·C_k with T = Σv — so the
+  // cumulative window sums exact BIGINTs (any order, any engine);
+  // doubles appear only in the final unscaled outputs. Argmax is a
+  // row_number with a full (|C| desc, day asc) tiebreak. Scale: the
+  // corpus collapses to calendar-bounded (type, day) aggregates first;
+  // every window below runs on that bounded table.
+  private val q226 = QueryDef(
+    "q226_cusum_changepoint",
+    (s, d) => {
+      val daily = ev(s, d).select(col("event_type"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+            .as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("v"))
+      val wAll = Window.partitionBy(col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cus = daily
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("t", sum(col("v")).over(wAll))
+        .withColumn("cus", sum(col("n") * col("v") - col("t")).over(wCum))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(abs(col("cus")).desc, col("day"))))
+      // No round() on the output ratios: each is ONE correctly-rounded
+      // IEEE division of exact integers, bit-identical cross-engine
+      // (the Num.sumFixed pattern). Rounding would REINTRODUCE
+      // nondeterminism here — with day-count denominators the true
+      // quotient lands on exact decimal midpoints, where Spark's
+      // BigDecimal(shortest-repr) rounding and DuckDB's scaled-multiply
+      // rounding disagree (observed live: 3031.93875 → .9388 vs .9387).
+      val cp = cus.filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          col("n").as("n_days"),
+          (abs(col("cus")).cast("double") /
+            (col("n").cast("double") * 100.0)).as("cusum_peak"))
+      val regimes = daily.join(cp, "event_type")
+        .groupBy(col("event_type"), col("cp_day"), col("n_days"),
+          col("cusum_peak"))
+        .agg(
+          (sum(when(col("day") <= col("cp_day"), col("v"))).cast("double")
+            / (sum(when(col("day") <= col("cp_day"), 1L)).cast("double") *
+              100.0)).as("mean_before"),
+          (sum(when(col("day") > col("cp_day"), col("v"))).cast("double")
+            / (sum(when(col("day") > col("cp_day"), 1L)).cast("double") *
+              100.0)).as("mean_after"))
+      regimes.orderBy(col("event_type"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT
+                 AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2),
+      tot AS (
+        SELECT event_type, day, v,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               sum(v) OVER (PARTITION BY event_type) AS t
+        FROM daily),
+      cus AS (
+        SELECT event_type, day, v, n, t,
+               sum(n * v - t) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING) AS cus
+        FROM tot),
+      cp AS (
+        SELECT event_type, day AS cp_day, CAST(n AS BIGINT) AS n_days,
+               CAST(abs(cus) AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
+                 AS cusum_peak
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY abs(cus) DESC, day) AS rk FROM cus)
+        WHERE rk = 1)
+      SELECT d.event_type, cp.cp_day, cp.n_days, cp.cusum_peak,
+             CAST(sum(CASE WHEN d.day <= cp.cp_day THEN d.v END)
+                   AS DOUBLE)
+                 / (CAST(sum(CASE WHEN d.day <= cp.cp_day THEN 1 END)
+                     AS DOUBLE) * 100.0) AS mean_before,
+             CAST(sum(CASE WHEN d.day > cp.cp_day THEN d.v END)
+                   AS DOUBLE)
+                 / (CAST(sum(CASE WHEN d.day > cp.cp_day THEN 1 END)
+                     AS DOUBLE) * 100.0) AS mean_after
+      FROM daily d JOIN cp ON d.event_type = cp.event_type
+      GROUP BY 1, 2, 3, 4
+      ORDER BY d.event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
-      q209, q214, q215, q219, q220, q221, q222)
+      q209, q214, q215, q219, q220, q221, q222, q226)
 }

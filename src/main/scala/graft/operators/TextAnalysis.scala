@@ -1342,7 +1342,145 @@ object TextAnalysis {
       GROUP BY source
       ORDER BY source"""))
 
+  // --------------------------------------------------------------- q227
+  // RAKE keyword extraction ([EXT]): Rapid Automatic Keyword Extraction
+  // (Rose et al. 2010) — candidate phrases are maximal runs of non-stop
+  // words; each word scores deg(w)/freq(w) where deg(w) sums the lengths
+  // of phrases containing w; a phrase scores the sum of its word scores.
+  // A different beast from TF-IDF (q37) / BM25 (q110): no document
+  // frequency at all, pure co-occurrence structure. Corpus rollup keeps
+  // (phrase, n_occurrences, score) for the top 20.
+  //
+  // Phrase identity is derived POSITIONALLY: a per-doc running count of
+  // stopwords splits token streams into phrases — one window partitioned
+  // by doc_id (per-doc work, corpus-parallel, no global state). Word
+  // scores are exact-integer ratios quantized at 1e-9 BEFORE the
+  // per-phrase sum (q214 discipline), so phrase scores are
+  // order-independent and identical cross-engine. Word/phrase aggregate
+  // domains are vocabulary-bounded, not corpus-bounded.
+  private val q227 = QueryDef(
+    "q227_rake_keywords",
+    (s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "w")
+        .withColumn("is_stop", expr(s"array_contains($stopArr, w)"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val marked = toks
+        .withColumn("ph", sum(when(col("is_stop"), 1L).otherwise(0L))
+          .over(wDoc))
+        .filter(!col("is_stop"))
+      val wPh = Window.partitionBy(col("doc_id"), col("ph"))
+      val rows = marked.withColumn("plen", count(lit(1)).over(wPh))
+      val wordScore = rows.groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .select(col("w"),
+          round(col("deg").cast("double") / col("freq").cast("double") *
+            lit(1e9)).cast("long").as("ws_q"))
+      val phrases = rows.join(wordScore, "w")
+        .groupBy(col("doc_id"), col("ph"))
+        .agg(expr("listagg(w, ' ') WITHIN GROUP (ORDER BY pos)")
+          .as("phrase"),
+          sum(col("ws_q")).as("score_q"))
+      phrases.groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occ"),
+          round(max(col("score_q")).cast("double") / lit(1e9), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, u.pos, u.w,
+               list_contains($stopList, u.w) AS is_stop
+        FROM (SELECT doc_id, str_split(text, ' ') AS l FROM documents),
+        LATERAL (SELECT unnest(l) AS w,
+                        generate_subscripts(l, 1) AS pos) u),
+      marked AS (
+        SELECT doc_id, pos, w,
+               sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS ph
+        FROM toks
+        QUALIFY NOT is_stop),
+      rows_ AS (
+        SELECT doc_id, pos, w, ph,
+               count(*) OVER (PARTITION BY doc_id, ph) AS plen
+        FROM marked),
+      ws AS (
+        SELECT w, CAST(round(CAST(sum(plen) AS DOUBLE) /
+                 CAST(count(*) AS DOUBLE) * 1e9) AS BIGINT) AS ws_q
+        FROM rows_ GROUP BY w),
+      phrases AS (
+        SELECT r.doc_id, r.ph,
+               string_agg(r.w, ' ' ORDER BY r.pos) AS phrase,
+               CAST(sum(ws.ws_q) AS BIGINT) AS score_q
+        FROM rows_ r JOIN ws ON r.w = ws.w
+        GROUP BY r.doc_id, r.ph)
+      SELECT phrase, count(*) AS n_occ,
+             round(CAST(max(score_q) AS DOUBLE) / 1e9, 6) AS score
+      FROM phrases
+      GROUP BY phrase
+      ORDER BY score DESC, phrase
+      LIMIT 20"""))
+
+  // --------------------------------------------------------------- q228
+  // Flesch reading-ease per source ([EXT]): the classic readability
+  // screen 206.835 − 1.015·(W/S) − 84.6·(Y/W) over exact per-source
+  // word (W), sentence (S) and syllable (Y) counts — syllables by the
+  // standard vowel-group heuristic `[aeiouy]+`, sentences by terminal
+  // punctuation runs `[.!?]+` floored at one per document. Complements
+  // q41's length/stopword quality score with the psycholinguistic
+  // standard every curation stack reports.
+  //
+  // Determinism: the three counts are exact integer sums (map-side
+  // combinable); the formula is a fixed-order chain of
+  // correctly-rounded IEEE ops on identical inputs, so no quantization
+  // is needed. regexp_count (Spark) and len(regexp_extract_all)
+  // (DuckDB) agree on these character-class-plus patterns. One corpus
+  // scan, dictionary-sized output.
+  private val q228 = QueryDef(
+    "q228_readability",
+    (s, d) => {
+      docs(s, d).select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("w"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .cast("long").as("sent"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+            .as("syl"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+          sum(col("sent")).as("sentences"), sum(col("syl")).as("syllables"))
+        .select(col("source"), col("n_docs"), col("words"),
+          col("sentences"), col("syllables"),
+          round(lit(206.835) -
+            lit(1.015) * (col("words").cast("double") /
+              col("sentences").cast("double")) -
+            lit(84.6) * (col("syllables").cast("double") /
+              col("words").cast("double")), 4).as("flesch"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS words,
+             CAST(sum(sent) AS BIGINT) AS sentences,
+             CAST(sum(syl) AS BIGINT) AS syllables,
+             round(206.835
+                   - 1.015 * (CAST(sum(w) AS DOUBLE) /
+                              CAST(sum(sent) AS DOUBLE))
+                   - 84.6 * (CAST(sum(syl) AS DOUBLE) /
+                             CAST(sum(w) AS DOUBLE)), 4) AS flesch
+      FROM (
+        SELECT source,
+               len(str_split(text, ' ')) AS w,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sent,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+        FROM documents)
+      GROUP BY source
+      ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
-      q138, q147, q155, q159, q167, q186, q204, q217, q225)
+      q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228)
 }

@@ -799,6 +799,38 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q226 CUSUM changepoint matches a driver-side argmax recompute") {
+    val rows = q("q226_cusum_changepoint")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val daily = Tables.t(spark, sf, "events")
+      .select(col("event_type"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+          .as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byT = daily.groupBy(_._1)
+    rows.foreach { case (et, cpDay, nDays, peak, mb, ma) =>
+      val xs = byT(et).map(t => (t._2, t._3)).sortBy(_._1)
+      val n = xs.length.toLong
+      assert(nDays == n)
+      val tot = xs.map(_._2).sum
+      var acc = 0L
+      val cus = xs.map { case (day, v) => acc += n * v - tot; (day, acc) }
+      val (cpRef, peakRef) = cus.maxBy { case (day, c) =>
+        (math.abs(c), -day) }
+      assert(cpDay == cpRef, s"$et changepoint")
+      assert(math.abs(peak -
+        math.abs(peakRef).toDouble / (n.toDouble * 100.0)) < 1e-9)
+      val before = xs.filter(_._1 <= cpRef).map(_._2)
+      val after = xs.filter(_._1 > cpRef).map(_._2)
+      assert(mb == before.sum.toDouble / (before.length * 100.0), s"$et mb")
+      assert(ma == after.sum.toDouble / (after.length * 100.0), s"$et ma")
+    }
+  }
+
   test("q219 Benford: chi2 non-negative, d1 share consistent, masses sum") {
     val rows = q("q219_benford_digits")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))

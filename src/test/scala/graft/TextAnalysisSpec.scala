@@ -89,6 +89,71 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("q227 RAKE scores match a direct reference implementation") {
+    val rows = SparkEntry.queries("q227_rake_keywords")(
+      TestSpark.spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    val texts = Tables.t(TestSpark.spark, TestSpark.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("text"))
+      .collect().map(_.getString(0))
+    // reference RAKE: phrases by stop-split, deg/freq word scores
+    val phrases = texts.flatMap { t =>
+      val out = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var cur = List.newBuilder[String]
+      t.split(" ", -1).foreach { w =>
+        if (stop(w)) { val p = cur.result(); if (p.nonEmpty) out += p
+          cur = List.newBuilder[String] }
+        else cur += w
+      }
+      val p = cur.result(); if (p.nonEmpty) out += p
+      out.toSeq
+    }
+    val freq = phrases.flatten.groupBy(identity).map { case (w, xs) =>
+      w -> xs.size.toLong }
+    val deg = phrases.flatMap(p => p.map(w => w -> p.length.toLong))
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+    def wq(w: String): Long =
+      math.round(deg(w).toDouble / freq(w).toDouble * 1e9)
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = phrases.map(p => (p.mkString(" "), p.map(wq).sum))
+      .groupBy(_._1).map { case (ph, xs) =>
+        (ph, xs.size.toLong, round6(xs.map(_._2).max / 1e9)) }
+    val top = scored.toSeq.sortBy { case (ph, _, s) => (-s, ph) }.take(20)
+    rows.zip(top).foreach { case ((ph, nOcc, sc), (eph, eN, eSc)) =>
+      assert(ph == eph, s"phrase order: $ph vs $eph")
+      assert(nOcc == eN, s"$ph occurrences")
+      assert(math.abs(sc - eSc) < 1e-6, s"$ph score")
+    }
+  }
+
+  test("q228 Flesch components recompute exactly per source") {
+    val rows = SparkEntry.queries("q228_readability")(
+      TestSpark.spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val docsL = Tables.t(TestSpark.spark, TestSpark.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docsL.groupBy(_._1)
+    rows.foreach { case (src, nd, w, sent, syl, flesch) =>
+      val ts = bySrc(src).map(_._2)
+      assert(nd == ts.length.toLong)
+      val wRef = ts.map(_.split(" ", -1).length.toLong).sum
+      val sentRef = ts.map(t =>
+        math.max("[.!?]+".r.findAllIn(t).length, 1).toLong).sum
+      val sylRef = ts.map(t =>
+        "[aeiouy]+".r.findAllIn(t.toLowerCase).length.toLong).sum
+      assert(w == wRef && sent == sentRef && syl == sylRef, s"$src counts")
+      val f = 206.835 - 1.015 * (wRef.toDouble / sentRef.toDouble) -
+        84.6 * (sylRef.toDouble / wRef.toDouble)
+      assert(math.abs(flesch - f) < 1e-3, s"$src flesch")
+    }
+  }
+
   test("q225 JS divergence: bounded by ln 2, zero iff mix matches corpus") {
     val rows = SparkEntry.queries("q225_js_divergence")(
       TestSpark.spark, TestSpark.sf).collect()
