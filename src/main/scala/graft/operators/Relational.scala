@@ -3016,13 +3016,18 @@ object Relational {
   // textbook form ntile(5)s customers per metric — an unpartitioned
   // corpus-sized window (three of them). Here scores are assigned on the
   // VALUE DOMAIN instead (q222's trick): per distinct metric value, a
-  // cumulative count window — bounded by the value grid (days / order
-  // counts / cents), not by customers — yields the value's quantile
-  // bucket 1 + floor(5·F/n) from exact integers. Ties share a score by
+  // cumulative count window yields the value's quantile bucket
+  // 1 + floor(5·F/n) from exact integers. Ties share a score by
   // construction (a property plain ntile does NOT have — it splits ties
   // arbitrarily), which is what makes the result deterministic AND the
-  // window scale-free. Output: 5³-bounded segment grid with exact
-  // customer counts and per-segment averages.
+  // window scale-free — PROVIDED each value domain is bounded by its
+  // RANGE, not by customer count. Recency (days) and frequency (order
+  // counts) are; raw spend CENTS are not (distinct cent totals track
+  // customer cardinality), so the monetary axis scores on the DOLLAR
+  // grid (m DIV 100) — bounded by the money range at any corpus size.
+  // That coarsening is also what practitioners do (monetary quintiles on
+  // rounded amounts). Output: 5³-bounded segment grid with exact
+  // customer counts and per-segment totals.
   private val q224 = QueryDef(
     "q224_rfm_segments",
     (s, d) => {
@@ -3036,7 +3041,7 @@ object Relational {
         .crossJoin(broadcast(horizon))
         .select(col("o_custkey").as("ck"),
           datediff(col("hz"), col("last_d")).cast("long").as("r"),
-          col("f"), col("m"))
+          col("f"), col("m"), expr("m DIV 100").as("mg"))
       // score = 1 + floor(5·F/n), F = customers ranked WORSE than this
       // value, n in-plan via an unbounded window sum (value-domain table,
       // so both windows are grid-bounded, no driver action, no collect).
@@ -3058,12 +3063,12 @@ object Relational {
       }
       val sr = score(rfm.select(col("r")), "r", asc = false)
       val sf2 = score(rfm.select(col("f")), "f", asc = true)
-      val sm = score(rfm.select(col("m")), "m", asc = true)
+      val sm = score(rfm.select(col("mg")), "mg", asc = true)
       rfm
         .join(sr.withColumnRenamed("v", "r"), "r")
         .join(sf2.withColumnRenamed("v", "f"), "f")
-        .join(sm.withColumnRenamed("v", "m"), "m")
-        .groupBy(col("s_r"), col("s_f"), col("s_m"))
+        .join(sm.withColumnRenamed("v", "mg"), "mg")
+        .groupBy(col("s_r"), col("s_f"), col("s_mg").as("s_m"))
         .agg(count(lit(1)).as("n_cust"),
           sum(col("m")).as("m_cents"),
           sum(col("f")).as("orders"))
@@ -3092,9 +3097,9 @@ object Relational {
           FROM (SELECT f, count(*) AS c FROM rfm GROUP BY f))),
       sm AS (
         SELECT v, 1 + (f0 * 5) // (SELECT n FROM n) AS s_m FROM (
-          SELECT m AS v, coalesce(sum(c) OVER (ORDER BY m ASC
+          SELECT mg AS v, coalesce(sum(c) OVER (ORDER BY mg ASC
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f0
-          FROM (SELECT m, count(*) AS c FROM rfm GROUP BY m)))
+          FROM (SELECT m // 100 AS mg, count(*) AS c FROM rfm GROUP BY 1)))
       SELECT CAST(sr.s_r AS BIGINT) AS s_r, CAST(sf.s_f AS BIGINT) AS s_f,
              CAST(sm.s_m AS BIGINT) AS s_m,
              count(*) AS n_cust, CAST(sum(rfm.m) AS BIGINT) AS m_cents,
@@ -3102,7 +3107,7 @@ object Relational {
       FROM rfm
       JOIN sr ON rfm.r = sr.v
       JOIN sf ON rfm.f = sf.v
-      JOIN sm ON rfm.m = sm.v
+      JOIN sm ON rfm.m // 100 = sm.v
       GROUP BY 1, 2, 3
       ORDER BY 1, 2, 3"""))
 
