@@ -2880,9 +2880,148 @@ object Analytics {
       GROUP BY 1, 2, 3, 4
       ORDER BY d.event_type"""))
 
+  // --------------------------------------------------------------- q230
+  // Population Stability Index per event_type ([EXT]): THE industry
+  // drift score for deployed-model inputs — PSI = Σ (p_i − q_i)·ln(p_i/q_i)
+  // over 10 equal-frequency bins LEARNED ON THE REFERENCE window (days
+  // 0–14), applied to the actual window (day 15+). Closes the drift
+  // matrix: q187 KS (continuous, exact), q225 JS (categorical), q150 χ²
+  // (independence), q230 PSI (binned, the model-monitoring standard with
+  // its 0.1/0.25 action thresholds).
+  //
+  // Bin edges never exist as float quantiles: a reference value's decile
+  // is 1 + floor(10·F_before/n) on the VALUE DOMAIN (q222/q224 trick,
+  // exact integers, ties share a bin); actual values inherit the bin of
+  // the largest reference value ≤ v (as-of max over the broadcast
+  // reference grid; below-range → bin 1). Shares are exact-integer
+  // ratios; each ln term is quantized to BIGINT at 1e-12 pre-sum (q214
+  // discipline); empty bins contribute 0 by the documented convention.
+  // Scale: two calendar-window count aggregates (map-side combinable),
+  // then everything runs on cents-grid tables bounded by the money
+  // range, not the corpus.
+  private val q230 = QueryDef(
+    "q230_psi_drift",
+    (s, d) => {
+      val base = ev(s, d).select(col("event_type"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+          .as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val refG = base.filter(col("day") < 15)
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("cr"))
+      val wPrev = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy(col("event_type"))
+      val refB = refG
+        .withColumn("f0", coalesce(sum(col("cr")).over(wPrev), lit(0L)))
+        .withColumn("n_ref", sum(col("cr")).over(wAll))
+        .withColumn("bin", expr("1 + (f0 * 10) DIV n_ref"))
+      val refBins = refB.groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("cr")).as("c_ref"), max(col("n_ref")).as("n_ref"))
+      val actG = base.filter(col("day") >= 15)
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("ca"))
+      // as-of bin assignment: the largest reference value <= v carries
+      // the bin; strictly-below-range actual values fall into bin 1
+      val assign = actG.join(
+          broadcast(refB.select(col("event_type"), col("cents").as("rv"),
+            col("bin"))),
+          Seq("event_type"), "left")
+        .groupBy(col("event_type"), col("cents"), col("ca"))
+        // rv > v rows become NULL structs which max() skips, so a value
+        // below the whole reference range keeps its group and lands in
+        // bin 1 via the coalesce (a filter here would DROP the group)
+        .agg(max(when(col("rv") <= col("cents"),
+          struct(col("rv"), col("bin")))).as("mx"))
+        .select(col("event_type"), col("ca"),
+          coalesce(col("mx.bin"), lit(1L)).as("bin"))
+      val actBins = assign.groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("ca")).as("c_act"))
+      val nAct = actG.groupBy(col("event_type"))
+        .agg(sum(col("ca")).as("n_act"))
+      refBins.join(actBins, Seq("event_type", "bin"), "left")
+        .join(nAct, "event_type")
+        .withColumn("c_act", coalesce(col("c_act"), lit(0L)))
+        .withColumn("term", when(col("c_act") > 0,
+          round(((col("c_act").cast("double") / col("n_act").cast("double"))
+            - (col("c_ref").cast("double") / col("n_ref").cast("double"))) *
+            log((col("c_act").cast("double") / col("n_act").cast("double")) /
+              (col("c_ref").cast("double") / col("n_ref").cast("double"))) *
+            lit(1e12)).cast("long")).otherwise(lit(0L)))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_ref")).as("n_ref"), max(col("n_act")).as("n_act"),
+          round(sum(col("term")).cast("double") / lit(1e12), 6).as("psi"))
+        .withColumn("action", when(col("psi") >= 0.25, "investigate")
+          .when(col("psi") >= 0.1, "watch").otherwise("stable"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT
+                 AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      refg AS (
+        SELECT event_type, cents, count(*) AS cr
+        FROM base WHERE day < 15 GROUP BY 1, 2),
+      refb AS (
+        SELECT event_type, cents, cr,
+               1 + (coalesce(sum(cr) OVER (PARTITION BY event_type
+                     ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    * 10)
+                   // sum(cr) OVER (PARTITION BY event_type) AS bin,
+               sum(cr) OVER (PARTITION BY event_type) AS n_ref
+        FROM refg),
+      refbins AS (
+        SELECT event_type, bin, CAST(sum(cr) AS BIGINT) AS c_ref,
+               CAST(max(n_ref) AS BIGINT) AS n_ref
+        FROM refb GROUP BY 1, 2),
+      actg AS (
+        SELECT event_type, cents, count(*) AS ca
+        FROM base WHERE day >= 15 GROUP BY 1, 2),
+      assign AS (
+        SELECT a.event_type, a.ca,
+               coalesce(max_by(r.bin, r.cents), 1) AS bin
+        FROM actg a LEFT JOIN refb r
+          ON r.event_type = a.event_type AND r.cents <= a.cents
+        GROUP BY a.event_type, a.cents, a.ca),
+      actbins AS (
+        SELECT event_type, bin, CAST(sum(ca) AS BIGINT) AS c_act
+        FROM assign GROUP BY 1, 2),
+      nact AS (
+        SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_act
+        FROM actg GROUP BY 1),
+      terms AS (
+        SELECT rb.event_type, rb.n_ref, na.n_act,
+               CASE WHEN coalesce(ab.c_act, 0) > 0 THEN
+                 CAST(round(
+                   ((CAST(ab.c_act AS DOUBLE) / CAST(na.n_act AS DOUBLE))
+                    - (CAST(rb.c_ref AS DOUBLE) / CAST(rb.n_ref AS DOUBLE)))
+                   * ln((CAST(ab.c_act AS DOUBLE) / CAST(na.n_act AS DOUBLE))
+                        / (CAST(rb.c_ref AS DOUBLE) /
+                           CAST(rb.n_ref AS DOUBLE)))
+                   * 1e12) AS BIGINT)
+               ELSE 0 END AS term
+        FROM refbins rb
+        LEFT JOIN actbins ab
+          ON ab.event_type = rb.event_type AND ab.bin = rb.bin
+        JOIN nact na ON na.event_type = rb.event_type)
+      SELECT event_type, max(n_ref) AS n_ref, max(n_act) AS n_act,
+             round(CAST(sum(term) AS DOUBLE) / 1e12, 6) AS psi,
+             CASE WHEN round(CAST(sum(term) AS DOUBLE) / 1e12, 6) >= 0.25
+                    THEN 'investigate'
+                  WHEN round(CAST(sum(term) AS DOUBLE) / 1e12, 6) >= 0.1
+                    THEN 'watch'
+                  ELSE 'stable' END AS action
+      FROM terms
+      GROUP BY event_type
+      ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
-      q209, q214, q215, q219, q220, q221, q222, q226)
+      q209, q214, q215, q219, q220, q221, q222, q226, q230)
 }

@@ -1146,7 +1146,76 @@ object Pipeline {
       WHERE rk <= 10
       ORDER BY lang, rk"""))
 
+  // --------------------------------------------------------------- q229
+  // Cross-source quantile normalization ([EXT]): map every source's
+  // token-count distribution onto the POOLED corpus distribution — the
+  // batch-effect correction that makes per-source quality thresholds
+  // comparable (a verbose source's "short" is another's "median"; after
+  // normalization one global cutoff means the same thing everywhere).
+  // For a doc with score v in source s: mapped(v) = min{ w : pooled
+  // CDF(w) ≥ source-s CDF(v) } — classic quantile matching.
+  //
+  // The CDF comparison is EXACT: F_w·n_s ≥ F_sv·N cross-multiplies the
+  // two rational CDFs into BIGINT products, so no float quantile ever
+  // exists and the mapping is bit-stable at any parallelism. Scale: the
+  // corpus collapses to (source, score) / (score) count tables — both
+  // bounded by the SCORE GRID (token counts), not by rows; the pooled
+  // grid BROADCASTS into a ≥-join + min aggregate (a grid×grid product,
+  // dictionary-sized). Output: the per-(source, score) mapping table a
+  // normalizing pass would broadcast-join back onto the corpus.
+  private val q229 = QueryDef(
+    "q229_quantile_normalize",
+    (s, d) => {
+      val scored = docs(s, d).select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("v"))
+      val sv = scored.groupBy(col("source"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val wS = Window.partitionBy(col("source")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSAll = Window.partitionBy(col("source"))
+      val sCum = sv.withColumn("f_sv", sum(col("c")).over(wS))
+        .withColumn("n_s", sum(col("c")).over(wSAll))
+      val pv = scored.groupBy(col("v")).agg(count(lit(1)).as("cp"))
+      val wP = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPAll = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val pCum = pv.withColumn("f_w", sum(col("cp")).over(wP))
+        .withColumn("n", sum(col("cp")).over(wPAll))
+        .select(col("v").as("w"), col("f_w"), col("n"))
+      sCum.join(broadcast(pCum),
+          col("f_w") * col("n_s") >= col("f_sv") * col("n"))
+        .groupBy(col("source"), col("v"), col("c"), col("f_sv"), col("n_s"))
+        .agg(min(col("w")).as("mapped"))
+        .select(col("source"), col("v"), col("c"), col("mapped"),
+          (col("mapped") - col("v")).as("shift"))
+        .orderBy(col("source"), col("v"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT source, CAST(len(str_split(text, ' ')) AS BIGINT) AS v
+        FROM documents),
+      sv AS (
+        SELECT source, v, count(*) AS c FROM scored GROUP BY 1, 2),
+      scum AS (
+        SELECT source, v, c,
+               sum(c) OVER (PARTITION BY source ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS f_sv,
+               sum(c) OVER (PARTITION BY source) AS n_s
+        FROM sv),
+      pv AS (SELECT v, count(*) AS cp FROM scored GROUP BY 1),
+      pcum AS (
+        SELECT v AS w,
+               sum(cp) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS f_w,
+               sum(cp) OVER () AS n
+        FROM pv)
+      SELECT s.source, s.v, s.c, min(p.w) AS mapped,
+             CAST(min(p.w) - s.v AS BIGINT) AS shift
+      FROM scum s JOIN pcum p ON p.f_w * s.n_s >= s.f_sv * p.n
+      GROUP BY s.source, s.v, s.c
+      ORDER BY s.source, s.v"""))
+
   val defs: Seq[QueryDef] =
     Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113, q114, q115, q117,
-      q124, q136, q139, q148, q192, q218)
+      q124, q136, q139, q148, q192, q218, q229)
 }

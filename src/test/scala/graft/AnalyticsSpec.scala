@@ -799,6 +799,80 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q229 quantile normalization: exact CDF matching, monotone per source") {
+    val rows = q("q229_quantile_normalize")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val scored = Tables.t(spark, sf, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val pooled = scored.map(_._2).groupBy(identity).toSeq
+      .map { case (v, xs) => (v, xs.size.toLong) }.sortBy(_._1)
+    val nPool = scored.length.toLong
+    val pCum = pooled.scanLeft((0L, 0L)) { case ((_, acc), (v, c)) =>
+      (v, acc + c) }.drop(1)
+    val bySrc = scored.groupBy(_._1)
+    rows.groupBy(_._1).foreach { case (src, xs) =>
+      val vals = bySrc(src).map(_._2)
+      val nS = vals.length.toLong
+      var cum = 0L
+      val expect = vals.groupBy(identity).toSeq.sortBy(_._1).map {
+        case (v, vv) =>
+          cum += vv.size
+          // exact rational comparison: F_w/N >= F_sv/n_s
+          val mapped = pCum.find { case (_, fw) => fw * nS >= cum * nPool }
+            .get._1
+          (v, vv.size.toLong, mapped)
+      }
+      val got = xs.sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq
+      assert(got == expect.toSeq, s"$src mapping mismatch")
+      // monotone: mapped values never decrease as v increases
+      got.map(_._3).sliding(2).filter(_.size == 2).foreach { w =>
+        assert(w(1) >= w(0), s"$src mapping not monotone") }
+    }
+  }
+
+  test("q230 PSI matches a driver recompute with reference-learned bins") {
+    val rows = q("q230_psi_drift")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4)))
+    val base = Tables.t(spark, sf, "events")
+      .select(col("event_type"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+          .as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byT = base.groupBy(_._1)
+    rows.foreach { case (et, nRef, nAct, psi, action) =>
+      val ref = byT(et).filter(_._2 < 15).map(_._3)
+      val act = byT(et).filter(_._2 >= 15).map(_._3)
+      assert(nRef == ref.length.toLong && nAct == act.length.toLong)
+      val refByV = ref.groupBy(identity).toSeq
+        .map { case (v, xs) => (v, xs.size.toLong) }.sortBy(_._1)
+      var f0 = 0L
+      val vBin = refByV.map { case (v, c) =>
+        val b = 1L + (f0 * 10L) / nRef; f0 += c; (v, b, c) }
+      val cRef = vBin.groupBy(_._2).map { case (b, xs) =>
+        b -> xs.map(_._3).sum }
+      val cAct = act.map { v =>
+        vBin.filter(_._1 <= v).lastOption.map(_._2).getOrElse(1L)
+      }.groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+      val psiRef = cRef.toSeq.map { case (b, cr) =>
+        val ca = cAct.getOrElse(b, 0L)
+        if (ca == 0) 0L
+        else {
+          val p = ca.toDouble / nAct.toDouble
+          val q0 = cr.toDouble / nRef.toDouble
+          math.round((p - q0) * math.log(p / q0) * 1e12)
+        }
+      }.sum / 1e12
+      assert(math.abs(psi - psiRef) < 1e-6, s"$et psi $psi vs $psiRef")
+      val expAction = if (psi >= 0.25) "investigate"
+        else if (psi >= 0.1) "watch" else "stable"
+      assert(action == expAction, s"$et action")
+    }
+  }
+
   test("q226 CUSUM changepoint matches a driver-side argmax recompute") {
     val rows = q("q226_cusum_changepoint")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
