@@ -2880,6 +2880,130 @@ object Analytics {
       GROUP BY 1, 2, 3, 4
       ORDER BY d.event_type"""))
 
+  // --------------------------------------------------------------- q232
+  // Split conformal prediction intervals ([EXT]): distribution-free
+  // coverage for q144's per-type linear model. Splits by event_id
+  // parity/quarter: TRAIN (even ids) fits OLS via exact moment sums;
+  // CALIBRATION (id ≡ 1 mod 4) yields |residual| scores; q̂ = the
+  // k = ceil((n_cal+1)·0.9)-th smallest; TEST (id ≡ 3 mod 4) reports
+  // empirical coverage of pred ± q̂ — the finite-sample ≥ 90% guarantee,
+  // checked in-query.
+  //
+  // The quantile is SELECTED, never interpolated, and on an INTEGER
+  // domain: predictions quantize to whole cents (round(a+b·x) of
+  // identical doubles), so residuals are exact BIGINTs and the k-th
+  // smallest comes from a cumulative count over the (type, residual)
+  // VALUE-DOMAIN grid — no corpus-sized per-type rank window, the same
+  // two-phase trick as q139/q222/q224. (Conformal practice caps
+  // calibration at a fixed quota anyway — q136's sampler composes here
+  // — but the grid form removes even that need.) Coverage counts are
+  // exact integers; the output ratio ships unrounded (q226 lesson).
+  private val q232 = QueryDef(
+    "q232_conformal_interval",
+    (s, d) => {
+      val e = ev(s, d).select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val d0 = e.agg(min(col("day")).as("d0"))
+      val base = e.crossJoin(broadcast(d0))
+        .withColumn("x", col("day") - col("d0"))
+      val fit = base.filter(col("event_id") % 2 === 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("cents")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("cents")).as("sxy"))
+        .withColumn("b",
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")))
+        .withColumn("a",
+          (col("sy").cast("double") - col("b") * col("sx").cast("double")) /
+            col("n").cast("double"))
+        .select(col("event_type"), col("a"), col("b"))
+      val withR = base.join(broadcast(fit), "event_type")
+        .withColumn("r",
+          abs(col("cents") - round(col("a") + col("b") *
+            col("x").cast("double")).cast("long")))
+      val cal = withR.filter(col("event_id") % 4 === 1)
+      val calG = cal.groupBy(col("event_type"), col("r"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      val qhat = calG
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n_cal", sum(col("c")).over(wAll))
+        // k = ceil((n+1)·0.9) = (9·(n+1) + 9) DIV 10 in exact integers
+        .withColumn("k", expr("(9 * (n_cal + 1) + 9) DIV 10"))
+        .filter(col("cum") >= least(col("k"), col("n_cal")))
+        .groupBy(col("event_type"))
+        .agg(min(col("r")).as("qhat"), max(col("n_cal")).as("n_cal"))
+      withR.filter(col("event_id") % 4 === 3)
+        .join(broadcast(qhat), "event_type")
+        .groupBy(col("event_type"), col("qhat"), col("n_cal"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("r") <= col("qhat"), 1L).otherwise(0L))
+            .as("covered"))
+        .select(col("event_type"), col("n_cal"), col("qhat"),
+          col("n_test"), col("covered"),
+          (col("covered").cast("double") / col("n_test").cast("double"))
+            .as("coverage"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, event_id,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      d0 AS (SELECT min(day) AS d0 FROM e),
+      base AS (SELECT e.*, e.day - d0.d0 AS x FROM e, d0),
+      fit AS (
+        SELECT event_type,
+               (CAST(count(*) AS DOUBLE) * CAST(sum(x * cents) AS DOUBLE)
+                - CAST(sum(x) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)) /
+               (CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE)
+                - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) AS b,
+               count(*) AS n, CAST(sum(x) AS DOUBLE) AS sxd,
+               CAST(sum(cents) AS DOUBLE) AS syd
+        FROM base WHERE event_id % 2 = 0 GROUP BY event_type),
+      fit2 AS (
+        SELECT event_type, b,
+               (syd - b * sxd) / CAST(n AS DOUBLE) AS a
+        FROM fit),
+      withr AS (
+        SELECT base.event_type, base.event_id,
+               abs(base.cents -
+                 CAST(round(f.a + f.b * CAST(base.x AS DOUBLE)) AS BIGINT))
+                 AS r
+        FROM base JOIN fit2 f ON base.event_type = f.event_type),
+      calg AS (
+        SELECT event_type, r, count(*) AS c
+        FROM withr WHERE event_id % 4 = 1 GROUP BY 1, 2),
+      qh AS (
+        SELECT event_type, min(r) AS qhat, max(n_cal) AS n_cal
+        FROM (
+          SELECT event_type, r,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY r
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n_cal
+          FROM calg)
+        WHERE cum >= least((9 * (n_cal + 1) + 9) // 10, n_cal)
+        GROUP BY event_type)
+      SELECT w.event_type, CAST(qh.n_cal AS BIGINT) AS n_cal,
+             CAST(qh.qhat AS BIGINT) AS qhat,
+             count(*) AS n_test,
+             CAST(sum(CASE WHEN w.r <= qh.qhat THEN 1 ELSE 0 END)
+               AS BIGINT) AS covered,
+             CAST(sum(CASE WHEN w.r <= qh.qhat THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+      FROM withr w JOIN qh ON w.event_type = qh.event_type
+      WHERE w.event_id % 4 = 3
+      GROUP BY w.event_type, qh.n_cal, qh.qhat
+      ORDER BY w.event_type"""))
+
   // --------------------------------------------------------------- q230
   // Population Stability Index per event_type ([EXT]): THE industry
   // drift score for deployed-model inputs — PSI = Σ (p_i − q_i)·ln(p_i/q_i)
@@ -3023,5 +3147,5 @@ object Analytics {
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
-      q209, q214, q215, q219, q220, q221, q222, q226, q230)
+      q209, q214, q215, q219, q220, q221, q222, q226, q230, q232)
 }

@@ -2942,6 +2942,165 @@ object Relational {
       GROUP BY brand, cls
       ORDER BY brand, cls"""))
 
+  // --------------------------------------------------------------- q231
+  // Target–decoy FDR control for the q216 linkage scores ([EXT]): the
+  // empirical false-discovery-rate procedure (mass-spec/ER practice)
+  // that needs NO null distribution: score REAL candidate pairs
+  // (targets, q216's (brand,type) blocks) and GUARANTEED-non-match
+  // pairs (decoys — deterministic partner at partkey offset maxK/2,
+  // kept only when the pair crosses blocks), then for each candidate
+  // threshold t estimate FDR(t) = (D≥t · n_T)/(T≥t · n_D) and accept
+  // the thresholds with FDR ≤ 5%. Turns q216's raw scores into a
+  // CALIBRATED decision rule without assuming the m/u priors are right.
+  //
+  // Determinism: same FS weights as q216 (shared constants + the exact
+  // data-estimated size u); with three binary comparators the score
+  // domain has ≤ 8 values, so the sweep is a tiny value-domain window;
+  // FDR is a correctly-rounded quotient of exact BIGINT products,
+  // shipped unrounded (q226 lesson). Scale: targets = one block-keyed
+  // shuffle (bounded quadratic per block); decoys = one equi-join on
+  // the derived partner key — both corpus-linear; the sweep table is
+  // dictionary-sized.
+  private val q231 = QueryDef(
+    "q231_target_decoy_fdr",
+    (s, d) => {
+      val p = part(s, d)
+      val uSize = p.groupBy(col("p_size")).agg(count(lit(1)).as("c"))
+        .agg((sum(col("c") * (col("c") - 1)).cast("double") /
+          (sum(col("c")).cast("double") *
+            (sum(col("c")) - 1).cast("double"))).as("u_size"))
+        .select(round(log2(lit(fsMSize) / col("u_size")), 8).as("wa_size"),
+          round(log2(lit(1.0 - fsMSize) / (lit(1.0) - col("u_size"))), 8)
+            .as("wd_size"))
+      val cols = p.select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+      val a = cols.toDF("da", "name_a", "brand_a", "type_a", "size_a",
+        "cents_a")
+      val b = cols.toDF("db", "name_b", "brand_b", "type_b", "size_b",
+        "cents_b")
+      def scored(pairs: DataFrame): DataFrame = pairs
+        .crossJoin(broadcast(uSize))
+        .withColumn("score", round(
+          when(col("size_a") === col("size_b"), col("wa_size"))
+            .otherwise(col("wd_size")) +
+          when(size(array_intersect(split(col("name_a"), " "),
+              split(col("name_b"), " "))) >= 3,
+            lit(lg2(fsMName / fsUName).toDouble))
+            .otherwise(lit(lg2((1 - fsMName) / (1 - fsUName)).toDouble)) +
+          when(abs(col("cents_a") - col("cents_b")) <= 200,
+            lit(lg2(fsMPrice / fsUPrice).toDouble))
+            .otherwise(lit(lg2((1 - fsMPrice) / (1 - fsUPrice)).toDouble)),
+          6))
+        .select(col("score"))
+      val targets = scored(
+        a.join(b, col("brand_a") === col("brand_b") &&
+          col("type_a") === col("type_b") && col("da") < col("db")))
+      val mk = p.agg(max(col("p_partkey")).as("maxk"))
+      val decoys = scored(
+        a.crossJoin(broadcast(mk))
+          .withColumn("partner",
+            expr("(da + maxk DIV 2) % maxk + 1"))
+          .join(b, col("partner") === col("db"))
+          .filter(col("brand_a") =!= col("brand_b") ||
+            col("type_a") =!= col("type_b")))
+      val tC = targets.groupBy(col("score")).agg(count(lit(1)).as("ct"))
+      val dC = decoys.groupBy(col("score")).agg(count(lit(1)).as("cd"))
+      val grid = tC.join(dC, Seq("score"), "full")
+        .withColumn("ct", coalesce(col("ct"), lit(0L)))
+        .withColumn("cd", coalesce(col("cd"), lit(0L)))
+      val wGe = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      grid
+        .withColumn("t_ge", sum(col("ct")).over(wGe))
+        .withColumn("d_ge", sum(col("cd")).over(wGe))
+        .withColumn("n_t", sum(col("ct")).over(wAll))
+        .withColumn("n_d", sum(col("cd")).over(wAll))
+        .filter(col("t_ge") > 0)
+        .select(col("score").as("thr"), col("t_ge"), col("d_ge"),
+          ((col("d_ge") * col("n_t")).cast("double") /
+            (col("t_ge") * col("n_d")).cast("double")).as("fdr_est"))
+        .withColumn("accept", col("fdr_est") <= 0.05)
+        .orderBy(col("thr").desc)
+    },
+    Some(s"""
+      WITH us AS (
+        SELECT round(log2($fsMSize / u), 8) AS wa_size,
+               round(log2(${1.0 - fsMSize} / (1.0 - u)), 8) AS wd_size
+        FROM (
+          SELECT CAST(sum(c * (c - 1)) AS DOUBLE) /
+                 (CAST(sum(c) AS DOUBLE) * CAST(sum(c) - 1 AS DOUBLE)) AS u
+          FROM (SELECT p_size, count(*) AS c FROM part GROUP BY 1))),
+      mk AS (SELECT max(p_partkey) AS maxk FROM part),
+      tpairs AS (
+        SELECT a.p_size AS size_a, b.p_size AS size_b,
+               a.p_name AS name_a, b.p_name AS name_b,
+               a.p_retailprice AS pr_a, b.p_retailprice AS pr_b
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+         AND a.p_partkey < b.p_partkey),
+      dpairs AS (
+        SELECT a.p_size AS size_a, b.p_size AS size_b,
+               a.p_name AS name_a, b.p_name AS name_b,
+               a.p_retailprice AS pr_a, b.p_retailprice AS pr_b
+        FROM part a CROSS JOIN mk
+        JOIN part b ON (a.p_partkey + mk.maxk // 2) % mk.maxk + 1
+                       = b.p_partkey
+        WHERE a.p_brand <> b.p_brand OR a.p_type <> b.p_type),
+      tsc AS (
+        SELECT round(CASE WHEN size_a = size_b THEN us.wa_size
+                          ELSE us.wd_size END
+          + CASE WHEN len(list_intersect(
+                list_distinct(str_split(name_a, ' ')),
+                list_distinct(str_split(name_b, ' ')))) >= 3
+                 THEN ${lg2(fsMName / fsUName)}
+                 ELSE ${lg2((1 - fsMName) / (1 - fsUName))} END
+          + CASE WHEN abs(CAST(round(pr_a * 100) AS BIGINT) -
+                          CAST(round(pr_b * 100) AS BIGINT)) <= 200
+                 THEN ${lg2(fsMPrice / fsUPrice)}
+                 ELSE ${lg2((1 - fsMPrice) / (1 - fsUPrice))} END, 6)
+          AS score
+        FROM tpairs, us),
+      dsc AS (
+        SELECT round(CASE WHEN size_a = size_b THEN us.wa_size
+                          ELSE us.wd_size END
+          + CASE WHEN len(list_intersect(
+                list_distinct(str_split(name_a, ' ')),
+                list_distinct(str_split(name_b, ' ')))) >= 3
+                 THEN ${lg2(fsMName / fsUName)}
+                 ELSE ${lg2((1 - fsMName) / (1 - fsUName))} END
+          + CASE WHEN abs(CAST(round(pr_a * 100) AS BIGINT) -
+                          CAST(round(pr_b * 100) AS BIGINT)) <= 200
+                 THEN ${lg2(fsMPrice / fsUPrice)}
+                 ELSE ${lg2((1 - fsMPrice) / (1 - fsUPrice))} END, 6)
+          AS score
+        FROM dpairs, us),
+      tc AS (SELECT score, count(*) AS ct FROM tsc GROUP BY score),
+      dc AS (SELECT score, count(*) AS cd FROM dsc GROUP BY score),
+      grid AS (
+        SELECT coalesce(tc.score, dc.score) AS score,
+               coalesce(tc.ct, 0) AS ct, coalesce(dc.cd, 0) AS cd
+        FROM tc FULL OUTER JOIN dc ON tc.score = dc.score),
+      sweep AS (
+        SELECT score,
+               sum(ct) OVER (ORDER BY score DESC
+                 ROWS UNBOUNDED PRECEDING) AS t_ge,
+               sum(cd) OVER (ORDER BY score DESC
+                 ROWS UNBOUNDED PRECEDING) AS d_ge,
+               sum(ct) OVER () AS n_t, sum(cd) OVER () AS n_d
+        FROM grid)
+      SELECT score AS thr, CAST(t_ge AS BIGINT) AS t_ge,
+             CAST(d_ge AS BIGINT) AS d_ge,
+             CAST(d_ge * n_t AS DOUBLE) / CAST(t_ge * n_d AS DOUBLE)
+               AS fdr_est,
+             (CAST(d_ge * n_t AS DOUBLE) / CAST(t_ge * n_d AS DOUBLE))
+               <= 0.05 AS accept
+      FROM sweep
+      WHERE t_ge > 0
+      ORDER BY thr DESC"""))
+
   // --------------------------------------------------------------- q223
   // Market-basket association rules ([EXT]): 2-itemset rules A→B over
   // order baskets with items = part BRANDS (the item domain must be
@@ -3118,5 +3277,5 @@ object Relational {
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
     q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208, q211,
-    q212, q216, q223, q224)
+    q212, q216, q223, q224, q231)
 }

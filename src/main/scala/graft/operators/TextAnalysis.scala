@@ -1425,6 +1425,83 @@ object TextAnalysis {
       ORDER BY score DESC, phrase
       LIMIT 20"""))
 
+  // --------------------------------------------------------------- q233
+  // Good–Turing frequency-of-frequencies per language ([EXT]): the
+  // count-of-counts table n_r (how many word TRIGRAMS occur exactly r
+  // times), the unseen-probability mass estimate p₀ = n₁/N, and the
+  // discounted counts r* = (r+1)·n_{r+1}/n_r — the smoothing arithmetic
+  // every n-gram LM (q147) builds on, and the standard "how much of the
+  // distribution haven't we seen" diagnostic for corpus coverage.
+  // Trigrams, not unigrams: this corpus's ~31-word vocabulary has no
+  // singleton unigrams, while the trigram tail is rich at every SF.
+  //
+  // Determinism: n_r and N are exact integers; p₀ and r* ship as single
+  // correctly-rounded divisions, unrounded (q226 lesson), with r* = 0
+  // by convention where n_{r+1} = 0 (NULL would hash differently across
+  // engines' parquet writers). Scale: trigram counts are one
+  // gram-keyed map-side-combinable aggregate (Zipf skew absorbed in
+  // partials); count-of-counts then runs on the (r) grid — bounded by
+  // the max repeat count, not the corpus; output keeps r ≤ 5.
+  private val q233 = QueryDef(
+    "q233_good_turing",
+    (s, d) => {
+      val grams = docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("lang"), col("toks"),
+          explode(expr("sequence(2, size(toks) - 1)")).as("i"))
+        .select(col("lang"),
+          concat_ws(" ", col("toks")(col("i") - 2),
+            col("toks")(col("i") - 1), col("toks")(col("i"))).as("g"))
+      val gc = grams.groupBy(col("lang"), col("g"))
+        .agg(count(lit(1)).as("r"))
+      val nr = gc.groupBy(col("lang"), col("r"))
+        .agg(count(lit(1)).as("n_r"))
+      val tot = gc.groupBy(col("lang"))
+        .agg(sum(col("r")).as("n_tok"), count(lit(1)).as("vocab"))
+      val nr1 = nr.select(col("lang"), (col("r") - 1).as("r"),
+        col("n_r").as("n_r_next"))
+      nr.join(nr1, Seq("lang", "r"), "left")
+        .join(tot, "lang")
+        .filter(col("r") <= 5)
+        .select(col("lang"), col("r"), col("n_r"), col("n_tok"),
+          col("vocab"),
+          (when(col("r") === 1,
+            col("n_r").cast("double") / col("n_tok").cast("double"))
+            .otherwise(lit(0.0))).as("p0"),
+          coalesce((col("r") + 1).cast("double") *
+            col("n_r_next").cast("double") / col("n_r").cast("double"),
+            lit(0.0)).as("r_star"))
+        .orderBy(col("lang"), col("r"))
+    },
+    Some("""
+      WITH grams AS (
+        SELECT lang,
+               toks[i - 1] || ' ' || toks[i] || ' ' || toks[i + 1] AS g
+        FROM (SELECT lang, str_split(text, ' ') AS toks FROM documents),
+        LATERAL (SELECT unnest(range(2, len(toks))) AS i) u
+        WHERE len(toks) >= 3),
+      gc AS (
+        SELECT lang, g, count(*) AS r FROM grams GROUP BY 1, 2),
+      nr AS (
+        SELECT lang, r, count(*) AS n_r FROM gc GROUP BY 1, 2),
+      tot AS (
+        SELECT lang, CAST(sum(r) AS BIGINT) AS n_tok,
+               count(*) AS vocab
+        FROM gc GROUP BY 1)
+      SELECT nr.lang, nr.r, nr.n_r, tot.n_tok, tot.vocab,
+             CASE WHEN nr.r = 1
+                  THEN CAST(nr.n_r AS DOUBLE) / CAST(tot.n_tok AS DOUBLE)
+                  ELSE 0.0 END AS p0,
+             coalesce(CAST(nr.r + 1 AS DOUBLE) *
+                      CAST(n2.n_r AS DOUBLE) / CAST(nr.n_r AS DOUBLE),
+                      0.0) AS r_star
+      FROM nr
+      LEFT JOIN nr n2 ON n2.lang = nr.lang AND n2.r = nr.r + 1
+      JOIN tot ON tot.lang = nr.lang
+      WHERE nr.r <= 5
+      ORDER BY nr.lang, nr.r"""))
+
   // --------------------------------------------------------------- q228
   // Flesch reading-ease per source ([EXT]): the classic readability
   // screen 206.835 − 1.015·(W/S) − 84.6·(Y/W) over exact per-source
@@ -1482,5 +1559,6 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
-      q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228)
+      q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228,
+      q233)
 }

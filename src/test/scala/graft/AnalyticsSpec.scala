@@ -799,6 +799,43 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q232 conformal: q̂ selection and coverage recompute; guarantee holds") {
+    val rows = q("q232_conformal_interval")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val e = Tables.t(spark, sf, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val d0 = e.map(_._3).min
+    val byT = e.groupBy(_._1)
+    rows.foreach { case (et, nCal, qhat, nTest, covered, coverage) =>
+      val xs = byT(et).map(t => (t._2, t._3 - d0, t._4))
+      val train = xs.filter(_._1 % 2 == 0)
+      val n = train.length.toDouble
+      val (sx, sy) = (train.map(_._2).sum.toDouble,
+        train.map(_._3).sum.toDouble)
+      val sxx = train.map(t => t._2 * t._2).sum.toDouble
+      val sxy = train.map(t => t._2 * t._3).sum.toDouble
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val a = (sy - b * sx) / n
+      def resid(x: Long, y: Long): Long =
+        math.abs(y - math.round(a + b * x.toDouble))
+      val cal = xs.filter(_._1 % 4 == 1).map(t => resid(t._2, t._3)).sorted
+      assert(nCal == cal.length.toLong, s"$et n_cal")
+      val k = math.min((9 * (cal.length + 1) + 9) / 10, cal.length)
+      assert(qhat == cal(k - 1), s"$et qhat selection")
+      val test = xs.filter(_._1 % 4 == 3).map(t => resid(t._2, t._3))
+      assert(nTest == test.length.toLong && covered ==
+        test.count(_ <= qhat).toLong, s"$et coverage counts")
+      assert(coverage == covered.toDouble / nTest.toDouble)
+      // finite-sample guarantee: coverage ≥ 0.9 − slack for test noise
+      assert(coverage > 0.85, s"$et conformal guarantee violated badly")
+    }
+  }
+
   test("q229 quantile normalization: exact CDF matching, monotone per source") {
     val rows = q("q229_quantile_normalize")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -231,6 +231,43 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q231 target-decoy FDR: masses match independent pair counts, sweep exact") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q231_target_decoy_fdr")(spark, sf)
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // thresholds strictly decreasing; cumulative counts nondecreasing
+    rows.map(_._1).sliding(2).filter(_.size == 2).foreach { w =>
+      assert(w(1) < w(0), "thresholds must strictly decrease") }
+    rows.map(_._2).sliding(2).filter(_.size == 2).foreach { w =>
+      assert(w(1) >= w(0), "t_ge must be cumulative") }
+    val parts = Tables.t(spark, sf, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // total targets = blocked pair count
+    val nTargets = parts.groupBy(p => (p._2, p._3)).values
+      .map(xs => xs.size.toLong * (xs.size - 1) / 2).sum
+    assert(rows.last._2 == nTargets, "target mass vs blocked pairs")
+    // total decoys = derived-partner pairs that cross blocks
+    val maxk = parts.map(_._1).max
+    val byKey = parts.map(p => p._1 -> p).toMap
+    val nDecoys = parts.count { case (k, b, t) =>
+      byKey.get((k + maxk / 2) % maxk + 1)
+        .exists(p => p._2 != b || p._3 != t)
+    }.toLong
+    // the lowest emitted threshold counts decoys AT OR ABOVE the lowest
+    // target score, so its d_ge is bounded by (not equal to) the total
+    assert(rows.last._3 <= nDecoys, "decoy mass bound")
+    rows.foreach { case (_, tGe, dGe, fdr, accept) =>
+      val expect = (dGe.toDouble * nTargets.toDouble) /
+        (tGe.toDouble * nDecoys.toDouble)
+      assert(fdr == expect, "fdr must be the exact ratio")
+      assert(accept == (fdr <= 0.05), "accept flag")
+    }
+  }
+
   test("q224 RFM: scores in 1..5, ties share scores, customer mass conserved") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("q224_rfm_segments")(spark, sf).collect()

@@ -154,6 +154,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("q233 Good–Turing count-of-counts recompute; mass identities hold") {
+    val rows = SparkEntry.queries("q233_good_turing")(
+      TestSpark.spark, TestSpark.sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val docsL = Tables.t(TestSpark.spark, TestSpark.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val byLang = docsL.groupBy(_._1)
+    rows.groupBy(_._1).foreach { case (lang, xs) =>
+      val grams = byLang(lang).flatMap { case (_, t) =>
+        val toks = t.split(" ", -1)
+        toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      }
+      val counts = grams.groupBy(identity).map(_._2.size.toLong)
+      val nr = counts.groupBy(identity).map { case (r, g) =>
+        r -> g.size.toLong }
+      val nTok = counts.sum
+      val vocab = counts.size.toLong
+      xs.foreach { case (_, r, nR, nT, v, p0, rStar) =>
+        assert(nR == nr(r), s"$lang n_$r")
+        assert(nT == nTok && v == vocab, s"$lang totals")
+        if (r == 1)
+          assert(p0 == nR.toDouble / nTok.toDouble, s"$lang p0")
+        else assert(p0 == 0.0)
+        val expect = nr.get(r + 1)
+          .map(n2 => (r + 1).toDouble * n2.toDouble / nR.toDouble)
+          .getOrElse(0.0)
+        assert(rStar == expect, s"$lang r*($r)")
+      }
+      // Good–Turing mass identity: sum over ALL r of r·n_r = N
+      assert(nr.map { case (r, n) => r * n }.sum == nTok, s"$lang mass")
+    }
+  }
+
   test("q225 JS divergence: bounded by ln 2, zero iff mix matches corpus") {
     val rows = SparkEntry.queries("q225_js_divergence")(
       TestSpark.spark, TestSpark.sf).collect()
