@@ -3016,13 +3016,24 @@ object Analytics {
   // Bin edges never exist as float quantiles: a reference value's decile
   // is 1 + floor(10·F_before/n) on the VALUE DOMAIN (q222/q224 trick,
   // exact integers, ties share a bin); actual values inherit the bin of
-  // the largest reference value ≤ v (as-of max over the broadcast
-  // reference grid; below-range → bin 1). Shares are exact-integer
-  // ratios; each ln term is quantized to BIGINT at 1e-12 pre-sum (q214
-  // discipline); empty bins contribute 0 by the documented convention.
-  // Scale: two calendar-window count aggregates (map-side combinable),
-  // then everything runs on cents-grid tables bounded by the money
-  // range, not the corpus.
+  // the largest reference value ≤ v (below-range → bin 1). Shares are
+  // exact-integer ratios; each ln term is quantized to BIGINT at 1e-12
+  // pre-sum (q214 discipline); empty bins contribute 0 by the documented
+  // convention.
+  //
+  // The as-of assignment does NOT join actual values against the full
+  // reference cents grid — that is a per-type grid×grid cartesian
+  // (~100k × ~100k rows at sf0.1, measured at 135 s in BENCH; the
+  // first shipped cut did exactly that). Because bin is monotone
+  // non-decreasing in cents, "bin of the largest ref value ≤ v" equals
+  // "largest bin whose MINIMUM ref value ≤ v", so the broadcast side
+  // collapses to the ≤ 10-row-per-type edge table min(cents) per bin —
+  // fan-out ≤ 10×, not grid×. The DuckDB oracle deliberately keeps the
+  // definition-form join (largest ref VALUE ≤ v over the full grid), so
+  // the hash match independently proves the edge-table rewrite
+  // equivalent to the definition. Scale: two calendar-window count
+  // aggregates (map-side combinable), then everything runs on
+  // cents-grid tables bounded by the money range, not the corpus.
   private val q230 = QueryDef(
     "q230_psi_drift",
     (s, d) => {
@@ -3045,20 +3056,20 @@ object Analytics {
       val actG = base.filter(col("day") >= 15)
         .groupBy(col("event_type"), col("cents"))
         .agg(count(lit(1)).as("ca"))
-      // as-of bin assignment: the largest reference value <= v carries
-      // the bin; strictly-below-range actual values fall into bin 1
-      val assign = actG.join(
-          broadcast(refB.select(col("event_type"), col("cents").as("rv"),
-            col("bin"))),
-          Seq("event_type"), "left")
+      // as-of bin assignment via the per-bin lower-edge table (see the
+      // scaladoc): bin(v) = max bin whose min reference cents <= v.
+      // Edges are <= 10 rows per event_type, so the broadcast join
+      // fans out 10x, never grid x grid.
+      val refEdges = refB.groupBy(col("event_type"), col("bin"))
+        .agg(min(col("cents")).as("lo"))
+      val assign = actG.join(broadcast(refEdges), Seq("event_type"), "left")
         .groupBy(col("event_type"), col("cents"), col("ca"))
-        // rv > v rows become NULL structs which max() skips, so a value
-        // below the whole reference range keeps its group and lands in
-        // bin 1 via the coalesce (a filter here would DROP the group)
-        .agg(max(when(col("rv") <= col("cents"),
-          struct(col("rv"), col("bin")))).as("mx"))
+        // lo > v rows become NULL which max() skips, so a value below
+        // the whole reference range keeps its group and lands in bin 1
+        // via the coalesce (a filter here would DROP the group)
+        .agg(max(when(col("lo") <= col("cents"), col("bin"))).as("mb"))
         .select(col("event_type"), col("ca"),
-          coalesce(col("mx.bin"), lit(1L)).as("bin"))
+          coalesce(col("mb"), lit(1L)).as("bin"))
       val actBins = assign.groupBy(col("event_type"), col("bin"))
         .agg(sum(col("ca")).as("c_act"))
       val nAct = actG.groupBy(col("event_type"))
