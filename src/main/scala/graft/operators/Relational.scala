@@ -3101,6 +3101,83 @@ object Relational {
       WHERE t_ge > 0
       ORDER BY thr DESC"""))
 
+  // --------------------------------------------------------------- q234
+  // Sorted-neighborhood dedup ([EXT], Hernández–Stolfo): the SORT-based
+  // blocking alternative to q101's equi-blocks and the LSH families —
+  // order all records by a sort key, compare only rows within w = 10
+  // positions, verify with thresholded edit distance. Catches
+  // near-duplicates q101's (brand, type) blocking can NEVER see (same
+  // name, different block), at O(n·w) compares instead of O(n²).
+  //
+  // The global rank is computed WITHOUT a corpus-sized single-task sort
+  // (the q106 trap): phase 1 ranks within first-letter buckets (a
+  // value-domain key, so the window partitions by bucket), phase 2 adds
+  // broadcast per-bucket offsets from an alphabet-sized prefix sum —
+  // rank = offset + intra, exactly the global row_number. The DuckDB
+  // oracle deliberately uses the definition-form global row_number(), so
+  // the hash match proves the two-phase rank identical. Neighborhood
+  // pairing is an EQUI-join on the rank block r DIV w (left side emits
+  // blocks {b, b+1}, 2× fan-out), never a rank-range theta join; q101's
+  // two lossless prefilters and the banded levenshtein(·,·,3) bound the
+  // verify cost (t = 3: this catalog's two-word names never get closer,
+  // measured — t = 2 returns the empty set at every SF). At 100 TB a skewed first letter gets a longer prefix
+  // (the bucket key is a knob, not a structure change).
+  private val q234 = QueryDef(
+    "q234_sorted_neighborhood",
+    (s, d) => {
+      val w = 10L
+      val p = part(s, d).select(col("p_partkey").as("k"),
+        col("p_name").as("nm"),
+        substring(col("p_name"), 1, 1).as("bkt"))
+      val wB = Window.partitionBy(col("bkt"))
+        .orderBy(col("nm"), col("k"))
+      val intra = p.withColumn("i", row_number().over(wB).cast("long"))
+      // alphabet-sized bucket dictionary: the prefix-sum window runs on
+      // <= |alphabet| rows, then broadcasts
+      val offs = p.groupBy(col("bkt")).agg(count(lit(1)).as("cb"))
+        .withColumn("off", coalesce(sum(col("cb")).over(
+          Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bkt"), col("off"))
+      val ranked = intra.join(broadcast(offs), "bkt")
+        .select(col("k"), col("nm"), (col("off") + col("i")).as("r"))
+      // pair (i, j), i < j <= i + w: j's block j DIV w is i's block or
+      // the next one, so the left side emits both keys (2x fan-out) and
+      // the join stays equi — no rank-range theta join
+      val a = ranked
+        .select(col("k").as("da"), col("nm").as("name_a"),
+          col("r").as("ra"))
+        .withColumn("blk",
+          explode(array(expr(s"ra DIV $w"), expr(s"ra DIV $w + 1"))))
+      val b = ranked
+        .select(col("k").as("db"), col("nm").as("name_b"),
+          col("r").as("rb"))
+        .withColumn("blk", expr(s"rb DIV $w"))
+      a.join(b, "blk")
+        .filter(col("rb") > col("ra") && col("rb") <= col("ra") + w &&
+          col("name_a") =!= col("name_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= 3)
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b"), 3).cast("long"))
+        .filter(col("dist") >= 0)
+        .select(col("da"), col("db"), col("name_a"), col("name_b"),
+          (col("rb") - col("ra")).as("gap"), col("dist"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT p_partkey AS k, p_name AS nm,
+               row_number() OVER (ORDER BY p_name, p_partkey) AS r
+        FROM part)
+      SELECT a.k AS da, b.k AS db, a.nm AS name_a, b.nm AS name_b,
+             b.r - a.r AS gap,
+             CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+      FROM ranked a JOIN ranked b
+        ON b.r > a.r AND b.r <= a.r + 10
+      WHERE a.nm <> b.nm AND abs(len(a.nm) - len(b.nm)) <= 3
+        AND levenshtein(a.nm, b.nm) <= 3
+      ORDER BY da, db"""))
+
   // --------------------------------------------------------------- q223
   // Market-basket association rules ([EXT]): 2-itemset rules A→B over
   // order baskets with items = part BRANDS (the item domain must be
@@ -3277,5 +3354,5 @@ object Relational {
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
     q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208, q211,
-    q212, q216, q223, q224, q231)
+    q212, q216, q223, q224, q231, q234)
 }

@@ -268,6 +268,43 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q234 SNM pairs equal a brute-force global-sort neighborhood sweep") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q234_sorted_neighborhood")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+      .toSet
+    // reference: one driver-side global sort, compare each row to its
+    // next 10 neighbors — the definition the two-phase rank must match
+    val sorted = Tables.t(spark, sf, "part")
+      .select(col("p_partkey"), col("p_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(p => (p._2, p._1))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    val want = (for {
+      i <- sorted.indices
+      j <- (i + 1) to math.min(i + 10, sorted.length - 1)
+      if sorted(i)._2 != sorted(j)._2 &&
+        math.abs(sorted(i)._2.length - sorted(j)._2.length) <= 3
+      d = lev(sorted(i)._2, sorted(j)._2)
+      if d <= 3
+    } yield (sorted(i)._1, sorted(j)._1, (j - i).toLong, d.toLong)).toSet
+    assert(got == want, "SNM neighborhood must match the definition sweep")
+    assert(want.nonEmpty, "fixture must exercise the verify stage")
+  }
+
   test("q224 RFM: scores in 1..5, ties share scores, customer mass conserved") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("q224_rfm_segments")(spark, sf).collect()
