@@ -3004,6 +3004,105 @@ object Analytics {
       GROUP BY w.event_type, qh.n_cal, qh.qhat
       ORDER BY w.event_type"""))
 
+  // --------------------------------------------------------------- q235
+  // MAD robust outlier screen per event_type ([EXT]): median absolute
+  // deviation — the robust scale estimator that, unlike q129's
+  // winsorized moments, is immune to ANY minority contamination (50%
+  // breakdown). Flags |x − med| > 3.5 · 1.4826 · MAD, the standard
+  // robust-z rule (1.4826 ≈ 1/Φ⁻¹(3/4) normal-consistency constant).
+  //
+  // Both medians are SELECTED lower medians (k = (n+1) DIV 2), never
+  // interpolated, via cumulative counts over VALUE-DOMAIN grids (q222
+  // trick): the cents grid for the median, then the |cents − med| grid
+  // — derived by re-keying the SAME per-(type, cents) count table, no
+  // second corpus scan — for the MAD. The outlier test stays in exact
+  // integers: |dev|·10⁴ > 51891·MAD avoids ever materializing the
+  // 5.1891 float threshold. One corpus-sized map-side-combinable
+  // aggregate; every window runs on money-range-bounded grids.
+  private val q235 = QueryDef(
+    "q235_mad_outliers",
+    (s, d) => {
+      val g = ev(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      val med = g
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .filter(col("cum") >= expr("(n + 1) DIV 2"))
+        .groupBy(col("event_type"))
+        .agg(min(col("cents")).as("med"), max(col("n")).as("n"))
+      val dev = g.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"), abs(col("cents") - col("med")).as("dv"))
+        .agg(sum(col("c")).as("c"))
+      val wDev = Window.partitionBy(col("event_type")).orderBy(col("dv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mad = dev
+        .withColumn("cum", sum(col("c")).over(wDev))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .filter(col("cum") >= expr("(n + 1) DIV 2"))
+        .groupBy(col("event_type"))
+        .agg(min(col("dv")).as("mad"))
+      g.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("med"), col("mad"), col("n"))
+        .agg(sum(when(
+          abs(col("cents") - col("med")) * 10000L > lit(51891L) * col("mad"),
+          col("c")).otherwise(0L)).as("n_out"))
+        .select(col("event_type"), col("n"), col("med"), col("mad"),
+          col("n_out"),
+          (col("n_out").cast("double") / col("n").cast("double"))
+            .as("out_rate"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+               count(*) AS c
+        FROM events GROUP BY 1, 2),
+      med AS (
+        SELECT event_type, min(cents) AS med, CAST(max(n) AS BIGINT) AS n
+        FROM (
+          SELECT event_type, cents,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+          FROM g)
+        WHERE cum >= (n + 1) // 2
+        GROUP BY event_type),
+      dev AS (
+        SELECT g.event_type, abs(g.cents - med.med) AS dv,
+               CAST(sum(g.c) AS BIGINT) AS c
+        FROM g JOIN med ON g.event_type = med.event_type
+        GROUP BY 1, 2),
+      mad AS (
+        SELECT event_type, min(dv) AS mad
+        FROM (
+          SELECT event_type, dv,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY dv
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(c) OVER (PARTITION BY event_type) AS n
+          FROM dev)
+        WHERE cum >= (n + 1) // 2
+        GROUP BY event_type)
+      SELECT g.event_type, med.n, med.med, mad.mad,
+             CAST(sum(CASE WHEN abs(g.cents - med.med) * 10000
+                                > 51891 * mad.mad
+                           THEN g.c ELSE 0 END) AS BIGINT) AS n_out,
+             CAST(sum(CASE WHEN abs(g.cents - med.med) * 10000
+                                > 51891 * mad.mad
+                           THEN g.c ELSE 0 END) AS DOUBLE)
+               / CAST(med.n AS DOUBLE) AS out_rate
+      FROM g
+      JOIN med ON g.event_type = med.event_type
+      JOIN mad ON g.event_type = mad.event_type
+      GROUP BY g.event_type, med.n, med.med, mad.mad
+      ORDER BY g.event_type"""))
+
   // --------------------------------------------------------------- q230
   // Population Stability Index per event_type ([EXT]): THE industry
   // drift score for deployed-model inputs — PSI = Σ (p_i − q_i)·ln(p_i/q_i)
@@ -3158,5 +3257,6 @@ object Analytics {
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
-      q209, q214, q215, q219, q220, q221, q222, q226, q230, q232)
+      q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
+      q235)
 }

@@ -799,6 +799,26 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q235 MAD: grid-selected medians equal driver-side sorted selection") {
+    import org.apache.spark.sql.functions.{col, round => rnd}
+    val got = SparkEntry.queries("q235_mad_outliers")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val byType = Tables.t(spark, sf, "events")
+      .select(col("event_type"), rnd(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def lowerMedian(xs: Seq[Long]): Long = xs(((xs.size + 1) / 2) - 1)
+    for ((t, xs) <- byType) {
+      val med = lowerMedian(xs)
+      val mad = lowerMedian(xs.map(x => math.abs(x - med)).sorted)
+      val nOut = xs.count(x => math.abs(x - med) * 10000L > 51891L * mad)
+      assert(got(t) == ((xs.size.toLong, med, mad, nOut.toLong)),
+        s"type $t: expected (n=${xs.size}, med=$med, mad=$mad, out=$nOut)")
+      assert(nOut > 0, s"fixture must flag outliers for $t")
+    }
+  }
+
   test("q232 conformal: q̂ selection and coverage recompute; guarantee holds") {
     val rows = q("q232_conformal_interval")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
