@@ -1502,6 +1502,109 @@ object TextAnalysis {
       WHERE nr.r <= 5
       ORDER BY nr.lang, nr.r"""))
 
+  // --------------------------------------------------------------- q236
+  // BPE merge-pair statistics, two real merge rounds ([EXT]): the
+  // tokenizer-induction arithmetic (Sennrich et al.) beside q107's
+  // fixed-vocabulary OOV — count adjacent symbol pairs weighted by word
+  // frequency, take the top merge, APPLY it, and re-count. Output =
+  // top-3 pairs per (lang, round) with exact integer counts; round 2's
+  // table contains pairs built on the round-1 merged symbol, proving
+  // the application step is real, not just a ranking.
+  //
+  // Scale shape is the one every real BPE trainer uses: the corpus is
+  // touched ONCE, by the map-side-combinable (lang, word) frequency
+  // aggregate; all merge arithmetic runs on the vocabulary-bounded
+  // dictionary, and the 1-row-per-lang winning merge broadcasts back.
+  // The merge applies via literal replace of ' pa pb' (leading-space
+  // anchor, NO trailing space): on round-1 single-char symbol streams
+  // this equals token-level greedy leftmost non-overlapping BPE merging
+  // — including chains like 'llll' → [ll, ll], where an anchored
+  // trailing space would consume the separator and under-merge. The
+  // spec recomputes both rounds with true token-level merging.
+  private val q236 = QueryDef(
+    "q236_bpe_merges",
+    (s, d) => {
+      val words = docs(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("f"))
+        .withColumn("sym",
+          concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+      def pairCounts(df: DataFrame): DataFrame = df
+        .withColumn("toks", split(trim(col("sym")), " "))
+        .select(col("lang"), col("f"), col("toks"),
+          explode(expr("sequence(1, size(toks) - 1)")).as("i"))
+        .groupBy(col("lang"), element_at(col("toks"), col("i")).as("pa"),
+          element_at(col("toks"), col("i") + 1).as("pb"))
+        .agg(sum(col("f")).as("cnt"))
+      val r1 = pairCounts(words)
+      val top1 = r1.withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("cnt").desc, col("pa"), col("pb"))))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("pa").as("p1a"), col("pb").as("p1b"))
+      val r2 = pairCounts(words.join(broadcast(top1), "lang")
+        .withColumn("sym",
+          expr("replace(sym, ' ' || p1a || ' ' || p1b, ' ' || p1a || p1b)")))
+      val allR = r1.withColumn("round", lit(1L))
+        .unionByName(r2.withColumn("round", lit(2L)))
+      allR.withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang"), col("round"))
+            .orderBy(col("cnt").desc, col("pa"), col("pb"))).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("lang"), col("round"), col("rk"),
+          concat(col("pa"), lit("+"), col("pb")).as("pair"), col("cnt"))
+        .orderBy(col("lang"), col("round"), col("rk"))
+    },
+    Some("""
+      WITH words AS (
+        SELECT lang, w AS word, count(*) AS f
+        FROM (SELECT lang, unnest(str_split(text, ' ')) AS w
+              FROM documents)
+        WHERE len(w) >= 2 GROUP BY 1, 2),
+      sym1 AS (
+        SELECT lang, f,
+               ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS sym
+        FROM words),
+      r1 AS (
+        SELECT lang, toks[i] AS pa, toks[i + 1] AS pb,
+               CAST(sum(f) AS BIGINT) AS cnt
+        FROM (SELECT lang, f, str_split(trim(sym), ' ') AS toks
+              FROM sym1),
+             LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+        GROUP BY 1, 2, 3),
+      t1 AS (
+        SELECT lang, pa, pb FROM (
+          SELECT lang, pa, pb,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY cnt DESC, pa, pb) AS rn
+          FROM r1) WHERE rn = 1),
+      sym2 AS (
+        SELECT s.lang, s.f,
+               replace(s.sym, ' ' || t.pa || ' ' || t.pb,
+                 ' ' || t.pa || t.pb) AS sym
+        FROM sym1 s JOIN t1 t ON s.lang = t.lang),
+      r2 AS (
+        SELECT lang, toks[i] AS pa, toks[i + 1] AS pb,
+               CAST(sum(f) AS BIGINT) AS cnt
+        FROM (SELECT lang, f, str_split(trim(sym), ' ') AS toks
+              FROM sym2),
+             LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+        GROUP BY 1, 2, 3),
+      allr AS (
+        SELECT lang, CAST(1 AS BIGINT) AS round, pa, pb, cnt FROM r1
+        UNION ALL
+        SELECT lang, CAST(2 AS BIGINT) AS round, pa, pb, cnt FROM r2)
+      SELECT lang, round, rk, pair, cnt FROM (
+        SELECT lang, round,
+               row_number() OVER (PARTITION BY lang, round
+                 ORDER BY cnt DESC, pa, pb) AS rk,
+               pa || '+' || pb AS pair, cnt
+        FROM allr) t
+      WHERE rk <= 3
+      ORDER BY lang, round, rk"""))
+
   // --------------------------------------------------------------- q228
   // Flesch reading-ease per source ([EXT]): the classic readability
   // screen 206.835 − 1.015·(W/S) − 84.6·(Y/W) over exact per-source
@@ -1560,5 +1663,5 @@ object TextAnalysis {
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
       q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228,
-      q233)
+      q233, q236)
 }

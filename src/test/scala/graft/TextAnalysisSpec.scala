@@ -191,6 +191,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("q236 BPE rounds match true token-level greedy merging") {
+    val rows = SparkEntry.queries("q236_bpe_merges")(
+      TestSpark.spark, TestSpark.sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)),
+        (r.getString(3), r.getLong(4)))).toMap
+    assert(rows.nonEmpty)
+    val docsL = Tables.t(TestSpark.spark, TestSpark.sf, "documents")
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // token-level BPE reference: greedy leftmost non-overlapping merge
+    def applyMerge(toks: List[String], pa: String, pb: String)
+        : List[String] = toks match {
+      case a :: b :: rest if a == pa && b == pb =>
+        (pa + pb) :: applyMerge(rest, pa, pb)
+      case a :: rest => a :: applyMerge(rest, pa, pb)
+      case Nil => Nil
+    }
+    def pairCounts(words: Map[List[String], Long])
+        : Map[(String, String), Long] =
+      words.toSeq.flatMap { case (toks, f) =>
+        toks.zip(toks.drop(1)).map(p => p -> f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    docsL.groupBy(_._1).foreach { case (lang, ds) =>
+      var words = ds.flatMap(_._2.split(" ", -1)).filter(_.length >= 2)
+        .groupBy(identity).map { case (w, g) =>
+          w.map(_.toString).toList -> g.size.toLong }
+      for (round <- 1L to 2L) {
+        val pc = pairCounts(words)
+        val top3 = pc.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.take(3)
+        top3.zipWithIndex.foreach { case (((a, b), c), i) =>
+          assert(rows((lang, round, i + 1L)) == ((s"$a+$b", c)),
+            s"$lang round $round rank ${i + 1}")
+        }
+        val (pa, pb) = top3.head._1
+        words = words.toSeq.map { case (toks, f) =>
+          applyMerge(toks, pa, pb) -> f }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+    }
+  }
+
   test("q225 JS divergence: bounded by ln 2, zero iff mix matches corpus") {
     val rows = SparkEntry.queries("q225_js_divergence")(
       TestSpark.spark, TestSpark.sf).collect()
