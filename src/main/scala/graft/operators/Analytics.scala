@@ -3004,6 +3004,68 @@ object Analytics {
       GROUP BY w.event_type, qh.n_cal, qh.qhat
       ORDER BY w.event_type"""))
 
+  // --------------------------------------------------------------- q239
+  // Cohen's kappa between two label sources ([EXT]): chance-corrected
+  // agreement — the standard before trusting auto-labels or merging
+  // annotator pools. Here the two deterministic labelers every corpus
+  // already has: A = "long enough" (≥ 50 whitespace tokens) and B =
+  // "enough raw text" (≥ 280 chars); correlated but not identical, so
+  // every lang keeps off-diagonal disagreement mass at the tested SFs
+  // (κ < 1, chance correction non-trivial). κ = (pₒ − pₑ)/(1 − pₑ) is computed WITHOUT ever
+  // materializing the probabilities: with n·(a+d) and the expected-
+  // agreement mass (a+b)(a+c) + (c+d)(b+d) both exact BIGINTs, κ is
+  // ONE correctly-rounded division of exact integers — bit-identical
+  // cross-engine, no quantization needed. One corpus scan into a
+  // |langs|-row conditional aggregate.
+  private val q239 = QueryDef(
+    "q239_cohens_kappa",
+    (s, d) => {
+      val lab = docs(s, d).select(col("lang"),
+        (size(split(col("text"), " ")) >= 50).as("la"),
+        (length(col("text")) >= 280).as("lb"))
+      lab.groupBy(col("lang"))
+        .agg(sum(when(col("la") && col("lb"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("la") && !col("lb"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("la") && col("lb"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("la") && !col("lb"), 1L).otherwise(0L)).as("d"))
+        .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+        .withColumn("pe_mass",
+          (col("a") + col("b")) * (col("a") + col("c")) +
+            (col("c") + col("d")) * (col("b") + col("d")))
+        .select(col("lang"), col("n"), col("a"), col("b"), col("c"),
+          col("d"),
+          ((col("n") * (col("a") + col("d")) - col("pe_mass"))
+            .cast("double") /
+            (col("n") * col("n") - col("pe_mass")).cast("double"))
+            .as("kappa"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH lab AS (
+        SELECT lang,
+               len(str_split(text, ' ')) >= 50 AS la,
+               len(text) >= 280 AS lb
+        FROM documents),
+      ct AS (
+        SELECT lang,
+               CAST(sum(CASE WHEN la AND lb THEN 1 ELSE 0 END)
+                 AS BIGINT) AS a,
+               CAST(sum(CASE WHEN la AND NOT lb THEN 1 ELSE 0 END)
+                 AS BIGINT) AS b,
+               CAST(sum(CASE WHEN NOT la AND lb THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c,
+               CAST(sum(CASE WHEN NOT la AND NOT lb THEN 1 ELSE 0 END)
+                 AS BIGINT) AS d
+        FROM lab GROUP BY 1)
+      SELECT lang, a + b + c + d AS n, a, b, c, d,
+             CAST((a + b + c + d) * (a + d)
+                  - ((a + b) * (a + c) + (c + d) * (b + d)) AS DOUBLE)
+               / CAST((a + b + c + d) * (a + b + c + d)
+                  - ((a + b) * (a + c) + (c + d) * (b + d)) AS DOUBLE)
+               AS kappa
+      FROM ct
+      ORDER BY lang"""))
+
   // --------------------------------------------------------------- q235
   // MAD robust outlier screen per event_type ([EXT]): median absolute
   // deviation — the robust scale estimator that, unlike q129's
@@ -3258,5 +3320,5 @@ object Analytics {
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
-      q235)
+      q235, q239)
 }

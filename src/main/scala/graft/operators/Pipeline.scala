@@ -1016,6 +1016,90 @@ object Pipeline {
         AND (cum - wt) // (tw // 5) < 5
       ORDER BY c_mktsegment, cum"""))
 
+  // --------------------------------------------------------------- q238
+  // Horvitz–Thompson estimation over the q148 PPS sample ([EXT]): the
+  // estimator half of weighted sampling — q148 DRAWS 5 units per
+  // segment with probability proportional to balance-cents weight; this
+  // query reweights the drawn units by 1/π and shows the estimates land
+  // on the population truths, closing the sample→estimate loop a
+  // pipeline needs before it trusts sampled metrics. Two targets per
+  // segment: the weighted total (where HT is exact by construction —
+  // Σ wt/π = 5·stride = tw − tw mod 5, recovered on the 1e-6
+  // quantization grid, so ht_cents lands within 5·wt·1e-6 of tw) and
+  // the unit count N (where HT is a real estimate, shipped with its
+  // achieved ratio).
+  //
+  // Determinism: 1/π = stride/wt is quantized to the 1e-6 grid by
+  // integer division ((10⁶·stride) DIV wt, certainty units clamped at
+  // 10⁶) BEFORE the 5-term sum, so the sum is an exact BIGINT and the
+  // shipped doubles are single correctly-rounded divisions (q214
+  // discipline — a raw double Σ stride/wt would be
+  // summation-order-dependent). Scale: everything after q148's one
+  // cumulative pass runs on the 5·|segments|-row sample with broadcast
+  // per-segment totals.
+  private val q238 = QueryDef(
+    "q238_ht_estimate",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("h"), col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wk = Tables.t(s, d, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          md5(col("c_name").cast("binary")).as("h"),
+          greatest(lit(1L),
+            round(col("c_acctbal") * 100).cast("long")).as("wt"))
+      val tot = wk.groupBy(col("c_mktsegment"))
+        .agg(sum(col("wt")).cast("long").as("tw"),
+          count(lit(1)).as("n_true"))
+      val sample = wk.withColumn("cum", sum(col("wt")).over(w))
+        .join(broadcast(tot), Seq("c_mktsegment"))
+        .withColumn("stride", expr("tw DIV 5"))
+        .filter(expr("cum DIV stride > (cum - wt) DIV stride" +
+          " AND (cum - wt) DIV stride < 5"))
+      sample
+        .withColumn("invp_q",
+          greatest(lit(1000000L), expr("(1000000 * stride) DIV wt")))
+        .groupBy(col("c_mktsegment"), col("tw"), col("n_true"))
+        .agg(count(lit(1)).as("n_sample"),
+          sum(col("invp_q")).as("sn"),
+          sum(col("wt") * col("invp_q")).as("sc"))
+        .select(col("c_mktsegment"), col("n_true"), col("tw"),
+          col("n_sample"),
+          (col("sn").cast("double") / lit(1e6)).as("ht_n"),
+          (col("sc").cast("double") / lit(1e6)).as("ht_cents"),
+          ((col("sn").cast("double") / lit(1e6))
+            / col("n_true").cast("double")).as("n_ratio"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      WITH wk AS (
+        SELECT c_mktsegment, c_custkey, md5(c_name) AS h,
+               greatest(1, CAST(round(c_acctbal * 100) AS BIGINT)) AS wt
+        FROM customer),
+      tot AS (
+        SELECT c_mktsegment, CAST(sum(wt) AS BIGINT) AS tw,
+               count(*) AS n_true
+        FROM wk GROUP BY 1),
+      cw AS (
+        SELECT wk.*, tot.tw, tot.n_true, tot.tw // 5 AS stride,
+               CAST(sum(wt) OVER (PARTITION BY wk.c_mktsegment
+                 ORDER BY h, c_custkey
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM wk JOIN tot ON wk.c_mktsegment = tot.c_mktsegment),
+      smp AS (
+        SELECT *, greatest(1000000, (1000000 * stride) // wt) AS invp_q
+        FROM cw
+        WHERE cum // stride > (cum - wt) // stride
+          AND (cum - wt) // stride < 5)
+      SELECT c_mktsegment, n_true, tw, count(*) AS n_sample,
+             CAST(sum(invp_q) AS DOUBLE) / 1e6 AS ht_n,
+             CAST(sum(wt * invp_q) AS DOUBLE) / 1e6 AS ht_cents,
+             (CAST(sum(invp_q) AS DOUBLE) / 1e6) / CAST(n_true AS DOUBLE)
+               AS n_ratio
+      FROM smp
+      GROUP BY c_mktsegment, n_true, tw
+      ORDER BY c_mktsegment"""))
+
   // --------------------------------------------------------------- q192
   // Bloom-prefiltered decontamination — the 100 TB form of q105/q112's
   // asymmetric membership. q112 broadcasts the eval gram set as an EXACT
@@ -1217,5 +1301,5 @@ object Pipeline {
 
   val defs: Seq[QueryDef] =
     Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113, q114, q115, q117,
-      q124, q136, q139, q148, q192, q218, q229)
+      q124, q136, q139, q148, q192, q218, q229, q238)
 }

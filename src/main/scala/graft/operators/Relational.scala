@@ -3178,6 +3178,95 @@ object Relational {
         AND levenshtein(a.nm, b.nm) <= 3
       ORDER BY da, db"""))
 
+  // --------------------------------------------------------------- q237
+  // k-anonymity audit across a generalization lattice ([EXT]): the
+  // data-governance gate a curation pipeline runs before PUBLISHING a
+  // dataset — does any quasi-identifier combination isolate fewer than
+  // k = 10 records? Three lattice levels over customer QIs: L0
+  // (nation, segment, $100 balance band), L1 coarsens the band to
+  // $1000, L2 additionally generalizes nation → region (broadcast dim
+  // join). Per level: group count, violating groups, rows at risk and
+  // the at-risk rate — the evidence for choosing the cheapest
+  // generalization that meets the k bar, vs q114's value-level
+  // redaction which this record-level audit complements.
+  //
+  // Bands live on the exact cents grid (cents DIV 10⁴ / 10⁵). Balances
+  // go negative, so the band function must agree on negative operands:
+  // Spark's DIV and DuckDB's // BOTH truncate toward zero (measured),
+  // so the banding is engine-identical, zero-symmetric. Each level is one
+  // map-side-combinable aggregate whose result is QI-domain-sized;
+  // the three summaries union to 3 rows.
+  private val q237 = QueryDef(
+    "q237_k_anonymity",
+    (s, d) => {
+      val k = 10L
+      val n2r = Tables.t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val c = cust(s, d).select(col("c_nationkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+        .join(broadcast(n2r), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("b100", expr("cents DIV 10000"))
+        .withColumn("b1000", expr("cents DIV 100000"))
+      def level(lv: Long, qi: String, keys: Seq[String]): DataFrame = c
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("cnt") < k, 1L).otherwise(0L)).as("n_viol"),
+          sum(when(col("cnt") < k, col("cnt")).otherwise(0L))
+            .as("rows_at_risk"),
+          sum(col("cnt")).as("n"))
+        .select(lit(lv).as("level"), lit(qi).as("qi"), col("n_groups"),
+          col("n_viol"), col("rows_at_risk"),
+          (col("rows_at_risk").cast("double") / col("n").cast("double"))
+            .as("risk_rate"))
+      level(0L, "nation,segment,$100",
+          Seq("c_nationkey", "c_mktsegment", "b100"))
+        .unionByName(level(1L, "nation,segment,$1000",
+          Seq("c_nationkey", "c_mktsegment", "b1000")))
+        .unionByName(level(2L, "region,segment,$1000",
+          Seq("n_regionkey", "c_mktsegment", "b1000")))
+        .orderBy(col("level"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT n.n_regionkey, c.c_nationkey, c.c_mktsegment,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) // 10000 AS b100,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) // 100000 AS b1000
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      l0 AS (SELECT count(*) AS cnt FROM c
+             GROUP BY c_nationkey, c_mktsegment, b100),
+      l1 AS (SELECT count(*) AS cnt FROM c
+             GROUP BY c_nationkey, c_mktsegment, b1000),
+      l2 AS (SELECT count(*) AS cnt FROM c
+             GROUP BY n_regionkey, c_mktsegment, b1000),
+      s0 AS (SELECT CAST(0 AS BIGINT) AS level,
+                    'nation,segment,$100' AS qi, count(*) AS n_groups,
+                    CAST(sum(CASE WHEN cnt < 10 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_viol,
+                    CAST(sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END)
+                      AS BIGINT) AS rows_at_risk,
+                    CAST(sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END)
+                      AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS risk_rate
+             FROM l0),
+      s1 AS (SELECT CAST(1 AS BIGINT), 'nation,segment,$1000', count(*),
+                    CAST(sum(CASE WHEN cnt < 10 THEN 1 ELSE 0 END)
+                      AS BIGINT),
+                    CAST(sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END)
+                      AS BIGINT),
+                    CAST(sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END)
+                      AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+             FROM l1),
+      s2 AS (SELECT CAST(2 AS BIGINT), 'region,segment,$1000', count(*),
+                    CAST(sum(CASE WHEN cnt < 10 THEN 1 ELSE 0 END)
+                      AS BIGINT),
+                    CAST(sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END)
+                      AS BIGINT),
+                    CAST(sum(CASE WHEN cnt < 10 THEN cnt ELSE 0 END)
+                      AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+             FROM l2)
+      SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL
+      SELECT * FROM s2
+      ORDER BY level"""))
+
   // --------------------------------------------------------------- q223
   // Market-basket association rules ([EXT]): 2-itemset rules A→B over
   // order baskets with items = part BRANDS (the item domain must be
@@ -3354,5 +3443,5 @@ object Relational {
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
     q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208, q211,
-    q212, q216, q223, q224, q231, q234)
+    q212, q216, q223, q224, q231, q234, q237)
 }

@@ -799,6 +799,31 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q238 HT: weighted-total estimate recovers tw; count term recomputes") {
+    val rows = SparkEntry.queries("q238_ht_estimate")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (seg, nTrue, tw, nSample, htN, htCents) =>
+      assert(nSample == 5L, s"$seg draws")
+      // HT on the weight variable itself: Σ wt·(1/π) ≈ 5·stride, within
+      // the 1e-6 quantization grid of 5 clamped terms
+      val stride = tw / 5
+      assert(math.abs(htCents - 5.0 * stride) <= 5.0 * tw * 1e-6 + 5,
+        s"$seg ht_cents=$htCents vs 5·stride=${5L * stride}")
+      assert(htN > 0 && htN < 10.0 * nTrue, s"$seg ht_n sane")
+    }
+    // cross-check 1/π terms against the q148 sample directly
+    val smp = SparkEntry.queries("q148_pps_systematic_sample")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(3)))
+    val tws = rows.map(r => r._1 -> r._3).toMap
+    val expect = smp.groupBy(_._1).map { case (seg, xs) =>
+      seg -> xs.map { case (_, wt) =>
+        math.max(1000000L, (1000000L * (tws(seg) / 5)) / wt) }.sum }
+    rows.foreach { case (seg, _, _, _, htN, _) =>
+      assert(htN == expect(seg).toDouble / 1e6, s"$seg ht_n exact") }
+  }
+
   test("q235 MAD: grid-selected medians equal driver-side sorted selection") {
     import org.apache.spark.sql.functions.{col, round => rnd}
     val got = SparkEntry.queries("q235_mad_outliers")(spark, sf).collect()
@@ -817,6 +842,34 @@ class AnalyticsSpec extends AnyFunSuite {
         s"type $t: expected (n=${xs.size}, med=$med, mad=$mad, out=$nOut)")
       assert(nOut > 0, s"fixture must flag outliers for $t")
     }
+  }
+
+  test("q239 kappa: contingency recomputes; kappa is the exact ratio") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q239_cohens_kappa")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val ds = Tables.t(spark, sf, "documents")
+      .select(col("lang"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    rows.foreach { case (lang, n, a, b, c, d0, kappa) =>
+      val ts = ds.filter(_._1 == lang).map(_._2)
+      val cells = ts.map { t =>
+        (t.split(" ", -1).length >= 50, t.length >= 280) }
+      assert(a == cells.count(x => x._1 && x._2).toLong, s"$lang a")
+      assert(b == cells.count(x => x._1 && !x._2).toLong, s"$lang b")
+      assert(c == cells.count(x => !x._1 && x._2).toLong, s"$lang c")
+      assert(d0 == cells.count(x => !x._1 && !x._2).toLong, s"$lang d")
+      assert(n == ts.length.toLong, s"$lang n")
+      val peMass = (a + b) * (a + c) + (c + d0) * (b + d0)
+      val expect = (n * (a + d0) - peMass).toDouble /
+        (n * n - peMass).toDouble
+      assert(kappa == expect, s"$lang kappa exact")
+      assert(kappa <= 1.0 && kappa > 0.0, s"$lang kappa range")
+    }
+    assert(rows.exists(_._7 < 1.0),
+      "fixture must exercise the chance correction for some lang")
   }
 
   test("q232 conformal: q̂ selection and coverage recompute; guarantee holds") {

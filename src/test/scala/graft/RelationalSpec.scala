@@ -305,6 +305,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must exercise the verify stage")
   }
 
+  test("q237 k-anonymity: lattice monotone, counts recompute, k bar honored") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q237_k_anonymity")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1) == Seq(0L, 1L, 2L))
+    // generalizing can only merge groups: group counts must not increase
+    assert(rows(0)._2 >= rows(1)._2 && rows(1)._2 >= rows(2)._2)
+    // recompute level 1 driver-side
+    val n2r = Tables.t(spark, sf, "nation")
+      .collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    val cs = Tables.t(spark, sf, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        org.apache.spark.sql.functions.round(col("c_acctbal") * 100)
+          .cast("long"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    def band(cents: Long, div: Long): Long = cents / div // JVM / truncates
+    val l1 = cs.groupBy(c => (c._1, c._2, band(c._3, 100000L)))
+      .values.map(_.size.toLong)
+    assert(rows(1)._2 == l1.size.toLong, "L1 group count")
+    assert(rows(1)._3 == l1.count(_ < 10).toLong, "L1 violating groups")
+    assert(rows(1)._4 == l1.filter(_ < 10).sum, "L1 rows at risk")
+    val l2 = cs.groupBy(c => (n2r(c._1), c._2, band(c._3, 100000L)))
+      .values.map(_.size.toLong)
+    assert(rows(2)._3 == l2.count(_ < 10).toLong, "L2 violating groups")
+  }
+
   test("q224 RFM: scores in 1..5, ties share scores, customer mass conserved") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("q224_rfm_segments")(spark, sf).collect()
