@@ -734,6 +734,19 @@ class PlanSpec extends AnyFunSuite {
       "referential check must broadcast the order keys")
   }
 
+  test("q234: SNM pairs via equi-join on rank blocks, never a nested loop") {
+    // The neighborhood self-join must key on the rank block (an
+    // equi-join after the 2x explode), and the two-phase rank must not
+    // sort the corpus in one task: every window keys on the bucket
+    // column except the alphabet-sized offset dictionary.
+    val p = planOf("q234_sorted_neighborhood")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "rank-range pairing must stay an equi-join on the block key")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected a keyed join")
+  }
+
   test("q204: intra-doc repetition never explodes or shuffles the n-grams") {
     // The whole score is per-row scalar array algebra; the only plan
     // nodes past the scan must be projection + the top-k heap. A
