@@ -3004,6 +3004,219 @@ object Analytics {
       GROUP BY w.event_type, qh.n_cal, qh.qhat
       ORDER BY w.event_type"""))
 
+  // --------------------------------------------------------------- q240
+  // Interval-overlap join via time-grid bucketization ([EXT]): the
+  // general two-sided overlap join (a.start < b.end AND b.start <
+  // a.end) that q21's point-in-range and q28's as-of cannot express —
+  // here correlating activity BURSTS across event types ("which types
+  // burst together"). Burst intervals per type = ≥ 2-event minutes
+  // padded ±15 min (the co-occurrence tolerance — unpadded minutes
+  // almost never coincide across types at small SFs) and merged by
+  // q215's sweep: one type-keyed exchange over the minute grid.
+  //
+  // The join itself is the scale point: a naive theta join is a
+  // per-pair nested loop over all intervals. Instead each interval
+  // explodes to the HOUR buckets it touches and candidates meet in an
+  // EQUI-join on (bucket); a pair is kept exactly once — no dedup
+  // shuffle — by the containing-bucket rule: only the bucket holding
+  // max(a_start, b_start) emits it (the overlap's first instant lies
+  // in both intervals, so both sides emitted that bucket, and no other
+  // bucket passes the rule). The DuckDB oracle runs the definition
+  // theta join, so the hash match proves the bucketization LOSSLESS.
+  // Fan-out = interval length in hours (bursts are short); bucket
+  // population is bounded by types × bursts-per-hour, never the
+  // corpus.
+  private val q240 = QueryDef(
+    "q240_interval_overlap_join",
+    (s, d) => {
+      val pads = ev(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) DIV 60000000").as("mn"))
+        .groupBy(col("event_type"), col("mn"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .select(col("event_type"), (col("mn") - 15L).as("pst"),
+          (col("mn") + 16L).as("pen"))
+      val wT = Window.partitionBy(col("event_type")).orderBy(col("pst"))
+      val iv = pads
+        // q215's sweep merges the ±15-min padded windows: a row opens a
+        // new interval iff it starts past every earlier end. NULL
+        // running-max (first row of a type) must open a run: the <=
+        // form sends both false AND null to otherwise(1), mirroring
+        // the oracle's CASE exactly
+        .withColumn("brk",
+          when(col("pst") <= max(col("pen")).over(
+            wT.rowsBetween(Window.unboundedPreceding, -1)), 0L)
+            .otherwise(lit(1L)))
+        .withColumn("grp", sum(col("brk")).over(
+          wT.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("event_type"), col("grp"))
+        .agg(min(col("pst")).as("st"), max(col("pen")).as("en"))
+        .select(col("event_type"), col("st"), col("en"))
+      def buckets(p: String) = iv.toDF(s"${p}_type", s"${p}_st", s"${p}_en")
+        .withColumn("bkt", explode(expr(
+          s"sequence(${p}_st DIV 60, (${p}_en - 1) DIV 60)")))
+      buckets("a").join(buckets("b"), "bkt")
+        .filter(col("a_type") < col("b_type") &&
+          col("a_st") < col("b_en") && col("b_st") < col("a_en") &&
+          col("bkt") === expr("greatest(a_st, b_st) DIV 60"))
+        .select(col("a_type"), col("b_type"), col("a_st"), col("a_en"),
+          col("b_st"), col("b_en"),
+          (least(col("a_en"), col("b_en")) -
+            greatest(col("a_st"), col("b_st"))).as("overlap_min"))
+        .orderBy(col("a_type"), col("b_type"), col("a_st"), col("b_st"))
+    },
+    Some("""
+      WITH mc AS (
+        SELECT event_type, epoch_us(ts) // 60000000 AS mn, count(*) AS c
+        FROM events GROUP BY 1, 2 HAVING count(*) >= 2),
+      pads AS (
+        SELECT event_type, mn - 15 AS pst, mn + 16 AS pen FROM mc),
+      runs AS (
+        SELECT event_type, pst, pen,
+               CASE WHEN pst <= max(pen) OVER (PARTITION BY event_type
+                 ORDER BY pst ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING) THEN 0 ELSE 1 END AS brk
+        FROM pads),
+      grps AS (
+        SELECT event_type, pst, pen,
+               sum(brk) OVER (PARTITION BY event_type ORDER BY pst
+                 ROWS UNBOUNDED PRECEDING) AS grp
+        FROM runs),
+      iv AS (
+        SELECT event_type, min(pst) AS st, max(pen) AS en
+        FROM grps GROUP BY event_type, grp)
+      SELECT a.event_type AS a_type, b.event_type AS b_type,
+             a.st AS a_st, a.en AS a_en, b.st AS b_st, b.en AS b_en,
+             least(a.en, b.en) - greatest(a.st, b.st) AS overlap_min
+      FROM iv a JOIN iv b
+        ON a.event_type < b.event_type
+       AND a.st < b.en AND b.st < a.en
+      ORDER BY a_type, b_type, a_st, b_st"""))
+
+  // --------------------------------------------------------------- q241
+  // CUPED variance reduction ([EXT], Deng et al. 2013): the industry
+  // A/B-test adjustment — regress the experiment-period metric y on the
+  // PRE-period covariate x (θ = cov(x,y)/var(x), pooled) and report
+  // per-arm adjusted means ŷ = ȳ − θ(x̄_arm − x̄) with the achieved
+  // variance ratio var(y − θx)/var(y). Complements q149's Welch t-test
+  // (which this adjustment would feed). Arms by user-id parity (q149
+  // convention); x/y = per-user purchase cents in days <15 / ≥15 (the
+  // q230 calendar split — the staged events span days 0–29).
+  //
+  // No per-user float pass exists: var(y − θx) expands analytically to
+  // var(y) − 2θ·cov + θ²·var(x), so EVERYTHING derives from one
+  // user-keyed conditional aggregate → 2-row arm moments (n, Σx, Σy,
+  // Σx², Σxy, Σy² — all exact BIGINTs) + a broadcast pooled row. θ and
+  // each variance are single divisions of exact integer co-moments
+  // (q55/q149 discipline); the few chained float ops mirror the
+  // oracle's parse order token-for-token, so the doubles are
+  // bit-identical cross-engine. The BIGINT co-moment envelope holds to
+  // ~sf1 (N·Σxy ≲ 2e18); past that, center on broadcast grand means
+  // first — the documented escalation.
+  private val q241 = QueryDef(
+    "q241_cuped_adjustment",
+    (s, d) => {
+      val u = ev(s, d)
+        .select(col("user_id"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+            " AS BIGINT)").as("day"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L)
+            .as("cents"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < 15, col("cents")).otherwise(0L))
+          .as("x"),
+          sum(when(col("day") >= 15, col("cents")).otherwise(0L))
+            .as("y"))
+        .withColumn("arm", expr("user_id % 2"))
+      val arms = u.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      val pooled = arms.agg(sum(col("n")).as("nn"), sum(col("sx")).as("tx"),
+        sum(col("sy")).as("ty"), sum(col("sxx")).as("txx"),
+        sum(col("sxy")).as("txy"))
+      arms.crossJoin(broadcast(pooled))
+        .withColumn("theta",
+          (col("nn") * col("txy") - col("tx") * col("ty")).cast("double") /
+            (col("nn") * col("txx") - col("tx") * col("tx")).cast("double"))
+        .withColumn("mean_y",
+          col("sy").cast("double") / col("n").cast("double"))
+        .withColumn("mean_y_adj",
+          col("mean_y") - col("theta") *
+            (col("sx").cast("double") / col("n").cast("double") -
+              col("tx").cast("double") / col("nn").cast("double")))
+        .withColumn("var_y",
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double"))
+        .withColumn("var_x",
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double"))
+        .withColumn("cov_xy",
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double"))
+        .withColumn("var_y_cuped",
+          col("var_y") - lit(2.0d) * col("theta") * col("cov_xy") +
+            col("theta") * col("theta") * col("var_x"))
+        .select(col("arm"), col("n"), col("theta"), col("mean_y"),
+          col("mean_y_adj"), col("var_y"), col("var_y_cuped"),
+          (col("var_y_cuped") / col("var_y")).as("var_ratio"))
+        .orderBy(col("arm"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(sum(CASE WHEN day < 15 THEN cents ELSE 0 END)
+                 AS BIGINT) AS x,
+               CAST(sum(CASE WHEN day >= 15 THEN cents ELSE 0 END)
+                 AS BIGINT) AS y
+        FROM (
+          SELECT user_id,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   ::BIGINT AS day,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END AS cents
+          FROM events)
+        GROUP BY 1, 2),
+      arms AS (
+        SELECT arm, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM u GROUP BY 1),
+      pooled AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sx) AS BIGINT) AS tx,
+               CAST(sum(sy) AS BIGINT) AS ty,
+               CAST(sum(sxx) AS BIGINT) AS txx,
+               CAST(sum(sxy) AS BIGINT) AS txy
+        FROM arms),
+      j AS (
+        SELECT a.*, p.nn, p.tx, p.ty, p.txx, p.txy,
+               CAST(p.nn * p.txy - p.tx * p.ty AS DOUBLE) /
+                 CAST(p.nn * p.txx - p.tx * p.tx AS DOUBLE) AS theta,
+               CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean_y,
+               CAST(a.n * a.syy - a.sy * a.sy AS DOUBLE) /
+                 CAST(a.n * (a.n - 1) AS DOUBLE) AS var_y,
+               CAST(a.n * a.sxx - a.sx * a.sx AS DOUBLE) /
+                 CAST(a.n * (a.n - 1) AS DOUBLE) AS var_x,
+               CAST(a.n * a.sxy - a.sx * a.sy AS DOUBLE) /
+                 CAST(a.n * (a.n - 1) AS DOUBLE) AS cov_xy
+        FROM arms a, pooled p)
+      SELECT arm, n, theta, mean_y,
+             mean_y - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(tx AS DOUBLE) / CAST(nn AS DOUBLE)) AS mean_y_adj,
+             var_y,
+             var_y - 2.0 * theta * cov_xy + theta * theta * var_x
+               AS var_y_cuped,
+             (var_y - 2.0 * theta * cov_xy + theta * theta * var_x)
+               / var_y AS var_ratio
+      FROM j
+      ORDER BY arm"""))
+
   // --------------------------------------------------------------- q239
   // Cohen's kappa between two label sources ([EXT]): chance-corrected
   // agreement — the standard before trusting auto-labels or merging
@@ -3320,5 +3533,5 @@ object Analytics {
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
-      q235, q239)
+      q235, q239, q240, q241)
 }

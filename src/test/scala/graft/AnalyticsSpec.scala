@@ -799,6 +799,44 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q241 CUPED: theta and adjusted means recompute from raw user sums") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q241_cuped_adjustment")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.length == 2)
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+      .collect().map { r =>
+        val day = java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.of(2024, 1, 1),
+          r.getAs[java.sql.Timestamp](2).toLocalDateTime.toLocalDate)
+        val cents = if (r.getString(1) == "purchase")
+          math.round(r.getDouble(3) * 100) else 0L
+        (r.getLong(0), day, cents)
+      }
+    val users = ev.groupBy(_._1).map { case (uid, xs) =>
+      (uid % 2, xs.filter(_._2 < 15).map(_._3).sum,
+        xs.filter(_._2 >= 15).map(_._3).sum) }.toSeq
+    val nn = users.size.toLong
+    val tx = users.map(_._2).sum; val ty = users.map(_._3).sum
+    val txx = users.map(u => u._2 * u._2).sum
+    val txy = users.map(u => u._2 * u._3).sum
+    val theta = (nn * txy - tx * ty).toDouble / (nn * txx - tx * tx).toDouble
+    rows.foreach { case (arm, n, th, meanY, meanYAdj, varY, varCuped) =>
+      assert(th == theta, s"arm $arm theta")
+      val as = users.filter(_._1 == arm)
+      assert(n == as.size.toLong, s"arm $arm n")
+      val sy = as.map(_._3).sum; val sx = as.map(_._2).sum
+      assert(meanY == sy.toDouble / n.toDouble, s"arm $arm mean_y")
+      val expectAdj = meanY - theta *
+        (sx.toDouble / n.toDouble - tx.toDouble / nn.toDouble)
+      assert(meanYAdj == expectAdj, s"arm $arm adjusted mean")
+      assert(varY > 0 && varCuped > 0, s"arm $arm variances positive")
+    }
+  }
+
   test("q238 HT: weighted-total estimate recovers tw; count term recomputes") {
     val rows = SparkEntry.queries("q238_ht_estimate")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -822,6 +860,41 @@ class AnalyticsSpec extends AnyFunSuite {
         math.max(1000000L, (1000000L * (tws(seg) / 5)) / wt) }.sum }
     rows.foreach { case (seg, _, _, _, htN, _) =>
       assert(htN == expect(seg).toDouble / 1e6, s"$seg ht_n exact") }
+  }
+
+  test("q240 overlap join: bucketization equals a brute-force theta sweep") {
+    import org.apache.spark.sql.functions.col
+    // sf0.001 has no >= 2-event minute anywhere, so this one runs on
+    // sf0.01 where the padded intervals genuinely overlap (24 pairs)
+    val d01 = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q240_interval_overlap_join")(spark, d01)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got.nonEmpty, "fixture must produce overlaps")
+    // definition recompute: burst minutes -> padded merge -> theta sweep
+    val mins = Tables.t(spark, d01, "events")
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.expr(
+          "unix_micros(ts) DIV 60000000").as("mn"))
+      .groupBy(col("event_type"), col("mn")).count()
+      .filter(col("count") >= 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ivs = mins.groupBy(_._1).flatMap { case (t, xs) =>
+      val pads = xs.map(_._2).sorted.map(m => (m - 15L, m + 16L))
+      pads.foldLeft(List.empty[(Long, Long)]) {
+        case (acc @ ((s0, e0) :: rest), (ps, pe)) =>
+          if (ps <= e0) (s0, math.max(e0, pe)) :: rest
+          else (ps, pe) :: acc
+        case (Nil, p) => List(p)
+      }.reverse.map { case (s0, e0) => (t, s0, e0) }
+    }.toSeq
+    val want = (for {
+      a <- ivs; b <- ivs
+      if a._1 < b._1 && a._2 < b._3 && b._2 < a._3
+    } yield (a._1, b._1, a._2, a._3, b._2, b._3,
+      math.min(a._3, b._3) - math.max(a._2, b._2))).toSet
+    assert(got == want, "bucketized join must equal the theta definition")
   }
 
   test("q235 MAD: grid-selected medians equal driver-side sorted selection") {
