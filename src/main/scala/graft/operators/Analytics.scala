@@ -3094,6 +3094,96 @@ object Analytics {
        AND a.st < b.en AND b.st < a.en
       ORDER BY a_type, b_type, a_st, b_st"""))
 
+  // --------------------------------------------------------------- q242
+  // Spearman rank correlation per event_type ([EXT]): the robust,
+  // monotone-invariant complement to q55's Pearson (moment-based) and
+  // q221's Mann–Kendall (sign-based) — ρ = Pearson of tie-averaged
+  // ranks between event day and value cents, the standard "is the
+  // relationship monotone" screen.
+  //
+  // Ranks are never computed per row by a corpus-sized sort: the
+  // tie-averaged rank of a value is a VALUE-DOMAIN function,
+  // F_before + (c+1)/2, so both rank maps come from grid tables (days;
+  // cents — each bounded by its domain, not the corpus) and DOUBLE the
+  // rank to r2 = 2F + c + 1 to stay in exact BIGINTs. Each event row
+  // inherits (r2x, r2y) by two broadcast grid joins — the corpus is
+  // scanned once and only the |types|-row co-moment aggregate
+  // shuffles. ρ is one division of exact integer co-moments; the
+  // BIGINT envelope holds to ~sf1 (n·Σr2x·r2y ≲ 6e17), past which
+  // ranks get centered first (documented escalation).
+  private val q242 = QueryDef(
+    "q242_spearman_rank",
+    (s, d) => {
+      val base = ev(s, d).select(col("event_type"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+          " AS BIGINT)").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      def rankGrid(k: String) = {
+        val g = base.groupBy(col("event_type"), col(k))
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy(col("event_type")).orderBy(col(k))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        g.withColumn("f0", coalesce(sum(col("c")).over(wCum), lit(0L)))
+          .select(col("event_type"), col(k),
+            (lit(2L) * col("f0") + col("c") + 1L).as(s"r2$k"))
+      }
+      base.join(broadcast(rankGrid("day")), Seq("event_type", "day"))
+        .join(broadcast(rankGrid("cents")), Seq("event_type", "cents"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("r2day")).as("sx"),
+          sum(col("r2cents")).as("sy"),
+          sum(col("r2day") * col("r2day")).as("sxx"),
+          sum(col("r2cents") * col("r2cents")).as("syy"),
+          sum(col("r2day") * col("r2cents")).as("sxy"))
+        .select(col("event_type"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+               .cast("double")))).as("rho"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 ::BIGINT AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      gd AS (
+        SELECT event_type, day, count(*) AS c FROM base GROUP BY 1, 2),
+      rd AS (
+        SELECT event_type, day,
+               2 * coalesce(sum(c) OVER (PARTITION BY event_type
+                 ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) + c + 1 AS r2day
+        FROM gd),
+      gc AS (
+        SELECT event_type, cents, count(*) AS c FROM base GROUP BY 1, 2),
+      rc AS (
+        SELECT event_type, cents,
+               2 * coalesce(sum(c) OVER (PARTITION BY event_type
+                 ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) + c + 1 AS r2cents
+        FROM gc),
+      m AS (
+        SELECT b.event_type, count(*) AS n,
+               CAST(sum(rd.r2day) AS BIGINT) AS sx,
+               CAST(sum(rc.r2cents) AS BIGINT) AS sy,
+               CAST(sum(rd.r2day * rd.r2day) AS BIGINT) AS sxx,
+               CAST(sum(rc.r2cents * rc.r2cents) AS BIGINT) AS syy,
+               CAST(sum(rd.r2day * rc.r2cents) AS BIGINT) AS sxy
+        FROM base b
+        JOIN rd ON rd.event_type = b.event_type AND rd.day = b.day
+        JOIN rc ON rc.event_type = b.event_type AND rc.cents = b.cents
+        GROUP BY 1)
+      SELECT event_type, n,
+             CAST(n * sxy - sx * sy AS DOUBLE) /
+               (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+      FROM m
+      ORDER BY event_type"""))
+
   // --------------------------------------------------------------- q241
   // CUPED variance reduction ([EXT], Deng et al. 2013): the industry
   // A/B-test adjustment — regress the experiment-period metric y on the
@@ -3533,5 +3623,5 @@ object Analytics {
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
-      q235, q239, q240, q241)
+      q235, q239, q240, q241, q242)
 }

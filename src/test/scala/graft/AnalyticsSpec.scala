@@ -799,6 +799,40 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q242 Spearman: grid ranks equal textbook tie-averaged ranks") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("q242_spearman_rank")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("event_type"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)"),
+        org.apache.spark.sql.functions.round(col("value") * 100)
+          .cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // textbook: sort, assign average rank to tied runs, Pearson of ranks
+    def avgRanks(xs: Seq[Long]): Map[Long, Double] = {
+      val sorted = xs.sorted.zipWithIndex.map { case (v, i) => (v, i + 1) }
+      sorted.groupBy(_._1).view
+        .mapValues(g => g.map(_._2).sum.toDouble / g.size).toMap
+    }
+    rows.foreach { case (t, n, rho) =>
+      val es = ev.filter(_._1 == t)
+      assert(n == es.size.toLong)
+      val rx = avgRanks(es.map(_._2)); val ry = avgRanks(es.map(_._3))
+      val prs = es.map(e => (rx(e._2), ry(e._3)))
+      val nn = prs.size.toDouble
+      val mx = prs.map(_._1).sum / nn; val my = prs.map(_._2).sum / nn
+      val cov = prs.map(p => (p._1 - mx) * (p._2 - my)).sum
+      val vx = prs.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      val vy = prs.map(p => (p._2 - my) * (p._2 - my)).sum
+      val expect = cov / math.sqrt(vx * vy)
+      assert(math.abs(rho - expect) < 1e-9, s"$t rho=$rho vs $expect")
+      assert(math.abs(rho) < 0.5, s"$t sane range on synthetic data")
+    }
+  }
+
   test("q241 CUPED: theta and adjusted means recompute from raw user sums") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("q241_cuped_adjustment")(spark, sf)
