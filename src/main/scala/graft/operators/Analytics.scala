@@ -3094,6 +3094,69 @@ object Analytics {
        AND a.st < b.en AND b.st < a.en
       ORDER BY a_type, b_type, a_st, b_st"""))
 
+  // --------------------------------------------------------------- q243
+  // Average precision / PR-AUC ([EXT]): the eval companion to q102's
+  // ROC-AUC on the SAME task (purchase vs rest, scored by value) — the
+  // metric of record when positives are rare, where ROC-AUC flatters.
+  // AP = Σ_k ΔR_k · P_k over thresholds (sklearn's step definition,
+  // ties grouped per distinct score).
+  //
+  // Same scale discipline as q102: the ordered pass runs over the
+  // COLLAPSED distinct-score grid (value-domain bounded), never the
+  // corpus — one grid aggregate, one grid window. Each AP term is one
+  // division of exact BIGINTs (Δtp·tp over P·(tp+fp)), quantized to
+  // the 1e-12 grid pre-sum (q214 discipline) so the sum is exact and
+  // order-independent; the shipped ap is a single division by 1e12.
+  private val q243 = QueryDef(
+    "q243_average_precision",
+    (s, d) => {
+      val g = ev(s, d).select(
+          (col("event_type") === "purchase").cast("long").as("pos"),
+          col("value").as("score"))
+        .groupBy(col("score")).agg(sum(col("pos")).as("np"),
+          (count(lit(1)) - sum(col("pos"))).as("nn"))
+      val w = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("tp", sum(col("np")).over(w))
+        .withColumn("fp", sum(col("nn")).over(w))
+        .withColumn("npos", sum(col("np")).over(wAll))
+        // AP term at this threshold: ΔR·P = (np/npos)·(tp/(tp+fp)),
+        // one exact-integer division quantized to the 1e-12 grid
+        .withColumn("term_q",
+          expr("CAST(round(1e12 * (CAST(np * tp AS DOUBLE)" +
+            " / CAST(npos * (tp + fp) AS DOUBLE))) AS BIGINT)"))
+        .agg((sum(col("term_q")).cast("double") / lit(1e12)).as("ap"),
+          max(col("npos")).as("n_pos"), sum(col("nn")).as("n_neg"),
+          count(lit(1)).as("n_thresholds"))
+        .select(col("ap"), col("n_pos"), col("n_neg"),
+          col("n_thresholds"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT value AS score,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                 AS BIGINT) AS np,
+               CAST(count(*) FILTER (WHERE event_type <> 'purchase')
+                 AS BIGINT) AS nn
+        FROM events GROUP BY value),
+      c AS (
+        SELECT np, nn,
+               sum(np) OVER (ORDER BY score DESC
+                 ROWS UNBOUNDED PRECEDING) AS tp,
+               sum(nn) OVER (ORDER BY score DESC
+                 ROWS UNBOUNDED PRECEDING) AS fp,
+               sum(np) OVER () AS npos
+        FROM g)
+      SELECT CAST(sum(CAST(round(1e12 * (CAST(np * tp AS DOUBLE)
+                 / CAST(npos * (tp + fp) AS DOUBLE))) AS BIGINT))
+               AS DOUBLE) / 1e12 AS ap,
+             CAST(max(npos) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg,
+             count(*) AS n_thresholds
+      FROM c"""))
+
   // --------------------------------------------------------------- q242
   // Spearman rank correlation per event_type ([EXT]): the robust,
   // monotone-invariant complement to q55's Pearson (moment-based) and
@@ -3623,5 +3686,5 @@ object Analytics {
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
-      q235, q239, q240, q241, q242)
+      q235, q239, q240, q241, q242, q243)
 }

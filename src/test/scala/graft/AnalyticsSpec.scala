@@ -799,6 +799,32 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q243 AP matches a sklearn-style step recompute; base-rate sanity") {
+    import org.apache.spark.sql.functions.col
+    val Array(row) = SparkEntry.queries("q243_average_precision")(spark, sf)
+      .collect()
+    val (ap, nPos, nNeg) = (row.getDouble(0), row.getLong(1), row.getLong(2))
+    val ev = Tables.t(spark, sf, "events")
+      .select((col("event_type") === "purchase").cast("long"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(nPos == ev.count(_._1 == 1L) && nNeg == ev.count(_._1 == 0L))
+    // step AP over distinct thresholds descending, ties grouped
+    val grid = ev.groupBy(_._2).map { case (s0, xs) =>
+      (s0, xs.count(_._1 == 1L).toLong, xs.count(_._1 == 0L).toLong) }
+      .toSeq.sortBy(-_._1)
+    var tp = 0L; var fp = 0L; var sum = 0.0
+    grid.foreach { case (_, np, nn) =>
+      tp += np; fp += nn
+      if (np > 0)
+        sum += (np.toDouble / nPos.toDouble) *
+          (tp.toDouble / (tp + fp).toDouble)
+    }
+    assert(math.abs(ap - sum) < 1e-6, s"ap=$ap vs step recompute $sum")
+    // uncorrelated synthetic scores: AP should sit near the base rate
+    val base = nPos.toDouble / (nPos + nNeg).toDouble
+    assert(math.abs(ap - base) < 0.1, s"ap=$ap vs base rate $base")
+  }
+
   test("q242 Spearman: grid ranks equal textbook tie-averaged ranks") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("q242_spearman_rank")(spark, sf)
