@@ -3681,10 +3681,184 @@ object Analytics {
       GROUP BY event_type
       ORDER BY event_type"""))
 
+  // --------------------------------------------------------------- q244
+  // One-way ANOVA F-test of value across ALL event types ([EXT]) — the
+  // k-group generalization of q149's two-arm Welch test: does the spend
+  // distribution differ by event type at all, before any pairwise
+  // comparison? Reports the between/within sum-of-squares decomposition,
+  // the F statistic on (k−1, N−k) degrees of freedom, and η² (the
+  // variance-explained effect size a dashboard actually plots).
+  //
+  // Exactness (q149 discipline): both SS terms derive from ONE map-side-
+  // combined hash aggregate of exact integer cent moments (n, Σc, Σc² per
+  // type — c² ≤ 1e10 × corpus rows stays far inside 2^63 at sf0.1; the
+  // documented escalation past ~sf1 is centering on a broadcast grand
+  // mean first). The k-row group grid folds into one global row: integer
+  // sums stay BIGINT, and the one order-sensitive float reduction —
+  // Σᵢ sᵢ²/nᵢ across groups — quantizes each correctly-rounded term to
+  // the 1e6 grid pre-sum (q243 discipline), so F is bit-identical at any
+  // partition count. Scale: one corpus scan, |types|-row exchange, 1 row
+  // out. The p-value lookup (F CDF, a libm call) is left to the consumer
+  // exactly as q149 leaves the t CDF.
+  private val q244 = QueryDef(
+    "q244_anova_oneway",
+    (s, d) => {
+      val g = ev(s, d)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("q"))
+      g.agg(sum(col("n")).as("nn"), count(lit(1)).as("k"),
+          sum(col("s")).as("ts"), sum(col("q")).as("tq"),
+          sum(expr("CAST(round(1e6 * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)" +
+            " / CAST(n AS DOUBLE) / 1e4)) AS BIGINT)")).as("tbq"))
+        .withColumn("ssb",
+          col("tbq").cast("double") / lit(1e6) -
+            col("ts").cast("double") * col("ts").cast("double") /
+              col("nn").cast("double") / lit(1e4))
+        .withColumn("ssw",
+          col("tq").cast("double") / lit(1e4) -
+            col("tbq").cast("double") / lit(1e6))
+        .select(col("nn").as("n"), col("k"),
+          round(col("ssb"), 6).as("ss_between"),
+          round(col("ssw"), 6).as("ss_within"),
+          round((col("ssb") / (col("k") - 1).cast("double")) /
+            (col("ssw") / (col("nn") - col("k")).cast("double")), 6)
+            .as("f_stat"),
+          round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta2"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(c * c) AS BIGINT) AS q
+        FROM (SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events)
+        GROUP BY event_type),
+      t AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS k,
+               CAST(sum(s) AS BIGINT) AS ts,
+               CAST(sum(q) AS BIGINT) AS tq,
+               CAST(sum(CAST(round(1e6 * (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE) / 1e4)) AS BIGINT)) AS BIGINT) AS tbq
+        FROM g),
+      e AS (
+        SELECT nn, k,
+               CAST(tbq AS DOUBLE) / 1e6
+                 - CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE)
+                   / CAST(nn AS DOUBLE) / 1e4 AS ssb,
+               CAST(tq AS DOUBLE) / 1e4
+                 - CAST(tbq AS DOUBLE) / 1e6 AS ssw
+        FROM t)
+      SELECT nn AS n, k, round(ssb, 6) AS ss_between,
+             round(ssw, 6) AS ss_within,
+             round((ssb / CAST(k - 1 AS DOUBLE))
+                   / (ssw / CAST(nn - k AS DOUBLE)), 6) AS f_stat,
+             round(ssb / (ssb + ssw), 6) AS eta2
+      FROM e"""))
+
+  // --------------------------------------------------------------- q245
+  // Kruskal–Wallis H-test across event types ([EXT]) — the rank-based
+  // (distribution-free) companion to q244's moment-based ANOVA, robust
+  // to the heavy-tailed spend distributions where ANOVA's normality
+  // premise fails. Reports H, the tie-correction factor C = 1 −
+  // Σ(t³−t)/(N³−N), and the corrected H/C (χ²_{k−1} under H₀; the CDF
+  // lookup is left to the consumer, q149/q244 discipline).
+  //
+  // Ranks are never a corpus sort (q242 discipline): the tie-averaged
+  // rank of a cent value is a VALUE-DOMAIN function F_before + (t+1)/2,
+  // so the rank map is a cents-grid table (doubled to r2 = 2F + t + 1 to
+  // stay in exact BIGINTs) built by one grid aggregate + one grid-sized
+  // window; each event row inherits r2 by a broadcast grid join, and only
+  // the |types|-row rank-sum aggregate shuffles. The per-group H term
+  // 3·R2ᵢ²/(nᵢ·N(N+1)) is O(1)-magnitude, quantized to the 1e9 grid
+  // pre-sum, so the k-row float reduction is exact. Tie masses Σ(t³−t)
+  // stay BIGINT to ~sf0.3 (t ≤ N ⇒ t³ ≤ 2e17 at sf0.1); past that the
+  // tie sum escalates to the grid-quantized double, documented here.
+  private val q245 = QueryDef(
+    "q245_kruskal_wallis",
+    (s, d) => {
+      val base = ev(s, d).select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      val grid0 = base.groupBy(col("c")).agg(count(lit(1)).as("t"))
+      val wCum = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val grid = grid0
+        .withColumn("f0", coalesce(sum(col("t")).over(wCum), lit(0L)))
+        .select(col("c"), (lit(2L) * col("f0") + col("t") + 1L).as("r2"),
+          (col("t") * col("t") * col("t") - col("t")).as("t3"))
+      val glob = grid.agg(sum(col("t3")).as("tie3"))
+      val groups = base.join(broadcast(grid.select(col("c"), col("r2"))),
+          Seq("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("r2")).as("r2s"))
+      val tot = groups.agg(sum(col("n")).as("nn"), count(lit(1)).as("k"))
+      groups.crossJoin(broadcast(tot)).crossJoin(broadcast(glob))
+        .withColumn("term_q",
+          expr("CAST(round(1e9 * (3.0 * CAST(r2s AS DOUBLE)" +
+            " * CAST(r2s AS DOUBLE) / (CAST(n AS DOUBLE)" +
+            " * CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))))" +
+            " AS BIGINT)"))
+        .groupBy(col("nn"), col("k"), col("tie3"))
+        .agg(sum(col("term_q")).as("hq"))
+        .withColumn("h", col("hq").cast("double") / lit(1e9) -
+          lit(3.0d) * (col("nn") + 1L).cast("double"))
+        .withColumn("tie_c", lit(1.0d) -
+          col("tie3").cast("double") /
+            (col("nn").cast("double") * col("nn").cast("double") *
+              col("nn").cast("double") - col("nn").cast("double")))
+        .select(col("nn").as("n"), col("k"),
+          round(col("h"), 6).as("h_stat"),
+          round(col("tie_c"), 9).as("tie_c"),
+          round(col("h") / col("tie_c"), 6).as("h_corrected"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events),
+      g0 AS (SELECT c, count(*) AS t FROM base GROUP BY c),
+      grid AS (
+        SELECT c,
+               2 * coalesce(sum(t) OVER (ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + t + 1 AS r2,
+               t * t * t - t AS t3
+        FROM g0),
+      gtie AS (SELECT CAST(sum(t3) AS BIGINT) AS tie3 FROM grid),
+      grp AS (
+        SELECT event_type, count(*) AS n, CAST(sum(r2) AS BIGINT) AS r2s
+        FROM base JOIN grid USING (c)
+        GROUP BY event_type),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, count(*) AS k FROM grp),
+      terms AS (
+        SELECT t.nn, t.k, gl.tie3,
+               CAST(round(1e9 * (3.0 * CAST(g.r2s AS DOUBLE)
+                 * CAST(g.r2s AS DOUBLE) / (CAST(g.n AS DOUBLE)
+                 * CAST(t.nn AS DOUBLE) * CAST(t.nn + 1 AS DOUBLE))))
+                 AS BIGINT) AS term_q
+        FROM grp g, tot t, gtie gl),
+      agg AS (
+        SELECT nn, k, tie3, CAST(sum(term_q) AS BIGINT) AS hq
+        FROM terms GROUP BY nn, k, tie3),
+      e AS (
+        SELECT nn, k,
+               CAST(hq AS DOUBLE) / 1e9
+                 - 3.0 * CAST(nn + 1 AS DOUBLE) AS h,
+               1.0 - CAST(tie3 AS DOUBLE)
+                 / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+                    * CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)) AS tie_c
+        FROM agg)
+      SELECT nn AS n, k, round(h, 6) AS h_stat,
+             round(tie_c, 9) AS tie_c,
+             round(h / tie_c, 6) AS h_corrected
+      FROM e"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
-      q235, q239, q240, q241, q242, q243)
+      q235, q239, q240, q241, q242, q243, q244, q245)
 }
