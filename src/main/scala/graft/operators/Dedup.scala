@@ -1735,7 +1735,73 @@ object Dedup {
                       (6, 'packed')) AS s(stage, name)
       ORDER BY s.stage"""))
 
+  // --------------------------------------------------------------- q247
+  // Canonicalized ("fuzzy-exact") dedup ([EXT]) — the cheap middle rung
+  // between q30's byte-exact dedup and q32's MinHash: normalize text to
+  // a canonical form (lowercase, strip non-alphanumerics, collapse runs
+  // of spaces, trim) and dedup on the HASH of that form. Catches the
+  // case-diff / punctuation-diff / whitespace-diff near-copies that
+  // dominate real crawl duplicates at a per-row projection's cost — the
+  // C4/RefinedWeb first pass that runs BEFORE any LSH machinery. The
+  // report: per source, raw-distinct vs canonical-distinct counts — the
+  // gain column is exactly how many duplicates normalization alone
+  // exposes, i.e. the evidence for whether the corpus even needs the
+  // q32 pass.
+  //
+  // Normalization is regex on the guaranteed-common subset (character
+  // class + space; Java regex and RE2 agree). Identity is md5(canon) +
+  // length(canon) — q30's hash-first contract: the text is projected
+  // away BEFORE any exchange, the shuffle moves ~50-byte rows. The two
+  // distinct counts are two SEPARATE map-side-combinable aggregates
+  // joined on source (q38's lesson: two countDistincts in one groupBy
+  // plan a double distinct-expand over the corpus), and the join is a
+  // |sources|-row broadcast.
+  private val q247 = QueryDef(
+    "q247_dedup_canonical",
+    (s, d) => {
+      val base = Tables.t(s, d, "documents").select(col("source"),
+        md5(col("text").cast("binary")).as("hr"),
+        length(col("text")).as("lr"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]+", " "),
+          " +", " ")).as("canon"))
+        .select(col("source"), col("hr"), col("lr"),
+          md5(col("canon").cast("binary")).as("hc"),
+          length(col("canon")).as("lc"))
+      val raw = base.select(col("source"), col("hr"), col("lr")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_raw_distinct"))
+      val can = base.select(col("source"), col("hc"), col("lc")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_canon_distinct"))
+      val n = base.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      n.join(broadcast(raw), Seq("source"))
+        .join(broadcast(can), Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_raw_distinct"),
+          col("n_canon_distinct"),
+          (col("n_raw_distinct") - col("n_canon_distinct"))
+            .as("canon_gain"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT source, md5(text) AS hr, length(text) AS lr,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS hc,
+               length(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS lc
+        FROM documents),
+      raw AS (
+        SELECT source, count(*) AS n_raw_distinct FROM (
+          SELECT DISTINCT source, hr, lr FROM base) GROUP BY source),
+      can AS (
+        SELECT source, count(*) AS n_canon_distinct FROM (
+          SELECT DISTINCT source, hc, lc FROM base) GROUP BY source),
+      n AS (SELECT source, count(*) AS n_docs FROM base GROUP BY source)
+      SELECT source, n_docs, n_raw_distinct, n_canon_distinct,
+             n_raw_distinct - n_canon_distinct AS canon_gain
+      FROM n JOIN raw USING (source) JOIN can USING (source)
+      ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154,
-      q161, q205, q210, q213)
+      q161, q205, q210, q213, q247)
 }

@@ -3436,6 +3436,51 @@ object Relational {
       GROUP BY 1, 2, 3
       ORDER BY 1, 2, 3"""))
 
+  // --------------------------------------------------------------- q246
+  // Ordered-set / argmax aggregate surface (§2.C5 breadth): the ANSI
+  // aggregates a reporting user reaches for next after plain sum/avg —
+  // `listagg(DISTINCT …) WITHIN GROUP (ORDER BY …)` (SQL:2016 T625,
+  // Spark 4.0+) and `max_by`/`min_by` (argmax/argmin as first-class
+  // aggregates, vs the q122/q205 pack-into-int64 idiom used when the
+  // payload must stay inside hash-agg codegen). DuckDB mirrors them as
+  // `string_agg(DISTINCT … ORDER BY …)` / `arg_max`/`arg_min` — both
+  // engines' semantics probed before this contract was committed
+  // (tools/SqlProbe).
+  //
+  // Determinism: listagg input is DISTINCT over the 3-value status domain
+  // with an explicit ORDER BY — value-domain-bounded string, one order.
+  // max_by/min_by order by o_orderkey, which is UNIQUE — no tie exists
+  // for the argmax to break arbitrarily (mode() is deliberately absent
+  // from this inventory: its tie choice is engine-private).
+  // Scale: one map-side-combined hash aggregate over the orders scan;
+  // |priorities| rows out; the listagg payload is bounded by the status
+  // domain, never by group row count.
+  private val q246 = QueryDef(
+    "q246_listagg_argmax",
+    (s, d) => {
+      ord(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("listagg(DISTINCT o_orderstatus, ',')" +
+            " WITHIN GROUP (ORDER BY o_orderstatus)").as("statuses"),
+          max_by(col("o_orderstatus"), col("o_orderkey"))
+            .as("latest_status"),
+          min_by(col("o_orderstatus"), col("o_orderkey"))
+            .as("first_status"),
+          max(col("o_orderkey")).as("latest_key"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders,
+             string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses,
+             arg_max(o_orderstatus, o_orderkey) AS latest_status,
+             arg_min(o_orderstatus, o_orderkey) AS first_status,
+             CAST(max(o_orderkey) AS BIGINT) AS latest_key
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -3443,5 +3488,5 @@ object Relational {
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
     q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208, q211,
-    q212, q216, q223, q224, q231, q234, q237)
+    q212, q216, q223, q224, q231, q234, q237, q246)
 }
