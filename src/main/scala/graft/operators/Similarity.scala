@@ -790,5 +790,176 @@ object Similarity {
       GROUP BY qid
       ORDER BY qid"""))
 
-  val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q128, q137, q163, q194)
+  // --------------------------------------------------------------- q248
+  // Top principal component by POWER ITERATION + per-label projection
+  // ([EXT]) — the "apply" step q163's covariance feeds: 3 unrolled
+  // iterations v ← C·v / max|C·v| on the d×d covariance, then every
+  // embedding projects onto the resulting direction and the projections
+  // aggregate per label — the 1-D PCA view that drives drift dashboards
+  // and whitening decisions. Iteration count is a declared constant
+  // (power iteration converges geometrically in λ₂/λ₁; production turns
+  // the knob, each extra round costs one broadcast join over the d²
+  // matrix, never a corpus pass).
+  //
+  // Exactness — the whole recursion is INTEGER linear algebra: the
+  // covariance is rounded once onto the 1e-6 grid (micro-units BIGINT,
+  // the declared matrix), the vector lives on the 1e-9 grid (nano-units
+  // BIGINT), so each matvec term cq·vq ≤ 1e15 and a 64-term sum stays
+  // exact in BIGINT — no float accumulation anywhere in the loop. The
+  // L∞ re-normalization (max|uq|, an order-independent integer max —
+  // deliberately not the L2 norm, whose 64-term float sum would need
+  // its own quantization) is one correctly-rounded division per
+  // component. Sign is fixed deterministically: flip so the
+  // smallest-index component attaining max|v| is positive. λ₁ falls out
+  // for free: with v at L∞ norm 1, max|C·v| IS the eigenvalue estimate
+  // (covariance is PSD, so the sign is +). Projections quantize x to
+  // the 1e-6 grid, making Σ xq·vq ≤ 6.4e16 exact, re-quantized to
+  // nano-units so the per-label sum stays in BIGINT past sf1.
+  //
+  // Scale: ONE corpus scan builds the d(d+1)/2 covariance aggregate
+  // (q163's generator shape), localCheckpoint'd — 3 iterations run over
+  // the 4096-row matrix with the 64-row vector BROADCAST; ONE more
+  // corpus scan projects against the broadcast final direction. Nothing
+  // corpus-sized ever shuffles; the exchanges carry the matrix and
+  // |labels| rows.
+  private val q248 = QueryDef(
+    "q248_pca_power_iteration",
+    (s, d) => {
+      val pairs = emb(s, d)
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("vec_id"))
+        .select(col("embedding"), posexplode(col("embedding")))
+        .toDF("embedding", "i0", "xi")
+        .select(col("i0"), col("xi").cast("double").as("xi"),
+          posexplode(col("embedding")))
+        .toDF("i0", "xi", "j0", "xj")
+        .filter(col("i0") <= col("j0"))
+        .select((col("i0") + 1).cast("long").as("i"),
+          (col("j0") + 1).cast("long").as("j"),
+          col("xi"), col("xj").cast("double").as("xj"))
+      val upper = pairs.groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("xi") * lit(1e8)).cast("long")).as("si"),
+          sum(round(col("xj") * lit(1e8)).cast("long")).as("sj"),
+          sum(round(col("xi") * col("xj") * lit(1e8)).cast("long")).as("sij"))
+        .select(col("i"), col("j"),
+          expr("CAST(round(1e6 * ((CAST(sij AS DOUBLE) / 1e8" +
+            " - (CAST(si AS DOUBLE) / 1e8) * (CAST(sj AS DOUBLE) / 1e8)" +
+            " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)))" +
+            " AS BIGINT)").as("cq"))
+      val cm = upper
+        .union(upper.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("cq")))
+        .localCheckpoint()
+      var v = cm.select(col("i")).distinct()
+        .select(col("i"), lit(1000000000L).as("vq"))
+      var lastM: DataFrame = null
+      for (_ <- 1 to 3) {
+        val u = cm
+          .join(broadcast(v.select(col("i").as("j"), col("vq"))), Seq("j"))
+          .groupBy(col("i")).agg(sum(col("cq") * col("vq")).as("uq"))
+        lastM = u.agg(max(abs(col("uq"))).as("m"))
+        v = u.crossJoin(broadcast(lastM))
+          .select(col("i"),
+            expr("CAST(round(1e9 * CAST(uq AS DOUBLE)" +
+              " / CAST(m AS DOUBLE)) AS BIGINT)").as("vq"))
+          .localCheckpoint()
+      }
+      val mx = v.agg(max(abs(col("vq"))).as("ma"))
+      val sgn = v.crossJoin(broadcast(mx))
+        .filter(abs(col("vq")) === col("ma"))
+        .select(col("i"), col("vq"))
+        .agg(min(col("i")).as("istar"))
+      val sgnRow = v.join(broadcast(sgn), col("i") === col("istar"))
+        .select(when(col("vq") >= 0L, 1L).otherwise(-1L).as("s"))
+      val vf = v.crossJoin(broadcast(sgnRow))
+        .select(col("i"), (col("vq") * col("s")).as("vqf"))
+      val proj = emb(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"),
+          (col("pos") + 1).cast("long").as("i"),
+          round(col("col").cast("double") * lit(1e6)).cast("long").as("xq"))
+        .join(broadcast(vf), Seq("i"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("xq") * col("vqf")).as("pq"))
+        .select(col("label"),
+          expr("CAST(round(CAST(pq AS DOUBLE) / 1e6) AS BIGINT)").as("pq9"))
+      proj.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("pq9")).as("sp"),
+          min(col("pq9")).as("mn"), max(col("pq9")).as("mxp"))
+        .crossJoin(broadcast(lastM))
+        .select(col("label"), col("n"),
+          round(col("sp").cast("double") / col("n").cast("double") /
+            lit(1e9), 6).as("mean_proj"),
+          round(col("mn").cast("double") / lit(1e9), 6).as("min_proj"),
+          round(col("mxp").cast("double") / lit(1e9), 6).as("max_proj"),
+          round(col("m").cast("double") / lit(1e15), 6).as("lambda1"))
+        .orderBy(col("label"))
+    },
+    Some(s"""
+      WITH $evSql,
+      agg AS (
+        SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(a.v * 1e8) AS BIGINT)) AS BIGINT) AS si,
+               CAST(sum(CAST(round(b.v * 1e8) AS BIGINT)) AS BIGINT) AS sj,
+               CAST(sum(CAST(round(a.v * b.v * 1e8) AS BIGINT)) AS BIGINT) AS sij
+        FROM ev a JOIN ev b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i),
+      up AS (
+        SELECT i, j,
+               CAST(round(1e6 * ((CAST(sij AS DOUBLE) / 1e8
+                 - (CAST(si AS DOUBLE) / 1e8) * (CAST(sj AS DOUBLE) / 1e8)
+                 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)))
+                 AS BIGINT) AS cq
+        FROM agg),
+      cm AS (
+        SELECT i, j, cq FROM up
+        UNION ALL
+        SELECT j AS i, i AS j, cq FROM up WHERE i <> j),
+      v0 AS (SELECT DISTINCT i, CAST(1000000000 AS BIGINT) AS vq FROM cm),
+      u1 AS (
+        SELECT cm.i, CAST(sum(cm.cq * v0.vq) AS BIGINT) AS uq
+        FROM cm JOIN v0 ON cm.j = v0.i GROUP BY cm.i),
+      m1 AS (SELECT CAST(max(abs(uq)) AS BIGINT) AS m FROM u1),
+      v1 AS (
+        SELECT i, CAST(round(1e9 * CAST(uq AS DOUBLE)
+          / CAST((SELECT m FROM m1) AS DOUBLE)) AS BIGINT) AS vq FROM u1),
+      u2 AS (
+        SELECT cm.i, CAST(sum(cm.cq * v1.vq) AS BIGINT) AS uq
+        FROM cm JOIN v1 ON cm.j = v1.i GROUP BY cm.i),
+      m2 AS (SELECT CAST(max(abs(uq)) AS BIGINT) AS m FROM u2),
+      v2 AS (
+        SELECT i, CAST(round(1e9 * CAST(uq AS DOUBLE)
+          / CAST((SELECT m FROM m2) AS DOUBLE)) AS BIGINT) AS vq FROM u2),
+      u3 AS (
+        SELECT cm.i, CAST(sum(cm.cq * v2.vq) AS BIGINT) AS uq
+        FROM cm JOIN v2 ON cm.j = v2.i GROUP BY cm.i),
+      m3 AS (SELECT CAST(max(abs(uq)) AS BIGINT) AS m FROM u3),
+      v3 AS (
+        SELECT i, CAST(round(1e9 * CAST(uq AS DOUBLE)
+          / CAST((SELECT m FROM m3) AS DOUBLE)) AS BIGINT) AS vq FROM u3),
+      sgn AS (
+        SELECT CASE WHEN vq >= 0 THEN 1 ELSE -1 END AS s FROM v3
+        WHERE i = (SELECT min(i) FROM v3
+                   WHERE abs(vq) = (SELECT max(abs(vq)) FROM v3))),
+      vf AS (SELECT i, vq * (SELECT s FROM sgn) AS vqf FROM v3),
+      proj AS (
+        SELECT ev.vec_id, ev.label,
+               CAST(round(CAST(sum(CAST(round(ev.v * 1e6) AS BIGINT)
+                 * vf.vqf) AS DOUBLE) / 1e6) AS BIGINT) AS pq9
+        FROM ev JOIN vf ON ev.i = vf.i
+        GROUP BY ev.vec_id, ev.label)
+      SELECT label, count(*) AS n,
+             round(CAST(sum(pq9) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               / 1e9, 6) AS mean_proj,
+             round(CAST(min(pq9) AS DOUBLE) / 1e9, 6) AS min_proj,
+             round(CAST(max(pq9) AS DOUBLE) / 1e9, 6) AS max_proj,
+             round(CAST((SELECT m FROM m3) AS DOUBLE) / 1e15, 6) AS lambda1
+      FROM proj
+      GROUP BY label
+      ORDER BY label"""))
+
+  val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q128, q137, q163,
+    q194, q248)
 }
