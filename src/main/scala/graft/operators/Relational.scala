@@ -3436,6 +3436,139 @@ object Relational {
       GROUP BY 1, 2, 3
       ORDER BY 1, 2, 3"""))
 
+  // --------------------------------------------------------------- q249
+  // One EM iteration for the Fellegi–Sunter m/u parameters ([EXT],
+  // Winkler's EM for record linkage) — the LEARNING step q216's scoring
+  // lacks: instead of trusting declared priors, re-estimate the match
+  // probability p and each comparator's m (P(agree | match)) and u
+  // (P(agree | non-match)) from the data. E-step: every comparison
+  // PATTERN γ ∈ {0,1}³ gets a posterior w(γ) = p·Πm^a(1−m)^(1−a) /
+  // (that + (1−p)·Πu-terms) under conditional independence; M-step:
+  // m'_j = Σ n(γ)w(γ)a_j / Σ n(γ)w(γ), u'_j the complement-weighted
+  // mirror, p' = Σ n(γ)w(γ) / Σ n(γ). Production loops to convergence;
+  // each extra round re-runs ONLY the 8-row grid, never the corpus.
+  //
+  // The whole E/M pass runs on the PATTERN-DOMAIN grid: candidate pairs
+  // (q216's (brand,type) blocks — bounded quadratic, never corpus²)
+  // collapse into ≤ 2³ pattern counts by one map-side-combined
+  // aggregate, and everything after is arithmetic over 8 rows. The
+  // posterior is a fixed-order expression of shared Scala-interpolated
+  // double literals (correctly-rounded ops, q149 discipline), quantized
+  // to the 1e-9 grid so the M-step numerators n·wq·a_j are exact BIGINT
+  // products — the division at the end is the only float op downstream.
+  /** SQL DOUBLE literal — DuckDB parses bare decimals as DECIMAL and a
+    * chain of DECIMAL products overflows scale 38; force the float path. */
+  private def D(x: Double): String = s"CAST($x AS DOUBLE)"
+  private val emP0 = 0.05
+  private val emM0 = Seq(0.95, 0.9, 0.85)
+  private val emU0 = Seq(0.05, 0.02, 0.05)
+  private val q249 = QueryDef(
+    "q249_linkage_em",
+    (s, d) => {
+      val p = part(s, d)
+      val cols = p.select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+      val a = cols.toDF("da", "name_a", "brand", "ptype", "size_a", "cents_a")
+      val b = cols.toDF("db", "name_b", "brand", "ptype", "size_b", "cents_b")
+      val pat = a.join(b, Seq("brand", "ptype"))
+        .filter(col("da") < col("db"))
+        .select(
+          when(col("size_a") === col("size_b"), 1L).otherwise(0L).as("a1"),
+          when(size(array_intersect(split(col("name_a"), " "),
+            split(col("name_b"), " "))) >= 3, 1L).otherwise(0L).as("a2"),
+          when(abs(col("cents_a") - col("cents_b")) <= 200, 1L)
+            .otherwise(0L).as("a3"))
+        .groupBy(col("a1"), col("a2"), col("a3"))
+        .agg(count(lit(1)).as("n"))
+      val pm = lit(emP0) *
+        when(col("a1") === 1L, lit(emM0(0))).otherwise(lit(1.0 - emM0(0))) *
+        when(col("a2") === 1L, lit(emM0(1))).otherwise(lit(1.0 - emM0(1))) *
+        when(col("a3") === 1L, lit(emM0(2))).otherwise(lit(1.0 - emM0(2)))
+      val pu = lit(1.0 - emP0) *
+        when(col("a1") === 1L, lit(emU0(0))).otherwise(lit(1.0 - emU0(0))) *
+        when(col("a2") === 1L, lit(emU0(1))).otherwise(lit(1.0 - emU0(1))) *
+        when(col("a3") === 1L, lit(emU0(2))).otherwise(lit(1.0 - emU0(2)))
+      pat.withColumn("wq",
+          round(lit(1e9) * (pm / (pm + pu))).cast("long"))
+        .agg(sum(col("n")).as("tn"),
+          sum(col("n") * col("wq")).as("tw"),
+          sum(col("n") * (lit(1000000000L) - col("wq"))).as("tu"),
+          sum(col("n") * col("wq") * col("a1")).as("mw1"),
+          sum(col("n") * col("wq") * col("a2")).as("mw2"),
+          sum(col("n") * col("wq") * col("a3")).as("mw3"),
+          sum(col("n") * (lit(1000000000L) - col("wq")) * col("a1")).as("uw1"),
+          sum(col("n") * (lit(1000000000L) - col("wq")) * col("a2")).as("uw2"),
+          sum(col("n") * (lit(1000000000L) - col("wq")) * col("a3")).as("uw3"))
+        .select(col("tn").as("n_pairs"),
+          round(col("tw").cast("double") /
+            (lit(1e9) * col("tn").cast("double")), 6).as("p_new"),
+          round(col("mw1").cast("double") / col("tw").cast("double"), 6)
+            .as("m1_new"),
+          round(col("uw1").cast("double") / col("tu").cast("double"), 6)
+            .as("u1_new"),
+          round(col("mw2").cast("double") / col("tw").cast("double"), 6)
+            .as("m2_new"),
+          round(col("uw2").cast("double") / col("tu").cast("double"), 6)
+            .as("u2_new"),
+          round(col("mw3").cast("double") / col("tw").cast("double"), 6)
+            .as("m3_new"),
+          round(col("uw3").cast("double") / col("tu").cast("double"), 6)
+            .as("u3_new"))
+    },
+    Some(s"""
+      WITH pat AS (
+        SELECT CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS a1,
+               CASE WHEN len(list_intersect(
+                   list_distinct(str_split(a.p_name, ' ')),
+                   list_distinct(str_split(b.p_name, ' ')))) >= 3
+                 THEN 1 ELSE 0 END AS a2,
+               CASE WHEN abs(CAST(round(a.p_retailprice * 100) AS BIGINT)
+                   - CAST(round(b.p_retailprice * 100) AS BIGINT)) <= 200
+                 THEN 1 ELSE 0 END AS a3,
+               count(*) AS n
+        FROM part a JOIN part b
+          ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+         AND a.p_partkey < b.p_partkey
+        GROUP BY 1, 2, 3),
+      w AS (
+        SELECT a1, a2, a3, n,
+               CAST(round(1e9 * ((${D(emP0)}
+                 * (CASE WHEN a1 = 1 THEN ${D(emM0(0))} ELSE ${D(1.0 - emM0(0))} END)
+                 * (CASE WHEN a2 = 1 THEN ${D(emM0(1))} ELSE ${D(1.0 - emM0(1))} END)
+                 * (CASE WHEN a3 = 1 THEN ${D(emM0(2))} ELSE ${D(1.0 - emM0(2))} END))
+                 / ((${D(emP0)}
+                 * (CASE WHEN a1 = 1 THEN ${D(emM0(0))} ELSE ${D(1.0 - emM0(0))} END)
+                 * (CASE WHEN a2 = 1 THEN ${D(emM0(1))} ELSE ${D(1.0 - emM0(1))} END)
+                 * (CASE WHEN a3 = 1 THEN ${D(emM0(2))} ELSE ${D(1.0 - emM0(2))} END))
+                 + (${D(1.0 - emP0)}
+                 * (CASE WHEN a1 = 1 THEN ${D(emU0(0))} ELSE ${D(1.0 - emU0(0))} END)
+                 * (CASE WHEN a2 = 1 THEN ${D(emU0(1))} ELSE ${D(1.0 - emU0(1))} END)
+                 * (CASE WHEN a3 = 1 THEN ${D(emU0(2))} ELSE ${D(1.0 - emU0(2))} END)))))
+                 AS BIGINT) AS wq
+        FROM pat),
+      agg AS (
+        SELECT CAST(sum(n) AS BIGINT) AS tn,
+               CAST(sum(n * wq) AS BIGINT) AS tw,
+               CAST(sum(n * (1000000000 - wq)) AS BIGINT) AS tu,
+               CAST(sum(n * wq * a1) AS BIGINT) AS mw1,
+               CAST(sum(n * wq * a2) AS BIGINT) AS mw2,
+               CAST(sum(n * wq * a3) AS BIGINT) AS mw3,
+               CAST(sum(n * (1000000000 - wq) * a1) AS BIGINT) AS uw1,
+               CAST(sum(n * (1000000000 - wq) * a2) AS BIGINT) AS uw2,
+               CAST(sum(n * (1000000000 - wq) * a3) AS BIGINT) AS uw3
+        FROM w)
+      SELECT tn AS n_pairs,
+             round(CAST(tw AS DOUBLE) / (1e9 * CAST(tn AS DOUBLE)), 6)
+               AS p_new,
+             round(CAST(mw1 AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS m1_new,
+             round(CAST(uw1 AS DOUBLE) / CAST(tu AS DOUBLE), 6) AS u1_new,
+             round(CAST(mw2 AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS m2_new,
+             round(CAST(uw2 AS DOUBLE) / CAST(tu AS DOUBLE), 6) AS u2_new,
+             round(CAST(mw3 AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS m3_new,
+             round(CAST(uw3 AS DOUBLE) / CAST(tu AS DOUBLE), 6) AS u3_new
+      FROM agg"""))
+
   // --------------------------------------------------------------- q246
   // Ordered-set / argmax aggregate surface (§2.C5 breadth): the ANSI
   // aggregates a reporting user reaches for next after plain sum/avg —
@@ -3488,5 +3621,5 @@ object Relational {
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
     q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208, q211,
-    q212, q216, q223, q224, q231, q234, q237, q246)
+    q212, q216, q223, q224, q231, q234, q237, q246, q249)
 }
