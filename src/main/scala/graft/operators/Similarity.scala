@@ -960,6 +960,111 @@ object Similarity {
       GROUP BY label
       ORDER BY label"""))
 
+  // --------------------------------------------------------------- q250
+  // Embedding-retrieval evaluation: MRR and recall@10 ([EXT]) — the
+  // binary-relevance eval pair that complements q167's graded nDCG (which
+  // grades the BM25 TEXT ranker; this grades the VECTOR ranker): for a
+  // deterministic probe sample (vec_id ≡ 7 mod 97), rank the corpus by
+  // exact cosine and score against label-match ground truth. MRR = mean
+  // 1/rank-of-first-relevant (0 when none in the cut); recall@10 =
+  // hits@10 / min(10, R) with R = corpus positives for the probe's label
+  // (the standard truncated-recall normalization). Reported per label —
+  // the per-class view that exposes a ranker failing on one slice while
+  // the global mean looks fine.
+  //
+  // Scale (q50's contract): the probe set BROADCASTS (sampling rate is
+  // the knob that keeps it broadcast-sized); the corpus never shuffles —
+  // scoring is a map-side broadcast join with the native codegen'd
+  // FloatDot, and the only exchange carries probe-keyed top-10 rows. The
+  // per-label positive counts are a |labels|-row broadcast. Reciprocals
+  // and recall ratios quantize to the 1e-9 grid pre-sum (q243
+  // discipline) so the per-label means are order-independent.
+  private val q250 = QueryDef(
+    "q250_retrieval_mrr",
+    (s, d) => {
+      val e = emb(s, d).withColumn("norm", float_norm(col("embedding")))
+      val q = e.filter(col("vec_id") % 97L === 7L)
+        .select(col("vec_id").as("qid"), col("embedding").as("ea"),
+          col("norm").as("qn"), col("label").as("qlabel"))
+      val c = e.select(col("vec_id").as("cid"), col("embedding").as("eb"),
+        col("norm").as("cn"), col("label").as("clabel"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("cid"))
+      val top = c.join(broadcast(q), col("qid") =!= col("cid"))
+        .withColumn("cos", round(float_dot(col("ea"), col("eb")) /
+          (col("qn") * col("cn")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("qlabel"), col("rk").cast("long").as("rk"),
+          (col("clabel") === col("qlabel")).as("rel"))
+      val per = top.groupBy(col("qid"), col("qlabel"))
+        .agg(sum(when(col("rel"), 1L).otherwise(0L)).as("hits"),
+          min(when(col("rel"), col("rk"))).as("frank"))
+      val labn = e.groupBy(col("label")).agg(count(lit(1)).as("nlab"))
+      per.join(broadcast(labn), col("qlabel") === col("label"))
+        .withColumn("denom", least(lit(10L), col("nlab") - 1L))
+        .withColumn("rr9", coalesce(
+          round(lit(1e9) / col("frank").cast("double")).cast("long"),
+          lit(0L)))
+        .withColumn("rec9", round(lit(1e9) *
+          (col("hits").cast("double") / col("denom").cast("double")))
+          .cast("long"))
+        .groupBy(col("qlabel"))
+        .agg(count(lit(1)).as("n_probes"), sum(col("rr9")).as("srr"),
+          sum(col("rec9")).as("srec"))
+        .select(col("qlabel").as("label"), col("n_probes"),
+          round(col("srr").cast("double") /
+            col("n_probes").cast("double") / lit(1e9), 6).as("mrr"),
+          round(col("srec").cast("double") /
+            col("n_probes").cast("double") / lit(1e9), 6).as("recall_at_10"))
+        .orderBy(col("label"))
+    },
+    Some(s"""
+      WITH $evSql,
+      pairs AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.v * c.v) AS dot
+        FROM ev q JOIN ev c ON q.i = c.i AND q.vec_id % 97 = 7
+         AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2),
+      lab AS (SELECT DISTINCT vec_id, label FROM ev),
+      labn AS (SELECT label, count(*) AS nlab FROM lab GROUP BY label),
+      scored AS (
+        SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        FROM pairs JOIN norms nq ON qid = nq.vec_id
+        JOIN norms nc ON cid = nc.vec_id),
+      top AS (
+        SELECT qid, cid, rk FROM (
+          SELECT qid, cid,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, cid) AS rk
+          FROM scored) t
+        WHERE rk <= 10),
+      per AS (
+        SELECT t.qid, ql.label AS qlabel,
+               CAST(sum(CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END)
+                 AS BIGINT) AS hits,
+               min(CASE WHEN cl.label = ql.label THEN t.rk END) AS frank
+        FROM top t
+        JOIN lab ql ON ql.vec_id = t.qid
+        JOIN lab cl ON cl.vec_id = t.cid
+        GROUP BY t.qid, ql.label),
+      perx AS (
+        SELECT qlabel,
+               coalesce(CAST(round(1e9 / CAST(frank AS DOUBLE)) AS BIGINT),
+                 0) AS rr9,
+               CAST(round(1e9 * (CAST(hits AS DOUBLE)
+                 / CAST(least(10, labn.nlab - 1) AS DOUBLE))) AS BIGINT)
+                 AS rec9
+        FROM per JOIN labn ON per.qlabel = labn.label)
+      SELECT qlabel AS label, count(*) AS n_probes,
+             round(CAST(sum(rr9) AS BIGINT) / CAST(count(*) AS DOUBLE)
+               / 1e9, 6) AS mrr,
+             round(CAST(sum(rec9) AS BIGINT) / CAST(count(*) AS DOUBLE)
+               / 1e9, 6) AS recall_at_10
+      FROM perx
+      GROUP BY qlabel
+      ORDER BY qlabel"""))
+
   val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q128, q137, q163,
-    q194, q248)
+    q194, q248, q250)
 }
