@@ -1222,7 +1222,73 @@ object EventStreams {
       GROUP BY user_id, sid
       ORDER BY user_id, start_ms"""))
 
+  // --------------------------------------------------------------- q251
+  // CHAINED time-window aggregation (the streaming rollup cascade,
+  // Spark 3.4+ multiple-stateful-operator support): 5-minute tumbling
+  // pre-aggregates re-aggregate into 1-hour windows INSIDE one streaming
+  // query — `window(window_time(window), '1 hour')` — the standard
+  // metrics topology (fine-grain pane → coarse rollup) that otherwise
+  // costs a second query reading the first one's sink. At 100 TB this is
+  // the state-bounding shape: the outer operator holds |1h windows| rows,
+  // not events, and the inner panes evict as the watermark passes —
+  // nothing re-reads or re-shuffles raw events for the coarse grain.
+  //
+  // Semantics under the ~12-batch replay: the inner aggregate drops late
+  // input rows by the q86 watermark recursion (the oracle replays it: per
+  // -file max event-time → running max lagged one batch − 10 min); inner
+  // panes emit when the watermark passes their end, and Spark's
+  // cross-operator watermark propagation delays the outer operator's
+  // watermark so an emitted pane is never late downstream — the rollup is
+  // LOSSLESS over surviving rows (this is the property this query pins
+  // cross-engine). The sentinel advances the final watermark past every
+  // real window; its own pane never finalizes, so it is absent from the
+  // output by construction. n_panes counts the surviving 5-min panes per
+  // hour — the fan-in observability a rollup dashboard shows.
+  private val q251 = QueryDef(
+    "q251_stream_chained_windows",
+    (s, d) =>
+      run(s, st =>
+        st.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "5 minutes"))
+          .agg(count(lit(1)).as("n5"),
+            sum(round(col("value") * 100).cast("long")).as("c5"))
+          .groupBy(window(window_time(col("window")), "1 hour"))
+          .agg(sum(col("n5")).as("n"), count(lit(1)).as("n_panes"),
+            sum(col("c5")).as("cents"))
+          .select(unix_timestamp(col("window.start")).as("wstart_epoch"),
+            col("n"), col("n_panes"),
+            (col("cents").cast("double") / lit(100.0)).as("sum_value")),
+        ss => readStaged(ss, slicedDir(s, d)), "append")
+        .orderBy(col("wstart_epoch")),
+    Some("""
+      WITH e AS (
+        SELECT value, epoch_us(ts) AS ts_us,
+               ((epoch_us(ts) // 300000000) + 1) * 300000000 AS w5end_us,
+               (epoch_us(ts) - (SELECT min(epoch_us(ts)) FROM events)) // 518400000000
+                 + (CASE WHEN event_id % 13 = 0 THEN 2
+                         WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS fid
+        FROM events),
+      fmax AS (SELECT fid, max(ts_us // 1000) AS fmax_ms FROM e GROUP BY fid),
+      wm AS (SELECT fid,
+               coalesce(max(fmax_ms) OVER (ORDER BY fid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 600000, 0) AS wm_ms
+             FROM fmax),
+      kept AS (SELECT e.value, e.w5end_us
+               FROM e JOIN wm USING (fid)
+               WHERE e.w5end_us >= wm.wm_ms * 1000),
+      pane AS (
+        SELECT w5end_us, count(*) AS n5,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c5
+        FROM kept GROUP BY 1)
+      SELECT CAST(((w5end_us - 1) // 3600000000) * 3600 AS BIGINT)
+               AS wstart_epoch,
+             CAST(sum(n5) AS BIGINT) AS n, count(*) AS n_panes,
+             CAST(sum(c5) AS DOUBLE) / 100.0 AS sum_value
+      FROM pane
+      GROUP BY 1
+      ORDER BY wstart_epoch"""))
+
   val defs: Seq[QueryDef] =
     Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q93, q94, q96, q97,
-      q98, q178, q189, q197, q200)
+      q98, q178, q189, q197, q200, q251)
 }
