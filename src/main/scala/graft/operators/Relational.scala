@@ -3436,6 +3436,51 @@ object Relational {
       GROUP BY 1, 2, 3
       ORDER BY 1, 2, 3"""))
 
+  // --------------------------------------------------------------- q252
+  // l-diversity audit ([EXT]) — q237's k-anonymity asks "is any
+  // quasi-identifier group too SMALL?"; this asks the complementary
+  // governance question "is any group too UNIFORM?": a group can hold
+  // 1000 rows (k-anonymous) yet leak the sensitive attribute because all
+  // 1000 share one value. Over q237's L1 quasi-identifiers
+  // (nation, $1000 balance band) with c_mktsegment as the sensitive
+  // attribute, report the distribution of per-group distinct-sensitive
+  // counts l — groups at l = 1 are outright disclosures, l < 3 fail the
+  // usual bar — with the row mass at each l (the records actually at
+  // risk).
+  //
+  // Shape: distinct-count-per-group WITHOUT a distinct-expand — the
+  // (QI, segment) pre-aggregate collapses duplicates map-side, then l is
+  // a plain count per QI group and the report is a second tiny aggregate
+  // on l. Three chained hash aggregates, each smaller than the last; the
+  // band lives on the exact cents grid (DIV truncation, engine-identical
+  // on negatives — q237's measured contract).
+  private val q252 = QueryDef(
+    "q252_l_diversity",
+    (s, d) => {
+      val qi = cust(s, d).select(col("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000")
+          .as("band"), col("c_mktsegment"))
+        .groupBy(col("c_nationkey"), col("band"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("nr"))
+      qi.groupBy(col("c_nationkey"), col("band"))
+        .agg(count(lit(1)).as("l"), sum(col("nr")).as("rows_g"))
+        .groupBy(col("l"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("rows_g")).as("n_rows"))
+        .orderBy(col("l"))
+    },
+    Some("""
+      WITH qi AS (
+        SELECT c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS band,
+               c_mktsegment, count(*) AS nr
+        FROM customer GROUP BY 1, 2, 3),
+      g AS (
+        SELECT c_nationkey, band, count(*) AS l,
+               CAST(sum(nr) AS BIGINT) AS rows_g
+        FROM qi GROUP BY 1, 2)
+      SELECT l, count(*) AS n_groups, CAST(sum(rows_g) AS BIGINT) AS n_rows
+      FROM g GROUP BY l ORDER BY l"""))
+
   // --------------------------------------------------------------- q249
   // One EM iteration for the Fellegi–Sunter m/u parameters ([EXT],
   // Winkler's EM for record linkage) — the LEARNING step q216's scoring
@@ -3621,5 +3666,5 @@ object Relational {
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
     q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208, q211,
-    q212, q216, q223, q224, q231, q234, q237, q246, q249)
+    q212, q216, q223, q224, q231, q234, q237, q246, q249, q252)
 }
