@@ -1165,4 +1165,61 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(math.abs(shareD1 - d1) < 1e-6, s"$p share_d1")
     }
   }
+
+  test("q244 ANOVA F matches a straight-line recompute; SSB+SSW = SST") {
+    val Array(row) = q("q244_anova_oneway")(spark, sf).collect()
+    val (n, k, ssb, ssw, f, eta2) = (row.getLong(0), row.getLong(1),
+      row.getDouble(2), row.getDouble(3), row.getDouble(4), row.getDouble(5))
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(n == ev.length.toLong && k == ev.map(_._1).distinct.length.toLong)
+    val groups = ev.groupBy(_._1).values.map(_.map(_._2))
+    val tot = ev.map(_._2)
+    def mean(xs: Iterable[Long]) = xs.sum.toDouble / xs.size / 100.0
+    val gm = mean(tot)
+    val ssbRef = groups.map(g => g.size * math.pow(mean(g) - gm, 2)).sum
+    val sswRef = groups.map(g => g.map(c =>
+      math.pow(c / 100.0 - mean(g), 2)).sum).sum
+    assert(math.abs(ssb - ssbRef) < 1e-3 * math.max(1.0, ssbRef),
+      s"ssb=$ssb vs $ssbRef")
+    assert(math.abs(ssw - sswRef) < 1e-3 * math.max(1.0, sswRef),
+      s"ssw=$ssw vs $sswRef")
+    val fRef = (ssbRef / (k - 1)) / (sswRef / (n - k))
+    assert(math.abs(f - fRef) < 1e-3 * math.max(1.0, fRef), s"f=$f vs $fRef")
+    assert(eta2 >= 0.0 && eta2 <= 1.0)
+    // the decomposition identity: SST computed independently
+    val sstRef = tot.map(c => math.pow(c / 100.0 - gm, 2)).sum
+    assert(math.abs((ssb + ssw) - sstRef) < 1e-3 * math.max(1.0, sstRef),
+      "SSB + SSW must equal SST")
+  }
+
+  test("q245 Kruskal-Wallis H matches textbook tie-averaged ranks") {
+    val Array(row) = q("q245_kruskal_wallis")(spark, sf).collect()
+    val (n, k, h, tieC, hc) = (row.getLong(0), row.getLong(1),
+      row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(n == ev.length.toLong && k == ev.map(_._1).distinct.length.toLong)
+    // textbook tie-averaged ranks over the full sample
+    val sorted = ev.map(_._2).sorted
+    val rank: Map[Long, Double] = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) =>
+        v -> (xs.map(_._2 + 1).sum.toDouble / xs.size) }
+    val byG = ev.groupBy(_._1).values
+    val nn = n.toDouble
+    val hRef = 12.0 / (nn * (nn + 1)) *
+      byG.map { g =>
+        val r = g.map(x => rank(x._2)).sum
+        r * r / g.size
+      }.sum - 3.0 * (nn + 1)
+    assert(math.abs(h - hRef) < 1e-4 * math.max(1.0, math.abs(hRef)),
+      s"h=$h vs $hRef")
+    val ties = ev.map(_._2).groupBy(identity).values.map(_.size.toLong)
+    val cRef = 1.0 - ties.map(t => t * t * t - t).sum.toDouble /
+      (nn * nn * nn - nn)
+    assert(math.abs(tieC - cRef) < 1e-6, s"tie_c=$tieC vs $cRef")
+    assert(math.abs(hc - h / tieC) < 1e-4, "h_corrected = h / tie_c")
+  }
 }

@@ -352,4 +352,51 @@ class RelationalSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5)))
     assert(rows.toSeq == again.toSeq, "segment grid not deterministic")
   }
+
+  test("q249 EM update matches a driver recompute over brute-force blocks") {
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val Array(row) = SparkEntry.queries("q249_linkage_em")(spark, sf).collect()
+    val parts = Tables.t(spark, sf, "part").collect().map(r => (
+      r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+      r.getInt(4), math.round(r.getDouble(5) * 100)))
+    val pairs = for {
+      a <- parts; b <- parts
+      if a._3 == b._3 && a._4 == b._4 && a._1 < b._1
+    } yield (
+      if (a._5 == b._5) 1L else 0L,
+      if (a._2.split(" ").toSet.intersect(b._2.split(" ").toSet).size >= 3)
+        1L else 0L,
+      if (math.abs(a._6 - b._6) <= 200) 1L else 0L)
+    val (p0, m0, u0) = (0.05, Seq(0.95, 0.9, 0.85), Seq(0.05, 0.02, 0.05))
+    val pat = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var tn = 0L; var tw = 0L; var tu = 0L
+    val mw = Array(0L, 0L, 0L); val uw = Array(0L, 0L, 0L)
+    pat.foreach { case ((a1, a2, a3), n) =>
+      val as = Seq(a1, a2, a3)
+      val pm = as.zip(m0).foldLeft(p0) { case (acc, (a, m)) =>
+        acc * (if (a == 1L) m else 1.0 - m) }
+      val pu = as.zip(u0).foldLeft(1.0 - p0) { case (acc, (a, u)) =>
+        acc * (if (a == 1L) u else 1.0 - u) }
+      val wq = math.round(1e9 * (pm / (pm + pu)))
+      tn += n; tw += n * wq; tu += n * (1000000000L - wq)
+      for (j <- 0 until 3) {
+        mw(j) += n * wq * as(j); uw(j) += n * (1000000000L - wq) * as(j)
+      }
+    }
+    assert(row.getLong(0) == tn, "pair count")
+    assert(row.getDouble(1) == r6(tw.toDouble / (1e9 * tn.toDouble)), "p_new")
+    for (j <- 0 until 3) {
+      assert(row.getDouble(2 + 2 * j) == r6(mw(j).toDouble / tw.toDouble),
+        s"m${j + 1}_new")
+      assert(row.getDouble(3 + 2 * j) == r6(uw(j).toDouble / tu.toDouble),
+        s"u${j + 1}_new")
+      // where agreement occurs at all, it must stay more likely under
+      // match than non-match (comparator 2 never agrees at sf0.001 —
+      // word-soup names share < 3 tokens — so both sides are 0 there)
+      if (mw(j) + uw(j) > 0)
+        assert(row.getDouble(2 + 2 * j) > row.getDouble(3 + 2 * j),
+          s"comparator ${j + 1}: m must exceed u after one EM round")
+    }
+  }
 }

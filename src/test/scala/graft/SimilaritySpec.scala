@@ -101,4 +101,106 @@ class SimilaritySpec extends AnyFunSuite {
       assert(trueClusters.size == 1, s"cell $cell mixes true clusters $trueClusters")
     }
   }
+
+  test("q248 power iteration: full integer-recursion mirror on the driver") {
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rq(d: Double): Long =
+      BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    val rows = SparkEntry.queries("q248_pca_power_iteration")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(5))).sortBy(_._1)
+    val vecs = Tables.t(spark, sf, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    val d = vecs.head._3.length
+    val n = vecs.length.toLong
+    // covariance on the 1e-6 grid, exactly as the query computes it
+    val cq = Array.ofDim[Long](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      var si = 0L; var sj = 0L; var sij = 0L
+      vecs.foreach { case (_, _, x) =>
+        val xi = x(i).toDouble; val xj = x(j).toDouble
+        si += rq(xi * 1e8); sj += rq(xj * 1e8); sij += rq(xi * xj * 1e8)
+      }
+      val cov = (sij.toDouble / 1e8 -
+        (si.toDouble / 1e8) * (sj.toDouble / 1e8) / n.toDouble) /
+        (n.toDouble - 1.0)
+      cq(i)(j) = rq(1e6 * cov); cq(j)(i) = cq(i)(j)
+    }
+    var v = Array.fill(d)(1000000000L)
+    var m = 0L
+    for (_ <- 1 to 3) {
+      val u = Array.tabulate(d)(i =>
+        (0 until d).map(j => cq(i)(j) * v(j)).sum)
+      m = u.map(math.abs).max
+      v = u.map(x => rq(1e9 * x.toDouble / m.toDouble))
+    }
+    val ma = v.map(math.abs).max
+    val istar = v.indices.find(i => math.abs(v(i)) == ma).get
+    val sgn = if (v(istar) >= 0) 1L else -1L
+    val vf = v.map(_ * sgn)
+    val proj = vecs.map { case (_, lab, x) =>
+      val pq = (0 until d).map(i => rq(x(i).toDouble * 1e6) * vf(i)).sum
+      (lab, rq(pq.toDouble / 1e6))
+    }
+    val byLab = proj.groupBy(_._1)
+    assert(rows.map(_._1).toSeq == byLab.keys.toSeq.sorted)
+    rows.foreach { case (lab, np, meanP, lam) =>
+      val ps = byLab(lab).map(_._2)
+      assert(np == ps.length.toLong, s"label $lab count")
+      val ref = r6(ps.sum.toDouble / ps.length.toDouble / 1e9)
+      assert(meanP == ref, s"label $lab mean_proj $meanP vs $ref")
+      assert(lam == r6(m.toDouble / 1e15), s"lambda $lam")
+    }
+  }
+
+  test("q250 MRR/recall match a driver brute-force rerank; self-retrieval sanity") {
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rq(d: Double): Long =
+      BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    val rows = SparkEntry.queries("q250_retrieval_mrr")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    // embeddings schema order: (vec_id, embedding, label)
+    val vecs = Tables.t(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val labCount = vecs.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val probes = vecs.filter(v => v._1 % 97 == 7)
+    val per = probes.map { case (qid, qa, qlab) =>
+      val top = vecs.filter(_._1 != qid)
+        .map { case (cid, cb, clab) =>
+          (cid, clab, r6(dot(qa, cb) / (nrm(qa) * nrm(cb)))) }
+        .sortBy { case (cid, _, cos) => (-cos, cid) }.take(10)
+      val hits = top.count(_._2 == qlab).toLong
+      val frank = top.zipWithIndex.collectFirst {
+        case ((_, cl, _), i) if cl == qlab => i + 1L }
+      val denom = math.min(10L, labCount(qlab) - 1L)
+      val rr9 = frank.map(fr => rq(1e9 / fr.toDouble)).getOrElse(0L)
+      val rec9 = rq(1e9 * (hits.toDouble / denom.toDouble))
+      (qlab, rr9, rec9)
+    }
+    val byLab = per.groupBy(_._1)
+    assert(rows.map(_._1).toSeq.sorted == byLab.keys.toSeq.sorted)
+    rows.foreach { case (lab, np, mrr, rec) =>
+      val xs = byLab(lab)
+      assert(np == xs.length.toLong, s"label $lab probes")
+      assert(mrr == r6(xs.map(_._2).sum.toDouble / xs.length / 1e9),
+        s"label $lab mrr")
+      assert(rec == r6(xs.map(_._3).sum.toDouble / xs.length / 1e9),
+        s"label $lab recall")
+    }
+  }
 }
