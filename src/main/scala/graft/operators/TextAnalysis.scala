@@ -1660,8 +1660,79 @@ object TextAnalysis {
       GROUP BY source
       ORDER BY source"""))
 
+  // --------------------------------------------------------------- q253
+  // Distinctive terms per source — smoothed odds-ratio keyness (the
+  // log-odds-ratio report of Monroe et al. with the log dropped): for
+  // each source, which tokens are over-represented vs the REST of the
+  // corpus? OR(s,t) = ((c_st+1)/(n_s−c_st+1)) / ((c_rest+1)/(n_rest−
+  // c_rest+1)) with add-one smoothing — the "what is this source
+  // actually about" audit that drives q115's mixture weights and flags
+  // template/boilerplate sources (their distinctive terms are markup).
+  // The log is DELIBERATELY not taken: OR is a ratio of exact integer
+  // ratios (monotone in the log — identical ranking), so the score is
+  // one fixed-order double expression of BIGINTs, bit-identical
+  // cross-engine (q133's rationale: libm is not a contract).
+  //
+  // Scale: one corpus scan → map-side-combined (source, token) counts;
+  // everything downstream is DICTIONARY-sized — per-token totals re-
+  // aggregate from the (source, token) table (vocab-keyed exchange, no
+  // second corpus pass), per-source totals broadcast (|sources| rows),
+  // the top-5 cut is a per-source window over vocab-sized rows (the
+  // q107 top-V shape — bounded by the dictionary, never the corpus).
+  private val q253 = QueryDef(
+    "q253_distinctive_terms",
+    (s, d) => {
+      val st = docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c_st"))
+      val tt = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+      val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+      val tot = ns.agg(sum(col("n_s")).as("nn"))
+      val scored = st.join(tt, Seq("tok"))
+        .join(broadcast(ns), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .withColumn("c_rest", col("c_t") - col("c_st"))
+        .withColumn("n_rest", col("nn") - col("n_s"))
+        .withColumn("or_ratio", round(
+          ((col("c_st") + 1L).cast("double") /
+            (col("n_s") - col("c_st") + 1L).cast("double")) /
+            ((col("c_rest") + 1L).cast("double") /
+              (col("n_rest") - col("c_rest") + 1L).cast("double")), 6))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("or_ratio").desc, col("tok"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk").cast("long").as("rk"), col("tok"),
+          col("c_st"), col("or_ratio"))
+        .orderBy(col("source"), col("rk"))
+    },
+    Some("""
+      WITH st AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      c AS (SELECT source, tok, count(*) AS c_st FROM st GROUP BY 1, 2),
+      tt AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM c GROUP BY 1),
+      ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM c GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS nn FROM ns),
+      scored AS (
+        SELECT c.source, c.tok, c.c_st,
+               round(((CAST(c.c_st + 1 AS DOUBLE))
+                   / (CAST(ns.n_s - c.c_st + 1 AS DOUBLE)))
+                 / ((CAST(tt.c_t - c.c_st + 1 AS DOUBLE))
+                   / (CAST(tot.nn - ns.n_s - (tt.c_t - c.c_st) + 1
+                      AS DOUBLE))), 6) AS or_ratio
+        FROM c JOIN tt USING (tok) JOIN ns USING (source), tot)
+      SELECT source, CAST(rk AS BIGINT) AS rk, tok, c_st, or_ratio FROM (
+        SELECT source, tok, c_st, or_ratio,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY or_ratio DESC, tok) AS rk
+        FROM scored) t
+      WHERE rk <= 5
+      ORDER BY source, rk"""))
+
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
       q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228,
-      q233, q236)
+      q233, q236, q253)
 }
