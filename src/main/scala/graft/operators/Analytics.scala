@@ -3855,10 +3855,124 @@ object Analytics {
              round(h / tie_c, 6) AS h_corrected
       FROM e"""))
 
+  // --------------------------------------------------------------- q254
+  // Shapley-value channel attribution ([EXT], Zhao et al. 2018's
+  // simplified game) — the principled alternative to q132's last-touch
+  // and q153's time-decay heuristics: each user's journey is the SET of
+  // non-purchase event types they touched, the coalition value v(S) is
+  // the observed conversion rate of users with journey exactly S, and
+  // channel i's credit is the Shapley value φᵢ = Σ_{S∌i} |S|!(k−1−|S|)!/k!
+  // · (v(S∪i) − v(S)). Efficiency (Σφᵢ = v(full) − v(∅)) is pinned by
+  // the spec.
+  //
+  // The game lives on the 2^k COALITION GRID, never the corpus: one
+  // user-keyed aggregate builds (journey mask, converted) — bits from an
+  // alphabetical channel dictionary (≤ |event types|, broadcast), OR as
+  // a sum of DISTINCT bits — then v collapses to ≤ 2^k rows and the
+  // Shapley sum is a self-join of the grid with itself (mask & bit = 0,
+  // partner = mask + bit). Exactness: v quantizes to the 1e-9 grid;
+  // |S|!(k−1−|S|)! is an exact integer (both engines' factorial/
+  // bit_count agree — probed), so every φ numerator term is an exact
+  // BIGINT product and the single division by k!·1e9 happens once. The
+  // declared envelope is k ≤ 20 (grid 2^20; the factorial products stay
+  // < 2^62 for k ≤ 20) — beyond that, channel attribution needs the
+  // sampled-permutation estimator, documented here.
+  private val q254 = QueryDef(
+    "q254_shapley_attribution",
+    (s, d) => {
+      val e = ev(s, d)
+      val touches = e.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type")).distinct()
+      val dict = touches.select(col("event_type")).distinct()
+        .withColumn("bit",
+          expr("shiftleft(1L, CAST(row_number() OVER " +
+            "(ORDER BY event_type) AS INT) - 1)"))
+      val umask = touches.join(broadcast(dict), Seq("event_type"))
+        .groupBy(col("user_id")).agg(sum(col("bit")).as("mask"))
+      val uconv = e.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      val vmask = uconv.join(umask, Seq("user_id"), "left")
+        .withColumn("mask", coalesce(col("mask"), lit(0L)))
+        .groupBy(col("mask"))
+        .agg(count(lit(1)).as("n_u"), sum(col("conv")).as("n_c"))
+      val kdf = dict.agg(count(lit(1)).cast("int").as("k"))
+      val grid = kdf.select(col("k"),
+          explode(expr("sequence(0L, shiftleft(1L, k) - 1)")).as("mask"))
+        .join(vmask, Seq("mask"), "left")
+        .withColumn("vq", coalesce(
+          round(lit(1e9) * (col("n_c").cast("double") /
+            col("n_u").cast("double"))).cast("long"), lit(0L)))
+        .select(col("mask"), col("k"), col("vq"))
+      val terms = dict
+        .join(grid, (col("mask").bitwiseAND(col("bit"))) === 0L)
+        .join(grid.select(col("mask").as("mask2"), col("vq").as("vq2")),
+          col("mask2") === col("mask") + col("bit"))
+        .withColumn("sz", expr("bit_count(mask)"))
+        .withColumn("wnum",
+          factorial(col("sz")) * factorial(col("k") - 1 - col("sz")))
+        .groupBy(col("event_type"), col("k"))
+        .agg(sum(col("wnum") * (col("vq2") - col("vq"))).as("num"))
+      val nus = touches.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+      terms.join(broadcast(nus), Seq("event_type"))
+        .select(col("event_type").as("channel"), col("n_users"),
+          round(col("num").cast("double") /
+            (factorial(col("k")).cast("double") * lit(1e9)), 6).as("phi"))
+        .orderBy(col("channel"))
+    },
+    Some("""
+      WITH touches AS (
+        SELECT DISTINCT user_id, event_type FROM events
+        WHERE event_type <> 'purchase'),
+      dict AS (
+        SELECT event_type,
+               (1::BIGINT << (CAST(row_number() OVER (ORDER BY event_type)
+                 AS INT) - 1)) AS bit
+        FROM (SELECT DISTINCT event_type FROM touches)),
+      umask AS (
+        SELECT t.user_id, CAST(sum(d.bit) AS BIGINT) AS mask
+        FROM touches t JOIN dict d USING (event_type)
+        GROUP BY t.user_id),
+      uconv AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS conv
+        FROM events GROUP BY user_id),
+      vmask AS (
+        SELECT coalesce(m.mask, 0) AS mask, count(*) AS n_u,
+               CAST(sum(c.conv) AS BIGINT) AS n_c
+        FROM uconv c LEFT JOIN umask m USING (user_id)
+        GROUP BY 1),
+      kdf AS (SELECT CAST(count(*) AS INT) AS k FROM dict),
+      grid AS (
+        SELECT g.mask, kdf.k,
+               coalesce(CAST(round(1e9 * (CAST(v.n_c AS DOUBLE)
+                 / CAST(v.n_u AS DOUBLE))) AS BIGINT), 0) AS vq
+        FROM (SELECT unnest(range(0, (1::BIGINT << (SELECT k FROM kdf))))
+                AS mask) g
+        LEFT JOIN vmask v USING (mask), kdf),
+      terms AS (
+        SELECT d.event_type, g.k,
+               CAST(sum((factorial(bit_count(g.mask))
+                 * factorial(g.k - 1 - bit_count(g.mask)))
+                 * (g2.vq - g.vq)) AS BIGINT) AS num
+        FROM dict d
+        JOIN grid g ON (g.mask & d.bit) = 0
+        JOIN grid g2 ON g2.mask = g.mask + d.bit
+        GROUP BY 1, 2),
+      nus AS (
+        SELECT event_type, count(*) AS n_users FROM touches GROUP BY 1)
+      SELECT t.event_type AS channel, n.n_users,
+             round(CAST(t.num AS DOUBLE)
+               / (CAST(factorial(t.k) AS DOUBLE) * 1e9), 6) AS phi
+      FROM terms t JOIN nus n USING (event_type)
+      ORDER BY channel"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
-      q235, q239, q240, q241, q242, q243, q244, q245)
+      q235, q239, q240, q241, q242, q243, q244, q245, q254)
 }

@@ -1222,4 +1222,52 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(tieC - cRef) < 1e-6, s"tie_c=$tieC vs $cRef")
     assert(math.abs(hc - h / tieC) < 1e-4, "h_corrected = h / tie_c")
   }
+
+  test("q254 Shapley attribution: brute-force recompute + efficiency axiom") {
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rq(d: Double): Long =
+      BigDecimal(d).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+    val rows = q("q254_shapley_attribution")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val chans = ev.map(_._2).filter(_ != "purchase").distinct.sorted
+    val k = chans.length
+    val bit = chans.zipWithIndex.map { case (c, i) => c -> (1L << i) }.toMap
+    val byUser = ev.groupBy(_._1)
+    val journeys = byUser.values.map { xs =>
+      val mask = xs.map(_._2).filter(_ != "purchase").distinct
+        .map(bit).sum
+      val conv = if (xs.exists(_._2 == "purchase")) 1L else 0L
+      (mask, conv)
+    }.toSeq
+    val vm = journeys.groupBy(_._1).map { case (m, xs) =>
+      m -> rq(1e9 * (xs.map(_._2).sum.toDouble / xs.size.toDouble)) }
+    def vq(m: Long): Long = vm.getOrElse(m, 0L)
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val phis = chans.map { c =>
+      val b = bit(c)
+      var num = 0L
+      (0L until (1L << k)).foreach { m =>
+        if ((m & b) == 0) {
+          val sz = java.lang.Long.bitCount(m)
+          num += fact(sz) * fact(k - 1 - sz) * (vq(m + b) - vq(m))
+        }
+      }
+      c -> r6(num.toDouble / (fact(k).toDouble * 1e9))
+    }.toMap
+    assert(rows.map(_._1).toSeq == chans.toSeq)
+    rows.foreach { case (c, nu, phi) =>
+      assert(nu == byUser.values.count(_.exists(x =>
+        x._2 == c)).toLong, s"$c n_users")
+      assert(phi == phis(c), s"$c phi=$phi vs ${phis(c)}")
+    }
+    // efficiency: credits sum to v(grand coalition) - v(empty set)
+    val eff = (vq((1L << k) - 1) - vq(0L)).toDouble / 1e9
+    val sumPhi = rows.map(_._3).sum
+    assert(math.abs(sumPhi - eff) < 1e-4,
+      s"sum phi $sumPhi must equal v(full)-v(empty) $eff")
+  }
 }
