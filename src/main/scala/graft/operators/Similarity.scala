@@ -1065,6 +1065,73 @@ object Similarity {
       GROUP BY qlabel
       ORDER BY qlabel"""))
 
+  // --------------------------------------------------------------- q255
+  // SEMANTIC decontamination ([EXT]) — the embedding-space member of the
+  // decontamination family: q105/q112 catch verbatim n-gram overlap with
+  // the eval set, q120 catches containment, but a paraphrased eval
+  // question shares no 5-gram — only its embedding is close. For every
+  // corpus vector, the max cosine against ANY held-out eval vector
+  // (vec_id ≡ 3 mod 97 plays the eval set), reported per label as a
+  // multi-threshold contamination census (≥0.80 / ≥0.90 / ≥0.95) so the
+  // curator picks the cut from evidence instead of tuning a single τ
+  // blind.
+  //
+  // Scale (q105's asymmetric-membership discipline, vector edition): the
+  // eval side BROADCASTS — the corpus is scanned once, scored map-side
+  // with the codegen'd FloatDot, and reduced to one row per corpus
+  // vector by a max aggregate; nothing corpus-sized ever shuffles (the
+  // exchange carries (vec_id, max-cos) pairs). When the eval set
+  // outgrows broadcast, the production escalation is q34's band-bucket
+  // join (LSH on both sides); the threshold census shape is unchanged.
+  private val q255 = QueryDef(
+    "q255_semantic_decontamination",
+    (s, d) => {
+      val e = emb(s, d).withColumn("norm", float_norm(col("embedding")))
+      val evalSet = e.filter(col("vec_id") % 97L === 3L)
+        .select(col("vec_id").as("eid"), col("embedding").as("ea"),
+          col("norm").as("en"))
+      val corpus = e.filter(col("vec_id") % 97L =!= 3L)
+        .select(col("vec_id").as("cid"), col("label"),
+          col("embedding").as("eb"), col("norm").as("cn"))
+      corpus.join(broadcast(evalSet), lit(true))
+        .withColumn("cos", round(float_dot(col("ea"), col("eb")) /
+          (col("en") * col("cn")), 6))
+        .groupBy(col("cid"), col("label"))
+        .agg(max(col("cos")).as("mx"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("mx") >= 0.80, 1L).otherwise(0L)).as("n_80"),
+          sum(when(col("mx") >= 0.90, 1L).otherwise(0L)).as("n_90"),
+          sum(when(col("mx") >= 0.95, 1L).otherwise(0L)).as("n_95"),
+          max(col("mx")).as("max_cos"))
+        .orderBy(col("label"))
+    },
+    Some(s"""
+      WITH $evSql,
+      pairs AS (
+        SELECT c.vec_id AS cid, sum(q.v * c.v) AS dot, q.vec_id AS eid
+        FROM ev q JOIN ev c ON q.i = c.i
+          AND q.vec_id % 97 = 3 AND c.vec_id % 97 <> 3
+        GROUP BY c.vec_id, q.vec_id),
+      mx AS (
+        SELECT cid, max(round(dot / (ne.nrm * nc.nrm), 6)) AS mx
+        FROM pairs
+        JOIN norms ne ON eid = ne.vec_id
+        JOIN norms nc ON cid = nc.vec_id
+        GROUP BY cid),
+      lab AS (SELECT DISTINCT vec_id, label FROM ev)
+      SELECT l.label, count(*) AS n_vecs,
+             CAST(sum(CASE WHEN mx >= 0.80 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_80,
+             CAST(sum(CASE WHEN mx >= 0.90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_90,
+             CAST(sum(CASE WHEN mx >= 0.95 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_95,
+             max(mx) AS max_cos
+      FROM mx JOIN lab l ON l.vec_id = mx.cid
+      GROUP BY l.label
+      ORDER BY l.label"""))
+
   val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q128, q137, q163,
-    q194, q248, q250)
+    q194, q248, q250, q255)
 }
