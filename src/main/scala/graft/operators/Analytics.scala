@@ -3969,10 +3969,92 @@ object Analytics {
       FROM terms t JOIN nus n USING (event_type)
       ORDER BY channel"""))
 
+  // --------------------------------------------------------------- q256
+  // Count-Min INNER-PRODUCT join-size estimation ([EXT], Cormode &
+  // Muthukrishnan §4.2) — the planning-time question "how big would this
+  // join be?" answered from two fixed-size sketches without running the
+  // join: for the supplier-keyed join between the even and odd order
+  // streams (the shard-reconciliation shape), est = min_j Σ_w
+  // cmA[j][w]·cmB[j][w] over depth-4 × width-4096 counter
+  // tables, with the guarantee est ∈ [J, J + εN_A·N_B], ε = e/w. Width
+  // is sized so the random-collision floor N_A·N_B/w sits BELOW the true
+  // J at the bench scale (a 256-wide table measured a 3.8× overestimate
+  // here — pure collision floor; 4096 cells is still a trivial 16k-cell
+  // table). The query reports est against
+  // the EXACT J = Σ_k c_A(k)·c_B(k) — the overestimate observability
+  // check (q159's discipline applied to the binary estimator) that an
+  // optimizer consults before picking a join strategy on skewed keys.
+  //
+  // Scale: each sketch is ONE map-side-combined aggregate into its
+  // cells (16k per sketch; the sketch is a sum — 1000 executors each emit a partial
+  // table, the exchange carries cells, never rows); the inner product
+  // joins 1024-row tables. The exact side exists only as the oracle's
+  // ground truth and shuffles key-sized aggregates — at 100 TB you ship
+  // the sketch path and skip the exact pass; the est/J comparison is
+  // precisely what licenses that.
+  // Buckets are the house portable-hash idiom (md5 hex → 32-bit int mod
+  // w), identical integer arithmetic cross-engine.
+  private val q256 = QueryDef(
+    "q256_cm_join_size",
+    (s, d) => {
+      val base = li(s, d).select(col("l_suppkey").as("k"),
+        (col("l_orderkey") % 2L).as("half"))
+      def cells(h: Long) = base.filter(col("half") === h)
+        .withColumn("j", explode(expr("sequence(0, 3)")))
+        .withColumn("bucket", expr(
+          """CAST(conv(substr(md5(concat('cm', CAST(j AS STRING), ':',
+             CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 4096"""))
+        .groupBy(col("j"), col("bucket"))
+        .agg(count(lit(1)).as(s"n$h"))
+      val est = cells(0L).join(cells(1L), Seq("j", "bucket"))
+        .groupBy(col("j"))
+        .agg(sum(col("n0") * col("n1")).as("ip"))
+        .agg(min(col("ip")).as("cm_est"))
+      def side(h: Long) = base.filter(col("half") === h)
+        .groupBy(col("k")).agg(count(lit(1)).as(s"c$h"))
+      val exact = side(0L).join(side(1L), Seq("k"))
+        .agg(sum(col("c0") * col("c1")).as("join_size"))
+      exact.crossJoin(broadcast(est))
+        .select(col("join_size"), col("cm_est"),
+          (col("cm_est") - col("join_size")).as("overest"),
+          round((col("cm_est") - col("join_size")).cast("double") /
+            col("join_size").cast("double"), 6).as("rel_err"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT l_suppkey AS k, l_orderkey % 2 AS half FROM lineitem),
+      bucketed AS (
+        SELECT half, j.j,
+               ('0x' || substr(md5('cm' || CAST(j.j AS VARCHAR) || ':'
+                 || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 4096 AS bucket
+        FROM base, range(4) AS j(j)),
+      cells AS (
+        SELECT half, j, bucket, CAST(count(*) AS BIGINT) AS n
+        FROM bucketed GROUP BY 1, 2, 3),
+      ip AS (
+        SELECT a.j, CAST(sum(a.n * b.n) AS BIGINT) AS ip
+        FROM cells a JOIN cells b
+          ON a.j = b.j AND a.bucket = b.bucket
+         AND a.half = 0 AND b.half = 1
+        GROUP BY a.j),
+      est AS (SELECT CAST(min(ip) AS BIGINT) AS cm_est FROM ip),
+      sides AS (
+        SELECT k,
+               CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS c0,
+               CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS c1
+        FROM base GROUP BY k),
+      exact AS (
+        SELECT CAST(sum(c0 * c1) AS BIGINT) AS join_size FROM sides
+        WHERE c0 > 0 AND c1 > 0)
+      SELECT join_size, cm_est, cm_est - join_size AS overest,
+             round(CAST(cm_est - join_size AS DOUBLE)
+               / CAST(join_size AS DOUBLE), 6) AS rel_err
+      FROM exact, est"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
-      q235, q239, q240, q241, q242, q243, q244, q245, q254)
+      q235, q239, q240, q241, q242, q243, q244, q245, q254, q256)
 }
