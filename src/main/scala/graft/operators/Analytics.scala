@@ -3969,6 +3969,89 @@ object Analytics {
       FROM terms t JOIN nus n USING (event_type)
       ORDER BY channel"""))
 
+  // --------------------------------------------------------------- q257
+  // Join-key SKEW diagnosis ([EXT]) — the pre-flight report an engineer
+  // (or an advisor rule) runs before shuffling 100 TB on a key: for each
+  // candidate join key of lineitem, the key-distribution shape that
+  // decides between a plain shuffle, AQE skew splitting, and q29's
+  // explicit salting — key cardinality, the heaviest key's share of all
+  // rows, the p99 key mass vs the mean, and the derived salt factor
+  // ceil(max/mean) (1 = no salting needed; q29 applies exactly this).
+  //
+  // One corpus scan serves all three candidates: the key array explodes
+  // 3× into a (key_name, key)-keyed map-side-combined aggregate. All
+  // downstream work is KEY-DOMAIN-sized: the p99 cut runs on the
+  // count-of-counts grid (distinct mass values, q139's two-phase
+  // discipline — never a per-key sort), max/mean/salt are exact integer
+  // arithmetic (ceil as (a+b−1) DIV b), and the report is 3 rows.
+  private val q257 = QueryDef(
+    "q257_skew_profile",
+    (s, d) => {
+      val keyed = li(s, d).select(explode(array(
+          struct(lit("l_orderkey").as("key_name"),
+            col("l_orderkey").as("k")),
+          struct(lit("l_partkey").as("key_name"), col("l_partkey").as("k")),
+          struct(lit("l_suppkey").as("key_name"), col("l_suppkey").as("k"))))
+          .as("e"))
+        .select(col("e.key_name").as("key_name"), col("e.k").as("k"))
+      val perKey = keyed.groupBy(col("key_name"), col("k"))
+        .agg(count(lit(1)).as("c"))
+      val grid = perKey.groupBy(col("key_name"), col("c"))
+        .agg(count(lit(1)).as("nk"))
+      val wCum = Window.partitionBy(col("key_name")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = grid.groupBy(col("key_name"))
+        .agg(sum(col("nk")).as("n_keys"), sum(col("c") * col("nk")).as("n"),
+          max(col("c")).as("max_c"))
+      val p99 = grid
+        .withColumn("cum", sum(col("nk")).over(wCum))
+        .join(broadcast(tot), Seq("key_name"))
+        .filter(col("cum") * 100L >= col("n_keys") * 99L)
+        .groupBy(col("key_name")).agg(min(col("c")).as("p99_c"))
+      tot.join(broadcast(p99), Seq("key_name"))
+        .select(col("key_name"), col("n_keys"), col("max_c"),
+          round(col("max_c").cast("double") / col("n").cast("double"), 6)
+            .as("max_share"),
+          round(col("p99_c").cast("double") * col("n_keys").cast("double") /
+            col("n").cast("double"), 6).as("p99_over_mean"),
+          expr("(max_c * n_keys + n - 1) DIV n").as("salt_factor"))
+        .orderBy(col("key_name"))
+    },
+    Some("""
+      WITH keyed AS (
+        SELECT 'l_orderkey' AS key_name, l_orderkey AS k FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', l_partkey FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey', l_suppkey FROM lineitem),
+      perkey AS (
+        SELECT key_name, k, count(*) AS c FROM keyed GROUP BY 1, 2),
+      grid AS (
+        SELECT key_name, c, count(*) AS nk FROM perkey GROUP BY 1, 2),
+      tot AS (
+        SELECT key_name, CAST(sum(nk) AS BIGINT) AS n_keys,
+               CAST(sum(c * nk) AS BIGINT) AS n,
+               CAST(max(c) AS BIGINT) AS max_c
+        FROM grid GROUP BY 1),
+      cum AS (
+        SELECT key_name, c,
+               sum(nk) OVER (PARTITION BY key_name ORDER BY c
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM grid),
+      p99 AS (
+        SELECT c2.key_name, CAST(min(c2.c) AS BIGINT) AS p99_c
+        FROM cum c2 JOIN tot USING (key_name)
+        WHERE c2.cum * 100 >= tot.n_keys * 99
+        GROUP BY c2.key_name)
+      SELECT t.key_name, t.n_keys, t.max_c,
+             round(CAST(t.max_c AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+               AS max_share,
+             round(CAST(p.p99_c AS DOUBLE) * CAST(t.n_keys AS DOUBLE)
+               / CAST(t.n AS DOUBLE), 6) AS p99_over_mean,
+             (t.max_c * t.n_keys + t.n - 1) // t.n AS salt_factor
+      FROM tot t JOIN p99 p USING (key_name)
+      ORDER BY key_name"""))
+
   // --------------------------------------------------------------- q256
   // Count-Min INNER-PRODUCT join-size estimation ([EXT], Cormode &
   // Muthukrishnan §4.2) — the planning-time question "how big would this
@@ -4056,5 +4139,5 @@ object Analytics {
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
-      q235, q239, q240, q241, q242, q243, q244, q245, q254, q256)
+      q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257)
 }
