@@ -1735,6 +1735,103 @@ object Dedup {
                       (6, 'packed')) AS s(stage, name)
       ORDER BY s.stage"""))
 
+  // --------------------------------------------------------------- q258
+  // MinHash-LSH RECALL evaluation against exact ground truth ([EXT]) —
+  // the sketch-quality observability the similarity family already has
+  // for ANN (q51/q194 recall) applied to the DEDUP sketch: q31's
+  // prefix-filtered pipeline is LOSSLESS at the 0.5 threshold, so its
+  // same-lang pair set IS exact ground truth; q32's banded MinHash is
+  // probabilistic (a pair is found only if some band collides). The
+  // query reports measured recall |found ∩ truth| / |truth| NEXT TO the
+  // banding theory's expected recall E[1 − (1−j²)^8] over the same true
+  // pairs (K=16, 8 bands × 2 rows) — measured ≈ theory is the evidence
+  // that the signature pipeline is healthy; a gap means broken hashing
+  // or hot-bucket capping bit real duplicates. n_extra counts verified
+  // mh pairs outside the same-lang truth (cross-lang near-dups q31's
+  // lang blocking excludes by design).
+  //
+  // Cost/scale: this runs BOTH pipelines (the price of an eval op — at
+  // 100 TB you run it on a sampled slice, the estimator is unbiased per
+  // pair); each pipeline keeps its own scale shape (bucketed candidates,
+  // no all-pairs). The theory term is libm-free: (1−j²)^8 by explicit
+  // squaring chain, quantized to 1e-9 pre-avg (q243 discipline).
+  private val q258 = QueryDef(
+    "q258_lsh_recall_eval",
+    (s, d) => {
+      val mh = minhashPairs(s, d).select(col("da"), col("db"))
+        .withColumn("found", lit(1L))
+      val truth = q31.fn(s, d)
+        .select(col("da"), col("db"), col("jac"))
+      val j = truth.join(mh, Seq("da", "db"), "left")
+        .withColumn("f", coalesce(col("found"), lit(0L)))
+        .withColumn("y", lit(1.0d) - col("jac") * col("jac"))
+        .withColumn("y2", col("y") * col("y"))
+        .withColumn("y4", col("y2") * col("y2"))
+        .withColumn("p9",
+          round(lit(1e9) * (lit(1.0d) - col("y4") * col("y4")))
+            .cast("long"))
+      val base = j.agg(count(lit(1)).as("n_true"),
+        sum(col("f")).as("n_found"), sum(col("p9")).as("sp"))
+      val extra = mh.join(truth.select(col("da"), col("db")),
+          Seq("da", "db"), "left_anti")
+        .agg(count(lit(1)).as("n_extra"))
+      base.crossJoin(broadcast(extra))
+        .select(col("n_true"), col("n_found"),
+          round(col("n_found").cast("double") /
+            col("n_true").cast("double"), 6).as("recall"),
+          round(col("sp").cast("double") /
+            col("n_true").cast("double") / lit(1e9), 6)
+            .as("theory_recall"),
+          col("n_extra"))
+    },
+    Some(s"""
+      WITH $minhashCtes,
+      tshid AS (
+        SELECT DISTINCT doc_id, lang, ${md5IdSql("shingle")} AS shingle
+        FROM sh),
+      tcnt AS (SELECT doc_id, count(*) AS n FROM tshid GROUP BY 1),
+      tinter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+        FROM tshid a JOIN tshid b
+          ON a.shingle = b.shingle AND a.lang = b.lang
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (
+        SELECT da, db,
+               round(CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE),
+                 6) AS jac
+        FROM tinter
+        JOIN tcnt ca ON da = ca.doc_id
+        JOIN tcnt cb ON db = cb.doc_id
+        WHERE CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE) >= 0.5),
+      joined AS (
+        SELECT t.jac,
+               CASE WHEN m.da IS NOT NULL THEN 1 ELSE 0 END AS f,
+               CAST(round(1e9 * (1.0 -
+                 ((1.0 - t.jac * t.jac) * (1.0 - t.jac * t.jac))
+                 * ((1.0 - t.jac * t.jac) * (1.0 - t.jac * t.jac))
+                 * (((1.0 - t.jac * t.jac) * (1.0 - t.jac * t.jac))
+                 * ((1.0 - t.jac * t.jac) * (1.0 - t.jac * t.jac)))))
+                 AS BIGINT) AS p9
+        FROM truth t LEFT JOIN mh_pairs m
+          ON t.da = m.da AND t.db = m.db),
+      base AS (
+        SELECT count(*) AS n_true, CAST(sum(f) AS BIGINT) AS n_found,
+               CAST(sum(p9) AS BIGINT) AS sp
+        FROM joined),
+      extra AS (
+        SELECT count(*) AS n_extra
+        FROM mh_pairs m LEFT JOIN truth t
+          ON t.da = m.da AND t.db = m.db
+        WHERE t.da IS NULL)
+      SELECT n_true, n_found,
+             round(CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+               AS recall,
+             round(CAST(sp AS DOUBLE) / CAST(n_true AS DOUBLE) / 1e9, 6)
+               AS theory_recall,
+             n_extra
+      FROM base, extra"""))
+
   // --------------------------------------------------------------- q247
   // Canonicalized ("fuzzy-exact") dedup ([EXT]) — the cheap middle rung
   // between q30's byte-exact dedup and q32's MinHash: normalize text to
@@ -1803,5 +1900,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154,
-      q161, q205, q210, q213, q247)
+      q161, q205, q210, q213, q247, q258)
 }
