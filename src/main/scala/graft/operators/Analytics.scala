@@ -3969,6 +3969,61 @@ object Analytics {
       FROM terms t JOIN nus n USING (event_type)
       ORDER BY channel"""))
 
+  // --------------------------------------------------------------- q259
+  // Differentially-private count release ([EXT]) — the third member of
+  // the privacy family (q237 k-anonymity audits group sizes, q252
+  // l-diversity audits uniformity; this RELEASES a noised statistic):
+  // per-event-type counts with Laplace(1/ε) noise, ε = 1, sensitivity 1.
+  // Noise is SEEDED — the inverse-CDF transform of an md5-derived
+  // uniform (u from the first 52 md5 bits of 'dp:'+key, noise =
+  // −b·sign(u−½)·ln(1−2|u−½|)) — so the release is reproducible and
+  // oracle-checkable while keeping the exact Laplace marginal a fresh
+  // uniform would give. A production release swaps the md5 seed for a
+  // secret one (same plan, same cost); the true count column is kept
+  // here ONLY because this is the engine-correctness surface — a real
+  // release drops it.
+  //
+  // Scale: one map-side-combined count aggregate; noise is a per-GROUP
+  // projection over |event types| rows. The one libm call (ln) rounds to
+  // 6 decimals immediately (the q216 log2/round-8 precedent — the
+  // rounded value is identical cross-engine, then release = n + noise
+  // is a single correctly-rounded add).
+  private val q259 = QueryDef(
+    "q259_dp_noised_counts",
+    (s, d) => {
+      ev(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_true"))
+        .withColumn("u",
+          (expr("CAST(conv(substr(md5(concat('dp:', event_type)), 1, 13)," +
+            " 16, 10) AS BIGINT)").cast("double") + lit(0.5)) /
+            lit(4503599627370496.0))
+        .withColumn("noise", round(
+          when(col("u") >= 0.5, lit(-1.0)).otherwise(lit(1.0)) *
+            log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5))), 6))
+        .select(col("event_type"), col("n_true"),
+          lit(1.0).as("epsilon"), col("noise"),
+          round(col("n_true").cast("double") + col("noise"), 6)
+            .as("released"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT event_type, count(*) AS n_true FROM events GROUP BY 1),
+      u AS (
+        SELECT event_type, n_true,
+               (CAST(('0x' || substr(md5('dp:' || event_type), 1, 13))
+                  ::BIGINT AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+        FROM g),
+      z AS (
+        SELECT event_type, n_true,
+               round((CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END)
+                 * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise
+        FROM u)
+      SELECT event_type, n_true, CAST(1.0 AS DOUBLE) AS epsilon, noise,
+             round(CAST(n_true AS DOUBLE) + noise, 6) AS released
+      FROM z
+      ORDER BY event_type"""))
+
   // --------------------------------------------------------------- q257
   // Join-key SKEW diagnosis ([EXT]) — the pre-flight report an engineer
   // (or an advisor rule) runs before shuffling 100 TB on a key: for each
@@ -4139,5 +4194,5 @@ object Analytics {
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
-      q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257)
+      q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257, q259)
 }
