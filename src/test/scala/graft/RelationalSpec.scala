@@ -23,8 +23,12 @@ class RelationalSpec extends AnyFunSuite {
 
   test("every registered query plans and executes on sf0.001") {
     // q135 is legitimately empty at sf0.001: only 3 customers lapse after
-    // the 1998-06-01 cutoff and none clears the above-average-balance bar
-    val allowEmpty = Set("q08_anti_join_customers", "q135_lapsed_customers")
+    // the 1998-06-01 cutoff and none clears the above-average-balance bar.
+    // q240 is too: a burst needs >= 2 same-type events in one minute, and
+    // 1000 events over 30 days never collide — bursts (and the overlap
+    // report) appear from sf0.01 up, where the oracle gate hash-checks it.
+    val allowEmpty = Set("q08_anti_join_customers", "q135_lapsed_customers",
+      "q240_interval_overlap_join")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty, s"$name has no columns")
@@ -310,7 +314,7 @@ class RelationalSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q237_k_anonymity")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
       .sortBy(_._1)
-    assert(rows.map(_._1) == Seq(0L, 1L, 2L))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
     // generalizing can only merge groups: group counts must not increase
     assert(rows(0)._2 >= rows(1)._2 && rows(1)._2 >= rows(2)._2)
     // recompute level 1 driver-side
