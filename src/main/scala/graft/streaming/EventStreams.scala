@@ -1222,6 +1222,60 @@ object EventStreams {
       GROUP BY user_id, sid
       ORDER BY user_id, start_ms"""))
 
+  // --------------------------------------------------------------- q260
+  // LEFT SEMI stream–stream join — the existence-check member of the
+  // streaming join matrix (q96 inner, q97 left outer, q200 full outer):
+  // "views that led to a purchase within the hour", emitted AT MOST ONCE
+  // per view no matter how many purchases match — the fan-out-free form
+  // a funnel counter wants (the inner join q96 would multiply a view by
+  // its purchase count). Spark supports leftSemi between two streams
+  // (leftAnti it does not — the documented gap; the batch NOT-EXISTS
+  // q135/q206 family is the engine's answer there). Same interval
+  // condition, watermark-bounded state, and sentinel discipline as q96;
+  // a semi row carries only left-side columns by definition, so the
+  // sink projection is the view side alone.
+  private val q260 = QueryDef(
+    "q260_stream_stream_semi",
+    (s, d) => {
+      val dir = orderedDir(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val views = readStaged(ss, dir)
+        .filter(col("event_type").isin("view", "_sentinel"))
+        .select(col("event_id").as("v_id"), col("ts").as("v_ts"),
+          col("user_id").as("v_uid"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = readStaged(ss, dir)
+        .filter(col("event_type").isin("purchase", "_sentinel"))
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+          col("user_id").as("p_uid"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = views.join(purchases,
+        col("v_uid") === col("p_uid") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+        "leftSemi")
+        .select(col("v_uid").as("user_id"), col("v_id"),
+          unix_timestamp(col("v_ts")).as("v_epoch"))
+      val name = s"graft_stream_${runId.incrementAndGet()}"
+      val q = joined.writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try drain(q) finally q.stop()
+      ss.table(name).filter(col("v_id") =!= -1L)
+        .orderBy(col("user_id"), col("v_id"))
+    },
+    Some("""
+      SELECT v.user_id, v.event_id AS v_id,
+             CAST(epoch_us(v.ts) // 1000000 AS BIGINT) AS v_epoch
+      FROM events v
+      WHERE v.event_type = 'view'
+        AND EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase'
+            AND p.user_id = v.user_id
+            AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+      ORDER BY v.user_id, v_id"""))
+
   // --------------------------------------------------------------- q251
   // CHAINED time-window aggregation (the streaming rollup cascade,
   // Spark 3.4+ multiple-stateful-operator support): 5-minute tumbling
@@ -1290,5 +1344,5 @@ object EventStreams {
 
   val defs: Seq[QueryDef] =
     Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q93, q94, q96, q97,
-      q98, q178, q189, q197, q200, q251)
+      q98, q178, q189, q197, q200, q251, q260)
 }
