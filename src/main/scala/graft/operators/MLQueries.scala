@@ -208,5 +208,56 @@ object MLQueries {
     },
     None)
 
-  val defs: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74, q103, q185)
+  // --------------------------------------------------------------- q261
+  // PERMUTATION feature importance ([EXT]) — the model-agnostic
+  // importance measure (Breiman 2001) that complements the trained
+  // model's internal `featureImportances`: break one feature's
+  // relationship to the label by swapping its values across rows, and
+  // measure the accuracy drop. Internal importances can mislead under
+  // correlated features; the permutation form measures what the model
+  // actually loses.
+  //
+  // Everything is deterministic and distributed: the "permutation" is
+  // the XOR-pair swap vec_id ↔ vec_id^1 — a pure projection + one
+  // equi-join (no global sort, no seeded RNG to reconcile), self-inverse,
+  // and a valid permutation of the id space (odd ids missing a partner
+  // keep their own value — at most one row). Eight probe dims bound the
+  // cost: each scored pass is one broadcast-model transform over the
+  // corpus (8 passes total; a production sweep batches all dims into one
+  // pass by scoring a struct of permuted copies). The per-dim substitute
+  // uses an indexed `transform` lambda in a PROJECTION (not a generator
+  // — the q39 lambda-in-Generate trap does not apply).
+  // No oracle (tree ensembles aren't SQL); rows-only + MLSpec bounds.
+  private val q261 = QueryDef(
+    "q261_ml_permutation_importance",
+    (s, d) => {
+      val df = features(s, d)
+      val m = new LGBMClassifier(LGBMParams(nEstimators = 10, maxDepth = 4))
+        .fit(df, featuresCol = Seq("embedding"), labelCol = "label_bin")
+      def acc(scored: DataFrame): DataFrame =
+        scored.agg((sum(when(col("prediction") === col("label_bin"), 1L)
+          .otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("acc"))
+      val donor = df.select(
+        expr("CAST(vec_id ^ 1 AS BIGINT)").as("vec_id"),
+        col("embedding").as("demb"))
+      val paired = df.join(donor, Seq("vec_id"), "left")
+        .withColumn("demb", coalesce(col("demb"), col("embedding")))
+      val base = acc(m.predict(df, Seq("embedding")))
+        .select(col("acc").as("base_acc"))
+      val perDim = (0 until 8).map { i =>
+        val permuted = paired.withColumn("embp",
+          expr(s"transform(embedding, (x, j) -> IF(j = $i, demb[$i], x))"))
+        acc(m.predict(permuted, Seq("embp")))
+          .select(lit(i.toLong).as("feature_idx"), col("acc").as("perm_acc"))
+      }.reduce(_ unionByName _)
+      perDim.crossJoin(broadcast(base))
+        .select(col("feature_idx"), round(col("base_acc"), 6).as("base_acc"),
+          round(col("perm_acc"), 6).as("perm_acc"),
+          round(col("base_acc") - col("perm_acc"), 6).as("importance"))
+        .orderBy(col("feature_idx"))
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74, q103, q185, q261)
 }

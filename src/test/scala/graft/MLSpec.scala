@@ -384,4 +384,24 @@ class MLSpec extends AnyFunSuite {
       .head.getAs[Double]("accuracy")
     assert(acc > 0.5, s"train accuracy $acc") // random embeddings: weak signal
   }
+
+  test("q261 permutation importance: bounded, deterministic, base matches a refit") {
+    val run1 = SparkEntry.queries("q261_ml_permutation_importance")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(run1.map(_._1).toSeq == (0L until 8L), "one row per probed dim")
+    run1.foreach { case (i, base, perm, imp) =>
+      assert(base >= 0.0 && base <= 1.0 && perm >= 0.0 && perm <= 1.0,
+        s"dim $i accuracies out of range")
+      assert(math.abs(imp - BigDecimal(base - perm).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"dim $i importance must be the accuracy drop")
+    }
+    // seeded fit + XOR-pair permutation => the whole report is a pure
+    // function of the data; a second run must be byte-identical
+    val run2 = SparkEntry.queries("q261_ml_permutation_importance")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(run1.toSeq == run2.toSeq, "permutation importance must be deterministic")
+  }
 }
