@@ -3969,6 +3969,75 @@ object Analytics {
       FROM terms t JOIN nus n USING (event_type)
       ORDER BY channel"""))
 
+  // --------------------------------------------------------------- q262
+  // Link prediction by RESOURCE-ALLOCATION index ([EXT], Zhou et al.
+  // 2009) — "which customer pairs are most likely to connect next",
+  // the graph-native recommendation complement to q188's item-item CF
+  // cosine: RA(a,b) = Σ_{shared part p} 1/deg(p). RA is chosen over
+  // Adamic-Adar DELIBERATELY: AA's 1/ln(deg) drags libm into the score;
+  // RA's 1/deg is an exact integer reciprocal (quantized to 1e-9, summed
+  // as BIGINT) with equal published benchmark standing — the q133
+  // "exact ratio instead of its log" rationale applied to graphs.
+  //
+  // Scale: pair generation is IN-BUCKET per part (sorted member set →
+  // index pairs), never a corpus self-join, and parts with > 64 distinct
+  // buyers are dropped before pairing — the LSH MaxBucket discipline:
+  // a hot part contributes ≤ 1/65 per pair (negligible signal) yet
+  // deg²/2 pairs (the quadratic blowup), so the cap trades vanishing
+  // score mass for bounded work; the cap is mirrored in the oracle so
+  // both engines drop identically. Top-20 is a TakeOrdered heap.
+  private val q262 = QueryDef(
+    "q262_link_prediction_ra",
+    (s, d) => {
+      val bought = li(s, d)
+        .join(Tables.t(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_custkey")), Seq("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct()
+      val deg = bought.groupBy(col("part"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2L && col("deg") <= 64L)
+        .withColumn("wq", round(lit(1e9) / col("deg").cast("double"))
+          .cast("long"))
+      val members = bought.join(deg, Seq("part"))
+        .groupBy(col("part"), col("wq"))
+        .agg(sort_array(collect_set(col("cust"))).as("cs"))
+      val pairs = members
+        .select(col("wq"), col("cs"),
+          explode(expr("sequence(0, size(cs) - 2)")).as("i"))
+        .select(col("wq"), col("cs"), col("i"),
+          explode(expr("sequence(i + 1, size(cs) - 1)")).as("j"))
+        .select(col("cs")(col("i")).as("ca"), col("cs")(col("j")).as("cb"),
+          col("wq"))
+      pairs.groupBy(col("ca"), col("cb"))
+        .agg(count(lit(1)).as("n_common"), sum(col("wq")).as("sw"))
+        .select(col("ca"), col("cb"), col("n_common"),
+          round(col("sw").cast("double") / lit(1e9), 6).as("ra"))
+        .orderBy(col("ra").desc, col("ca"), col("cb"))
+        .limit(20)
+    },
+    Some("""
+      WITH bought AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      deg AS (
+        SELECT part, count(*) AS deg,
+               CAST(round(1e9 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wq
+        FROM bought GROUP BY part
+        HAVING count(*) BETWEEN 2 AND 64),
+      pairs AS (
+        SELECT a.cust AS ca, b.cust AS cb, d.wq
+        FROM bought a
+        JOIN bought b ON a.part = b.part AND a.cust < b.cust
+        JOIN deg d ON d.part = a.part)
+      SELECT ca, cb, count(*) AS n_common,
+             round(CAST(sum(wq) AS BIGINT) / 1e9, 6) AS ra
+      FROM pairs
+      GROUP BY ca, cb
+      ORDER BY ra DESC, ca, cb
+      LIMIT 20"""))
+
   // --------------------------------------------------------------- q259
   // Differentially-private count release ([EXT]) — the third member of
   // the privacy family (q237 k-anonymity audits group sizes, q252
@@ -4194,5 +4263,5 @@ object Analytics {
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
-      q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257, q259)
+      q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257, q259, q262)
 }
