@@ -4204,22 +4204,26 @@ object Analytics {
   private val q256 = QueryDef(
     "q256_cm_join_size",
     (s, d) => {
+      // ONE scan builds BOTH sketches (conditional sums per half share
+      // the (j, bucket) aggregate) and one more builds the exact ground
+      // truth — the first cut ran 4 scans (2 per sketch + 2 exact sides)
       val base = li(s, d).select(col("l_suppkey").as("k"),
         (col("l_orderkey") % 2L).as("half"))
-      def cells(h: Long) = base.filter(col("half") === h)
+      val cells = base
         .withColumn("j", explode(expr("sequence(0, 3)")))
         .withColumn("bucket", expr(
           """CAST(conv(substr(md5(concat('cm', CAST(j AS STRING), ':',
              CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % 4096"""))
         .groupBy(col("j"), col("bucket"))
-        .agg(count(lit(1)).as(s"n$h"))
-      val est = cells(0L).join(cells(1L), Seq("j", "bucket"))
+        .agg(sum(when(col("half") === 0L, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("half") === 1L, 1L).otherwise(0L)).as("n1"))
+      val est = cells
         .groupBy(col("j"))
         .agg(sum(col("n0") * col("n1")).as("ip"))
         .agg(min(col("ip")).as("cm_est"))
-      def side(h: Long) = base.filter(col("half") === h)
-        .groupBy(col("k")).agg(count(lit(1)).as(s"c$h"))
-      val exact = side(0L).join(side(1L), Seq("k"))
+      val exact = base.groupBy(col("k"))
+        .agg(sum(when(col("half") === 0L, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("half") === 1L, 1L).otherwise(0L)).as("c1"))
         .agg(sum(col("c0") * col("c1")).as("join_size"))
       exact.crossJoin(broadcast(est))
         .select(col("join_size"), col("cm_est"),
@@ -4236,14 +4240,13 @@ object Analytics {
                  || CAST(k AS VARCHAR)), 1, 8))::BIGINT % 4096 AS bucket
         FROM base, range(4) AS j(j)),
       cells AS (
-        SELECT half, j, bucket, CAST(count(*) AS BIGINT) AS n
-        FROM bucketed GROUP BY 1, 2, 3),
+        SELECT j, bucket,
+               CAST(count(*) FILTER (WHERE half = 0) AS BIGINT) AS n0,
+               CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS n1
+        FROM bucketed GROUP BY 1, 2),
       ip AS (
-        SELECT a.j, CAST(sum(a.n * b.n) AS BIGINT) AS ip
-        FROM cells a JOIN cells b
-          ON a.j = b.j AND a.bucket = b.bucket
-         AND a.half = 0 AND b.half = 1
-        GROUP BY a.j),
+        SELECT j, CAST(sum(n0 * n1) AS BIGINT) AS ip
+        FROM cells GROUP BY j),
       est AS (SELECT CAST(min(ip) AS BIGINT) AS cm_est FROM ip),
       sides AS (
         SELECT k,
@@ -4251,8 +4254,7 @@ object Analytics {
                CAST(count(*) FILTER (WHERE half = 1) AS BIGINT) AS c1
         FROM base GROUP BY k),
       exact AS (
-        SELECT CAST(sum(c0 * c1) AS BIGINT) AS join_size FROM sides
-        WHERE c0 > 0 AND c1 > 0)
+        SELECT CAST(sum(c0 * c1) AS BIGINT) AS join_size FROM sides)
       SELECT join_size, cm_est, cm_est - join_size AS overest,
              round(CAST(cm_est - join_size AS DOUBLE)
                / CAST(join_size AS DOUBLE), 6) AS rel_err
