@@ -3969,6 +3969,125 @@ object Analytics {
       FROM terms t JOIN nus n USING (event_type)
       ORDER BY channel"""))
 
+  // --------------------------------------------------------------- q263
+  // Difference-in-differences ([EXT]) — the quasi-experimental
+  // estimator for when assignment isn't randomized: effect =
+  // (treat_post − treat_pre) − (ctrl_post − ctrl_pre), with the
+  // parallel-trends premise carried as evidence (the pre-period gap).
+  // Completes the experimentation family: q149 Welch (randomized two-
+  // arm), q241 CUPED (variance reduction), q263 DiD (observational).
+  // Arms by user-id parity, periods by the day-15 calendar split (the
+  // q241 convention); metric = per-user purchase cents. The
+  // interaction-term standard error uses the four cells' exact integer
+  // moments: SE² = Σ_cells var_cell/n_cell (the 2×2 OLS identity).
+  //
+  // Scale: ONE user-keyed aggregate (user × period cents), then one
+  // |cells|-row conditional aggregate — same shape as q241; everything
+  // after runs on 4 rows. All moments are exact BIGINTs; the divisions
+  // mirror the oracle token-for-token (q149 discipline).
+  private val q263 = QueryDef(
+    "q263_did_estimator",
+    (s, d) => {
+      val u = ev(s, d)
+        .select(col("user_id"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+            " AS BIGINT)").as("day"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L)
+            .as("cents"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < 15, col("cents")).otherwise(0L)).as("pre"),
+          sum(when(col("day") >= 15, col("cents")).otherwise(0L)).as("post"))
+        .withColumn("arm", expr("user_id % 2"))
+      val cells = u.select(col("arm"), lit(0L).as("period"),
+          col("pre").as("y"))
+        .unionByName(u.select(col("arm"), lit(1L).as("period"),
+          col("post").as("y")))
+        .groupBy(col("arm"), col("period"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("mean",
+          col("sy").cast("double") / col("n").cast("double") / lit(100.0))
+        .withColumn("varm",
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double") / lit(1e4))
+      val wide = cells.agg(
+        sum(when(col("arm") === 1L && col("period") === 1L, col("mean")))
+          .as("m_t1"),
+        sum(when(col("arm") === 1L && col("period") === 0L, col("mean")))
+          .as("m_t0"),
+        sum(when(col("arm") === 0L && col("period") === 1L, col("mean")))
+          .as("m_c1"),
+        sum(when(col("arm") === 0L && col("period") === 0L, col("mean")))
+          .as("m_c0"),
+        sum(when(col("arm") === 1L && col("period") === 1L,
+          col("varm") / col("n").cast("double"))).as("v_t1"),
+        sum(when(col("arm") === 1L && col("period") === 0L,
+          col("varm") / col("n").cast("double"))).as("v_t0"),
+        sum(when(col("arm") === 0L && col("period") === 1L,
+          col("varm") / col("n").cast("double"))).as("v_c1"),
+        sum(when(col("arm") === 0L && col("period") === 0L,
+          col("varm") / col("n").cast("double"))).as("v_c0"))
+      wide.select(
+        round(col("m_t0") - col("m_c0"), 6).as("pre_gap"),
+        round(col("m_t1") - col("m_c1"), 6).as("post_gap"),
+        round((col("m_t1") - col("m_t0")) - (col("m_c1") - col("m_c0")), 6)
+          .as("did_effect"),
+        round(sqrt(col("v_t1") + col("v_t0") + col("v_c1") + col("v_c0")), 6)
+          .as("se"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(sum(CASE WHEN day < 15 THEN cents ELSE 0 END)
+                 AS BIGINT) AS pre,
+               CAST(sum(CASE WHEN day >= 15 THEN cents ELSE 0 END)
+                 AS BIGINT) AS post
+        FROM (
+          SELECT user_id,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   ::BIGINT AS day,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END AS cents
+          FROM events)
+        GROUP BY 1, 2),
+      cells AS (
+        SELECT arm, period, count(*) AS n,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM (
+          SELECT arm, 0 AS period, pre AS y FROM u
+          UNION ALL
+          SELECT arm, 1 AS period, post AS y FROM u)
+        GROUP BY 1, 2),
+      m AS (
+        SELECT arm, period, n,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean,
+               CAST(n * syy - sy * sy AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE) / 1e4 AS varm
+        FROM cells),
+      wide AS (
+        SELECT
+          sum(CASE WHEN arm = 1 AND period = 1 THEN mean END) AS m_t1,
+          sum(CASE WHEN arm = 1 AND period = 0 THEN mean END) AS m_t0,
+          sum(CASE WHEN arm = 0 AND period = 1 THEN mean END) AS m_c1,
+          sum(CASE WHEN arm = 0 AND period = 0 THEN mean END) AS m_c0,
+          sum(CASE WHEN arm = 1 AND period = 1
+            THEN varm / CAST(n AS DOUBLE) END) AS v_t1,
+          sum(CASE WHEN arm = 1 AND period = 0
+            THEN varm / CAST(n AS DOUBLE) END) AS v_t0,
+          sum(CASE WHEN arm = 0 AND period = 1
+            THEN varm / CAST(n AS DOUBLE) END) AS v_c1,
+          sum(CASE WHEN arm = 0 AND period = 0
+            THEN varm / CAST(n AS DOUBLE) END) AS v_c0
+        FROM m)
+      SELECT round(m_t0 - m_c0, 6) AS pre_gap,
+             round(m_t1 - m_c1, 6) AS post_gap,
+             round((m_t1 - m_t0) - (m_c1 - m_c0), 6) AS did_effect,
+             round(sqrt(v_t1 + v_t0 + v_c1 + v_c0), 6) AS se
+      FROM wide"""))
+
   // --------------------------------------------------------------- q262
   // Link prediction by RESOURCE-ALLOCATION index ([EXT], Zhou et al.
   // 2009) — "which customer pairs are most likely to connect next",
@@ -4265,5 +4384,5 @@ object Analytics {
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
-      q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257, q259, q262)
+      q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257, q259, q262, q263)
 }
