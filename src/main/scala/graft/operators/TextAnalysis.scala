@@ -1660,6 +1660,94 @@ object TextAnalysis {
       GROUP BY source
       ORDER BY source"""))
 
+  // --------------------------------------------------------------- q264
+  // PROXIMITY-ranked retrieval ([EXT]) — the positional-query layer over
+  // q217's positional inverted index: for a two-term query (the top-2
+  // document-frequency tokens — data-derived so every SF has hits), rank
+  // documents containing BOTH terms by their MINIMUM token span. BM25
+  // (q110) is bag-of-words; "terms near each other" is the classic
+  // second-stage signal (phrase/proximity scoring) a retrieval stack
+  // adds next.
+  //
+  // The min-span is computed the SCALE-CORRECT way: merge both terms'
+  // positions into one sorted per-doc array and take the min gap over
+  // ADJACENT entries with different tags — LINEAR in occurrences (the
+  // two-pointer algorithm as a sort + adjacent scan), identical to the
+  // min over the occA×occB cross product the oracle's definition-form
+  // self-join computes; the hash match proves the equivalence. Per-doc
+  // arrays are occurrence-bounded; the only corpus exchange is the
+  // doc-keyed aggregate; the dictionary/top-2 cut is vocab-sized
+  // (q107/q253 discipline); top-20 is a TakeOrdered heap.
+  private val q264 = QueryDef(
+    "q264_proximity_rank",
+    (s, d) => {
+      val tokpos = docs(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("tok"))
+      val dfc = tokpos.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+      val wTop = Window.orderBy(col("dfc").desc, col("tok"))
+      val top2 = dfc.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 2).select(col("tok"), col("rk").cast("long")
+          .as("rk"))
+      val hits = tokpos.join(broadcast(top2), Seq("tok"))
+      val perdoc = hits.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("rk")))).as("arr"),
+          sum(when(col("rk") === 1L, 1L).otherwise(0L)).as("tf_a"),
+          sum(when(col("rk") === 2L, 1L).otherwise(0L)).as("tf_b"))
+        .filter(col("tf_a") > 0L && col("tf_b") > 0L)
+      perdoc
+        .select(col("doc_id"), col("tf_a"), col("tf_b"), col("arr"),
+          explode(expr("sequence(0, size(arr) - 2)")).as("i"))
+        .filter(col("arr")(col("i")).getField("rk") =!=
+          col("arr")(col("i") + 1).getField("rk"))
+        .select(col("doc_id"), col("tf_a"), col("tf_b"),
+          (col("arr")(col("i") + 1).getField("pos") -
+            col("arr")(col("i")).getField("pos")).as("span"))
+        .groupBy(col("doc_id"), col("tf_a"), col("tf_b"))
+        .agg(min(col("span")).as("min_span"))
+        .select(col("doc_id"), col("tf_a"), col("tf_b"), col("min_span"),
+          round(lit(1.0) / (lit(1L) + col("min_span")).cast("double"), 6)
+            .as("prox_score"))
+        .orderBy(col("min_span"), col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH tokpos AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+        FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u),
+      dfc AS (
+        SELECT tok, count(*) AS dfc FROM (
+          SELECT DISTINCT doc_id, tok FROM tokpos) GROUP BY 1),
+      top2 AS (
+        SELECT tok, CAST(rk AS BIGINT) AS rk FROM (
+          SELECT tok, row_number() OVER (ORDER BY dfc DESC, tok) AS rk
+          FROM dfc) t
+        WHERE rk <= 2),
+      hits AS (
+        SELECT doc_id, pos, rk FROM tokpos JOIN top2 USING (tok)),
+      tf AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS tf_a,
+               CAST(sum(CASE WHEN rk = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS tf_b
+        FROM hits GROUP BY 1),
+      spans AS (
+        SELECT a.doc_id, CAST(min(abs(a.pos - b.pos)) AS BIGINT)
+                 AS min_span
+        FROM hits a JOIN hits b
+          ON a.doc_id = b.doc_id AND a.rk = 1 AND b.rk = 2
+        GROUP BY 1)
+      SELECT s.doc_id, tf.tf_a, tf.tf_b, s.min_span,
+             round(1.0 / CAST(1 + s.min_span AS DOUBLE), 6) AS prox_score
+      FROM spans s JOIN tf USING (doc_id)
+      WHERE tf.tf_a > 0 AND tf.tf_b > 0
+      ORDER BY s.min_span, s.doc_id
+      LIMIT 20"""))
+
   // --------------------------------------------------------------- q253
   // Distinctive terms per source — smoothed odds-ratio keyness (the
   // log-odds-ratio report of Monroe et al. with the log dropped): for
@@ -1734,5 +1822,5 @@ object TextAnalysis {
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
       q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228,
-      q233, q236, q253)
+      q233, q236, q253, q264)
 }
