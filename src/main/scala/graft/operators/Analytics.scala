@@ -3969,6 +3969,96 @@ object Analytics {
       FROM terms t JOIN nus n USING (event_type)
       ORDER BY channel"""))
 
+  // --------------------------------------------------------------- q265
+  // Autocorrelation function of the daily purchase series, lags 1–7
+  // ([EXT]) — the time-series diagnostic that complements q221's trend
+  // test and q226's changepoint detector: a spike at lag 7 is weekly
+  // seasonality (q165's profile seen through the correlogram), slow
+  // decay is drift. ACF(k) = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)², both
+  // sums over the DAY GRID (the series is the per-day aggregate — 30
+  // rows at any corpus size; the corpus is touched once by the day
+  // aggregate).
+  //
+  // Exactness: per-day cents totals are exact BIGINTs; centering would
+  // leave fractions, so both sums expand to integer co-moments — the
+  // numerator Σx_t·x_{t+k} − x̄(Σx_t + Σx_{t+k}) + n_k·x̄² uses the
+  // grand mean x̄ as an exact ratio carried symbolically: multiply
+  // through by n² so every term is an exact BIGINT product (day totals
+  // ≤ 1e10 cents at sf0.1; squared × 30 days ≲ 1e22 — OVER the BIGINT
+  // envelope at sf1, so terms carry in DOUBLE from exact integer
+  // operands, q149's discipline: correctly-rounded, fixed-order).
+  // The lag join is a 30-row self-join on the grid.
+  private val q265 = QueryDef(
+    "q265_acf_daily",
+    (s, d) => {
+      val day = ev(s, d).filter(col("event_type") === "purchase")
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+          " AS BIGINT)").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as("x"))
+      val tot = day.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      val lags = day.select(col("day"), col("x"))
+        .join(day.select((col("day") - 1L).as("day"), col("x").as("x1")),
+          Seq("day"), "inner").select(lit(1L).as("lag"), col("x"), col("x1"))
+      val allLags = (2 to 7).foldLeft(lags) { (acc, k) =>
+        acc.unionByName(day.select(col("day"), col("x"))
+          .join(day.select((col("day") - k.toLong).as("day"),
+            col("x").as("x1")), Seq("day"), "inner")
+          .select(lit(k.toLong).as("lag"), col("x"), col("x1")))
+      }
+      allLags.groupBy(col("lag"))
+        .agg(count(lit(1)).as("nk"), sum(col("x")).as("sa"),
+          sum(col("x1")).as("sb"), sum(col("x") * col("x1")).as("sab"))
+        .crossJoin(broadcast(tot))
+        .withColumn("mean", col("sx").cast("double") / col("n").cast("double"))
+        .withColumn("num",
+          col("sab").cast("double") -
+            col("mean") * (col("sa") + col("sb")).cast("double") +
+            col("nk").cast("double") * col("mean") * col("mean"))
+        .withColumn("den",
+          col("sxx").cast("double") -
+            col("n").cast("double") * col("mean") * col("mean"))
+        .select(col("lag"), col("nk"),
+          round(col("num") / col("den"), 6).as("acf"))
+        .orderBy(col("lag"))
+    },
+    Some("""
+      WITH day AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 ::BIGINT AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1),
+      tot AS (
+        SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM day),
+      lags AS (
+        SELECT k.k AS lag, a.x AS x, b.x AS x1
+        FROM range(1, 8) AS k(k)
+        JOIN day a ON TRUE
+        JOIN day b ON b.day = a.day + k.k),
+      agg AS (
+        SELECT lag, count(*) AS nk, CAST(sum(x) AS BIGINT) AS sa,
+               CAST(sum(x1) AS BIGINT) AS sb,
+               CAST(sum(x * x1) AS BIGINT) AS sab
+        FROM lags GROUP BY 1)
+      SELECT lag, nk,
+             round((CAST(sab AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                      * CAST(sa + sb AS DOUBLE)
+                    + CAST(nk AS DOUBLE)
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                   / (CAST(sxx AS DOUBLE)
+                      - CAST(n AS DOUBLE)
+                        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+               AS acf
+      FROM agg, tot
+      ORDER BY lag"""))
+
   // --------------------------------------------------------------- q263
   // Difference-in-differences ([EXT]) — the quasi-experimental
   // estimator for when assignment isn't randomized: effect =
@@ -4384,5 +4474,5 @@ object Analytics {
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
-      q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257, q259, q262, q263)
+      q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257, q259, q262, q263, q265)
 }
