@@ -1132,6 +1132,129 @@ object Similarity {
       GROUP BY l.label
       ORDER BY l.label"""))
 
+  // --------------------------------------------------------------- q266
+  // k-CENTER GREEDY coreset selection ([EXT], farthest-point sampling —
+  // the 2-approximation of Gonzalez 1985, the diversity-sampling pass
+  // SemDeDup-style curation runs AFTER dedup: pick K points that COVER
+  // the embedding space, maximizing the minimum pairwise spread; the
+  // per-round coverage radius sequence (monotone non-increasing) is the
+  // "how much diversity is left" curve a curator reads to choose K).
+  // K = 8 declared; seed = min vec_id (deterministic).
+  //
+  // Each round is ONE corpus pass against the single NEW center
+  // (broadcast 1-row): cosine distance via codegen'd FloatDot rounded to
+  // the 1e-6 grid, running min-distance folded with `least` (never
+  // recomputed against the whole center set), argmax as the house
+  // packed-int64 HASH aggregate (dist in the high bits, bitwise-NOT'd
+  // vec_id in the low 40 so ties break to the SMALLEST id under integer
+  // max — no SortAggregate, no window). The selection recursion is
+  // localCheckpoint'd per round (q35 discipline: plan stays O(1) in K).
+  // The oracle unrolls the same K−1 rounds as generated CTEs — same
+  // grid, same packing, byte-identical selections.
+  private val CoresetK = 8
+  private val q266 = QueryDef(
+    "q266_coreset_kcenter",
+    (s, d) => {
+      val e = emb(s, d).withColumn("norm", float_norm(col("embedding")))
+        .select(col("vec_id"), col("embedding"), col("norm"))
+        .localCheckpoint()
+      val seed = e.agg(min(col("vec_id")).as("cid"))
+      def distToCenter(cent: DataFrame): DataFrame =
+        e.crossJoin(broadcast(cent
+            .join(e.select(col("vec_id").as("cid"),
+              col("embedding").as("ce"), col("norm").as("cn")), Seq("cid"))))
+          .select(col("vec_id"), col("embedding"), col("norm"),
+            (lit(1000000L) - round(float_dot(col("embedding"), col("ce")) /
+              (col("norm") * col("cn")) * 1e6).cast("long")).as("d6"))
+      // state: per-vec running min distance to the selected set
+      var md = distToCenter(seed)
+        .select(col("vec_id"), col("embedding"), col("norm"),
+          col("d6").as("md6"))
+        .localCheckpoint()
+      val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      // seed "radius" = 2.0, the max cosine distance — nothing is covered
+      // before the first center; keeps the column non-null for the gate
+      picks += seed.select(lit(1L).as("round"), col("cid"),
+        lit(2000000L).as("radius6"))
+      for (k <- 2 to CoresetK) {
+        val pick = md.agg(max(col("md6") * lit(1099511627776L) +
+            (lit(1099511627775L) - col("vec_id"))).as("p"))
+          .select(lit(k.toLong).as("round"),
+            (lit(1099511627775L) - col("p") % lit(1099511627776L)).as("cid"),
+            expr("p DIV 1099511627776").as("radius6"))
+          .localCheckpoint()
+        picks += pick
+        if (k < CoresetK) {
+          md = distToCenter(pick.select(col("cid")))
+            .join(md.select(col("vec_id"), col("md6")), Seq("vec_id"))
+            .select(col("vec_id"), col("embedding"), col("norm"),
+              least(col("md6"), col("d6")).as("md6"))
+            .localCheckpoint()
+        }
+      }
+      picks.reduce(_ unionByName _)
+        .select(col("round"), col("cid"),
+          round(col("radius6").cast("double") / lit(1e6), 6).as("radius"))
+        .orderBy(col("round"))
+    },
+    Some {
+      val rounds = (2 to CoresetK).map { k =>
+        val prev = k - 1
+        val mdDef =
+          if (k == 2)
+            s"""md2 AS MATERIALIZED (
+        SELECT e.vec_id, d.d6 AS md6 FROM base e
+        JOIN dist1 d ON d.vec_id = e.vec_id)"""
+          else
+            s"""dist$prev AS MATERIALIZED (
+        SELECT s.vec_id,
+               1000000 - CAST(round(s.dot
+                 / (n1.nrm * (SELECT nrm FROM norms
+                              WHERE vec_id = (SELECT cid FROM pick$prev)))
+                 * 1e6) AS BIGINT) AS d6
+        FROM (SELECT a.vec_id, sum(a.v * b.v) AS dot
+              FROM ev a JOIN ev b ON a.i = b.i
+               AND b.vec_id = (SELECT cid FROM pick$prev)
+              GROUP BY a.vec_id) s
+        JOIN norms n1 ON n1.vec_id = s.vec_id),
+      md$k AS MATERIALIZED (
+        SELECT m.vec_id, least(m.md6, d.d6) AS md6
+        FROM md$prev m JOIN dist$prev d ON d.vec_id = m.vec_id)"""
+        s"""$mdDef,
+      pick$k AS MATERIALIZED (
+        SELECT 1099511627775 - (max(md6 * 1099511627776
+                 + (1099511627775 - vec_id)) % 1099511627776) AS cid,
+               max(md6 * 1099511627776 + (1099511627775 - vec_id))
+                 // 1099511627776 AS radius6
+        FROM md$k)"""
+      }.mkString(",\n      ")
+      val sel = (2 to CoresetK).map(k =>
+        s"SELECT $k AS round, cid, radius6 FROM pick$k")
+        .mkString("\n      UNION ALL ")
+      s"""
+      WITH $evSql,
+      base AS (SELECT DISTINCT vec_id FROM ev),
+      seed AS MATERIALIZED (SELECT min(vec_id) AS cid FROM base),
+      dist1 AS MATERIALIZED (
+        SELECT s.vec_id,
+               1000000 - CAST(round(s.dot
+                 / (n1.nrm * (SELECT nrm FROM norms
+                              WHERE vec_id = (SELECT cid FROM seed)))
+                 * 1e6) AS BIGINT) AS d6
+        FROM (SELECT a.vec_id, sum(a.v * b.v) AS dot
+              FROM ev a JOIN ev b ON a.i = b.i
+               AND b.vec_id = (SELECT cid FROM seed)
+              GROUP BY a.vec_id) s
+        JOIN norms n1 ON n1.vec_id = s.vec_id),
+      $rounds
+      SELECT CAST(round AS BIGINT) AS round, cid,
+             round(CAST(radius6 AS DOUBLE) / 1e6, 6) AS radius
+      FROM (
+      SELECT 1 AS round, cid, 2000000 AS radius6 FROM seed
+      UNION ALL $sel)
+      ORDER BY round"""
+    })
+
   val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q128, q137, q163,
-    q194, q248, q250, q255)
+    q194, q248, q250, q255, q266)
 }
