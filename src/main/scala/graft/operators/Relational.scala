@@ -3436,6 +3436,128 @@ object Relational {
       GROUP BY 1, 2, 3
       ORDER BY 1, 2, 3"""))
 
+  // --------------------------------------------------------------- q267
+  // GROUP BY ALL / ORDER BY ALL surface (§2.C5 breadth) — the
+  // DuckDB-originated shorthand Spark 4 adopted: every non-aggregate
+  // select item becomes a grouping key, every select item an order key.
+  // Exercised through the SQL entry surface (q61's path) because the
+  // feature IS syntax — the resolved plan is identical to the explicit
+  // GROUP BY, which is what the hash match proves.
+  private val q267 = QueryDef(
+    "q267_group_by_all",
+    (s, d) => {
+      ord(s, d).createOrReplaceTempView("orders_q267")
+      s.sql(s"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               ${"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 1e2"} AS total
+        FROM orders_q267
+        GROUP BY ALL
+        ORDER BY ALL""")
+    },
+    Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 1e2 AS total
+      FROM orders
+      GROUP BY ALL
+      ORDER BY ALL"""))
+
+  // --------------------------------------------------------------- q268
+  // NULL-SAFE equality join (§2.C1 null-semantics breadth, beside
+  // q206's NOT IN matrix): plain `=` drops NULL keys from an equi-join
+  // silently (NULL = NULL is UNKNOWN); the null-safe operator — Spark
+  // `<=>`, ANSI/DuckDB `IS NOT DISTINCT FROM` — matches NULL with NULL.
+  // Exercised on a derived nullable key (orders priority digit, nulled
+  // for 'F' statuses) self-joined against its distinct dimension: the
+  // NULL group survives with match_kind = 'null_bucket'. The physical
+  // point: Spark plans `<=>` as a HASH join (EqualNullSafe is an
+  // equi-key), not a nested loop — null-safety costs nothing at scale.
+  private val q268 = QueryDef(
+    "q268_null_safe_join",
+    (s, d) => {
+      val o = ord(s, d).select(
+        when(col("o_orderstatus") === "F", lit(null).cast("string"))
+          .otherwise(substring(col("o_orderpriority"), 1, 1)).as("pk"),
+        col("o_orderkey")).as("o")
+      val dim = o.select(col("pk")).distinct()
+        .withColumn("match_kind",
+          when(col("pk").isNull, "null_bucket").otherwise("keyed"))
+        .withColumnRenamed("pk", "dpk").as("dim")
+      o.join(dim, col("o.pk") <=> col("dim.dpk"))
+        .groupBy(col("dim.dpk").as("pk"), col("match_kind"))
+        .agg(count(lit(1)).as("n_orders"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("match_kind"), col("pk"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN NULL
+                    ELSE substr(o_orderpriority, 1, 1) END AS pk,
+               o_orderkey
+        FROM orders),
+      dim AS (
+        SELECT pk,
+               CASE WHEN pk IS NULL THEN 'null_bucket'
+                    ELSE 'keyed' END AS match_kind
+        FROM (SELECT DISTINCT pk FROM o))
+      SELECT dim.pk AS pk, dim.match_kind, count(*) AS n_orders,
+             CAST(max(o.o_orderkey) AS BIGINT) AS max_key
+      FROM o JOIN dim ON o.pk IS NOT DISTINCT FROM dim.pk
+      GROUP BY dim.pk, dim.match_kind
+      ORDER BY match_kind, dim.pk"""))
+
+  // --------------------------------------------------------------- q269
+  // Array-function sweep (§2.C5 breadth): the `array<T>` manipulation
+  // surface a pipeline touches between explode and aggregate —
+  // construction (split), dedup (array_distinct), set algebra
+  // (array_union/intersect/except on a derived array), membership
+  // (array_contains/position), reshaping (slice, flatten, reverse),
+  // higher-order filter, and zip_with — each mirrored onto DuckDB's
+  // list_* family. All per-row projections (codegen'd; the lambda
+  // functions are in PROJECTIONS, not generators — the q39 trap does
+  // not apply); one doc-keyed presentation sort.
+  private val q269 = QueryDef(
+    "q269_array_fns",
+    (s, d) => {
+      docs(s, d).filter(col("doc_id") % 97L === 11L)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 9) // zip_with window needs 9 tokens
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+          size(array_intersect(slice(col("toks"), 1, 20),
+            slice(col("toks"), 11, 20))).cast("long").as("n_overlap"),
+          array_contains(col("toks"), col("toks")(0)).as("has_first"),
+          array_position(col("toks"), col("toks")(0)).cast("long")
+            .as("first_pos"),
+          size(expr("filter(toks, t -> length(t) >= 6)")).cast("long")
+            .as("n_long"),
+          expr("array_join(reverse(slice(toks, 1, 3)), '-')").as("rev3"),
+          expr("aggregate(zip_with(transform(slice(toks, 1, 8), t -> length(t))," +
+            " transform(slice(toks, 2, 8), t -> length(t))," +
+            " (a, b) -> abs(a - b)), 0L, (acc, x) -> acc + CAST(x AS BIGINT))")
+            .as("len_jitter"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_toks,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+             CAST(len(list_intersect(list_distinct(toks[1:20]),
+               list_distinct(toks[11:30]))) AS BIGINT) AS n_overlap,
+             list_contains(toks, toks[1]) AS has_first,
+             CAST(list_position(toks, toks[1]) AS BIGINT) AS first_pos,
+             CAST(len(list_filter(toks, t -> length(t) >= 6)) AS BIGINT)
+               AS n_long,
+             array_to_string(list_reverse(toks[1:3]), '-') AS rev3,
+             CAST(list_sum(list_transform(range(1, 9),
+               i -> abs(length(toks[i]) - length(toks[i + 1]))))
+               AS BIGINT) AS len_jitter
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE doc_id % 97 = 11)
+      WHERE len(toks) >= 9
+      ORDER BY doc_id"""))
+
   // --------------------------------------------------------------- q252
   // l-diversity audit ([EXT]) — q237's k-anonymity asks "is any
   // quasi-identifier group too SMALL?"; this asks the complementary
@@ -3666,5 +3788,5 @@ object Relational {
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
     q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208, q211,
-    q212, q216, q223, q224, q231, q234, q237, q246, q249, q252)
+    q212, q216, q223, q224, q231, q234, q237, q246, q249, q252, q267, q268, q269)
 }
