@@ -761,4 +761,23 @@ class PlanSpec extends AnyFunSuite {
       l.contains("Exchange") && !l.contains("Broadcast")),
       "no shuffle expected before the top-k heap")
   }
+
+  test("q268: null-safe equality plans a HASH join, never a nested loop") {
+    val p = planOf("q268_null_safe_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "EqualNullSafe is an equi-key — a nested-loop plan would be the 100 TB killer")
+    assert(p.contains("HashJoin"),
+      s"expected a hash join on the null-safe key in:\n$p")
+  }
+
+  test("q255: eval side broadcasts; corpus embeddings never reach an exchange") {
+    val p = planOf("q255_semantic_decontamination")
+    assert(p.contains("BroadcastExchange"), "eval slice must broadcast")
+    // the only rows shuffled are the (cid, label, max-cos) aggregates —
+    // the embedding payload must be projected away before any Exchange
+    val shuffleLines = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffleLines.nonEmpty && !shuffleLines.exists(_.contains("embedding")),
+      s"no embedding column may cross a shuffle:\n${shuffleLines.mkString("\n")}")
+  }
 }
