@@ -1832,6 +1832,96 @@ object Dedup {
              n_extra
       FROM base, extra"""))
 
+  // --------------------------------------------------------------- q270
+  // CONTENT-DEFINED chunking dedup ([EXT], the CDC/rsync/restic idea
+  // applied to text): q122's passage dedup cuts FIXED 10-token windows,
+  // so inserting one token near the top of a copied document shifts
+  // every later window boundary and the copy stops deduplicating. CDC
+  // cuts where the CONTENT says so — a chunk ends after any token whose
+  // content hash ≡ 0 mod 16 (expected chunk ≈ 16 tokens) — so identical
+  // passages chunk identically no matter where they sit in the host
+  // document: the shift-resistant form of passage-level dedup. The
+  // report: global chunk count, distinct chunks, the duplicated-token
+  // mass (what chunk-level dedup would save), and mean chunk length.
+  //
+  // Scale: the boundary flag is a pure per-token projection (house md5
+  // idiom); chunk ids are a PER-DOC running sum (window partitioned by
+  // doc_id — partitions are document-sized, never corpus-sized); chunk
+  // text re-assembles in the same doc-keyed aggregate (listagg WITHIN
+  // GROUP, q217's idiom) and is immediately reduced to md5+len (q30's
+  // hash-first contract) — the only global exchange carries ~50-byte
+  // chunk-identity rows into one map-side-combined aggregate.
+  private val q270 = QueryDef(
+    "q270_cdc_chunk_dedup",
+    (s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("w"))
+        .withColumn("b",
+          (expr("CAST(conv(substr(md5(concat('cdc:', w)), 1, 8), 16, 10)" +
+            " AS BIGINT)") % 16L === 0L).cast("long"))
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val chunks = tok
+        .withColumn("chunk", coalesce(sum(col("b")).over(wDoc), lit(0L)))
+        .groupBy(col("doc_id"), col("chunk"))
+        .agg(count(lit(1)).as("n_toks"),
+          expr("listagg(w, ' ') WITHIN GROUP (ORDER BY pos)").as("ctext"))
+        .select(col("n_toks"), md5(col("ctext").cast("binary")).as("h"),
+          length(col("ctext")).as("clen"))
+      val perChunk = chunks.groupBy(col("h"), col("clen"))
+        .agg(count(lit(1)).as("occ"), max(col("n_toks")).as("n_toks"))
+      perChunk.agg(
+          sum(col("occ")).as("n_chunks"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("occ") * col("n_toks")).as("toks_total"),
+          sum((col("occ") - 1L) * col("n_toks")).as("toks_dup"))
+        .select(col("n_chunks"), col("n_distinct"),
+          col("toks_total"), col("toks_dup"),
+          round(col("toks_dup").cast("double") /
+            col("toks_total").cast("double"), 6).as("dup_ratio"),
+          round(col("toks_total").cast("double") /
+            col("n_chunks").cast("double"), 6).as("mean_chunk_toks"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+        LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u),
+      b AS (
+        SELECT doc_id, pos, w,
+               CASE WHEN ('0x' || substr(md5('cdc:' || w), 1, 8))::BIGINT
+                 % 16 = 0 THEN 1 ELSE 0 END AS b
+        FROM tok),
+      ch AS (
+        SELECT doc_id, pos, w,
+               coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS chunk
+        FROM b),
+      chunks AS (
+        SELECT count(*) AS n_toks,
+               md5(string_agg(w, ' ' ORDER BY pos)) AS h,
+               length(string_agg(w, ' ' ORDER BY pos)) AS clen
+        FROM ch GROUP BY doc_id, chunk),
+      pc AS (
+        SELECT h, clen, count(*) AS occ,
+               CAST(max(n_toks) AS BIGINT) AS n_toks
+        FROM chunks GROUP BY h, clen)
+      SELECT CAST(sum(occ) AS BIGINT) AS n_chunks,
+             count(*) AS n_distinct,
+             CAST(sum(occ * n_toks) AS BIGINT) AS toks_total,
+             CAST(sum((occ - 1) * n_toks) AS BIGINT) AS toks_dup,
+             round(CAST(sum((occ - 1) * n_toks) AS DOUBLE)
+               / CAST(sum(occ * n_toks) AS DOUBLE), 6) AS dup_ratio,
+             round(CAST(sum(occ * n_toks) AS DOUBLE)
+               / CAST(sum(occ) AS DOUBLE), 6) AS mean_chunk_toks
+      FROM pc"""))
+
   // --------------------------------------------------------------- q247
   // Canonicalized ("fuzzy-exact") dedup ([EXT]) — the cheap middle rung
   // between q30's byte-exact dedup and q32's MinHash: normalize text to
@@ -1900,5 +1990,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154,
-      q161, q205, q210, q213, q247, q258)
+      q161, q205, q210, q213, q247, q258, q270)
 }
