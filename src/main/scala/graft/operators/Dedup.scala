@@ -1851,27 +1851,36 @@ object Dedup {
   // GROUP, q217's idiom) and is immediately reduced to md5+len (q30's
   // hash-first contract) — the only global exchange carries ~50-byte
   // chunk-identity rows into one map-side-combined aggregate.
+  /** CDC chunk identities for any (doc_id, text) frame: per-doc
+    * content-defined chunks reduced to (doc_id, n_toks, h, clen) —
+    * package-visible so DedupSpec can plant a shifted copy and pin the
+    * shift-resistance claim the scaladoc makes. */
+  private[graft] def cdcChunks(d0: DataFrame): DataFrame = {
+    val tok = d0
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("w"))
+      .withColumn("b",
+        (expr("CAST(conv(substr(md5(concat('cdc:', w)), 1, 8), 16, 10)" +
+          " AS BIGINT)") % 16L === 0L).cast("long"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    tok
+      .withColumn("chunk", coalesce(sum(col("b")).over(wDoc), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("n_toks"),
+        expr("listagg(w, ' ') WITHIN GROUP (ORDER BY pos)").as("ctext"))
+      .select(col("doc_id"), col("n_toks"),
+        md5(col("ctext").cast("binary")).as("h"),
+        length(col("ctext")).as("clen"))
+  }
+
   private val q270 = QueryDef(
     "q270_cdc_chunk_dedup",
     (s, d) => {
-      val tok = docs(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          col("col").as("w"))
-        .withColumn("b",
-          (expr("CAST(conv(substr(md5(concat('cdc:', w)), 1, 8), 16, 10)" +
-            " AS BIGINT)") % 16L === 0L).cast("long"))
-      val wDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, -1)
-      val chunks = tok
-        .withColumn("chunk", coalesce(sum(col("b")).over(wDoc), lit(0L)))
-        .groupBy(col("doc_id"), col("chunk"))
-        .agg(count(lit(1)).as("n_toks"),
-          expr("listagg(w, ' ') WITHIN GROUP (ORDER BY pos)").as("ctext"))
-        .select(col("n_toks"), md5(col("ctext").cast("binary")).as("h"),
-          length(col("ctext")).as("clen"))
+      val chunks = cdcChunks(docs(s, d))
       val perChunk = chunks.groupBy(col("h"), col("clen"))
         .agg(count(lit(1)).as("occ"), max(col("n_toks")).as("n_toks"))
       perChunk.agg(

@@ -317,4 +317,30 @@ class DedupSpec extends AnyFunSuite {
     assert(perFile.toSeq == oneShot.toSeq,
       "verdicts depend on micro-batch chunking")
   }
+
+  test("q270 CDC chunks are shift-resistant; fixed windows are not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc 2 = doc 1 with ONE token prepended: content-defined boundaries
+    // re-align immediately, fixed 10-token windows never do
+    val words = (1 to 400).map(i => s"w${(i * 7919) % 997}")
+    val orig = words.mkString(" ")
+    val shifted = ("zzz " + orig)
+    val df = Seq((1L, orig), (2L, shifted)).toDF("doc_id", "text")
+    val ch = graft.operators.Dedup.cdcChunks(df)
+      .select(col("doc_id"), col("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val h1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = ch.filter(_._1 == 2L).map(_._2).toSet
+    val shared = h1.intersect(h2).size.toDouble / h1.size.toDouble
+    assert(shared > 0.8,
+      s"CDC must re-align after an insertion: only ${100 * shared}%% shared")
+    // the fixed-window formulation on the same pair: every 10-token
+    // window after the insertion point is offset by one => ~zero overlap
+    def fixedWindows(text: String): Set[String] =
+      text.split(" ").grouped(10).map(_.mkString(" ")).toSet
+    val fShared = fixedWindows(orig).intersect(fixedWindows(shifted)).size
+    assert(fShared == 0,
+      "fixture must be one where fixed windows fail completely")
+  }
 }
