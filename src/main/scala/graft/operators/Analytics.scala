@@ -3969,6 +3969,77 @@ object Analytics {
       FROM terms t JOIN nus n USING (event_type)
       ORDER BY channel"""))
 
+  // --------------------------------------------------------------- q271
+  // 1-D DENSITY clustering, DBSCAN-style, over the purchase-value domain
+  // ([EXT]) — find the "price points": $1 bins with ≥ minPts purchases
+  // are core bins; core bins within eps = 2 bins of each other merge
+  // into one cluster (the classic gaps-and-islands collapse); border
+  // mass (non-core bins adjacent to a cluster) attaches to it. The
+  // density segmentation a pricing/fraud dashboard runs on any 1-D
+  // metric — and the grid formulation IS the scale story: every step
+  // after the one corpus aggregate runs on the VALUE-DOMAIN bin grid
+  // (≤ distinct dollar values), so N never appears again. minPts scales
+  // with corpus mass (0.2% of purchases) so the report is stable across
+  // SFs.
+  //
+  // Exactness: bins by integer DIV on the cents grid; the island id is
+  // a running sum over the bin grid ordered by bin (grid-sized window,
+  // q242's discipline); all outputs exact integers except the two
+  // rounded ratio columns.
+  private val q271 = QueryDef(
+    "q271_density_clusters_1d",
+    (s, d) => {
+      val p = ev(s, d).filter(col("event_type") === "purchase")
+        .select(expr("CAST(round(value * 100) AS BIGINT) DIV 100").as("bin"))
+      val bins = p.groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      val tot = bins.agg(sum(col("n")).as("np"))
+      val core = bins.crossJoin(broadcast(tot))
+        .filter(col("n") * 500L >= col("np")) // minPts = 0.2% of purchases
+        .select(col("bin"), col("n"))
+      val wBin = Window.orderBy(col("bin"))
+      val isl = core
+        .withColumn("prev", lag(col("bin"), 1).over(wBin))
+        .withColumn("brk",
+          when(col("prev").isNull || col("bin") - col("prev") > 2L, 1L)
+            .otherwise(0L))
+        .withColumn("cluster",
+          sum(col("brk")).over(wBin.rowsBetween(Window.unboundedPreceding, 0)))
+      isl.groupBy(col("cluster"))
+        .agg(min(col("bin")).as("bin_lo"), max(col("bin")).as("bin_hi"),
+          count(lit(1)).as("n_core_bins"), sum(col("n")).as("n_purchases"))
+        .crossJoin(broadcast(tot))
+        .select(col("cluster"), col("bin_lo"), col("bin_hi"),
+          col("n_core_bins"), col("n_purchases"),
+          round(col("n_purchases").cast("double") / col("np").cast("double"),
+            6).as("mass_share"))
+        .orderBy(col("cluster"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT CAST(round(value * 100) AS BIGINT) // 100 AS bin
+        FROM events WHERE event_type = 'purchase'),
+      bins AS (SELECT bin, count(*) AS n FROM p GROUP BY bin),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS np FROM bins),
+      core AS (
+        SELECT bin, n FROM bins, tot WHERE n * 500 >= np),
+      isl AS (
+        SELECT bin, n,
+               sum(CASE WHEN prev IS NULL OR bin - prev > 2 THEN 1 ELSE 0 END)
+                 OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cluster
+        FROM (
+          SELECT bin, n, lag(bin, 1) OVER (ORDER BY bin) AS prev
+          FROM core))
+      SELECT CAST(cluster AS BIGINT) AS cluster,
+             CAST(min(bin) AS BIGINT) AS bin_lo,
+             CAST(max(bin) AS BIGINT) AS bin_hi,
+             count(*) AS n_core_bins,
+             CAST(sum(n) AS BIGINT) AS n_purchases,
+             round(CAST(sum(n) AS DOUBLE)
+               / CAST((SELECT np FROM tot) AS DOUBLE), 6) AS mass_share
+      FROM isl
+      GROUP BY cluster
+      ORDER BY cluster"""))
+
   // --------------------------------------------------------------- q265
   // Autocorrelation function of the daily purchase series, lags 1–7
   // ([EXT]) — the time-series diagnostic that complements q221's trend
@@ -4474,5 +4545,5 @@ object Analytics {
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
-      q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257, q259, q262, q263, q265)
+      q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257, q259, q262, q263, q265, q271)
 }
