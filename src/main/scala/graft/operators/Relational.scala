@@ -3436,6 +3436,74 @@ object Relational {
       GROUP BY 1, 2, 3
       ORDER BY 1, 2, 3"""))
 
+  // --------------------------------------------------------------- q272
+  // Typed COGROUP reconciliation (§2.B typed-API depth beside q211's
+  // Dataset[T] pipeline): `KeyValueGroupedDataset.cogroup` hands BOTH
+  // sides' rows for one key to one function — the typed form of the
+  // "compare two feeds per key" audit (here: order headers vs their
+  // line items, restricted to flagged statuses so all three reconcile
+  // states occur). The per-key function aggregates with commutative
+  // integer sums only, so its output is partition- and order-
+  // independent; the q211 pushdown discipline holds — both sides are
+  // Column-projected to (key, cents) BEFORE entering the opaque typed
+  // section, so pruning reaches the scans.
+  // Scale: cogroup co-partitions both sides on the key — exactly one
+  // shuffle each, the SMJ topology with user logic at the merge point.
+  private val q272 = QueryDef(
+    "q272_typed_cogroup_recon",
+    (s, d) => {
+      import s.implicits._
+      val ords = ord(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .as[(Long, Long)]
+      val lis = li(s, d).filter(col("l_linenumber") <= 3)
+        .select(col("l_orderkey").as("k"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .as[(Long, Long)]
+      val recon = ords.groupByKey(_._1).cogroup(lis.groupByKey(_._1)) {
+        (k, os, ls) =>
+          var no = 0L; var so = 0L
+          os.foreach { o => no += 1; so += o._2 }
+          var nl = 0L; var sl = 0L
+          ls.foreach { l => nl += 1; sl += l._2 }
+          val status =
+            if (no > 0 && nl > 0) "matched"
+            else if (no > 0) "order_without_lines"
+            else "lines_without_order"
+          Iterator((status, 1L, so, nl, sl))
+      }.toDF("status", "n_keys", "cents_order", "n_lines", "cents_lines")
+      recon.groupBy(col("status"))
+        .agg(sum(col("n_keys")).as("n_keys"),
+          sum(col("cents_order")).as("cents_order"),
+          sum(col("n_lines")).as("n_lines"),
+          sum(col("cents_lines")).as("cents_lines"))
+        .orderBy(col("status"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_orderkey AS k, count(*) AS no,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS so
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+      l AS (
+        SELECT l_orderkey AS k, count(*) AS nl,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS sl
+        FROM lineitem WHERE l_linenumber <= 3 GROUP BY 1),
+      r AS (
+        SELECT coalesce(o.no, 0) AS no, coalesce(o.so, 0) AS so,
+               coalesce(l.nl, 0) AS nl, coalesce(l.sl, 0) AS sl,
+               CASE WHEN o.k IS NOT NULL AND l.k IS NOT NULL THEN 'matched'
+                    WHEN o.k IS NOT NULL THEN 'order_without_lines'
+                    ELSE 'lines_without_order' END AS status
+        FROM o FULL OUTER JOIN l ON o.k = l.k)
+      SELECT status, count(*) AS n_keys,
+             CAST(sum(so) AS BIGINT) AS cents_order,
+             CAST(sum(nl) AS BIGINT) AS n_lines,
+             CAST(sum(sl) AS BIGINT) AS cents_lines
+      FROM r GROUP BY status ORDER BY status"""))
+
   // --------------------------------------------------------------- q267
   // GROUP BY ALL / ORDER BY ALL surface (§2.C5 breadth) — the
   // DuckDB-originated shorthand Spark 4 adopted: every non-aggregate
@@ -3788,5 +3856,5 @@ object Relational {
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
     q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208, q211,
-    q212, q216, q223, q224, q231, q234, q237, q246, q249, q252, q267, q268, q269)
+    q212, q216, q223, q224, q231, q234, q237, q246, q249, q252, q267, q268, q269, q272)
 }
