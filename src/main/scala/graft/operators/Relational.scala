@@ -3436,6 +3436,70 @@ object Relational {
       GROUP BY 1, 2, 3
       ORDER BY 1, 2, 3"""))
 
+  // --------------------------------------------------------------- q273
+  // FORWARD as-of join with tolerance (§2.C1, completing q28's family):
+  // q28 answers "which click preceded this purchase" (backward); this
+  // answers the attribution converse — "did this click CONVERT: the
+  // nearest purchase at-or-after it, but only within a 2-day window"
+  // (nearest-after + tolerance = the pandas merge_asof
+  // direction='forward', tolerance=... contract). Same scalable
+  // formulation as q28 mirrored in time: union both event sets, ONE
+  // user-keyed shuffle, scan the merged timeline DESCENDING carrying
+  // the nearest purchase backward with last(ignoreNulls); the tolerance
+  // is applied as a post-filter that nulls out matches beyond 2 days —
+  // never a range join, so no row explosion. Ties: purchase sorts
+  // before click at equal ts (inclusive "at or after"); equal-ts
+  // purchases resolve to min event_id in BOTH engines (scan order here,
+  // explicit ORDER BY in the oracle's definition-form argmin).
+  private val q273 = QueryDef(
+    "q273_asof_forward_tolerance",
+    (s, d) => {
+      val TolUs = 2L * 86400L * 1000000L
+      val e = ev(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("marker"),
+          col("event_id").as("click_id"),
+          lit(null).cast("bigint").as("p_src"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(0).as("marker"),
+          lit(null).cast("bigint").as("click_id"),
+          col("event_id").as("p_src"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("marker"),
+          col("p_src").desc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("purchase_id",
+          last(col("p_src"), ignoreNulls = true).over(w))
+        .withColumn("p_ts", last(when(col("marker") === 0, col("ts")),
+          ignoreNulls = true).over(w))
+        .filter(col("marker") === 1)
+        .withColumn("gap_us",
+          unix_micros(col("p_ts")) - unix_micros(col("ts")))
+        .select(col("click_id"), col("user_id"),
+          when(col("gap_us") <= TolUs, col("purchase_id")).as("purchase_id"),
+          when(col("gap_us") <= TolUs, col("gap_us")).as("gap_us"))
+        .orderBy(col("click_id"))
+    },
+    Some("""
+      WITH c AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'click'),
+      p AS (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'),
+      m AS (
+        SELECT c.event_id AS click_id, c.user_id,
+               p.event_id AS purchase_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+               row_number() OVER (PARTITION BY c.event_id
+                 ORDER BY p.ts, p.event_id) AS rk
+        FROM c JOIN p
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+         AND epoch_us(p.ts) - epoch_us(c.ts) <= 172800000000)
+      SELECT c.event_id AS click_id, c.user_id,
+             m.purchase_id, m.gap_us
+      FROM c LEFT JOIN m ON m.click_id = c.event_id AND m.rk = 1
+      ORDER BY click_id"""))
+
   // --------------------------------------------------------------- q272
   // Typed COGROUP reconciliation (§2.B typed-API depth beside q211's
   // Dataset[T] pipeline): `KeyValueGroupedDataset.cogroup` hands BOTH
@@ -3856,5 +3920,5 @@ object Relational {
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
     q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208, q211,
-    q212, q216, q223, q224, q231, q234, q237, q246, q249, q252, q267, q268, q269, q272)
+    q212, q216, q223, q224, q231, q234, q237, q246, q249, q252, q267, q268, q269, q272, q273)
 }
