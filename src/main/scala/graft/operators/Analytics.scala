@@ -3969,6 +3969,60 @@ object Analytics {
       FROM terms t JOIN nus n USING (event_type)
       ORDER BY channel"""))
 
+  // --------------------------------------------------------------- q274
+  // 7-day rolling MAU + DAU/MAU stickiness ([EXT]) — the windowed
+  // COUNT DISTINCT no window function can express (distinct does not
+  // decompose over sliding frames; Spark rejects countDistinct OVER).
+  // The scalable identity: a user active on day d is a member of every
+  // 7-day window ENDING on d..d+6, so distinct (user, day) presence
+  // explodes into ≤ 7 covered window-ends, a second distinct collapses
+  // multi-day users within a window, and a plain count per end-day is
+  // exactly the rolling distinct. Fan-out is the window length — a
+  // constant — never the corpus; both distincts are map-side-combinable
+  // hash aggregates on (user, day) keys. Reported with same-day DAU and
+  // the DAU/MAU stickiness ratio, full windows only.
+  private val q274 = QueryDef(
+    "q274_rolling_mau",
+    (s, d) => {
+      val pres = ev(s, d).select(col("user_id"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+            " AS BIGINT)").as("day"))
+        .distinct()
+      val span = pres.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val mau = pres
+        .select(col("user_id"),
+          explode(expr("sequence(day, day + 6)")).as("wday"))
+        .distinct()
+        .groupBy(col("wday")).agg(count(lit(1)).as("mau7"))
+      val dau = pres.groupBy(col("day").as("wday"))
+        .agg(count(lit(1)).as("dau"))
+      mau.join(dau, Seq("wday"))
+        .crossJoin(broadcast(span))
+        .filter(col("wday") >= col("d0") + 6L && col("wday") <= col("d1"))
+        .select(col("wday").as("window_end_day"), col("mau7"), col("dau"),
+          round(col("dau").cast("double") / col("mau7").cast("double"), 6)
+            .as("stickiness"))
+        .orderBy(col("window_end_day"))
+    },
+    Some("""
+      WITH pres AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 ::BIGINT AS day
+        FROM events),
+      span AS (SELECT min(day) AS d0, max(day) AS d1 FROM pres),
+      cover AS (
+        SELECT DISTINCT user_id, day + o.o AS wday
+        FROM pres, range(0, 7) AS o(o)),
+      mau AS (SELECT wday, count(*) AS mau7 FROM cover GROUP BY wday),
+      dau AS (SELECT day AS wday, count(*) AS dau FROM pres GROUP BY day)
+      SELECT mau.wday AS window_end_day, mau.mau7, dau.dau,
+             round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau7 AS DOUBLE), 6)
+               AS stickiness
+      FROM mau JOIN dau USING (wday), span
+      WHERE mau.wday >= span.d0 + 6 AND mau.wday <= span.d1
+      ORDER BY window_end_day"""))
+
   // --------------------------------------------------------------- q271
   // 1-D DENSITY clustering, DBSCAN-style, over the purchase-value domain
   // ([EXT]) — find the "price points": $1 bins with ≥ minPts purchases
@@ -4545,5 +4599,5 @@ object Analytics {
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
-      q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257, q259, q262, q263, q265, q271)
+      q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257, q259, q262, q263, q265, q271, q274)
 }
