@@ -1660,6 +1660,92 @@ object TextAnalysis {
       GROUP BY source
       ORDER BY source"""))
 
+  // --------------------------------------------------------------- q275
+  // TF-IDF lexical COSINE similarity, top-20 document pairs ([EXT]) —
+  // the lexical-VECTOR member of the near-dup family: q31/q32 score SET
+  // overlap (Jaccard), q34/q255 score dense embeddings; this scores the
+  // classic sparse tf·idf vectors — the weighting that lets two
+  // documents match on their RARE shared vocabulary while stopword
+  // co-occurrence contributes ~nothing. Sparse dot products come from
+  // ONE token-keyed self-join restricted to df ≤ 64 tokens (the
+  // hot-token cap, same MaxBucket discipline as every LSH family here:
+  // a df-10⁶ token contributes ~zero idf weight yet df² join rows, so
+  // the cap trades vanishing score mass for bounded fan-out — and it is
+  // mirrored in the oracle). idf = ln(N/df) rounds to the 1e-6 grid
+  // immediately (q216's transcendental precedent), so every pair term
+  // wa·wb is an exact BIGINT product; the one float step per pair is
+  // the final normalize-and-round. Norms sum the SAME quantized
+  // integers, so they are exact too. Top-20 is a TakeOrdered heap.
+  private val q275 = QueryDef(
+    "q275_tfidf_cosine_pairs",
+    (s, d) => {
+      val tf = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val nDocs = docs(s, d).agg(count(lit(1)).as("n"))
+      val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 64L)
+      val w = tf.join(dfc, Seq("tok")).crossJoin(broadcast(nDocs))
+        .select(col("tok"), col("doc_id"),
+          (col("tf") * round(lit(1e6) *
+            log(col("n").cast("double") / col("df").cast("double")))
+            .cast("long")).as("wq"))
+      val norms = w.groupBy(col("doc_id"))
+        .agg(sum(col("wq") * col("wq")).as("n2"))
+      val pairs = w.select(col("tok"), col("doc_id").as("da"),
+          col("wq").as("wa"))
+        .join(w.select(col("tok"), col("doc_id").as("db"),
+          col("wq").as("wb")), Seq("tok"))
+        .filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db"))
+        .agg(sum(col("wa") * col("wb")).as("dot"), count(lit(1)).as("n_shared"))
+      pairs
+        .join(norms.select(col("doc_id").as("da"), col("n2").as("na")),
+          Seq("da"))
+        .join(norms.select(col("doc_id").as("db"), col("n2").as("nb")),
+          Seq("db"))
+        .select(col("da"), col("db"), col("n_shared"),
+          round(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+            6).as("cos"))
+        .orderBy(col("cos").desc, col("da"), col("db"))
+        .limit(20)
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+        GROUP BY 1, 2),
+      nd AS (SELECT count(*) AS n FROM documents),
+      dfc AS (
+        SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        HAVING count(*) <= 64),
+      w AS (
+        SELECT tf.tok, tf.doc_id,
+               CAST(tf.tf * CAST(round(1e6 * ln(CAST(nd.n AS DOUBLE)
+                 / CAST(dfc.df AS DOUBLE))) AS BIGINT) AS BIGINT) AS wq
+        FROM tf JOIN dfc USING (tok), nd),
+      norms AS (
+        SELECT doc_id, CAST(sum(wq * wq) AS BIGINT) AS n2
+        FROM w GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(sum(a.wq * b.wq) AS BIGINT) AS dot,
+               count(*) AS n_shared
+        FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT da, db, n_shared,
+             round(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+               6) AS cos
+      FROM pairs
+      JOIN norms na ON na.doc_id = da
+      JOIN norms nb ON nb.doc_id = db
+      ORDER BY cos DESC, da, db
+      LIMIT 20"""))
+
   // --------------------------------------------------------------- q264
   // PROXIMITY-ranked retrieval ([EXT]) — the positional-query layer over
   // q217's positional inverted index: for a two-term query (the top-2
@@ -1822,5 +1908,5 @@ object TextAnalysis {
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
       q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228,
-      q233, q236, q253, q264)
+      q233, q236, q253, q264, q275)
 }
