@@ -1660,6 +1660,68 @@ object TextAnalysis {
       GROUP BY source
       ORDER BY source"""))
 
+  // --------------------------------------------------------------- q276
+  // Vocabulary COVERAGE curve ([EXT]) — the sizing evidence behind
+  // q107's fixed top-V cut: what fraction of total token MASS do the
+  // top-100 / top-1k / top-10k vocabulary entries cover? On a Zipfian
+  // corpus the curve saturates fast; where it crosses the product's
+  // OOV budget is the vocab size to ship. Reported at each cut with
+  // the realized cut rank (min(k, |V|), so small SFs keep all three
+  // rows) and the mass share.
+  //
+  // Scale (q107/q253 discipline): ONE corpus scan into the map-side-
+  // combined token count; ranking + cumulative mass run on the
+  // VOCAB-sized grid (the q107 top-V window shape); the 3-row cut
+  // table joins by equality on the realized rank. Exact integers
+  // everywhere except the final rounded share.
+  private val q276 = QueryDef(
+    "q276_vocab_coverage",
+    (s, d) => {
+      val cnt = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum(col("c")).as("mass"),
+        count(lit(1)).as("v_size"))
+      val wRank = Window.orderBy(col("c").desc, col("tok"))
+      val ranked = cnt
+        .withColumn("rk", row_number().over(wRank).cast("long"))
+        .withColumn("cum",
+          sum(col("c")).over(wRank.rowsBetween(Window.unboundedPreceding, 0)))
+      val cuts = ranked.sparkSession.range(1)
+        .select(explode(array(lit(100L), lit(1000L), lit(10000L))).as("k"))
+      cuts.crossJoin(broadcast(tot))
+        .withColumn("rk", least(col("k"), col("v_size")))
+        .join(ranked.select(col("rk"), col("cum")), Seq("rk"))
+        .select(col("k").as("vocab_cut"), col("rk").as("realized_rank"),
+          col("v_size"), col("cum").as("mass_covered"), col("mass"),
+          round(col("cum").cast("double") / col("mass").cast("double"), 6)
+            .as("coverage"))
+        .orderBy(col("vocab_cut"))
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT tok, count(*) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS mass,
+                     count(*) AS v_size FROM cnt),
+      ranked AS (
+        SELECT CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
+                 AS rk,
+               sum(c) OVER (ORDER BY c DESC, tok
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM cnt),
+      cuts AS (SELECT unnest([100, 1000, 10000]) AS k)
+      SELECT CAST(cuts.k AS BIGINT) AS vocab_cut,
+             least(cuts.k, tot.v_size) AS realized_rank,
+             tot.v_size, CAST(ranked.cum AS BIGINT) AS mass_covered,
+             tot.mass,
+             round(CAST(ranked.cum AS DOUBLE) / CAST(tot.mass AS DOUBLE), 6)
+               AS coverage
+      FROM cuts, tot
+      JOIN ranked ON ranked.rk = least(cuts.k, tot.v_size)
+      ORDER BY vocab_cut"""))
+
   // --------------------------------------------------------------- q275
   // TF-IDF lexical COSINE similarity, top-20 document pairs ([EXT]) —
   // the lexical-VECTOR member of the near-dup family: q31/q32 score SET
@@ -1908,5 +1970,5 @@ object TextAnalysis {
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
       q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228,
-      q233, q236, q253, q264, q275)
+      q233, q236, q253, q264, q275, q276)
 }
