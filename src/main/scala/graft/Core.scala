@@ -91,4 +91,28 @@ object Num {
     val f = s"1e$scale"
     s"CAST(sum(CAST(round(($expr) * $f) AS BIGINT)) AS DOUBLE) / ($f * CAST(count($expr) AS DOUBLE))"
   }
+
+  /** Signed-zero-safe final round: `round(x, scale)` re-expressed as
+    * quantize-then-divide. A tiny NEGATIVE value that rounds to zero comes
+    * out of Spark's `round` (BigDecimal, which has no signed zero) as +0.0
+    * but out of DuckDB's (libm-style, sign-preserving) as −0.0 — one bit
+    * apart, which the driver's bytewise hasher flags (the q163 r7 red row).
+    * Routing through an integer makes the zero sign deterministic in BOTH
+    * engines: `CAST(round(x·10^s) AS BIGINT)` is exactly 0 (unsigned), and
+    * integer-0 ÷ 10^s is +0.0 under IEEE in Spark and DuckDB alike. Both
+    * engines evaluate the same IEEE product x·10^s and both round halves
+    * away from zero, so every non-zero value is unchanged and the pair
+    * still agrees by construction. Use this (with [[roundZSql]] on the
+    * oracle side) for any FINAL-projection round of a possibly-negative
+    * expression — cosines, correlations, covariances, margins, deltas. */
+  def roundZ(c: Column, scale: Int): Column = {
+    val f = pow10(scale)
+    round(c * lit(f)).cast("long").cast("double") / lit(f)
+  }
+
+  /** SQL mirror of [[roundZ]] for the DuckDB oracle. */
+  def roundZSql(expr: String, scale: Int): String = {
+    val f = s"1e$scale"
+    s"(CAST(round(($expr) * $f) AS BIGINT) / $f)"
+  }
 }

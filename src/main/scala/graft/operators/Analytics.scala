@@ -609,12 +609,12 @@ object Analytics {
           sum(col("x") * col("x")).as("sxx"),
           sum(col("x") * col("cents")).as("sxy"))
       m.select(col("event_type"), col("n"),
-          round((col("n").cast("double") * col("sxy").cast("double") -
+          Num.roundZ((col("n").cast("double") * col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double")) /
             (col("n").cast("double") * col("sxx").cast("double") -
               col("sx").cast("double") * col("sx").cast("double")) /
             lit(100.0), 6).as("slope"),
-          round((col("sy").cast("double") -
+          Num.roundZ((col("sy").cast("double") -
             (col("n").cast("double") * col("sxy").cast("double") -
               col("sx").cast("double") * col("sy").cast("double")) /
               (col("n").cast("double") * col("sxx").cast("double") -
@@ -639,18 +639,18 @@ object Analytics {
         FROM e CROSS JOIN d0
         GROUP BY event_type)
       SELECT event_type, n,
-             round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+             (CAST(round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
                     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
                    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
-                    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0, 6)
+                    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0) * 1e6) AS BIGINT) / 1e6)
                AS slope,
-             round((CAST(sy AS DOUBLE) -
+             (CAST(round(((CAST(sy AS DOUBLE) -
                     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
                      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
                     (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
                      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
                     CAST(sx AS DOUBLE)) /
-                   CAST(n AS DOUBLE) / 100.0, 6) AS intercept
+                   CAST(n AS DOUBLE) / 100.0) * 1e6) AS BIGINT) / 1e6) AS intercept
       FROM m
       ORDER BY event_type"""))
 
@@ -913,8 +913,8 @@ object Analytics {
         col("sb").cast("double") / col("nb").cast("double")) / lit(100.0)
       m.filter(col("na") > 1 && col("nb") > 1)
         .select(col("event_type"), col("na"), col("nb"),
-          round(md, 6).as("mean_diff"),
-          round(md / sqrt(sea + seb), 6).as("t_stat"),
+          Num.roundZ(md, 6).as("mean_diff"),
+          Num.roundZ(md / sqrt(sea + seb), 6).as("t_stat"),
           round((sea + seb) * (sea + seb) /
             (sea * sea / (col("na") - 1).cast("double") +
              seb * seb / (col("nb") - 1).cast("double")), 6).as("df"))
@@ -935,10 +935,10 @@ object Analytics {
                CAST(sum(CASE WHEN arm = 1 THEN c * c ELSE 0 END) AS BIGINT) AS qb
         FROM e GROUP BY event_type)
       SELECT event_type, na, nb,
-             round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
-                  - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100.0, 6)
+             (CAST(round(((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100.0) * 1e6) AS BIGINT) / 1e6)
                AS mean_diff,
-             round(((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+             (CAST(round((((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
                    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100.0)
                / sqrt(
                  (CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)
@@ -948,7 +948,7 @@ object Analytics {
                + (CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE)
                   - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
                  / (CAST(nb AS DOUBLE) * CAST(nb - 1 AS DOUBLE)) / 1e4
-                 / CAST(nb AS DOUBLE)), 6) AS t_stat,
+                 / CAST(nb AS DOUBLE))) * 1e6) AS BIGINT) / 1e6) AS t_stat,
              round(
                ((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)
                  - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
@@ -1979,8 +1979,8 @@ object Analytics {
         .agg(count(lit(1)).as("n_eval"),
           sum(round(col("r") * col("r")).cast("long")).as("ssr"))
         .select(col("fold"), col("n_eval"),
-          round(col("b"), 6).as("slope_cents"),
-          round(col("a") / lit(100.0), 6).as("intercept_usd"),
+          Num.roundZ(col("b"), 6).as("slope_cents"),
+          Num.roundZ(col("a") / lit(100.0), 6).as("intercept_usd"),
           round(sqrt(col("ssr").cast("double") / col("n_eval").cast("double")), 6)
             .as("rmse_usd"))
         .orderBy(col("fold"))
@@ -2026,8 +2026,8 @@ object Analytics {
                CAST(sum(CAST(round(res * res) AS BIGINT)) AS BIGINT) AS ssr
         FROM ev2 GROUP BY 1, 2, 3)
       SELECT fold, n_eval,
-             round(b, 6) AS slope_cents,
-             round(a / 100.0, 6) AS intercept_usd,
+             (CAST(round((b) * 1e6) AS BIGINT) / 1e6) AS slope_cents,
+             (CAST(round((a / 100.0) * 1e6) AS BIGINT) / 1e6) AS intercept_usd,
              round(sqrt(CAST(ssr AS DOUBLE) / CAST(n_eval AS DOUBLE)), 6)
                AS rmse_usd
       FROM agg
@@ -2431,9 +2431,14 @@ object Analytics {
           sum(col("nb")).as("blocks"),
           sum(col("contrib")).as("covered_us"),
           (max(col("en")) - min(col("st"))).as("span_us"))
+        // zero-span guard (ADVICE r7): a user whose events are all
+        // zero-length intervals at one timestamp has span_us = 0, where
+        // Spark's x/0.0 is NaN but DuckDB's is NULL — guard symmetrically
+        // (when(>0) here, NULLIF in the oracle) so both emit NULL.
         .withColumn("util",
-          round(col("covered_us").cast("double") /
-            col("span_us").cast("double"), 6))
+          when(col("span_us") > 0L,
+            round(col("covered_us").cast("double") /
+              col("span_us").cast("double"), 6)))
         .orderBy(col("user_id"))
     },
     Some("""
@@ -2457,7 +2462,7 @@ object Analytics {
              CAST(sum(contrib) AS BIGINT) AS covered_us,
              CAST(max(en) - min(st) AS BIGINT) AS span_us,
              round(CAST(sum(contrib) AS DOUBLE) /
-                   CAST(max(en) - min(st) AS DOUBLE), 6) AS util
+                   NULLIF(CAST(max(en) - min(st) AS DOUBLE), 0), 6) AS util
       FROM c
       GROUP BY user_id
       ORDER BY user_id"""))
@@ -2636,14 +2641,13 @@ object Analytics {
         .filter(col("rk") === expr("(n_pairs + 1) DIV 2") ||
           col("rk") === expr("n_pairs DIV 2 + 1"))
         .groupBy(col("event_type"))
-        .agg(round((sum(col("slope")) / count(lit(1))) / lit(100.0), 6)
+        .agg(Num.roundZ((sum(col("slope")) / count(lit(1))) / lit(100.0), 6)
           .as("sen_slope"))
       sStat.join(nD, "event_type").join(ties, "event_type")
         .withColumn("var18",
           col("n_days") * (col("n_days") - 1) * (lit(2) * col("n_days") + 5)
             - col("tie18"))
-        .withColumn("z", round(
-          when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+        .withColumn("z", Num.roundZ(when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
             .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
             .otherwise(lit(0.0)) /
             sqrt(col("var18").cast("double") / lit(18.0)), 6))
@@ -2682,7 +2686,7 @@ object Analytics {
         GROUP BY 1),
       med AS (
         SELECT event_type,
-               round((sum(slope) / count(*)) / 100.0, 6) AS sen_slope
+               (CAST(round(((sum(slope) / count(*)) / 100.0) * 1e6) AS BIGINT) / 1e6) AS sen_slope
         FROM (
           SELECT p.event_type, p.slope,
                  row_number() OVER (PARTITION BY p.event_type
@@ -2694,11 +2698,11 @@ object Analytics {
       SELECT s.event_type, CAST(n.n_days AS BIGINT) AS n_days, s.s_stat,
              CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie18
                AS BIGINT) AS var18,
-             round(CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+             (CAST(round((CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
                         WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
                         ELSE 0.0 END /
                    sqrt(CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
-                        - t.tie18 AS DOUBLE) / 18.0), 6) AS z,
+                        - t.tie18 AS DOUBLE) / 18.0)) * 1e6) AS BIGINT) / 1e6) AS z,
              m.sen_slope,
              CASE WHEN abs(CASE WHEN s.s_stat > 0
                                 THEN CAST(s.s_stat - 1 AS DOUBLE)
@@ -3996,12 +4000,18 @@ object Analytics {
         .groupBy(col("wday")).agg(count(lit(1)).as("mau7"))
       val dau = pres.groupBy(col("day").as("wday"))
         .agg(count(lit(1)).as("dau"))
-      mau.join(dau, Seq("wday"))
+      // LEFT join dau onto mau (dau coalesced to 0): a window-end day can
+      // have MAU>0 with zero same-day events (idle day inside an active
+      // week) — an inner join would silently drop it from the report
+      // (ADVICE r7). mau7 > 0 on every emitted row, so stickiness is a
+      // well-defined 0.0 on idle days, never a division by zero.
+      mau.join(dau, Seq("wday"), "left")
         .crossJoin(broadcast(span))
         .filter(col("wday") >= col("d0") + 6L && col("wday") <= col("d1"))
-        .select(col("wday").as("window_end_day"), col("mau7"), col("dau"),
-          round(col("dau").cast("double") / col("mau7").cast("double"), 6)
-            .as("stickiness"))
+        .select(col("wday").as("window_end_day"), col("mau7"),
+          coalesce(col("dau"), lit(0L)).as("dau"),
+          round(coalesce(col("dau"), lit(0L)).cast("double")
+            / col("mau7").cast("double"), 6).as("stickiness"))
         .orderBy(col("window_end_day"))
     },
     Some("""
@@ -4016,10 +4026,11 @@ object Analytics {
         FROM pres, range(0, 7) AS o(o)),
       mau AS (SELECT wday, count(*) AS mau7 FROM cover GROUP BY wday),
       dau AS (SELECT day AS wday, count(*) AS dau FROM pres GROUP BY day)
-      SELECT mau.wday AS window_end_day, mau.mau7, dau.dau,
-             round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau7 AS DOUBLE), 6)
-               AS stickiness
-      FROM mau JOIN dau USING (wday), span
+      SELECT mau.wday AS window_end_day, mau.mau7,
+             CAST(coalesce(dau.dau, 0) AS BIGINT) AS dau,
+             round(CAST(coalesce(dau.dau, 0) AS DOUBLE)
+                   / CAST(mau.mau7 AS DOUBLE), 6) AS stickiness
+      FROM mau LEFT JOIN dau ON mau.wday = dau.wday, span
       WHERE mau.wday >= span.d0 + 6 AND mau.wday <= span.d1
       ORDER BY window_end_day"""))
 
@@ -4145,7 +4156,7 @@ object Analytics {
           col("sxx").cast("double") -
             col("n").cast("double") * col("mean") * col("mean"))
         .select(col("lag"), col("nk"),
-          round(col("num") / col("den"), 6).as("acf"))
+          Num.roundZ(col("num") / col("den"), 6).as("acf"))
         .orderBy(col("lag"))
     },
     Some("""
@@ -4170,7 +4181,7 @@ object Analytics {
                CAST(sum(x * x1) AS BIGINT) AS sab
         FROM lags GROUP BY 1)
       SELECT lag, nk,
-             round((CAST(sab AS DOUBLE)
+             (CAST(round(((CAST(sab AS DOUBLE)
                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
                       * CAST(sa + sb AS DOUBLE)
                     + CAST(nk AS DOUBLE)
@@ -4179,7 +4190,7 @@ object Analytics {
                    / (CAST(sxx AS DOUBLE)
                       - CAST(n AS DOUBLE)
                         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-                        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+                        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) * 1e6) AS BIGINT) / 1e6)
                AS acf
       FROM agg, tot
       ORDER BY lag"""))
@@ -4244,9 +4255,9 @@ object Analytics {
         sum(when(col("arm") === 0L && col("period") === 0L,
           col("varm") / col("n").cast("double"))).as("v_c0"))
       wide.select(
-        round(col("m_t0") - col("m_c0"), 6).as("pre_gap"),
-        round(col("m_t1") - col("m_c1"), 6).as("post_gap"),
-        round((col("m_t1") - col("m_t0")) - (col("m_c1") - col("m_c0")), 6)
+        Num.roundZ(col("m_t0") - col("m_c0"), 6).as("pre_gap"),
+        Num.roundZ(col("m_t1") - col("m_c1"), 6).as("post_gap"),
+        Num.roundZ((col("m_t1") - col("m_t0")) - (col("m_c1") - col("m_c0")), 6)
           .as("did_effect"),
         round(sqrt(col("v_t1") + col("v_t0") + col("v_c1") + col("v_c0")), 6)
           .as("se"))
@@ -4297,9 +4308,9 @@ object Analytics {
           sum(CASE WHEN arm = 0 AND period = 0
             THEN varm / CAST(n AS DOUBLE) END) AS v_c0
         FROM m)
-      SELECT round(m_t0 - m_c0, 6) AS pre_gap,
-             round(m_t1 - m_c1, 6) AS post_gap,
-             round((m_t1 - m_t0) - (m_c1 - m_c0), 6) AS did_effect,
+      SELECT (CAST(round((m_t0 - m_c0) * 1e6) AS BIGINT) / 1e6) AS pre_gap,
+             (CAST(round((m_t1 - m_c1) * 1e6) AS BIGINT) / 1e6) AS post_gap,
+             (CAST(round(((m_t1 - m_t0) - (m_c1 - m_c0)) * 1e6) AS BIGINT) / 1e6) AS did_effect,
              round(sqrt(v_t1 + v_t0 + v_c1 + v_c0), 6) AS se
       FROM wide"""))
 
@@ -4400,8 +4411,7 @@ object Analytics {
           (expr("CAST(conv(substr(md5(concat('dp:', event_type)), 1, 13)," +
             " 16, 10) AS BIGINT)").cast("double") + lit(0.5)) /
             lit(4503599627370496.0))
-        .withColumn("noise", round(
-          when(col("u") >= 0.5, lit(-1.0)).otherwise(lit(1.0)) *
+        .withColumn("noise", Num.roundZ(when(col("u") >= 0.5, lit(-1.0)).otherwise(lit(1.0)) *
             log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5))), 6))
         .select(col("event_type"), col("n_true"),
           lit(1.0).as("epsilon"), col("noise"),
@@ -4419,8 +4429,8 @@ object Analytics {
         FROM g),
       z AS (
         SELECT event_type, n_true,
-               round((CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END)
-                 * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise
+               (CAST(round(((CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END)
+                 * ln(1.0 - 2.0 * abs(u - 0.5))) * 1e6) AS BIGINT) / 1e6) AS noise
         FROM u)
       SELECT event_type, n_true, CAST(1.0 AS DOUBLE) AS epsilon, noise,
              round(CAST(n_true AS DOUBLE) + noise, 6) AS released

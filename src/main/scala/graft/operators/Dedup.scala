@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{Num, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.{float_dot, float_norm}
 
@@ -107,6 +107,21 @@ object Dedup {
     * is spec-pinned LOSSLESS — a cap there would break that property.
     */
   private val MaxBucket = 64
+
+  /** THE near-pair threshold expression, used identically at every Spark
+    * verify site (q31, q32/minhashPairs, q100, q210) and mirrored raw in
+    * every oracle: the UNROUNDED Jaccard of the per-doc shingle-id sets,
+    * `ni / (|sa| + |sb| − ni)`, compared `>= 0.5` before any display
+    * rounding. One expression everywhere means "exact Jaccard ≥ 0.5"
+    * holds by construction — a boundary pair with true jac in
+    * [0.4999995, 0.5) (which `round(·,6)` would admit) is classed 'below'
+    * by all formulations, so q100's "exactly the mixed-membership subset
+    * of q32's pairs" claim cannot be broken by rounding (r7 verdict §2).
+    * Requires columns `ni`, `sa`, `sb` in scope.
+    */
+  private def jacRaw: Column =
+    col("ni").cast("double") /
+      (size(col("sa")) + size(col("sb")) - col("ni")).cast("double")
 
   /** All unordered id pairs (da < db) from a bucket's sorted `ids` array,
     * via two lambda-free positional explodes (see [[shingles]] on why
@@ -247,11 +262,14 @@ object Dedup {
       val sb = sets.select(col("doc_id").as("db"), col("shs").as("sb"))
       cand.join(sa, "da").join(sb, "db")
         .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-        .withColumn("jac",
-          round(col("ni").cast("double") /
-            (size(col("sa")) + size(col("sb")) - col("ni")).cast("double"), 6))
-        .filter(col("jac") >= 0.5)
-        .select(col("da"), col("db"), col("jac"))
+        // filter on the RAW ratio — the house near-pair threshold
+        // (see [[jacRaw]]): every Spark site and every oracle uses the
+        // unrounded expression, so "exact Jaccard ≥ 0.5" holds literally
+        // and no [0.4999995, 0.5) boundary pair is classed differently
+        // by two formulations. Round only for display.
+        .withColumn("jacRaw", jacRaw)
+        .filter(col("jacRaw") >= 0.5)
+        .select(col("da"), col("db"), round(col("jacRaw"), 6).as("jac"))
         .orderBy(col("da"), col("db"))
     },
     Some(s"""
@@ -326,11 +344,9 @@ object Dedup {
     val sb = sig.select(col("doc_id").as("db"), col("sids").as("sb"))
     cand.join(sa, "da").join(sb, "db")
       .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("jac",
-        round(col("ni").cast("double") /
-          (size(col("sa")) + size(col("sb")) - col("ni")).cast("double"), 6))
-      .filter(col("jac") >= 0.5)
-      .select(col("da"), col("db"), col("jac"))
+      .withColumn("jacRaw", jacRaw) // the one house threshold expression
+      .filter(col("jacRaw") >= 0.5)
+      .select(col("da"), col("db"), round(col("jacRaw"), 6).as("jac"))
   }
 
   private val q32 = QueryDef(
@@ -511,7 +527,7 @@ object Dedup {
       col("norm").as("nb"))
     cand.join(ea, "ia").join(eb, "ib")
       .withColumn("cos",
-        round(float_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+        Num.roundZ(float_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= minCos)
       .select(col("ia"), col("ib"), col("cos"))
       .orderBy(col("ia"), col("ib"))
@@ -560,11 +576,11 @@ object Dedup {
         JOIN ev a ON a.vec_id = ia
         JOIN ev b ON b.vec_id = ib AND a.i = b.i
         GROUP BY 1, 2)
-      SELECT ia, ib, round(dot / (na.nrm * nb.nrm), 6) AS cos
+      SELECT ia, ib, (CAST(round((dot / (na.nrm * nb.nrm)) * 1e6) AS BIGINT) / 1e6) AS cos
       FROM pairs
       JOIN norms na ON ia = na.vec_id
       JOIN norms nb ON ib = nb.vec_id
-      WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.3
+      WHERE (CAST(round((dot / (na.nrm * nb.nrm)) * 1e6) AS BIGINT) / 1e6) >= 0.3
       ORDER BY ia, ib"""
     })
 
@@ -834,13 +850,12 @@ object Dedup {
         .join(sig.select(col("doc_id").as("new_id"), col("sids").as("sa")), "new_id")
         .join(sig.select(col("doc_id").as("old_id"), col("sids").as("sb")), "old_id")
         .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-        // the SAME rounded filter as minhashPairs / the mh_pairs oracle
-        // CTE — not the raw ratio — so "near" is exactly the
+        // the SAME raw-ratio filter as minhashPairs / the mh_pairs oracle
+        // CTE (see [[jacRaw]]) — so "near" is exactly the
         // mixed-membership subset of q32's pairs by construction, with no
         // boundary pair (true jac in [0.4999995, 0.5)) classed 'near' by
         // one formulation and 'new' by the other
-        .filter(round(col("ni").cast("double") /
-          (size(col("sa")) + size(col("sb")) - col("ni")).cast("double"), 6) >= 0.5)
+        .filter(jacRaw >= 0.5)
         .groupBy(col("new_id"))
         .agg(count(lit(1)).as("n_near"), min(col("old_id")).as("near_min_old"))
       docs(s, d).filter(isNew).select(col("doc_id"))
@@ -1358,16 +1373,33 @@ object Dedup {
     * corpus written as 4 parquet slices (by (doc_id/5) % 4) into a
     * stable per-SF temp dir, `_READY`-marked and mtime-stamped ascending
     * so a reused staging replays identically (same scheme as the
-    * EventStreams stagings). */
+    * EventStreams stagings). The staging dir is keyed by a CONTENT
+    * fingerprint of the live fifth (row count + max doc_id), not just the
+    * dataset path (ADVICE r7): if the source table is regenerated in
+    * place, the key changes and a fresh staging is built instead of a
+    * stale feed silently replaying across JVM runs; superseded sibling
+    * stagings are removed on rebuild. */
   private val feedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedDocFeed(s: SparkSession, d: String): String =
     feedDirs.computeIfAbsent(d, _ => {
       import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._
-      val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_stream",
-        d.replaceAll("[^A-Za-z0-9.]", "_"), "doc_feed")
+      val fp = docs(s, d).filter(col("doc_id") % 5 === 0)
+        .agg(count(lit(1)).as("n"),
+          coalesce(max(col("doc_id")), lit(0L)).as("mx")).first()
+      val parent = Paths.get(sys.props("java.io.tmpdir"), "graft_stream",
+        d.replaceAll("[^A-Za-z0-9.]", "_"))
+      val dir = parent.resolve(s"doc_feed_${fp.getLong(0)}_${fp.getLong(1)}")
       val ready = dir.resolve("_READY")
       if (!Files.exists(ready)) {
+        // drop superseded stagings of the same dataset path
+        if (Files.exists(parent))
+          Files.list(parent).iterator.asScala
+            .filter(p => p.getFileName.toString.startsWith("doc_feed") &&
+              p != dir)
+            .foreach(p => Files.walk(p)
+              .sorted(java.util.Comparator.reverseOrder())
+              .iterator.asScala.foreach(Files.delete))
         if (Files.exists(dir))
           Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
             .iterator.asScala.foreach(Files.delete)
@@ -1474,9 +1506,7 @@ object Dedup {
           .join(corpSids, "old_id")
           .withColumn("ni",
             size(array_intersect(col("sa"), col("sb"))).cast("long"))
-          .filter(round(col("ni").cast("double") /
-            (size(col("sa")) + size(col("sb")) - col("ni")).cast("double"),
-            6) >= 0.5)
+          .filter(jacRaw >= 0.5) // the one house threshold expression
           .groupBy(col("new_id"))
           .agg(count(lit(1)).as("n_near"), min(col("old_id")).as("near_min_old"))
         val ex = batch

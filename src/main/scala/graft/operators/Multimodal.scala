@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{Num, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -226,7 +226,7 @@ object Multimodal {
           col("nrm").as("nb"))
         .join(broadcast(probes), col("qid") =!= col("cid"))
         .withColumn("cos",
-          round(float_dot(col("fa"), col("fb")) / (col("na") * col("nb")), 6))
+          Num.roundZ(float_dot(col("fa"), col("fb")) / (col("na") * col("nb")), 6))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("cid"))
       scored.withColumn("rk", row_number().over(w))
@@ -247,7 +247,7 @@ object Multimodal {
       n AS (SELECT doc_id, sqrt($nrm) AS nrm FROM f),
       scored AS (
         SELECT q.doc_id AS qid, c.doc_id AS cid,
-               round(($dot) / (nq.nrm * nc.nrm), 6) AS cos
+               (CAST(round((($dot) / (nq.nrm * nc.nrm)) * 1e6) AS BIGINT) / 1e6) AS cos
         FROM f q
         JOIN f c ON q.doc_id < 3 AND q.doc_id <> c.doc_id
         JOIN n nq ON nq.doc_id = q.doc_id

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{Num, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -1205,7 +1205,7 @@ object Pipeline {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 10)
         .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"),
-          round(col("key"), 10).as("priority"))
+          Num.roundZ(col("key"), 10).as("priority"))
         .orderBy(col("lang"), col("rk"))
     },
     Some("""
@@ -1225,7 +1225,7 @@ object Pipeline {
                                   ORDER BY key DESC, doc_id) AS rk
         FROM k)
       SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars,
-             round(key, 10) AS priority
+             (CAST(round((key) * 1e10) AS BIGINT) / 1e10) AS priority
       FROM r
       WHERE rk <= 10
       ORDER BY lang, rk"""))

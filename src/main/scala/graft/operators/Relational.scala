@@ -2448,32 +2448,37 @@ object Relational {
   // dead 6-hour pipeline. try_cast parses the JSON-extracted string to
   // int (NULL on malformed), try_divide turns the k=50 denominator-zero
   // rows into NULLs instead of exceptions, and the aggregate then
-  // QUANTIFIES the damage per event_type (n_div_zero) — the
-  // dead-letter-count pattern. All codegen'd expressions inside one
-  // hash aggregate; the oracle mirrors try_divide with NULLIF (ANSI NULL
-  // propagation) and TRY_CAST natively.
+  // QUANTIFIES the damage per event_type with SEPARATE dead-letter
+  // counters (ADVICE r7: one blended null count overstated "div zero"):
+  // n_bad_parse = rows whose JSON field failed try_cast, n_div_zero =
+  // rows that parsed but hit the k=50 zero denominator. All codegen'd
+  // expressions inside one hash aggregate; the oracle mirrors try_divide
+  // with NULLIF (ANSI NULL propagation) and TRY_CAST natively.
   private val q202 = QueryDef(
     "q202_try_ingest",
     (s, d) =>
       ev(s, d)
         .select(col("event_type"), col("value"),
           expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"))
-        .select(col("event_type"), col("value"),
+        .select(col("event_type"), col("k"),
           expr("try_divide(value, cast(k - 50 AS DOUBLE))").as("ratio"))
         .groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          (count(lit(1)) - count(col("ratio"))).as("n_div_zero"),
+          (count(lit(1)) - count(col("k"))).as("n_bad_parse"),
+          count(when(col("k") === 50, lit(1))).as("n_div_zero"),
           sumFixed(col("ratio"), 4).as("ratio_sum"))
         .orderBy(col("event_type")),
     Some(s"""
       WITH parsed AS (
         SELECT event_type, value,
+               TRY_CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
                value / NULLIF(TRY_CAST(json_extract_string(props, '$$.k')
                                        AS INTEGER) - 50, 0) AS ratio
         FROM events)
       SELECT event_type, count(*) AS n,
-             count(*) - count(ratio) AS n_div_zero,
+             count(*) - count(k) AS n_bad_parse,
+             count(*) FILTER (WHERE k = 50) AS n_div_zero,
              ${sumFixedSql("ratio", 4)} AS ratio_sum
       FROM parsed
       GROUP BY event_type
@@ -2895,7 +2900,7 @@ object Relational {
         .withColumn("w3", when(abs(col("cents_a") - col("cents_b")) <= 200,
           lit(lg2(fsMPrice / fsUPrice).toDouble))
           .otherwise(lit(lg2((1 - fsMPrice) / (1 - fsUPrice)).toDouble)))
-        .withColumn("score", round(col("w1") + col("w2") + col("w3"), 6))
+        .withColumn("score", Num.roundZ(col("w1") + col("w2") + col("w3"), 6))
         .withColumn("cls", when(col("score") >= 8, "link")
           .when(col("score") < 0, "non_link").otherwise("possible"))
         .groupBy(col("brand"), col("cls"))
@@ -2931,7 +2936,7 @@ object Relational {
           ON a.p_brand = b.p_brand AND a.p_type = b.p_type
          AND a.p_partkey < b.p_partkey, us),
       sc AS (
-        SELECT brand, round(raw, 6) AS score,
+        SELECT brand, (CAST(round((raw) * 1e6) AS BIGINT) / 1e6) AS score,
                CASE WHEN round(raw, 6) >= 8 THEN 'link'
                     WHEN round(raw, 6) < 0 THEN 'non_link'
                     ELSE 'possible' END AS cls
@@ -2981,8 +2986,7 @@ object Relational {
         "cents_b")
       def scored(pairs: DataFrame): DataFrame = pairs
         .crossJoin(broadcast(uSize))
-        .withColumn("score", round(
-          when(col("size_a") === col("size_b"), col("wa_size"))
+        .withColumn("score", Num.roundZ(when(col("size_a") === col("size_b"), col("wa_size"))
             .otherwise(col("wd_size")) +
           when(size(array_intersect(split(col("name_a"), " "),
               split(col("name_b"), " "))) >= 3,
@@ -2990,8 +2994,7 @@ object Relational {
             .otherwise(lit(lg2((1 - fsMName) / (1 - fsUName)).toDouble)) +
           when(abs(col("cents_a") - col("cents_b")) <= 200,
             lit(lg2(fsMPrice / fsUPrice).toDouble))
-            .otherwise(lit(lg2((1 - fsMPrice) / (1 - fsUPrice)).toDouble)),
-          6))
+            .otherwise(lit(lg2((1 - fsMPrice) / (1 - fsUPrice)).toDouble)), 6))
         .select(col("score"))
       val targets = scored(
         a.join(b, col("brand_a") === col("brand_b") &&
@@ -3050,7 +3053,7 @@ object Relational {
                        = b.p_partkey
         WHERE a.p_brand <> b.p_brand OR a.p_type <> b.p_type),
       tsc AS (
-        SELECT round(CASE WHEN size_a = size_b THEN us.wa_size
+        SELECT (CAST(round((CASE WHEN size_a = size_b THEN us.wa_size
                           ELSE us.wd_size END
           + CASE WHEN len(list_intersect(
                 list_distinct(str_split(name_a, ' ')),
@@ -3060,11 +3063,11 @@ object Relational {
           + CASE WHEN abs(CAST(round(pr_a * 100) AS BIGINT) -
                           CAST(round(pr_b * 100) AS BIGINT)) <= 200
                  THEN ${lg2(fsMPrice / fsUPrice)}
-                 ELSE ${lg2((1 - fsMPrice) / (1 - fsUPrice))} END, 6)
+                 ELSE ${lg2((1 - fsMPrice) / (1 - fsUPrice))} END) * 1e6) AS BIGINT) / 1e6)
           AS score
         FROM tpairs, us),
       dsc AS (
-        SELECT round(CASE WHEN size_a = size_b THEN us.wa_size
+        SELECT (CAST(round((CASE WHEN size_a = size_b THEN us.wa_size
                           ELSE us.wd_size END
           + CASE WHEN len(list_intersect(
                 list_distinct(str_split(name_a, ' ')),
@@ -3074,7 +3077,7 @@ object Relational {
           + CASE WHEN abs(CAST(round(pr_a * 100) AS BIGINT) -
                           CAST(round(pr_b * 100) AS BIGINT)) <= 200
                  THEN ${lg2(fsMPrice / fsUPrice)}
-                 ELSE ${lg2((1 - fsMPrice) / (1 - fsUPrice))} END, 6)
+                 ELSE ${lg2((1 - fsMPrice) / (1 - fsUPrice))} END) * 1e6) AS BIGINT) / 1e6)
           AS score
         FROM dpairs, us),
       tc AS (SELECT score, count(*) AS ct FROM tsc GROUP BY score),

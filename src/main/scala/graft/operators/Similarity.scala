@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables}
+import graft.{Num, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -49,7 +49,7 @@ object Similarity {
       val c = e.select(col("vec_id").as("cid"), col("embedding").as("eb"),
         col("norm").as("cn"))
       val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
-        .withColumn("cos", round(float_dot(col("ea"), col("eb")) / (col("qn") * col("cn")), 6))
+        .withColumn("cos", Num.roundZ(float_dot(col("ea"), col("eb")) / (col("qn") * col("cn")), 6))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("cid"))
       scored.withColumn("rk", row_number().over(w))
@@ -65,7 +65,7 @@ object Similarity {
         FROM ev q JOIN ev c ON q.i = c.i AND q.vec_id < 3 AND q.vec_id <> c.vec_id
         GROUP BY 1, 2),
       scored AS (
-        SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        SELECT qid, cid, (CAST(round((dot / (nq.nrm * nc.nrm)) * 1e6) AS BIGINT) / 1e6) AS cos
         FROM pairs JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON cid = nc.vec_id)
       SELECT qid, CAST(rk AS BIGINT) AS rk, cid, cos FROM (
         SELECT qid, cid, cos,
@@ -139,7 +139,7 @@ object Similarity {
       e.select(col("vec_id"), col("embedding").as("eb"), col("norm").as("vn"))
         .join(broadcast(c), lit(true))
         .withColumn("cos",
-          round(float_dot(col("ea"), col("eb")) / (col("cent_n") * col("vn")), 6))
+          Num.roundZ(float_dot(col("ea"), col("eb")) / (col("cent_n") * col("vn")), 6))
     for (_ <- 1 to lloydIters) {
       val cells = nearestCell(assign(cent))
         .select(col("vec_id"), col("cell"))
@@ -187,7 +187,7 @@ object Similarity {
       .join(broadcast(q), col("qid") === col("qid2"))
       .join(e.select(col("vec_id").as("cid"), col("embedding").as("eb"),
         col("norm").as("cn")), "cid")
-      .withColumn("cos", round(float_dot(col("ea"), col("eb")) / (col("qn") * col("cn")), 6))
+      .withColumn("cos", Num.roundZ(float_dot(col("ea"), col("eb")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w))
@@ -221,7 +221,7 @@ object Similarity {
       sb ++= s""",
       asg$t AS (
         SELECT e.vec_id, c.cent_id,
-               round(sum(e.v * c.cv) / (ne.nrm * n.cn), 6) AS cos
+               (CAST(round((sum(e.v * c.cv) / (ne.nrm * n.cn)) * 1e6) AS BIGINT) / 1e6) AS cos
         FROM ev e
         JOIN cv$t c ON c.i = e.i
         JOIN norms ne ON ne.vec_id = e.vec_id
@@ -253,7 +253,7 @@ object Similarity {
       ${lloydCtes(LloydIters)},
       asg AS (
         SELECT e.vec_id, c.cent_id,
-               round(sum(e.v * c.cv) / (ne.nrm * n.cn), 6) AS cos
+               (CAST(round((sum(e.v * c.cv) / (ne.nrm * n.cn)) * 1e6) AS BIGINT) / 1e6) AS cos
         FROM ev e
         JOIN cv$LloydIters c ON c.i = e.i
         JOIN norms ne ON ne.vec_id = e.vec_id
@@ -282,7 +282,7 @@ object Similarity {
         JOIN ev c ON c.vec_id = cid AND c.i = q.i
         GROUP BY 1, 2),
       scored AS (
-        SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        SELECT qid, cid, (CAST(round((dot / (nq.nrm * nc.nrm)) * 1e6) AS BIGINT) / 1e6) AS cos
         FROM pairs JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON cid = nc.vec_id)
       SELECT qid, CAST(rk AS BIGINT) AS rk, cid, cos FROM (
         SELECT qid, cid, cos,
@@ -319,7 +319,7 @@ object Similarity {
           col("norm").as("cn"))
         .crossJoin(broadcast(q))
         .withColumn("cos",
-          round(float_dot(col("ea"), col("eb")) / (col("qn") * col("cn")), 6))
+          Num.roundZ(float_dot(col("ea"), col("eb")) / (col("qn") * col("cn")), 6))
         .orderBy(col("cos").desc, col("cid")).limit(20)
       val wc = Window.orderBy(col("cos").desc, col("cid"))
       val crank = ctop.withColumn("cos_rk", row_number().over(wc).cast("long"))
@@ -348,7 +348,7 @@ object Similarity {
         FROM ev q JOIN ev c ON q.i = c.i AND q.vec_id = 0 AND c.vec_id <> 0
         GROUP BY 1),
       cscore AS (
-        SELECT cid, round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        SELECT cid, (CAST(round((dot / (nq.nrm * nc.nrm)) * 1e6) AS BIGINT) / 1e6) AS cos
         FROM cpairs
         JOIN norms nq ON nq.vec_id = 0
         JOIN norms nc ON nc.vec_id = cid),
@@ -427,7 +427,7 @@ object Similarity {
       ${lloydCtes(LloydIters)},
       asg AS (
         SELECT e.vec_id, c.cent_id,
-               round(sum(e.v * c.cv) / (ne.nrm * n.cn), 6) AS cos
+               (CAST(round((sum(e.v * c.cv) / (ne.nrm * n.cn)) * 1e6) AS BIGINT) / 1e6) AS cos
         FROM ev e
         JOIN cv$LloydIters c ON c.i = e.i
         JOIN norms ne ON ne.vec_id = e.vec_id
@@ -493,7 +493,7 @@ object Similarity {
         col("embedding").as("eb"), col("norm").as("nb"))
       a.join(b, col("cell") === col("cellb") && col("ia") < col("ib"))
         .withColumn("cos",
-          round(float_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+          Num.roundZ(float_dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
         .filter(col("cos") >= SemTau)
         // keeper = argmin by ia (each ia appears once per (cell, ib), so
         // cos never participates in the ordering — it just rides along):
@@ -514,7 +514,7 @@ object Similarity {
       ${lloydCtes(LloydIters)},
       asg AS (
         SELECT e.vec_id, c.cent_id,
-               round(sum(e.v * c.cv) / (ne.nrm * n.cn), 6) AS cos
+               (CAST(round((sum(e.v * c.cv) / (ne.nrm * n.cn)) * 1e6) AS BIGINT) / 1e6) AS cos
         FROM ev e
         JOIN cv$LloydIters c ON c.i = e.i
         JOIN norms ne ON ne.vec_id = e.vec_id
@@ -534,7 +534,7 @@ object Similarity {
         JOIN ev b ON b.vec_id = y.vec_id AND a.i = b.i
         GROUP BY 1, 2, 3),
       scored AS (
-        SELECT cell, ia, ib, round(dot / (na.nrm * nb.nrm), 6) AS cos
+        SELECT cell, ia, ib, (CAST(round((dot / (na.nrm * nb.nrm)) * 1e6) AS BIGINT) / 1e6) AS cos
         FROM pairs
         JOIN norms na ON ia = na.vec_id
         JOIN norms nb ON ib = nb.vec_id)
@@ -573,7 +573,7 @@ object Similarity {
         .withColumn("grp",
           when(col("qlabel") === col("clabel"), "pos").otherwise("neg"))
         .withColumn("cos",
-          round(float_dot(col("ea"), col("eb")) / (col("qn") * col("cn")), 6))
+          Num.roundZ(float_dot(col("ea"), col("eb")) / (col("qn") * col("cn")), 6))
       val w = Window.partitionBy(col("qid"), col("grp"))
         .orderBy(col("cos").desc, col("cid"))
       scored.withColumn("rk", row_number().over(w))
@@ -584,7 +584,7 @@ object Similarity {
           max(when(col("grp") === "pos", col("cos"))).as("pos_cos"),
           max(when(col("grp") === "neg", col("cid"))).as("neg_cid"),
           max(when(col("grp") === "neg", col("cos"))).as("neg_cos"))
-        .withColumn("margin", round(col("pos_cos") - col("neg_cos"), 6))
+        .withColumn("margin", Num.roundZ(col("pos_cos") - col("neg_cos"), 6))
         .orderBy(col("qid"))
     },
     Some(s"""
@@ -598,7 +598,7 @@ object Similarity {
         SELECT qid, cid,
                CASE WHEN ql.label = cl.label THEN 'pos' ELSE 'neg' END
                  AS grp,
-               round(dot / (nq.nrm * nc.nrm), 6) AS cos
+               (CAST(round((dot / (nq.nrm * nc.nrm)) * 1e6) AS BIGINT) / 1e6) AS cos
         FROM pairs
         JOIN norms nq ON qid = nq.vec_id
         JOIN norms nc ON cid = nc.vec_id
@@ -616,8 +616,8 @@ object Similarity {
              max(CASE WHEN grp = 'pos' THEN cos END) AS pos_cos,
              max(CASE WHEN grp = 'neg' THEN cid END) AS neg_cid,
              max(CASE WHEN grp = 'neg' THEN cos END) AS neg_cos,
-             round(max(CASE WHEN grp = 'pos' THEN cos END) -
-                   max(CASE WHEN grp = 'neg' THEN cos END), 6) AS margin
+             (CAST(round((max(CASE WHEN grp = 'pos' THEN cos END) -
+                   max(CASE WHEN grp = 'neg' THEN cos END)) * 1e6) AS BIGINT) / 1e6) AS margin
       FROM top
       GROUP BY qid
       ORDER BY qid"""))
@@ -665,9 +665,14 @@ object Similarity {
           sum(round(col("xj") * lit(1e8)).cast("long")).as("sj"),
           sum(round(col("xi") * col("xj") * lit(1e8)).cast("long")).as("sij"))
         .select(col("i"), col("j"), col("n"),
-          round(col("sij").cast("double") / lit(1e8) / col("n").cast("double"),
-            6).as("gram"),
-          round((col("sij").cast("double") / lit(1e8)
+          // roundZ, not round: the off-diagonal covariances (and in
+          // principle the gram cells) of near-orthogonal dimensions are
+          // tiny NEGATIVE values that round to zero — Spark's BigDecimal
+          // round emits +0.0 while DuckDB keeps −0.0 (the r7 red row at
+          // cell i=6,j=10). Quantize-then-divide forces +0.0 in both.
+          Num.roundZ(col("sij").cast("double") / lit(1e8)
+            / col("n").cast("double"), 6).as("gram"),
+          Num.roundZ((col("sij").cast("double") / lit(1e8)
               - (col("si").cast("double") / lit(1e8))
                 * (col("sj").cast("double") / lit(1e8))
                 / col("n").cast("double"))
@@ -687,11 +692,12 @@ object Similarity {
                CAST(sum(CAST(round(xi * xj * 1e8) AS BIGINT)) AS BIGINT) AS sij
         FROM p GROUP BY i, j)
       SELECT i, j, n,
-             round(CAST(sij AS DOUBLE) / 1e8 / CAST(n AS DOUBLE), 6) AS gram,
-             round((CAST(sij AS DOUBLE) / 1e8
+             (CAST(round(CAST(sij AS DOUBLE) / 1e8 / CAST(n AS DOUBLE)
+                         * 1e6) AS BIGINT) / 1e6) AS gram,
+             (CAST(round((CAST(sij AS DOUBLE) / 1e8
                     - (CAST(si AS DOUBLE) / 1e8) * (CAST(sj AS DOUBLE) / 1e8)
                       / CAST(n AS DOUBLE))
-                   / (CAST(n AS DOUBLE) - 1.0), 6) AS cov
+                   / (CAST(n AS DOUBLE) - 1.0) * 1e6) AS BIGINT) / 1e6) AS cov
       FROM agg
       ORDER BY i, j"""))
 
@@ -730,9 +736,9 @@ object Similarity {
       val cand = base.select(col("vec_id").as("cid"), col("qv").as("qb"),
         col("embedding").as("fb"), col("qn2").as("nb"), col("norm").as("fnb"))
       val scored = cand.join(broadcast(probes), col("qid") =!= col("cid"))
-        .withColumn("cosq", round(long_dot(col("qa"), col("qb")).cast("double") /
+        .withColumn("cosq", Num.roundZ(long_dot(col("qa"), col("qb")).cast("double") /
           (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6))
-        .withColumn("cosf", round(float_dot(col("fa"), col("fb")) /
+        .withColumn("cosf", Num.roundZ(float_dot(col("fa"), col("fb")) /
           (col("fna") * col("fnb")), 6))
       val wq = Window.partitionBy(col("qid")).orderBy(col("cosq").desc, col("cid"))
       val wf = Window.partitionBy(col("qid")).orderBy(col("cosf").desc, col("cid"))
@@ -767,12 +773,12 @@ object Similarity {
         GROUP BY 1, 2),
       sq AS (
         SELECT qid, cid,
-               round(CAST(dotq AS DOUBLE) /
-                 (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+               (CAST(round((CAST(dotq AS DOUBLE) /
+                 (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))) * 1e6) AS BIGINT) / 1e6)
                  AS cosq
         FROM pq JOIN qn na ON qid = na.vec_id JOIN qn nb ON cid = nb.vec_id),
       sf AS (
-        SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cosf
+        SELECT qid, cid, (CAST(round((dot / (nq.nrm * nc.nrm)) * 1e6) AS BIGINT) / 1e6) AS cosf
         FROM pf JOIN norms nq ON qid = nq.vec_id JOIN norms nc ON cid = nc.vec_id),
       rk AS (
         SELECT sq.qid, sq.cid,
@@ -890,10 +896,10 @@ object Similarity {
           min(col("pq9")).as("mn"), max(col("pq9")).as("mxp"))
         .crossJoin(broadcast(lastM))
         .select(col("label"), col("n"),
-          round(col("sp").cast("double") / col("n").cast("double") /
+          Num.roundZ(col("sp").cast("double") / col("n").cast("double") /
             lit(1e9), 6).as("mean_proj"),
-          round(col("mn").cast("double") / lit(1e9), 6).as("min_proj"),
-          round(col("mxp").cast("double") / lit(1e9), 6).as("max_proj"),
+          Num.roundZ(col("mn").cast("double") / lit(1e9), 6).as("min_proj"),
+          Num.roundZ(col("mxp").cast("double") / lit(1e9), 6).as("max_proj"),
           round(col("m").cast("double") / lit(1e15), 6).as("lambda1"))
         .orderBy(col("label"))
     },
@@ -951,10 +957,10 @@ object Similarity {
         FROM ev JOIN vf ON ev.i = vf.i
         GROUP BY ev.vec_id, ev.label)
       SELECT label, count(*) AS n,
-             round(CAST(sum(pq9) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-               / 1e9, 6) AS mean_proj,
-             round(CAST(min(pq9) AS DOUBLE) / 1e9, 6) AS min_proj,
-             round(CAST(max(pq9) AS DOUBLE) / 1e9, 6) AS max_proj,
+             (CAST(round((CAST(sum(pq9) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               / 1e9) * 1e6) AS BIGINT) / 1e6) AS mean_proj,
+             (CAST(round((CAST(min(pq9) AS DOUBLE) / 1e9) * 1e6) AS BIGINT) / 1e6) AS min_proj,
+             (CAST(round((CAST(max(pq9) AS DOUBLE) / 1e9) * 1e6) AS BIGINT) / 1e6) AS max_proj,
              round(CAST((SELECT m FROM m3) AS DOUBLE) / 1e15, 6) AS lambda1
       FROM proj
       GROUP BY label
@@ -991,7 +997,7 @@ object Similarity {
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("cid"))
       val top = c.join(broadcast(q), col("qid") =!= col("cid"))
-        .withColumn("cos", round(float_dot(col("ea"), col("eb")) /
+        .withColumn("cos", Num.roundZ(float_dot(col("ea"), col("eb")) /
           (col("qn") * col("cn")), 6))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 10)
@@ -1029,7 +1035,7 @@ object Similarity {
       lab AS (SELECT DISTINCT vec_id, label FROM ev),
       labn AS (SELECT label, count(*) AS nlab FROM lab GROUP BY label),
       scored AS (
-        SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS cos
+        SELECT qid, cid, (CAST(round((dot / (nq.nrm * nc.nrm)) * 1e6) AS BIGINT) / 1e6) AS cos
         FROM pairs JOIN norms nq ON qid = nq.vec_id
         JOIN norms nc ON cid = nc.vec_id),
       top AS (
@@ -1094,7 +1100,7 @@ object Similarity {
         .select(col("vec_id").as("cid"), col("label"),
           col("embedding").as("eb"), col("norm").as("cn"))
       corpus.join(broadcast(evalSet), lit(true))
-        .withColumn("cos", round(float_dot(col("ea"), col("eb")) /
+        .withColumn("cos", Num.roundZ(float_dot(col("ea"), col("eb")) /
           (col("en") * col("cn")), 6))
         .groupBy(col("cid"), col("label"))
         .agg(max(col("cos")).as("mx"))
@@ -1114,7 +1120,7 @@ object Similarity {
           AND q.vec_id % 97 = 3 AND c.vec_id % 97 <> 3
         GROUP BY c.vec_id, q.vec_id),
       mx AS (
-        SELECT cid, max(round(dot / (ne.nrm * nc.nrm), 6)) AS mx
+        SELECT cid, max((CAST(round((dot / (ne.nrm * nc.nrm)) * 1e6) AS BIGINT) / 1e6)) AS mx
         FROM pairs
         JOIN norms ne ON eid = ne.vec_id
         JOIN norms nc ON cid = nc.vec_id

@@ -1634,7 +1634,7 @@ object TextAnalysis {
           sum(col("sent")).as("sentences"), sum(col("syl")).as("syllables"))
         .select(col("source"), col("n_docs"), col("words"),
           col("sentences"), col("syllables"),
-          round(lit(206.835) -
+          Num.roundZ(lit(206.835) -
             lit(1.015) * (col("words").cast("double") /
               col("sentences").cast("double")) -
             lit(84.6) * (col("syllables").cast("double") /
@@ -1646,11 +1646,11 @@ object TextAnalysis {
              CAST(sum(w) AS BIGINT) AS words,
              CAST(sum(sent) AS BIGINT) AS sentences,
              CAST(sum(syl) AS BIGINT) AS syllables,
-             round(206.835
+             (CAST(round((206.835
                    - 1.015 * (CAST(sum(w) AS DOUBLE) /
                               CAST(sum(sent) AS DOUBLE))
                    - 84.6 * (CAST(sum(syl) AS DOUBLE) /
-                             CAST(sum(w) AS DOUBLE)), 4) AS flesch
+                             CAST(sum(w) AS DOUBLE))) * 1e4) AS BIGINT) / 1e4) AS flesch
       FROM (
         SELECT source,
                len(str_split(text, ' ')) AS w,

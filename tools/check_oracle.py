@@ -10,6 +10,7 @@ sorted canonically. Exit 0 iff all match.
 """
 import sys, os, json, glob
 import duckdb
+import numpy as np
 import pandas as pd
 
 
@@ -26,7 +27,38 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def bitwise(df: pd.DataFrame) -> pd.DataFrame:
+    """Replace float64 columns with their uint64 bit patterns (NaN/null
+    canonicalized to one pattern) so the comparison is BYTEWISE — exactly as
+    strict as the driver's hasher. pandas `.equals` treats -0.0 == +0.0,
+    which let the q163 signed-zero divergence ship in r7; this view does
+    not."""
+    df = df.copy()
+    canon_nan = np.uint64(0x7FF8000000000000)
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            v = df[c].to_numpy(dtype="float64", na_value=np.nan)
+            bits = v.view(np.uint64).copy()
+            bits[np.isnan(v)] = canon_nan
+            df[c] = bits
+    return df
+
+
+def selftest():
+    """Prove the bitwise gate catches what pandas `.equals` misses."""
+    a = pd.DataFrame({"x": [1.5, 0.0, float("nan")]})
+    b = pd.DataFrame({"x": [1.5, -0.0, float("nan")]})
+    assert a.equals(b), "pandas itself should conflate -0.0 == +0.0"
+    assert not bitwise(a).equals(bitwise(b)), "bitwise gate must flag -0.0 vs +0.0"
+    c = pd.DataFrame({"x": [1.5, 0.0, float("nan")]})
+    assert bitwise(a).equals(bitwise(c)), "identical frames (incl NaN) must pass"
+    print("selftest ok: -0.0 vs +0.0 flagged; NaN==NaN canonicalized")
+    sys.exit(0)
+
+
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
@@ -62,8 +94,9 @@ def main():
         if len(g) != len(e):
             failures.append((name, f"row count differs: spark={len(g)} duckdb={len(e)}"))
             continue
-        if not g.equals(e):
-            neq = (g != e) & ~(g.isna() & e.isna())
+        gb, eb = bitwise(g), bitwise(e)
+        if not gb.equals(eb):
+            neq = (gb != eb) & ~(gb.isna() & eb.isna())
             bad = neq.any(axis=1)
             idx = list(g.index[bad])[:3]
             detail = []
