@@ -61,7 +61,22 @@ object Bench {
     }
 
     // a failed query is recorded as -1 (never a near-zero "success" that
-    // would silently improve the tracked total) and fails the run
+    // would silently improve the tracked total) and fails the run.
+    //
+    // Per-query state hygiene: the dedup/components family pins RDD blocks
+    // via localCheckpoint (lineage truncation — see connectedComponents);
+    // those blocks are only released when the ContextCleaner GC-detects the
+    // dead frames, which over a 263-query single-JVM run lags far behind
+    // accumulation. The retained storage squeezes the unified memory pool's
+    // execution side and late-board heavy aggregations spill: the r7 driver
+    // board read q151 at 22.1 s / q154 at 8.1 s while fresh-JVM alone-probes
+    // read 3.55 s / 1.55 s (~6×). A real cluster job would not carry 200
+    // unrelated queries' pinned blocks, so the bench explicitly unpersists
+    // whatever a query left pinned before timing the next one — measuring
+    // each plan, not the harness's leak. SPARK_GRAFT_BENCH_NOCLEAN=1
+    // disables this (the StreamCost-style A/B knob that attributed the
+    // amplification; see BASELINE.md).
+    val keepState = sys.env.contains("SPARK_GRAFT_BENCH_NOCLEAN")
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -69,6 +84,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
+      }
+      finally if (!keepState) {
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
       }
     }
     // BEST-OF-2: two full passes, min per query. Single-shot timings made
