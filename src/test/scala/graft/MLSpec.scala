@@ -45,6 +45,30 @@ class MLSpec extends AnyFunSuite {
     assert(acc > 0.8, s"accuracy $acc")
   }
 
+  test("model_factory analogue: a custom Estimator backend plugs into Train") {
+    // the reference's low-level train(..., model_factory=AnyEstimator,
+    // **kwargs) (core.py:94,128-136): swap in an estimator graft does NOT
+    // ship as a backend — LogisticRegression — via a caller-written factory
+    import org.apache.spark.ml.classification.LogisticRegression
+    val df = blobs(2)
+    val m = graft.ml.Train.train(df, LGBMParams(nEstimators = 20),
+      (p: LGBMParams, w: Option[String]) => {
+        val est = new LogisticRegression().setMaxIter(p.nEstimators)
+        w.foreach(est.setWeightCol)
+        est
+      },
+      featuresCol = Seq("feats"))
+    val acc = m.transform(graft.ml.Featurize(df, Seq("feats")))
+      .agg(avg(($"label" === $"prediction").cast("double"))).head.getDouble(0)
+    assert(acc > 0.8, s"custom-factory accuracy $acc")
+    // and the exposed default factory reproduces the built-in binary path
+    val g = graft.ml.Train.train(df, LGBMParams(nEstimators = 20),
+      graft.ml.Train.gbtClassifierFactory, featuresCol = Seq("feats"))
+    val accG = g.transform(graft.ml.Featurize(df, Seq("feats")))
+      .agg(avg(($"label" === $"prediction").cast("double"))).head.getDouble(0)
+    assert(accG > 0.8, s"default-factory accuracy $accG")
+  }
+
   test("multiclass (3 blobs) routes to RF and predicts probabilities") {
     val df = blobs(3)
     val m = new LGBMClassifier(LGBMParams(nEstimators = 30)).fit(df, Seq("feats"))
