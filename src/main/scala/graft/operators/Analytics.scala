@@ -4604,10 +4604,103 @@ object Analytics {
                / CAST(join_size AS DOUBLE), 6) AS rel_err
       FROM exact, est"""))
 
+  // --------------------------------------------------------------- q280
+  // approx_percentile rank-error gate ([EXT]) — sketch observability for
+  // Spark's built-in quantile sketch (Greenwald–Khanna/KLL family), the
+  // production quantile path at 100 TB where q168's exact two-phase grid
+  // would still work but the sketch is one pass and mergeable. The
+  // estimate itself is sketch-internal (not reproducible in DuckDB), so
+  // the q38/q220 boolean pattern applies: the query derives, from the
+  // exact cents VALUE-DOMAIN grid, the values at ranks ⌈(p±0.02)·n⌉ —
+  // accuracy=100 guarantees rank error ≤ n/100, the band doubles it for
+  // rank-definition slack — and pins `within_rank_band` TRUE per
+  // (event_type, p). A sketch drifting out of its guaranteed band flips
+  // the boolean and fails the hash gate; the exact band edges are
+  // hash-checked values in their own right.
+  //
+  // Scale (q168 discipline): one corpus aggregate to the (type, cents)
+  // grid; cumulative ranks and band-edge selection run on the grid;
+  // the sketch side is one map-side-combinable approx_percentile agg.
+  private val q280 = QueryDef(
+    "q280_approx_quantile_gate",
+    (s, d) => {
+      val ps = Seq(0.5, 0.9, 0.99)
+      val e = ev(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val grid = e.groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = grid.withColumn("cum", sum(col("cnt")).over(wCum))
+      val n = grid.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+      val targets = n
+        .select(col("event_type"), col("n"),
+          explode(array(ps.map(lit(_)): _*)).as("p"))
+        .withColumn("klo",
+          greatest(lit(1L), ceil((col("p") - lit(0.02)) * col("n").cast("double"))))
+        .withColumn("khi",
+          least(col("n"), ceil((col("p") + lit(0.02)) * col("n").cast("double"))))
+      def valueAtRank(k: String, out: String) = targets
+        .join(cum, "event_type")
+        .filter(col("cum") >= col(k))
+        .groupBy(col("event_type"), col("p"))
+        .agg(min(col("cents")).as(out))
+      val bands = valueAtRank("klo", "exact_lo")
+        .join(valueAtRank("khi", "exact_hi"), Seq("event_type", "p"))
+      val est = e.groupBy(col("event_type"))
+        .agg(expr(s"approx_percentile(cents, array(${ps.mkString(", ")}), 100)")
+          .as("ests"))
+        .select(col("event_type"), posexplode(col("ests")).as(Seq("i", "est")))
+        .select(col("event_type"),
+          element_at(array(ps.map(lit(_)): _*), col("i") + 1).as("p"),
+          col("est"))
+      bands.join(est, Seq("event_type", "p"))
+        .select(col("event_type"), col("p"), col("exact_lo"), col("exact_hi"),
+          (col("est") >= col("exact_lo") && col("est") <= col("exact_hi"))
+            .as("within_rank_band"))
+        .orderBy(col("event_type"), col("p"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      grid AS (
+        SELECT event_type, cents, count(*) AS cnt FROM e GROUP BY 1, 2),
+      cum AS (
+        SELECT event_type, cents,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM grid),
+      n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+            FROM grid GROUP BY 1),
+      targets AS (
+        SELECT event_type, n, CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p
+        FROM n),
+      bounds AS (
+        SELECT event_type, n, p,
+               greatest(1, CAST(ceil((p - 0.02) * CAST(n AS DOUBLE))
+                 AS BIGINT)) AS klo,
+               least(n, CAST(ceil((p + 0.02) * CAST(n AS DOUBLE))
+                 AS BIGINT)) AS khi
+        FROM targets),
+      lo AS (
+        SELECT b.event_type, b.p, min(c.cents) AS exact_lo
+        FROM bounds b JOIN cum c ON c.event_type = b.event_type
+        WHERE c.cum >= b.klo GROUP BY 1, 2),
+      hi AS (
+        SELECT b.event_type, b.p, min(c.cents) AS exact_hi
+        FROM bounds b JOIN cum c ON c.event_type = b.event_type
+        WHERE c.cum >= b.khi GROUP BY 1, 2)
+      SELECT lo.event_type, lo.p, lo.exact_lo, hi.exact_hi,
+             TRUE AS within_rank_band
+      FROM lo JOIN hi ON hi.event_type = lo.event_type AND hi.p = lo.p
+      ORDER BY lo.event_type, lo.p"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
-      q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257, q259, q262, q263, q265, q271, q274)
+      q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
+      q259, q262, q263, q265, q271, q274, q280)
 }

@@ -533,56 +533,66 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
-  private val q34 = QueryDef(
-    "q34_dedup_embedding_cosine",
-    (s, d) => embeddingNearDup(emb(s, d), "vec_id", "embedding", 0.3),
-    Some {
-      import graft.functions.EmbedSimHash.bitDotSql
-      val bitSums = (0 until EmbBits)
-        .map(j => s"${bitDotSql(j, "i", "q")} AS d$j")
-        .mkString(",\n               ")
-      val sigExpr = (0 until EmbBits)
-        .map(j => s"CASE WHEN d$j >= 0 THEN ${1L << j} ELSE 0 END")
-        .mkString(" + ")
-      val bandSelects = (0 until EmbBands)
-        .map(b =>
-          s"SELECT vec_id, $b AS band, (sig // ${1L << (EmbBandBits * b)}) % ${1 << EmbBandBits} AS bv FROM sig")
-        .mkString("\n        UNION ALL ")
-      s"""
-      WITH ev AS (
+  /** Oracle CTE chain mirroring [[embeddingNearDup]] at minCos = 0.3,
+    * ending in `emb_pairs(ia, ib, cos)` — shared by the q34 and q277
+    * oracles. */
+  private[graft] lazy val embPairsCtes: String = {
+    import graft.functions.EmbedSimHash.bitDotSql
+    val bitSums = (0 until EmbBits)
+      .map(j => s"${bitDotSql(j, "i", "q")} AS d$j")
+      .mkString(",\n               ")
+    val sigExpr = (0 until EmbBits)
+      .map(j => s"CASE WHEN d$j >= 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    val bandSelects = (0 until EmbBands)
+      .map(b =>
+        s"SELECT vec_id, $b AS band, (sig // ${1L << (EmbBandBits * b)}) % ${1 << EmbBandBits} AS bv FROM sig")
+      .mkString("\n        UNION ALL ")
+    s"""eev AS (
         SELECT vec_id,
                unnest(range(1, len(embedding) + 1)) AS i,
                CAST(unnest(embedding) AS DOUBLE) AS v
         FROM embeddings),
-      norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ev GROUP BY 1),
-      qv AS (SELECT vec_id, i, CAST(round(v * 1000) AS BIGINT) AS q FROM ev),
+      enorms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM eev GROUP BY 1),
+      qv AS (SELECT vec_id, i, CAST(round(v * 1000) AS BIGINT) AS q FROM eev),
       sums AS (SELECT vec_id,
                $bitSums
                FROM qv GROUP BY vec_id),
       sig AS (SELECT vec_id, $sigExpr AS sig FROM sums),
-      bands AS (
+      ebands AS (
         $bandSelects),
       -- hot-bucket cap, mirroring Spark's MaxBucket drop
-      bsz AS (SELECT band, bv FROM bands GROUP BY band, bv
+      ebsz AS (SELECT band, bv FROM ebands GROUP BY band, bv
               HAVING count(*) <= $MaxBucket),
-      cand AS (
+      ecand AS (
         SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
-        FROM bands x JOIN bands y
+        FROM ebands x JOIN ebands y
           ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id
-        JOIN bsz s ON s.band = x.band AND s.bv = x.bv),
-      pairs AS (
+        JOIN ebsz s ON s.band = x.band AND s.bv = x.bv),
+      epairs AS (
         SELECT ia, ib, sum(a.v * b.v) AS dot
-        FROM cand
-        JOIN ev a ON a.vec_id = ia
-        JOIN ev b ON b.vec_id = ib AND a.i = b.i
-        GROUP BY 1, 2)
-      SELECT ia, ib, (CAST(round((dot / (na.nrm * nb.nrm)) * 1e6) AS BIGINT) / 1e6) AS cos
-      FROM pairs
-      JOIN norms na ON ia = na.vec_id
-      JOIN norms nb ON ib = nb.vec_id
-      WHERE (CAST(round((dot / (na.nrm * nb.nrm)) * 1e6) AS BIGINT) / 1e6) >= 0.3
-      ORDER BY ia, ib"""
-    })
+        FROM ecand
+        JOIN eev a ON a.vec_id = ia
+        JOIN eev b ON b.vec_id = ib AND a.i = b.i
+        GROUP BY 1, 2),
+      emb_pairs AS (
+        SELECT ia, ib,
+               (CAST(round((dot / (na.nrm * nb.nrm)) * 1e6) AS BIGINT) / 1e6)
+                 AS cos
+        FROM epairs
+        JOIN enorms na ON ia = na.vec_id
+        JOIN enorms nb ON ib = nb.vec_id
+        WHERE (CAST(round((dot / (na.nrm * nb.nrm)) * 1e6) AS BIGINT) / 1e6)
+              >= 0.3)"""
+  }
+
+  private val q34 = QueryDef(
+    "q34_dedup_embedding_cosine",
+    (s, d) => embeddingNearDup(emb(s, d), "vec_id", "embedding", 0.3),
+    Some(s"""
+      WITH $embPairsCtes
+      SELECT ia, ib, cos FROM emb_pairs
+      ORDER BY ia, ib"""))
 
   // ---------------------------------------------------------------- q35
   // Duplicate-CLUSTER assignment: pairwise near-dup output (q32's verified
@@ -2027,7 +2037,79 @@ object Dedup {
       FROM n JOIN raw USING (source) JOIN can USING (source)
       ORDER BY source"""))
 
+  // --------------------------------------------------------------- q277
+  // Cross-lingual near-duplicate recovery ([EXT]) — the pairs a
+  // lang-blocked dedup pipeline structurally MISSES. q31 blocks shingle
+  // buckets by (lang, shingle) — the standard per-language sharding that
+  // keeps buckets small — so a translated/transliterated duplicate pair
+  // never meets; q32's MinHash banding is language-agnostic and q258's
+  // recall eval measured its `n_extra` (verified pairs outside same-lang
+  // truth) at 177 pairs on sf0.1 — real mass, invisible to the blocked
+  // pipeline. This operator materializes exactly those pairs as a
+  // first-class report: verified cross-lang near-dups (exact trigram
+  // Jaccard ≥ 0.5 via the house [[jacRaw]] threshold) CORROBORATED by the
+  // embedding channel — each pair carries the exact cosine of its two
+  // document embeddings (vec_id ≡ doc_id in the driver corpus), the
+  // multimodal cross-check a curation pipeline uses to triage whether a
+  // cross-lang match is a true translation (high cos) or a shingle
+  // coincidence (low cos).
+  //
+  // Scale: minhashPairs is the bucketed LSH pipeline (no all-pairs); the
+  // lang/embedding attachments are id-keyed equi-joins — pair-table-sized
+  // probes against corpus-keyed tables, nothing quadratic. The dot
+  // product is the codegen'd FloatDot over the pair table only.
+  private val q277 = QueryDef(
+    "q277_crosslingual_near_dup",
+    (s, d) => {
+      val dmeta = docs(s, d).select(col("doc_id"), col("lang"))
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", float_norm(col("embedding")))
+      minhashPairs(s, d)
+        .join(dmeta.select(col("doc_id").as("da"), col("lang").as("lang_a")),
+          "da")
+        .join(dmeta.select(col("doc_id").as("db"), col("lang").as("lang_b")),
+          "db")
+        .filter(col("lang_a") =!= col("lang_b"))
+        .join(e.select(col("vec_id").as("da"), col("embedding").as("ea"),
+          col("nrm").as("na")), "da")
+        .join(e.select(col("vec_id").as("db"), col("embedding").as("eb"),
+          col("nrm").as("nb")), "db")
+        .select(col("da"), col("db"), col("lang_a"), col("lang_b"),
+          col("jac"),
+          Num.roundZ(float_dot(col("ea"), col("eb")) /
+            (col("na") * col("nb")), 6).as("emb_cos"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""
+      WITH $minhashCtes,
+      vev AS (
+        SELECT vec_id,
+               unnest(range(1, len(embedding) + 1)) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      vnorms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM vev GROUP BY 1),
+      xp AS (
+        SELECT p.da, p.db, xa.lang AS lang_a, xb.lang AS lang_b, p.jac
+        FROM mh_pairs p
+        JOIN documents xa ON xa.doc_id = p.da
+        JOIN documents xb ON xb.doc_id = p.db
+        WHERE xa.lang <> xb.lang),
+      dots AS (
+        SELECT xp.da, xp.db, sum(a.v * b.v) AS dot
+        FROM xp
+        JOIN vev a ON a.vec_id = xp.da
+        JOIN vev b ON b.vec_id = xp.db AND a.i = b.i
+        GROUP BY 1, 2)
+      SELECT xp.da, xp.db, xp.lang_a, xp.lang_b, xp.jac,
+             (CAST(round((dt.dot / (na.nrm * nb.nrm)) * 1e6) AS BIGINT) / 1e6)
+               AS emb_cos
+      FROM xp
+      JOIN dots dt ON dt.da = xp.da AND dt.db = xp.db
+      JOIN vnorms na ON na.vec_id = xp.da
+      JOIN vnorms nb ON nb.vec_id = xp.db
+      ORDER BY xp.da, xp.db"""))
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154,
-      q161, q205, q210, q213, q247, q258, q270)
+      q161, q205, q210, q213, q247, q258, q270, q277)
 }

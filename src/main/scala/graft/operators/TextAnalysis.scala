@@ -1967,8 +1967,171 @@ object TextAnalysis {
       WHERE rk <= 5
       ORDER BY source, rk"""))
 
+  // --------------------------------------------------------------- q278
+  // Zipf-law slope of the corpus token distribution ([EXT]) — the
+  // power-law diagnostic behind q276's coverage curve: OLS of ln(freq)
+  // on ln(rank) over the top-1000 vocabulary entries. A healthy natural
+  // corpus reads slope ≈ −1; template/boilerplate-heavy or synthetic
+  // corpora flatten or steepen it, so the slope is the one-number
+  // corpus-health screen a curation dashboard tracks per snapshot.
+  //
+  // Scale (q276 discipline): ONE corpus scan into the map-side-combined
+  // token count; ranking runs on the VOCAB-sized grid and the regression
+  // on its top-1000 survivors. Exactness: ln is libm (q216 precedent) so
+  // each ln quantizes to a 1e-6 grid IMMEDIATELY (xq/yq BIGINTs — the
+  // coarse grid makes a cross-engine ln ulp flipping a rounded cell
+  // ~1e-9-improbable per value, and both engines then compute on
+  // IDENTICAL quantized values); products re-quantize to 1e-9-scaled
+  // BIGINTs pre-sum so the moment sums are exact and order-independent;
+  // the closed-form slope/intercept are the same chained IEEE expression
+  // in both engines, signed-zero-safe via roundZ.
+  private val q278 = QueryDef(
+    "q278_zipf_slope",
+    (s, d) => {
+      val cnt = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val wRank = Window.orderBy(col("c").desc, col("tok"))
+      val top = cnt.withColumn("rk", row_number().over(wRank).cast("long"))
+        .filter(col("rk") <= 1000L)
+        .withColumn("xq",
+          round(log(col("rk").cast("double")) * lit(1e6)).cast("long"))
+        .withColumn("yq",
+          round(log(col("c").cast("double")) * lit(1e6)).cast("long"))
+        .withColumn("xy9", round((col("xq").cast("double") / lit(1e6)) *
+          (col("yq").cast("double") / lit(1e6)) * lit(1e9)).cast("long"))
+        .withColumn("xx9", round((col("xq").cast("double") / lit(1e6)) *
+          (col("xq").cast("double") / lit(1e6)) * lit(1e9)).cast("long"))
+      val m = top.agg(count(lit(1)).as("n"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("xy9")).as("sxy"), sum(col("xx9")).as("sxx"))
+      val slope = (col("n").cast("double") * (col("sxy").cast("double") / lit(1e9))
+        - (col("sx").cast("double") / lit(1e6)) * (col("sy").cast("double") / lit(1e6)))
+        .divide(col("n").cast("double") * (col("sxx").cast("double") / lit(1e9))
+          - (col("sx").cast("double") / lit(1e6)) * (col("sx").cast("double") / lit(1e6)))
+      m.select(col("n").as("n_ranks"),
+        Num.roundZ(slope, 6).as("zipf_slope"),
+        Num.roundZ(((col("sy").cast("double") / lit(1e6)) - slope *
+          (col("sx").cast("double") / lit(1e6))) / col("n").cast("double"), 6)
+          .as("zipf_intercept"))
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT tok, count(*) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok),
+      top AS (
+        SELECT rk, c FROM (
+          SELECT c, tok,
+                 row_number() OVER (ORDER BY c DESC, tok) AS rk
+          FROM cnt) t
+        WHERE rk <= 1000),
+      q AS (
+        SELECT CAST(round(ln(CAST(rk AS DOUBLE)) * 1e6) AS BIGINT) AS xq,
+               CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS yq
+        FROM top),
+      t2 AS (
+        SELECT xq, yq,
+               CAST(round((CAST(xq AS DOUBLE) / 1e6)
+                 * (CAST(yq AS DOUBLE) / 1e6) * 1e9) AS BIGINT) AS xy9,
+               CAST(round((CAST(xq AS DOUBLE) / 1e6)
+                 * (CAST(xq AS DOUBLE) / 1e6) * 1e9) AS BIGINT) AS xx9
+        FROM q),
+      m AS (
+        SELECT count(*) AS n,
+               CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+               CAST(sum(xy9) AS BIGINT) AS sxy,
+               CAST(sum(xx9) AS BIGINT) AS sxx
+        FROM t2)
+      SELECT n AS n_ranks,
+             (CAST(round(((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+                 - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+                / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+                 - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)))
+               * 1e6) AS BIGINT) / 1e6) AS zipf_slope,
+             (CAST(round((((CAST(sy AS DOUBLE) / 1e6)
+                 - ((CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+                     - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sy AS DOUBLE) / 1e6))
+                    / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+                     - (CAST(sx AS DOUBLE) / 1e6) * (CAST(sx AS DOUBLE) / 1e6)))
+                   * (CAST(sx AS DOUBLE) / 1e6)) / CAST(n AS DOUBLE))
+               * 1e6) AS BIGINT) / 1e6) AS zipf_intercept
+      FROM m"""))
+
+  // --------------------------------------------------------------- q279
+  // Good–Turing frequency-of-frequencies ([EXT]) — the unseen-mass
+  // estimate that complements q276 (how much mass the KNOWN vocabulary
+  // covers) with how much probability mass belongs to tokens NEVER seen:
+  // P0 = N1/N (singleton share of token mass), plus the smoothed
+  // Good–Turing adjusted counts r* = (r+1)·N_{r+1}/N_r for r = 1..5 —
+  // the low-frequency reliability table a tokenizer/LM data audit reads
+  // before trusting tail counts.
+  //
+  // Scale: the frequency-of-frequencies table is a VALUE-DOMAIN grid
+  // (distinct freq values), derived from the one map-side-combined token
+  // count by a second tiny hash agg; everything downstream runs on its
+  // 5 rarest rows. All counts exact BIGINTs; the two ratios are single
+  // correctly-rounded divisions of exact integers. The textbook table is
+  // r = 1..5, but this driver corpus's frequency floor is high (min
+  // observed freq 26 at sf0.01 — tiny vocab, heavy repetition), so the
+  // report covers the 5 RAREST OBSERVED frequencies — identical
+  // semantics on a natural-tail corpus, non-degenerate here; n_next and
+  // r* honestly read 0 when r+1 is unoccupied, and p_unseen = N1/N reads
+  // 0 when no singletons exist.
+  private val q279 = QueryDef(
+    "q279_good_turing",
+    (s, d) => {
+      val cnt = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val fof = cnt.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+      val tots = cnt.agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("v_size"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"))
+      val wR = Window.orderBy(col("r")) // fof-grid-sized, value domain
+      fof.withColumn("rk", row_number().over(wR).cast("long"))
+        .filter(col("rk") <= 5L)
+        .join(fof.select((col("r") - 1L).as("r"), col("n_r").as("n_next")),
+          Seq("r"), "left")
+        .crossJoin(broadcast(tots))
+        .select(col("rk"), col("r"), col("n_r"),
+          coalesce(col("n_next"), lit(0L)).as("n_next"),
+          round(((col("r") + 1L) * coalesce(col("n_next"), lit(0L)))
+            .cast("double") / col("n_r").cast("double"), 6).as("r_star"),
+          col("v_size"), col("n_tokens"),
+          round(col("n1").cast("double") / col("n_tokens").cast("double"), 6)
+            .as("p_unseen"))
+        .orderBy(col("rk"))
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT tok, count(*) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok),
+      fof AS (SELECT c AS r, count(*) AS n_r FROM cnt GROUP BY c),
+      low AS (
+        SELECT r, n_r, rk FROM (
+          SELECT r, n_r, row_number() OVER (ORDER BY r) AS rk FROM fof) t
+        WHERE rk <= 5),
+      tots AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS v_size,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        FROM cnt)
+      SELECT CAST(f.rk AS BIGINT) AS rk, f.r, f.n_r,
+             CAST(coalesce(f2.n_r, 0) AS BIGINT) AS n_next,
+             round(CAST((f.r + 1) * coalesce(f2.n_r, 0) AS DOUBLE)
+                   / CAST(f.n_r AS DOUBLE), 6) AS r_star,
+             t.v_size, t.n_tokens,
+             round(CAST(t.n1 AS DOUBLE) / CAST(t.n_tokens AS DOUBLE), 6)
+               AS p_unseen
+      FROM low f
+      LEFT JOIN fof f2 ON f2.r = f.r + 1
+      CROSS JOIN tots t
+      ORDER BY f.rk"""))
+
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
       q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228,
-      q233, q236, q253, q264, q275, q276)
+      q233, q236, q253, q264, q275, q276, q278, q279)
 }
