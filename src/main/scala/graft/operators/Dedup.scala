@@ -2109,7 +2109,130 @@ object Dedup {
       JOIN vnorms nb ON nb.vec_id = xp.db
       ORDER BY xp.da, xp.db"""))
 
+  // --------------------------------------------------------------- q281
+  // LSH band-collision provenance ([EXT]) — per verified q32 pair, HOW
+  // the pair met: the number of its 8 bands whose (2-row) values agree,
+  // next to the banding theory's expectation 8·jac² (P[band match] = jac²
+  // for 2-row MinHash bands). The tuning observability a dedup operator
+  // reads before changing band geometry: pairs found on exactly one band
+  // with jac near threshold are the recall cliff — fewer bands or wider
+  // rows would lose them first; q258 measures aggregate recall, this
+  // explains it pair by pair.
+  //
+  // Scale: the band table is 8 fixed rows per doc (corpus-linear); the
+  // provenance join probes it with the PAIR table on (doc, band) equi-
+  // keys — nothing quadratic. Like q258, the query re-derives the
+  // signature table beside minhashPairs' own (the price of an eval op).
+  private val q281 = QueryDef(
+    "q281_lsh_band_provenance",
+    (s, d) => {
+      val sh = rawShinglesOf(docs(s, d))
+        .select(col("doc_id"), md5Id(col("shingle")).as("sid")).distinct()
+      val sigCols = (0 until K).map(k =>
+        min((col("sid") * aK(k) + bK(k)) % P).as(s"h$k"))
+      val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        .localCheckpoint()
+      val bandExprs = (0 until Bands).map(j =>
+        s"struct(${j}L as band, h${2 * j} * 2147483648L + h${2 * j + 1} as bv)")
+      val bands = sig
+        .select(col("doc_id"), explode(array(bandExprs.map(expr): _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bv").as("bv"))
+      val pairs = minhashPairs(s, d)
+      val bm = pairs.select(col("da"), col("db"))
+        .join(bands.select(col("doc_id").as("da"), col("band"),
+          col("bv").as("bva")), "da")
+        .join(bands.select(col("doc_id").as("db"), col("band"),
+          col("bv").as("bvb")), Seq("db", "band"))
+        .filter(col("bva") === col("bvb"))
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("n_bands_equal"))
+      pairs.join(bm, Seq("da", "db"), "left")
+        .select(col("da"), col("db"), col("jac"),
+          coalesce(col("n_bands_equal"), lit(0L)).as("n_bands_equal"),
+          round(lit(8.0) * col("jac") * col("jac"), 6).as("exp_bands"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""
+      WITH $minhashCtes,
+      bm AS (
+        SELECT p.da, p.db, count(*) AS n_bands_equal
+        FROM mh_pairs p
+        JOIN bands xa ON xa.doc_id = p.da
+        JOIN bands xb ON xb.doc_id = p.db
+          AND xb.band = xa.band AND xb.bv = xa.bv
+        GROUP BY 1, 2)
+      SELECT p.da, p.db, p.jac,
+             CAST(coalesce(bm.n_bands_equal, 0) AS BIGINT) AS n_bands_equal,
+             round(8.0 * p.jac * p.jac, 6) AS exp_bands
+      FROM mh_pairs p
+      LEFT JOIN bm ON bm.da = p.da AND bm.db = p.db
+      ORDER BY p.da, p.db"""))
+
+  // --------------------------------------------------------------- q282
+  // Duplicate-cluster COHESION audit ([EXT]) — per q35 component: size,
+  // verified-edge count, edge density 2E/(n(n−1)), and the min/mean
+  // verified Jaccard. This is the chaining-risk report: transitive
+  // closure happily merges A~B~C into {A,B,C} even when jac(A,C) is far
+  // below threshold, and a low-density low-min-jac cluster is exactly a
+  // chain — the case where q109's keep-one-per-cluster policy starts
+  // deleting non-duplicates. Production pipelines gate cluster collapse
+  // on this audit (dense tight clusters collapse; loose chains get
+  // re-verified or split).
+  //
+  // Scale: clusters and their edges are duplicate-graph-sized, never
+  // corpus-sized; one groupBy(comp) over each. Mean jac follows the
+  // house exact-sum form (jac is a round(·,6) value, so 1e6·jac sums as
+  // exact BIGINTs).
+  private val q282 = QueryDef(
+    "q282_dedup_cluster_cohesion",
+    (s, d) => {
+      val pairs = minhashPairs(s, d).localCheckpoint()
+      val comp = connectedComponents(pairs.select(col("da"), col("db")))
+      val edges = pairs
+        .join(comp.select(col("id").as("da"), col("comp")), "da")
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_edges"),
+          min(col("jac")).as("min_jac"),
+          sum(round(col("jac") * lit(1e6)).cast("long")).as("sj"))
+      comp.groupBy(col("comp")).agg(count(lit(1)).as("n_docs"))
+        .join(edges, "comp")
+        .select(col("comp").as("comp_id"), col("n_docs"), col("n_edges"),
+          round((lit(2L) * col("n_edges")).cast("double") /
+            (col("n_docs") * (col("n_docs") - 1L)).cast("double"), 6)
+            .as("density"),
+          col("min_jac"),
+          round(col("sj").cast("double") / lit(1e6) /
+            col("n_edges").cast("double"), 6).as("mean_jac"))
+        .orderBy(col("comp_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashCtes,
+      edges AS (
+        SELECT da AS src, db AS dst FROM mh_pairs
+        UNION ALL
+        SELECT db, da FROM mh_pairs),
+      reach(id, comp) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id, min(comp) AS comp_id FROM reach GROUP BY id),
+      csize AS (SELECT comp_id, count(*) AS n_docs FROM comp GROUP BY 1),
+      cedges AS (
+        SELECT c.comp_id, count(*) AS n_edges,
+               min(p.jac) AS min_jac,
+               CAST(sum(CAST(round(p.jac * 1e6) AS BIGINT)) AS BIGINT) AS sj
+        FROM mh_pairs p JOIN comp c ON c.id = p.da
+        GROUP BY 1)
+      SELECT s.comp_id, s.n_docs, e.n_edges,
+             round(CAST(2 * e.n_edges AS DOUBLE)
+                   / CAST(s.n_docs * (s.n_docs - 1) AS DOUBLE), 6) AS density,
+             e.min_jac,
+             round(CAST(e.sj AS DOUBLE) / 1e6 / CAST(e.n_edges AS DOUBLE), 6)
+               AS mean_jac
+      FROM csize s JOIN cedges e USING (comp_id)
+      ORDER BY s.comp_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154,
-      q161, q205, q210, q213, q247, q258, q270, q277)
+      q161, q205, q210, q213, q247, q258, q270, q277, q281, q282)
 }
