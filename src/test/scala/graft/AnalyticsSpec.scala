@@ -1270,4 +1270,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(sumPhi - eff) < 1e-4,
       s"sum phi $sumPhi must equal v(full)-v(empty) $eff")
   }
+
+  test("Num.roundZ forces +0.0 on negatives that round to zero (q163 class)") {
+    // the r7 red row: a covariance of ≈ −3e-9 rounds to zero, and the
+    // zero's SIGN diverges between Spark (BigDecimal, +0.0) and DuckDB
+    // (libm, −0.0) under the driver's bytewise hash. roundZ must emit a
+    // bitwise +0.0 for every input that rounds to zero — the whole class
+    // the r8 board sweep normalized — and must reproduce plain rounding
+    // on unambiguous non-zero values (decimal-tie inputs like 1.5e-6 are
+    // deliberately absent: their IEEE product can land on either side of
+    // the tie, which is exactly why every board query uses roundZ/roundZSql
+    // as the SAME expression in both engines rather than mixing forms).
+    import spark.implicits._
+    val zeros = Seq(-3e-9, -4.9e-7, 4.9e-7, 0.0, -0.0)
+    val nonZeros = Seq(-0.5 -> -0.5, 0.00125 -> 0.00125,
+      -0.123456 -> -0.123456, 2.000001 -> 2.000001,
+      -7.6543219e-1 -> -0.765432)
+    val rows = (zeros ++ nonZeros.map(_._1)).toDF("x")
+      .select(col("x"), Num.roundZ(col("x"), 6).as("rz"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    zeros.foreach { x =>
+      // bitwise +0.0: raw bits must be exactly 0L, never the −0.0
+      // pattern (1L << 63) that DuckDB's round leaks into the hash
+      assert(java.lang.Double.doubleToRawLongBits(rows(x)) == 0L,
+        s"roundZ($x) must be bitwise +0.0, got bits " +
+          java.lang.Double.doubleToRawLongBits(rows(x)).toHexString)
+    }
+    nonZeros.foreach { case (x, want) =>
+      assert(java.lang.Double.doubleToRawLongBits(rows(x)) ==
+        java.lang.Double.doubleToRawLongBits(want),
+        s"roundZ($x)=${rows(x)} must be bitwise $want")
+    }
+  }
 }

@@ -343,4 +343,35 @@ class DedupSpec extends AnyFunSuite {
     assert(fShared == 0,
       "fixture must be one where fixed windows fail completely")
   }
+
+  test("near-pair threshold classifies the [0.4999995, 0.5) boundary as below") {
+    // mirrors Dedup.jacRaw (private): the ONE house threshold expression
+    // `ni / (sza + szb − ni) >= 0.5`, on the raw unrounded ratio. The r7
+    // verdict's landmine: a pair whose true Jaccard is in [0.4999995, 0.5)
+    // has round(jac, 6) == 0.5, so a site filtering the ROUNDED value
+    // would admit it while the raw-filter sites (and every oracle) class
+    // it below — breaking q100's "exactly the mixed-membership subset of
+    // q32's pairs" claim. Pin: raw filter excludes it, the rounded filter
+    // provably would not, and an exactly-0.5 pair passes both.
+    import spark.implicits._
+    val cases = Seq(
+      // (ni, sza, szb): jac = ni/(sza+szb-ni)
+      (999999L, 1499999L, 1499999L), // 999999/1999999 ≈ 0.49999975 — boundary
+      (1L, 2L, 1L),                  // 1/2 = 0.5 exactly — in
+      (2L, 3L, 3L),                  // 2/4 = 0.5 exactly — in
+      (49L, 100L, 48L)               // 49/99 ≈ 0.4949 — clearly out
+    ).toDF("ni", "sza", "szb")
+    val jac = col("ni").cast("double") /
+      (col("sza") + col("szb") - col("ni")).cast("double")
+    val got = cases
+      .select(col("ni"), (jac >= 0.5).as("raw_in"),
+        (round(jac, 6) >= 0.5).as("rounded_in"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2)))
+      .toMap
+    assert(got(999999L) == ((false, true)),
+      "boundary pair: raw filter must exclude what the rounded filter admits")
+    assert(got(1L) == ((true, true)) && got(2L) == ((true, true)),
+      "exact-0.5 pairs are in under both forms")
+    assert(got(49L) == ((false, false)))
+  }
 }
