@@ -2079,7 +2079,7 @@ object TextAnalysis {
   // r* honestly read 0 when r+1 is unoccupied, and p_unseen = N1/N reads
   // 0 when no singletons exist.
   private val q279 = QueryDef(
-    "q279_good_turing",
+    "q279_unigram_good_turing",
     (s, d) => {
       val cnt = docs(s, d)
         .select(explode(split(col("text"), " ")).as("tok"))
