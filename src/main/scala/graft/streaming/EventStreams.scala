@@ -867,6 +867,67 @@ object EventStreams {
        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
       ORDER BY user_id, v_id, p_id"""))
 
+  // ---------------------------------------------------------------- q283
+  // RIGHT OUTER stream–stream join — the last of Spark's five supported
+  // stream–stream modes (inner q96, leftOuter q97, fullOuter q200,
+  // leftSemi q260; leftAnti is unsupported by the engine, documented
+  // here as the mode-matrix boundary). Symmetric to q97 with the
+  // preserved side flipped: a purchase with no qualifying view in the
+  // preceding hour emits with NULL view columns only once the VIEW
+  // side's watermark passes purchase.ts (no earlier view can still
+  // arrive) — i.e. the preserved side's flush is gated by the OTHER
+  // side's watermark, the asymmetry this query pins that neither q97
+  // nor q200 isolates. Same interval condition, same both-filter
+  // sentinel discipline; user_id comes from the purchase side (never
+  // null in right outer), null-safe sentinel drop on v_id. Scale: state
+  // bounded by the 1 h horizon on both sides exactly as q96's scaladoc
+  // argues; the preserved side adds no state beyond the inner join's.
+  private def streamStreamRightOuter(s: SparkSession, d: String): DataFrame = {
+    val dir = orderedDir(s, d)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val views = readStaged(ss, dir)
+      .filter(col("event_type").isin("view", "_sentinel"))
+      .select(col("event_id").as("v_id"), col("ts").as("v_ts"),
+        col("user_id").as("v_uid"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = readStaged(ss, dir)
+      .filter(col("event_type").isin("purchase", "_sentinel"))
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_uid"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("v_uid") === col("p_uid") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"),
+      "rightOuter")
+      .select(col("p_uid").as("user_id"), col("v_id"), col("p_id"),
+        ((unix_micros(col("p_ts")) - unix_micros(col("v_ts"))) /
+          lit(1000000L)).cast("long").as("lag_s"))
+    val name = s"graft_stream_${runId.incrementAndGet()}"
+    val q = joined.writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try drain(q) finally q.stop()
+    ss.table(name)
+      .filter(coalesce(col("v_id"), lit(0L)) =!= -1L &&
+        col("p_id") =!= -1L)
+      .orderBy(col("user_id"), col("p_id"), col("v_id"))
+  }
+
+  private val q283 = QueryDef(
+    "q283_stream_stream_right_outer",
+    (s, d) => streamStreamRightOuter(s, d),
+    Some("""
+      SELECT p.user_id AS user_id,
+             v.event_id AS v_id, p.event_id AS p_id,
+             CAST((epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT)
+               AS lag_s
+      FROM (SELECT * FROM events WHERE event_type = 'view') v
+      RIGHT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      ORDER BY user_id, p_id, v_id"""))
+
   private val q96 = QueryDef(
     "q96_stream_stream_join",
     (s, d) => streamStreamJoin(s, d, "inner"),
@@ -1344,5 +1405,5 @@ object EventStreams {
 
   val defs: Seq[QueryDef] =
     Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q93, q94, q96, q97,
-      q98, q178, q189, q197, q200, q251, q260)
+      q98, q178, q189, q197, q200, q251, q260, q283)
 }
