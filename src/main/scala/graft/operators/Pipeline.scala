@@ -471,6 +471,110 @@ object Pipeline {
       GROUP BY source
       ORDER BY source"""))
 
+  // --------------------------------------------------------------- q285
+  // Span-level decontamination surgery ([EXT], the GPT-3 appendix-C
+  // method): q105/q112/q120 DROP whole contaminated documents; real
+  // pipelines instead CUT the contaminated spans and keep the clean
+  // remainder — a doc sharing one benchmark sentence shouldn't cost its
+  // other 900 tokens. For every train doc (eval split doc_id % 13 = 7 —
+  // chosen so planted near-dup pairs straddle the split at every SF,
+  // unlike q112's % 97 split which holds no 13-gram overlap at sf0.01),
+  // find each token position starting a 13-gram that appears anywhere
+  // in the eval set, dilate to the covered interval [p, p+12], merge
+  // overlapping intervals per doc (gaps-and-islands on start positions:
+  // ends are monotone in p, so `p > lag(p) + 12` is the exact island
+  // break), and report the surgical outcome per contaminated doc:
+  // span count, span list ("start-end" ANSI listagg, q217 discipline),
+  // removed tokens, and exact kept fraction.
+  //
+  // Scale: the eval gram set is benchmark-sized and BROADCASTS (q105's
+  // asymmetric-membership shape) — the corpus gram stream is probed by
+  // a semi-join and never shuffles on grams; the island windows run
+  // PARTITIONED by doc_id over hit positions only (contaminated starts,
+  // ≪ tokens); the final join back to `documents` broadcasts the tiny
+  // contaminated-doc summary. One corpus scan end-to-end.
+  private val q285 = QueryDef(
+    "q285_span_decontamination",
+    (s, d) => {
+      val K = 13
+      val isEval = col("doc_id") % 13 === 7
+      val grams = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= K)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+          col("toks"), explode(expr(s"sequence(0, size(toks) - $K)")).as("p"))
+        .select(col("doc_id"), col("n_tok"), col("p").cast("long").as("p"),
+          expr(s"array_join(slice(toks, p + 1, $K), ' ')").as("ng"))
+      val evSet = grams.filter(isEval).select(col("ng")).distinct()
+      val hits = grams.filter(!isEval)
+        .join(broadcast(evSet), Seq("ng"), "left_semi")
+        .select(col("doc_id"), col("n_tok"), col("p"))
+      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val spans = hits
+        .withColumn("st", when(lag(col("p"), 1).over(wOrd).isNull ||
+          col("p") > lag(col("p"), 1).over(wOrd) + lit(K - 1).cast("long"),
+          1L).otherwise(0L))
+        .withColumn("sid", sum(col("st")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("n_tok"), col("sid"))
+        .agg(min(col("p")).as("s"),
+          (max(col("p")) + lit(K - 1).cast("long")).as("e"))
+      val per = spans.groupBy(col("doc_id"), col("n_tok"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + 1L).as("removed_tok"),
+          expr("listagg(CAST(s AS STRING) || '-' || CAST(e AS STRING), ',') " +
+            "WITHIN GROUP (ORDER BY s)").as("spans"))
+      docs(s, d).select(col("doc_id"), col("source"))
+        .join(broadcast(per), "doc_id")
+        .select(col("doc_id"), col("source"), col("n_tok"), col("n_spans"),
+          col("removed_tok"),
+          ((col("n_tok") - col("removed_tok")).cast("double") /
+            col("n_tok").cast("double")).as("kept_frac"), col("spans"))
+        .orderBy(col("removed_tok").desc, col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      tk AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok, toks
+        FROM t WHERE len(toks) >= 13),
+      g AS (
+        SELECT doc_id, n_tok,
+               CAST(unnest(range(0, n_tok - 12)) AS BIGINT) AS p,
+               unnest(list_transform(range(1, n_tok - 11),
+                 i -> array_to_string(toks[i:i+12], ' '))) AS ng
+        FROM tk),
+      ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 13 = 7),
+      h AS (
+        SELECT g.doc_id, g.n_tok, g.p
+        FROM g JOIN ev USING (ng) WHERE g.doc_id % 13 <> 7),
+      marked AS (
+        SELECT doc_id, n_tok, p,
+               CASE WHEN lag(p) OVER w IS NULL
+                     OR p > lag(p) OVER w + 12 THEN 1 ELSE 0 END AS st
+        FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+      si AS (
+        SELECT doc_id, n_tok, p,
+               sum(st) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked),
+      spans AS (
+        SELECT doc_id, n_tok, sid,
+               CAST(min(p) AS BIGINT) AS s, CAST(max(p) + 12 AS BIGINT) AS e
+        FROM si GROUP BY 1, 2, 3),
+      per AS (
+        SELECT doc_id, n_tok, count(*) AS n_spans,
+               CAST(sum(e - s + 1) AS BIGINT) AS removed_tok,
+               string_agg(CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR),
+                 ',' ORDER BY s) AS spans
+        FROM spans GROUP BY 1, 2)
+      SELECT d.doc_id, d.source, per.n_tok, per.n_spans, per.removed_tok,
+             CAST(per.n_tok - per.removed_tok AS DOUBLE)
+               / CAST(per.n_tok AS DOUBLE) AS kept_frac,
+             per.spans
+      FROM per JOIN documents d USING (doc_id)
+      ORDER BY removed_tok DESC, doc_id"""))
+
   // --------------------------------------------------------------- q113
   // Boilerplate detection: the word-5-grams recurring across the most
   // DOCUMENTS (doc-frequency, not occurrence count — a gram repeated
@@ -1301,5 +1405,5 @@ object Pipeline {
 
   val defs: Seq[QueryDef] =
     Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113, q114, q115, q117,
-      q124, q136, q139, q148, q192, q218, q229, q238)
+      q124, q136, q139, q148, q192, q218, q229, q238, q285)
 }

@@ -3738,6 +3738,95 @@ object Relational {
       SELECT l, count(*) AS n_groups, CAST(sum(rows_g) AS BIGINT) AS n_rows
       FROM g GROUP BY l ORDER BY l"""))
 
+  // --------------------------------------------------------------- q284
+  // t-closeness audit ([EXT], Li et al. 2007) — completes the privacy
+  // triad: q237 asks "is any QI group too SMALL?" (k-anonymity), q252
+  // "too UNIFORM?" (l-diversity); this asks the remaining question "is
+  // any group's sensitive DISTRIBUTION too far from the corpus's?" — a
+  // group can be large AND diverse yet still leak (e.g. 90% one segment
+  // where the corpus runs 20%). Over q237's L1 quasi-identifiers
+  // (nation, $1000 balance band) with c_mktsegment sensitive, the
+  // distance is the variational form of EMD for an unordered categorical
+  // domain: t = ½ Σ_v |p_g(v) − p(v)|. Report the 15 worst groups with
+  // their size, diversity l (the q252 link), and an over-bar flag at
+  // t ≥ 0.3.
+  //
+  // Exactness: the sum of |ratio differences| is order-sensitive in
+  // IEEE arithmetic, so both engines compute the NUMERATOR exactly in
+  // the integer domain over the common denominator rows_g·N:
+  // t = Σ_v |nr·N − n_v·rows_g| / (2·rows_g·N) — exact BIGINT products
+  // and sums (bounded: nr ≤ rows_g, so each product ≤ rows_g·N ≈ 10¹⁰
+  // at sf1; a 100 TB deployment with N ≳ 10¹² keeps nr·N inside int64
+  // by computing per-group on DECIMAL(38) or pre-reduced group shards),
+  // then ONE correctly-rounded division. Absent sensitive values
+  // contribute n_v·rows_g via the domain completion join — forgetting
+  // them understates t, the classic implementation bug.
+  // Scale: one map-side-combinable (QI, segment) aggregate off the
+  // corpus; the domain completion crosses the GROUP table with the
+  // |segments|-row broadcast domain; the report is a TakeOrdered top-15.
+  private val q284 = QueryDef(
+    "q284_t_closeness",
+    (s, d) => {
+      val base = cust(s, d).select(col("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000")
+          .as("band"), col("c_mktsegment"))
+      val nr = base
+        .groupBy(col("c_nationkey"), col("band"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("nr"))
+      val glob = base.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_v"))
+      val groups = nr.groupBy(col("c_nationkey"), col("band"))
+        .agg(sum(col("nr")).as("rows_g"), count(lit(1)).as("l"))
+      val tot = glob.agg(sum(col("n_v")).as("n")) // 1 row
+      groups.crossJoin(broadcast(glob))
+        .join(nr, Seq("c_nationkey", "band", "c_mktsegment"), "left")
+        .na.fill(0L, Seq("nr"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("c_nationkey"), col("band"), col("rows_g"), col("l"),
+          col("n"))
+        .agg(sum(abs(col("nr") * col("n") - col("n_v") * col("rows_g")))
+          .as("num"))
+        .select(col("c_nationkey"), col("band"), col("rows_g"), col("l"),
+          (col("num").cast("double") /
+            (lit(2L) * col("rows_g") * col("n")).cast("double"))
+            .as("t_tvd"))
+        .withColumn("over_bar", col("t_tvd") >= 0.3)
+        .orderBy(col("t_tvd").desc, col("c_nationkey"), col("band"))
+        .limit(15)
+    },
+    Some("""
+      WITH base AS (
+        SELECT c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS band,
+               c_mktsegment
+        FROM customer),
+      nr AS (
+        SELECT c_nationkey, band, c_mktsegment, count(*) AS nr
+        FROM base GROUP BY 1, 2, 3),
+      gseg AS (
+        SELECT c_mktsegment, count(*) AS n_v FROM base GROUP BY 1),
+      grp AS (
+        SELECT c_nationkey, band, CAST(sum(nr) AS BIGINT) AS rows_g,
+               count(*) AS l
+        FROM nr GROUP BY 1, 2),
+      tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS n FROM gseg),
+      dom AS (
+        SELECT g.c_nationkey, g.band, g.rows_g, g.l, t.n,
+               COALESCE(r.nr, 0) AS nr, v.n_v
+        FROM grp g CROSS JOIN gseg v CROSS JOIN tot t
+        LEFT JOIN nr r ON r.c_nationkey = g.c_nationkey
+                      AND r.band = g.band
+                      AND r.c_mktsegment = v.c_mktsegment)
+      SELECT c_nationkey, band, rows_g, l,
+             CAST(sum(abs(nr * n - n_v * rows_g)) AS DOUBLE)
+               / CAST(2 * rows_g * n AS DOUBLE) AS t_tvd,
+             (CAST(sum(abs(nr * n - n_v * rows_g)) AS DOUBLE)
+               / CAST(2 * rows_g * n AS DOUBLE)) >= 0.3 AS over_bar
+      FROM dom
+      GROUP BY c_nationkey, band, rows_g, l, n
+      ORDER BY t_tvd DESC, c_nationkey, band
+      LIMIT 15"""))
+
   // --------------------------------------------------------------- q249
   // One EM iteration for the Fellegi–Sunter m/u parameters ([EXT],
   // Winkler's EM for record linkage) — the LEARNING step q216's scoring
@@ -3923,5 +4012,6 @@ object Relational {
     q123, q129, q130, q135, q141, q142, q143, q151, q156, q170,
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
     q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208, q211,
-    q212, q216, q223, q224, q231, q234, q237, q246, q249, q252, q267, q268, q269, q272, q273)
+    q212, q216, q223, q224, q231, q234, q237, q246, q249, q252, q267, q268, q269, q272, q273,
+    q284)
 }

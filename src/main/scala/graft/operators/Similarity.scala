@@ -1261,6 +1261,186 @@ object Similarity {
       ORDER BY round"""
     })
 
+  // --------------------------------------------------------------- q286
+  // Product-quantization ANN with asymmetric distance computation
+  // ([EXT], Jégou et al. 2011 — the standard billion-scale compression
+  // path): the 64-dim float vector (256 B) is encoded as M = 4 subspace
+  // codes into k = 8-entry codebooks (12 bits total, a 170× memory
+  // compression), each codebook trained by one seeded Lloyd iteration
+  // per subspace (first-8-by-id seed, the q51 discipline, independently
+  // per 16-dim subspace). Queries stay UNQUANTIZED — ADC: the query
+  // precomputes its partial distance to every codebook entry (M·k = 32
+  // cells), and a corpus vector's distance is the sum of M table
+  // lookups. The in-query recall@5 against the exact baseline makes the
+  // compression loss measurable, q258-style. (On THIS corpus it reads
+  // 0.0–0.2: the synthetic embeddings are isotropic, the worst case for
+  // PQ — 12-bit codes cannot separate near-orthogonal random vectors.
+  // That is a property of the data, honestly measured, not of the
+  // operator; clustered real corpora are the regime the method targets,
+  // and the in-query recall column is precisely the gauge a deployment
+  // watches to size M·k.)
+  //
+  // Determinism: every distance lives on an exact integer grid — values
+  // quantize to 1e-6 BIGINTs BEFORE any arithmetic, so squared
+  // distances, Lloyd argmins (ties → min cent_id, the oracle's
+  // row_number order), centroid means (exact int sum / count, rounded
+  // back to the grid), ADC sums and the exact-baseline d² (via the
+  // native codegen'd LongDot on quantized arrays: ssq_q + ssq_c −
+  // 2·dot) are all exact-integer comparisons; the only float ops are
+  // the two final single divisions (adc2/1e12, hits/5).
+  // Scale: codebooks and the per-query LUT are tiny broadcasts; the
+  // corpus is touched by (a) the encode pass — broadcast-join + one
+  // (vec, sub)-partitioned 8-row argmin window, (b) the ADC probe —
+  // broadcast LUT join + (qid, cid) hash agg over M rows each; nothing
+  // shuffles the corpus on anything wider than its own id, and the
+  // exact baseline (queries broadcast, corpus never moves) is the q50
+  // shape. At 100 TB the codes table IS the index: 4 B/vector resident,
+  // raw vectors only read to build it. Int64 bounds: |qv| ≲ 5e6 ⇒
+  // squared-diff sums ≲ 1.6e15 per subspace — grid headroom of ~5e3×.
+  private val q286 = QueryDef(
+    "q286_pq_adc_ann",
+    (s, d) => {
+      val DS = 16; val PQK = 8
+      val e = emb(s, d)
+      val ev2 = e
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("vec_id"), expr(s"CAST(i DIV $DS AS BIGINT)").as("sub"),
+          col("i"),
+          expr("CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)").as("qv"))
+      val seedIds = e.orderBy(col("vec_id")).limit(PQK)
+        .select(col("vec_id").as("cent_id"))
+      val c0 = ev2.join(broadcast(seedIds), col("vec_id") === col("cent_id"))
+        .select(col("cent_id"), col("sub"), col("i"), col("qv").as("cq"))
+      def assign(c: DataFrame): DataFrame = {
+        val d2 = ev2.join(broadcast(c), Seq("sub", "i"))
+          .groupBy(col("vec_id"), col("sub"), col("cent_id"))
+          .agg(sum((col("qv") - col("cq")) * (col("qv") - col("cq")))
+            .as("d2"))
+        val w = Window.partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("d2"), col("cent_id"))
+        d2.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("sub"), col("cent_id").as("cell"))
+      }
+      val c1 = assign(c0).join(ev2, Seq("vec_id", "sub"))
+        .groupBy(col("cell"), col("sub"), col("i"))
+        .agg(expr("CAST(round(CAST(sum(qv) AS DOUBLE) / " +
+          "CAST(count(qv) AS DOUBLE)) AS BIGINT)").as("cq"))
+        .select(col("cell").as("cent_id"), col("sub"), col("i"), col("cq"))
+      val codes = assign(c1)
+      val lut = ev2.filter(col("vec_id") < 3)
+        .withColumnRenamed("vec_id", "qid")
+        .join(broadcast(c1), Seq("sub", "i"))
+        .groupBy(col("qid"), col("sub"), col("cent_id"))
+        .agg(sum((col("qv") - col("cq")) * (col("qv") - col("cq")))
+          .as("pd"))
+      val wA = Window.partitionBy(col("qid"))
+        .orderBy(col("adc2"), col("cid"))
+      val adcTop = codes.select(col("vec_id").as("cid"), col("sub"),
+          col("cell").as("cent_id"))
+        .join(broadcast(lut), Seq("sub", "cent_id"))
+        .filter(col("qid") =!= col("cid"))
+        .groupBy(col("qid"), col("cid"))
+        .agg(sum(col("pd")).as("adc2"))
+        .withColumn("rk", row_number().over(wA)).filter(col("rk") <= 5)
+      val qarr = e.select(col("vec_id"),
+          expr("transform(embedding, " +
+            "x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))").as("qa"))
+        .withColumn("ssq", long_dot(col("qa"), col("qa")))
+      val qq = qarr.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid2"), col("qa").as("qaq"),
+          col("ssq").as("ssq_q"))
+      val wE = Window.partitionBy(col("qid2"))
+        .orderBy(col("d2"), col("cid"))
+      val exTop = qarr.select(col("vec_id").as("cid"), col("qa").as("qac"),
+          col("ssq").as("ssq_c"))
+        .join(broadcast(qq), col("qid2") =!= col("cid"))
+        .withColumn("d2", col("ssq_q") + col("ssq_c") -
+          lit(2L) * long_dot(col("qaq"), col("qac")))
+        .withColumn("rk", row_number().over(wE)).filter(col("rk") <= 5)
+        .select(col("qid2").as("qid"), col("cid"), lit(1L).as("ex"))
+      val wq = Window.partitionBy(col("qid"))
+      adcTop.join(exTop, Seq("qid", "cid"), "left")
+        .withColumn("hit", col("ex").isNotNull)
+        .withColumn("recall5",
+          sum(when(col("hit"), 1L).otherwise(0L)).over(wq).cast("double") /
+            lit(5.0))
+        .select(col("qid"), col("rk").cast("long").as("rk"), col("cid"),
+          (col("adc2").cast("double") / lit(1e12)).as("adc_dist"),
+          col("hit"), col("recall5"))
+        .orderBy(col("qid"), col("rk"))
+    },
+    Some(s"""
+      WITH $evSql,
+      ev2 AS (
+        SELECT vec_id, (i - 1) // 16 AS sub, i,
+               CAST(round(v * 1e6) AS BIGINT) AS qv
+        FROM ev),
+      seed AS (SELECT vec_id AS cent_id FROM embeddings
+               ORDER BY vec_id LIMIT 8),
+      c0 AS (SELECT s.cent_id, e.sub, e.i, e.qv AS cq
+             FROM seed s JOIN ev2 e ON e.vec_id = s.cent_id),
+      a0 AS (SELECT e.vec_id, e.sub, c.cent_id,
+                    CAST(sum((e.qv - c.cq) * (e.qv - c.cq)) AS BIGINT) AS d2
+             FROM ev2 e JOIN c0 c ON c.sub = e.sub AND c.i = e.i
+             GROUP BY 1, 2, 3),
+      cell0 AS (SELECT vec_id, sub, cent_id AS cell FROM (
+        SELECT vec_id, sub, cent_id,
+               row_number() OVER (PARTITION BY vec_id, sub
+                 ORDER BY d2, cent_id) AS rn
+        FROM a0) t WHERE rn = 1),
+      c1 AS (SELECT l.cell AS cent_id, e.sub, e.i,
+                    CAST(round(CAST(sum(e.qv) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cq
+             FROM cell0 l
+             JOIN ev2 e ON e.vec_id = l.vec_id AND e.sub = l.sub
+             GROUP BY 1, 2, 3),
+      a1 AS (SELECT e.vec_id, e.sub, c.cent_id,
+                    CAST(sum((e.qv - c.cq) * (e.qv - c.cq)) AS BIGINT) AS d2
+             FROM ev2 e JOIN c1 c ON c.sub = e.sub AND c.i = e.i
+             GROUP BY 1, 2, 3),
+      codes AS (SELECT vec_id, sub, cent_id AS cell FROM (
+        SELECT vec_id, sub, cent_id,
+               row_number() OVER (PARTITION BY vec_id, sub
+                 ORDER BY d2, cent_id) AS rn
+        FROM a1) t WHERE rn = 1),
+      lut AS (SELECT e.vec_id AS qid, e.sub, c.cent_id,
+                     CAST(sum((e.qv - c.cq) * (e.qv - c.cq)) AS BIGINT) AS pd
+              FROM ev2 e JOIN c1 c ON c.sub = e.sub AND c.i = e.i
+              WHERE e.vec_id < 3 GROUP BY 1, 2, 3),
+      adc AS (SELECT l.qid, k.vec_id AS cid,
+                     CAST(sum(l.pd) AS BIGINT) AS adc2
+              FROM codes k
+              JOIN lut l ON l.sub = k.sub AND l.cent_id = k.cell
+              WHERE l.qid <> k.vec_id GROUP BY 1, 2),
+      atop AS (SELECT qid, cid, adc2, rn AS rk FROM (
+        SELECT qid, cid, adc2,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY adc2, cid) AS rn
+        FROM adc) t WHERE rn <= 5),
+      ssq AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS ssq
+              FROM ev2 GROUP BY 1),
+      dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                      CAST(sum(q.qv * c.qv) AS BIGINT) AS dot
+               FROM ev2 q JOIN ev2 c
+                 ON c.i = q.i AND q.vec_id < 3 AND c.vec_id <> q.vec_id
+               GROUP BY 1, 2),
+      ex AS (SELECT d.qid, d.cid, sq.ssq + sc.ssq - 2 * d.dot AS d2
+             FROM dots d JOIN ssq sq ON sq.vec_id = d.qid
+             JOIN ssq sc ON sc.vec_id = d.cid),
+      etop AS (SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn
+        FROM ex) t WHERE rn <= 5),
+      hits AS (SELECT a.qid, a.rk, a.cid, a.adc2,
+                      (e.cid IS NOT NULL) AS hit
+               FROM atop a
+               LEFT JOIN etop e ON e.qid = a.qid AND e.cid = a.cid)
+      SELECT qid, CAST(rk AS BIGINT) AS rk, cid,
+             CAST(adc2 AS DOUBLE) / 1e12 AS adc_dist, hit,
+             CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END)
+               OVER (PARTITION BY qid) AS DOUBLE) / 5.0 AS recall5
+      FROM hits ORDER BY qid, rk"""))
+
   val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q128, q137, q163,
-    q194, q248, q250, q255, q266)
+    q194, q248, q250, q255, q266, q286)
 }
