@@ -493,12 +493,14 @@ object Pipeline {
   // PARTITIONED by doc_id over hit positions only (contaminated starts,
   // ≪ tokens); the final join back to `documents` broadcasts the tiny
   // contaminated-doc summary. One corpus scan end-to-end.
-  private val q285 = QueryDef(
-    "q285_span_decontamination",
-    (s, d) => {
-      val K = 13
-      val isEval = col("doc_id") % 13 === 7
-      val grams = docs(s, d)
+  /** The q285 span-surgery core over any (doc_id, text) frame — the
+    * testable unit: returns one row per contaminated non-eval doc with
+    * merged span islands, removed-token count and exact kept fraction.
+    * PipelineSpec feeds it planted-contamination fixtures and checks
+    * the island merging (overlapping and adjacent hits fuse; disjoint
+    * hits stay separate spans) against hand-computed intervals. */
+  def spanDecon(d: DataFrame, isEval: Column, K: Int): DataFrame = {
+      val grams = d
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= K)
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
@@ -519,17 +521,24 @@ object Pipeline {
         .groupBy(col("doc_id"), col("n_tok"), col("sid"))
         .agg(min(col("p")).as("s"),
           (max(col("p")) + lit(K - 1).cast("long")).as("e"))
-      val per = spans.groupBy(col("doc_id"), col("n_tok"))
+      spans.groupBy(col("doc_id"), col("n_tok"))
         .agg(count(lit(1)).as("n_spans"),
           sum(col("e") - col("s") + 1L).as("removed_tok"),
           expr("listagg(CAST(s AS STRING) || '-' || CAST(e AS STRING), ',') " +
             "WITHIN GROUP (ORDER BY s)").as("spans"))
+        .withColumn("kept_frac",
+          (col("n_tok") - col("removed_tok")).cast("double") /
+            col("n_tok").cast("double"))
+  }
+
+  private val q285 = QueryDef(
+    "q285_span_decontamination",
+    (s, d) => {
+      val per = spanDecon(docs(s, d), col("doc_id") % 13 === 7, 13)
       docs(s, d).select(col("doc_id"), col("source"))
         .join(broadcast(per), "doc_id")
         .select(col("doc_id"), col("source"), col("n_tok"), col("n_spans"),
-          col("removed_tok"),
-          ((col("n_tok") - col("removed_tok")).cast("double") /
-            col("n_tok").cast("double")).as("kept_frac"), col("spans"))
+          col("removed_tok"), col("kept_frac"), col("spans"))
         .orderBy(col("removed_tok").desc, col("doc_id"))
     },
     Some("""

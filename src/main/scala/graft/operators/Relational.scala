@@ -3770,6 +3770,19 @@ object Relational {
       val base = cust(s, d).select(col("c_nationkey"),
         expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000")
           .as("band"), col("c_mktsegment"))
+      tClosenessOf(base)
+        .orderBy(col("t_tvd").desc, col("c_nationkey"), col("band"))
+        .limit(15)
+    },
+    tClosenessOracle)
+
+  /** The q284 core over any (c_nationkey, band, c_mktsegment) frame —
+    * the testable unit: one row per QI group with its size, diversity l
+    * and exact-integer-numerator variational distance. RelationalSpec
+    * feeds hand-built distributions and checks t against closed-form
+    * values (uniform group → t = 0 exactly; single-segment group in a
+    * balanced corpus → t = (S−1)/S). */
+  def tClosenessOf(base: DataFrame): DataFrame = {
       val nr = base
         .groupBy(col("c_nationkey"), col("band"), col("c_mktsegment"))
         .agg(count(lit(1)).as("nr"))
@@ -3791,10 +3804,9 @@ object Relational {
             (lit(2L) * col("rows_g") * col("n")).cast("double"))
             .as("t_tvd"))
         .withColumn("over_bar", col("t_tvd") >= 0.3)
-        .orderBy(col("t_tvd").desc, col("c_nationkey"), col("band"))
-        .limit(15)
-    },
-    Some("""
+  }
+
+  private def tClosenessOracle = Some("""
       WITH base AS (
         SELECT c_nationkey,
                CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS band,
@@ -3825,7 +3837,7 @@ object Relational {
       FROM dom
       GROUP BY c_nationkey, band, rows_g, l, n
       ORDER BY t_tvd DESC, c_nationkey, band
-      LIMIT 15"""))
+      LIMIT 15""")
 
   // --------------------------------------------------------------- q249
   // One EM iteration for the Fellegi–Sunter m/u parameters ([EXT],

@@ -1297,11 +1297,15 @@ object Similarity {
   // shape. At 100 TB the codes table IS the index: 4 B/vector resident,
   // raw vectors only read to build it. Int64 bounds: |qv| ≲ 5e6 ⇒
   // squared-diff sums ≲ 1.6e15 per subspace — grid headroom of ~5e3×.
-  private val q286 = QueryDef(
-    "q286_pq_adc_ann",
-    (s, d) => {
-      val DS = 16; val PQK = 8
-      val e = emb(s, d)
+  /** The q286 PQ/ADC core over any (vec_id, embedding) frame — the
+    * testable unit. `ds` = subspace width, `pqk` = codebook size, top-k
+    * by ADC with in-query recall@k vs the exact quantized-L2 baseline.
+    * SimilaritySpec feeds it a corpus whose vectors ARE codebook words
+    * (zero quantization error ⇒ ADC ranking equals exact ranking,
+    * recall 1.0) plus perturbed fixtures. */
+  def pqAdcTopK(e: DataFrame, ds: Int, pqk: Int,
+      isQuery: Column => Column, k: Int): DataFrame = {
+      val DS = ds; val PQK = pqk
       val ev2 = e
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
         .select(col("vec_id"), expr(s"CAST(i DIV $DS AS BIGINT)").as("sub"),
@@ -1327,7 +1331,7 @@ object Similarity {
           "CAST(count(qv) AS DOUBLE)) AS BIGINT)").as("cq"))
         .select(col("cell").as("cent_id"), col("sub"), col("i"), col("cq"))
       val codes = assign(c1)
-      val lut = ev2.filter(col("vec_id") < 3)
+      val lut = ev2.filter(isQuery(col("vec_id")))
         .withColumnRenamed("vec_id", "qid")
         .join(broadcast(c1), Seq("sub", "i"))
         .groupBy(col("qid"), col("sub"), col("cent_id"))
@@ -1341,12 +1345,12 @@ object Similarity {
         .filter(col("qid") =!= col("cid"))
         .groupBy(col("qid"), col("cid"))
         .agg(sum(col("pd")).as("adc2"))
-        .withColumn("rk", row_number().over(wA)).filter(col("rk") <= 5)
+        .withColumn("rk", row_number().over(wA)).filter(col("rk") <= k)
       val qarr = e.select(col("vec_id"),
           expr("transform(embedding, " +
             "x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT))").as("qa"))
         .withColumn("ssq", long_dot(col("qa"), col("qa")))
-      val qq = qarr.filter(col("vec_id") < 3)
+      val qq = qarr.filter(isQuery(col("vec_id")))
         .select(col("vec_id").as("qid2"), col("qa").as("qaq"),
           col("ssq").as("ssq_q"))
       val wE = Window.partitionBy(col("qid2"))
@@ -1356,19 +1360,23 @@ object Similarity {
         .join(broadcast(qq), col("qid2") =!= col("cid"))
         .withColumn("d2", col("ssq_q") + col("ssq_c") -
           lit(2L) * long_dot(col("qaq"), col("qac")))
-        .withColumn("rk", row_number().over(wE)).filter(col("rk") <= 5)
+        .withColumn("rk", row_number().over(wE)).filter(col("rk") <= k)
         .select(col("qid2").as("qid"), col("cid"), lit(1L).as("ex"))
       val wq = Window.partitionBy(col("qid"))
       adcTop.join(exTop, Seq("qid", "cid"), "left")
         .withColumn("hit", col("ex").isNotNull)
         .withColumn("recall5",
           sum(when(col("hit"), 1L).otherwise(0L)).over(wq).cast("double") /
-            lit(5.0))
+            lit(k.toDouble))
         .select(col("qid"), col("rk").cast("long").as("rk"), col("cid"),
           (col("adc2").cast("double") / lit(1e12)).as("adc_dist"),
           col("hit"), col("recall5"))
         .orderBy(col("qid"), col("rk"))
-    },
+  }
+
+  private val q286 = QueryDef(
+    "q286_pq_adc_ann",
+    (s, d) => pqAdcTopK(emb(s, d), 16, 8, _ < 3, 5),
     Some(s"""
       WITH $evSql,
       ev2 AS (

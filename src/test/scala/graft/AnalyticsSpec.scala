@@ -1302,4 +1302,31 @@ class AnalyticsSpec extends AnyFunSuite {
         s"roundZ($x)=${rows(x)} must be bitwise $want")
     }
   }
+
+  test("q285 span surgery merges overlapping hits, keeps disjoint spans apart") {
+    import spark.implicits._
+    // K = 3; eval doc 1 plants grams "a b c" and "x y z" (among others).
+    // Train doc 10 hits at positions 1 and 5 - the gap (5 > 1+2) keeps
+    // two separate spans 1-3 and 5-7. Train doc 11 hits at 0,1,2,3 -
+    // each start within 2 of the previous, so ONE merged span 0-5.
+    // Doc 12 is clean and must not appear; the eval doc itself must not
+    // appear.
+    val d = Seq(
+      (1L, "a b c x y z"),
+      (10L, "p a b c q x y z r"),
+      (11L, "a b c x y z w"),
+      (12L, "m n o p q")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Pipeline
+      .spanDecon(d, col("doc_id") === 1, 3)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getDouble(5)))
+      .toMap
+    assert(out.keySet == Set(10L, 11L), "only contaminated train docs")
+    assert(out(10L) == ((9L, 2L, 6L, "1-3,5-7", 3.0 / 9.0)),
+      "disjoint hits stay two spans")
+    assert(out(11L) == ((7L, 1L, 6L, "0-5", 1.0 / 7.0)),
+      "chained overlapping hits merge to one span")
+  }
 }

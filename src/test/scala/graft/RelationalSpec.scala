@@ -403,4 +403,24 @@ class RelationalSpec extends AnyFunSuite {
           s"comparator ${j + 1}: m must exceed u after one EM round")
     }
   }
+
+  test("q284 t-closeness closed forms: uniform group 0, pure group (S-1)/S") {
+    import spark.implicits._
+    // 12 rows, 2 segments globally balanced 6/6: group (1,0) holds
+    // 2A+2B (its distribution IS the corpus distribution, t = 0
+    // exactly), groups (2,0)/(3,0) hold 4A/4B (single-segment in a
+    // balanced corpus: t = (S-1)/S = 1/2 exactly). The integer-numerator
+    // formulation makes both values exact doubles, so == is legitimate.
+    val base = (Seq.fill(2)("A") ++ Seq.fill(2)("B")).map((1L, 0L, _)) ++
+      Seq.fill(4)((2L, 0L, "A")) ++ Seq.fill(4)((3L, 0L, "B"))
+    val out = graft.operators.Relational
+      .tClosenessOf(base.toDF("c_nationkey", "band", "c_mktsegment"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getBoolean(5)))
+      .toMap
+    assert(out(1L) == ((4L, 2L, 0.0, false)), "uniform group: t = 0, l = 2")
+    assert(out(2L) == ((4L, 1L, 0.5, true)), "pure-A group: t = 1/2, l = 1")
+    assert(out(3L) == ((4L, 1L, 0.5, true)), "pure-B group: t = 1/2, l = 1")
+  }
 }

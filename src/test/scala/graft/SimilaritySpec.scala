@@ -203,4 +203,30 @@ class SimilaritySpec extends AnyFunSuite {
         s"label $lab recall")
     }
   }
+
+  test("q286 PQ/ADC: codebook-coincident corpus gives exact ranking, recall 1") {
+    import spark.implicits._
+    // corpus = 6 copies of each of 8 distinct codewords (dim 32, 4
+    // subspaces of 8). The first-8-by-id seed IS the codeword set, the
+    // Lloyd mean of identical copies reproduces each codeword, so
+    // quantization error is zero: ADC distance equals exact distance
+    // for every pair, the top-5 must be the 5 other copies of the
+    // query's codeword at distance 0, and recall@5 is exactly 1.
+    val rng = new scala.util.Random(7)
+    val words = Array.fill(8)(Array.fill(32)(rng.nextGaussian().toFloat))
+    val vecs = (0 until 48).map(i => (i.toLong, words(i % 8)))
+    val df = vecs.toDF("vec_id", "embedding").repartition(3)
+    val out = graft.operators.Similarity
+      .pqAdcTopK(df, 8, 8, q => q.isin(3L, 12L), 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4), r.getDouble(5)))
+    assert(out.length == 10, "two queries x top-5")
+    assert(out.forall(_._5), "every ADC hit must be in the exact top-5")
+    assert(out.forall(_._6 == 1.0), "recall@5 must be exactly 1.0")
+    assert(out.forall(_._4 == 0.0), "all top-5 are exact copies: distance 0")
+    val q3 = out.filter(_._1 == 3L).map(_._3).toSet
+    assert(q3 == Set(11L, 19L, 27L, 35L, 43L),
+      "query 3's top-5 = its other copies (self excluded), ties by cid")
+  }
 }
