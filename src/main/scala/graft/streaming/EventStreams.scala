@@ -329,6 +329,74 @@ object EventStreams {
       GROUP BY user_id, sid
       ORDER BY user_id, sess_start_epoch"""))
 
+  // ---------------------------------------------------------------- q287
+  // DYNAMIC-gap session window — the per-event gap variant of q82 that
+  // fixed-gap sessionization cannot express: a purchase signals intent
+  // completion, so it closes its session after 10 minutes of silence,
+  // while views linger 45 — `session_window(ts, CASE event_type ...)`
+  // evaluates the gap PER ROW and merges overlapping [ts, ts+gap)
+  // windows. The oracle is the generalized gaps-and-islands: with
+  // heterogeneous gaps the session end is NOT monotone in ts, so the
+  // island break needs a RUNNING MAX of prior window ends (lag alone —
+  // the q82/q285 form — is wrong here: a long-gap view can outlast a
+  // later short-gap purchase). Spark merges strictly-overlapping
+  // windows (an event arriving exactly at the previous end starts a NEW
+  // session), hence `ts >= max(prev ends)` breaks. Same complete-mode
+  // replay + 31-day delay discipline as q82; state per 100 TB argument
+  // identical (watermark-evicted per-key session state).
+  private val q287 = QueryDef(
+    "q287_stream_dynamic_gap_sessions",
+    (s, d) =>
+      run(s, st =>
+        st.filter(col("event_id") =!= -1L)
+          .withWatermark("ts", "31 days")
+          .groupBy(session_window(col("ts"),
+            when(col("event_type") === "purchase", "10 minutes")
+              .otherwise("45 minutes")), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("n_purchases"),
+            sumFixed(col("value"), 2).as("sum_value"))
+          .select(
+            unix_timestamp(col("session_window.start")).as("sess_start_epoch"),
+            col("user_id"), col("n_events"), col("n_purchases"),
+            col("sum_value")),
+        ss => readStaged(ss, slicedDir(s, d)), "complete")
+        .orderBy(col("user_id"), col("sess_start_epoch")),
+    Some(s"""
+      WITH ends AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               ts + CASE WHEN event_type = 'purchase'
+                         THEN INTERVAL 10 MINUTES
+                         ELSE INTERVAL 45 MINUTES END AS w_end
+        FROM events),
+      marked AS (
+        SELECT user_id, ts, event_type, value,
+               CASE WHEN max(w_end) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      IS NULL
+                     OR ts >= max(w_end) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_sess,
+               event_id
+        FROM ends),
+      sess AS (
+        SELECT user_id, ts, event_type, value,
+               sum(new_sess) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start_epoch,
+             user_id, count(*) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_purchases,
+             ${sumFixedSql("value", 2)} AS sum_value
+      FROM sess
+      GROUP BY user_id, sid
+      ORDER BY user_id, sess_start_epoch"""))
+
   // ---------------------------------------------------------------- q83
   // Streaming dedup (first arrival per (user_id, event_type)) feeding a
   // streaming aggregation. Deduped count per event_type = distinct users.
@@ -1405,5 +1473,5 @@ object EventStreams {
 
   val defs: Seq[QueryDef] =
     Seq(q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q93, q94, q96, q97,
-      q98, q178, q189, q197, q200, q251, q260, q283)
+      q98, q178, q189, q197, q200, q251, q260, q283, q287)
 }
