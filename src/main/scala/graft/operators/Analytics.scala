@@ -1248,6 +1248,238 @@ object Analytics {
       GROUP BY d.user_id
       ORDER BY d.user_id"""))
 
+  // --------------------------------------------------------------- q289
+  // Stratified ATE by direct standardization ([EXT]) — the confounder
+  // adjustment that completes the causal family: q241 (CUPED) reduces
+  // variance with a pre-period covariate, q263 (DiD) nets out a time
+  // trend; this nets out a CONFOUNDED ASSIGNMENT. The synthetic campaign
+  // treats customers at segment-dependent rates (20%–80%, deterministic
+  // md5 bucket — the q47 hash-split convention on the customer key), so
+  // the naive treated-vs-control spend difference mixes the treatment
+  // effect with segment composition; the stratified estimator
+  // ATE = Σ_s (n_s/N)·(ȳ_s,1 − ȳ_s,0) reweights every stratum's arm
+  // difference by its POPULATION share, removing the composition bias
+  // (here treatment is hash-random within stratum and spend is largely
+  // segment-independent, so both estimates hover near the true null —
+  // at sf0.1 the adjustment still moves the point estimate ~30% toward
+  // it, the composition share of the naive row's sampling noise).
+  // Output: one audited row per stratum plus both corpus-level
+  // estimates side by side.
+  //
+  // Exactness: arm sums are exact cents BIGINTs; each stratum's
+  // difference is a fixed-order expression of two exact-int divisions
+  // (roundZ final — it can be negative and round to zero); the ATE's
+  // weighted sum is order-sensitive, so each stratum term is quantized
+  // to a 1e-9 BIGINT grid pre-sum (q225 discipline) and divided back
+  // once. Strata missing an arm drop from BOTH the stratum rows and the
+  // adjusted estimate (the div-by-zero/NULL cross-engine trap, q215) —
+  // a documented estimator precondition, not data-dependent luck.
+  // Scale: two map-side-combinable aggregates (per-customer spend, per-
+  // stratum arms) and a |segments|-row grid; the summary rows broadcast.
+  private val q289 = QueryDef(
+    "q289_stratified_ate",
+    (s, d) => {
+      val base = Tables.t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("stratum"),
+          (conv(substring(md5(col("c_custkey").cast("string")
+            .cast("binary")), 1, 14), 16, 10).cast("long") % 100L).as("h"))
+        .withColumn("thr",
+          when(col("stratum") === "AUTOMOBILE", 20L)
+            .when(col("stratum") === "BUILDING", 80L)
+            .when(col("stratum") === "FURNITURE", 35L)
+            .when(col("stratum") === "HOUSEHOLD", 65L)
+            .otherwise(50L))
+        .withColumn("tr", when(col("h") < col("thr"), 1L).otherwise(0L))
+      val spend = Tables.t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val u = base.join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .na.fill(0L, Seq("cents"))
+      val strata = u.groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n_s"),
+          sum(col("tr")).as("n_treat"),
+          (count(lit(1)) - sum(col("tr"))).as("n_ctrl"),
+          sum(when(col("tr") === 1L, col("cents")).otherwise(0L)).as("s1"),
+          sum(when(col("tr") === 0L, col("cents")).otherwise(0L)).as("s0"))
+        .filter(col("n_treat") > 0L && col("n_ctrl") > 0L)
+      val diffC = (col("s1").cast("double") / col("n_treat").cast("double") -
+        col("s0").cast("double") / col("n_ctrl").cast("double")) / lit(100.0)
+      val perStratum = strata
+        .select(col("stratum"), col("n_s"), col("n_treat"), col("n_ctrl"),
+          Num.roundZ(diffC, 6).as("diff_usd"), lit("stratum").as("est"))
+      val tot = strata.agg(sum(col("n_s")).as("nn")) // 1 row
+      val adj = strata.crossJoin(broadcast(tot))
+        .select(col("n_s"), col("n_treat"), col("n_ctrl"),
+          round((col("n_s").cast("double") / col("nn").cast("double")
+            * diffC) * lit(1e9)).cast("long").as("termq"), col("nn"))
+        .groupBy(col("nn"))
+        .agg(sum(col("n_s")).as("n_s"), sum(col("n_treat")).as("n_treat"),
+          sum(col("n_ctrl")).as("n_ctrl"),
+          (sum(col("termq")).cast("double") / lit(1e9)).as("diff_usd"))
+        .select(lit("ALL").as("stratum"), col("n_s"), col("n_treat"),
+          col("n_ctrl"), col("diff_usd"), lit("ate_stratified").as("est"))
+      val naive = u.agg(count(lit(1)).as("n_s"),
+          sum(col("tr")).as("n_treat"),
+          (count(lit(1)) - sum(col("tr"))).as("n_ctrl"),
+          sum(when(col("tr") === 1L, col("cents")).otherwise(0L)).as("s1"),
+          sum(when(col("tr") === 0L, col("cents")).otherwise(0L)).as("s0"))
+        .select(lit("ALL").as("stratum"), col("n_s"), col("n_treat"),
+          col("n_ctrl"), Num.roundZ(diffC, 6).as("diff_usd"),
+          lit("ate_naive").as("est"))
+      perStratum.unionByName(adj).unionByName(naive)
+        .orderBy(col("est"), col("stratum"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT c_custkey, c_mktsegment AS stratum,
+               ((('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 14))::BIGINT)
+                 % 100) AS h,
+               CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 20
+                 WHEN 'BUILDING' THEN 80 WHEN 'FURNITURE' THEN 35
+                 WHEN 'HOUSEHOLD' THEN 65 ELSE 50 END AS thr
+        FROM customer),
+      u AS (
+        SELECT b.stratum,
+               CASE WHEN b.h < b.thr THEN 1 ELSE 0 END AS tr,
+               COALESCE(sp.cents, 0) AS cents
+        FROM base b LEFT JOIN (
+          SELECT o_custkey,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS cents
+          FROM orders GROUP BY 1) sp ON sp.o_custkey = b.c_custkey),
+      strata AS (
+        SELECT stratum, count(*) AS n_s,
+               CAST(sum(tr) AS BIGINT) AS n_treat,
+               CAST(count(*) - sum(tr) AS BIGINT) AS n_ctrl,
+               CAST(sum(CASE WHEN tr = 1 THEN cents ELSE 0 END) AS BIGINT)
+                 AS s1,
+               CAST(sum(CASE WHEN tr = 0 THEN cents ELSE 0 END) AS BIGINT)
+                 AS s0
+        FROM u GROUP BY 1
+        HAVING sum(tr) > 0 AND count(*) - sum(tr) > 0),
+      tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS nn FROM strata),
+      per AS (
+        SELECT stratum, n_s, n_treat, n_ctrl,
+               (CAST(round(((CAST(s1 AS DOUBLE) / CAST(n_treat AS DOUBLE)
+                  - CAST(s0 AS DOUBLE) / CAST(n_ctrl AS DOUBLE)) / 100.0)
+                  * 1e6) AS BIGINT) / 1e6) AS diff_usd,
+               'stratum' AS est
+        FROM strata),
+      adj AS (
+        SELECT 'ALL' AS stratum, CAST(sum(n_s) AS BIGINT) AS n_s,
+               CAST(sum(n_treat) AS BIGINT) AS n_treat,
+               CAST(sum(n_ctrl) AS BIGINT) AS n_ctrl,
+               CAST(sum(CAST(round((CAST(n_s AS DOUBLE) / CAST(nn AS DOUBLE)
+                 * ((CAST(s1 AS DOUBLE) / CAST(n_treat AS DOUBLE)
+                    - CAST(s0 AS DOUBLE) / CAST(n_ctrl AS DOUBLE)) / 100.0))
+                 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS diff_usd,
+               'ate_stratified' AS est
+        FROM strata CROSS JOIN tot),
+      naive AS (
+        SELECT 'ALL' AS stratum, count(*) AS n_s,
+               CAST(sum(tr) AS BIGINT) AS n_treat,
+               CAST(count(*) - sum(tr) AS BIGINT) AS n_ctrl,
+               (CAST(round(((CAST(sum(CASE WHEN tr = 1 THEN cents ELSE 0 END)
+                    AS DOUBLE) / CAST(sum(tr) AS DOUBLE)
+                  - CAST(sum(CASE WHEN tr = 0 THEN cents ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) - sum(tr) AS DOUBLE)) / 100.0)
+                  * 1e6) AS BIGINT) / 1e6) AS diff_usd,
+               'ate_naive' AS est
+        FROM u)
+      SELECT * FROM per
+      UNION ALL SELECT * FROM adj
+      UNION ALL SELECT * FROM naive
+      ORDER BY est, stratum"""))
+
+  // --------------------------------------------------------------- q288
+  // Holt double exponential smoothing per user ([EXT], Holt 1957) — the
+  // COUPLED level+trend recursion q157's single EWMA cannot express:
+  //   l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+  //   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+  // with α = β = ½ over each user's observation-indexed daily purchase
+  // series (observation-indexed — the standard transaction-series form;
+  // calendar gap-filling is q134's op and composes in front). Emits the
+  // final level, trend, and the 3-step-ahead forecast l + 3b — the
+  // lightweight per-entity forecast a spend-monitoring pipeline keeps.
+  //
+  // Exactness: state lives in exact micro-dollar BIGINTs; each step is
+  // two round((int + int + int)/2.0) ops — the operands are exact
+  // integers ≪ 2^52, /2.0 is correctly rounded, and both engines round
+  // halves away from zero, so the folded state is bit-identical however
+  // it's computed. Spark folds a sort_array'd (day, y) series inside one
+  // codegen'd `aggregate()` lambda (state bounded by the day range,
+  // q157's argument); the oracle runs the SAME recursion as a recursive
+  // CTE stepping (user, rn) → rn+1, re-deriving l_t inline for the b_t
+  // update so both sides use the POST-ROUND level (using the pre-round
+  // value is the classic implementation divergence). Final values are
+  // single divisions of exact integers. Scale: one map-side-combinable
+  // daily aggregate, one per-user hash agg; no window over anything
+  // unbounded; recursion depth = observations per user, state O(1).
+  private val q288 = QueryDef(
+    "q288_holt_linear_trend",
+    (s, d) => {
+      val daily = ev(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+            .as("day"))
+        .agg((sum(round(col("value") * 100).cast("long")) * 10000L).as("y"))
+      daily.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"),
+          sort_array(collect_list(struct(col("day"), col("y")))).as("arr"))
+        .withColumn("st", expr(
+          """aggregate(arr,
+               named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+                            'k', CAST(0 AS BIGINT)),
+               (acc, x) -> CASE WHEN acc.k = 0 THEN
+                   named_struct('l', x.y, 'b', CAST(0 AS BIGINT),
+                                'k', CAST(1 AS BIGINT))
+                 ELSE named_struct(
+                   'l', CAST(round((x.y + acc.l + acc.b) / 2.0D) AS BIGINT),
+                   'b', CAST(round((CAST(round((x.y + acc.l + acc.b) / 2.0D)
+                          AS BIGINT) - acc.l + acc.b) / 2.0D) AS BIGINT),
+                   'k', acc.k + 1) END,
+               acc -> named_struct('l', acc.l, 'b', acc.b))"""))
+        .select(col("user_id"), col("n_days"), col("last_day"),
+          (col("st.l").cast("double") / lit(1e6)).as("level_usd"),
+          (col("st.b").cast("double") / lit(1e6)).as("trend_usd"),
+          ((col("st.l") + lit(3L) * col("st.b")).cast("double") / lit(1e6))
+            .as("forecast3_usd"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH RECURSIVE daily AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT
+                 AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 * 10000 AS y
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2),
+      obs AS (
+        SELECT user_id, day, y,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM daily),
+      lim AS (
+        SELECT user_id, CAST(max(rn) AS BIGINT) AS n_days,
+               max(day) AS last_day
+        FROM obs GROUP BY 1),
+      h AS (
+        SELECT user_id, rn, y AS l, CAST(0 AS BIGINT) AS b
+        FROM obs WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.rn,
+               CAST(round((o.y + h.l + h.b) / 2.0) AS BIGINT),
+               CAST(round((CAST(round((o.y + h.l + h.b) / 2.0) AS BIGINT)
+                 - h.l + h.b) / 2.0) AS BIGINT)
+        FROM h JOIN obs o ON o.user_id = h.user_id AND o.rn = h.rn + 1)
+      SELECT h.user_id, lim.n_days, lim.last_day,
+             CAST(h.l AS DOUBLE) / 1e6 AS level_usd,
+             CAST(h.b AS DOUBLE) / 1e6 AS trend_usd,
+             CAST(h.l + 3 * h.b AS DOUBLE) / 1e6 AS forecast3_usd
+      FROM h JOIN lim ON lim.user_id = h.user_id AND h.rn = lim.n_days
+      ORDER BY h.user_id"""))
+
   // --------------------------------------------------------------- q158
   // Poisson-bootstrap confidence interval for a mean — THE way to
   // bootstrap at 100 TB: instead of resampling-with-replacement (which
@@ -4702,5 +4934,5 @@ object Analytics {
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
-      q259, q262, q263, q265, q271, q274, q280)
+      q259, q262, q263, q265, q271, q274, q280, q288, q289)
 }
