@@ -569,6 +569,96 @@ object TextAnalysis {
       WHERE rk <= 10
       ORDER BY rk"""))
 
+  // --------------------------------------------------------------- q290
+  // Dirichlet-smoothed query likelihood ([EXT], Zhai & Lafferty 2001) —
+  // the language-modeling retrieval scorer beside q110's BM25 (and
+  // fused arms like q111): score(Q,D) = Σ_w ln((tf_w + μ·cf_w/T) /
+  // (dl + μ)), μ = 300 (short-doc regime). Scored over the CANDIDATE
+  // set (docs containing ≥ 1 query term, q110's convention — the
+  // no-match score depends only on dl and ranks below matches at these
+  // lengths); zero-tf query terms still contribute their smoothed mass
+  // via the candidate × query-term grid completion (skipping them is
+  // the classic QL bug — it breaks score comparability across docs).
+  //
+  // Determinism: this is the one scorer family where a log is the
+  // semantics, so the q225 discipline applies — each ln term is
+  // quantized to a 1e-12 BIGINT pre-sum (a ≤1-ulp libm disagreement is
+  // ~1e-16 at these magnitudes, far below the grid), the per-doc sum is
+  // exact, and the score is one exact-int division (negative by
+  // construction, never −0.0: ln terms are strictly negative).
+  // Scale: q110's exact shape — the token stream filters to |Q| terms
+  // BEFORE any aggregation, collection stats are 1-row/|Q|-row
+  // broadcasts, the grid is candidate×|Q|, and the cut is TakeOrdered.
+  private val q290 = QueryDef(
+    "q290_dirichlet_ql_topk",
+    (s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val dl = docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+      val tTot = tok.agg(count(lit(1)).as("t_tot")) // 1 row
+      val qtok = tok.filter(expr(s"array_contains($bm25TermArr, term)"))
+      val cf = qtok.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      val tf = qtok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val grid = tf.select(col("doc_id")).distinct()
+        .crossJoin(broadcast(cf))
+        .join(tf, Seq("doc_id", "term"), "left")
+        .na.fill(0L, Seq("tf"))
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tTot))
+        .withColumn("ltq", round(log(
+          (col("tf").cast("double") + lit(300.0) *
+            (col("cf").cast("double") / col("t_tot").cast("double"))) /
+          (col("dl").cast("double") + lit(300.0))) * lit(1e12)).cast("long"))
+      val scored = grid.groupBy(col("doc_id"))
+        .agg((sum(col("ltq")).cast("double") / lit(1e12)).as("score"),
+          sum(when(col("tf") > 0L, 1L).otherwise(0L)).as("matched"),
+          max(col("dl")).as("dl"))
+      val top = scored.orderBy(col("score").desc, col("doc_id")).limit(10)
+      val w = Window.orderBy(col("score").desc, col("doc_id"))
+      top.withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("rk"), col("doc_id"), col("matched"), col("dl"),
+          col("score"))
+        .orderBy(col("rk"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+               AS dl FROM documents),
+      ttot AS (SELECT count(*) AS t_tot FROM tok),
+      qtok AS (SELECT doc_id, term FROM tok
+               WHERE list_contains($bm25TermList, term)),
+      cf AS (SELECT term, count(*) AS cf FROM qtok GROUP BY 1),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM qtok GROUP BY 1, 2),
+      grid AS (
+        SELECT c.doc_id, q.term, q.cf, COALESCE(t.tf, 0) AS tf
+        FROM (SELECT DISTINCT doc_id FROM tf) c
+        CROSS JOIN cf q
+        LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.term = q.term),
+      terms AS (
+        SELECT g.doc_id, g.tf, d.dl,
+               CAST(round(ln((CAST(g.tf AS DOUBLE) + 300.0
+                   * (CAST(g.cf AS DOUBLE) / CAST(s.t_tot AS DOUBLE)))
+                 / (CAST(d.dl AS DOUBLE) + 300.0)) * 1e12) AS BIGINT)
+                 AS ltq
+        FROM grid g JOIN dl d USING (doc_id) CROSS JOIN ttot s),
+      scored AS (
+        SELECT doc_id,
+               CAST(sum(ltq) AS DOUBLE) / 1e12 AS score,
+               CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS matched,
+               max(dl) AS dl
+        FROM terms GROUP BY 1)
+      SELECT CAST(rk AS BIGINT) AS rk, doc_id, matched, dl, score FROM (
+        SELECT doc_id, matched, dl, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        FROM scored) t
+      WHERE rk <= 10
+      ORDER BY rk"""))
+
   // --------------------------------------------------------------- q121
   /** Misra–Gries frequency summary of one partition's item stream: returns
     * the ≤ k surviving keys. Guarantee: any item whose count in THIS
@@ -2133,5 +2223,5 @@ object TextAnalysis {
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
       q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228,
-      q233, q236, q253, q264, q275, q276, q278, q279)
+      q233, q236, q253, q264, q275, q276, q278, q279, q290)
 }
