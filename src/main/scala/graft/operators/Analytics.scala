@@ -4669,6 +4669,189 @@ object Analytics {
       FROM z
       ORDER BY event_type"""))
 
+  // --------------------------------------------------------------- q292
+  // Classical additive seasonal decomposition ([EXT], the
+  // moving-average method behind seasonal_decompose): value = trend
+  // (centered 7-day MA) + seasonal (day-of-week mean of the detrended
+  // series) + residual, per event_type over daily revenue. q165 reports
+  // raw day-of-week profiles and q235/q166 flag outliers on raw values;
+  // this separates the components, so the seasonal index is net of
+  // trend and the residual is what an anomaly detector SHOULD consume.
+  // Output: per (event_type, dow) the seasonal index and the mean
+  // absolute residual — the signal/noise split of the weekly cycle.
+  //
+  // Exactness: the centered MA is an exact 7-int sum with ONE division;
+  // it is only defined where the 7-row frame is complete AND
+  // day-contiguous (count = 7 and max−min = 6 over the frame — a ROWS
+  // frame over a gapped series would silently average non-adjacent
+  // days, the classic decomposition bug). Detrended values land on
+  // doubles identically in both engines (same ints, same two ops), and
+  // every subsequent mean quantizes to a 1e-6 grid pre-sum (avgFixed),
+  // so aggregation order never matters. Seasonal joins back by
+  // broadcast (|types|·7 grid). roundZ finals — indices and residual
+  // means are signed. Scale: one map-side daily aggregate; windows
+  // partition by event_type over the day grid; everything downstream is
+  // grid-sized.
+  private val q292 = QueryDef(
+    "q292_seasonal_decompose",
+    (s, d) => {
+      val daily = ev(s, d)
+        .groupBy(col("event_type"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+            .as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      val wMa = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      val det = daily
+        .withColumn("s7", sum(col("v")).over(wMa))
+        .withColumn("c7", count(col("v")).over(wMa))
+        .withColumn("span", max(col("day")).over(wMa) -
+          min(col("day")).over(wMa))
+        .filter(col("c7") === 7L && col("span") === 6L)
+        .withColumn("detr", col("v").cast("double") -
+          col("s7").cast("double") / lit(7.0))
+        .withColumn("dow", col("day") % 7L)
+      val seas = det.groupBy(col("event_type"), col("dow"))
+        .agg(Num.avgFixed(col("detr"), 6).as("seasonal"),
+          count(lit(1)).as("n_obs"))
+      det.join(broadcast(seas), Seq("event_type", "dow"))
+        .withColumn("resid", abs(col("detr") - col("seasonal")))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(max(col("n_obs")).as("n_obs"),
+          Num.roundZ(max(col("seasonal")) / lit(100.0), 6)
+            .as("seasonal_usd"),
+          Num.roundZ(Num.avgFixed(col("resid"), 6) / lit(100.0), 6)
+            .as("mean_abs_resid_usd"))
+        .orderBy(col("event_type"), col("dow"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT
+                 AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2),
+      det AS (
+        SELECT event_type, day, day % 7 AS dow,
+               CAST(v AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0 AS detr
+        FROM (
+          SELECT event_type, day, v,
+                 sum(v) OVER w AS s7, count(v) OVER w AS c7,
+                 max(day) OVER w - min(day) OVER w AS span
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) t
+        WHERE c7 = 7 AND span = 6),
+      seas AS (
+        SELECT event_type, dow,
+               ${graft.Num.avgFixedSql("detr", 6)} AS seasonal,
+               count(*) AS n_obs
+        FROM det GROUP BY 1, 2)
+      SELECT d.event_type, d.dow, max(s.n_obs) AS n_obs,
+             (CAST(round((max(s.seasonal) / 100.0) * 1e6) AS BIGINT) / 1e6)
+               AS seasonal_usd,
+             (CAST(round((${graft.Num.avgFixedSql(
+                 "abs(d.detr - s.seasonal)", 6)} / 100.0) * 1e6)
+               AS BIGINT) / 1e6) AS mean_abs_resid_usd
+      FROM det d JOIN seas s ON s.event_type = d.event_type
+                            AND s.dow = d.dow
+      GROUP BY d.event_type, d.dow
+      ORDER BY d.event_type, d.dow"""))
+
+  // --------------------------------------------------------------- q291
+  // Local-DP frequency estimation via k-ary randomized response ([EXT],
+  // Warner 1965 / generalized RR) — the LOCAL counterpart of q259's
+  // central-DP release: there the aggregator holds true counts and
+  // noises the output; here EVERY ROW is perturbed before aggregation
+  // (the collector never sees a trustworthy record) and the estimator
+  // inverts the known mechanism. Mechanism: each event reports its true
+  // type with p = 0.7, else a uniform draw over the K types; the
+  // unbiased inverse is est_k = (obs_k − (1−p)·N/K)/p. The report shows
+  // the true count (engine-correctness surface, as in q259), the
+  // perturbed observation, the debiased estimate, and the residual.
+  //
+  // Determinism: both coins are md5-derived per event_id (the q259
+  // seeded-release discipline — swap the seed for a secret to deploy);
+  // the uniform category is the u2-th entry of the SORTED type
+  // dictionary, so both engines pick identical flips. The estimate is a
+  // fixed-order expression of exact integers with one division; roundZ
+  // because est and residual can round to zero from below. Scale: the
+  // perturbation is a per-row projection + one broadcast join against
+  // the K-row dictionary; aggregation stays map-side-combinable; the
+  // K-row dictionary window is value-domain-sized.
+  private val q291 = QueryDef(
+    "q291_local_dp_frequency",
+    (s, d) => {
+      val types = ev(s, d).select(col("event_type")).distinct()
+        .withColumn("idx", row_number()
+          .over(Window.orderBy(col("event_type"))).cast("long") - 1L)
+      val kRow = types.agg(count(lit(1)).as("k")) // 1 row
+      val rep = ev(s, d).select(col("event_id"), col("event_type"))
+        .withColumn("u1", expr("CAST(conv(substr(md5(concat('ldp1:', " +
+          "CAST(event_id AS STRING))), 1, 13), 16, 10) AS BIGINT) % 1000"))
+        .withColumn("u2", expr("CAST(conv(substr(md5(concat('ldp2:', " +
+          "CAST(event_id AS STRING))), 1, 13), 16, 10) AS BIGINT)"))
+        .crossJoin(broadcast(kRow))
+        .withColumn("pick", col("u2") % col("k"))
+        .join(broadcast(types.select(col("event_type").as("pick_type"),
+          col("idx"))), col("pick") === col("idx"))
+        .withColumn("reported", when(col("u1") < 700L,
+          col("event_type")).otherwise(col("pick_type")))
+      val obs = rep.groupBy(col("reported").as("event_type"))
+        .agg(count(lit(1)).as("n_obs"))
+      val truth = ev(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_true"))
+      val tot = truth.agg(sum(col("n_true")).as("n")) // 1 row
+      truth.join(obs, Seq("event_type"), "left")
+        .na.fill(0L, Seq("n_obs"))
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(kRow))
+        .withColumn("est", Num.roundZ(
+          (col("n_obs").cast("double") - lit(0.3) *
+            (col("n").cast("double") / col("k").cast("double"))) / lit(0.7),
+          6))
+        .withColumn("residual",
+          Num.roundZ(col("est") - col("n_true").cast("double"), 6))
+        .select(col("event_type"), col("n_true"), col("n_obs"),
+          col("est"), col("residual"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH types AS (
+        SELECT event_type,
+               row_number() OVER (ORDER BY event_type) - 1 AS idx
+        FROM (SELECT DISTINCT event_type FROM events)),
+      kk AS (SELECT count(*) AS k FROM types),
+      rep AS (
+        SELECT e.event_type AS true_type,
+               CASE WHEN ((('0x' || substr(md5('ldp1:'
+                      || CAST(e.event_id AS VARCHAR)), 1, 13))::BIGINT)
+                      % 1000) < 700
+                    THEN e.event_type ELSE t.event_type END AS reported
+        FROM events e
+        CROSS JOIN kk
+        JOIN types t ON t.idx = ((('0x' || substr(md5('ldp2:'
+               || CAST(e.event_id AS VARCHAR)), 1, 13))::BIGINT) % kk.k)),
+      obs AS (SELECT reported AS event_type, count(*) AS n_obs
+              FROM rep GROUP BY 1),
+      truth AS (SELECT event_type, count(*) AS n_true
+                FROM events GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_true) AS BIGINT) AS n FROM truth)
+      SELECT tr.event_type, tr.n_true,
+             CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+             (CAST(round(((CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+                - 0.3 * (CAST(tot.n AS DOUBLE) / CAST(kk.k AS DOUBLE)))
+                / 0.7) * 1e6) AS BIGINT) / 1e6) AS est,
+             (CAST(round((((CAST(round(((CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+                - 0.3 * (CAST(tot.n AS DOUBLE) / CAST(kk.k AS DOUBLE)))
+                / 0.7) * 1e6) AS BIGINT) / 1e6))
+                - CAST(tr.n_true AS DOUBLE)) * 1e6) AS BIGINT) / 1e6)
+               AS residual
+      FROM truth tr
+      LEFT JOIN obs o ON o.event_type = tr.event_type
+      CROSS JOIN tot CROSS JOIN kk
+      ORDER BY tr.event_type"""))
+
   // --------------------------------------------------------------- q257
   // Join-key SKEW diagnosis ([EXT]) — the pre-flight report an engineer
   // (or an advisor rule) runs before shuffling 100 TB on a key: for each
@@ -4934,5 +5117,5 @@ object Analytics {
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
-      q259, q262, q263, q265, q271, q274, q280, q288, q289)
+      q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292)
 }
