@@ -318,6 +318,93 @@ object Analytics {
              CAST((SELECT count(*) FROM p) AS DOUBLE) /
                CAST((SELECT count(*) FROM c) AS DOUBLE) AS conv_click_purchase"""))
 
+  // --------------------------------------------------------------- q293
+  // Timeout funnel ([EXT], the Amplitude/GA "within N minutes" funnel):
+  // q125 orders steps temporally but lets a purchase count years after
+  // the click; real conversion funnels bound every step — here click
+  // WITHIN 24 HOURS of the first view, purchase WITHIN 72 HOURS of
+  // that qualifying click (windows sized to this testbed's ~33
+  // events/user/month density; a web-scale stream would use minutes). A user outside the window drops even though
+  // the plain ordered funnel (q125) would count them, so the pair of
+  // queries brackets attribution policy. Also reports mean step
+  // latencies — the funnel-speed number product teams track beside
+  // conversion.
+  //
+  // Shape: q125's min-aggregation chain with interval upper bounds —
+  // still one user_id exchange reused across stages, per-user state one
+  // timestamp per step. Latencies are exact integer seconds
+  // (epoch-µs diff DIV 1e6, the truncating form both engines share);
+  // their means are single exact-int divisions. Conversion ratios
+  // likewise. Everything after the per-user minima is a 1-row cross of
+  // broadcast aggregates.
+  private val q293 = QueryDef(
+    "q293_timeout_funnel",
+    (s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("ts"), col("event_type"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"),
+          min(col("t1")).as("t1"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c.select(col("user_id"), col("t2")), Seq("user_id"))
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 72 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"),
+          min(col("t2")).as("t2"))
+      v.agg(count(lit(1)).as("n_view_users"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click_24h"),
+          sum(expr("(unix_micros(t2) - unix_micros(t1)) DIV 1000000"))
+            .as("lag_c"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase_72h"),
+          sum(expr("(unix_micros(t3) - unix_micros(t2)) DIV 1000000"))
+            .as("lag_p"))))
+        .select(col("n_view_users"), col("n_click_24h"),
+          col("n_purchase_72h"),
+          (col("n_click_24h").cast("double") /
+            col("n_view_users").cast("double")).as("conv_view_click"),
+          (col("n_purchase_72h").cast("double") /
+            col("n_click_24h").cast("double")).as("conv_click_purchase"),
+          (col("lag_c").cast("double") /
+            col("n_click_24h").cast("double")).as("avg_click_lag_s"),
+          (col("lag_p").cast("double") /
+            col("n_purchase_72h").cast("double")).as("avg_purchase_lag_s"))
+    },
+    Some("""
+      WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+          AND e.ts <= v.t1 + INTERVAL 24 HOURS
+        GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS t3, min(c.t2) AS t2
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          AND e.ts <= c.t2 + INTERVAL 72 HOURS
+        GROUP BY e.user_id)
+      SELECT (SELECT count(*) FROM v) AS n_view_users,
+             (SELECT count(*) FROM c) AS n_click_24h,
+             (SELECT count(*) FROM p) AS n_purchase_72h,
+             CAST((SELECT count(*) FROM c) AS DOUBLE) /
+               CAST((SELECT count(*) FROM v) AS DOUBLE) AS conv_view_click,
+             CAST((SELECT count(*) FROM p) AS DOUBLE) /
+               CAST((SELECT count(*) FROM c) AS DOUBLE)
+               AS conv_click_purchase,
+             CAST((SELECT sum((epoch_us(t2) - epoch_us(t1)) // 1000000)
+                   FROM c) AS DOUBLE) /
+               CAST((SELECT count(*) FROM c) AS DOUBLE) AS avg_click_lag_s,
+             CAST((SELECT sum((epoch_us(t3) - epoch_us(t2)) // 1000000)
+                   FROM p) AS DOUBLE) /
+               CAST((SELECT count(*) FROM p) AS DOUBLE)
+               AS avg_purchase_lag_s"""))
+
   // --------------------------------------------------------------- q131
   // Incremental statistics maintenance via MERGEABLE aggregation state —
   // the pattern behind every "update corpus stats without rescanning
@@ -5117,5 +5204,5 @@ object Analytics {
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
-      q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292)
+      q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293)
 }
