@@ -619,6 +619,77 @@ object Analytics {
       FROM act a JOIN sz s ON a.cohort_week = s.cohort_week
       ORDER BY a.cohort_week, a.offset_weeks"""))
 
+  // --------------------------------------------------------------- q294
+  // Ordered-pair sequence support ([EXT], the length-2 sequential
+  // pattern mining primitive): for every ordered type pair (a, b), the
+  // number of users for whom SOME a precedes SOME b — q127 counts
+  // CONSECUTIVE transitions (a Markov prior), this counts any-gap
+  // precedence (the sequential-pattern support behind "users who X
+  // eventually Y"), and q125/q293 are its 3-step funnel
+  // specializations. exists(a before b) ⇔ min_ts(a) < max_ts(b), so
+  // the whole pattern search collapses to per-(user, type) first/last
+  // timestamps — no pairwise event scan, no subsequence enumeration.
+  // Reports support share and lift n_ab·N/(n_a·n_b) (the q133
+  // exact-rational discipline — no logs).
+  //
+  // Scale: ONE user_id-keyed aggregate (map-side combined to ≤ K rows
+  // per user), a per-user K×K self-join bounded by the TYPE DOMAIN
+  // (never by event count), then a |K|²-row aggregate; presence counts
+  // and the user total broadcast back. Skewed users cost K rows like
+  // everyone else.
+  private val q294 = QueryDef(
+    "q294_sequence_pair_support",
+    (s, d) => {
+      val ut = ev(s, d).groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts")).as("ft"), max(col("ts")).as("lt"))
+      val a = ut.select(col("user_id"), col("event_type").as("a"),
+        col("ft"))
+      val b = ut.select(col("user_id"), col("event_type").as("b"),
+        col("lt"))
+      val nAb = a.join(b, Seq("user_id"))
+        .filter(col("a") =!= col("b") && col("ft") < col("lt"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      val pres = ut.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_t"))
+      val nU = ut.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      nAb
+        .join(broadcast(pres.select(col("event_type").as("a"),
+          col("n_t").as("n_a"))), "a")
+        .join(broadcast(pres.select(col("event_type").as("b"),
+          col("n_t").as("n_b"))), "b")
+        .crossJoin(broadcast(nU))
+        .select(col("a"), col("b"), col("n_ab"),
+          (col("n_ab").cast("double") / col("n_users").cast("double"))
+            .as("support"),
+          round((col("n_ab").cast("double") * col("n_users").cast("double"))
+            / (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+            .as("lift"))
+        .orderBy(col("a"), col("b"))
+    },
+    Some("""
+      WITH ut AS (
+        SELECT user_id, event_type, min(ts) AS ft, max(ts) AS lt
+        FROM events GROUP BY 1, 2),
+      nab AS (
+        SELECT a.event_type AS a, b.event_type AS b, count(*) AS n_ab
+        FROM ut a JOIN ut b ON a.user_id = b.user_id
+        WHERE a.event_type <> b.event_type AND a.ft < b.lt
+        GROUP BY 1, 2),
+      pres AS (
+        SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+      nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut)
+      SELECT n.a, n.b, n.n_ab,
+             CAST(n.n_ab AS DOUBLE) / CAST(nu.n_users AS DOUBLE) AS support,
+             round((CAST(n.n_ab AS DOUBLE) * CAST(nu.n_users AS DOUBLE))
+               / (CAST(pa.n_t AS DOUBLE) * CAST(pb.n_t AS DOUBLE)), 6)
+               AS lift
+      FROM nab n
+      JOIN pres pa ON pa.event_type = n.a
+      JOIN pres pb ON pb.event_type = n.b
+      CROSS JOIN nu
+      ORDER BY n.a, n.b"""))
+
   // --------------------------------------------------------------- q127
   // Markov transition matrix over per-user event sequences: count every
   // adjacent (from → to) event-type pair in each user's timeline and
@@ -5204,5 +5275,5 @@ object Analytics {
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
-      q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293)
+      q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294)
 }

@@ -471,6 +471,102 @@ object Pipeline {
       GROUP BY source
       ORDER BY source"""))
 
+  // --------------------------------------------------------------- q295
+  // One IPF raking iteration ([EXT], iterative proportional fitting /
+  // survey calibration): reweight (source, lang) corpus cells so the
+  // weighted SOURCE marginal hits a uniform target while the LANG
+  // marginal stays at its observed share — the calibration step behind
+  // q49/q115's mixtures when BOTH axes carry constraints (a temperature
+  // weight per source alone, q115, cannot hold the language mix fixed).
+  // One full iteration = source scale f_s = (N/|S|)/n_s, then lang
+  // scale g_l = n_l / m_l with m_l the f-weighted lang mass; the
+  // per-cell weight is f_s·g_l. The report carries each source's
+  // ACHIEVED share after the iteration — visibly pulled toward 1/|S|
+  // but not exactly there, which is precisely why production IPF loops
+  // (each further round touches only the |S|×|L| grid, never the
+  // corpus).
+  //
+  // Exactness: f_s and g_l are fixed-order expressions of exact BIGINT
+  // counts; the two marginal sums (m_l, the achieved source mass) are
+  // order-sensitive, so each term quantizes to a 1e-9 BIGINT grid
+  // pre-sum (q225 discipline) and divides back once. Scale: ONE corpus
+  // scan to the (source, lang) grid; everything after runs on the grid
+  // with broadcast marginals.
+  private val q295 = QueryDef(
+    "q295_ipf_raking",
+    (s, d) => {
+      val cells = docs(s, d).groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val srcM = cells.groupBy(col("source")).agg(sum(col("n")).as("n_s"))
+      val langM = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_l"))
+      val tot = cells.agg(sum(col("n")).as("nn"),
+        countDistinct(col("source")).as("ns")) // 1 row
+      val f = cells.join(broadcast(srcM), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("f_s",
+          (col("nn").cast("double") / col("ns").cast("double")) /
+            col("n_s").cast("double"))
+      val mL = f.select(col("lang"),
+          round(col("n").cast("double") * col("f_s") * lit(1e9))
+            .cast("long").as("mq"))
+        .groupBy(col("lang"))
+        .agg((sum(col("mq")).cast("double") / lit(1e9)).as("m_l"))
+      val w = f.join(broadcast(mL), "lang")
+        .join(broadcast(langM), "lang")
+        .withColumn("weight", col("f_s") *
+          (col("n_l").cast("double") / col("m_l")))
+      val srcAfter = w.select(col("source"),
+          round(col("n").cast("double") * col("weight") * lit(1e9))
+            .cast("long").as("sq"))
+        .groupBy(col("source"))
+        .agg((sum(col("sq")).cast("double") / lit(1e9)).as("s_mass"))
+      w.join(broadcast(srcAfter), "source")
+        .select(col("source"), col("lang"), col("n").as("n_docs"),
+          Num.roundZ(col("weight"), 6).as("weight"),
+          Num.roundZ(col("n").cast("double") * col("weight"), 6)
+            .as("cell_mass"),
+          Num.roundZ(col("s_mass") / col("nn").cast("double"), 6)
+            .as("src_share_after"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+      srcm AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_s
+               FROM cells GROUP BY 1),
+      langm AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_l
+                FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                     count(DISTINCT source) AS ns FROM cells),
+      f AS (
+        SELECT c.source, c.lang, c.n,
+               (CAST(t.nn AS DOUBLE) / CAST(t.ns AS DOUBLE))
+                 / CAST(s.n_s AS DOUBLE) AS f_s,
+               t.nn
+        FROM cells c JOIN srcm s USING (source) CROSS JOIN tot t),
+      ml AS (
+        SELECT lang,
+               CAST(sum(CAST(round(CAST(n AS DOUBLE) * f_s * 1e9)
+                 AS BIGINT)) AS DOUBLE) / 1e9 AS m_l
+        FROM f GROUP BY 1),
+      w AS (
+        SELECT f.source, f.lang, f.n, f.nn,
+               f.f_s * (CAST(l.n_l AS DOUBLE) / m.m_l) AS weight
+        FROM f JOIN ml m USING (lang) JOIN langm l USING (lang)),
+      sa AS (
+        SELECT source,
+               CAST(sum(CAST(round(CAST(n AS DOUBLE) * weight * 1e9)
+                 AS BIGINT)) AS DOUBLE) / 1e9 AS s_mass
+        FROM w GROUP BY 1)
+      SELECT w.source, w.lang, w.n AS n_docs,
+             (CAST(round(w.weight * 1e6) AS BIGINT) / 1e6) AS weight,
+             (CAST(round((CAST(w.n AS DOUBLE) * w.weight) * 1e6) AS BIGINT)
+               / 1e6) AS cell_mass,
+             (CAST(round((sa.s_mass / CAST(w.nn AS DOUBLE)) * 1e6)
+               AS BIGINT) / 1e6) AS src_share_after
+      FROM w JOIN sa USING (source)
+      ORDER BY w.source, w.lang"""))
+
   // --------------------------------------------------------------- q285
   // Span-level decontamination surgery ([EXT], the GPT-3 appendix-C
   // method): q105/q112/q120 DROP whole contaminated documents; real
@@ -1414,5 +1510,5 @@ object Pipeline {
 
   val defs: Seq[QueryDef] =
     Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113, q114, q115, q117,
-      q124, q136, q139, q148, q192, q218, q229, q238, q285)
+      q124, q136, q139, q148, q192, q218, q229, q238, q285, q295)
 }
