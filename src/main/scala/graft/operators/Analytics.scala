@@ -619,6 +619,196 @@ object Analytics {
       FROM act a JOIN sz s ON a.cohort_week = s.cohort_week
       ORDER BY a.cohort_week, a.offset_weeks"""))
 
+  // --------------------------------------------------------------- q297
+  // Fleiss' kappa for m = 3 raters × K = 3 categories ([EXT], Fleiss
+  // 1971) — the multi-annotator generalization of q239's two-rater
+  // Cohen's κ, the agreement gate a labeling pipeline runs before
+  // trusting a pooled annotator crowd. The three deterministic raters
+  // every corpus already has: length-tier labelers (short/medium/long)
+  // with rater-specific token thresholds (40/70, 45/75, 35/65) —
+  // correlated, boundary-disagreeing, exactly like human length
+  // judgments. Per-item agreement needs only the pair-equality count:
+  // Σ_j n_ij² = m + 2·(#equal pairs), so no per-item category pivot
+  // materializes. κ = (P̄ − P̄ₑ)/(1 − P̄ₑ) is assembled from FOUR exact
+  // BIGINTs (S₂ = Σᵢ Σ_j n_ij², the three per-category rating masses)
+  // over common denominators: κ = (A·D − C·B)/(B·(D − C)) with
+  // A = S₂ − Nm, B = Nm(m−1), C = Σ_j c_j², D = (Nm)² — ONE division
+  // of exact integers, no quantization. Per-language rows, q239 style.
+  // Scale: one corpus scan into a |langs|-row conditional aggregate.
+  private val q297 = QueryDef(
+    "q297_fleiss_kappa",
+    (s, d) => {
+      def tier(lo: Int, hi: Int) = {
+        val t = size(split(col("text"), " "))
+        when(t < lo, 0L).when(t < hi, 1L).otherwise(2L)
+      }
+      val lab = docs(s, d).select(col("lang"),
+        tier(40, 70).as("r1"), tier(45, 75).as("r2"), tier(35, 65).as("r3"))
+        .withColumn("s_i", lit(3L) + lit(2L) *
+          (when(col("r1") === col("r2"), 1L).otherwise(0L) +
+           when(col("r1") === col("r3"), 1L).otherwise(0L) +
+           when(col("r2") === col("r3"), 1L).otherwise(0L)))
+      def cj(j: Int) =
+        sum(Seq("r1", "r2", "r3").map(r =>
+          when(col(r) === j.toLong, 1L).otherwise(0L)).reduce(_ + _))
+      val g = lab.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_items"), sum(col("s_i")).as("s2"),
+          cj(0).as("c0"), cj(1).as("c1"), cj(2).as("c2"))
+        .withColumn("nm", col("n_items") * 3L)
+        .withColumn("a", col("s2") - col("nm"))
+        .withColumn("b", col("nm") * 2L)
+        .withColumn("c", col("c0") * col("c0") + col("c1") * col("c1") +
+          col("c2") * col("c2"))
+        .withColumn("dd", col("nm") * col("nm"))
+      g.select(col("lang"), col("n_items"), col("c0"), col("c1"),
+          col("c2"),
+          (col("a").cast("double") / col("b").cast("double")).as("p_bar"),
+          (col("c").cast("double") / col("dd").cast("double"))
+            .as("p_bar_e"),
+          Num.roundZ((col("a") * col("dd") - col("c") * col("b"))
+            .cast("double") /
+            (col("b") * (col("dd") - col("c"))).cast("double"), 6)
+            .as("kappa"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH lab AS (
+        SELECT lang,
+               CASE WHEN len(str_split(text, ' ')) < 40 THEN 0
+                    WHEN len(str_split(text, ' ')) < 70 THEN 1
+                    ELSE 2 END AS r1,
+               CASE WHEN len(str_split(text, ' ')) < 45 THEN 0
+                    WHEN len(str_split(text, ' ')) < 75 THEN 1
+                    ELSE 2 END AS r2,
+               CASE WHEN len(str_split(text, ' ')) < 35 THEN 0
+                    WHEN len(str_split(text, ' ')) < 65 THEN 1
+                    ELSE 2 END AS r3
+        FROM documents),
+      si AS (
+        SELECT lang, r1, r2, r3,
+               3 + 2 * ((CASE WHEN r1 = r2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN r1 = r3 THEN 1 ELSE 0 END)
+                      + (CASE WHEN r2 = r3 THEN 1 ELSE 0 END)) AS s_i
+        FROM lab),
+      g AS (
+        SELECT lang, count(*) AS n_items,
+               CAST(sum(s_i) AS BIGINT) AS s2,
+               CAST(sum((CASE WHEN r1 = 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN r2 = 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN r3 = 0 THEN 1 ELSE 0 END)) AS BIGINT)
+                 AS c0,
+               CAST(sum((CASE WHEN r1 = 1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN r2 = 1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN r3 = 1 THEN 1 ELSE 0 END)) AS BIGINT)
+                 AS c1,
+               CAST(sum((CASE WHEN r1 = 2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN r2 = 2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN r3 = 2 THEN 1 ELSE 0 END)) AS BIGINT)
+                 AS c2
+        FROM si GROUP BY 1)
+      SELECT lang, n_items, c0, c1, c2,
+             CAST(s2 - n_items * 3 AS DOUBLE)
+               / CAST(n_items * 3 * 2 AS DOUBLE) AS p_bar,
+             CAST(c0 * c0 + c1 * c1 + c2 * c2 AS DOUBLE)
+               / CAST((n_items * 3) * (n_items * 3) AS DOUBLE) AS p_bar_e,
+             (CAST(round((CAST((s2 - n_items * 3)
+                   * ((n_items * 3) * (n_items * 3))
+                 - (c0 * c0 + c1 * c1 + c2 * c2) * (n_items * 3 * 2)
+                 AS DOUBLE)
+               / CAST((n_items * 3 * 2) * ((n_items * 3) * (n_items * 3)
+                 - (c0 * c0 + c1 * c1 + c2 * c2)) AS DOUBLE)) * 1e6)
+               AS BIGINT) / 1e6) AS kappa
+      FROM g
+      ORDER BY lang"""))
+
+  // --------------------------------------------------------------- q296
+  // Sequential probability ratio test over the daily conversion stream
+  // ([EXT], Wald 1945 — the always-monitoring primitive behind modern
+  // "peeking-safe" experimentation): H₀ p = 0.40 vs H₁ p = 0.42 on the
+  // per-user-day purchase conversion, log-likelihood ratio accumulated
+  // day by day, decision at ±ln 19 (α = β = 0.05). Complements the
+  // fixed-horizon family (q149 Welch, q241 CUPED, q263 DiD, q289
+  // stratified ATE): those answer "what is the effect", this answers
+  // "when may I stop looking". The full 30-day trajectory ships with
+  // each day's standing and the first crossing day — at sf0.1 the test
+  // accepts H₀ mid-series, at sf0.01 the 30 days end undecided
+  // (stop_day −1): exactly the sample-size sensitivity SPRT exists to
+  // expose, measured rather than asserted.
+  //
+  // Exactness: the two per-observation log-increments are computed ONCE
+  // in Scala, quantized to 1e-12 BIGINTs, and interpolated into both
+  // plans as integer literals (the q249 shared-literal discipline) — so
+  // the running LLR is an exact integer cumulative sum (a window over
+  // the 30-row day grid), the thresholds are integer literals, and the
+  // reported llr is one exact-int division. Scale: one (user, day)
+  // map-side-combined aggregate, one |days|-row grid; nothing else
+  // touches the corpus.
+  private val q296 = QueryDef(
+    "q296_sprt_monitoring",
+    (s, d) => {
+      val l1q = math.round(math.log(0.42 / 0.40) * 1e12) // conv increment
+      val l0q = math.round(math.log(0.58 / 0.60) * 1e12) // non-conv
+      val bq = math.round(math.log(19.0) * 1e12)
+      val ud = ev(s, d)
+        .groupBy(expr(
+          "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+          .as("day"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      val daily = ud.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      val wCum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val traj = daily
+        .withColumn("llrq", sum(col("n_conv") * lit(l1q) +
+          (col("n_users") - col("n_conv")) * lit(l0q)).over(wCum))
+        .withColumn("state",
+          when(col("llrq") >= bq, "accept_h1")
+            .when(col("llrq") <= -bq, "accept_h0")
+            .otherwise("continue"))
+      val stop = traj.filter(col("state") =!= "continue")
+        .agg(min(col("day")).as("sd")) // 1 row
+      traj.crossJoin(broadcast(stop))
+        .select(col("day"), col("n_users"), col("n_conv"),
+          (col("llrq").cast("double") / lit(1e12)).as("llr"),
+          col("state"), coalesce(col("sd"), lit(-1L)).as("stop_day"))
+        .orderBy(col("day"))
+    },
+    Some({
+      val l1q = math.round(math.log(0.42 / 0.40) * 1e12)
+      val l0q = math.round(math.log(0.58 / 0.60) * 1e12)
+      val bq = math.round(math.log(19.0) * 1e12)
+      s"""
+      WITH ud AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT
+                 AS day, user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS conv
+        FROM events GROUP BY 1, 2),
+      daily AS (
+        SELECT day, count(*) AS n_users,
+               CAST(sum(conv) AS BIGINT) AS n_conv
+        FROM ud GROUP BY 1),
+      traj AS (
+        SELECT day, n_users, n_conv,
+               CAST(sum(n_conv * $l1q + (n_users - n_conv) * $l0q)
+                 OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS llrq
+        FROM daily),
+      st AS (
+        SELECT day, n_users, n_conv, llrq,
+               CASE WHEN llrq >= $bq THEN 'accept_h1'
+                    WHEN llrq <= -$bq THEN 'accept_h0'
+                    ELSE 'continue' END AS state
+        FROM traj),
+      stop AS (SELECT min(day) AS sd FROM st WHERE state <> 'continue')
+      SELECT s.day, s.n_users, s.n_conv,
+             CAST(s.llrq AS DOUBLE) / 1e12 AS llr, s.state,
+             COALESCE(stop.sd, -1) AS stop_day
+      FROM st s CROSS JOIN stop
+      ORDER BY s.day"""
+    }))
+
   // --------------------------------------------------------------- q294
   // Ordered-pair sequence support ([EXT], the length-2 sequential
   // pattern mining primitive): for every ordered type pair (a, b), the
@@ -5275,5 +5465,5 @@ object Analytics {
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
-      q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294)
+      q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297)
 }
