@@ -619,6 +619,190 @@ object Analytics {
       FROM act a JOIN sz s ON a.cohort_week = s.cohort_week
       ORDER BY a.cohort_week, a.offset_weeks"""))
 
+  // --------------------------------------------------------------- q298
+  // One Dawid–Skene EM step ([EXT], Dawid & Skene 1979) — the
+  // crowd-label aggregation that SUPERSEDES majority vote: q297 asks
+  // "do the raters agree?", this asks "given HOW each rater errs, what
+  // is the best consensus?". Init: majority vote over the q297 tier
+  // raters (all-distinct ties → min label, deterministic); M-step:
+  // Laplace(1)-smoothed per-rater confusion matrices T_r[k,l] and class
+  // priors π_k against the majority init (smoothing kills both the
+  // zero-cell and empty-class divisions — the documented MLE
+  // deviation); E-step: posterior p_k ∝ π_k·Π_r T_r[k, l_ir], argmax
+  // with (p desc, k) tiebreak. Everything after the corpus scan runs on
+  // the K³ = 27 LABEL-PATTERN GRID (q249's pattern-domain trick) — the
+  // output is one row per observed pattern with its item count,
+  // majority and DS labels, normalized winning posterior, and whether
+  // DS overturned the vote (the rows where rater quality matters).
+  //
+  // Exactness: confusions and priors are exact smoothed-integer ratios;
+  // each pattern×class posterior is ONE fixed-order product of four
+  // such ratios (scalar expression, not an aggregation — deterministic
+  // without quantization); the 3-term normalizer is a fixed-order
+  // scalar sum. Scale: one corpus scan to the pattern grid + one to the
+  // per-rater confusion counts (both map-side-combined); all joins are
+  // broadcasts of ≤ 27-row tables.
+  private val q298 = QueryDef(
+    "q298_dawid_skene",
+    (s, d) => {
+      def tier(lo: Int, hi: Int) = {
+        val t = size(split(col("text"), " "))
+        when(t < lo, 0L).when(t < hi, 1L).otherwise(2L)
+      }
+      val lab = docs(s, d).select(
+        tier(40, 70).as("r1"), tier(45, 75).as("r2"), tier(35, 65).as("r3"))
+        .withColumn("m",
+          when(col("r1") === col("r2") || col("r1") === col("r3"),
+            col("r1"))
+            .when(col("r2") === col("r3"), col("r2"))
+            .otherwise(least(col("r1"), col("r2"), col("r3"))))
+      val pat = lab.groupBy(col("r1"), col("r2"), col("r3"), col("m"))
+        .agg(count(lit(1)).as("n_items"))
+      // per-rater confusion counts vs the majority init, long form
+      val conf = lab.select(explode(array(
+          struct(lit(1L).as("rater"), col("m").as("k"), col("r1").as("l")),
+          struct(lit(2L).as("rater"), col("m").as("k"), col("r2").as("l")),
+          struct(lit(3L).as("rater"), col("m").as("k"), col("r3").as("l"))))
+          .as("e"))
+        .select(col("e.rater"), col("e.k"), col("e.l"))
+        .groupBy(col("rater"), col("k"), col("l"))
+        .agg(count(lit(1)).as("c"))
+      val ktot = conf.groupBy(col("rater"), col("k"))
+        .agg(sum(col("c")).as("tot"))
+      // complete the (rater, k, l) domain so absent cells smooth to
+      // 1/(tot+3) instead of vanishing
+      val dom = conf.select(col("rater")).distinct()
+        .crossJoin(spark_domain3(s, "k")).crossJoin(spark_domain3(s, "l"))
+      val t = dom.join(conf, Seq("rater", "k", "l"), "left")
+        .na.fill(0L, Seq("c"))
+        .join(ktot, Seq("rater", "k"), "left")
+        .na.fill(0L, Seq("tot"))
+        .withColumn("t", (col("c") + 1L).cast("double") /
+          (col("tot") + 3L).cast("double"))
+      val pri = lab.groupBy(col("m").as("k")).agg(count(lit(1)).as("nk"))
+      val nTot = lab.agg(count(lit(1)).as("nn"))
+      val prior = spark_domain3(s, "k")
+        .join(pri, Seq("k"), "left").na.fill(0L, Seq("nk"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("pi", (col("nk") + 1L).cast("double") /
+          (col("nn") + 3L).cast("double"))
+        .select(col("k"), col("pi"))
+      val post = pat.crossJoin(broadcast(prior))
+        .join(broadcast(t.filter(col("rater") === 1L)
+          .select(col("k"), col("l").as("r1"), col("t").as("t1"))),
+          Seq("k", "r1"))
+        .join(broadcast(t.filter(col("rater") === 2L)
+          .select(col("k"), col("l").as("r2"), col("t").as("t2"))),
+          Seq("k", "r2"))
+        .join(broadcast(t.filter(col("rater") === 3L)
+          .select(col("k"), col("l").as("r3"), col("t").as("t3"))),
+          Seq("k", "r3"))
+        .withColumn("p", col("pi") * col("t1") * col("t2") * col("t3"))
+      // wide pivot so the normalizer is a FIXED-ORDER scalar sum
+      // (a 3-row window SUM would round in engine-internal row order)
+      val wide = post.groupBy(col("r1"), col("r2"), col("r3"),
+          col("n_items"), col("m"))
+        .agg(max(when(col("k") === 0L, col("p"))).as("p0"),
+          max(when(col("k") === 1L, col("p"))).as("p1"),
+          max(when(col("k") === 2L, col("p"))).as("p2"))
+      wide
+        .withColumn("ds_label",
+          when(col("p0") >= col("p1") && col("p0") >= col("p2"), 0L)
+            .when(col("p1") >= col("p2"), 1L).otherwise(2L))
+        .withColumn("pw",
+          when(col("ds_label") === 0L, col("p0"))
+            .when(col("ds_label") === 1L, col("p1")).otherwise(col("p2")))
+        .select(col("r1"), col("r2"), col("r3"), col("n_items"),
+          col("m").as("majority"), col("ds_label"),
+          Num.roundZ(col("pw") / (col("p0") + col("p1") + col("p2")), 6)
+            .as("posterior"),
+          (col("ds_label") =!= col("m")).as("overturned"))
+        .orderBy(col("r1"), col("r2"), col("r3"))
+    },
+    Some("""
+      WITH lab AS (
+        SELECT r1, r2, r3,
+               CASE WHEN r1 = r2 OR r1 = r3 THEN r1
+                    WHEN r2 = r3 THEN r2
+                    ELSE least(r1, r2, r3) END AS m
+        FROM (
+          SELECT CASE WHEN len(str_split(text, ' ')) < 40 THEN 0
+                      WHEN len(str_split(text, ' ')) < 70 THEN 1
+                      ELSE 2 END AS r1,
+                 CASE WHEN len(str_split(text, ' ')) < 45 THEN 0
+                      WHEN len(str_split(text, ' ')) < 75 THEN 1
+                      ELSE 2 END AS r2,
+                 CASE WHEN len(str_split(text, ' ')) < 35 THEN 0
+                      WHEN len(str_split(text, ' ')) < 65 THEN 1
+                      ELSE 2 END AS r3
+          FROM documents) x),
+      pat AS (
+        SELECT r1, r2, r3, m, count(*) AS n_items
+        FROM lab GROUP BY 1, 2, 3, 4),
+      confl AS (
+        SELECT rater, k, l, count(*) AS c FROM (
+          SELECT 1 AS rater, m AS k, r1 AS l FROM lab
+          UNION ALL SELECT 2, m, r2 FROM lab
+          UNION ALL SELECT 3, m, r3 FROM lab) u
+        GROUP BY 1, 2, 3),
+      ktot AS (
+        SELECT rater, k, CAST(sum(c) AS BIGINT) AS tot
+        FROM confl GROUP BY 1, 2),
+      dom AS (
+        SELECT r.rater, k.k, l.l
+        FROM (SELECT DISTINCT rater FROM confl) r
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS l) l),
+      t AS (
+        SELECT d.rater, d.k, d.l,
+               CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                 / CAST(COALESCE(kt.tot, 0) + 3 AS DOUBLE) AS t
+        FROM dom d
+        LEFT JOIN confl c ON c.rater = d.rater AND c.k = d.k
+                         AND c.l = d.l
+        LEFT JOIN ktot kt ON kt.rater = d.rater AND kt.k = d.k),
+      prior AS (
+        SELECT k.k,
+               CAST(COALESCE(p.nk, 0) + 1 AS DOUBLE)
+                 / CAST(t.nn + 3 AS DOUBLE) AS pi
+        FROM (SELECT unnest([0, 1, 2]) AS k) k
+        LEFT JOIN (SELECT m AS k, count(*) AS nk FROM lab GROUP BY 1) p
+          ON p.k = k.k
+        CROSS JOIN (SELECT count(*) AS nn FROM lab) t),
+      post AS (
+        SELECT p.r1, p.r2, p.r3, p.n_items, p.m, pr.k,
+               pr.pi * t1.t * t2.t * t3.t AS p
+        FROM pat p
+        CROSS JOIN prior pr
+        JOIN t t1 ON t1.rater = 1 AND t1.k = pr.k AND t1.l = p.r1
+        JOIN t t2 ON t2.rater = 2 AND t2.k = pr.k AND t2.l = p.r2
+        JOIN t t3 ON t3.rater = 3 AND t3.k = pr.k AND t3.l = p.r3),
+      wide AS (
+        SELECT r1, r2, r3, n_items, m,
+               max(CASE WHEN k = 0 THEN p END) AS p0,
+               max(CASE WHEN k = 1 THEN p END) AS p1,
+               max(CASE WHEN k = 2 THEN p END) AS p2
+        FROM post GROUP BY 1, 2, 3, 4, 5),
+      win AS (
+        SELECT r1, r2, r3, n_items, m, p0, p1, p2,
+               CASE WHEN p0 >= p1 AND p0 >= p2 THEN 0
+                    WHEN p1 >= p2 THEN 1 ELSE 2 END AS ds_label
+        FROM wide)
+      SELECT r1, r2, r3, n_items, m AS majority, ds_label,
+             (CAST(round(((CASE WHEN ds_label = 0 THEN p0
+                                WHEN ds_label = 1 THEN p1
+                                ELSE p2 END) / (p0 + p1 + p2)) * 1e6)
+               AS BIGINT) / 1e6) AS posterior,
+             (ds_label <> m) AS overturned
+      FROM win
+      ORDER BY r1, r2, r3"""))
+
+  /** Tiny 3-value integer domain (0, 1, 2) as a broadcastable frame. */
+  private def spark_domain3(s: SparkSession, name: String): DataFrame = {
+    import s.implicits._
+    Seq(0L, 1L, 2L).toDF(name)
+  }
+
   // --------------------------------------------------------------- q297
   // Fleiss' kappa for m = 3 raters × K = 3 categories ([EXT], Fleiss
   // 1971) — the multi-annotator generalization of q239's two-rater
@@ -5465,5 +5649,5 @@ object Analytics {
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
-      q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297)
+      q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298)
 }
