@@ -2037,6 +2037,71 @@ object Dedup {
       FROM n JOIN raw USING (source) JOIN can USING (source)
       ORDER BY source"""))
 
+  // --------------------------------------------------------------- q299
+  // Dedup-index retraction ([EXT], the take-down path): q100 maintains
+  // the dedup index under ADDS; this maintains it under DELETES — the
+  // GDPR/take-down batch (doc_id % 17 = 3) retracts documents, and
+  // every exact-dup cluster that contained one must re-elect its
+  // representative among the survivors (or report itself deleted).
+  // The output is the per-affected-cluster maintenance record: member
+  // and retraction counts, old vs new representative, and the change
+  // class — 'rep_changed' rows are where a naive "just delete the
+  // rows" pipeline silently serves a retracted doc as the canonical
+  // copy.
+  //
+  // Scale: the point IS the plan shape — the retraction batch's
+  // cluster keys are CDC-batch-sized and BROADCAST; the corpus is
+  // probed by ONE left-semi join on the content hash, so re-election
+  // touches only affected clusters' members, never the index. Identity
+  // is q30's hash-first contract (md5+length projected before any
+  // exchange). min-based re-election is associative, so the same
+  // aggregate merges map-side at any scale.
+  private val q299 = QueryDef(
+    "q299_dedup_retraction",
+    (s, d) => {
+      val base = Tables.t(s, d, "documents").select(col("doc_id"),
+        concat(md5(col("text").cast("binary")), lit(":"),
+          length(col("text")).cast("string")).as("h"),
+        (col("doc_id") % 17L === 3L).as("retr"))
+      val batch = base.filter(col("retr")).select(col("h")).distinct()
+      base.join(broadcast(batch), Seq("h"), "left_semi")
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("retr"), 1L).otherwise(0L)).as("n_retracted"),
+          min(col("doc_id")).as("old_rep"),
+          coalesce(min(when(!col("retr"), col("doc_id"))), lit(-1L))
+            .as("new_rep"))
+        .withColumn("status",
+          when(col("new_rep") === -1L, "cluster_deleted")
+            .when(col("new_rep") =!= col("old_rep"), "rep_changed")
+            .otherwise("rep_unchanged"))
+        .orderBy(col("h"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               md5(text) || ':' || CAST(length(text) AS VARCHAR) AS h,
+               (doc_id % 17 = 3) AS retr
+        FROM documents),
+      batch AS (SELECT DISTINCT h FROM base WHERE retr)
+      SELECT b.h, count(*) AS n_members,
+             CAST(sum(CASE WHEN b.retr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retracted,
+             min(b.doc_id) AS old_rep,
+             COALESCE(min(CASE WHEN NOT b.retr THEN b.doc_id END), -1)
+               AS new_rep,
+             CASE WHEN COALESCE(min(CASE WHEN NOT b.retr
+                          THEN b.doc_id END), -1) = -1
+                    THEN 'cluster_deleted'
+                  WHEN COALESCE(min(CASE WHEN NOT b.retr
+                          THEN b.doc_id END), -1) <> min(b.doc_id)
+                    THEN 'rep_changed'
+                  ELSE 'rep_unchanged' END AS status
+      FROM base b
+      WHERE b.h IN (SELECT h FROM batch)
+      GROUP BY b.h
+      ORDER BY b.h"""))
+
   // --------------------------------------------------------------- q277
   // Cross-lingual near-duplicate recovery ([EXT]) — the pairs a
   // lang-blocked dedup pipeline structurally MISSES. q31 blocks shingle
@@ -2234,5 +2299,5 @@ object Dedup {
 
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154,
-      q161, q205, q210, q213, q247, q258, q270, q277, q281, q282)
+      q161, q205, q210, q213, q247, q258, q270, q277, q281, q282, q299)
 }
