@@ -2040,9 +2040,14 @@ object Dedup {
   // --------------------------------------------------------------- q299
   // Dedup-index retraction ([EXT], the take-down path): q100 maintains
   // the dedup index under ADDS; this maintains it under DELETES — the
-  // GDPR/take-down batch (doc_id % 17 = 3) retracts documents, and
+  // GDPR/take-down batch (doc_id % 6 = 3) retracts documents, and
   // every exact-dup cluster that contained one must re-elect its
   // representative among the survivors (or report itself deleted).
+  // The % 6 batch straddles planted dup pairs at sf0.1, so all three
+  // statuses fire there; sf0.01 holds no multi-member exact clusters
+  // at all (its planted dups are near-dups only), so every affected
+  // cluster there is a deleted singleton — a property of the corpus,
+  // verified, not of the operator.
   // The output is the per-affected-cluster maintenance record: member
   // and retraction counts, old vs new representative, and the change
   // class — 'rep_changed' rows are where a naive "just delete the
@@ -2062,7 +2067,7 @@ object Dedup {
       val base = Tables.t(s, d, "documents").select(col("doc_id"),
         concat(md5(col("text").cast("binary")), lit(":"),
           length(col("text")).cast("string")).as("h"),
-        (col("doc_id") % 17L === 3L).as("retr"))
+        (col("doc_id") % 6L === 3L).as("retr"))
       val batch = base.filter(col("retr")).select(col("h")).distinct()
       base.join(broadcast(batch), Seq("h"), "left_semi")
         .groupBy(col("h"))
@@ -2081,7 +2086,7 @@ object Dedup {
       WITH base AS (
         SELECT doc_id,
                md5(text) || ':' || CAST(length(text) AS VARCHAR) AS h,
-               (doc_id % 17 = 3) AS retr
+               (doc_id % 6 = 3) AS retr
         FROM documents),
       batch AS (SELECT DISTINCT h FROM base WHERE retr)
       SELECT b.h, count(*) AS n_members,
