@@ -471,6 +471,164 @@ object Pipeline {
       GROUP BY source
       ORDER BY source"""))
 
+  // --------------------------------------------------------------- q300
+  // Curation pipeline v2 — the round-8 capstone composition: q48/q213
+  // chain filter→dedup→account; this chains the r8 operators into the
+  // pipeline a 2024-era LLM corpus actually runs, as ONE declarative
+  // plan Catalyst optimizes end to end:
+  //   1. benchmark EXCLUSION (eval split doc_id % 13 = 7 leaves the
+  //      training corpus entirely);
+  //   2. SPAN SURGERY (q285 core): contaminated 13-gram spans are cut,
+  //      not the whole doc — effective tokens = n_tok − removed;
+  //   3. CANONICAL DEDUP (q247 identity): one representative (min
+  //      doc_id) per normalized-content hash;
+  //   4. post-surgery LENGTH FLOOR (eff_tok ≥ 30) — quality gating on
+  //      what SURVIVES the cut, not the raw length;
+  //   5. IPF RAKING (q295, one iteration) over effective TOKEN mass:
+  //      source marginal pulled to uniform, language mix preserved.
+  // Per (source, lang): the stage-by-stage survivor counts, effective
+  // tokens, calibration weight, and the weighted token mass a sampler
+  // would draw against.
+  //
+  // Scale: each stage keeps its own verified shape — the surgery's
+  // eval gram set and per-doc summaries broadcast; dedup is the
+  // hash-first exchange; the floor is a scan predicate; raking runs on
+  // the (source, lang) grid with 1e-9-quantized marginal sums. The
+  // composition adds NO new shuffle beyond its stages' own.
+  private val q300 = QueryDef(
+    "q300_curation_v2",
+    (s, d) => {
+      val isEval = col("doc_id") % 13 === 7
+      val nonEval = docs(s, d).filter(!isEval)
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]+", " "), " +", " ")).cast("binary")).as("hc"))
+      val surgery = spanDecon(docs(s, d), isEval, 13)
+        .select(col("doc_id"), col("removed_tok"))
+      val eff = nonEval.join(broadcast(surgery), Seq("doc_id"), "left")
+        .na.fill(0L, Seq("removed_tok"))
+        .withColumn("eff_tok", col("n_tok") - col("removed_tok"))
+      val reps = eff.groupBy(col("hc")).agg(min(col("doc_id")).as("doc_id"))
+      val dedup = eff.join(reps.select(col("doc_id")), Seq("doc_id"),
+        "left_semi")
+      val kept = dedup.filter(col("eff_tok") >= 30L)
+      val nIn = nonEval.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_in"))
+      val nDedup = dedup.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_dedup"))
+      val cells = kept.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("eff_tok")).as("toks"))
+      val srcM = cells.groupBy(col("source")).agg(sum(col("toks")).as("t_s"))
+      val langM = cells.groupBy(col("lang")).agg(sum(col("toks")).as("t_l"))
+      val tot = cells.agg(sum(col("toks")).as("tt"),
+        countDistinct(col("source")).as("ns")) // 1 row
+      val f = cells.join(broadcast(srcM), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("f_s",
+          (col("tt").cast("double") / col("ns").cast("double")) /
+            col("t_s").cast("double"))
+      val mL = f.select(col("lang"),
+          round(col("toks").cast("double") * col("f_s") * lit(1e9))
+            .cast("long").as("mq"))
+        .groupBy(col("lang"))
+        .agg((sum(col("mq")).cast("double") / lit(1e9)).as("m_l"))
+      f.join(broadcast(mL), "lang").join(broadcast(langM), "lang")
+        .withColumn("weight", col("f_s") *
+          (col("t_l").cast("double") / col("m_l")))
+        .join(broadcast(nIn), Seq("source", "lang"))
+        .join(broadcast(nDedup), Seq("source", "lang"))
+        .select(col("source"), col("lang"), col("n_in"), col("n_dedup"),
+          col("n_kept"), col("toks").as("eff_tokens"),
+          Num.roundZ(col("weight"), 6).as("weight"),
+          Num.roundZ(col("toks").cast("double") * col("weight"), 6)
+            .as("token_mass"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""
+      WITH t0 AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      tk AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok, toks
+        FROM t0 WHERE len(toks) >= 13),
+      g AS (
+        SELECT doc_id, n_tok,
+               CAST(unnest(range(0, n_tok - 12)) AS BIGINT) AS p,
+               unnest(list_transform(range(1, n_tok - 11),
+                 i -> array_to_string(toks[i:i+12], ' '))) AS ng
+        FROM tk),
+      evg AS (SELECT DISTINCT ng FROM g WHERE doc_id % 13 = 7),
+      h AS (
+        SELECT g.doc_id, g.p
+        FROM g JOIN evg USING (ng) WHERE g.doc_id % 13 <> 7),
+      marked AS (
+        SELECT doc_id, p,
+               CASE WHEN lag(p) OVER w IS NULL
+                     OR p > lag(p) OVER w + 12 THEN 1 ELSE 0 END AS st
+        FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+      si AS (
+        SELECT doc_id, p,
+               sum(st) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked),
+      spans AS (
+        SELECT doc_id, sid, min(p) AS s, max(p) + 12 AS e
+        FROM si GROUP BY 1, 2),
+      surgery AS (
+        SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS removed_tok
+        FROM spans GROUP BY 1),
+      noneval AS (
+        SELECT doc_id, source, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS hc
+        FROM documents WHERE doc_id % 13 <> 7),
+      eff AS (
+        SELECT ne.doc_id, ne.source, ne.lang, ne.hc,
+               ne.n_tok - COALESCE(su.removed_tok, 0) AS eff_tok
+        FROM noneval ne LEFT JOIN surgery su USING (doc_id)),
+      reps AS (SELECT min(doc_id) AS doc_id FROM eff GROUP BY hc),
+      dedup AS (
+        SELECT e.* FROM eff e WHERE e.doc_id IN (SELECT doc_id FROM reps)),
+      kept AS (SELECT * FROM dedup WHERE eff_tok >= 30),
+      nin AS (SELECT source, lang, count(*) AS n_in
+              FROM noneval GROUP BY 1, 2),
+      ndedup AS (SELECT source, lang, count(*) AS n_dedup
+                 FROM dedup GROUP BY 1, 2),
+      cells AS (
+        SELECT source, lang, count(*) AS n_kept,
+               CAST(sum(eff_tok) AS BIGINT) AS toks
+        FROM kept GROUP BY 1, 2),
+      srcm AS (SELECT source, CAST(sum(toks) AS BIGINT) AS t_s
+               FROM cells GROUP BY 1),
+      langm AS (SELECT lang, CAST(sum(toks) AS BIGINT) AS t_l
+                FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(sum(toks) AS BIGINT) AS tt,
+                     count(DISTINCT source) AS ns FROM cells),
+      f AS (
+        SELECT c.source, c.lang, c.n_kept, c.toks,
+               (CAST(t.tt AS DOUBLE) / CAST(t.ns AS DOUBLE))
+                 / CAST(s.t_s AS DOUBLE) AS f_s
+        FROM cells c JOIN srcm s USING (source) CROSS JOIN tot t),
+      ml AS (
+        SELECT lang,
+               CAST(sum(CAST(round(CAST(toks AS DOUBLE) * f_s * 1e9)
+                 AS BIGINT)) AS DOUBLE) / 1e9 AS m_l
+        FROM f GROUP BY 1),
+      w AS (
+        SELECT f.source, f.lang, f.n_kept, f.toks,
+               f.f_s * (CAST(l.t_l AS DOUBLE) / m.m_l) AS weight
+        FROM f JOIN ml m USING (lang) JOIN langm l USING (lang))
+      SELECT w.source, w.lang, nin.n_in, ndedup.n_dedup, w.n_kept,
+             w.toks AS eff_tokens,
+             (CAST(round(w.weight * 1e6) AS BIGINT) / 1e6) AS weight,
+             (CAST(round((CAST(w.toks AS DOUBLE) * w.weight) * 1e6)
+               AS BIGINT) / 1e6) AS token_mass
+      FROM w
+      JOIN nin USING (source, lang)
+      JOIN ndedup USING (source, lang)
+      ORDER BY w.source, w.lang"""))
+
   // --------------------------------------------------------------- q295
   // One IPF raking iteration ([EXT], iterative proportional fitting /
   // survey calibration): reweight (source, lang) corpus cells so the
@@ -1510,5 +1668,5 @@ object Pipeline {
 
   val defs: Seq[QueryDef] =
     Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113, q114, q115, q117,
-      q124, q136, q139, q148, q192, q218, q229, q238, q285, q295)
+      q124, q136, q139, q148, q192, q218, q229, q238, q285, q295, q300)
 }
