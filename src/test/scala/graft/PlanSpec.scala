@@ -780,4 +780,45 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffleLines.nonEmpty && !shuffleLines.exists(_.contains("embedding")),
       s"no embedding column may cross a shuffle:\n${shuffleLines.mkString("\n")}")
   }
+
+  test("q285: eval gram set broadcasts; island windows partition by doc_id") {
+    val p = planOf("q285_span_decontamination")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "the contamination probe must be a broadcast left-semi join")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
+      s"every window must partition by doc_id (hit positions only):\n${windows.mkString("\n")}")
+  }
+
+  test("q286: PQ encode/probe broadcasts, exact arm uses native long_dot, no cartesian") {
+    val p = planOf("q286_pq_adc_ann")
+    assert(p.contains("long_dot"),
+      "exact baseline must score through the codegen'd LongDot")
+    assert(p.contains("BroadcastExchange"),
+      "codebooks and the per-query LUT must broadcast")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      "nothing in PQ may plan an all-pairs cartesian")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(w => w.contains("vec_id") || w.contains("qid")),
+      s"argmin/top-k windows must be per-vector or per-query:\n${windows.mkString("\n")}")
+  }
+
+  test("q299: retraction probe is a broadcast left-semi on the content hash") {
+    val p = planOf("q299_dedup_retraction")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "the take-down batch must broadcast into a left-semi probe - " +
+        "shuffling the corpus against a CDC-sized batch is the scale bug")
+    assert(p.contains("md5"), "cluster identity must be the content hash")
+  }
+
+  test("q300: the composed pipeline adds no cartesian and keeps grid joins broadcast") {
+    val p = planOf("q300_curation_v2")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      "no stage of the composition may go all-pairs")
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 3,
+      "surgery summary, marginals and stage counters must broadcast")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.forall(_.contains("doc_id")),
+      s"only the surgery's per-doc island windows may appear:\n${windows.mkString("\n")}")
+  }
 }
