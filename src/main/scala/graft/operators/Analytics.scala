@@ -4869,6 +4869,107 @@ object Analytics {
       GROUP BY cluster
       ORDER BY cluster"""))
 
+  // --------------------------------------------------------------- q301
+  // Cross-correlation function between the daily VIEW and PURCHASE
+  // revenue series at lags −3…+3 ([EXT]) — the lead/lag diagnostic
+  // beside q265's autocorrelogram: a peak at positive lag k means
+  // views LEAD purchases by k days (the browse-to-buy delay read
+  // directly off the correlogram), negative lags the reverse.
+  // Statsmodels convention: numerator over the lag-overlap days,
+  // normalized by the FULL series' own second moments.
+  //
+  // Exactness: q265's discipline verbatim — day totals are exact cents
+  // BIGINTs, the centered numerator expands to integer co-moments with
+  // the two grand means carried symbolically (fixed-order double ops
+  // on exact operands), the denominator is one correctly-rounded sqrt
+  // of their product, roundZ final. The lag join is a 7×30-row grid
+  // self-join; the corpus is touched once per series by the day
+  // aggregate.
+  private val q301 = QueryDef(
+    "q301_ccf_daily",
+    (s, d) => {
+      def series(t: String, nm: String) = ev(s, d)
+        .filter(col("event_type") === t)
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+          " AS BIGINT)").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("day")).agg(sum(col("cents")).as(nm))
+      val dx = series("view", "x")
+      val dy = series("purchase", "y")
+      val tx = dx.agg(count(lit(1)).as("nx"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      val ty = dy.agg(count(lit(1)).as("ny"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      val lagged = (-3 to 3).map { k =>
+        dx.join(dy.select((col("day") - k.toLong).as("day"),
+            col("y").as("yk")), Seq("day"))
+          .select(lit(k.toLong).as("lag"), col("x"), col("yk"))
+      }.reduce(_ unionByName _)
+      lagged.groupBy(col("lag"))
+        .agg(count(lit(1)).as("nk"), sum(col("x")).as("sa"),
+          sum(col("yk")).as("sb"), sum(col("x") * col("yk")).as("sab"))
+        .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+        .withColumn("mx", col("sx").cast("double") / col("nx").cast("double"))
+        .withColumn("my", col("sy").cast("double") / col("ny").cast("double"))
+        .withColumn("num",
+          col("sab").cast("double") - col("mx") * col("sb").cast("double") -
+            col("my") * col("sa").cast("double") +
+            col("nk").cast("double") * col("mx") * col("my"))
+        .withColumn("den", sqrt(
+          (col("sxx").cast("double") -
+            col("nx").cast("double") * col("mx") * col("mx")) *
+          (col("syy").cast("double") -
+            col("ny").cast("double") * col("my") * col("my"))))
+        .select(col("lag"), col("nk"),
+          Num.roundZ(col("num") / col("den"), 6).as("ccf"))
+        .orderBy(col("lag"))
+    },
+    Some("""
+      WITH dx AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 ::BIGINT AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      dy AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 ::BIGINT AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      tx AS (SELECT count(*) AS nx, CAST(sum(x) AS BIGINT) AS sx,
+                    CAST(sum(x * x) AS BIGINT) AS sxx FROM dx),
+      ty AS (SELECT count(*) AS ny, CAST(sum(y) AS BIGINT) AS sy,
+                    CAST(sum(y * y) AS BIGINT) AS syy FROM dy),
+      lagged AS (
+        SELECT k.k AS lag, a.x, b.y AS yk
+        FROM range(-3, 4) AS k(k)
+        JOIN dx a ON TRUE
+        JOIN dy b ON b.day = a.day + k.k),
+      agg AS (
+        SELECT lag, count(*) AS nk, CAST(sum(x) AS BIGINT) AS sa,
+               CAST(sum(yk) AS BIGINT) AS sb,
+               CAST(sum(x * yk) AS BIGINT) AS sab
+        FROM lagged GROUP BY 1)
+      SELECT a.lag, a.nk,
+             (CAST(round(((CAST(a.sab AS DOUBLE)
+                 - (CAST(tx.sx AS DOUBLE) / CAST(tx.nx AS DOUBLE))
+                   * CAST(a.sb AS DOUBLE)
+                 - (CAST(ty.sy AS DOUBLE) / CAST(ty.ny AS DOUBLE))
+                   * CAST(a.sa AS DOUBLE)
+                 + CAST(a.nk AS DOUBLE)
+                   * (CAST(tx.sx AS DOUBLE) / CAST(tx.nx AS DOUBLE))
+                   * (CAST(ty.sy AS DOUBLE) / CAST(ty.ny AS DOUBLE)))
+               / sqrt((CAST(tx.sxx AS DOUBLE)
+                 - CAST(tx.nx AS DOUBLE)
+                   * (CAST(tx.sx AS DOUBLE) / CAST(tx.nx AS DOUBLE))
+                   * (CAST(tx.sx AS DOUBLE) / CAST(tx.nx AS DOUBLE)))
+                * (CAST(ty.syy AS DOUBLE)
+                 - CAST(ty.ny AS DOUBLE)
+                   * (CAST(ty.sy AS DOUBLE) / CAST(ty.ny AS DOUBLE))
+                   * (CAST(ty.sy AS DOUBLE) / CAST(ty.ny AS DOUBLE)))))
+               * 1e6) AS BIGINT) / 1e6) AS ccf
+      FROM agg a CROSS JOIN tx CROSS JOIN ty
+      ORDER BY a.lag"""))
+
   // --------------------------------------------------------------- q265
   // Autocorrelation function of the daily purchase series, lags 1–7
   // ([EXT]) — the time-series diagnostic that complements q221's trend
@@ -5649,5 +5750,5 @@ object Analytics {
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
-      q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298)
+      q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301)
 }
