@@ -4970,6 +4970,169 @@ object Analytics {
       FROM agg a CROSS JOIN tx CROSS JOIN ty
       ORDER BY a.lag"""))
 
+  // --------------------------------------------------------------- q302
+  // Monthly price-index triple — Laspeyres, Paasche, Fisher — over the
+  // lineitem unit-price series ([EXT]): the canonical index-number
+  // formulas a pricing/economics dashboard publishes. Base period = the
+  // first ship month; for each later month t the index runs over the
+  // COMMON part set (parts traded in both m0 and t). Laspeyres weights
+  // by base quantities (Σp_t·q_0 / Σp_0·q_0), Paasche by current
+  // (Σp_t·q_t / Σp_0·q_t), Fisher is their geometric mean.
+  //
+  // Scale: ONE corpus pass builds the (part, month) unit-price panel
+  // (hash aggregate, map-side combinable); the base slice is
+  // dimension-sized (≤ #parts) and BROADCAST to the panel join, and
+  // every step after runs on the part×month grid — corpus size never
+  // reappears. At 100 TB the panel aggregate is the only shuffle.
+  //
+  // Exactness: quantities and prices collapse to exact BIGINTs (qty
+  // units, cents); each cross-period term (sc_t/sq_t)·sq_0 is a
+  // fixed-order double over exact integers quantized to a 1e3 grid
+  // pre-sum (house discipline: order-independent BIGINT sums), the
+  // Laspeyres/Paasche denominators are exact cent sums by algebra
+  // (Σ(sc_0/sq_0)·sq_0 = Σsc_0), Fisher is one correctly-rounded sqrt
+  // of the two ratios' product, roundZ final.
+  private val q302 = QueryDef(
+    "q302_price_index",
+    (s, d) => {
+      val pm = li(s, d)
+        .select(col("l_partkey").as("pk"),
+          expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)")
+            .as("ym"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          round(col("l_quantity")).cast("long").as("qty"))
+        .groupBy(col("pk"), col("ym"))
+        .agg(sum(col("cents")).as("sc"), sum(col("qty")).as("sq"))
+      val m0 = pm.agg(min(col("ym")).as("m0"))
+      val base = pm.crossJoin(broadcast(m0))
+        .filter(col("ym") === col("m0"))
+        .select(col("pk"), col("sc").as("sc0"), col("sq").as("sq0"))
+      pm.join(broadcast(base), Seq("pk"))
+        .groupBy(col("ym"))
+        .agg(count(lit(1)).as("n_parts"),
+          // Laspeyres numerator: Σ (p_t · q_0), 1e3-quantized pre-sum
+          sum(round(col("sc").cast("double") / col("sq").cast("double")
+            * col("sq0").cast("double") * lit(1e3)).cast("long")).as("ln"),
+          sum(col("sc0")).as("ld"), // Σ p_0·q_0 = Σ sc_0 exactly
+          sum(col("sc")).as("pn"), // Σ p_t·q_t = Σ sc_t exactly
+          // Paasche denominator: Σ (p_0 · q_t), 1e3-quantized pre-sum
+          sum(round(col("sc0").cast("double") / col("sq0").cast("double")
+            * col("sq").cast("double") * lit(1e3)).cast("long")).as("pd"))
+        .withColumn("lasp",
+          col("ln").cast("double") / lit(1e3) / col("ld").cast("double"))
+        .withColumn("paas",
+          col("pn").cast("double") / (col("pd").cast("double") / lit(1e3)))
+        .select(col("ym"), col("n_parts"),
+          Num.roundZ(col("lasp"), 6).as("laspeyres"),
+          Num.roundZ(col("paas"), 6).as("paasche"),
+          Num.roundZ(sqrt(col("lasp") * col("paas")), 6).as("fisher"))
+        .orderBy(col("ym"))
+    },
+    Some("""
+      WITH pm AS (
+        SELECT l_partkey AS pk,
+               CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+                 AS ym,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS sc,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+        FROM lineitem GROUP BY 1, 2),
+      base AS (
+        SELECT pk, sc AS sc0, sq AS sq0 FROM pm
+        WHERE ym = (SELECT min(ym) FROM pm)),
+      agg AS (
+        SELECT p.ym, count(*) AS n_parts,
+               CAST(sum(CAST(round(CAST(p.sc AS DOUBLE)
+                 / CAST(p.sq AS DOUBLE) * CAST(b.sq0 AS DOUBLE) * 1e3)
+                 AS BIGINT)) AS BIGINT) AS ln,
+               CAST(sum(b.sc0) AS BIGINT) AS ld,
+               CAST(sum(p.sc) AS BIGINT) AS pn,
+               CAST(sum(CAST(round(CAST(b.sc0 AS DOUBLE)
+                 / CAST(b.sq0 AS DOUBLE) * CAST(p.sq AS DOUBLE) * 1e3)
+                 AS BIGINT)) AS BIGINT) AS pd
+        FROM pm p JOIN base b ON b.pk = p.pk
+        GROUP BY 1)
+      SELECT ym, n_parts,
+             (CAST(round(CAST(ln AS DOUBLE) / 1e3 / CAST(ld AS DOUBLE)
+               * 1e6) AS BIGINT) / 1e6) AS laspeyres,
+             (CAST(round(CAST(pn AS DOUBLE) / (CAST(pd AS DOUBLE) / 1e3)
+               * 1e6) AS BIGINT) / 1e6) AS paasche,
+             (CAST(round(sqrt((CAST(ln AS DOUBLE) / 1e3
+                 / CAST(ld AS DOUBLE))
+               * (CAST(pn AS DOUBLE) / (CAST(pd AS DOUBLE) / 1e3)))
+               * 1e6) AS BIGINT) / 1e6) AS fisher
+      FROM agg
+      ORDER BY ym"""))
+
+  // --------------------------------------------------------------- q303
+  // ABC / Pareto classification of parts by revenue ([EXT]) — the
+  // inventory-management 80/15/5 cut: rank parts by net revenue, class
+  // A = parts up to 80% cumulative revenue share, B = up to 95%, C =
+  // the tail; report each class's size, revenue mass, and share. The
+  // "which 20% of the catalog earns 80% of the money" report.
+  //
+  // Scale: ONE corpus pass collapses lineitem to per-part revenue (hash
+  // aggregate); the ranked cumulative pass is an unpartitioned window
+  // over the PART DOMAIN — dimension-sized, never corpus-sized (house
+  // rule: global windows only over dimensions/value grids/top-k).
+  //
+  // Exactness: revenue is exact cents BIGINT (extendedprice·(1−disc)
+  // is exact at 4 decimals); the class boundaries compare exact
+  // integers (cum·5 ≤ tot·4, cum·20 ≤ tot·19) so no float threshold
+  // exists anywhere; shares are single-rounded ratios of exact ints,
+  // roundZ final. Ties in revenue are broken by partkey so the
+  // cumulative order (hence classification) is fully deterministic.
+  private val q303 = QueryDef(
+    "q303_abc_pareto",
+    (s, d) => {
+      val rev = li(s, d)
+        .select(col("l_partkey").as("pk"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long").as("cents"))
+        .groupBy(col("pk")).agg(sum(col("cents")).as("rev"))
+      val w = Window.orderBy(col("rev").desc, col("pk"))
+      val tot = rev.agg(sum(col("rev")).as("tot"))
+      rev
+        .withColumn("cum",
+          sum(col("rev")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(tot))
+        .withColumn("cls",
+          when(col("cum") * 5L <= col("tot") * 4L, "A")
+            .when(col("cum") * 20L <= col("tot") * 19L, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("rev_cents"),
+          max(col("tot")).as("tot"))
+        .select(col("cls"), col("n_parts"), col("rev_cents"),
+          Num.roundZ(col("rev_cents").cast("double")
+            / col("tot").cast("double"), 6).as("rev_share"))
+        .orderBy(col("cls"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_partkey AS pk,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                 * 100) AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1),
+      ranked AS (
+        SELECT pk, rev,
+               CAST(sum(rev) OVER (ORDER BY rev DESC, pk
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST((SELECT sum(rev) FROM rev) AS BIGINT) AS tot
+        FROM rev),
+      cls AS (
+        SELECT CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                    WHEN cum * 20 <= tot * 19 THEN 'B'
+                    ELSE 'C' END AS cls,
+               rev, tot
+        FROM ranked)
+      SELECT cls, count(*) AS n_parts, CAST(sum(rev) AS BIGINT) AS rev_cents,
+             (CAST(round(CAST(sum(rev) AS DOUBLE) / CAST(max(tot) AS DOUBLE)
+               * 1e6) AS BIGINT) / 1e6) AS rev_share
+      FROM cls
+      GROUP BY cls
+      ORDER BY cls"""))
+
   // --------------------------------------------------------------- q265
   // Autocorrelation function of the daily purchase series, lags 1–7
   // ([EXT]) — the time-series diagnostic that complements q221's trend
@@ -5750,5 +5913,5 @@ object Analytics {
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
-      q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301)
+      q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303)
 }

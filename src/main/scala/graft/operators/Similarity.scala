@@ -1449,6 +1449,102 @@ object Similarity {
                OVER (PARTITION BY qid) AS DOUBLE) / 5.0 AS recall5
       FROM hits ORDER BY qid, rk"""))
 
+  // --------------------------------------------------------------- q304
+  // Embedding-centroid drift between two deployment cohorts ([EXT]) —
+  // the model-monitoring check run when an embedding model is upgraded
+  // or a corpus refreshed: per label, compare the mean vector of cohort
+  // A (even vec_id — the "before" index) against cohort B (odd — the
+  // "after"), reporting centroid cosine and L2 distance. Cosine near 1
+  // and small L2 = the space is stable; a drifted label is the one to
+  // re-index first.
+  //
+  // Scale: ONE corpus pass (posexplode + hash aggregate, map-side
+  // combinable) collapses any number of vectors to the label×dim×cohort
+  // grid (10·64·2 rows here, constant in corpus size); the cohort
+  // self-join and the final per-label reduction run entirely on that
+  // grid. At 100 TB the per-dimension sum aggregate is the only
+  // corpus-scale stage.
+  //
+  // Exactness: float components widen to double (exact) and quantize to
+  // 1e-8-scaled BIGINTs pre-sum (q163's discipline — sums exact and
+  // order-independent); each centroid component is one fixed-order
+  // double expression of exact integers; the cross-centroid terms
+  // (ca·cb, ca², cb², (ca−cb)²) quantize to a 1e-9 grid pre-sum so the
+  // d-term reductions are exact BIGINT sums too; cosine divides by one
+  // correctly-rounded sqrt of the norm product, L2 is one sqrt of an
+  // exact-grid sum, roundZ final.
+  private val q304 = QueryDef(
+    "q304_centroid_drift",
+    (s, d) => {
+      val comps = emb(s, d)
+        .select(col("label").cast("long").as("label"),
+          (col("vec_id") % 2L).as("grp"),
+          posexplode(col("embedding")))
+        .select(col("label"), col("grp"), (col("pos") + 1).cast("long").as("i"),
+          round(col("col").cast("double") * lit(1e8)).cast("long").as("sv"))
+        .groupBy(col("label"), col("grp"), col("i"))
+        .agg(count(lit(1)).as("n"), sum(col("sv")).as("sv"))
+        .withColumn("c",
+          col("sv").cast("double") / lit(1e8) / col("n").cast("double"))
+      val a = comps.filter(col("grp") === 0L)
+        .select(col("label"), col("i"), col("n").as("na"), col("c").as("ca"))
+      val b = comps.filter(col("grp") === 1L)
+        .select(col("label"), col("i"), col("n").as("nb"), col("c").as("cb"))
+      a.join(b, Seq("label", "i"))
+        .groupBy(col("label"))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum(round(col("ca") * col("cb") * lit(1e9)).cast("long")).as("dot"),
+          sum(round(col("ca") * col("ca") * lit(1e9)).cast("long")).as("n2a"),
+          sum(round(col("cb") * col("cb") * lit(1e9)).cast("long")).as("n2b"),
+          sum(round((col("ca") - col("cb")) * (col("ca") - col("cb"))
+            * lit(1e9)).cast("long")).as("sd"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          Num.roundZ(col("dot").cast("double") / lit(1e9)
+            / sqrt((col("n2a").cast("double") / lit(1e9))
+              * (col("n2b").cast("double") / lit(1e9))), 6).as("cos_drift"),
+          Num.roundZ(sqrt(col("sd").cast("double") / lit(1e9)), 6)
+            .as("l2_dist"))
+        .orderBy(col("label"))
+    },
+    Some(s"""
+      WITH $evSql,
+      comps AS (
+        SELECT CAST(label AS BIGINT) AS label, vec_id % 2 AS grp, i, v
+        FROM ev),
+      cg AS (
+        SELECT label, grp, i, count(*) AS n,
+               CAST(sum(CAST(round(v * 1e8) AS BIGINT)) AS BIGINT) AS sv
+        FROM comps GROUP BY 1, 2, 3),
+      cc AS (
+        SELECT label, grp, i, n,
+               CAST(sv AS DOUBLE) / 1e8 / CAST(n AS DOUBLE) AS c
+        FROM cg),
+      j AS (
+        SELECT a.label, a.i, a.n AS na, b.n AS nb, a.c AS ca, b.c AS cb
+        FROM cc a JOIN cc b ON b.label = a.label AND b.i = a.i
+        WHERE a.grp = 0 AND b.grp = 1),
+      agg AS (
+        SELECT label, CAST(max(na) AS BIGINT) AS n_a,
+               CAST(max(nb) AS BIGINT) AS n_b,
+               CAST(sum(CAST(round(ca * cb * 1e9) AS BIGINT)) AS BIGINT)
+                 AS dot,
+               CAST(sum(CAST(round(ca * ca * 1e9) AS BIGINT)) AS BIGINT)
+                 AS n2a,
+               CAST(sum(CAST(round(cb * cb * 1e9) AS BIGINT)) AS BIGINT)
+                 AS n2b,
+               CAST(sum(CAST(round((ca - cb) * (ca - cb) * 1e9) AS BIGINT))
+                 AS BIGINT) AS sd
+        FROM j GROUP BY 1)
+      SELECT label, n_a, n_b,
+             (CAST(round(CAST(dot AS DOUBLE) / 1e9
+               / sqrt((CAST(n2a AS DOUBLE) / 1e9)
+                 * (CAST(n2b AS DOUBLE) / 1e9)) * 1e6) AS BIGINT) / 1e6)
+               AS cos_drift,
+             (CAST(round(sqrt(CAST(sd AS DOUBLE) / 1e9) * 1e6) AS BIGINT)
+               / 1e6) AS l2_dist
+      FROM agg
+      ORDER BY label"""))
+
   val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q128, q137, q163,
-    q194, q248, q250, q255, q266, q286)
+    q194, q248, q250, q255, q266, q286, q304)
 }
