@@ -5133,6 +5133,260 @@ object Analytics {
       GROUP BY cls
       ORDER BY cls"""))
 
+  // --------------------------------------------------------------- q305
+  // Isotonic calibration via PAVA's minimax formula ([EXT]) — the
+  // monotone-regression companion to q160's fixed-bin reliability
+  // diagram: fit the best NON-DECREASING rate curve over score bins
+  // (pool-adjacent-violators), the production recalibration step run on
+  // a model's score→outcome table before serving. fit(i) =
+  // max_{j≤i} min_{k≥i} rate(j..k) — the closed-form PAVA solution —
+  // evaluated on the bin grid, so no sequential pooling loop exists.
+  //
+  // Scale: ONE corpus pass collapses orders to the ~20-row score-bin
+  // grid; the minimax runs on the grid's j≤i≤k triples (B³ ≈ 8000
+  // rows — constant in corpus size, broadcast joins). At 100 TB the
+  // bin aggregate is the only corpus-scale stage.
+  //
+  // Exactness: segment rates are single correctly-rounded divisions of
+  // exact BIGINT prefix-sum differences (identical doubles in both
+  // engines), min/max over identical doubles are exact, roundZ final.
+  // AnalyticsSpec pins monotonicity and the pooled-average property.
+  private val q305 = QueryDef(
+    "q305_isotonic_calibration",
+    (s, d) => {
+      val o = Tables.t(s, d, "orders").select(
+        floor(col("o_totalprice") / 25000.0).cast("long").as("b"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val bins = o.groupBy(col("b"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val wb = Window.orderBy(col("b"))
+      val pref = bins
+        .withColumn("cn",
+          sum(col("n")).over(wb.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cp",
+          sum(col("pos")).over(wb.rowsBetween(Window.unboundedPreceding, 0)))
+      val segs = pref.select(col("b").as("j"), col("n").as("nj"),
+          col("pos").as("pj"), col("cn").as("cnj"), col("cp").as("cpj"))
+        .join(pref.select(col("b").as("k"), col("cn").as("cnk"),
+          col("cp").as("cpk")), col("j") <= col("k"))
+        .select(col("j"), col("k"),
+          ((col("cpk") - col("cpj") + col("pj")).cast("double") /
+            (col("cnk") - col("cnj") + col("nj")).cast("double")).as("r"))
+      val fit = bins.select(col("b").as("i"))
+        .join(segs, col("j") <= col("i") && col("i") <= col("k"))
+        .groupBy(col("i"), col("j")).agg(min(col("r")).as("mn"))
+        .groupBy(col("i")).agg(max(col("mn")).as("iso"))
+      bins.join(fit, col("b") === col("i"))
+        .select(col("b").as("bin"), col("n"), col("pos"),
+          Num.roundZ(col("pos").cast("double") / col("n").cast("double"), 6)
+            .as("raw_rate"),
+          Num.roundZ(col("iso"), 6).as("iso_rate"))
+        .orderBy(col("bin"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS b,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders),
+      bins AS (
+        SELECT b, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+        FROM o GROUP BY 1),
+      pref AS (
+        SELECT b, n, pos,
+               CAST(sum(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS cn,
+               CAST(sum(pos) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS cp
+        FROM bins),
+      segs AS (
+        SELECT a.b AS j, z.b AS k,
+               CAST(z.cp - a.cp + a.pos AS DOUBLE)
+                 / CAST(z.cn - a.cn + a.n AS DOUBLE) AS r
+        FROM pref a JOIN pref z ON a.b <= z.b),
+      fit AS (
+        SELECT i, max(mn) AS iso FROM (
+          SELECT bi.b AS i, s.j, min(s.r) AS mn
+          FROM bins bi JOIN segs s ON s.j <= bi.b AND bi.b <= s.k
+          GROUP BY 1, 2)
+        GROUP BY 1)
+      SELECT b AS bin, n, pos,
+             (CAST(round(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) * 1e6)
+               AS BIGINT) / 1e6) AS raw_rate,
+             (CAST(round(iso * 1e6) AS BIGINT) / 1e6) AS iso_rate
+      FROM bins JOIN fit ON fit.i = bins.b
+      ORDER BY bin"""))
+
+  // --------------------------------------------------------------- q306
+  // Watermark-lateness histogram ([EXT] streaming ops) — the
+  // out-of-orderness audit a streaming engineer runs BEFORE choosing a
+  // watermark delay for q85/q86's dedup/late-drop configs. The events
+  // table is globally event-time-sorted (verified: zero native
+  // disorder), so the audit models the canonical late-data source — a
+  // BUFFER-AND-FLUSH cohort: odd-user devices sync at the top of the
+  // next hour (arrival = ceil(ts, hour)), even users stream instantly
+  // (arrival = ts). The watermark advances per arrival MICRO-BATCH
+  // (one batch per arrival minute — Spark's actual per-batch watermark
+  // semantics: events inside one batch are unordered), and an event's
+  // lateness is watermark-at-arrival minus its event time. The
+  // histogram's cumulative column reads off as "a W-minute watermark
+  // delay keeps X% of events".
+  //
+  // Scale: ONE corpus hash aggregate collapses arrivals to the
+  // arrival-minute grid (max event-ts per batch); the exclusive
+  // running-max watermark runs on that GRID (time-span-sized, constant
+  // in corpus density) and joins back BROADCAST on the minute key; the
+  // histogram is a hash aggregate onto the ≤91-row minute-bucket grid.
+  // Corpus size appears only in the two linear passes.
+  //
+  // Exactness: arrival/watermark/lateness are exact µs integer
+  // arithmetic (integer DIV ceilings); shares are single-rounded
+  // ratios of exact counts, roundZ final.
+  private val q306 = QueryDef(
+    "q306_watermark_lateness",
+    (s, d) => {
+      val e = ev(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("arr",
+          when(col("user_id") % 2L === 1L,
+            (col("us") / lit(3600000000L) + 1L).cast("long")
+              * lit(3600000000L))
+            .otherwise(col("us")))
+        .withColumn("amin", (col("arr") / lit(60000000L)).cast("long"))
+      val batches = e.groupBy(col("amin")).agg(max(col("us")).as("mx"))
+      val wg = Window.orderBy(col("amin"))
+      val wm = batches.withColumn("w",
+        max(col("mx")).over(wg.rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("amin"), col("w"))
+      val late = e.join(broadcast(wm), Seq("amin"))
+        .select(least(
+          greatest(coalesce(col("w") - col("us"), lit(0L)), lit(0L))
+            / lit(60000000L), lit(90L)).cast("long").as("late_m"))
+      val hist = late.groupBy(col("late_m")).agg(count(lit(1)).as("n"))
+      val tot = hist.agg(sum(col("n")).as("nt"))
+      val wh = Window.orderBy(col("late_m"))
+      hist
+        .withColumn("cum",
+          sum(col("n")).over(wh.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(tot))
+        .select(col("late_m"), col("n"),
+          Num.roundZ(col("n").cast("double") / col("nt").cast("double"), 6)
+            .as("share"),
+          Num.roundZ(col("cum").cast("double") / col("nt").cast("double"), 6)
+            .as("cum_share"))
+        .orderBy(col("late_m"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT epoch_us(ts) AS us,
+               CASE WHEN user_id % 2 = 1
+                 THEN (epoch_us(ts) // 3600000000 + 1) * 3600000000
+                 ELSE epoch_us(ts) END AS arr
+        FROM events),
+      e2 AS (SELECT us, arr // 60000000 AS amin FROM e),
+      wm AS (
+        SELECT amin,
+               max(mx) OVER (ORDER BY amin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS w
+        FROM (SELECT amin, max(us) AS mx FROM e2 GROUP BY 1)),
+      late AS (
+        SELECT least(greatest(coalesce(w - us, 0), 0) // 60000000, 90)
+                 AS late_m
+        FROM e2 JOIN wm USING (amin)),
+      hist AS (SELECT late_m, count(*) AS n FROM late GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM hist)
+      SELECT late_m, n,
+             (CAST(round(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) * 1e6)
+               AS BIGINT) / 1e6) AS share,
+             (CAST(round(CAST(sum(n) OVER (ORDER BY late_m
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(nt AS DOUBLE) * 1e6) AS BIGINT) / 1e6) AS cum_share
+      FROM hist, tot
+      ORDER BY late_m"""))
+
+  // --------------------------------------------------------------- q307
+  // Binned 1-D Wasserstein (earth-mover) drift ([EXT]) — the
+  // distribution-shift metric that complements q187's KS (sup-norm)
+  // and q230's PSI (binned log-ratio): W₁ = ∫|F_A − F_B| integrates
+  // HOW FAR mass moved, not just the worst gap, so a $5 uniform price
+  // shift scores 5 even when the sup gap is small. Cohorts: purchase
+  // values in the first half of the month vs the second — "did the
+  // purchase-value distribution drift mid-month". Reported beside the
+  // binned KS sup read off the same grid.
+  //
+  // Scale: ONE corpus pass bins purchases to the $1 VALUE-DOMAIN grid
+  // (≤ price range in dollars, constant in corpus size); the CDF
+  // window and the W₁ reduction run on the grid. The house
+  // drift-metric shape: corpus → grid → grid-sized everything.
+  //
+  // Exactness: bin counts and cumulative sums are exact BIGINTs; each
+  // |ΔCDF|·gap term is a fixed-order double over exact ints quantized
+  // to a 1e9 grid pre-sum (order-independent), KS sup is a max over
+  // identical doubles, roundZ final.
+  private val q307 = QueryDef(
+    "q307_wasserstein_drift",
+    (s, d) => {
+      val p = ev(s, d).filter(col("event_type") === "purchase")
+        .select(
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+            " AS BIGINT)").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT) DIV 100").as("bin"))
+        .select(col("bin"), when(col("day") < 15L, 1L).otherwise(0L).as("a"))
+      val grid = p.groupBy(col("bin"))
+        .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+      val tot = grid.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      val wg = Window.orderBy(col("bin"))
+      grid
+        .withColumn("cuma",
+          sum(col("ca")).over(wg.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cumb",
+          sum(col("cb")).over(wg.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("gap", lead(col("bin"), 1).over(wg) - col("bin"))
+        .crossJoin(broadcast(tot))
+        .withColumn("dcdf",
+          abs(col("cuma").cast("double") / col("na").cast("double")
+            - col("cumb").cast("double") / col("nb").cast("double")))
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          count(lit(1)).as("n_bins"),
+          sum(round(col("dcdf") * coalesce(col("gap"), lit(0L)).cast("double")
+            * lit(1e9)).cast("long")).as("w1n"),
+          max(col("dcdf")).as("ks"))
+        .select(col("n_a"), col("n_b"), col("n_bins"),
+          Num.roundZ(col("w1n").cast("double") / lit(1e9), 6).as("w1_dollars"),
+          Num.roundZ(col("ks"), 6).as("ks_binned"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT CAST(round(value * 100) AS BIGINT) // 100 AS bin,
+               CASE WHEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 < 15 THEN 1 ELSE 0 END AS a
+        FROM events WHERE event_type = 'purchase'),
+      grid AS (
+        SELECT bin, CAST(sum(a) AS BIGINT) AS ca,
+               CAST(sum(1 - a) AS BIGINT) AS cb
+        FROM p GROUP BY 1),
+      tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                     CAST(sum(cb) AS BIGINT) AS nb FROM grid),
+      cdf AS (
+        SELECT bin,
+               CAST(sum(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS cuma,
+               CAST(sum(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS cumb,
+               lead(bin, 1) OVER (ORDER BY bin) - bin AS gap
+        FROM grid),
+      terms AS (
+        SELECT abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+                 - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) AS dcdf,
+               gap, na, nb
+        FROM cdf, tot)
+      SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+             count(*) AS n_bins,
+             (CAST(round(CAST(sum(CAST(round(dcdf
+                 * CAST(coalesce(gap, 0) AS DOUBLE) * 1e9) AS BIGINT))
+                 AS DOUBLE) / 1e9 * 1e6) AS BIGINT) / 1e6) AS w1_dollars,
+             (CAST(round(max(dcdf) * 1e6) AS BIGINT) / 1e6) AS ks_binned
+      FROM terms"""))
+
   // --------------------------------------------------------------- q265
   // Autocorrelation function of the daily purchase series, lags 1–7
   // ([EXT]) — the time-series diagnostic that complements q221's trend
@@ -5913,5 +6167,5 @@ object Analytics {
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
-      q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303)
+      q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307)
 }

@@ -1329,4 +1329,48 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(11L) == ((7L, 1L, 6L, "0-5", 1.0 / 7.0)),
       "chained overlapping hits merge to one span")
   }
+
+  test("q305 isotonic fit: monotone, equals classical stack PAVA, mass-preserving") {
+    // the query evaluates PAVA through the closed-form minimax
+    // max_{j<=i} min_{k>=i} rate(j..k); the classical algorithm pools
+    // adjacent violators with a stack. They are provably equal — pin it.
+    def roundZ6(x: Double): Double =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong / 1e6
+    val rows = q("q305_isotonic_calibration")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // monotone non-decreasing
+    rows.sliding(2).foreach {
+      case Array((b0, _, _, _, i0), (b1, _, _, _, i1)) =>
+        assert(i0 <= i1, s"iso must be non-decreasing at bins $b0->$b1")
+      case _ =>
+    }
+    // classical stack PAVA on the same (n, pos) bins
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    rows.foreach { case (_, n, pos, _, _) =>
+      var (cn, cp, cw) = (n, pos, 1)
+      while (stack.nonEmpty &&
+        stack.last._2.toDouble * cn.toDouble >=
+          cp.toDouble * stack.last._1.toDouble) {
+        val (pn, pp, pw) = stack.remove(stack.length - 1)
+        cn += pn; cp += pp; cw += pw
+      }
+      stack += ((cn, cp, cw))
+    }
+    val fit = stack.flatMap { case (cn, cp, cw) =>
+      Seq.fill(cw)(cp.toDouble / cn.toDouble)
+    }
+    assert(fit.length == rows.length)
+    rows.zip(fit).foreach { case ((b, _, _, _, iso), f) =>
+      assert(iso == roundZ6(f), s"bin $b: minimax vs stack PAVA")
+    }
+    // weighted-mass preservation: sum n*iso == sum pos (up to round6)
+    val lhs = rows.map { case (_, n, _, _, iso) => n.toDouble * iso }.sum
+    val rhs = rows.map(_._3).sum.toDouble
+    val slack = rows.map(_._2).sum.toDouble * 5e-7
+    assert(math.abs(lhs - rhs) <= slack, "PAVA preserves pooled mass")
+  }
 }
