@@ -5248,19 +5248,18 @@ object Analytics {
         .withColumn("us", unix_micros(col("ts")))
         .withColumn("arr",
           when(col("user_id") % 2L === 1L,
-            (col("us") / lit(3600000000L) + 1L).cast("long")
-              * lit(3600000000L))
+            (expr("us DIV 3600000000") + 1L) * lit(3600000000L))
             .otherwise(col("us")))
-        .withColumn("amin", (col("arr") / lit(60000000L)).cast("long"))
+        .withColumn("amin", expr("arr DIV 60000000"))
       val batches = e.groupBy(col("amin")).agg(max(col("us")).as("mx"))
       val wg = Window.orderBy(col("amin"))
       val wm = batches.withColumn("w",
         max(col("mx")).over(wg.rowsBetween(Window.unboundedPreceding, -1)))
         .select(col("amin"), col("w"))
       val late = e.join(broadcast(wm), Seq("amin"))
-        .select(least(
-          greatest(coalesce(col("w") - col("us"), lit(0L)), lit(0L))
-            / lit(60000000L), lit(90L)).cast("long").as("late_m"))
+        .withColumn("lus",
+          greatest(coalesce(col("w") - col("us"), lit(0L)), lit(0L)))
+        .select(least(expr("lus DIV 60000000"), lit(90L)).as("late_m"))
       val hist = late.groupBy(col("late_m")).agg(count(lit(1)).as("n"))
       val tot = hist.agg(sum(col("n")).as("nt"))
       val wh = Window.orderBy(col("late_m"))
@@ -5302,6 +5301,159 @@ object Analytics {
                / CAST(nt AS DOUBLE) * 1e6) AS BIGINT) / 1e6) AS cum_share
       FROM hist, tot
       ORDER BY late_m"""))
+
+  // --------------------------------------------------------------- q308
+  // AMS (Alon–Matias–Szegedy) F₂ sketch with in-query ground truth
+  // ([EXT] sketch family) — the second-moment estimator that completes
+  // the sketch shelf (q38 HLL = F₀, q159 Count-Min = point counts,
+  // q256 CM join-size): F₂ = Σ_k c_k² IS the self-join size, the
+  // number a cost-based optimizer wants before planning a self-join.
+  // Eight independent ±1 hash instances each accumulate Z = Σ sign(k);
+  // E[Z²] = F₂, and the median of the eight Z² estimates is the
+  // classic variance-bounded estimator — reported beside the exact F₂
+  // so the query is its own accuracy gate.
+  //
+  // Scale: ONE corpus pass with an 8× in-partition fan-out collapses
+  // map-side to 8 groups (the sketch state is 8 integers — THE point
+  // of AMS); the exact F₂ is a partkey-keyed hash aggregate
+  // (dimension-sized). Both are single exchanges; the median runs on
+  // the 8-row instance grid.
+  //
+  // Exactness: signs are md5-bit-derived integers (portable 56-bit
+  // idiom), Z and Z² are exact BIGINTs, the median of 8 is
+  // (e₄+e₅)/2.0 — a dyadic rational, exact in double; rel_err is a
+  // single-rounded ratio, roundZ (it can be negative).
+  private val q308 = QueryDef(
+    "q308_ams_f2_sketch",
+    (s, d) => {
+      val keyed = li(s, d).select(col("l_partkey").as("k"))
+      val zs = keyed
+        .select(col("k"), explode(sequence(lit(0), lit(7))).as("i"))
+        .withColumn("h",
+          conv(substring(md5(concat(lit("ams"), col("i").cast("string"),
+            lit(":"), col("k").cast("string"))), 1, 14), 16, 10)
+            .cast("long"))
+        .groupBy(col("i")).agg(sum((col("h") % 2L) * 2L - 1L).as("z"))
+        .withColumn("est", col("z") * col("z"))
+      val f2 = keyed.groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("f2"), sum(col("c")).as("n"))
+      val wE = Window.orderBy(col("est"), col("i"))
+      zs.withColumn("rn", row_number().over(wE))
+        .filter(col("rn") === 4 || col("rn") === 5)
+        .agg(sum(col("est")).as("med2"))
+        .crossJoin(broadcast(f2))
+        .select(col("n").as("n_rows"), col("f2").as("f2_exact"),
+          (col("med2").cast("double") / lit(2.0)).as("ams_est"),
+          Num.roundZ((col("med2").cast("double") / lit(2.0)
+            - col("f2").cast("double")) / col("f2").cast("double"), 6)
+            .as("rel_err"))
+    },
+    Some("""
+      WITH keyed AS (SELECT l_partkey AS k FROM lineitem),
+      zs AS (
+        SELECT i,
+               CAST(sum((('0x' || substr(md5('ams' || CAST(i AS VARCHAR)
+                 || ':' || CAST(k AS VARCHAR)), 1, 14))::BIGINT % 2) * 2 - 1)
+                 AS BIGINT) AS z
+        FROM keyed CROSS JOIN range(0, 8) t(i)
+        GROUP BY 1),
+      ests AS (
+        SELECT i, z * z AS est,
+               row_number() OVER (ORDER BY z * z, i) AS rn
+        FROM zs),
+      med AS (
+        SELECT CAST(sum(est) AS BIGINT) AS med2 FROM ests
+        WHERE rn IN (4, 5)),
+      f2 AS (
+        SELECT CAST(sum(c * c) AS BIGINT) AS f2, CAST(sum(c) AS BIGINT) AS n
+        FROM (SELECT k, count(*) AS c FROM keyed GROUP BY 1))
+      SELECT n AS n_rows, f2 AS f2_exact,
+             CAST(med2 AS DOUBLE) / 2.0 AS ams_est,
+             (CAST(round((CAST(med2 AS DOUBLE) / 2.0 - CAST(f2 AS DOUBLE))
+               / CAST(f2 AS DOUBLE) * 1e6) AS BIGINT) / 1e6) AS rel_err
+      FROM med, f2"""))
+
+  // --------------------------------------------------------------- q309
+  // KMV (k-minimum-values) distinct-count sketch with in-query ground
+  // truth ([EXT] sketch family) — the OTHER mergeable F₀ estimator
+  // beside q38's HLL: keep the k smallest hash values; the k-th
+  // smallest h₍ₖ₎ of n uniform 56-bit hashes estimates n ≈
+  // (k−1)·2⁵⁶/h₍ₖ₎. Mergeable by min-merging the k-sets, and unlike
+  // HLL it supports set intersection estimates — reported per
+  // event_type beside the exact distinct-hash count.
+  //
+  // Scale: the distinct-hash aggregate is the one corpus exchange; the
+  // k-th order statistic is found WITHOUT a per-type global sort by
+  // the q234 two-phase rank: 256 value-range buckets (hash-uniform ⇒
+  // balanced) are counted on a grid, the cutoff bucket where the
+  // cumulative count reaches k is grid-arithmetic, and the rank window
+  // runs only over hashes at-or-below the cutoff bucket (≈ k + one
+  // bucket's load, corpus-independent for fixed k). Fewer than k
+  // distinct values ⇒ the sketch is exact by definition (est = count).
+  //
+  // Exactness: hashes are exact integers; 2⁵⁶ is exactly representable
+  // in double; the estimate is one fixed-order double expression,
+  // roundZ final.
+  private val KmvK = 64L
+  private val q309 = QueryDef(
+    "q309_kmv_distinct",
+    (s, d) => {
+      val M = 72057594037927936.0 // 2^56
+      val bw = 281474976710656L // 2^48: 256 buckets over the hash range
+      val hs = ev(s, d)
+        .select(col("event_type").as("et"),
+          conv(substring(md5(concat(lit("kmv:"),
+            col("user_id").cast("string"))), 1, 14), 16, 10)
+            .cast("long").as("h"))
+        .groupBy(col("et"), col("h")).agg(count(lit(1)).as("dup"))
+        .withColumn("bkt", expr(s"h DIV ${bw}"))
+      val grid = hs.groupBy(col("et"), col("bkt"))
+        .agg(count(lit(1)).as("bn"))
+      val wB = Window.partitionBy(col("et")).orderBy(col("bkt"))
+      val cut = grid
+        .withColumn("cum",
+          sum(col("bn")).over(wB.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("et"))
+        .agg(coalesce(min(when(col("cum") >= KmvK, col("bkt"))),
+          max(col("bkt"))).as("cutoff"), sum(col("bn")).as("nd"))
+      val wH = Window.partitionBy(col("et")).orderBy(col("h"))
+      hs.join(broadcast(cut), Seq("et"))
+        .filter(col("bkt") <= col("cutoff"))
+        .withColumn("rn", row_number().over(wH))
+        .groupBy(col("et"))
+        .agg(max(col("nd")).as("n_distinct"),
+          max(when(col("rn") === KmvK, col("h"))).as("kth_hash"))
+        .select(col("et").as("event_type"), col("n_distinct"),
+          col("kth_hash"),
+          Num.roundZ(coalesce(
+            lit((KmvK - 1).toDouble) * lit(M)
+              / col("kth_hash").cast("double"),
+            col("n_distinct").cast("double")), 6).as("kmv_est"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      WITH hs AS (
+        SELECT event_type AS et,
+               ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                 1, 14))::BIGINT AS h
+        FROM events
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT et, h,
+               row_number() OVER (PARTITION BY et ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY et) AS nd
+        FROM hs)
+      SELECT et AS event_type, CAST(max(nd) AS BIGINT) AS n_distinct,
+             CAST(max(CASE WHEN rn = ${KmvK} THEN h END) AS BIGINT)
+               AS kth_hash,
+             (CAST(round(coalesce(
+                 CAST(${KmvK - 1} AS DOUBLE) * CAST(72057594037927936 AS DOUBLE)
+                   / CAST(max(CASE WHEN rn = ${KmvK} THEN h END) AS DOUBLE),
+                 CAST(max(nd) AS DOUBLE)) * 1e6) AS BIGINT) / 1e6)
+               AS kmv_est
+      FROM ranked
+      GROUP BY et
+      ORDER BY et"""))
 
   // --------------------------------------------------------------- q307
   // Binned 1-D Wasserstein (earth-mover) drift ([EXT]) — the
@@ -6167,5 +6319,6 @@ object Analytics {
       q162, q164, q165, q166, q168, q169, q183, q184, q187, q188, q196,
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
-      q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307)
+      q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
+      q308, q309)
 }

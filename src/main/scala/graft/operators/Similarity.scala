@@ -1545,6 +1545,112 @@ object Similarity {
       FROM agg
       ORDER BY label"""))
 
+  // --------------------------------------------------------------- q310
+  // Adjusted Rand Index cluster evaluation ([EXT]) — the EXTERNAL
+  // clustering-quality gate beside q116's internal cluster profile:
+  // score a clustering against gold labels by pair-counting agreement,
+  // chance-corrected (ARI = 0 for random assignment, 1 for a perfect
+  // match up to relabeling). The clustering under audit is the
+  // cheapest production assigner — nearest of K = 10 seed centroids
+  // (the first 10 vectors by vec_id, broadcast) by cosine — and the
+  // gold standard is the embeddings' label column; the query answers
+  // "is seed-nearest assignment recovering the label structure".
+  //
+  // Scale: centroid assignment is a BROADCAST join (10 rows) + packed
+  // argmax — the corpus never shuffles for it (q51's discipline); the
+  // contingency table is ONE hash aggregate onto the ≤ K×L grid, and
+  // all pair-counting (Σ C(n,2) terms) is grid arithmetic.
+  //
+  // Exactness: cosines quantize to the 1e6 grid before the packed
+  // argmax (ties broken by centroid id — deterministic assignment);
+  // C(n,2) terms are exact BIGINTs; the ARI is one fixed-order double
+  // expression of exact integers, roundZ final.
+  private val q310 = QueryDef(
+    "q310_ari_cluster_eval",
+    (s, d) => {
+      val e = emb(s, d).withColumn("nrm", float_norm(col("embedding")))
+      val cents = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("cent"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
+      val cells = e
+        .crossJoin(broadcast(cents))
+        .withColumn("cos", Num.roundZ(
+          float_dot(col("embedding"), col("ce")) / (col("nrm") * col("cn")),
+          6))
+        // packed argmax: (1e6 − 1e6·cos) is an exact small integer;
+        // min over (gap·16 + cent) picks max cos, ties to lowest cent
+        .withColumn("p",
+          (lit(1000000L) - round(col("cos") * 1e6).cast("long")) * 16L
+            + col("cent"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg((min(col("p")) % 16L).as("cell"))
+      val ct = cells.groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("nij"))
+      val sij = ct.agg(sum(col("nij") * (col("nij") - 1L)).as("s2ij"),
+        sum(col("nij")).as("n"))
+      val sa = ct.groupBy(col("cell")).agg(sum(col("nij")).as("a"))
+        .agg(sum(col("a") * (col("a") - 1L)).as("s2a"),
+          count(lit(1)).as("k_cells"))
+      val sb = ct.groupBy(col("label")).agg(sum(col("nij")).as("b"))
+        .agg(sum(col("b") * (col("b") - 1L)).as("s2b"),
+          count(lit(1)).as("l_labels"))
+      sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+        .withColumn("p2", (col("n") * (col("n") - 1L)).cast("double"))
+        .withColumn("exp",
+          col("s2a").cast("double") * col("s2b").cast("double") / col("p2"))
+        .select(col("n").as("n_vecs"), col("k_cells"), col("l_labels"),
+          expr("s2ij DIV 2").as("pairs_agree2"),
+          Num.roundZ(
+            (col("s2ij").cast("double") - col("exp"))
+              / ((col("s2a").cast("double") + col("s2b").cast("double"))
+                / lit(2.0) - col("exp")), 6).as("ari"))
+    },
+    Some(s"""
+      WITH $evSql,
+      cents AS (
+        SELECT vec_id AS cent, i, v, nrm AS cn
+        FROM ev JOIN norms USING (vec_id)
+        WHERE vec_id < 10),
+      asg AS (
+        SELECT e.vec_id, c.cent,
+               (CAST(round((sum(e.v * c.v) / (ne.nrm * max(c.cn))) * 1e6)
+                 AS BIGINT) / 1e6) AS cos
+        FROM ev e
+        JOIN cents c ON c.i = e.i
+        JOIN norms ne ON ne.vec_id = e.vec_id
+        GROUP BY e.vec_id, c.cent, ne.nrm),
+      cells AS (
+        SELECT a.vec_id, emb.label,
+               min((1000000 - CAST(round(cos * 1e6) AS BIGINT)) * 16 + cent)
+                 % 16 AS cell
+        FROM asg a JOIN embeddings emb ON emb.vec_id = a.vec_id
+        GROUP BY 1, 2),
+      ct AS (
+        SELECT cell, label, count(*) AS nij FROM cells GROUP BY 1, 2),
+      sij AS (
+        SELECT CAST(sum(nij * (nij - 1)) AS BIGINT) AS s2ij,
+               CAST(sum(nij) AS BIGINT) AS n FROM ct),
+      sa AS (
+        SELECT CAST(sum(a * (a - 1)) AS BIGINT) AS s2a,
+               count(*) AS k_cells
+        FROM (SELECT cell, CAST(sum(nij) AS BIGINT) AS a FROM ct
+              GROUP BY 1)),
+      sb AS (
+        SELECT CAST(sum(b * (b - 1)) AS BIGINT) AS s2b,
+               count(*) AS l_labels
+        FROM (SELECT label, CAST(sum(nij) AS BIGINT) AS b FROM ct
+              GROUP BY 1))
+      SELECT n AS n_vecs, k_cells, l_labels,
+             CAST(s2ij // 2 AS BIGINT) AS pairs_agree2,
+             (CAST(round((CAST(s2ij AS DOUBLE)
+                 - CAST(s2a AS DOUBLE) * CAST(s2b AS DOUBLE)
+                   / CAST(n * (n - 1) AS DOUBLE))
+               / ((CAST(s2a AS DOUBLE) + CAST(s2b AS DOUBLE)) / 2.0
+                 - CAST(s2a AS DOUBLE) * CAST(s2b AS DOUBLE)
+                   / CAST(n * (n - 1) AS DOUBLE)) * 1e6) AS BIGINT) / 1e6)
+               AS ari
+      FROM sij, sa, sb"""))
+
   val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q128, q137, q163,
-    q194, q248, q250, q255, q266, q286, q304)
+    q194, q248, q250, q255, q266, q286, q304, q310)
 }
