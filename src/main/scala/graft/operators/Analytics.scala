@@ -5455,6 +5455,135 @@ object Analytics {
       GROUP BY et
       ORDER BY et"""))
 
+  // --------------------------------------------------------------- q311
+  // Bradley–Terry preference strengths, two MM iterations ([EXT]) —
+  // the pairwise-preference aggregation op (the batch form of Elo; the
+  // model RLHF reward pipelines fit over A-vs-B comparisons). The
+  // comparison data: within each (user, day), every pair of event
+  // types the user performed is a "match" won by the type with the
+  // higher max spend (ties by type name — deterministic). From uniform
+  // strengths, the classic minorization–maximization update
+  // wᵢ ← Wᵢ / Σⱼ nᵢⱼ/(wᵢ+wⱼ) runs twice: the first iteration is
+  // exactly 2·Wᵢ/Nᵢ (rational), the second consumes the first's
+  // strengths.
+  //
+  // Scale: per-(user,day,type) max-spend is ONE corpus hash aggregate;
+  // the within-key pair self-join reuses the same (user,day) hash
+  // partitioning (no second exchange) with ≤ C(5,2) fan-out per key;
+  // everything after lives on the 10-row unordered-pair grid and the
+  // 5-row type grid. At 100 TB the panel aggregate is the only
+  // corpus-scale stage.
+  //
+  // Exactness: spend maxima are exact cents; win/match counts are
+  // exact BIGINTs; w¹ is a single division of exact ints; the w²
+  // denominators Σⱼ nᵢⱼ/(w¹ᵢ+w¹ⱼ) quantize each term to a 1e9 grid
+  // pre-sum (order-independent BIGINT sums), as does the final share
+  // normalization; roundZ final.
+  private val q311 = QueryDef(
+    "q311_bradley_terry",
+    (s, d) => {
+      val panel = ev(s, d)
+        .select(col("user_id").as("u"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+            " AS BIGINT)").as("day"),
+          col("event_type").as("et"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("u"), col("day"), col("et"))
+        .agg(max(col("cents")).as("mx"))
+      val pairs = panel.as("a")
+        .join(panel.as("b"),
+          col("a.u") === col("b.u") && col("a.day") === col("b.day") &&
+            col("a.et") < col("b.et"))
+        .select(col("a.et").as("ea"), col("b.et").as("eb"),
+          when(col("a.mx") > col("b.mx"), 1L).otherwise(0L).as("wa"))
+      val grid = pairs.groupBy(col("ea"), col("eb"))
+        .agg(count(lit(1)).as("n"), sum(col("wa")).as("wins_a"))
+      // per-type totals: matches Ni and wins Wi (symmetrize the grid)
+      val types = grid.select(col("ea").as("et"), col("n"),
+          col("wins_a").as("w"))
+        .unionByName(grid.select(col("eb").as("et"), col("n"),
+          (col("n") - col("wins_a")).as("w")))
+        .groupBy(col("et"))
+        .agg(sum(col("n")).as("ni"), sum(col("w")).as("wi"))
+        .withColumn("w1",
+          lit(2.0) * col("wi").cast("double") / col("ni").cast("double"))
+      // second MM iteration over the symmetrized pair grid
+      val sym = grid.select(col("ea").as("et"), col("eb").as("ej"), col("n"))
+        .unionByName(grid.select(col("eb").as("et"), col("ea").as("ej"),
+          col("n")))
+      val w1j = types.select(col("et").as("ej"), col("w1").as("w1j"))
+      val den = sym.join(broadcast(types.select(col("et"), col("w1"))),
+          Seq("et"))
+        .join(broadcast(w1j), Seq("ej"))
+        .groupBy(col("et"))
+        .agg(sum(round(col("n").cast("double") / (col("w1") + col("w1j"))
+          * lit(1e9)).cast("long")).as("dq"))
+      val w2t = types.join(broadcast(den), Seq("et"))
+        .withColumn("w2",
+          col("wi").cast("double") / (col("dq").cast("double") / lit(1e9)))
+      val tot = w2t.agg(sum(round(col("w2") * lit(1e9)).cast("long"))
+        .as("sw"))
+      w2t.crossJoin(broadcast(tot))
+        .select(col("et").as("event_type"), col("ni").as("n_matches"),
+          col("wi").as("n_wins"),
+          Num.roundZ(col("w1"), 6).as("w1"),
+          Num.roundZ(col("w2"), 6).as("w2"),
+          Num.roundZ(col("w2") / (col("sw").cast("double") / lit(1e9)), 6)
+            .as("share"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH panel AS (
+        SELECT user_id AS u,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 ::BIGINT AS day,
+               event_type AS et,
+               max(CAST(round(value * 100) AS BIGINT)) AS mx
+        FROM events GROUP BY 1, 2, 3),
+      pairs AS (
+        SELECT a.et AS ea, b.et AS eb,
+               CASE WHEN a.mx > b.mx THEN 1 ELSE 0 END AS wa
+        FROM panel a JOIN panel b
+          ON b.u = a.u AND b.day = a.day AND a.et < b.et),
+      grid AS (
+        SELECT ea, eb, count(*) AS n, CAST(sum(wa) AS BIGINT) AS wins_a
+        FROM pairs GROUP BY 1, 2),
+      types AS (
+        SELECT et, CAST(sum(n) AS BIGINT) AS ni, CAST(sum(w) AS BIGINT)
+                 AS wi,
+               2.0 * CAST(sum(w) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS w1
+        FROM (
+          SELECT ea AS et, n, wins_a AS w FROM grid
+          UNION ALL
+          SELECT eb AS et, n, n - wins_a AS w FROM grid)
+        GROUP BY 1),
+      sym AS (
+        SELECT ea AS et, eb AS ej, n FROM grid
+        UNION ALL
+        SELECT eb AS et, ea AS ej, n FROM grid),
+      den AS (
+        SELECT s.et,
+               CAST(sum(CAST(round(CAST(s.n AS DOUBLE) / (ti.w1 + tj.w1)
+                 * 1e9) AS BIGINT)) AS BIGINT) AS dq
+        FROM sym s
+        JOIN types ti ON ti.et = s.et
+        JOIN types tj ON tj.et = s.ej
+        GROUP BY 1),
+      w2t AS (
+        SELECT t.et, t.ni, t.wi, t.w1,
+               CAST(t.wi AS DOUBLE) / (CAST(d.dq AS DOUBLE) / 1e9) AS w2
+        FROM types t JOIN den d ON d.et = t.et),
+      tot AS (
+        SELECT CAST(sum(CAST(round(w2 * 1e9) AS BIGINT)) AS BIGINT) AS sw
+        FROM w2t)
+      SELECT et AS event_type, ni AS n_matches, wi AS n_wins,
+             (CAST(round(w1 * 1e6) AS BIGINT) / 1e6) AS w1,
+             (CAST(round(w2 * 1e6) AS BIGINT) / 1e6) AS w2,
+             (CAST(round(w2 / (CAST(sw AS DOUBLE) / 1e9) * 1e6) AS BIGINT)
+               / 1e6) AS share
+      FROM w2t, tot
+      ORDER BY event_type"""))
+
   // --------------------------------------------------------------- q307
   // Binned 1-D Wasserstein (earth-mover) drift ([EXT]) — the
   // distribution-shift metric that complements q187's KS (sup-norm)
@@ -6320,5 +6449,5 @@ object Analytics {
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
-      q308, q309)
+      q308, q309, q311)
 }

@@ -1666,7 +1666,62 @@ object Pipeline {
       GROUP BY s.source, s.v, s.c
       ORDER BY s.source, s.v"""))
 
+  // --------------------------------------------------------------- q312
+  // Corpus-composition diversity audit ([EXT]) — Simpson concentration
+  // and its reciprocal, the EFFECTIVE NUMBER of sources, per language:
+  // the "is my training mix secretly one source" check run beside
+  // q115's mixture weights and q49's corpus mix. Simpson λ = Σ pᵢ² is
+  // the probability two random docs share a source; 1/λ is the
+  // equivalent count of equally-sized sources (the ecology/economics
+  // Herfindahl–Hirschman inverse); Berger–Parker is the single largest
+  // source's share. All three are pure count ratios — no logs — which
+  // is what makes them exactly auditable cross-engine (the Shannon
+  // variant is not, by the no-libm house rule).
+  //
+  // Scale: ONE hash aggregate to the (lang, source) grid; everything
+  // after is grid arithmetic. λ's numerator Σ nᵢ² and n² are exact
+  // BIGINTs (n ≤ 2³¹ holds to ~sf10⁵ for Σnᵢ²).
+  private val q312 = QueryDef(
+    "q312_source_diversity",
+    (s, d) => {
+      val g = docs(s, d).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("ni"))
+      g.groupBy(col("lang"))
+        .agg(sum(col("ni")).as("n_docs"),
+          count(lit(1)).as("n_sources"),
+          sum(col("ni") * col("ni")).as("s2"),
+          max(col("ni")).as("nmax"))
+        .select(col("lang"), col("n_docs"), col("n_sources"),
+          Num.roundZ(col("s2").cast("double")
+            / (col("n_docs") * col("n_docs")).cast("double"), 6)
+            .as("simpson"),
+          Num.roundZ((col("n_docs") * col("n_docs")).cast("double")
+            / col("s2").cast("double"), 6).as("eff_sources"),
+          Num.roundZ(col("nmax").cast("double")
+            / col("n_docs").cast("double"), 6).as("berger_parker"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT lang, source, count(*) AS ni
+        FROM documents GROUP BY 1, 2)
+      SELECT lang, CAST(sum(ni) AS BIGINT) AS n_docs,
+             count(*) AS n_sources,
+             (CAST(round(CAST(sum(ni * ni) AS DOUBLE)
+               / CAST(sum(ni) * sum(ni) AS DOUBLE) * 1e6) AS BIGINT) / 1e6)
+               AS simpson,
+             (CAST(round(CAST(sum(ni) * sum(ni) AS DOUBLE)
+               / CAST(sum(ni * ni) AS DOUBLE) * 1e6) AS BIGINT) / 1e6)
+               AS eff_sources,
+             (CAST(round(CAST(max(ni) AS DOUBLE)
+               / CAST(sum(ni) AS DOUBLE) * 1e6) AS BIGINT) / 1e6)
+               AS berger_parker
+      FROM g
+      GROUP BY lang
+      ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113, q114, q115, q117,
-      q124, q136, q139, q148, q192, q218, q229, q238, q285, q295, q300)
+      q124, q136, q139, q148, q192, q218, q229, q238, q285, q295, q300,
+      q312)
 }
