@@ -5584,6 +5584,142 @@ object Analytics {
       FROM w2t, tot
       ORDER BY event_type"""))
 
+  // --------------------------------------------------------------- q313
+  // Label-propagation community detection, 3 synchronous rounds ([EXT]
+  // graph family) — the community operator beside q35/q99's
+  // connectivity (components answer "reachable?", LPA answers "densely
+  // tied?"). The raw brand co-purchase graph is near-complete and
+  // near-uniform (LPA on it collapses to one community — measured), so
+  // the graph is built the way production co-purchase graphs are: each
+  // brand keeps its k = 3 STRONGEST-LIFT neighbors (lift = q223's
+  // nab·N/(na·nb), ties by neighbor id) — the k-NN association graph.
+  // Every node starts as its own label; each round adopts the
+  // co-occurrence-weighted MODE of its neighbors' labels (ties to the
+  // smallest label — fully deterministic synchronous LPA).
+  //
+  // Scale: ONE corpus pass builds baskets and the pair aggregate
+  // (q223's bounded within-basket fan-out); the graph is the
+  // brand-domain grid (≤ B² candidates, B = |brands|; the k-NN window
+  // partitions by node over ≤ B−1 rows) and each round is grid-join +
+  // packed-argmax hash agg — plan size is 3 fixed rounds, corpus
+  // appears only in the first aggregate. The same shape runs on a
+  // billion-edge graph: rounds are join+agg on (node, label), never
+  // driver-side.
+  //
+  // Exactness: lift ranking divides exact integer products (identical
+  // doubles both engines, id tie-break); everything after is exact
+  // integer arithmetic — weights are counts, the mode is a packed max
+  // (weight·1024 + (1023 − label), labels < 1024), community sizes are
+  // counts.
+  private val q313 = QueryDef(
+    "q313_label_propagation",
+    (s, d) => {
+      val baskets = li(s, d)
+        .join(Tables.t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"),
+          expr("CAST(substring(p_brand, 7) AS BIGINT)").as("item"))
+        .distinct()
+      val nOrders = baskets.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("nn"))
+      val itemN = baskets.groupBy(col("item")).agg(count(lit(1)).as("ni"))
+      val pairN = baskets.toDF("ok", "a")
+        .join(baskets.toDF("ok", "b"), Seq("ok"))
+        .filter(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
+      val wk = Window.partitionBy(col("a"))
+        .orderBy(col("lift").desc, col("b"))
+      val edges = pairN
+        .join(itemN.toDF("a", "na"), "a")
+        .join(itemN.toDF("b", "nb"), "b")
+        .crossJoin(broadcast(nOrders))
+        .withColumn("lift", (col("nab") * col("nn")).cast("double")
+          / (col("na") * col("nb")).cast("double"))
+        .withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= 3)
+        .select(col("a"), col("b"), col("nab").as("w"))
+        .localCheckpoint()
+      val nodes = edges.select(col("a").as("node")).distinct()
+      def prop(lbls: DataFrame): DataFrame = {
+        val voted = edges
+          .join(lbls.toDF("b", "nlbl"), Seq("b"))
+          .groupBy(col("a"), col("nlbl")).agg(sum(col("w")).as("sw"))
+          .groupBy(col("a"))
+          .agg((lit(1023L) - max(col("sw") * 1024L + (lit(1023L)
+            - col("nlbl"))) % 1024L).as("plbl"))
+        nodes.join(voted.toDF("node", "plbl"), Seq("node"), "left")
+          .join(lbls, Seq("node"))
+          .select(col("node"), coalesce(col("plbl"), col("lbl")).as("lbl"))
+      }
+      val l0 = nodes.select(col("node"), col("node").as("lbl"))
+      val l3 = prop(prop(prop(l0)))
+      val sizes = l3.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
+      l3.join(sizes, Seq("lbl"))
+        .select(col("node").as("brand_id"), col("lbl").as("community"),
+          col("comm_size"))
+        .orderBy(col("brand_id"))
+    },
+    Some("""
+      WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey AS ok,
+               CAST(substr(p.p_brand, 7) AS BIGINT) AS item
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      n AS (SELECT count(DISTINCT ok) AS nn FROM baskets),
+      itemn AS (SELECT item, count(*) AS ni FROM baskets GROUP BY 1),
+      pairn AS (
+        SELECT a.item AS a, b.item AS b, count(*) AS nab
+        FROM baskets a JOIN baskets b ON b.ok = a.ok AND a.item <> b.item
+        GROUP BY 1, 2),
+      edges AS MATERIALIZED (
+        SELECT a, b, nab AS w FROM (
+          SELECT p.a, p.b, p.nab,
+                 row_number() OVER (PARTITION BY p.a
+                   ORDER BY CAST(p.nab * n.nn AS DOUBLE)
+                     / CAST(ia.ni * ib.ni AS DOUBLE) DESC, p.b) AS rn
+          FROM pairn p
+          JOIN itemn ia ON ia.item = p.a
+          JOIN itemn ib ON ib.item = p.b, n) t
+        WHERE rn <= 3),
+      nodes AS (SELECT DISTINCT a AS node FROM edges),
+      l0 AS (SELECT node, node AS lbl FROM nodes),
+      v1 AS MATERIALIZED (
+        SELECT e.a AS node,
+               1023 - max(sw * 1024 + (1023 - nlbl)) % 1024 AS plbl
+        FROM (
+          SELECT e.a, l.lbl AS nlbl, CAST(sum(e.w) AS BIGINT) AS sw
+          FROM edges e JOIN l0 l ON l.node = e.b GROUP BY 1, 2) e
+        GROUP BY 1),
+      l1 AS MATERIALIZED (
+        SELECT n.node, coalesce(v1.plbl, l0.lbl) AS lbl
+        FROM nodes n LEFT JOIN v1 ON v1.node = n.node
+        JOIN l0 ON l0.node = n.node),
+      v2 AS MATERIALIZED (
+        SELECT e.a AS node,
+               1023 - max(sw * 1024 + (1023 - nlbl)) % 1024 AS plbl
+        FROM (
+          SELECT e.a, l.lbl AS nlbl, CAST(sum(e.w) AS BIGINT) AS sw
+          FROM edges e JOIN l1 l ON l.node = e.b GROUP BY 1, 2) e
+        GROUP BY 1),
+      l2 AS MATERIALIZED (
+        SELECT n.node, coalesce(v2.plbl, l1.lbl) AS lbl
+        FROM nodes n LEFT JOIN v2 ON v2.node = n.node
+        JOIN l1 ON l1.node = n.node),
+      v3 AS MATERIALIZED (
+        SELECT e.a AS node,
+               1023 - max(sw * 1024 + (1023 - nlbl)) % 1024 AS plbl
+        FROM (
+          SELECT e.a, l.lbl AS nlbl, CAST(sum(e.w) AS BIGINT) AS sw
+          FROM edges e JOIN l2 l ON l.node = e.b GROUP BY 1, 2) e
+        GROUP BY 1),
+      l3 AS MATERIALIZED (
+        SELECT n.node, coalesce(v3.plbl, l2.lbl) AS lbl
+        FROM nodes n LEFT JOIN v3 ON v3.node = n.node
+        JOIN l2 ON l2.node = n.node),
+      sizes AS (SELECT lbl, count(*) AS comm_size FROM l3 GROUP BY 1)
+      SELECT l3.node AS brand_id, l3.lbl AS community,
+             sizes.comm_size
+      FROM l3 JOIN sizes ON sizes.lbl = l3.lbl
+      ORDER BY brand_id"""))
+
   // --------------------------------------------------------------- q307
   // Binned 1-D Wasserstein (earth-mover) drift ([EXT]) — the
   // distribution-shift metric that complements q187's KS (sup-norm)
@@ -6449,5 +6585,5 @@ object Analytics {
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
-      q308, q309, q311)
+      q308, q309, q311, q313)
 }
