@@ -5467,12 +5467,18 @@ object Analytics {
   // exactly 2·Wᵢ/Nᵢ (rational), the second consumes the first's
   // strengths.
   //
-  // Scale: per-(user,day,type) max-spend is ONE corpus hash aggregate;
-  // the within-key pair self-join reuses the same (user,day) hash
-  // partitioning (no second exchange) with ≤ C(5,2) fan-out per key;
+  // Scale: the corpus collapses FIRST to the (user, day, type)
+  // max-spend panel — users×days×(≤5 types) rows, dimension-bounded —
+  // and the pair self-join runs panel-vs-panel with ≤ C(5,2) fan-out
+  // per (user, day): at gate SFs Spark broadcasts one side (plan
+  // audited), at cluster scale AQE plans an SMJ whose exchanges are
+  // PANEL-sized, never event-sized. The panel aggregate is the only
+  // corpus-scale stage (the two join branches re-run the same scan +
+  // aggregate — predicate-identical, so a shared-scan rewrite or
+  // storage cache collapses them; localCheckpoint is deliberately NOT
+  // used because the panel outgrows single-node disk at 100 TB);
   // everything after lives on the 10-row unordered-pair grid and the
-  // 5-row type grid. At 100 TB the panel aggregate is the only
-  // corpus-scale stage.
+  // 5-row type grid.
   //
   // Exactness: spend maxima are exact cents; win/match counts are
   // exact BIGINTs; w¹ is a single division of exact ints; the w²
@@ -5583,6 +5589,266 @@ object Analytics {
                / 1e6) AS share
       FROM w2t, tot
       ORDER BY event_type"""))
+
+  // --------------------------------------------------------------- q314
+  // Kendall τ-b rank correlation ([EXT]) — completes the correlation
+  // trio (q55 Pearson = linear, q242 Spearman = monotone-by-ranks,
+  // Kendall = pairwise concordance with tie correction) on the daily
+  // view-vs-purchase revenue panel. τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)) over
+  // all day pairs; the τ-b tie terms make it exact on cents data.
+  //
+  // Scale: the corpus collapses FIRST to the ~30-row day grid (one
+  // hash aggregate); the pairwise concordance scan is grid² (≤ 435
+  // pairs) — constant in corpus size. The day-grid self-join is the
+  // definition-form; at any corpus scale the grid side stays
+  // time-span-sized.
+  //
+  // Exactness: all pair counts are exact BIGINTs from exact-cents
+  // comparisons; the denominator is ONE correctly-rounded sqrt of an
+  // exact integer product, roundZ final (τ can be negative).
+  private val q314 = QueryDef(
+    "q314_kendall_tau",
+    (s, d) => {
+      def series(t: String, nm: String) = ev(s, d)
+        .filter(col("event_type") === t)
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+          " AS BIGINT)").as("day"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as(nm))
+      val g = series("view", "x").join(series("purchase", "y"), Seq("day"))
+      val pairs = g.toDF("di", "xi", "yi")
+        .join(g.toDF("dj", "xj", "yj"), col("di") < col("dj"))
+      pairs.agg(
+          count(lit(1)).as("n0"),
+          sum(when((col("xi") < col("xj") && col("yi") < col("yj")) ||
+            (col("xi") > col("xj") && col("yi") > col("yj")), 1L)
+            .otherwise(0L)).as("nc"),
+          sum(when(col("xi") =!= col("xj") && col("yi") =!= col("yj") &&
+            !((col("xi") < col("xj") && col("yi") < col("yj")) ||
+              (col("xi") > col("xj") && col("yi") > col("yj"))), 1L)
+            .otherwise(0L)).as("nd"),
+          sum(when(col("xi") === col("xj"), 1L).otherwise(0L)).as("tx"),
+          sum(when(col("yi") === col("yj"), 1L).otherwise(0L)).as("ty"))
+        .select(col("n0").as("n_pairs"), col("nc"), col("nd"),
+          Num.roundZ((col("nc") - col("nd")).cast("double")
+            / sqrt(((col("n0") - col("tx")) * (col("n0") - col("ty")))
+              .cast("double")), 6).as("tau_b"))
+    },
+    Some("""
+      WITH dx AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 ::BIGINT AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events WHERE event_type = 'view' GROUP BY 1),
+      dy AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 ::BIGINT AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      g AS (SELECT dx.day, x, y FROM dx JOIN dy USING (day)),
+      agg AS (
+        SELECT count(*) AS n0,
+               CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                   OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS nc,
+               CAST(sum(CASE WHEN a.x <> b.x AND a.y <> b.y
+                   AND NOT ((a.x < b.x AND a.y < b.y)
+                     OR (a.x > b.x AND a.y > b.y)) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS nd,
+               CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT)
+                 AS tx,
+               CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT)
+                 AS ty
+        FROM g a JOIN g b ON a.day < b.day)
+      SELECT n0 AS n_pairs, nc, nd,
+             (CAST(round(CAST(nc - nd AS DOUBLE)
+               / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE)) * 1e6)
+               AS BIGINT) / 1e6) AS tau_b
+      FROM agg"""))
+
+  // --------------------------------------------------------------- q315
+  // Theil–Sen robust slope ([EXT]) — the MAGNITUDE companion to q221's
+  // Mann–Kendall direction test (the classic pairing): the median of
+  // all pairwise slopes of the daily purchase-revenue series, immune
+  // to ~29% outlier days where the OLS slope (reported beside it) is
+  // not. The robust trend line a capacity-planning dashboard fits.
+  //
+  // Scale: corpus → 30-row day grid (one hash aggregate); the slope
+  // pairs are grid² (≤ 435 rows) and the median is a grid-window
+  // rank — all constant in corpus size.
+  //
+  // Exactness: slopes are single divisions of exact integers
+  // (identical doubles cross-engine; ordering ties broken by day
+  // pair); the even-count median averages two identical doubles
+  // (exact halving); the OLS slope is a ratio of exact integer
+  // moments; roundZ final.
+  private val q315 = QueryDef(
+    "q315_theil_sen",
+    (s, d) => {
+      val g = ev(s, d).filter(col("event_type") === "purchase")
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+          " AS BIGINT)").as("day"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("y"))
+      val slopes = g.toDF("di", "yi").join(g.toDF("dj", "yj"),
+          col("di") < col("dj"))
+        .select(col("di"), col("dj"),
+          ((col("yj") - col("yi")).cast("double")
+            / (col("dj") - col("di")).cast("double")).as("sl"))
+      val wS = Window.orderBy(col("sl"), col("di"), col("dj"))
+      val np = slopes.agg(count(lit(1)).as("np"))
+      val med = slopes
+        .withColumn("rn", row_number().over(wS))
+        .crossJoin(broadcast(np))
+        .filter(col("rn") * 2L === col("np") ||
+          col("rn") * 2L === col("np") + 1L ||
+          col("rn") * 2L === col("np") + 2L)
+        .agg((sum(col("sl")) / count(lit(1)).cast("double")).as("ts_slope"),
+          max(col("np")).as("n_pairs"))
+      val ols = g.agg(count(lit(1)).as("n"), sum(col("day")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("day") * col("day")).as("sxx"),
+          sum(col("day") * col("y")).as("sxy"))
+        .select(col("n").as("n_days"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")).as("ols_slope"))
+      med.crossJoin(broadcast(ols))
+        .select(col("n_days"), col("n_pairs"),
+          Num.roundZ(col("ts_slope"), 4).as("ts_slope"),
+          Num.roundZ(col("ols_slope"), 4).as("ols_slope"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 ::BIGINT AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      slopes AS (
+        SELECT a.day AS di, b.day AS dj,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+                 AS sl
+        FROM g a JOIN g b ON a.day < b.day),
+      ranked AS (
+        SELECT sl, row_number() OVER (ORDER BY sl, di, dj) AS rn,
+               count(*) OVER () AS np
+        FROM slopes),
+      med AS (
+        SELECT sum(sl) / CAST(count(*) AS DOUBLE) AS ts_slope,
+               CAST(max(np) AS BIGINT) AS n_pairs
+        FROM ranked
+        WHERE rn * 2 = np OR rn * 2 = np + 1 OR rn * 2 = np + 2),
+      ols AS (
+        SELECT count(*) AS n_days,
+               CAST(count(*) * sum(day * y) - sum(day) * sum(y) AS DOUBLE)
+                 / CAST(count(*) * sum(day * day) - sum(day) * sum(day)
+                   AS DOUBLE) AS ols_slope
+        FROM g)
+      SELECT n_days, n_pairs,
+             (CAST(round(ts_slope * 1e4) AS BIGINT) / 1e4) AS ts_slope,
+             (CAST(round(ols_slope * 1e4) AS BIGINT) / 1e4) AS ols_slope
+      FROM med, ols"""))
+
+  // --------------------------------------------------------------- q316
+  // Randomization (permutation) test for a mean difference ([EXT]) —
+  // the EXACT-null nonparametric companion to q149's Welch t: is the
+  // weekday/weekend purchase-value gap explainable by chance? B = 200
+  // deterministic md5-seeded relabelings (random-reassignment null,
+  // the standard large-sample surrogate for exact label permutation —
+  // documented) recompute the mean difference, and the p-value is the
+  // rank of the observed |gap| among them, (1 + #{|T_b| ≥ |T_obs|}) /
+  // (1 + B).
+  //
+  // Scale: the B× fan-out collapses MAP-SIDE to B groups (the
+  // permutation state is 4 integers per replicate — the whole point);
+  // one corpus pass with in-partition combine, then the comparison
+  // runs on the 200-row replicate grid. No resample materializes.
+  //
+  // Exactness: group sums/counts are exact cents BIGINTs per
+  // replicate; each mean difference is the same fixed-order double
+  // expression; the |T_b| ≥ |T_obs| comparisons are over identical
+  // doubles, so the counted rank is exact; p is a ratio of exact
+  // small integers, roundZ final.
+  private val q316 = QueryDef(
+    "q316_permutation_test",
+    (s, d) => {
+      val base = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          when(dayofweek(col("ts")).isin(1, 7), 1L).otherwise(0L).as("we"),
+          round(col("value") * 100).cast("long").as("c"))
+      val obs = base.agg(
+          sum(when(col("we") === 1L, col("c"))).as("s1"),
+          sum(when(col("we") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("we") === 0L, col("c"))).as("s0"),
+          sum(when(col("we") === 0L, 1L).otherwise(0L)).as("n0"))
+        .select(col("n1"), col("n0"),
+          (col("s1").cast("double") / col("n1").cast("double")
+            - col("s0").cast("double") / col("n0").cast("double"))
+            .as("t_obs"))
+      val perms = base
+        .select(col("event_id"), col("c"),
+          explode(sequence(lit(1), lit(200))).as("b"))
+        .withColumn("g",
+          conv(substring(md5(concat(lit("perm"), col("b").cast("string"),
+            lit(":"), col("event_id").cast("string"))), 1, 14), 16, 10)
+            .cast("long") % 2L)
+      val reps = perms.groupBy(col("b"))
+        .agg(sum(when(col("g") === 1L, col("c"))).as("s1"),
+          sum(when(col("g") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g") === 0L, col("c"))).as("s0"),
+          sum(when(col("g") === 0L, 1L).otherwise(0L)).as("n0"))
+        .select(col("b"),
+          (col("s1").cast("double") / col("n1").cast("double")
+            - col("s0").cast("double") / col("n0").cast("double"))
+            .as("t_b"))
+      reps.crossJoin(broadcast(obs))
+        .agg(max(col("n1")).as("n_weekend"), max(col("n0")).as("n_weekday"),
+          max(col("t_obs")).as("t_obs"),
+          sum(when(abs(col("t_b")) >= abs(col("t_obs")), 1L).otherwise(0L))
+            .as("n_extreme"))
+        .select(col("n_weekend"), col("n_weekday"),
+          Num.roundZ(col("t_obs") / lit(100.0), 6).as("t_obs_dollars"),
+          col("n_extreme"),
+          Num.roundZ((col("n_extreme") + 1L).cast("double") / lit(201.0), 6)
+            .as("p_value"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_id,
+               CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+                 THEN 1 ELSE 0 END AS we,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'),
+      obs AS (
+        SELECT CAST(sum(we) AS BIGINT) AS n1,
+               CAST(sum(1 - we) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN we = 1 THEN c END) AS DOUBLE)
+                   / CAST(sum(we) AS DOUBLE)
+                 - CAST(sum(CASE WHEN we = 0 THEN c END) AS DOUBLE)
+                   / CAST(sum(1 - we) AS DOUBLE) AS t_obs
+        FROM base),
+      perms AS (
+        SELECT t.b, base.c,
+               ('0x' || substr(md5('perm' || CAST(t.b AS VARCHAR) || ':'
+                 || CAST(base.event_id AS VARCHAR)), 1, 14))::BIGINT % 2
+                 AS g
+        FROM base CROSS JOIN range(1, 201) t(b)),
+      reps AS (
+        SELECT b,
+               CAST(sum(CASE WHEN g = 1 THEN c END) AS DOUBLE)
+                   / CAST(sum(g) AS DOUBLE)
+                 - CAST(sum(CASE WHEN g = 0 THEN c END) AS DOUBLE)
+                   / CAST(sum(1 - g) AS DOUBLE) AS t_b
+        FROM perms GROUP BY 1)
+      SELECT o.n1 AS n_weekend, o.n0 AS n_weekday,
+             (CAST(round(o.t_obs / 100.0 * 1e6) AS BIGINT) / 1e6)
+               AS t_obs_dollars,
+             CAST(sum(CASE WHEN abs(r.t_b) >= abs(o.t_obs) THEN 1 ELSE 0
+               END) AS BIGINT) AS n_extreme,
+             (CAST(round(CAST(sum(CASE WHEN abs(r.t_b) >= abs(o.t_obs)
+                 THEN 1 ELSE 0 END) + 1 AS DOUBLE) / 201.0 * 1e6)
+               AS BIGINT) / 1e6) AS p_value
+      FROM reps r CROSS JOIN obs o
+      GROUP BY o.n1, o.n0, o.t_obs"""))
 
   // --------------------------------------------------------------- q313
   // Label-propagation community detection, 3 synchronous rounds ([EXT]
@@ -6585,5 +6851,5 @@ object Analytics {
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
-      q308, q309, q311, q313)
+      q308, q309, q311, q313, q314, q315, q316)
 }
