@@ -5590,6 +5590,61 @@ object Analytics {
       FROM w2t, tot
       ORDER BY event_type"""))
 
+  // --------------------------------------------------------------- q319
+  // Capture–recapture population estimate ([EXT]) — Lincoln–Petersen
+  // and the bias-corrected Chapman estimator: treat the first and
+  // second half-month of purchase activity as two "captures" of the
+  // user population; the overlap m between the n₁ and n₂ captured sets
+  // estimates the total active population N̂ = n₁·n₂/m even though no
+  // single window sees it all. The estimator ecology/epidemiology uses
+  // for hidden-population sizing; in a data platform it answers "how
+  // many users exist given two partial snapshots" — reported beside
+  // the true 30-day distinct count, so the query is its own accuracy
+  // gate.
+  //
+  // Scale: ONE user-keyed hash aggregate (max of two membership flags
+  // per user — map-side combinable) collapses the corpus; the
+  // estimator is scalar arithmetic on four exact counts.
+  //
+  // Exactness: counts are exact BIGINTs; both estimates are
+  // fixed-order ratios of exact integers, roundZ final.
+  private val q319 = QueryDef(
+    "q319_capture_recapture",
+    (s, d) => {
+      val flags = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          when(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+            " AS BIGINT)") < 15L, 1L).otherwise(0L).as("w1"))
+        .groupBy(col("user_id"))
+        .agg(max(col("w1")).as("a"), max(lit(1L) - col("w1")).as("b"))
+      flags.agg(
+          sum(col("a")).as("n1"), sum(col("b")).as("n2"),
+          sum(col("a") * col("b")).as("m"), count(lit(1)).as("n_true"))
+        .select(col("n1"), col("n2"), col("m"), col("n_true"),
+          Num.roundZ((col("n1") * col("n2")).cast("double")
+            / col("m").cast("double"), 6).as("lincoln_petersen"),
+          Num.roundZ(((col("n1") + 1L) * (col("n2") + 1L)).cast("double")
+            / (col("m") + 1L).cast("double") - lit(1.0), 6).as("chapman"))
+    },
+    Some("""
+      WITH flags AS (
+        SELECT user_id,
+               max(CASE WHEN date_diff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) < 15 THEN 1 ELSE 0 END) AS a,
+               max(CASE WHEN date_diff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) < 15 THEN 0 ELSE 1 END) AS b
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1)
+      SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2,
+             CAST(sum(a * b) AS BIGINT) AS m, count(*) AS n_true,
+             (CAST(round(CAST(sum(a) * sum(b) AS DOUBLE)
+               / CAST(sum(a * b) AS DOUBLE) * 1e6) AS BIGINT) / 1e6)
+               AS lincoln_petersen,
+             (CAST(round((CAST((sum(a) + 1) * (sum(b) + 1) AS DOUBLE)
+               / CAST(sum(a * b) + 1 AS DOUBLE) - 1.0) * 1e6) AS BIGINT)
+               / 1e6) AS chapman
+      FROM flags"""))
+
   // --------------------------------------------------------------- q314
   // Kendall τ-b rank correlation ([EXT]) — completes the correlation
   // trio (q55 Pearson = linear, q242 Spearman = monotone-by-ranks,
@@ -6851,5 +6906,5 @@ object Analytics {
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
-      q308, q309, q311, q313, q314, q315, q316)
+      q308, q309, q311, q313, q314, q315, q316, q319)
 }

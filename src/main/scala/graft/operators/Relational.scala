@@ -4017,6 +4017,114 @@ object Relational {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""))
 
+  // --------------------------------------------------------------- q317
+  // ANSI aggregate surface sweep ([SQL surface]) — the modern aggregate
+  // builtins a porting user reaches for, in one grouped pass over
+  // orders: count_if (filtered count), bool_and/bool_or (universal /
+  // existential predicates), bit_and/bit_or/bit_xor (bitmask
+  // reductions — commutative and associative, so partition-independent
+  // by construction), exact median of an integral column (both engines
+  // average the two middles on even counts — interpolation-identical on
+  // integers), and DETERMINISTIC mode: Spark's `mode(expr, true)`
+  // returns the LOWEST value among frequency ties, which the oracle
+  // mirrors as the definition-form (count DESC, value ASC) pick — the
+  // pair agrees by construction even when frequencies tie (the q163
+  // lesson applied to a builtin whose tie behavior is otherwise
+  // engine-arbitrary).
+  //
+  // Scale: one map-side-combinable hash aggregate; median buffers per
+  // group (priority-bounded groups — the q208 boundary note applies).
+  private val q317 = QueryDef(
+    "q317_agg_surface_sweep",
+    (s, d) =>
+      ord(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("count_if(o_totalprice > 100000.0)").as("n_big"),
+          expr("bool_and(o_totalprice > 1000.0)").as("all_over_1k"),
+          expr("bool_or(o_orderstatus = 'P')").as("any_pending"),
+          expr("bit_and(o_orderkey)").as("key_band"),
+          expr("bit_or(o_orderkey)").as("key_bor"),
+          expr("bit_xor(o_orderkey)").as("key_bxor"),
+          expr("median(o_orderkey)").as("med_key"),
+          expr("mode(o_orderstatus, true)").as("mode_status"))
+        .orderBy(col("o_orderpriority")),
+    Some("""
+      WITH m AS (
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        FROM orders GROUP BY 1, 2),
+      md AS (
+        SELECT o_orderpriority, o_orderstatus AS mode_status,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY n DESC, o_orderstatus) AS rn
+        FROM m)
+      SELECT o.o_orderpriority,
+             CAST(count_if(o.o_totalprice > 100000.0) AS BIGINT) AS n_big,
+             bool_and(o.o_totalprice > 1000.0) AS all_over_1k,
+             bool_or(o.o_orderstatus = 'P') AS any_pending,
+             CAST(bit_and(o.o_orderkey) AS BIGINT) AS key_band,
+             CAST(bit_or(o.o_orderkey) AS BIGINT) AS key_bor,
+             CAST(bit_xor(o.o_orderkey) AS BIGINT) AS key_bxor,
+             CAST(median(o.o_orderkey) AS DOUBLE) AS med_key,
+             max(md.mode_status) AS mode_status
+      FROM orders o JOIN md ON md.o_orderpriority = o.o_orderpriority
+        AND md.rn = 1
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority"""))
+
+  // --------------------------------------------------------------- q318
+  // Map higher-order-function surface ([SQL surface]) — the MapType
+  // companion to q269's array sweep: per sampled user, the event-type
+  // activity profile is materialized as a MAP (map_from_entries over
+  // the per-type counts) and then consumed through the map HOFs a
+  // porting user needs — map_filter (threshold the profile),
+  // transform_values (rescale), map_contains_key, element_at, and an
+  // aggregate() fold over map_values. Every reduction is a LONG sum or
+  // size — order-independent — so collect_list's nondeterministic
+  // entry order cannot reach the output (the only safe way to fold a
+  // map built from an unordered aggregation).
+  //
+  // Scale: one (user, type) hash aggregate (map-side combinable), one
+  // user-level map build over ≤ |event types| entries each; the HOF
+  // chain is per-row compute inside codegen. The oracle computes the
+  // same numbers definition-form from the flat (user, type, count)
+  // table — maps are a Spark-side representation choice, not a
+  // semantic one.
+  private val q318 = QueryDef(
+    "q318_map_fns",
+    (s, d) =>
+      ev(s, d).filter(col("user_id") % 101L === 7L)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(collect_list(struct(col("event_type"),
+          col("n")))).as("m"))
+        .select(col("user_id"),
+          size(map_keys(col("m"))).cast("long").as("n_types"),
+          size(expr("map_filter(m, (k, v) -> v >= 3)")).cast("long")
+            .as("n_freq_types"),
+          expr("aggregate(map_values(transform_values(m, (k, v) -> v * 2))," +
+            " 0L, (acc, x) -> acc + x)").as("total_x2"),
+          expr("map_contains_key(m, 'purchase')").as("has_purchase"),
+          coalesce(expr("element_at(m, 'purchase')"), lit(0L)).cast("long")
+            .as("purchase_cnt"))
+        .orderBy(col("user_id")),
+    Some("""
+      WITH g AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events WHERE user_id % 101 = 7
+        GROUP BY 1, 2)
+      SELECT user_id,
+             count(*) AS n_types,
+             CAST(count_if(n >= 3) AS BIGINT) AS n_freq_types,
+             CAST(sum(n * 2) AS BIGINT) AS total_x2,
+             bool_or(event_type = 'purchase') AS has_purchase,
+             CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN n
+               END), 0) AS BIGINT) AS purchase_cnt
+      FROM g
+      GROUP BY user_id
+      ORDER BY user_id"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -4025,5 +4133,5 @@ object Relational {
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
     q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208, q211,
     q212, q216, q223, q224, q231, q234, q237, q246, q249, q252, q267, q268, q269, q272, q273,
-    q284)
+    q284, q317, q318)
 }
