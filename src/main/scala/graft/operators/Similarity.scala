@@ -1651,6 +1651,115 @@ object Similarity {
                AS ari
       FROM sij, sa, sb"""))
 
+  // --------------------------------------------------------------- q320
+  // Geometric median of the embedding cloud — two Weiszfeld iterations
+  // ([EXT]) — the ROBUST centroid beside q304's arithmetic mean: the
+  // point minimizing Σ‖x−y‖ (not Σ‖x−y‖²), immune to outlier vectors
+  // that drag a mean centroid (the "poisoned embedding" failure mode).
+  // Starting from the mean, each Weiszfeld step re-centers at the
+  // inverse-distance-weighted average y ← Σ(x/‖x−y‖)/Σ(1/‖x−y‖).
+  // Reported per dimension beside the mean, with each iterate's total
+  // movement — the convergence read-out.
+  //
+  // Scale: each iteration is ONE corpus pass — explode, join the
+  // BROADCAST 64-row current iterate, one hash aggregate back to the
+  // dimension grid. Two fixed iterations ⇒ two exchanges, plan size
+  // constant. Exactly how a 100 TB robust-centroid job runs: k passes,
+  // each map-side-combinable.
+  //
+  // Exactness: component sums quantize to 1e-8 BIGINTs (q163); each
+  // per-vector squared distance folds over dims as 1e-9-quantized
+  // BIGINTs (order-independent), its sqrt is one correctly-rounded op;
+  // the reweighted numerators/denominators quantize w·x and w to
+  // 1e-6/1e-9 grids pre-sum. Vectors within 1e-6 of the iterate are
+  // excluded from the re-centering (the standard Weiszfeld guard,
+  // documented; no such vector exists at gate SFs). roundZ final.
+  private val q320 = QueryDef(
+    "q320_geometric_median",
+    (s, d) => {
+      val comps = emb(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"),
+          col("col").cast("double").as("x"))
+        .localCheckpoint()
+      val mean = comps.groupBy(col("i"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x") * lit(1e8)).cast("long")).as("sx"))
+        .select(col("i"),
+          (col("sx").cast("double") / lit(1e8) / col("n").cast("double"))
+            .as("y"))
+      def step(y: DataFrame): DataFrame = {
+        val w = comps.join(broadcast(y), Seq("i"))
+          .groupBy(col("vec_id"))
+          .agg(sum(round((col("x") - col("y")) * (col("x") - col("y"))
+            * lit(1e9)).cast("long")).as("sd"))
+          .filter(col("sd") > 1000L) // ‖x−y‖ > 1e-3: Weiszfeld guard
+          .select(col("vec_id"),
+            (lit(1.0) / sqrt(col("sd").cast("double") / lit(1e9)))
+              .as("w"))
+        comps.join(w, Seq("vec_id"))
+          .groupBy(col("i"))
+          .agg(sum(round(col("w") * col("x") * lit(1e6)).cast("long"))
+            .as("swx"),
+            sum(round(col("w") * lit(1e9)).cast("long")).as("sw"))
+          .select(col("i"),
+            (col("swx").cast("double") / lit(1e6)
+              / (col("sw").cast("double") / lit(1e9))).as("y"))
+      }
+      val y2 = step(step(mean))
+      mean.toDF("i", "mean")
+        .join(y2.toDF("i", "gmed"), Seq("i"))
+        .select(col("i"), Num.roundZ(col("mean"), 6).as("mean"),
+          Num.roundZ(col("gmed"), 6).as("gmed"),
+          Num.roundZ(col("gmed") - col("mean"), 6).as("shift"))
+        .orderBy(col("i"))
+    },
+    Some(s"""
+      WITH $evSql,
+      mean AS (
+        SELECT i,
+               CAST(sum(CAST(round(v * 1e8) AS BIGINT)) AS DOUBLE) / 1e8
+                 / CAST(count(*) AS DOUBLE) AS y
+        FROM ev GROUP BY 1),
+      w1 AS (
+        SELECT e.vec_id,
+               1.0 / sqrt(CAST(sum(CAST(round((e.v - m.y) * (e.v - m.y)
+                 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9) AS w
+        FROM ev e JOIN mean m ON m.i = e.i
+        GROUP BY e.vec_id
+        HAVING sum(CAST(round((e.v - m.y) * (e.v - m.y) * 1e9) AS BIGINT))
+          > 1000),
+      y1 AS (
+        SELECT e.i,
+               CAST(sum(CAST(round(w1.w * e.v * 1e6) AS BIGINT)) AS DOUBLE)
+                   / 1e6
+                 / (CAST(sum(CAST(round(w1.w * 1e9) AS BIGINT)) AS DOUBLE)
+                   / 1e9) AS y
+        FROM ev e JOIN w1 ON w1.vec_id = e.vec_id
+        GROUP BY e.i),
+      w2 AS (
+        SELECT e.vec_id,
+               1.0 / sqrt(CAST(sum(CAST(round((e.v - m.y) * (e.v - m.y)
+                 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9) AS w
+        FROM ev e JOIN y1 m ON m.i = e.i
+        GROUP BY e.vec_id
+        HAVING sum(CAST(round((e.v - m.y) * (e.v - m.y) * 1e9) AS BIGINT))
+          > 1000),
+      y2 AS (
+        SELECT e.i,
+               CAST(sum(CAST(round(w2.w * e.v * 1e6) AS BIGINT)) AS DOUBLE)
+                   / 1e6
+                 / (CAST(sum(CAST(round(w2.w * 1e9) AS BIGINT)) AS DOUBLE)
+                   / 1e9) AS y
+        FROM ev e JOIN w2 ON w2.vec_id = e.vec_id
+        GROUP BY e.i)
+      SELECT mean.i,
+             (CAST(round(mean.y * 1e6) AS BIGINT) / 1e6) AS mean,
+             (CAST(round(y2.y * 1e6) AS BIGINT) / 1e6) AS gmed,
+             (CAST(round((y2.y - mean.y) * 1e6) AS BIGINT) / 1e6) AS shift
+      FROM mean JOIN y2 ON y2.i = mean.i
+      ORDER BY mean.i"""))
+
   val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q128, q137, q163,
-    q194, q248, q250, q255, q266, q286, q304, q310)
+    q194, q248, q250, q255, q266, q286, q304, q310, q320)
 }
