@@ -821,4 +821,37 @@ class PlanSpec extends AnyFunSuite {
     assert(windows.forall(_.contains("doc_id")),
       s"only the surgery's per-doc island windows may appear:\n${windows.mkString("\n")}")
   }
+
+  test("q309: KMV order statistic via partitioned window after a broadcast cutoff") {
+    val p = planOf("q309_kmv_distinct")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-type cutoff grid must broadcast into the hash stream")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("et#")),
+      s"every rank window must partition by event type (no global sort):\n${windows.mkString("\n")}")
+  }
+
+  test("q311: pair generation is panel-vs-panel, never a cartesian") {
+    val p = planOf("q311_bradley_terry")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      "the (user,day) self-join must stay keyed")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "the panel self-join must be a keyed hash/merge join")
+  }
+
+  test("q313: LPA rounds run on the checkpointed k-NN grid, never all-pairs") {
+    val p = planOf("q313_label_propagation")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      "no LPA round may go all-pairs")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      "the k-NN edge grid must be checkpointed once, not recomputed per round")
+  }
+
+  test("q320: each Weiszfeld pass joins the broadcast iterate; no cartesian") {
+    val p = planOf("q320_geometric_median")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      "re-centering must never go all-pairs")
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 2,
+      "both iterates (64-row grids) must broadcast into the corpus passes")
+  }
 }
