@@ -5313,11 +5313,15 @@ object Analytics {
   // classic variance-bounded estimator — reported beside the exact F₂
   // so the query is its own accuracy gate.
   //
-  // Scale: ONE corpus pass with an 8× in-partition fan-out collapses
-  // map-side to 8 groups (the sketch state is 8 integers — THE point
-  // of AMS); the exact F₂ is a partkey-keyed hash aggregate
+  // Scale: ONE corpus pass with ONE md5 per row — the 8 instance signs
+  // are BIT-SLICED from the single 56-bit hash ((h>>i)&1), so the 8×
+  // instance fan-out adds integer ops only, and the aggregate
+  // collapses map-side to 8 groups (the sketch state is 8 integers —
+  // THE point of AMS); the exact F₂ is a partkey-keyed hash aggregate
   // (dimension-sized). Both are single exchanges; the median runs on
-  // the 8-row instance grid.
+  // the 8-row instance grid. (The first form hashed 8× per row and
+  // measured 4.4 s at sf0.1; the bit-slice re-measurement is in the
+  // BASELINE r8 close note.)
   //
   // Exactness: signs are md5-bit-derived integers (portable 56-bit
   // idiom), Z and Z² are exact BIGINTs, the median of 8 is
@@ -5328,12 +5332,12 @@ object Analytics {
     (s, d) => {
       val keyed = li(s, d).select(col("l_partkey").as("k"))
       val zs = keyed
-        .select(col("k"), explode(sequence(lit(0), lit(7))).as("i"))
         .withColumn("h",
-          conv(substring(md5(concat(lit("ams"), col("i").cast("string"),
-            lit(":"), col("k").cast("string"))), 1, 14), 16, 10)
-            .cast("long"))
-        .groupBy(col("i")).agg(sum((col("h") % 2L) * 2L - 1L).as("z"))
+          conv(substring(md5(concat(lit("ams:"), col("k").cast("string"))),
+            1, 14), 16, 10).cast("long"))
+        .select(col("h"), explode(sequence(lit(0), lit(7))).as("i"))
+        .groupBy(col("i"))
+        .agg(sum(expr("((h >> i) & 1) * 2 - 1")).as("z"))
         .withColumn("est", col("z") * col("z"))
       val f2 = keyed.groupBy(col("k")).agg(count(lit(1)).as("c"))
         .agg(sum(col("c") * col("c")).as("f2"), sum(col("c")).as("n"))
@@ -5349,12 +5353,13 @@ object Analytics {
             .as("rel_err"))
     },
     Some("""
-      WITH keyed AS (SELECT l_partkey AS k FROM lineitem),
+      WITH keyed AS (
+        SELECT ('0x' || substr(md5('ams:' || CAST(l_partkey AS VARCHAR)),
+          1, 14))::BIGINT AS h
+        FROM lineitem),
       zs AS (
         SELECT i,
-               CAST(sum((('0x' || substr(md5('ams' || CAST(i AS VARCHAR)
-                 || ':' || CAST(k AS VARCHAR)), 1, 14))::BIGINT % 2) * 2 - 1)
-                 AS BIGINT) AS z
+               CAST(sum(((h >> i) & 1) * 2 - 1) AS BIGINT) AS z
         FROM keyed CROSS JOIN range(0, 8) t(i)
         GROUP BY 1),
       ests AS (
@@ -5366,7 +5371,7 @@ object Analytics {
         WHERE rn IN (4, 5)),
       f2 AS (
         SELECT CAST(sum(c * c) AS BIGINT) AS f2, CAST(sum(c) AS BIGINT) AS n
-        FROM (SELECT k, count(*) AS c FROM keyed GROUP BY 1))
+        FROM (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1))
       SELECT n AS n_rows, f2 AS f2_exact,
              CAST(med2 AS DOUBLE) / 2.0 AS ams_est,
              (CAST(round((CAST(med2 AS DOUBLE) / 2.0 - CAST(f2 AS DOUBLE))
@@ -5817,6 +5822,10 @@ object Analytics {
   // permutation state is 4 integers per replicate — the whole point);
   // one corpus pass with in-partition combine, then the comparison
   // runs on the 200-row replicate grid. No resample materializes.
+  // Hash cost is FOUR md5 calls per row, not B: each replicate's
+  // group bit is BIT-SLICED from one of four 56-bit hashes
+  // (4·56 = 224 ≥ B bits — the first form hashed B× per row and
+  // measured 4.0 s at sf0.1; see the BASELINE r8 close note).
   //
   // Exactness: group sums/counts are exact cents BIGINTs per
   // replicate; each mean difference is the same fixed-order double
@@ -5839,13 +5848,17 @@ object Analytics {
           (col("s1").cast("double") / col("n1").cast("double")
             - col("s0").cast("double") / col("n0").cast("double"))
             .as("t_obs"))
+      def h(j: Int) =
+        conv(substring(md5(concat(lit(s"perm$j:"),
+          col("event_id").cast("string"))), 1, 14), 16, 10)
+          .cast("long").as(s"h$j")
       val perms = base
-        .select(col("event_id"), col("c"),
+        .select(col("c"), array(h(0), h(1), h(2), h(3)).as("hs"))
+        .select(col("c"), col("hs"),
           explode(sequence(lit(1), lit(200))).as("b"))
         .withColumn("g",
-          conv(substring(md5(concat(lit("perm"), col("b").cast("string"),
-            lit(":"), col("event_id").cast("string"))), 1, 14), 16, 10)
-            .cast("long") % 2L)
+          expr("(element_at(hs, CAST((b - 1) DIV 56 AS INT) + 1)" +
+            " >> CAST((b - 1) % 56 AS INT)) & 1"))
       val reps = perms.groupBy(col("b"))
         .agg(sum(when(col("g") === 1L, col("c"))).as("s1"),
           sum(when(col("g") === 1L, 1L).otherwise(0L)).as("n1"),
@@ -5881,12 +5894,22 @@ object Analytics {
                  - CAST(sum(CASE WHEN we = 0 THEN c END) AS DOUBLE)
                    / CAST(sum(1 - we) AS DOUBLE) AS t_obs
         FROM base),
+      hashed AS (
+        SELECT c,
+               [('0x' || substr(md5('perm0:' || CAST(event_id AS VARCHAR)),
+                  1, 14))::BIGINT,
+                ('0x' || substr(md5('perm1:' || CAST(event_id AS VARCHAR)),
+                  1, 14))::BIGINT,
+                ('0x' || substr(md5('perm2:' || CAST(event_id AS VARCHAR)),
+                  1, 14))::BIGINT,
+                ('0x' || substr(md5('perm3:' || CAST(event_id AS VARCHAR)),
+                  1, 14))::BIGINT] AS hs
+        FROM base),
       perms AS (
-        SELECT t.b, base.c,
-               ('0x' || substr(md5('perm' || CAST(t.b AS VARCHAR) || ':'
-                 || CAST(base.event_id AS VARCHAR)), 1, 14))::BIGINT % 2
-                 AS g
-        FROM base CROSS JOIN range(1, 201) t(b)),
+        SELECT t.b, hashed.c,
+               (hs[CAST((t.b - 1) // 56 AS INTEGER) + 1]
+                 >> CAST((t.b - 1) % 56 AS INTEGER)) & 1 AS g
+        FROM hashed CROSS JOIN range(1, 201) t(b)),
       reps AS (
         SELECT b,
                CAST(sum(CASE WHEN g = 1 THEN c END) AS DOUBLE)
