@@ -5955,55 +5955,76 @@ object Analytics {
   // integer arithmetic — weights are counts, the mode is a packed max
   // (weight·1024 + (1023 − label), labels < 1024), community sizes are
   // counts.
+  /** q313/q321 shared: the 3-NN strongest-lift brand co-purchase graph
+    * (directed, w = co-occurrence count), checkpointed once.
+    */
+  private def knnLiftEdges(s: SparkSession, d: String): DataFrame = {
+    val baskets = li(s, d)
+      .join(Tables.t(s, d, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"),
+        expr("CAST(substring(p_brand, 7) AS BIGINT)").as("item"))
+      .distinct()
+    val nOrders = baskets.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("nn"))
+    val itemN = baskets.groupBy(col("item")).agg(count(lit(1)).as("ni"))
+    val pairN = baskets.toDF("ok", "a")
+      .join(baskets.toDF("ok", "b"), Seq("ok"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
+    val wk = Window.partitionBy(col("a"))
+      .orderBy(col("lift").desc, col("b"))
+    pairN
+      .join(itemN.toDF("a", "na"), "a")
+      .join(itemN.toDF("b", "nb"), "b")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift", (col("nab") * col("nn")).cast("double")
+        / (col("na") * col("nb")).cast("double"))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= 3)
+      .select(col("a"), col("b"), col("nab").as("w"))
+      .localCheckpoint()
+  }
+
+  /** q313/q321 shared: 3 synchronous LPA rounds over [[knnLiftEdges]]. */
+  private def lpaLabels(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("a").as("node")).distinct()
+    def prop(lbls: DataFrame): DataFrame = {
+      val voted = edges
+        .join(lbls.toDF("b", "nlbl"), Seq("b"))
+        .groupBy(col("a"), col("nlbl")).agg(sum(col("w")).as("sw"))
+        .groupBy(col("a"))
+        .agg((lit(1023L) - max(col("sw") * 1024L + (lit(1023L)
+          - col("nlbl"))) % 1024L).as("plbl"))
+      nodes.join(voted.toDF("node", "plbl"), Seq("node"), "left")
+        .join(lbls, Seq("node"))
+        .select(col("node"), coalesce(col("plbl"), col("lbl")).as("lbl"))
+    }
+    val l0 = nodes.select(col("node"), col("node").as("lbl"))
+    prop(prop(prop(l0)))
+  }
+
   private val q313 = QueryDef(
     "q313_label_propagation",
     (s, d) => {
-      val baskets = li(s, d)
-        .join(Tables.t(s, d, "part"), col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("ok"),
-          expr("CAST(substring(p_brand, 7) AS BIGINT)").as("item"))
-        .distinct()
-      val nOrders = baskets.select(col("ok")).distinct()
-        .agg(count(lit(1)).as("nn"))
-      val itemN = baskets.groupBy(col("item")).agg(count(lit(1)).as("ni"))
-      val pairN = baskets.toDF("ok", "a")
-        .join(baskets.toDF("ok", "b"), Seq("ok"))
-        .filter(col("a") =!= col("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
-      val wk = Window.partitionBy(col("a"))
-        .orderBy(col("lift").desc, col("b"))
-      val edges = pairN
-        .join(itemN.toDF("a", "na"), "a")
-        .join(itemN.toDF("b", "nb"), "b")
-        .crossJoin(broadcast(nOrders))
-        .withColumn("lift", (col("nab") * col("nn")).cast("double")
-          / (col("na") * col("nb")).cast("double"))
-        .withColumn("rn", row_number().over(wk))
-        .filter(col("rn") <= 3)
-        .select(col("a"), col("b"), col("nab").as("w"))
-        .localCheckpoint()
-      val nodes = edges.select(col("a").as("node")).distinct()
-      def prop(lbls: DataFrame): DataFrame = {
-        val voted = edges
-          .join(lbls.toDF("b", "nlbl"), Seq("b"))
-          .groupBy(col("a"), col("nlbl")).agg(sum(col("w")).as("sw"))
-          .groupBy(col("a"))
-          .agg((lit(1023L) - max(col("sw") * 1024L + (lit(1023L)
-            - col("nlbl"))) % 1024L).as("plbl"))
-        nodes.join(voted.toDF("node", "plbl"), Seq("node"), "left")
-          .join(lbls, Seq("node"))
-          .select(col("node"), coalesce(col("plbl"), col("lbl")).as("lbl"))
-      }
-      val l0 = nodes.select(col("node"), col("node").as("lbl"))
-      val l3 = prop(prop(prop(l0)))
+      val l3 = lpaLabels(knnLiftEdges(s, d))
       val sizes = l3.groupBy(col("lbl")).agg(count(lit(1)).as("comm_size"))
       l3.join(sizes, Seq("lbl"))
         .select(col("node").as("brand_id"), col("lbl").as("community"),
           col("comm_size"))
         .orderBy(col("brand_id"))
     },
-    Some("""
-      WITH baskets AS (
+    Some(s"""
+      WITH $knnLpaSql,
+      sizes AS (SELECT lbl, count(*) AS comm_size FROM l3 GROUP BY 1)
+      SELECT l3.node AS brand_id, l3.lbl AS community,
+             sizes.comm_size
+      FROM l3 JOIN sizes ON sizes.lbl = l3.lbl
+      ORDER BY brand_id"""))
+
+  /** q313/q321 shared oracle CTE chain: 3-NN lift graph + 3 LPA rounds.
+    * (lazy: referenced from q313's eager QueryDef above its declaration.)
+    */
+  private lazy val knnLpaSql = """baskets AS (
         SELECT DISTINCT l.l_orderkey AS ok,
                CAST(substr(p.p_brand, 7) AS BIGINT) AS item
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
@@ -6057,12 +6078,126 @@ object Analytics {
       l3 AS MATERIALIZED (
         SELECT n.node, coalesce(v3.plbl, l2.lbl) AS lbl
         FROM nodes n LEFT JOIN v3 ON v3.node = n.node
-        JOIN l2 ON l2.node = n.node),
-      sizes AS (SELECT lbl, count(*) AS comm_size FROM l3 GROUP BY 1)
-      SELECT l3.node AS brand_id, l3.lbl AS community,
-             sizes.comm_size
-      FROM l3 JOIN sizes ON sizes.lbl = l3.lbl
-      ORDER BY brand_id"""))
+        JOIN l2 ON l2.node = n.node)"""
+
+  // --------------------------------------------------------------- q321
+  // k-NN graph health metrics ([EXT] graph family capstone) — the two
+  // numbers read before TRUSTING q313's communities: degree
+  // ASSORTATIVITY (Pearson correlation of endpoint degrees over the
+  // symmetrized edge list — positive = hubs link hubs) and Newman
+  // MODULARITY of the LPA partition (Q = Σ_c [m_c/m − (D_c/2m)²] —
+  // near 0 = the partition explains no more edge mass than chance, the
+  // "are these communities real" gate). Same graph, same labels as
+  // q313, plus the undirected projection both metrics are defined on.
+  //
+  // Scale: identical to q313 — one corpus pair-gen pass, then
+  // everything on the brand-domain grid (undirected edges ≤ B·k,
+  // degree/community reductions grid-sized).
+  //
+  // Exactness: degrees, edge counts and community masses are exact
+  // BIGINTs; assortativity is exact integer moments with ONE
+  // correctly-rounded sqrt of their product (q301's discipline);
+  // modularity is the exact integer Σ_c(4·m·m_c − D_c²) over 4m²,
+  // one division; roundZ final (both can be negative).
+  private val q321 = QueryDef(
+    "q321_knn_graph_metrics",
+    (s, d) => {
+      val edges = knnLiftEdges(s, d)
+      val und = edges
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+      val deg = und.select(col("u").as("node"))
+        .unionByName(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val dirSym = und.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(und.select(col("v").as("x"), col("u").as("y")))
+      val mom = dirSym
+        .join(deg.toDF("x", "dx"), Seq("x"))
+        .join(deg.toDF("y", "dy"), Seq("y"))
+        .agg(count(lit(1)).as("me"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"),
+          sum(col("dx") * col("dy")).as("sxy"))
+        .select(col("me"),
+          ((col("me") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt(((col("me") * col("sxx") - col("sx") * col("sx"))
+              * (col("me") * col("syy") - col("sy") * col("sy")))
+              .cast("double"))).as("assort"))
+      val l3 = lpaLabels(edges)
+      val m = und.agg(count(lit(1)).as("m"))
+      val mc = und
+        .join(l3.toDF("u", "lu"), Seq("u"))
+        .join(l3.toDF("v", "lv"), Seq("v"))
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("mc"))
+      val dc = l3.join(deg, Seq("node"))
+        .groupBy(col("lbl")).agg(sum(col("deg")).as("dcsum"))
+      val qmod = dc.join(mc, Seq("lbl"), "left")
+        .withColumn("mc0", coalesce(col("mc"), lit(0L)))
+        .crossJoin(broadcast(m))
+        .agg(count(lit(1)).as("n_comm"),
+          sum(lit(4L) * col("m") * col("mc0")
+            - col("dcsum") * col("dcsum")).as("qn"),
+          max(col("m")).as("mm"))
+      val nn = l3.agg(count(lit(1)).as("n_nodes"))
+      qmod.crossJoin(broadcast(mom)).crossJoin(broadcast(nn))
+        .select(col("n_nodes"), col("mm").as("n_und_edges"), col("n_comm"),
+          Num.roundZ(col("assort"), 6).as("assortativity"),
+          Num.roundZ(col("qn").cast("double")
+            / (lit(4L) * col("mm") * col("mm")).cast("double"), 6)
+            .as("modularity"))
+    },
+    Some(s"""
+      WITH $knnLpaSql,
+      und AS (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM edges),
+      deg AS (
+        SELECT node, count(*) AS deg FROM (
+          SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+        GROUP BY 1),
+      dirsym AS (
+        SELECT u AS x, v AS y FROM und
+        UNION ALL SELECT v AS x, u AS y FROM und),
+      mom AS (
+        SELECT count(*) AS me,
+               CAST(sum(dx.deg) AS BIGINT) AS sx,
+               CAST(sum(dy.deg) AS BIGINT) AS sy,
+               CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sxx,
+               CAST(sum(dy.deg * dy.deg) AS BIGINT) AS syy,
+               CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sxy
+        FROM dirsym
+        JOIN deg dx ON dx.node = dirsym.x
+        JOIN deg dy ON dy.node = dirsym.y),
+      m AS (SELECT count(*) AS m FROM und),
+      mc AS (
+        SELECT lu.lbl, count(*) AS mc
+        FROM und
+        JOIN l3 lu ON lu.node = und.u
+        JOIN l3 lv ON lv.node = und.v
+        WHERE lu.lbl = lv.lbl
+        GROUP BY 1),
+      dc AS (
+        SELECT l3.lbl, CAST(sum(deg.deg) AS BIGINT) AS dcsum
+        FROM l3 JOIN deg ON deg.node = l3.node
+        GROUP BY 1),
+      qmod AS (
+        SELECT count(*) AS n_comm,
+               CAST(sum(4 * m.m * coalesce(mc.mc, 0)
+                 - dc.dcsum * dc.dcsum) AS BIGINT) AS qn,
+               CAST(max(m.m) AS BIGINT) AS mm
+        FROM dc LEFT JOIN mc ON mc.lbl = dc.lbl, m),
+      nn AS (SELECT count(*) AS n_nodes FROM l3)
+      SELECT nn.n_nodes, qmod.mm AS n_und_edges, qmod.n_comm,
+             (CAST(round(CAST(mom.me * mom.sxy - mom.sx * mom.sy AS DOUBLE)
+               / sqrt(CAST((mom.me * mom.sxx - mom.sx * mom.sx)
+                 * (mom.me * mom.syy - mom.sy * mom.sy) AS DOUBLE))
+               * 1e6) AS BIGINT) / 1e6) AS assortativity,
+             (CAST(round(CAST(qmod.qn AS DOUBLE)
+               / CAST(4 * qmod.mm * qmod.mm AS DOUBLE) * 1e6) AS BIGINT)
+               / 1e6) AS modularity
+      FROM qmod, mom, nn"""))
 
   // --------------------------------------------------------------- q307
   // Binned 1-D Wasserstein (earth-mover) drift ([EXT]) — the
@@ -6929,5 +7064,5 @@ object Analytics {
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
-      q308, q309, q311, q313, q314, q315, q316, q319)
+      q308, q309, q311, q313, q314, q315, q316, q319, q321)
 }
