@@ -1760,6 +1760,161 @@ object Similarity {
       FROM mean JOIN y2 ON y2.i = mean.i
       ORDER BY mean.i"""))
 
+  // --------------------------------------------------------------- q322
+  // Maximal Marginal Relevance reranking, λ = 0.7, K = 5 ([EXT]) — the
+  // DIVERSIFICATION member of the retrieval family (q110 BM25, q111
+  // RRF, q250 MRR, q290 Dirichlet QL, q264 proximity): from the top-20
+  // cosine candidates for probe vec 0, greedily pick 5 results where
+  // each pick maximizes λ·relevance − (1−λ)·max-similarity-to-already-
+  // selected — near-duplicate results are pushed down in favor of
+  // coverage, the standard fix for redundant retrieval.
+  //
+  // Scale: candidate generation is q50's broadcast-probe scan + top-k
+  // heap (corpus never shuffles); the candidate×candidate similarity
+  // grid and all 5 greedy rounds are 20-row grid arithmetic —
+  // constant in corpus size. The candidate table and sim grid are
+  // checkpointed once (5 rounds reuse them).
+  //
+  // Exactness: relevances and pairwise sims quantize to the 1e6 grid
+  // (roundZ); each round's argmax compares the 1e6-QUANTIZED score
+  // (packed int64, ties to lowest cid) and the oracle orders by the
+  // same quantized key — so tie behavior is identical by construction,
+  // not by luck. The reported score is the exact unpacked quantum.
+  private val q322 = QueryDef(
+    "q322_mmr_rerank",
+    (s, d) => {
+      val e = emb(s, d).withColumn("nrm", float_norm(col("embedding")))
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pe"), col("nrm").as("pn"))
+      val cand = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id").as("cid"), col("embedding"), col("nrm"),
+          Num.roundZ(float_dot(col("embedding"), col("pe"))
+            / (col("nrm") * col("pn")), 6).as("rel"))
+        .orderBy(col("rel").desc, col("cid")).limit(20)
+        .localCheckpoint()
+      val sims = cand.select(col("cid").as("ci"),
+          col("embedding").as("ei"), col("nrm").as("ni"))
+        .join(cand.select(col("cid").as("cj"), col("embedding").as("ej"),
+          col("nrm").as("nj")), col("ci") =!= col("cj"))
+        .select(col("ci"), col("cj"),
+          Num.roundZ(float_dot(col("ei"), col("ej"))
+            / (col("ni") * col("nj")), 6).as("sim"))
+        .localCheckpoint()
+      val c = cand.select(col("cid"), col("rel"))
+      // packed quantized argmax: ties to lowest cid (oracle mirrors)
+      def pick(scored: DataFrame, rank: Int): DataFrame = scored
+        .agg(max((round(col("score") * 1e6).cast("long") + 1000000L)
+          * 2097152L + (lit(2097151L) - col("cid"))).as("p"))
+        .select(lit(rank.toLong).as("rank"),
+          (lit(2097151L) - col("p") % 2097152L).as("cid"),
+          ((expr("p DIV 2097152") - 1000000L).cast("double") / lit(1e6))
+            .as("score"))
+      val s1 = pick(c.withColumn("score", col("rel")), 1)
+      val rounds = (2 to 5).foldLeft(s1) { (sel, k) =>
+        val msim = sims
+          .join(broadcast(sel.select(col("cid").as("cj"))), Seq("cj"))
+          .groupBy(col("ci")).agg(max(col("sim")).as("msim"))
+        val scored = c.join(sel.select(col("cid")), Seq("cid"), "left_anti")
+          .join(msim.toDF("cid", "msim"), Seq("cid"))
+          .withColumn("score",
+            lit(0.7) * col("rel") - lit(0.3) * col("msim"))
+        sel.unionByName(pick(scored, k))
+      }
+      rounds.join(c, Seq("cid"))
+        .select(col("rank"), col("cid"), col("rel"), col("score"))
+        .orderBy(col("rank"))
+    },
+    Some(s"""
+      WITH $evSql,
+      cand AS MATERIALIZED (
+        SELECT c.vec_id AS cid,
+               (CAST(round((sum(q.v * c.v) / (nq.nrm * nc.nrm)) * 1e6)
+                 AS BIGINT) / 1e6) AS rel
+        FROM ev q
+        JOIN ev c ON c.i = q.i AND c.vec_id <> 0
+        JOIN norms nq ON nq.vec_id = q.vec_id
+        JOIN norms nc ON nc.vec_id = c.vec_id
+        WHERE q.vec_id = 0
+        GROUP BY c.vec_id, nq.nrm, nc.nrm
+        ORDER BY rel DESC, cid LIMIT 20),
+      sims AS MATERIALIZED (
+        SELECT a.vec_id AS ci, b.vec_id AS cj,
+               (CAST(round((sum(a.v * b.v) / (na.nrm * nb.nrm)) * 1e6)
+                 AS BIGINT) / 1e6) AS sim
+        FROM ev a
+        JOIN ev b ON b.i = a.i AND b.vec_id <> a.vec_id
+        JOIN norms na ON na.vec_id = a.vec_id
+        JOIN norms nb ON nb.vec_id = b.vec_id
+        WHERE a.vec_id IN (SELECT cid FROM cand)
+          AND b.vec_id IN (SELECT cid FROM cand)
+        GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm),
+      s1 AS MATERIALIZED (
+        SELECT 1 AS rank, cid,
+               CAST(round(rel * 1e6) AS BIGINT) AS s6
+        FROM cand ORDER BY CAST(round(rel * 1e6) AS BIGINT) DESC, cid
+        LIMIT 1),
+      s2 AS MATERIALIZED (
+        SELECT 2 AS rank, c.cid,
+               CAST(round((0.7 * c.rel - 0.3 * m.msim) * 1e6) AS BIGINT)
+                 AS s6
+        FROM cand c
+        JOIN (SELECT ci, max(sim) AS msim FROM sims
+              WHERE cj IN (SELECT cid FROM s1) GROUP BY 1) m
+          ON m.ci = c.cid
+        WHERE c.cid NOT IN (SELECT cid FROM s1)
+        ORDER BY s6 DESC, c.cid LIMIT 1),
+      s3 AS MATERIALIZED (
+        SELECT 3 AS rank, c.cid,
+               CAST(round((0.7 * c.rel - 0.3 * m.msim) * 1e6) AS BIGINT)
+                 AS s6
+        FROM cand c
+        JOIN (SELECT ci, max(sim) AS msim FROM sims
+              WHERE cj IN (SELECT cid FROM s1 UNION ALL
+                           SELECT cid FROM s2) GROUP BY 1) m
+          ON m.ci = c.cid
+        WHERE c.cid NOT IN (SELECT cid FROM s1 UNION ALL
+                            SELECT cid FROM s2)
+        ORDER BY s6 DESC, c.cid LIMIT 1),
+      s4 AS MATERIALIZED (
+        SELECT 4 AS rank, c.cid,
+               CAST(round((0.7 * c.rel - 0.3 * m.msim) * 1e6) AS BIGINT)
+                 AS s6
+        FROM cand c
+        JOIN (SELECT ci, max(sim) AS msim FROM sims
+              WHERE cj IN (SELECT cid FROM s1 UNION ALL
+                           SELECT cid FROM s2 UNION ALL
+                           SELECT cid FROM s3) GROUP BY 1) m
+          ON m.ci = c.cid
+        WHERE c.cid NOT IN (SELECT cid FROM s1 UNION ALL
+                            SELECT cid FROM s2 UNION ALL
+                            SELECT cid FROM s3)
+        ORDER BY s6 DESC, c.cid LIMIT 1),
+      s5 AS MATERIALIZED (
+        SELECT 5 AS rank, c.cid,
+               CAST(round((0.7 * c.rel - 0.3 * m.msim) * 1e6) AS BIGINT)
+                 AS s6
+        FROM cand c
+        JOIN (SELECT ci, max(sim) AS msim FROM sims
+              WHERE cj IN (SELECT cid FROM s1 UNION ALL
+                           SELECT cid FROM s2 UNION ALL
+                           SELECT cid FROM s3 UNION ALL
+                           SELECT cid FROM s4) GROUP BY 1) m
+          ON m.ci = c.cid
+        WHERE c.cid NOT IN (SELECT cid FROM s1 UNION ALL
+                            SELECT cid FROM s2 UNION ALL
+                            SELECT cid FROM s3 UNION ALL
+                            SELECT cid FROM s4)
+        ORDER BY s6 DESC, c.cid LIMIT 1),
+      sel AS (
+        SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+        UNION ALL SELECT * FROM s5)
+      SELECT CAST(sel.rank AS BIGINT) AS rank, sel.cid, cand.rel,
+             (sel.s6 / 1e6) AS score
+      FROM sel JOIN cand ON cand.cid = sel.cid
+      ORDER BY rank"""))
+
   val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q128, q137, q163,
-    q194, q248, q250, q255, q266, q286, q304, q310, q320)
+    q194, q248, q250, q255, q266, q286, q304, q310, q320, q322)
 }
