@@ -5595,6 +5595,135 @@ object Analytics {
       FROM w2t, tot
       ORDER BY event_type"""))
 
+  // --------------------------------------------------------------- q323
+  // Month-over-month and year-over-year growth ([EXT] BI pack, beside
+  // q302's index numbers) — the first two numbers on any revenue
+  // dashboard: monthly net revenue with lag-1 and lag-12 growth rates,
+  // window-lagged on the MONTH GRID (≤ span months at any corpus
+  // size; the corpus appears once in the panel aggregate).
+  //
+  // Exactness: revenue is exact cents; growth = rev/lag − 1 is one
+  // division of exact integers (identical doubles both engines), NULL
+  // where the lag month is absent — same three-valued arithmetic in
+  // both engines. roundZ final (growth is signed).
+  private val q323 = QueryDef(
+    "q323_growth_mom_yoy",
+    (s, d) => {
+      val wm = Window.orderBy(col("ym"))
+      li(s, d)
+        .select(expr("CAST(year(l_shipdate) * 100 + month(l_shipdate)" +
+          " AS BIGINT)").as("ym"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long").as("cents"))
+        .groupBy(col("ym")).agg(sum(col("cents")).as("rev"))
+        .withColumn("p1", lag(col("rev"), 1).over(wm))
+        .withColumn("p12", lag(col("rev"), 12).over(wm))
+        .select(col("ym"), col("rev").as("rev_cents"),
+          Num.roundZ(col("rev").cast("double") / col("p1").cast("double")
+            - lit(1.0), 6).as("mom"),
+          Num.roundZ(col("rev").cast("double") / col("p12").cast("double")
+            - lit(1.0), 6).as("yoy"))
+        .orderBy(col("ym"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+                 AS ym,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                 * 100) AS BIGINT)) AS BIGINT) AS rev
+        FROM lineitem GROUP BY 1),
+      lagged AS (
+        SELECT ym, rev,
+               lag(rev, 1) OVER (ORDER BY ym) AS p1,
+               lag(rev, 12) OVER (ORDER BY ym) AS p12
+        FROM m)
+      SELECT ym, rev AS rev_cents,
+             (CAST(round((CAST(rev AS DOUBLE) / CAST(p1 AS DOUBLE) - 1.0)
+               * 1e6) AS BIGINT) / 1e6) AS mom,
+             (CAST(round((CAST(rev AS DOUBLE) / CAST(p12 AS DOUBLE) - 1.0)
+               * 1e6) AS BIGINT) / 1e6) AS yoy
+      FROM lagged
+      ORDER BY ym"""))
+
+  // --------------------------------------------------------------- q324
+  // Price–volume bridge (PVM waterfall) per brand, 1995 → 1996 ([EXT]
+  // BI pack) — the finance decomposition of a revenue delta into WHY:
+  // volume effect p₀·(q₁−q₀) (sold more units at old prices) and price
+  // effect (p₁−p₀)·q₁ (new prices on new volume). With these two
+  // definitions the bridge RECONCILES EXACTLY by algebra:
+  // p₀(q₁−q₀) + (p₁−p₀)q₁ = r₁ − r₀ — no residual bucket — and the
+  // output carries both sides so the reconciliation is visible
+  // (within the 1e-3-cent term quantization).
+  //
+  // Scale: ONE corpus pass to the (brand, year) panel (hash agg after
+  // a broadcast part-dim join); the bridge is brand-grid arithmetic.
+  //
+  // Exactness: quantities/revenues are exact BIGINTs; the two effects
+  // are fixed-order doubles of exact ints quantized to a 1e3 grid at
+  // the term level; roundZ final (all columns signed).
+  private val q324 = QueryDef(
+    "q324_pvm_bridge",
+    (s, d) => {
+      val panel = li(s, d)
+        .filter(year(col("l_shipdate")).isin(1995, 1996))
+        .join(broadcast(Tables.t(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          (year(col("l_shipdate")) === 1996).cast("long").as("y"),
+          round(col("l_quantity")).cast("long").as("qty"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long").as("cents"))
+        .groupBy(col("brand"), col("y"))
+        .agg(sum(col("qty")).as("q"), sum(col("cents")).as("r"))
+      val b = panel.filter(col("y") === 0L)
+        .select(col("brand"), col("q").as("q0"), col("r").as("r0"))
+        .join(panel.filter(col("y") === 1L)
+          .select(col("brand"), col("q").as("q1"), col("r").as("r1")),
+          Seq("brand"))
+        .withColumn("p0", col("r0").cast("double") / col("q0").cast("double"))
+        .withColumn("p1", col("r1").cast("double") / col("q1").cast("double"))
+        .withColumn("vol6",
+          round(col("p0") * (col("q1") - col("q0")).cast("double")
+            * lit(1e3)).cast("long"))
+        .withColumn("price6",
+          round((col("p1") - col("p0")) * col("q1").cast("double")
+            * lit(1e3)).cast("long"))
+      b.select(col("brand"),
+          col("q0"), col("q1"), (col("r1") - col("r0")).as("delta_cents"),
+          Num.roundZ(col("vol6").cast("double") / lit(1e5), 2)
+            .as("vol_eff_dollars"),
+          Num.roundZ(col("price6").cast("double") / lit(1e5), 2)
+            .as("price_eff_dollars"))
+        .orderBy(col("brand"))
+    },
+    Some("""
+      WITH panel AS (
+        SELECT p.p_brand AS brand,
+               CASE WHEN year(l.l_shipdate) = 1996 THEN 1 ELSE 0 END AS y,
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+                 AS q,
+               CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount)
+                 * 100) AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE year(l.l_shipdate) IN (1995, 1996)
+        GROUP BY 1, 2),
+      b AS (
+        SELECT a.brand, a.q AS q0, a.r AS r0, z.q AS q1, z.r AS r1,
+               CAST(a.r AS DOUBLE) / CAST(a.q AS DOUBLE) AS p0,
+               CAST(z.r AS DOUBLE) / CAST(z.q AS DOUBLE) AS p1
+        FROM panel a JOIN panel z ON z.brand = a.brand
+        WHERE a.y = 0 AND z.y = 1)
+      SELECT brand, q0, q1, CAST(r1 - r0 AS BIGINT) AS delta_cents,
+             (CAST(round(CAST(round(p0 * CAST(q1 - q0 AS DOUBLE) * 1e3)
+               AS BIGINT) / 1e5 * 1e2) AS BIGINT) / 1e2)
+               AS vol_eff_dollars,
+             (CAST(round(CAST(round((p1 - p0) * CAST(q1 AS DOUBLE) * 1e3)
+               AS BIGINT) / 1e5 * 1e2) AS BIGINT) / 1e2)
+               AS price_eff_dollars
+      FROM b
+      ORDER BY brand"""))
+
   // --------------------------------------------------------------- q319
   // Capture–recapture population estimate ([EXT]) — Lincoln–Petersen
   // and the bias-corrected Chapman estimator: treat the first and
@@ -7064,5 +7193,5 @@ object Analytics {
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
-      q308, q309, q311, q313, q314, q315, q316, q319, q321)
+      q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324)
 }
