@@ -5595,6 +5595,162 @@ object Analytics {
       FROM w2t, tot
       ORDER BY event_type"""))
 
+  // --------------------------------------------------------------- q325
+  // Decile gains/lift table ([EXT] model-eval pack) — the marketing
+  // "gains chart" beside q102's AUC and q160's calibration: rank by
+  // score (order value as the stand-in model score), cut into
+  // equal-frequency deciles from the top, and report per-decile
+  // positive capture and cumulative lift — "mailing the top 2 deciles
+  // reaches X% of responders at Y× random".
+  //
+  // Scale: q160's grid binning — ONE corpus aggregate onto the $1000
+  // score-value grid, the exclusive-prior cumulative runs on the GRID,
+  // the decile id broadcasts back; no corpus sort anywhere (the
+  // classic formulation sorts all N rows — this is the two-phase rank
+  // discipline applied to gains charts).
+  //
+  // Exactness: all counts exact; deciles are integer arithmetic on
+  // grid prefix sums; capture/lift are single divisions of exact ints,
+  // roundZ final.
+  private val q325 = QueryDef(
+    "q325_decile_lift",
+    (s, d) => {
+      val o = Tables.t(s, d, "orders").select(
+        floor(col("o_totalprice") / 1000.0).cast("long").as("gb"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val wCum = Window.orderBy(col("gb").desc)
+      val grid = o.groupBy(col("gb")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cumb",
+          coalesce(sum(col("cnt"))
+            .over(wCum.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val tot = o.agg(count(lit(1)).as("nt"), sum(col("y")).as("pt"))
+      val dec = o.join(broadcast(grid.select(col("gb"), col("cumb"))),
+          Seq("gb"))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile", expr("(10 * cumb) DIV nt"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+          max(col("nt")).as("nt"), max(col("pt")).as("pt"))
+      val wD = Window.orderBy(col("decile"))
+      dec
+        .withColumn("cn",
+          sum(col("n")).over(wD.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cp",
+          sum(col("n_pos"))
+            .over(wD.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("decile"), col("n"), col("n_pos"),
+          Num.roundZ(col("cp").cast("double") / col("pt").cast("double"), 6)
+            .as("capture"),
+          Num.roundZ((col("n_pos") * col("nt")).cast("double")
+            / (col("n") * col("pt")).cast("double"), 6).as("lift"),
+          Num.roundZ((col("cp") * col("nt")).cast("double")
+            / (col("cn") * col("pt")).cast("double"), 6).as("cum_lift"))
+        .orderBy(col("decile"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS gb,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders),
+      grid AS (
+        SELECT gb,
+               coalesce(sum(count(*)) OVER (ORDER BY gb DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cumb
+        FROM o GROUP BY gb),
+      tot AS (SELECT count(*) AS nt, CAST(sum(y) AS BIGINT) AS pt FROM o),
+      dec AS (
+        SELECT CAST((10 * g.cumb) // t.nt AS BIGINT) AS decile,
+               count(*) AS n, CAST(sum(o.y) AS BIGINT) AS n_pos,
+               max(t.nt) AS nt, max(t.pt) AS pt
+        FROM o JOIN grid g USING (gb) CROSS JOIN tot t
+        GROUP BY 1),
+      cum AS (
+        SELECT decile, n, n_pos, nt, pt,
+               CAST(sum(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS cn,
+               CAST(sum(n_pos) OVER (ORDER BY decile
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+        FROM dec)
+      SELECT decile, n, n_pos,
+             (CAST(round(CAST(cp AS DOUBLE) / CAST(pt AS DOUBLE) * 1e6)
+               AS BIGINT) / 1e6) AS capture,
+             (CAST(round(CAST(n_pos * nt AS DOUBLE)
+               / CAST(n * pt AS DOUBLE) * 1e6) AS BIGINT) / 1e6) AS lift,
+             (CAST(round(CAST(cp * nt AS DOUBLE)
+               / CAST(cn * pt AS DOUBLE) * 1e6) AS BIGINT) / 1e6)
+               AS cum_lift
+      FROM cum
+      ORDER BY decile"""))
+
+  // --------------------------------------------------------------- q326
+  // Minimum detectable effect / power analysis ([EXT] experimentation
+  // pack, beside q149's Welch test and q296's SPRT) — the question
+  // asked BEFORE launching an A/B test: with this traffic and this
+  // variance, what relative lift can a 50/50 split detect at α = 0.05
+  // two-sided with 80% power? MDE = (z_{α/2}+z_β)·√(2σ²/n) per arm,
+  // with the z constants as shared literals (1.959964, 0.841621).
+  //
+  // Scale: ONE map-side-combinable aggregate per event type (exact
+  // cents moments); the formula is scalar math on the 5-row type grid.
+  //
+  // Exactness: moments are exact cent-scaled BIGINTs; the sample
+  // variance is one fixed-order double expression; ONE sqrt; roundZ.
+  private val q326 = QueryDef(
+    "q326_mde_power",
+    (s, d) => ev(s, d)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .withColumn("mean", col("sc").cast("double") / col("n").cast("double"))
+      .withColumn("varr",
+        (col("scc").cast("double")
+          - col("n").cast("double") * col("mean") * col("mean"))
+          / (col("n").cast("double") - lit(1.0)))
+      .withColumn("narm", expr("n DIV 2"))
+      .withColumn("mde_abs", // z_{α/2}+z_β as ONE shared literal: the
+        // Scala-side SUM of two double literals need not equal the
+        // SQL-parsed "2.801585" bit-for-bit (the q163 lesson)
+        lit(2.801585)
+          * sqrt(lit(2.0) * col("varr") / col("narm").cast("double")))
+      .select(col("event_type"), col("n"), col("narm").as("n_per_arm"),
+        Num.roundZ(col("mean") / lit(100.0), 4).as("mean_dollars"),
+        Num.roundZ(col("mde_abs") / lit(100.0), 4).as("mde_dollars"),
+        Num.roundZ(col("mde_abs") / col("mean"), 6).as("mde_rel"))
+      .orderBy(col("event_type")),
+    Some("""
+      WITH g AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sc,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS scc
+        FROM events GROUP BY 1),
+      f AS (
+        SELECT event_type, n, n // 2 AS narm,
+               CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               (CAST(scc AS DOUBLE)
+                 - CAST(n AS DOUBLE) * (CAST(sc AS DOUBLE) / CAST(n AS
+                     DOUBLE)) * (CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / (CAST(n AS DOUBLE) - 1.0) AS varr
+        FROM g),
+      m AS (
+        SELECT event_type, n, narm, mean,
+               2.801585 * sqrt(2.0 * varr / CAST(narm AS DOUBLE))
+                 AS mde_abs
+        FROM f)
+      SELECT event_type, n, CAST(narm AS BIGINT) AS n_per_arm,
+             (CAST(round(mean / 100.0 * 1e4) AS BIGINT) / 1e4)
+               AS mean_dollars,
+             (CAST(round(mde_abs / 100.0 * 1e4) AS BIGINT) / 1e4)
+               AS mde_dollars,
+             (CAST(round(mde_abs / mean * 1e6) AS BIGINT) / 1e6)
+               AS mde_rel
+      FROM m
+      ORDER BY event_type"""))
+
   // --------------------------------------------------------------- q323
   // Month-over-month and year-over-year growth ([EXT] BI pack, beside
   // q302's index numbers) — the first two numbers on any revenue
@@ -7193,5 +7349,5 @@ object Analytics {
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
-      q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324)
+      q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326)
 }

@@ -2220,8 +2220,96 @@ object TextAnalysis {
       CROSS JOIN tots t
       ORDER BY f.rk"""))
 
+  // --------------------------------------------------------------- q327
+  // Bigram next-token accuracy on a held-out split ([EXT] LM-eval
+  // pack) — the simplest language-model evaluation, run end-to-end:
+  // train a bigram predictor (per first token, the most frequent
+  // successor — argmax count, ties to the lexicographically smallest)
+  // on docs with doc_id % 5 ≠ 0, then score per-language next-token
+  // accuracy and coverage on the held-out fifth. The harness shape of
+  // every LM eval: deterministic train/test split by content id,
+  // model = aggregate table, metric = exact counts.
+  //
+  // Scale: the token stream is one generator pass + one doc-keyed
+  // exchange for the successor lead(); the bigram table is
+  // a (w1, w2) hash aggregate (vocab²-sparse, corpus-independent per
+  // unique pair); the argmax collapses it to the vocab grid via a
+  // struct-min (no window); the test join is keyed on w1. No corpus
+  // sort, no all-pairs.
+  //
+  // Exactness: counts exact; the (−count, w2) struct-min argmax is
+  // mirrored by the oracle's (count DESC, w2) definition-form pick —
+  // identical binary string ordering in both engines on these ASCII
+  // tokens; accuracy/coverage are single divisions, roundZ final.
+  private val q327 = QueryDef(
+    "q327_bigram_next_token",
+    (s, d) => {
+      def bigrams(df: DataFrame) = df
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("w2", lead(col("w"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .filter(col("w2").isNotNull)
+        .select(col("lang"), col("w").as("w1"), col("w2"))
+      val train = bigrams(docs(s, d).filter(col("doc_id") % 5L =!= 0L))
+      val test = bigrams(docs(s, d).filter(col("doc_id") % 5L === 0L))
+      val model = train.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("w1"))
+        .agg(min(struct((-col("c")).as("nc"), col("w2").as("p"))).as("m"))
+        .select(col("w1"), col("m.p").as("pred"))
+      test.join(model, Seq("w1"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("pred").isNotNull, 1L).otherwise(0L)).as("n_covered"),
+          sum(when(col("pred") === col("w2"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("lang"), col("n_test"), col("n_covered"),
+          col("n_correct"),
+          Num.roundZ(col("n_covered").cast("double")
+            / col("n_test").cast("double"), 6).as("coverage"),
+          Num.roundZ(col("n_correct").cast("double")
+            / col("n_test").cast("double"), 6).as("accuracy"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      bg AS (
+        SELECT doc_id, lang, w AS w1,
+               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok),
+      train AS (
+        SELECT w1, w2 FROM bg WHERE doc_id % 5 <> 0 AND w2 IS NOT NULL),
+      test AS (
+        SELECT lang, w1, w2 FROM bg
+        WHERE doc_id % 5 = 0 AND w2 IS NOT NULL),
+      model AS (
+        SELECT w1, w2 AS pred FROM (
+          SELECT w1, w2,
+                 row_number() OVER (PARTITION BY w1
+                   ORDER BY count(*) DESC, w2) AS rn
+          FROM train GROUP BY w1, w2) t
+        WHERE rn = 1)
+      SELECT t.lang, count(*) AS n_test,
+             CAST(sum(CASE WHEN m.pred IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_covered,
+             CAST(sum(CASE WHEN m.pred = t.w2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct,
+             (CAST(round(CAST(sum(CASE WHEN m.pred IS NOT NULL THEN 1
+                 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6)
+               AS BIGINT) / 1e6) AS coverage,
+             (CAST(round(CAST(sum(CASE WHEN m.pred = t.w2 THEN 1 ELSE 0
+                 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6)
+               AS BIGINT) / 1e6) AS accuracy
+      FROM test t LEFT JOIN model m ON m.w1 = t.w1
+      GROUP BY t.lang
+      ORDER BY t.lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
       q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228,
-      q233, q236, q253, q264, q275, q276, q278, q279, q290)
+      q233, q236, q253, q264, q275, q276, q278, q279, q290, q327)
 }
