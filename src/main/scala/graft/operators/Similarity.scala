@@ -1915,6 +1915,171 @@ object Similarity {
       FROM sel JOIN cand ON cand.cid = sel.cid
       ORDER BY rank"""))
 
+  // --------------------------------------------------------------- q328
+  // IVF nprobe sweep — recall@5 and candidate cost at nprobe = 1, 2, 3
+  // from ONE pipeline ([EXT] ANN observability, beside q258's LSH
+  // recall eval and q194/q286's quantization gates): the tuning curve
+  // an ANN operator reads to pick its probe count. Each candidate
+  // carries the RANK of its cell in the query's probe ordering
+  // (admit), so the three operating points are one explode over
+  // p ∈ [admit, 3] — the assignment, probing, and scoring run once.
+  // Ground truth is the exact brute-force top-5 (broadcast queries,
+  // the eval op's documented cost — same framing as q258: an eval
+  // runs both arms by design).
+  //
+  // Scale: q51's discipline end-to-end — centroid assignment is a
+  // broadcast join, probing is a window over nQueries·K rows, the
+  // rerank touches only probed-cell members; the exact arm scans the
+  // corpus once per the broadcast query set. The sweep itself is
+  // grid arithmetic on the candidate table.
+  //
+  // Exactness: cosines roundZ-quantized before every rank (ties by
+  // id, mirrored ORDER BY); recall is an exact ratio over 15 = 3
+  // queries × 5; roundZ final.
+  private val q328 = QueryDef(
+    "q328_ivf_nprobe_sweep",
+    (s, d) => {
+      val e = emb(s, d).withColumn("norm", float_norm(col("embedding")))
+      val asg = lloydAsg(emb(s, d), "vec_id", "embedding", CentK,
+        LloydIters).localCheckpoint()
+      val cells = nearestCell(asg)
+        .select(col("vec_id").as("cid"), col("cell"))
+      val wAsg = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("cent_id"))
+      val probes = asg.filter(col("vec_id") < 3)
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") <= 3)
+        .select(col("vec_id").as("qid"), col("cent_id").as("cell"),
+          col("rn").cast("long").as("admit"))
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid2"), col("embedding").as("ea"),
+          col("norm").as("qn"))
+      val cand = probes.join(cells, "cell")
+        .filter(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"), col("admit"))
+      val scored = cand
+        .join(broadcast(q), col("qid") === col("qid2"))
+        .join(e.select(col("vec_id").as("cid"), col("embedding").as("eb"),
+          col("norm").as("cn")), "cid")
+        .withColumn("cos", Num.roundZ(float_dot(col("ea"), col("eb"))
+          / (col("qn") * col("cn")), 6))
+        .select(col("qid"), col("cid"), col("admit"), col("cos"))
+        .localCheckpoint()
+      val wEx = Window.partitionBy(col("qid2"))
+        .orderBy(col("cos").desc, col("cid"))
+      val exact = e
+        .select(col("vec_id").as("cid"), col("embedding").as("eb"),
+          col("norm").as("cn"))
+        .join(broadcast(q), col("cid") =!= col("qid2"))
+        .withColumn("cos", Num.roundZ(float_dot(col("ea"), col("eb"))
+          / (col("qn") * col("cn")), 6))
+        .withColumn("rk", row_number().over(wEx))
+        .filter(col("rk") <= 5)
+        .select(col("qid2").as("qid"), col("cid"), lit(1L).as("hit"))
+      val wP = Window.partitionBy(col("qid"), col("p"))
+        .orderBy(col("cos").desc, col("cid"))
+      val sweep = scored
+        .select(col("qid"), col("cid"), col("cos"),
+          explode(sequence(col("admit"), lit(3L))).as("p"))
+        .withColumn("rk", row_number().over(wP))
+        .filter(col("rk") <= 5)
+      val hits = sweep
+        .join(exact, Seq("qid", "cid"), "left")
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n_retrieved"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      val candN = cand
+        .select(explode(sequence(col("admit"), lit(3L))).as("p"))
+        .groupBy(col("p")).agg(count(lit(1)).as("n_cand"))
+      hits.join(candN, Seq("p"))
+        .select(col("p").as("nprobe"), col("n_cand"), col("n_retrieved"),
+          col("n_hits"),
+          Num.roundZ(col("n_hits").cast("double") / lit(15.0), 6)
+            .as("recall_at_5"))
+        .orderBy(col("nprobe"))
+    },
+    Some(s"""
+      WITH $evSql,
+      ${lloydCtes(LloydIters)},
+      asg AS (
+        SELECT e.vec_id, c.cent_id,
+               (CAST(round((sum(e.v * c.cv) / (ne.nrm * n.cn)) * 1e6)
+                 AS BIGINT) / 1e6) AS cos
+        FROM ev e
+        JOIN cv$LloydIters c ON c.i = e.i
+        JOIN norms ne ON ne.vec_id = e.vec_id
+        JOIN cn$LloydIters n ON n.cent_id = c.cent_id
+        GROUP BY e.vec_id, c.cent_id, ne.nrm, n.cn),
+      cells AS (
+        SELECT vec_id AS cid, cent_id AS cell FROM (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, cent_id) AS rn
+          FROM asg) t
+        WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS qid, cent_id AS cell, CAST(rn AS BIGINT) AS admit
+        FROM (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, cent_id) AS rn
+          FROM asg WHERE vec_id < 3) t
+        WHERE rn <= 3),
+      cand AS (
+        SELECT qid, cid, admit
+        FROM probes JOIN cells USING (cell)
+        WHERE qid <> cid),
+      pairs AS (
+        SELECT qid, cid, admit, sum(q.v * c.v) AS dot
+        FROM cand
+        JOIN ev q ON q.vec_id = qid
+        JOIN ev c ON c.vec_id = cid AND c.i = q.i
+        GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT qid, cid, admit,
+               (CAST(round((dot / (nq.nrm * nc.nrm)) * 1e6) AS BIGINT)
+                 / 1e6) AS cos
+        FROM pairs
+        JOIN norms nq ON qid = nq.vec_id
+        JOIN norms nc ON cid = nc.vec_id),
+      expairs AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.v * c.v) AS dot
+        FROM ev q JOIN ev c ON c.i = q.i AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 3
+        GROUP BY 1, 2),
+      exact AS (
+        SELECT qid, cid, 1 AS hit FROM (
+          SELECT qid, cid,
+                 row_number() OVER (PARTITION BY qid ORDER BY
+                   (CAST(round((dot / (nq.nrm * nc.nrm)) * 1e6) AS BIGINT)
+                     / 1e6) DESC, cid) AS rk
+          FROM expairs
+          JOIN norms nq ON qid = nq.vec_id
+          JOIN norms nc ON cid = nc.vec_id) t
+        WHERE rk <= 5),
+      sweep AS (
+        SELECT qid, cid, p FROM (
+          SELECT s.qid, s.cid, t.p,
+                 row_number() OVER (PARTITION BY s.qid, t.p
+                   ORDER BY s.cos DESC, s.cid) AS rk
+          FROM scored s JOIN range(1, 4) t(p) ON t.p >= s.admit) u
+        WHERE rk <= 5),
+      hits AS (
+        SELECT p, count(*) AS n_retrieved,
+               CAST(sum(coalesce(e.hit, 0)) AS BIGINT) AS n_hits
+        FROM sweep s LEFT JOIN exact e USING (qid, cid)
+        GROUP BY 1),
+      candn AS (
+        SELECT t.p, count(*) AS n_cand
+        FROM cand c JOIN range(1, 4) t(p) ON t.p >= c.admit
+        GROUP BY 1)
+      SELECT CAST(h.p AS BIGINT) AS nprobe, c.n_cand, h.n_retrieved,
+             h.n_hits,
+             (CAST(round(CAST(h.n_hits AS DOUBLE) / 15.0 * 1e6) AS BIGINT)
+               / 1e6) AS recall_at_5
+      FROM hits h JOIN candn c ON c.p = h.p
+      ORDER BY nprobe"""))
+
   val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q128, q137, q163,
-    q194, q248, q250, q255, q266, q286, q304, q310, q320, q322)
+    q194, q248, q250, q255, q266, q286, q304, q310, q320, q322, q328)
 }
