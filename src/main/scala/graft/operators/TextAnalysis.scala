@@ -2220,6 +2220,78 @@ object TextAnalysis {
       CROSS JOIN tots t
       ORDER BY f.rk"""))
 
+  // --------------------------------------------------------------- q329
+  // Term burstiness / dispersion audit ([EXT]) — for each high-df
+  // term, the variance-to-mean ratio (VMR) of its per-document count:
+  // VMR ≈ 1 is Poisson scatter (function words), VMR ≫ 1 is BURSTY
+  // (topical terms clumping in few docs — the corpus-linguistics
+  // dispersion signal q113's boilerplate detector and q253's keyness
+  // don't capture). Zero-count docs are IN the distribution (mean and
+  // variance over ALL docs, not just containing docs) via the
+  // containing-doc moments + the known total doc count — no dense
+  // term×doc grid is ever materialized.
+  //
+  // Scale: one generator pass + one (term, doc) hash aggregate
+  // (vocab×containing-docs sparse); the df ≥ 64 filter bounds the
+  // report to the high-df shelf and the final moments are one
+  // aggregate per surviving term. No windows, no corpus sort; top-20
+  // by VMR is a TakeOrdered heap.
+  //
+  // Exactness: counts exact; mean = Σc/N and
+  // var = (Σc² − N·mean²)/(N−1) with the sparse-to-dense correction
+  // folded in algebraically (zero rows contribute 0 to both sums);
+  // fixed-order doubles of exact ints, roundZ final.
+  private val q329 = QueryDef(
+    "q329_term_burstiness",
+    (s, d) => {
+      val nDocs = docs(s, d).agg(count(lit(1)).as("nd"))
+      val td = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+      val terms = td.groupBy(col("w"))
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("scc"))
+        .filter(col("df") >= 64L)
+        .crossJoin(broadcast(nDocs))
+        .withColumn("mean", col("sc").cast("double") / col("nd").cast("double"))
+        .withColumn("varr",
+          (col("scc").cast("double")
+            - col("nd").cast("double") * col("mean") * col("mean"))
+            / (col("nd").cast("double") - lit(1.0)))
+        .withColumn("vmr", col("varr") / col("mean"))
+      terms
+        .orderBy(col("vmr").desc, col("w")).limit(20)
+        .select(col("w").as("term"), col("df"), col("sc").as("tf"),
+          Num.roundZ(col("mean"), 6).as("mean_per_doc"),
+          Num.roundZ(col("vmr"), 6).as("vmr"))
+    },
+    Some("""
+      WITH nd AS (SELECT count(*) AS nd FROM documents),
+      td AS (
+        SELECT w, doc_id, count(*) AS c FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        GROUP BY 1, 2),
+      terms AS (
+        SELECT w, count(*) AS df, CAST(sum(c) AS BIGINT) AS sc,
+               CAST(sum(c * c) AS BIGINT) AS scc
+        FROM td GROUP BY 1 HAVING count(*) >= 64),
+      m AS (
+        SELECT w, df, sc,
+               CAST(sc AS DOUBLE) / CAST(nd.nd AS DOUBLE) AS mean,
+               ((CAST(scc AS DOUBLE)
+                  - CAST(nd.nd AS DOUBLE)
+                    * (CAST(sc AS DOUBLE) / CAST(nd.nd AS DOUBLE))
+                    * (CAST(sc AS DOUBLE) / CAST(nd.nd AS DOUBLE)))
+                 / (CAST(nd.nd AS DOUBLE) - 1.0))
+                 / (CAST(sc AS DOUBLE) / CAST(nd.nd AS DOUBLE)) AS vmr
+        FROM terms, nd)
+      SELECT w AS term, df, sc AS tf,
+             (CAST(round(mean * 1e6) AS BIGINT) / 1e6) AS mean_per_doc,
+             (CAST(round(vmr * 1e6) AS BIGINT) / 1e6) AS vmr
+      FROM m
+      ORDER BY vmr DESC, w LIMIT 20"""))
+
   // --------------------------------------------------------------- q327
   // Bigram next-token accuracy on a held-out split ([EXT] LM-eval
   // pack) — the simplest language-model evaluation, run end-to-end:
@@ -2311,5 +2383,5 @@ object TextAnalysis {
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
       q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228,
-      q233, q236, q253, q264, q275, q276, q278, q279, q290, q327)
+      q233, q236, q253, q264, q275, q276, q278, q279, q290, q327, q329)
 }
