@@ -2302,7 +2302,86 @@ object Dedup {
       FROM csize s JOIN cedges e USING (comp_id)
       ORDER BY s.comp_id"""))
 
+  // --------------------------------------------------------------- q331
+  // LSH bucket-occupancy census ([EXT] dedup observability, beside
+  // q281's per-pair band provenance and q258's recall eval) — the
+  // capacity audit behind the MaxBucket = 64 hot-bucket cap: per band,
+  // the bucket-size distribution (buckets, pair-generating buckets,
+  // capped buckets, max occupancy) and the PAIR MASS the cap actually
+  // drops (Σ C(sz,2) above the cap vs kept below it). This is the
+  // number that justifies — or re-sizes — the cap before a production
+  // dedup run: a band with meaningful dropped_share needs more bands
+  // or a bigger cap; zero dropped share means the cap is free.
+  //
+  // Scale: the signature build is q32's one corpus pass (map-side
+  // int64 shingle ids, 16-minhash aggregate, NO per-doc set needed
+  // here); the census is a (band, bucket) count aggregate and an
+  // 8-row per-band rollup — bucket counts only, no pair is ever
+  // generated, so the census is CHEAPER than the dedup it audits.
+  //
+  // Exactness: all counts and C(sz,2) masses are exact integers;
+  // dropped_share is one division guarded symmetrically (when > 0 /
+  // NULLIF) so a pairless band is NULL in both engines; roundZ final.
+  private val q331 = QueryDef(
+    "q331_lsh_bucket_census",
+    (s, d) => {
+      val sh = rawShinglesOf(docs(s, d))
+        .select(col("doc_id"), md5Id(col("shingle")).as("sid"))
+        .distinct()
+      val sigCols = (0 until K).map(k =>
+        min((col("sid") * aK(k) + bK(k)) % P).as(s"h$k"))
+      val sig = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bandExprs = (0 until Bands).map(j =>
+        s"struct(${j}L as band, h${2 * j} * 2147483648L + h${2 * j + 1} as bv)")
+      val bs = sig
+        .select(col("doc_id"), explode(array(bandExprs.map(expr): _*)).as("b"))
+        .groupBy(col("b.band"), col("b.bv"))
+        .agg(count(lit(1)).as("sz"))
+      bs.groupBy(col("band"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("sz") >= 2L, 1L).otherwise(0L)).as("n_pairing"),
+          sum(when(col("sz") > MaxBucket, 1L).otherwise(0L)).as("n_capped"),
+          max(col("sz")).as("max_size"),
+          sum(when(col("sz") >= 2L && col("sz") <= MaxBucket,
+            expr("sz * (sz - 1) DIV 2")).otherwise(0L)).as("pairs_kept"),
+          sum(when(col("sz") > MaxBucket, expr("sz * (sz - 1) DIV 2"))
+            .otherwise(0L)).as("pairs_dropped"))
+        .select(col("band"), col("n_buckets"), col("n_pairing"),
+          col("n_capped"), col("max_size"), col("pairs_kept"),
+          col("pairs_dropped"),
+          Num.roundZ(when(col("pairs_kept") + col("pairs_dropped") > 0L,
+            col("pairs_dropped").cast("double")
+              / (col("pairs_kept") + col("pairs_dropped")).cast("double")),
+            6).as("dropped_share"))
+        .orderBy(col("band"))
+    },
+    Some(s"""
+      WITH $minhashCtes,
+      bs AS (SELECT band, bv, count(*) AS sz FROM bands GROUP BY 1, 2),
+      census AS (
+        SELECT band, count(*) AS n_buckets,
+               CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pairing,
+               CAST(sum(CASE WHEN sz > $MaxBucket THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_capped,
+               CAST(max(sz) AS BIGINT) AS max_size,
+               CAST(sum(CASE WHEN sz BETWEEN 2 AND $MaxBucket
+                 THEN sz * (sz - 1) // 2 ELSE 0 END) AS BIGINT)
+                 AS pairs_kept,
+               CAST(sum(CASE WHEN sz > $MaxBucket
+                 THEN sz * (sz - 1) // 2 ELSE 0 END) AS BIGINT)
+                 AS pairs_dropped
+        FROM bs GROUP BY 1)
+      SELECT CAST(band AS BIGINT) AS band, n_buckets, n_pairing, n_capped,
+             max_size, pairs_kept, pairs_dropped,
+             (CAST(round(CAST(pairs_dropped AS DOUBLE)
+               / CAST(NULLIF(pairs_kept + pairs_dropped, 0) AS DOUBLE)
+               * 1e6) AS BIGINT) / 1e6) AS dropped_share
+      FROM census
+      ORDER BY band"""))
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154,
-      q161, q205, q210, q213, q247, q258, q270, q277, q281, q282, q299)
+      q161, q205, q210, q213, q247, q258, q270, q277, q281, q282, q299,
+      q331)
 }
