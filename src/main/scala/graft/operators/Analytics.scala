@@ -5595,6 +5595,105 @@ object Analytics {
       FROM w2t, tot
       ORDER BY event_type"""))
 
+  // --------------------------------------------------------------- q330
+  // Two-proportion z-test for conversion rates ([EXT]) — completes the
+  // experimentation pack (q149 Welch t on means, q316 randomization,
+  // q296 SPRT, q326 MDE): did arm B's view→purchase conversion differ
+  // from arm A's? Arms are the q289-style deterministic md5 assignment
+  // over user_id (a seeded A/A on this synthetic data — the expected
+  // verdict is NOT significant, which is itself the sanity check);
+  // z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with the pooled p̂. The
+  // conversion is HIGH-VALUE purchase (≥ $100): every user at these
+  // SFs both views and purchases, so plain view→purchase is pp = 1
+  // and the pooled variance is 0 — Spark 4's ANSI mode then throws
+  // DIVIDE_BY_ZERO even for doubles (measured), so the degenerate-rate
+  // guard is both statistical and mechanical; the division is ALSO
+  // guarded symmetrically (when > 0 / NULLIF, q215's discipline).
+  //
+  // Scale: ONE user-keyed hash aggregate (two membership flags per
+  // user, map-side combinable) then scalar math on four counts.
+  //
+  // Exactness: counts exact; rates and the pooled variance are
+  // fixed-order doubles of exact ints; ONE sqrt; the significance
+  // flag compares |z| to the same shared literal in both engines;
+  // roundZ final.
+  private val q330 = QueryDef(
+    "q330_two_proportion_z",
+    (s, d) => {
+      val flags = ev(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("v"),
+          max(when(col("event_type") === "purchase" &&
+            col("value") >= 100.0, 1L).otherwise(0L)).as("p"))
+        .filter(col("v") === 1L)
+        .select((conv(substring(md5(concat(lit("arm:"),
+          col("user_id").cast("string"))), 1, 14), 16, 10).cast("long")
+          % 2L).as("arm"), col("p"))
+      flags.agg(
+          sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 0L, col("p")).otherwise(0L)).as("x1"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("arm") === 1L, col("p")).otherwise(0L)).as("x2"))
+        .withColumn("p1", col("x1").cast("double") / col("n1").cast("double"))
+        .withColumn("p2", col("x2").cast("double") / col("n2").cast("double"))
+        .withColumn("pp",
+          (col("x1") + col("x2")).cast("double")
+            / (col("n1") + col("n2")).cast("double"))
+        .withColumn("den",
+          sqrt(col("pp") * (lit(1.0) - col("pp"))
+            * (lit(1.0) / col("n1").cast("double")
+              + lit(1.0) / col("n2").cast("double"))))
+        .withColumn("z",
+          when(col("den") > 0.0, (col("p1") - col("p2")) / col("den")))
+        .select(col("n1"), col("x1"), col("n2"), col("x2"),
+          Num.roundZ(col("p1"), 6).as("p1"),
+          Num.roundZ(col("p2"), 6).as("p2"),
+          Num.roundZ(col("z"), 6).as("z"),
+          (abs(col("z")) > lit(1.959964)).as("significant"))
+    },
+    Some("""
+      WITH flags AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+               max(CASE WHEN event_type = 'purchase' AND value >= 100.0
+                 THEN 1 ELSE 0 END) AS p
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY 1),
+      armed AS (
+        SELECT ('0x' || substr(md5('arm:' || CAST(user_id AS VARCHAR)),
+                 1, 14))::BIGINT % 2 AS arm, p
+        FROM flags WHERE v = 1),
+      agg AS (
+        SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n1,
+               CAST(sum(CASE WHEN arm = 0 THEN p ELSE 0 END) AS BIGINT)
+                 AS x1,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n2,
+               CAST(sum(CASE WHEN arm = 1 THEN p ELSE 0 END) AS BIGINT)
+                 AS x2
+        FROM armed),
+      zc AS (
+        SELECT n1, x1, n2, x2,
+               CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+               CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+               CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS pp
+        FROM agg),
+      z AS (
+        SELECT n1, x1, n2, x2, p1, p2,
+               (p1 - p2) / NULLIF(sqrt(pp * (1.0 - pp)
+                 * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))),
+                 0) AS z
+        FROM zc)
+      SELECT n1, x1, n2, x2,
+             (CAST(round(p1 * 1e6) AS BIGINT) / 1e6) AS p1,
+             (CAST(round(p2 * 1e6) AS BIGINT) / 1e6) AS p2,
+             (CAST(round(z * 1e6) AS BIGINT) / 1e6) AS z,
+             abs(z) > 1.959964 AS significant
+      FROM z"""))
+
   // --------------------------------------------------------------- q325
   // Decile gains/lift table ([EXT] model-eval pack) — the marketing
   // "gains chart" beside q102's AUC and q160's calibration: rank by
@@ -7349,5 +7448,5 @@ object Analytics {
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
-      q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326)
+      q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326, q330)
 }
