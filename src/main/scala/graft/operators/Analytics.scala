@@ -3197,8 +3197,10 @@ object Analytics {
           (max(col("en")) - min(col("st"))).as("span_us"))
         // zero-span guard (ADVICE r7): a user whose events are all
         // zero-length intervals at one timestamp has span_us = 0, where
-        // Spark's x/0.0 is NaN but DuckDB's is NULL — guard symmetrically
-        // (when(>0) here, NULLIF in the oracle) so both emit NULL.
+        // Spark 4's ANSI mode THROWS DIVIDE_BY_ZERO even for doubles
+        // (measured r8 on q330 — not NaN as previously assumed) while
+        // DuckDB yields NULL — guard symmetrically (when(>0) here,
+        // NULLIF in the oracle) so both emit NULL.
         .withColumn("util",
           when(col("span_us") > 0L,
             round(col("covered_us").cast("double") /
