@@ -5813,13 +5813,15 @@ object Analytics {
       .withColumn("narm", expr("n DIV 2"))
       .withColumn("mde_abs", // z_{α/2}+z_β as ONE shared literal: the
         // Scala-side SUM of two double literals need not equal the
-        // SQL-parsed "2.801585" bit-for-bit (the q163 lesson)
-        lit(2.801585)
-          * sqrt(lit(2.0) * col("varr") / col("narm").cast("double")))
+        // SQL-parsed "2.801585" bit-for-bit (the q163 lesson); narm
+        // guard (q215 class): a single-event type has no arm
+        when(col("narm") > 0L, lit(2.801585)
+          * sqrt(lit(2.0) * col("varr") / col("narm").cast("double"))))
       .select(col("event_type"), col("n"), col("narm").as("n_per_arm"),
         Num.roundZ(col("mean") / lit(100.0), 4).as("mean_dollars"),
         Num.roundZ(col("mde_abs") / lit(100.0), 4).as("mde_dollars"),
-        Num.roundZ(col("mde_abs") / col("mean"), 6).as("mde_rel"))
+        Num.roundZ(when(col("mean") > 0.0, col("mde_abs") / col("mean")),
+          6).as("mde_rel"))
       .orderBy(col("event_type")),
     Some("""
       WITH g AS (
@@ -5839,7 +5841,8 @@ object Analytics {
         FROM g),
       m AS (
         SELECT event_type, n, narm, mean,
-               2.801585 * sqrt(2.0 * varr / CAST(narm AS DOUBLE))
+               CASE WHEN narm > 0 THEN
+                 2.801585 * sqrt(2.0 * varr / CAST(narm AS DOUBLE)) END
                  AS mde_abs
         FROM f)
       SELECT event_type, n, CAST(narm AS BIGINT) AS n_per_arm,
@@ -5847,8 +5850,8 @@ object Analytics {
                AS mean_dollars,
              (CAST(round(mde_abs / 100.0 * 1e4) AS BIGINT) / 1e4)
                AS mde_dollars,
-             (CAST(round(mde_abs / mean * 1e6) AS BIGINT) / 1e6)
-               AS mde_rel
+             (CAST(round(mde_abs / NULLIF(mean, 0) * 1e6) AS BIGINT)
+               / 1e6) AS mde_rel
       FROM m
       ORDER BY event_type"""))
 
@@ -6012,8 +6015,11 @@ object Analytics {
           sum(col("a")).as("n1"), sum(col("b")).as("n2"),
           sum(col("a") * col("b")).as("m"), count(lit(1)).as("n_true"))
         .select(col("n1"), col("n2"), col("m"), col("n_true"),
-          Num.roundZ((col("n1") * col("n2")).cast("double")
-            / col("m").cast("double"), 6).as("lincoln_petersen"),
+          // zero-overlap guard (q215 class): disjoint captures leave
+          // LP undefined — NULL in both engines (Chapman stays finite)
+          Num.roundZ(when(col("m") > 0L,
+            (col("n1") * col("n2")).cast("double")
+              / col("m").cast("double")), 6).as("lincoln_petersen"),
           Num.roundZ(((col("n1") + 1L) * (col("n2") + 1L)).cast("double")
             / (col("m") + 1L).cast("double") - lit(1.0), 6).as("chapman"))
     },
@@ -6029,8 +6035,8 @@ object Analytics {
       SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2,
              CAST(sum(a * b) AS BIGINT) AS m, count(*) AS n_true,
              (CAST(round(CAST(sum(a) * sum(b) AS DOUBLE)
-               / CAST(sum(a * b) AS DOUBLE) * 1e6) AS BIGINT) / 1e6)
-               AS lincoln_petersen,
+               / CAST(NULLIF(sum(a * b), 0) AS DOUBLE) * 1e6) AS BIGINT)
+               / 1e6) AS lincoln_petersen,
              (CAST(round((CAST((sum(a) + 1) * (sum(b) + 1) AS DOUBLE)
                / CAST(sum(a * b) + 1 AS DOUBLE) - 1.0) * 1e6) AS BIGINT)
                / 1e6) AS chapman
@@ -6624,9 +6630,14 @@ object Analytics {
           sum(col("cb")).over(wg.rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("gap", lead(col("bin"), 1).over(wg) - col("bin"))
         .crossJoin(broadcast(tot))
+        // empty-cohort guard (q215 class): a regenerated events table
+        // whose span sits entirely in one half would zero na or nb —
+        // Spark 4 ANSI throws on double/0, DuckDB yields NULL; guard
+        // symmetrically so both emit NULL (and the metric row shows it)
         .withColumn("dcdf",
-          abs(col("cuma").cast("double") / col("na").cast("double")
-            - col("cumb").cast("double") / col("nb").cast("double")))
+          when(col("na") > 0L && col("nb") > 0L,
+            abs(col("cuma").cast("double") / col("na").cast("double")
+              - col("cumb").cast("double") / col("nb").cast("double"))))
         .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
           count(lit(1)).as("n_bins"),
           sum(round(col("dcdf") * coalesce(col("gap"), lit(0L)).cast("double")
@@ -6657,8 +6668,10 @@ object Analytics {
                lead(bin, 1) OVER (ORDER BY bin) - bin AS gap
         FROM grid),
       terms AS (
-        SELECT abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
-                 - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) AS dcdf,
+        SELECT CASE WHEN na > 0 AND nb > 0 THEN
+                 abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+                   - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) END
+                 AS dcdf,
                gap, na, nb
         FROM cdf, tot)
       SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
