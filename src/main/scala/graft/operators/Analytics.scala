@@ -5597,6 +5597,69 @@ object Analytics {
       FROM w2t, tot
       ORDER BY event_type"""))
 
+  // --------------------------------------------------------------- q332
+  // New-vs-returning daily active users ([EXT] BI pack, beside q274's
+  // rolling MAU and q126's cohort retention) — per day: DAU split into
+  // first-ever-seen users (new) and returning, plus the cumulative
+  // registered-user curve. The growth-accounting identity
+  // dau = new + returning holds by construction and is visible in the
+  // output.
+  //
+  // Scale: two hash aggregates — (user → first day) and (day, user) →
+  // DAU — both map-side combinable; the cumulative pass runs on the
+  // ~30-row day grid. No windows over the corpus.
+  //
+  // Exactness: pure exact counts; the returning share is one division,
+  // roundZ final.
+  private val q332 = QueryDef(
+    "q332_new_vs_returning",
+    (s, d) => {
+      val days = ev(s, d).select(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+          " AS BIGINT)").as("day"))
+      val dau = days.groupBy(col("day"), col("user_id")).agg(count(lit(1))
+          .as("ne"))
+        .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val firstDay = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      val wD = Window.orderBy(col("day"))
+      dau.join(firstDay, Seq("day"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("cum_users",
+          sum(col("n_new")).over(wD.rowsBetween(Window.unboundedPreceding,
+            0)))
+        .select(col("day"), col("dau"), col("n_new"),
+          (col("dau") - col("n_new")).as("n_returning"),
+          col("cum_users"),
+          Num.roundZ((col("dau") - col("n_new")).cast("double")
+            / col("dau").cast("double"), 6).as("returning_share"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH days AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 ::BIGINT AS day
+        FROM events),
+      dau AS (
+        SELECT day, count(*) AS dau FROM (
+          SELECT DISTINCT day, user_id FROM days)
+        GROUP BY 1),
+      fd AS (
+        SELECT day, count(*) AS n_new FROM (
+          SELECT user_id, min(day) AS day FROM days GROUP BY 1)
+        GROUP BY 1)
+      SELECT d.day, d.dau, coalesce(f.n_new, 0) AS n_new,
+             CAST(d.dau - coalesce(f.n_new, 0) AS BIGINT) AS n_returning,
+             CAST(sum(coalesce(f.n_new, 0)) OVER (ORDER BY d.day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+             (CAST(round(CAST(d.dau - coalesce(f.n_new, 0) AS DOUBLE)
+               / CAST(d.dau AS DOUBLE) * 1e6) AS BIGINT) / 1e6)
+               AS returning_share
+      FROM dau d LEFT JOIN fd f ON f.day = d.day
+      ORDER BY d.day"""))
+
   // --------------------------------------------------------------- q330
   // Two-proportion z-test for conversion rates ([EXT]) — completes the
   // experimentation pack (q149 Welch t on means, q316 randomization,
@@ -7463,5 +7526,5 @@ object Analytics {
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
-      q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326, q330)
+      q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326, q330, q332)
 }

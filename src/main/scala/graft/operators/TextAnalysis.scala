@@ -2220,6 +2220,121 @@ object TextAnalysis {
       CROSS JOIN tots t
       ORDER BY f.rk"""))
 
+  // --------------------------------------------------------------- q333
+  // Dedup effect on evaluation ([EXT] — the experiment that justifies
+  // the dedup family): train q327's bigram next-token predictor twice —
+  // on the RAW train split and on its EXACT-DEDUPED form (md5 content
+  // key, keep lowest doc_id — q30's discipline) — and score both on the
+  // SAME held-out fifth. Duplicated training text over-weights its own
+  // n-gram continuations; the accuracy delta measures how much of the
+  // raw model's score is duplication-inflated memorization vs the
+  // deduped model's honest estimate. The documents table carries
+  // planted near/exact duplicates, so the two corpora genuinely differ.
+  //
+  // Scale: q327's shapes twice (token generator pass, sparse bigram
+  // aggregate, struct-min argmax, w1-keyed test join) plus q30's
+  // hash-keyed dedup exchange — every stage map-side combinable or
+  // dimension-bounded; the two models share one test-side scan.
+  //
+  // Exactness: counts exact; the argmax tie rule ((−count, w2)
+  // struct-min = count DESC, w2 ASC) is identical in both engines;
+  // accuracies are single divisions, roundZ final.
+  private val q333 = QueryDef(
+    "q333_dedup_eval_effect",
+    (s, d) => {
+      def bigrams(df: DataFrame) = df
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("w2", lead(col("w"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .filter(col("w2").isNotNull)
+        .select(col("w").as("w1"), col("w2"))
+      def model(train: DataFrame) = bigrams(train)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        .groupBy(col("w1"))
+        .agg(min(struct((-col("c")).as("nc"), col("w2").as("p"))).as("m"))
+        .select(col("w1"), col("m.p").as("pred"))
+      val trainRaw = docs(s, d).filter(col("doc_id") % 5L =!= 0L)
+      val trainDedup = trainRaw
+        .withColumn("h", md5(col("text").cast("binary")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("text"))
+      val test = bigrams(docs(s, d).filter(col("doc_id") % 5L === 0L))
+        .localCheckpoint()
+      def eval(m: DataFrame, name: String, nDocs: DataFrame) = test
+        .join(m, Seq("w1"), "left")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("pred") === col("w2"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .crossJoin(broadcast(nDocs))
+        .select(lit(name).as("model"), col("n_docs"), col("n_test"),
+          col("n_correct"),
+          Num.roundZ(col("n_correct").cast("double")
+            / col("n_test").cast("double"), 6).as("accuracy"))
+      val nRaw = trainRaw.agg(count(lit(1)).as("n_docs"))
+      val nDed = trainDedup.agg(count(lit(1)).as("n_docs"))
+      eval(model(trainRaw), "raw", nRaw)
+        .unionByName(eval(model(trainDedup), "dedup", nDed))
+        .orderBy(col("model"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      bg AS (
+        SELECT doc_id, w AS w1,
+               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok),
+      test AS (
+        SELECT w1, w2 FROM bg WHERE doc_id % 5 = 0 AND w2 IS NOT NULL),
+      keepdocs AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY md5(text)
+                   ORDER BY doc_id) AS rn
+          FROM documents WHERE doc_id % 5 <> 0) t
+        WHERE rn = 1),
+      modela AS (
+        SELECT w1, w2 AS pred FROM (
+          SELECT w1, w2, row_number() OVER (PARTITION BY w1
+            ORDER BY count(*) DESC, w2) AS rn
+          FROM bg WHERE doc_id % 5 <> 0 AND w2 IS NOT NULL
+          GROUP BY w1, w2) t
+        WHERE rn = 1),
+      modelb AS (
+        SELECT w1, w2 AS pred FROM (
+          SELECT w1, w2, row_number() OVER (PARTITION BY w1
+            ORDER BY count(*) DESC, w2) AS rn
+          FROM bg JOIN keepdocs USING (doc_id)
+          WHERE w2 IS NOT NULL
+          GROUP BY w1, w2) t
+        WHERE rn = 1),
+      na AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id % 5
+        <> 0),
+      nb AS (SELECT count(*) AS n_docs FROM keepdocs),
+      ea AS (
+        SELECT 'raw' AS model, na.n_docs, count(*) AS n_test,
+               CAST(sum(CASE WHEN m.pred = t.w2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_correct
+        FROM test t LEFT JOIN modela m ON m.w1 = t.w1, na
+        GROUP BY na.n_docs),
+      eb AS (
+        SELECT 'dedup' AS model, nb.n_docs, count(*) AS n_test,
+               CAST(sum(CASE WHEN m.pred = t.w2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_correct
+        FROM test t LEFT JOIN modelb m ON m.w1 = t.w1, nb
+        GROUP BY nb.n_docs),
+      u AS (SELECT * FROM ea UNION ALL SELECT * FROM eb)
+      SELECT model, n_docs, n_test, n_correct,
+             (CAST(round(CAST(n_correct AS DOUBLE)
+               / CAST(n_test AS DOUBLE) * 1e6) AS BIGINT) / 1e6)
+               AS accuracy
+      FROM u
+      ORDER BY model"""))
+
   // --------------------------------------------------------------- q329
   // Term burstiness / dispersion audit ([EXT]) — for each high-df
   // term, the variance-to-mean ratio (VMR) of its per-document count:
@@ -2383,5 +2498,5 @@ object TextAnalysis {
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
       q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228,
-      q233, q236, q253, q264, q275, q276, q278, q279, q290, q327, q329)
+      q233, q236, q253, q264, q275, q276, q278, q279, q290, q327, q329, q333)
 }
