@@ -1373,4 +1373,41 @@ class AnalyticsSpec extends AnyFunSuite {
     val slack = rows.map(_._2).sum.toDouble * 5e-7
     assert(math.abs(lhs - rhs) <= slack, "PAVA preserves pooled mass")
   }
+
+  test("q315 Theil-Sen slope equals the brute-force pairwise median") {
+    def roundZ(x: Double, s: Int): Double = {
+      val f = math.pow(10.0, s.toDouble)
+      BigDecimal(x * f).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong / f
+    }
+    // rebuild the exact daily purchase-cents series driver-side
+    val g = Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+        " AS BIGINT)").as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val slopes = for {
+      i <- g.indices; j <- (i + 1) until g.length
+    } yield ((g(j)._2 - g(i)._2).toDouble / (g(j)._1 - g(i)._1).toDouble,
+      g(i)._1, g(j)._1)
+    val sorted = slopes.sortBy(s => (s._1, s._2, s._3)).map(_._1)
+    val np = sorted.length
+    val med = // the query's middle rule: rn*2 ∈ {np, np+1, np+2}
+      if (np % 2 == 1) sorted((np - 1) / 2)
+      else (sorted(np / 2 - 1) + sorted(np / 2)) / 2.0
+    val ols = {
+      val n = g.length.toDouble
+      val sx = g.map(_._1).sum.toDouble; val sy = g.map(_._2).sum.toDouble
+      val sxx = g.map(p => p._1 * p._1).sum.toDouble
+      val sxy = g.map(p => p._1 * p._2).sum.toDouble
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    val out = q("q315_theil_sen")(spark, sf).collect().head
+    assert(out.getLong(0) == g.length, "n_days")
+    assert(out.getLong(1) == np.toLong, "n_pairs = C(n,2)")
+    assert(out.getDouble(2) == roundZ(med, 4), "Theil-Sen median slope")
+    assert(out.getDouble(3) == roundZ(ols, 4), "OLS slope from moments")
+  }
 }

@@ -12,6 +12,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class SimilaritySpec extends AnyFunSuite {
   import TestSpark._
 
+  private def q(name: String) = SparkEntry.queries(name)
+
   private val NClusters = 8
 
   /** 96 planted vectors in 8 well-separated clusters (id i → cluster
@@ -228,5 +230,42 @@ class SimilaritySpec extends AnyFunSuite {
     val q3 = out.filter(_._1 == 3L).map(_._3).toSet
     assert(q3 == Set(11L, 19L, 27L, 35L, 43L),
       "query 3's top-5 = its other copies (self excluded), ties by cid")
+  }
+
+  test("q310 ARI matches a driver-side brute-force recompute on the real table") {
+    // recompute the whole chain — seed-centroid cosine assignment with
+    // the quantize+lowest-id tie rule, contingency, pair counts, ARI —
+    // in plain Scala over the sf0.001 table, and pin the query's row
+    def roundZ6(x: Double): Double =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong / 1e6
+    val rows = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val cents = rows.filter(_._1 < 10)
+    val cells = rows.map { case (id, e, lab) =>
+      val best = cents.map { case (cid, ce, _) =>
+        val c6 = math.round(roundZ6(dot(e, ce) / (nrm(e) * nrm(ce))) * 1e6)
+        ((1000000L - c6) * 16L + cid, cid)
+      }.minBy(_._1)._2
+      (best, lab)
+    }
+    val ct = cells.groupBy(identity).map { case (_, xs) => xs.length.toLong }
+    def c2(n: Long) = n * (n - 1)
+    val s2ij = ct.map(c2).sum
+    val s2a = cells.groupBy(_._1).map(g => c2(g._2.length.toLong)).sum
+    val s2b = cells.groupBy(_._2).map(g => c2(g._2.length.toLong)).sum
+    val n = cells.length.toLong
+    val exp = s2a.toDouble * s2b.toDouble / (n * (n - 1)).toDouble
+    val ari = roundZ6((s2ij.toDouble - exp) /
+      ((s2a.toDouble + s2b.toDouble) / 2.0 - exp))
+    val out = q("q310_ari_cluster_eval")(spark, sf).collect().head
+    assert(out.getLong(0) == n, "n_vecs")
+    assert(out.getLong(3) == s2ij / 2, "agreeing pair count")
+    assert(out.getDouble(4) == ari, "ARI bit-equal to the brute recompute")
   }
 }
