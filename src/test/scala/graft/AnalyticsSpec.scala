@@ -1410,4 +1410,48 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.getDouble(2) == roundZ(med, 4), "Theil-Sen median slope")
     assert(out.getDouble(3) == roundZ(ols, 4), "OLS slope from moments")
   }
+
+  test("q314 Kendall tau-b equals the brute-force pair classification") {
+    def roundZ6(x: Double): Double =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong / 1e6
+    def series(t: String) = Tables.t(spark, sf, "events")
+      .filter(col("event_type") === t)
+      .select(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+        " AS BIGINT)").as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("day")).agg(sum(col("c")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val vx = series("view"); val vy = series("purchase")
+    val days = (vx.keySet & vy.keySet).toSeq.sorted
+    var (nc, nd, tx, ty, n0) = (0L, 0L, 0L, 0L, 0L)
+    for (i <- days.indices; j <- (i + 1) until days.length) {
+      val (xi, yi) = (vx(days(i)), vy(days(i)))
+      val (xj, yj) = (vx(days(j)), vy(days(j)))
+      n0 += 1
+      if ((xi < xj && yi < yj) || (xi > xj && yi > yj)) nc += 1
+      else if (xi != xj && yi != yj) nd += 1
+      if (xi == xj) tx += 1
+      if (yi == yj) ty += 1
+    }
+    val tau = roundZ6((nc - nd).toDouble /
+      math.sqrt(((n0 - tx) * (n0 - ty)).toDouble))
+    val out = q("q314_kendall_tau")(spark, sf).collect().head
+    assert(out.getLong(0) == n0 && out.getLong(1) == nc &&
+      out.getLong(2) == nd, "pair classification counts")
+    assert(out.getDouble(3) == tau, "tau-b bit-equal")
+  }
+
+  test("q324 PVM bridge reconciles: vol+price effects == revenue delta") {
+    // the no-residual algebra p0(q1-q0) + (p1-p0)q1 = r1-r0, up to the
+    // two 1e-3-dollar term quantizations plus the 2-decimal display
+    val rows = q("q324_pvm_bridge")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val delta = r.getLong(3).toDouble / 100.0
+      val vol = r.getDouble(4); val price = r.getDouble(5)
+      assert(math.abs(vol + price - delta) <= 0.021,
+        s"brand ${r.getString(0)}: $vol + $price vs $delta")
+    }
+  }
 }
