@@ -1442,6 +1442,63 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.getDouble(3) == tau, "tau-b bit-equal")
   }
 
+  test("q311 Bradley-Terry strengths match a driver-side MM recompute") {
+    def roundZ6(x: Double): Double =
+      BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong / 1e6
+    def q9(x: Double): Long =
+      BigDecimal(x * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong
+    val panel = Tables.t(spark, sf, "events")
+      .select(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+          " AS BIGINT)").as("day"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("user_id"), col("day"), col("event_type"))
+      .agg(max(col("c")).as("mx"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(2), r.getLong(3)))
+    // pairwise matches within (user, day); a<b lexicographic, a wins on >
+    val grid = scala.collection.mutable.Map
+      .empty[(String, String), (Long, Long)] // (n, winsA)
+    panel.groupBy(_._1).values.foreach { xs =>
+      val ts = xs.map(x => (x._2, x._3)).sortBy(_._1)
+      for (i <- ts.indices; j <- (i + 1) until ts.length) {
+        val ((ea, ma), (eb, mb)) = (ts(i), ts(j))
+        val (n, w) = grid.getOrElse((ea, eb), (0L, 0L))
+        grid((ea, eb)) = (n + 1, w + (if (ma > mb) 1L else 0L))
+      }
+    }
+    val types = grid.toSeq.flatMap { case ((a, b), (n, wa)) =>
+      Seq((a, n, wa), (b, n, n - wa))
+    }.groupBy(_._1).map { case (t, xs) =>
+      t -> (xs.map(_._2).sum, xs.map(_._3).sum)
+    }
+    val w1 = types.map { case (t, (ni, wi)) =>
+      t -> 2.0 * wi.toDouble / ni.toDouble
+    }
+    val dq = grid.toSeq.flatMap { case ((a, b), (n, _)) =>
+      Seq((a, b, n), (b, a, n))
+    }.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map { case (_, j, n) => q9(n.toDouble / (w1(t) + w1(j))) }.sum
+    }
+    val w2 = types.map { case (t, (_, wi)) =>
+      t -> wi.toDouble / (dq(t).toDouble / 1e9)
+    }
+    val sw = w2.values.map(v => q9(v)).sum
+    val out = q("q311_bradley_terry")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.keySet == types.keySet)
+    out.foreach { case (t, (ni, wi, o1, o2, os)) =>
+      assert((ni, wi) == types(t), s"$t match/win counts")
+      assert(o1 == roundZ6(w1(t)), s"$t w1")
+      assert(o2 == roundZ6(w2(t)), s"$t w2")
+      assert(os == roundZ6(w2(t) / (sw.toDouble / 1e9)), s"$t share")
+    }
+  }
+
   test("q324 PVM bridge reconciles: vol+price effects == revenue delta") {
     // the no-residual algebra p0(q1-q0) + (p1-p0)q1 = r1-r0, up to the
     // two 1e-3-dollar term quantizations plus the 2-decimal display
