@@ -129,8 +129,19 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","env":$env}"""
     println(line)
+    // tail-survivable summary AFTER the big line: the driver's log capture
+    // keeps only the last ~2000 chars, which truncated the full per-query
+    // JSON mid-map in r8 (BENCH_r08.json `parsed: null`) — the gate's own
+    // artifact lost the headline total. This short line carries the
+    // headline numbers in the same shape, so any tail capture parses.
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      s""""n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir",""" +
+      f""""load_avg_start":$load0%.2f,"load_avg_end":$loadAvg%.2f,""" +
+      f""""wall_sec":${(System.nanoTime() - wall0) / 1e9}%.1f,"summary":true}"""
+    println(summary)
     // also persist the JSON so the result survives driver-log truncation
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out"), line + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.out"),
+      line + "\n" + summary + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

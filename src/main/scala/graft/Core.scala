@@ -64,6 +64,55 @@ object Tables {
   * bit-identical regardless of partitioning. This survives any scale-up:
   * correctness does not depend on the number of partitions.
   */
+/** Scale-shape helpers: plan forms that stay safe when a "dimension"
+  * grows with the corpus.
+  */
+object Scale {
+  import org.apache.spark.sql.expressions.Window
+
+  /** Range-partitioned two-pass prefix sum — the scale-safe form of
+    * `sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`.
+    *
+    * A global-ORDER window plans as Exchange SinglePartition: sound when
+    * its input is a bounded value grid or a top-k survivor set (the house
+    * rule), but a cumulative pass over a DIMENSION domain (parts,
+    * customers) funnels ~10⁹ rows through one task at true 100 TB TPC-H
+    * grain. This helper is the classic two-pass scan instead:
+    *
+    *   1. `repartitionByRange` on the total order — each partition holds
+    *      a contiguous key range, partition index ascending with the
+    *      order (RangePartitioner's contract; AQE may only coalesce
+    *      ADJACENT shuffle partitions, which preserves both properties);
+    *   2. per-partition local prefix sums (parallel, no global exchange);
+    *   3. per-partition totals — one row per partition, partition-COUNT-
+    *      sized, constant in the data — prefix-summed on the driver-scale
+    *      grid and broadcast back as offsets.
+    *
+    * The result is bit-identical to the single-partition window for any
+    * associative exact sum (use integer/cents values): partial sums
+    * regroup but never reorder. `order` must be a TOTAL order (include a
+    * key tiebreaker) so the cumulative sequence — hence anything derived
+    * from it — is deterministic.
+    */
+  def rangePrefixSum(df: DataFrame, order: Seq[Column], value: Column,
+      out: String, numParts: Int = 32): DataFrame = {
+    val parted = df.repartitionByRange(numParts, order: _*)
+      .withColumn("_g_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("_g_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = parted.withColumn("_g_local", sum(value).over(wLocal))
+    val wOff = Window.orderBy(col("_g_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("_g_pid"))
+      .agg(sum(value).as("_g_tot"))
+      .withColumn("_g_off", coalesce(sum(col("_g_tot")).over(wOff), lit(0L)))
+      .select(col("_g_pid"), col("_g_off"))
+    local.join(broadcast(offsets), Seq("_g_pid"))
+      .withColumn(out, col("_g_local") + col("_g_off"))
+      .drop("_g_pid", "_g_local", "_g_off")
+  }
+}
+
 object Num {
   private def pow10(scale: Int): Double = math.pow(10.0, scale.toDouble)
 

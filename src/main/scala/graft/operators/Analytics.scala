@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, Tables, Num}
+import graft.{QueryDef, Tables, Num, Scale}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -94,9 +94,14 @@ object Analytics {
           sum(col("y") * col("y")).as("syy"))
         .select(
           col("lang"), col("n"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          // zero-variance group (single doc / all-equal values): corr is
+          // undefined — DuckDB's /0 yields NULL, Spark ANSI throws; the
+          // exact-integer variance terms make the guard exact
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0L &&
+               col("n") * col("syy") - col("sy") * col("sy") > 0L,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+               sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
             .as("corr_chars_toks"))
         .orderBy(col("lang")),
     Some("""
@@ -289,12 +294,17 @@ object Analytics {
       v.agg(count(lit(1)).as("n_view_users"))
         .crossJoin(p.agg(count(lit(1)).as("n_purchase_users")))
         .crossJoin(c.agg(count(lit(1)).as("n_click_users")))
+        // empty-stage guards (DegenerateDataSpec): a funnel stage with
+        // zero users makes the next ratio 0/0 — NULL in DuckDB, ANSI
+        // throw in Spark without the when()s
         .select(col("n_view_users"), col("n_click_users"),
           col("n_purchase_users"),
-          (col("n_click_users").cast("double") /
-            col("n_view_users").cast("double")).as("conv_view_click"),
-          (col("n_purchase_users").cast("double") /
-            col("n_click_users").cast("double")).as("conv_click_purchase"))
+          when(col("n_view_users") > 0L,
+            col("n_click_users").cast("double") /
+              col("n_view_users").cast("double")).as("conv_view_click"),
+          when(col("n_click_users") > 0L,
+            col("n_purchase_users").cast("double") /
+              col("n_click_users").cast("double")).as("conv_click_purchase"))
     },
     Some("""
       WITH v AS (
@@ -362,16 +372,23 @@ object Analytics {
         .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase_72h"),
           sum(expr("(unix_micros(t3) - unix_micros(t2)) DIV 1000000"))
             .as("lag_p"))))
+        // empty-stage guards (q125's, DegenerateDataSpec); a NULL lag sum
+        // over an empty stage also needs the count guard, not coalesce —
+        // DuckDB's NULL/0 is NULL either way
         .select(col("n_view_users"), col("n_click_24h"),
           col("n_purchase_72h"),
-          (col("n_click_24h").cast("double") /
-            col("n_view_users").cast("double")).as("conv_view_click"),
-          (col("n_purchase_72h").cast("double") /
-            col("n_click_24h").cast("double")).as("conv_click_purchase"),
-          (col("lag_c").cast("double") /
-            col("n_click_24h").cast("double")).as("avg_click_lag_s"),
-          (col("lag_p").cast("double") /
-            col("n_purchase_72h").cast("double")).as("avg_purchase_lag_s"))
+          when(col("n_view_users") > 0L,
+            col("n_click_24h").cast("double") /
+              col("n_view_users").cast("double")).as("conv_view_click"),
+          when(col("n_click_24h") > 0L,
+            col("n_purchase_72h").cast("double") /
+              col("n_click_24h").cast("double")).as("conv_click_purchase"),
+          when(col("n_click_24h") > 0L,
+            col("lag_c").cast("double") /
+              col("n_click_24h").cast("double")).as("avg_click_lag_s"),
+          when(col("n_purchase_72h") > 0L,
+            col("lag_p").cast("double") /
+              col("n_purchase_72h").cast("double")).as("avg_purchase_lag_s"))
     },
     Some("""
       WITH v AS (
@@ -849,9 +866,13 @@ object Analytics {
           (col("a").cast("double") / col("b").cast("double")).as("p_bar"),
           (col("c").cast("double") / col("dd").cast("double"))
             .as("p_bar_e"),
-          Num.roundZ((col("a") * col("dd") - col("c") * col("b"))
-            .cast("double") /
-            (col("b") * (col("dd") - col("c"))).cast("double"), 6)
+          // P̄ₑ = 1 (every rating in ONE category, e.g. a single-doc
+          // language): the chance correction divides by zero — NULL in
+          // DuckDB, guarded to NULL here (q239's condition, Fleiss form)
+          when(col("dd") - col("c") > 0L,
+            Num.roundZ((col("a") * col("dd") - col("c") * col("b"))
+              .cast("double") /
+              (col("b") * (col("dd") - col("c"))).cast("double"), 6))
             .as("kappa"))
         .orderBy(col("lang"))
     },
@@ -1140,19 +1161,25 @@ object Analytics {
           sum(col("cents")).as("sy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("x") * col("cents")).as("sxy"))
+      // zero x-variance group (all events on ONE day): the OLS system is
+      // singular — DuckDB's /0 yields NULL, Spark ANSI throws; the guard
+      // compares the EXACT integer variance term (DegenerateDataSpec)
+      val xvar = col("n") * col("sxx") - col("sx") * col("sx")
       m.select(col("event_type"), col("n"),
-          Num.roundZ((col("n").cast("double") * col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double")) /
-            (col("n").cast("double") * col("sxx").cast("double") -
-              col("sx").cast("double") * col("sx").cast("double")) /
-            lit(100.0), 6).as("slope"),
-          Num.roundZ((col("sy").cast("double") -
-            (col("n").cast("double") * col("sxy").cast("double") -
+          when(xvar > 0L,
+            Num.roundZ((col("n").cast("double") * col("sxy").cast("double") -
               col("sx").cast("double") * col("sy").cast("double")) /
               (col("n").cast("double") * col("sxx").cast("double") -
-                col("sx").cast("double") * col("sx").cast("double")) *
-              col("sx").cast("double")) /
-            col("n").cast("double") / lit(100.0), 6).as("intercept"))
+                col("sx").cast("double") * col("sx").cast("double")) /
+              lit(100.0), 6)).as("slope"),
+          when(xvar > 0L,
+            Num.roundZ((col("sy").cast("double") -
+              (col("n").cast("double") * col("sxy").cast("double") -
+                col("sx").cast("double") * col("sy").cast("double")) /
+                (col("n").cast("double") * col("sxx").cast("double") -
+                  col("sx").cast("double") * col("sx").cast("double")) *
+                col("sx").cast("double")) /
+              col("n").cast("double") / lit(100.0), 6)).as("intercept"))
         .orderBy(col("event_type"))
     },
     Some("""
@@ -1856,7 +1883,12 @@ object Analytics {
           sum(when(col("tr") === 1L, col("cents")).otherwise(0L)).as("s1"),
           sum(when(col("tr") === 0L, col("cents")).otherwise(0L)).as("s0"))
         .select(lit("ALL").as("stratum"), col("n_s"), col("n_treat"),
-          col("n_ctrl"), Num.roundZ(diffC, 6).as("diff_usd"),
+          col("n_ctrl"),
+          // the naive row has no HAVING prefilter: an all-one-arm table
+          // (possible on degenerate data) leaves its difference undefined
+          // → NULL, as DuckDB's /0 yields
+          when(col("n_treat") > 0L && col("n_ctrl") > 0L,
+            Num.roundZ(diffC, 6)).as("diff_usd"),
           lit("ate_naive").as("est"))
       perStratum.unionByName(adj).unionByName(naive)
         .orderBy(col("est"), col("stratum"))
@@ -2070,6 +2102,10 @@ object Analytics {
         .withColumn("w", wExpr)
         .groupBy(col("b"))
         .agg(sum(col("w")).as("ws"), sum(col("w") * col("cents")).as("wc"))
+        // a replica whose Poisson weights are all zero (possible only on
+        // a tiny table) has no mean — and a NULL rank key would sort
+        // FIRST in Spark asc but LAST in DuckDB: exclude on both sides
+        .filter(col("ws") > 0L)
         .withColumn("mean", col("wc").cast("double") / col("ws").cast("double"))
       val wRank = Window.orderBy(col("mean"), col("b"))
       val ci = rep.withColumn("rn", row_number().over(wRank))
@@ -2105,7 +2141,7 @@ object Analytics {
       means AS (
         SELECT b, CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
                  AS mean
-        FROM repw GROUP BY b),
+        FROM repw GROUP BY b HAVING sum(w) > 0),
       ranked AS (
         SELECT mean, row_number() OVER (ORDER BY mean, b) AS rn FROM means),
       est AS (
@@ -2412,8 +2448,11 @@ object Analytics {
         .select(col("event_type"), col("dow"), col("n"),
           round(col("sc").cast("double") /
             (col("n").cast("double") * 100.0), 6).as("mean_value"),
-          round((col("sc").cast("double") / col("n").cast("double")) /
-            (col("sct").cast("double") / col("nt").cast("double")), 6)
+          // an event type whose TOTAL value is 0 has no base rate to
+          // index against: DuckDB's /0.0 yields NULL, Spark ANSI throws
+          when(col("sct") =!= 0L,
+            round((col("sc").cast("double") / col("n").cast("double")) /
+              (col("sct").cast("double") / col("nt").cast("double")), 6))
             .as("seasonal_idx"))
         .orderBy(col("event_type"), col("dow"))
     },
@@ -2467,7 +2506,11 @@ object Analytics {
         .withColumn("sd", sqrt(
           (col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
             / col("nd").cast("double")) / col("nd").cast("double")))
-        .withColumn("z", (col("cents").cast("double") - col("mu")) / col("sd"))
+        // sd = 0 (≥5 identical daily totals): z undefined → NULL, and
+        // the |z| filter drops the row in both engines (latent q215-class
+        // guard, swept r9)
+        .withColumn("z", when(col("sd") > 0.0,
+          (col("cents").cast("double") - col("mu")) / col("sd")))
         .filter(abs(col("z")) >= 2.0)
         .select(col("user_id"), col("day"), col("nd").as("n_days"),
           (col("cents").cast("double") / 100.0).as("spend"),
@@ -2729,12 +2772,18 @@ object Analytics {
           (col("tsxx") - col("sxx")).cast("double").as("sxx_tr"),
           (col("tsxy") - col("sxy")).cast("double").as("sxy_tr"))
         .select(col("fold"),
-          ((col("n_tr") * col("sxy_tr") - col("sx_tr") * col("sy_tr")) /
-            (col("n_tr") * col("sxx_tr") - col("sx_tr") * col("sx_tr")))
+          // singular training fold (zero x-variance or empty): the OLS fit
+          // is undefined → NULL, as DuckDB's /0 yields; the doubles are
+          // exact integers < 2^53 so the guard compare is exact
+          when(col("n_tr") * col("sxx_tr") - col("sx_tr") * col("sx_tr")
+              > 0.0,
+            (col("n_tr") * col("sxy_tr") - col("sx_tr") * col("sy_tr")) /
+              (col("n_tr") * col("sxx_tr") - col("sx_tr") * col("sx_tr")))
             .as("b"),
           col("n_tr"), col("sx_tr"), col("sy_tr"))
         .select(col("fold"), col("b"),
-          ((col("sy_tr") - col("b") * col("sx_tr")) / col("n_tr")).as("a"))
+          when(col("n_tr") > 0.0,
+            (col("sy_tr") - col("b") * col("sx_tr")) / col("n_tr")).as("a"))
       rows.join(broadcast(params), Seq("fold"))
         .select(col("fold"),
           ((col("yc").cast("double") - col("a") - col("b") * col("x").cast("double")) / lit(100.0)).as("r"),
@@ -3683,11 +3732,16 @@ object Analytics {
           sum(col("cents")).as("sy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("x") * col("cents")).as("sxy"))
+        // singular fit split (zero x-variance): b, hence every residual,
+        // is NULL in both engines (q144's guard; DuckDB /0 → NULL) — the
+        // per-type grid then has ONE all-NULL r row, so no NULL-ordering
+        // divergence can enter the cumulative window
         .withColumn("b",
-          (col("n").cast("double") * col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double")) /
-          (col("n").cast("double") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")))
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0L,
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double"))))
         .withColumn("a",
           (col("sy").cast("double") - col("b") * col("sx").cast("double")) /
             col("n").cast("double"))
@@ -3969,11 +4023,16 @@ object Analytics {
           sum(col("r2cents") * col("r2cents")).as("syy"),
           sum(col("r2day") * col("r2cents")).as("sxy"))
         .select(col("event_type"), col("n"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-              .cast("double")) *
-             sqrt((col("n") * col("syy") - col("sy") * col("sy"))
-               .cast("double")))).as("rho"))
+          // all-tied side (every event same day / same cents): rank
+          // variance is exactly 0 → ρ undefined (NULL, as DuckDB's /0) —
+          // q55's exact-integer guard
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0L &&
+               col("n") * col("syy") - col("sy") * col("sy") > 0L,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+               sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                 .cast("double")))).as("rho"))
         .orderBy(col("event_type"))
     },
     Some("""
@@ -4062,9 +4121,13 @@ object Analytics {
         sum(col("sy")).as("ty"), sum(col("sxx")).as("txx"),
         sum(col("sxy")).as("txy"))
       arms.crossJoin(broadcast(pooled))
+        // degenerate guards (all NULL-mirrored by DuckDB's /0): zero
+        // pooled covariate variance → θ undefined; single-user arm
+        // (n = 1) → sample variances undefined; var_y = 0 → ratio NULL
         .withColumn("theta",
-          (col("nn") * col("txy") - col("tx") * col("ty")).cast("double") /
-            (col("nn") * col("txx") - col("tx") * col("tx")).cast("double"))
+          when(col("nn") * col("txx") - col("tx") * col("tx") > 0L,
+            (col("nn") * col("txy") - col("tx") * col("ty")).cast("double") /
+              (col("nn") * col("txx") - col("tx") * col("tx")).cast("double")))
         .withColumn("mean_y",
           col("sy").cast("double") / col("n").cast("double"))
         .withColumn("mean_y_adj",
@@ -4072,20 +4135,24 @@ object Analytics {
             (col("sx").cast("double") / col("n").cast("double") -
               col("tx").cast("double") / col("nn").cast("double")))
         .withColumn("var_y",
-          (col("n") * col("syy") - col("sy") * col("sy")).cast("double") /
-            (col("n") * (col("n") - 1)).cast("double"))
+          when(col("n") > 1L,
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double") /
+              (col("n") * (col("n") - 1)).cast("double")))
         .withColumn("var_x",
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
-            (col("n") * (col("n") - 1)).cast("double"))
+          when(col("n") > 1L,
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+              (col("n") * (col("n") - 1)).cast("double")))
         .withColumn("cov_xy",
-          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n") * (col("n") - 1)).cast("double"))
+          when(col("n") > 1L,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * (col("n") - 1)).cast("double")))
         .withColumn("var_y_cuped",
           col("var_y") - lit(2.0d) * col("theta") * col("cov_xy") +
             col("theta") * col("theta") * col("var_x"))
         .select(col("arm"), col("n"), col("theta"), col("mean_y"),
           col("mean_y_adj"), col("var_y"), col("var_y_cuped"),
-          (col("var_y_cuped") / col("var_y")).as("var_ratio"))
+          when(col("var_y") =!= 0.0,
+            col("var_y_cuped") / col("var_y")).as("var_ratio"))
         .orderBy(col("arm"))
     },
     Some("""
@@ -4170,9 +4237,13 @@ object Analytics {
             (col("c") + col("d")) * (col("b") + col("d")))
         .select(col("lang"), col("n"), col("a"), col("b"), col("c"),
           col("d"),
-          ((col("n") * (col("a") + col("d")) - col("pe_mass"))
-            .cast("double") /
-            (col("n") * col("n") - col("pe_mass")).cast("double"))
+          // pe = 1 (all mass in one contingency cell — e.g. a single-doc
+          // language): κ's chance correction is undefined → NULL, as
+          // DuckDB's 0/0 yields (DegenerateDataSpec)
+          when(col("n") * col("n") - col("pe_mass") > 0L,
+            (col("n") * (col("a") + col("d")) - col("pe_mass"))
+              .cast("double") /
+              (col("n") * col("n") - col("pe_mass")).cast("double"))
             .as("kappa"))
         .orderBy(col("lang"))
     },
@@ -5074,9 +5145,12 @@ object Analytics {
   // "which 20% of the catalog earns 80% of the money" report.
   //
   // Scale: ONE corpus pass collapses lineitem to per-part revenue (hash
-  // aggregate); the ranked cumulative pass is an unpartitioned window
-  // over the PART DOMAIN — dimension-sized, never corpus-sized (house
-  // rule: global windows only over dimensions/value grids/top-k).
+  // aggregate); the ranked cumulative pass uses Scale.rangePrefixSum —
+  // the part DOMAIN itself grows with the corpus (~10⁹ keys at true
+  // 100 TB TPC-H grain), so unlike the value-grid windows elsewhere it
+  // must NOT funnel through one task: range-partition on the rank order,
+  // local prefix sums, partition-count-sized offset pass (r8 verdict
+  // item 6; PlanSpec pins the no-dimension-through-one-task shape).
   //
   // Exactness: revenue is exact cents BIGINT (extendedprice·(1−disc)
   // is exact at 4 decimals); the class boundaries compare exact
@@ -5092,11 +5166,9 @@ object Analytics {
           round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
             * 100).cast("long").as("cents"))
         .groupBy(col("pk")).agg(sum(col("cents")).as("rev"))
-      val w = Window.orderBy(col("rev").desc, col("pk"))
       val tot = rev.agg(sum(col("rev")).as("tot"))
-      rev
-        .withColumn("cum",
-          sum(col("rev")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      Scale.rangePrefixSum(rev, Seq(col("rev").desc, col("pk")),
+          col("rev"), "cum")
         .crossJoin(broadcast(tot))
         .withColumn("cls",
           when(col("cum") * 5L <= col("tot") * 4L, "A")
@@ -6875,8 +6947,11 @@ object Analytics {
         .withColumn("mean",
           col("sy").cast("double") / col("n").cast("double") / lit(100.0))
         .withColumn("varm",
-          (col("n") * col("syy") - col("sy") * col("sy")).cast("double") /
-            (col("n") * (col("n") - 1)).cast("double") / lit(1e4))
+          // single-user cell: sample variance undefined (n−1 = 0) → NULL
+          // in both engines; the SE then ships NULL rather than throwing
+          when(col("n") > 1L,
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double") /
+              (col("n") * (col("n") - 1)).cast("double") / lit(1e4)))
       val wide = cells.agg(
         sum(when(col("arm") === 1L && col("period") === 1L, col("mean")))
           .as("m_t1"),
@@ -7519,6 +7594,383 @@ object Analytics {
       FROM lo JOIN hi ON hi.event_type = lo.event_type AND hi.p = lo.p
       ORDER BY lo.event_type, lo.p"""))
 
+  // --------------------------------------------------------------- q334
+  // HITS hubs & authorities on the order→part bipartite graph ([EXT]) —
+  // the mutually-recursive ranking beside q140's PageRank: an order is a
+  // good HUB if it buys authoritative parts; a part is a good AUTHORITY
+  // if good hubs buy it. Two Kleinberg iterations, L1-normalized each
+  // half-step, all in SCALED BIGINTs (S = 1e9): a ← S·(Σ_{o→p} h)/Σ and
+  // h ← S·(Σ_{o→p} a)/Σ with integer DIV truncation DECLARED as the
+  // semantics (q140's discipline) — bit-identical across engines, which
+  // float HITS is not.
+  //
+  // Overflow envelope: after each normalization scores are ≤ S and raw
+  // sums are ≤ maxdeg·S, so every product stays ≤ maxdeg·S² = 7e18 <
+  // 2^63 under this schema's order-degree bound (≤ 7 lines/order). At a
+  // degree scale beyond that, drop S a decade or move the two products
+  // to DECIMAL(38)/HUGEINT — S is a knob, not an assumption.
+  //
+  // Scale: per half-step ONE keyed equi-join + map-side-combinable sum
+  // + a broadcast 1-row normalizer — Pregel-in-SQL like q140; final
+  // cuts are TakeOrdered heaps.
+  private val HitsScale = 1000000000L
+  private val HitsIters = 2
+  private val q334 = QueryDef(
+    "q334_hits_scores",
+    (s, d) => {
+      val edges = li(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val nH = edges.select(col("o")).distinct()
+        .agg(count(lit(1)).as("n_hubs"))
+      var h = edges.select(col("o")).distinct()
+        .crossJoin(broadcast(nH))
+        .select(col("o"), expr(s"${HitsScale}L DIV n_hubs").as("h"))
+      var a: DataFrame = null
+      for (_ <- 1 to HitsIters) {
+        val araw = edges.join(h, "o")
+          .groupBy(col("p")).agg(sum(col("h")).as("araw"))
+        val sa = araw.agg(sum(col("araw")).as("sa"))
+        a = araw.crossJoin(broadcast(sa))
+          .select(col("p"), expr(s"(araw * ${HitsScale}L) DIV sa").as("a"))
+        val hraw = edges.join(a, "p")
+          .groupBy(col("o")).agg(sum(col("a")).as("hraw"))
+        val sh = hraw.agg(sum(col("hraw")).as("sh"))
+        h = hraw.crossJoin(broadcast(sh))
+          .select(col("o"), expr(s"(hraw * ${HitsScale}L) DIV sh").as("h"))
+      }
+      val topA = a.orderBy(col("a").desc, col("p")).limit(15)
+        .select(lit("authority").as("kind"), col("p").as("key"),
+          col("a").as("score"))
+      val topH = h.orderBy(col("h").desc, col("o")).limit(15)
+        .select(lit("hub").as("kind"), col("o").as("key"),
+          col("h").as("score"))
+      topA.unionByName(topH).orderBy(col("kind"), col("score").desc,
+        col("key"))
+    },
+    Some {
+      val steps = (1 to HitsIters).map { t =>
+        s"""araw$t AS (
+        SELECT e.p, sum(h.h) AS araw
+        FROM edges e JOIN h${t - 1} h ON h.o = e.o GROUP BY 1),
+      a$t AS (
+        SELECT p, (araw * $HitsScale) // (SELECT sum(araw) FROM araw$t)
+                 AS a
+        FROM araw$t),
+      hraw$t AS (
+        SELECT e.o, sum(a.a) AS hraw
+        FROM edges e JOIN a$t a ON a.p = e.p GROUP BY 1),
+      h$t AS (
+        SELECT o, (hraw * $HitsScale) // (SELECT sum(hraw) FROM hraw$t)
+                 AS h
+        FROM hraw$t)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH edges AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      h0 AS (
+        SELECT o, $HitsScale // (SELECT count(DISTINCT o) FROM edges) AS h
+        FROM (SELECT DISTINCT o FROM edges)),
+      $steps,
+      topa AS (
+        SELECT 'authority' AS kind, p AS key, CAST(a AS BIGINT) AS score
+        FROM a$HitsIters ORDER BY a DESC, p LIMIT 15),
+      toph AS (
+        SELECT 'hub' AS kind, o AS key, CAST(h AS BIGINT) AS score
+        FROM h$HitsIters ORDER BY h DESC, o LIMIT 15)
+      SELECT * FROM topa
+      UNION ALL
+      SELECT * FROM toph
+      ORDER BY kind, score DESC, key"""
+    })
+
+  // --------------------------------------------------------------- q335
+  // Precision–recall / F1 threshold sweep ([EXT] model-eval pack, beside
+  // q102 AUC, q160 calibration, q325 gains): for every $1 score
+  // threshold t, the confusion counts of "predict purchase if value ≥ t"
+  // and the derived precision / recall / F1 — the curve a threshold
+  // picker reads. Same two-phase grid discipline as q325: ONE corpus
+  // aggregate onto the $1 bin grid, cumulative-from-the-top on the GRID,
+  // no corpus sort.
+  //
+  // Exactness: counts exact; precision = TP/PP with PP ≥ 1 by grid
+  // construction; recall guarded for the no-positives corpus (NULL, as
+  // DuckDB's /0); F1 in its division-safe integer form 2TP/(PP+P)
+  // (denominator ≥ 1 — PP ≥ 1 on every grid row).
+  private val q335 = QueryDef(
+    "q335_pr_curve",
+    (s, d) => {
+      val e = ev(s, d).select(
+        expr("CAST(round(value * 100) AS BIGINT) DIV 100").as("thr_usd"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      val grid = e.groupBy(col("thr_usd"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("np"))
+      val wCum = Window.orderBy(col("thr_usd").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = grid.agg(sum(col("np")).as("p"))
+      grid
+        .withColumn("tp", sum(col("np")).over(wCum))
+        .withColumn("pp", sum(col("n")).over(wCum))
+        .crossJoin(broadcast(tot))
+        .select(col("thr_usd"), col("n"), col("tp"), col("pp"),
+          Num.roundZ(col("tp").cast("double") / col("pp").cast("double"), 6)
+            .as("precision"),
+          when(col("p") > 0L,
+            Num.roundZ(col("tp").cast("double") / col("p").cast("double"), 6))
+            .as("recall"),
+          Num.roundZ((col("tp") * 2L).cast("double") /
+            (col("pp") + col("p")).cast("double"), 6).as("f1"))
+        .orderBy(col("thr_usd"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT CAST(round(value * 100) AS BIGINT) // 100 AS thr_usd,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events),
+      grid AS (
+        SELECT thr_usd, count(*) AS n, CAST(sum(pos) AS BIGINT) AS np
+        FROM e GROUP BY 1),
+      cum AS (
+        SELECT thr_usd, n,
+               CAST(sum(np) OVER (ORDER BY thr_usd DESC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+               CAST(sum(n) OVER (ORDER BY thr_usd DESC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp,
+               CAST((SELECT sum(np) FROM grid) AS BIGINT) AS p
+        FROM grid)
+      SELECT thr_usd, n, tp, pp,
+             (CAST(round((CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE)) * 1e6)
+               AS BIGINT) / 1e6) AS precision,
+             CASE WHEN p > 0 THEN
+               (CAST(round((CAST(tp AS DOUBLE) / CAST(p AS DOUBLE)) * 1e6)
+                 AS BIGINT) / 1e6) END AS recall,
+             (CAST(round((CAST(2 * tp AS DOUBLE)
+               / CAST(pp + p AS DOUBLE)) * 1e6) AS BIGINT) / 1e6) AS f1
+      FROM cum
+      ORDER BY thr_usd"""))
+
+  // --------------------------------------------------------------- q336
+  // Sample-ratio-mismatch check ([EXT] experimentation pack) — the FIRST
+  // gate any A/B readout must pass: with 50/50 assignment (user parity,
+  // the q149/q241 convention), are the daily arm counts consistent with
+  // the design? χ² against the 50/50 expectation collapses exactly to
+  // (n₁−n₀)²/(n₁+n₀) — ONE division of exact integers per day — flagged
+  // at the 1-df α=.05 critical value. An SRM day means the assignment
+  // or logging is broken and every downstream estimate (q149/q241/q263/
+  // q289) on that day is untrustworthy.
+  // Scale: one (day, user) distinct + a day-grid conditional aggregate.
+  private val q336 = QueryDef(
+    "q336_srm_check",
+    (s, d) => {
+      val u = ev(s, d).select(
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+          " AS BIGINT)").as("day"),
+        col("user_id")).distinct()
+      u.groupBy(col("day"))
+        .agg(sum(expr("user_id % 2")).as("n_treat"),
+          sum(expr("1 - user_id % 2")).as("n_ctrl"))
+        .select(col("day"), col("n_treat"), col("n_ctrl"),
+          Num.roundZ(((col("n_treat") - col("n_ctrl")) *
+            (col("n_treat") - col("n_ctrl"))).cast("double") /
+            (col("n_treat") + col("n_ctrl")).cast("double"), 6).as("chi2"),
+          (((col("n_treat") - col("n_ctrl")) *
+            (col("n_treat") - col("n_ctrl"))).cast("double") /
+            (col("n_treat") + col("n_ctrl")).cast("double") > 3.841459)
+            .as("srm_flag"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT DISTINCT
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 ::BIGINT AS day,
+               user_id
+        FROM events),
+      g AS (
+        SELECT day, CAST(sum(user_id % 2) AS BIGINT) AS n_treat,
+               CAST(sum(1 - user_id % 2) AS BIGINT) AS n_ctrl
+        FROM u GROUP BY 1)
+      SELECT day, n_treat, n_ctrl,
+             (CAST(round((CAST((n_treat - n_ctrl) * (n_treat - n_ctrl)
+               AS DOUBLE) / CAST(n_treat + n_ctrl AS DOUBLE)) * 1e6)
+               AS BIGINT) / 1e6) AS chi2,
+             (CAST((n_treat - n_ctrl) * (n_treat - n_ctrl) AS DOUBLE)
+               / CAST(n_treat + n_ctrl AS DOUBLE)) > 3.841459 AS srm_flag
+      FROM g
+      ORDER BY day"""))
+
+  // --------------------------------------------------------------- q337
+  // KMV-sketch Jaccard between two behavioral cohorts ([EXT] sketch
+  // family, beside q309's KMV distinct and q220's HLL union): estimate
+  // |A∩B|/|A∪B| of (purchasers, viewers) from bottom-64 hash sketches —
+  // the mergeable-summary way to ask "how much do two 10⁹-member
+  // cohorts overlap" without ever joining them. Estimator: take the 64
+  // smallest md5-56bit user hashes of A∪B; Ĵ = (members of that sketch
+  // in BOTH cohorts)/|sketch| (Beyer et al.). The exact Jaccard ships
+  // beside it — eval ops run both arms (q258's discipline).
+  //
+  // Determinism: md5 hashes, ranked with rank ≤ k — which compiles to
+  // WindowGroupLimit, i.e. a 64-row heap per map partition BEFORE the
+  // single-partition selection, so only 64·P rows ever cross (q218's
+  // pinned shape; the exchange is top-k-survivor-sized, house-legal).
+  // 56-bit hashes make ties impossible; the estimate is an exact
+  // integer ratio.
+  private val q337 = QueryDef(
+    "q337_kmv_jaccard",
+    (s, d) => {
+      val flags = ev(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("in_a"),
+          max(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("in_b"))
+        .withColumn("h",
+          conv(substring(md5(concat(lit("kmv:"),
+            col("user_id").cast("string")).cast("binary")), 1, 14), 16, 10)
+            .cast("long"))
+      val wH = Window.orderBy(col("h"))
+      val sketch = flags.withColumn("rk", row_number().over(wH))
+        .filter(col("rk") <= 64)
+      val est = sketch.agg(count(lit(1)).as("n_sketch"),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L)
+          .otherwise(0L)).as("n_both"))
+      val exact = flags.agg(
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L)
+          .otherwise(0L)).as("n_inter"),
+        count(lit(1)).as("n_union"))
+      est.crossJoin(broadcast(exact))
+        .select(lit(64L).as("k"), col("n_sketch"), col("n_both"),
+          col("n_inter"), col("n_union"),
+          when(col("n_sketch") > 0L,
+            Num.roundZ(col("n_both").cast("double") /
+              col("n_sketch").cast("double"), 6)).as("est_jaccard"),
+          when(col("n_union") > 0L,
+            Num.roundZ(col("n_inter").cast("double") /
+              col("n_union").cast("double"), 6)).as("true_jaccard"))
+    },
+    Some("""
+      WITH flags AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS in_a,
+               max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS in_b,
+               (('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                 1, 14))::BIGINT) AS h
+        FROM events
+        WHERE event_type IN ('purchase', 'view')
+        GROUP BY user_id),
+      sk AS (
+        SELECT * FROM (
+          SELECT in_a, in_b,
+                 row_number() OVER (ORDER BY h) AS rk
+          FROM flags) t
+        WHERE rk <= 64),
+      est AS (
+        SELECT count(*) AS n_sketch,
+               CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_both
+        FROM sk),
+      ex AS (
+        SELECT CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_inter,
+               count(*) AS n_union
+        FROM flags)
+      SELECT 64 AS k, n_sketch, n_both, n_inter, n_union,
+             CASE WHEN n_sketch > 0 THEN
+               (CAST(round((CAST(n_both AS DOUBLE)
+                 / CAST(n_sketch AS DOUBLE)) * 1e6) AS BIGINT) / 1e6) END
+               AS est_jaccard,
+             CASE WHEN n_union > 0 THEN
+               (CAST(round((CAST(n_inter AS DOUBLE)
+                 / CAST(n_union AS DOUBLE)) * 1e6) AS BIGINT) / 1e6) END
+               AS true_jaccard
+      FROM est, ex"""))
+
+  // --------------------------------------------------------------- q338
+  // Pinball (quantile) loss evaluation ([EXT] model-eval pack) — the
+  // metric the reference's `objective='quantile'` minimizes, shipped as
+  // a QUERY: for τ ∈ {0.1, 0.5, 0.9}, select the exact per-type
+  // τ-quantile of purchase-value cents from the value grid (k = ⌈τn⌉
+  // lower selection, q232/q235 discipline) and report its mean pinball
+  // loss ρ_τ. Closes the loop on the engine's documented quantile-GBT
+  // deviation: whatever produces quantile predictions, THIS measures
+  // them — and the selected quantile is the in-sample minimizer, the
+  // property AnalyticsSpec can pin against any rival predictor.
+  //
+  // Exactness: with τ in tenths and integer cents, 10·ρ_τ is an exact
+  // BIGINT per row — τ10·(y−q) above, (10−τ10)·(q−y) below — summed
+  // exactly; the mean is ONE correctly-rounded division. Scale: one
+  // corpus aggregate onto the (type, cents) grid; quantile selection
+  // and loss both run on the GRID (loss terms weighted by grid counts).
+  private val q338 = QueryDef(
+    "q338_pinball_eval",
+    (s, d) => {
+      val grid = ev(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id") % 7L as "seg",
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .groupBy(col("seg"), col("cents")).agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("seg")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = grid.withColumn("cum", sum(col("cnt")).over(wCum))
+      val n = grid.groupBy(col("seg")).agg(sum(col("cnt")).as("n"))
+      val taus = n.select(col("seg"), col("n"),
+        explode(expr("array(1L, 5L, 9L)")).as("tau10"))
+        .withColumn("k", expr("(tau10 * n + 9) DIV 10"))
+      val qhat = taus.join(cum, "seg")
+        .filter(col("cum") >= col("k"))
+        .groupBy(col("seg"), col("tau10"), col("n"))
+        .agg(min(col("cents")).as("q"))
+      qhat.join(grid, "seg")
+        .withColumn("pin10",
+          when(col("cents") > col("q"),
+            col("tau10") * (col("cents") - col("q")))
+            .otherwise((lit(10L) - col("tau10")) *
+              (col("q") - col("cents"))) * col("cnt"))
+        .groupBy(col("seg"), col("tau10"), col("n"), col("q"))
+        .agg(sum(col("pin10")).as("s10"))
+        .select(col("seg"), (col("tau10").cast("double") / 10.0).as("tau"),
+          col("n"), (col("q").cast("double") / 100.0).as("qhat_usd"),
+          round(col("s10").cast("double") /
+            (col("n") * 1000L).cast("double"), 6).as("mean_pinball_usd"))
+        .orderBy(col("seg"), col("tau"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id % 7 AS seg,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      grid AS (
+        SELECT seg, cents, count(*) AS cnt FROM p GROUP BY 1, 2),
+      cum AS (
+        SELECT seg, cents, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY seg ORDER BY cents
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM grid),
+      n AS (SELECT seg, CAST(sum(cnt) AS BIGINT) AS n FROM grid GROUP BY 1),
+      taus AS (
+        SELECT seg, n, CAST(unnest([1, 5, 9]) AS BIGINT) AS tau10 FROM n),
+      qh AS (
+        SELECT t.seg, t.tau10, t.n, min(c.cents) AS q
+        FROM taus t JOIN cum c ON c.seg = t.seg
+        WHERE c.cum >= (t.tau10 * t.n + 9) // 10
+        GROUP BY 1, 2, 3),
+      loss AS (
+        SELECT qh.seg, qh.tau10, qh.n, qh.q,
+               CAST(sum((CASE WHEN g.cents > qh.q
+                 THEN qh.tau10 * (g.cents - qh.q)
+                 ELSE (10 - qh.tau10) * (qh.q - g.cents) END) * g.cnt)
+                 AS BIGINT) AS s10
+        FROM qh JOIN grid g ON g.seg = qh.seg
+        GROUP BY 1, 2, 3, 4)
+      SELECT seg, CAST(tau10 AS DOUBLE) / 10.0 AS tau, n,
+             CAST(q AS DOUBLE) / 100.0 AS qhat_usd,
+             round(CAST(s10 AS DOUBLE) / CAST(n * 1000 AS DOUBLE), 6)
+               AS mean_pinball_usd
+      FROM loss
+      ORDER BY seg, tau"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
@@ -7526,5 +7978,6 @@ object Analytics {
       q209, q214, q215, q219, q220, q221, q222, q226, q230, q232,
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
-      q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326, q330, q332)
+      q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326, q330, q332,
+      q334, q335, q336, q337, q338)
 }

@@ -926,14 +926,19 @@ object Dedup {
       val comp = connectedComponents(
         minhashPairs(s, d).select(col("da"), col("db")))
       // q41's blended quality score, shared stopword literal (TextAnalysis)
+      // n_chars = 0 guard (q41's, DegenerateDataSpec): an empty doc can
+      // never be a cluster member (no shingles → no pairs), but Spark
+      // computes this projection scan-side BEFORE the join prunes it —
+      // unguarded it throws ANSI DIVIDE_BY_ZERO on the corpus scan
       val qual = docs(s, d)
         .withColumn("toks", split(col("text"), " "))
         .select(col("doc_id"), col("n_chars"),
-          round(lit(1.0) -
-            (expr(s"size(filter(toks, w -> array_contains(${TextAnalysis.stopArr}, w)))")
-              .cast("double") / size(col("toks")).cast("double")) * 0.5 -
-            (length(regexp_replace(col("text"), "[^.,!?;]", "")).cast("double") /
-              col("n_chars").cast("double")) * 0.5, 6).as("quality"))
+          when(col("n_chars") > 0L,
+            round(lit(1.0) -
+              (expr(s"size(filter(toks, w -> array_contains(${TextAnalysis.stopArr}, w)))")
+                .cast("double") / size(col("toks")).cast("double")) * 0.5 -
+              (length(regexp_replace(col("text"), "[^.,!?;]", "")).cast("double") /
+                col("n_chars").cast("double")) * 0.5, 6)).as("quality"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("comp")).orderBy(col("quality").desc, col("doc_id"))
       comp.join(qual, comp("id") === qual("doc_id"))
@@ -1390,7 +1395,10 @@ object Dedup {
     * stale feed silently replaying across JVM runs; superseded sibling
     * stagings are removed on rebuild. */
   private val feedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def stagedDocFeed(s: SparkSession, d: String): String =
+  /** Test hook (StagingSpec): clear the per-JVM feed memo so a spec can
+    * simulate a fresh JVM observing a regenerated-in-place table. */
+  private[graft] def resetFeedMemoForTest(): Unit = feedDirs.clear()
+  private[graft] def stagedDocFeed(s: SparkSession, d: String): String =
     feedDirs.computeIfAbsent(d, _ => {
       import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._

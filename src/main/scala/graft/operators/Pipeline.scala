@@ -86,11 +86,15 @@ object Pipeline {
         .withColumn("n_punct",
           length(regexp_replace(col("text"), "[^.,!?;]", "")).cast("long"))
         .withColumn("quality",
-          round(
-            lit(1.0) -
-              (col("n_stop").cast("double") / col("n_tok").cast("double")) * 0.5 -
-              (col("n_punct").cast("double") / col("n_chars").cast("double")) * 0.5,
-            6))
+          // n_chars = 0 (empty doc): guard to NULL — the ≥ 0.96 filter
+          // then drops the row in BOTH engines (NULL comparison), where
+          // unguarded Spark ANSI throws scan-side (DegenerateDataSpec)
+          when(col("n_chars") > 0L,
+            round(
+              lit(1.0) -
+                (col("n_stop").cast("double") / col("n_tok").cast("double")) * 0.5 -
+                (col("n_punct").cast("double") / col("n_chars").cast("double")) * 0.5,
+              6)))
         .filter(col("quality") >= 0.96)
       // representative = argmin(doc_id), carrying (lang, n_tok).
       // min(struct(...)) would plan SortAggregate (per-task corpus sort —
@@ -1243,7 +1247,12 @@ object Pipeline {
   private val q139 = QueryDef(
     "q139_quality_prune",
     (s, d) => {
-      val base = docs(s, d)
+      // empty docs (n_chars = 0) are excluded from the pruning universe
+      // on BOTH sides: quality is their rank key, and a NULL key would
+      // rank last in Spark but FIRST in DuckDB DESC — exclusion is the
+      // only formulation with one cross-engine meaning (and ANSI would
+      // throw on the /n_chars term anyway; DegenerateDataSpec)
+      val base = docs(s, d).filter(col("n_chars") > 0L)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_tok", size(col("toks")).cast("long"))
         .withColumn("n_stop",
@@ -1302,7 +1311,7 @@ object Pipeline {
                     / CAST(n_chars AS DOUBLE)) * 0.5, 6) AS quality
         FROM (SELECT source, doc_id, text, n_chars,
                      string_split(text, ' ') AS toks
-              FROM documents) t),
+              FROM documents WHERE n_chars > 0) t),
       r AS (
         SELECT source, doc_id, quality,
                row_number() OVER (PARTITION BY source
@@ -1359,7 +1368,11 @@ object Pipeline {
       wk.withColumn("cum", sum(col("wt")).over(w))
         .join(broadcast(tot), Seq("c_mktsegment"))
         .withColumn("stride", expr("tw div 5"))
-        .filter(expr("cum div stride > (cum - wt) div stride" +
+        // stride = 0 (stratum weight < k): no systematic sample is
+        // defined — the guard excludes the stratum, exactly as DuckDB's
+        // NULL-yielding // 0 does (Spark ANSI DIV throws instead;
+        // DegenerateDataSpec pins a 2-cent segment)
+        .filter(expr("stride > 0 AND cum div stride > (cum - wt) div stride" +
           " and (cum - wt) div stride < 5"))
         .select(col("c_mktsegment"), col("c_custkey"), col("c_name"),
           col("wt"), col("cum"))
@@ -1379,7 +1392,8 @@ object Pipeline {
         FROM wk)
       SELECT c_mktsegment, c_custkey, c_name, wt, cum
       FROM cw
-      WHERE cum // (tw // 5) > (cum - wt) // (tw // 5)
+      WHERE tw // 5 > 0
+        AND cum // (tw // 5) > (cum - wt) // (tw // 5)
         AND (cum - wt) // (tw // 5) < 5
       ORDER BY c_mktsegment, cum"""))
 
@@ -1421,8 +1435,8 @@ object Pipeline {
       val sample = wk.withColumn("cum", sum(col("wt")).over(w))
         .join(broadcast(tot), Seq("c_mktsegment"))
         .withColumn("stride", expr("tw DIV 5"))
-        .filter(expr("cum DIV stride > (cum - wt) DIV stride" +
-          " AND (cum - wt) DIV stride < 5"))
+        .filter(expr("stride > 0 AND cum DIV stride > (cum - wt) DIV stride" +
+          " AND (cum - wt) DIV stride < 5")) // stride guard: q148's
       sample
         .withColumn("invp_q",
           greatest(lit(1000000L), expr("(1000000 * stride) DIV wt")))
@@ -1456,7 +1470,8 @@ object Pipeline {
       smp AS (
         SELECT *, greatest(1000000, (1000000 * stride) // wt) AS invp_q
         FROM cw
-        WHERE cum // stride > (cum - wt) // stride
+        WHERE stride > 0
+          AND cum // stride > (cum - wt) // stride
           AND (cum - wt) // stride < 5)
       SELECT c_mktsegment, n_true, tw, count(*) AS n_sample,
              CAST(sum(invp_q) AS DOUBLE) / 1e6 AS ht_n,
@@ -1559,7 +1574,12 @@ object Pipeline {
   private val q218 = QueryDef(
     "q218_weighted_sample",
     (s, d) => {
-      val base = docs(s, d).select(col("doc_id"), col("lang"),
+      // weight-0 docs (n_chars = 0) have zero inclusion probability in
+      // A-ES (key → −∞) and are excluded up front on BOTH sides: left
+      // in, Spark ANSI throws on /0 and DuckDB's NULL key would rank
+      // FIRST under DESC — i.e. wrongly drawn (DegenerateDataSpec)
+      val base = docs(s, d).filter(col("n_chars") > 0L)
+        .select(col("doc_id"), col("lang"),
         col("n_chars"),
         (conv(substring(md5(concat(lit("es"), col("doc_id").cast("string"))
           .cast("binary")), 1, 13), 16, 10).cast("long") + 1L).as("u52"))
@@ -1580,7 +1600,7 @@ object Pipeline {
         SELECT doc_id, lang, n_chars,
                (('0x' || substr(md5('es' || CAST(doc_id AS VARCHAR)),
                  1, 13))::BIGINT + 1) AS u52
-        FROM documents),
+        FROM documents WHERE n_chars > 0),
       k AS (
         SELECT doc_id, lang, n_chars,
                round(ln(CAST(u52 AS DOUBLE) / 4503599627370496.0), 12) /

@@ -72,14 +72,19 @@ object TextAnalysis {
         .select(
           col("doc_id"), col("n_tok"), col("n_stop"), col("n_punct"),
           round(col("n_stop").cast("double") / col("n_tok").cast("double"), 6)
-            .as("stop_ratio"),
-          round(col("n_punct").cast("double") / col("n_chars").cast("double"), 6)
+            .as("stop_ratio"), // n_tok ≥ 1 by construction (split ≥ 1 elem)
+          // n_chars = 0 (empty doc): Spark 4 ANSI throws on double/0
+          // where DuckDB yields NULL — guard to the oracle's NULL
+          // (DegenerateDataSpec pins the empty-document row)
+          when(col("n_chars") > 0L,
+            round(col("n_punct").cast("double") / col("n_chars").cast("double"), 6))
             .as("punct_ratio"),
-          round(
-            lit(1.0) -
-              (col("n_stop").cast("double") / col("n_tok").cast("double")) * 0.5 -
-              (col("n_punct").cast("double") / col("n_chars").cast("double")) * 0.5,
-            6).as("quality"))
+          when(col("n_chars") > 0L,
+            round(
+              lit(1.0) -
+                (col("n_stop").cast("double") / col("n_tok").cast("double")) * 0.5 -
+                (col("n_punct").cast("double") / col("n_chars").cast("double")) * 0.5,
+              6)).as("quality"))
         .orderBy(col("doc_id")),
     Some(s"""
       SELECT doc_id,
@@ -257,11 +262,14 @@ object TextAnalysis {
           sum(col("n_chars")).as("sx"),
           sum(col("n_chars") * col("n_chars")).as("sxx"))
         .select(col("lang"), col("n"), col("med_chars"), col("p90_chars"),
-          round(sqrt(
-            (col("sxx").cast("double") -
-              col("sx").cast("double") * col("sx").cast("double") /
-                col("n").cast("double")) /
-              (col("n").cast("double") - 1.0)), 6).as("sd_chars"))
+          // a single-document language has no sample sd (n−1 = 0):
+          // DuckDB's /0.0 yields NULL, Spark ANSI throws — guard to NULL
+          when(col("n") > 1L,
+            round(sqrt(
+              (col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double") /
+                  col("n").cast("double")) /
+                (col("n").cast("double") - 1.0)), 6)).as("sd_chars"))
         .orderBy(col("lang")),
     Some("""
       SELECT lang, count(*) AS n,

@@ -399,14 +399,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "no shuffle join in the sample path")
   }
 
-  test("q151: profile unpivot reads lineitem exactly once") {
-    // the whole point of the stack-style unpivot is ONE scan regardless
-    // of profiled width — a per-column scan union would read the table
-    // 11 times at 100 TB
+  test("q151: each profile branch scans exactly its own column") {
+    // branch-per-column profile: 11 scans, but parquet prunes each to a
+    // SINGLE column, so total bytes read equal one full-width scan — and
+    // no Generate fan-out or string rendering exists anywhere (the r2–r8
+    // unpivot form materialized 11N generator rows and shuffled string
+    // keys; the branch form measured ~3× cheaper at sf0.1)
     val p = planOf("q151_column_profile")
-    val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans == 1, s"expected exactly 1 lineitem scan, got $scans")
-    assert(p.contains("Generate"), "unpivot must explode via Generate")
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(schemas.size == 11, s"expected 11 branch scans, got $schemas")
+    assert(schemas.forall(s => s.count(_ == ':') == 1),
+      s"every branch scan must prune to exactly ONE column: $schemas")
+    assert(!p.contains("Generate"),
+      "no unpivot generator — branches aggregate native columns directly")
   }
 
   test("q152: one user-keyed exchange feeds both the lead window and the agg") {
@@ -853,5 +859,32 @@ class PlanSpec extends AnyFunSuite {
       "re-centering must never go all-pairs")
     assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 2,
       "both iterates (64-row grids) must broadcast into the corpus passes")
+  }
+
+  test("q303: dimension-domain cumsum is range-partitioned, never one task") {
+    // The part DOMAIN grows with the corpus (~10⁹ keys at true 100 TB
+    // TPC-H grain), so unlike value-grid windows its cumulative pass must
+    // not plan Exchange SinglePartition over the domain. With
+    // Scale.rangePrefixSum the only unpartitioned window runs on the
+    // per-range-partition TOTALS (partition-count-sized, constant in the
+    // data) — pin that every unpartitioned window sits above the _g_pid
+    // aggregate, and that the local cumulative window partitions by the
+    // range-partition id.
+    val plan = SparkEntry.queries("q303_abc_pareto")(spark, sf)
+      .queryExecution.sparkPlan
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected window operators in the plan")
+    val (globals, locals) = wins.partition(_.partitionSpec.isEmpty)
+    assert(globals.nonEmpty && globals.forall(_.child.toString.contains("_g_pid")),
+      "every unpartitioned window must consume the per-partition totals " +
+        "aggregate, never the part domain itself")
+    assert(locals.nonEmpty &&
+      locals.forall(_.partitionSpec.mkString.contains("_g_pid")),
+      "the cumulative window over the domain must partition by the " +
+        "range-partition id")
+    assert(plan.toString.contains("rangepartitioning"),
+      "the domain must be range-partitioned on the rank order")
   }
 }
