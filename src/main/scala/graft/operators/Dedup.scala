@@ -2388,8 +2388,61 @@ object Dedup {
       FROM census
       ORDER BY band"""))
 
+  // --------------------------------------------------------------- q341
+  // STREAMING curation composition ([EXT]): the q48 batch pipeline's
+  // first two stages (quality filter → exact dedup) run continuously
+  // over the staged document feed — filter n_chars ≥ 100, then a
+  // stateful streaming aggregate keyed on (lang, md5(text)) in complete
+  // mode, post-processed to per-language unique/duplicate accounting.
+  // Beside q210 (near-dup admission vs a static index) this is the
+  // WITHIN-STREAM exact-dedup accounting a continuous ingest keeps.
+  //
+  // Determinism: only KEY-level facts ship (unique key counts, row
+  // counts) — never "which duplicate row won", which would depend on
+  // intra-batch arrival order. Dedup keys on (lang, content), so a text
+  // shared across languages counts once per language in BOTH engines.
+  // Scale: state is |unique (lang, text)| keys of ~50 bytes (hash +
+  // counter) — the production form puts a TTL/watermark on the key
+  // space (q94's shape); the bounded feed here declares complete mode.
+  private val q341 = QueryDef(
+    "q341_stream_doc_curation",
+    (s, d) => {
+      val feedDir = stagedDocFeed(s, d)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val sink = s"graft_q341_${java.util.UUID.randomUUID.toString.take(8)}"
+      val q = ss.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id bigint, text string, lang string, source string, n_chars bigint"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feedDir)
+        .filter(col("n_chars") >= 100L)
+        .select(col("lang"), md5(col("text").cast("binary")).as("h"))
+        .groupBy(col("lang"), col("h")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      ss.table(sink)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_unique"), sum(col("n")).as("n_rows"),
+          (sum(col("n")) - count(lit(1))).as("n_dup_rows"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH fifth AS (
+        SELECT lang, md5(text) AS h
+        FROM documents
+        WHERE doc_id % 5 = 0 AND n_chars >= 100)
+      SELECT lang, count(DISTINCT h) AS n_unique, count(*) AS n_rows,
+             CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_rows
+      FROM fifth
+      GROUP BY lang
+      ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154,
       q161, q205, q210, q213, q247, q258, q270, q277, q281, q282, q299,
-      q331)
+      q331, q341)
 }

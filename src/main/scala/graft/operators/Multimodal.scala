@@ -260,5 +260,74 @@ object Multimodal {
       ORDER BY qid, rk"""
     })
 
-  val defs: Seq[QueryDef] = Seq(q90, q91, q92, q95, q118)
+  // --------------------------------------------------------------- q340
+  // Audio frame-energy windowing ([EXT], the audio sibling of q95's
+  // video frame sampling): treat each document as an opaque audio clip,
+  // window it into fixed-stride frames (1 frame per 16 chars — the
+  // sample-rate:window-size ratio of a real pipeline), compute per-frame
+  // amplitude → energy, and report the per-language silence ratio and
+  // mean frame energy — the VAD-style (voice-activity) profiling pass an
+  // audio-corpus pipeline runs before transcription. The PCM stand-in is
+  // the house md5 trick (FakeDecoder's): amp(doc, f) = signed 56-bit
+  // md5('pcm:'||doc||':'||f) % 20001 − 10000 — a real build swaps ONE
+  // projection for a codec read; windowing, fan-out, and aggregation
+  // shapes are exactly what the codec version would run.
+  //
+  // Exactness: amplitudes/energies are exact BIGINTs; silence ratio and
+  // mean energy are single correctly-rounded divisions of exact sums
+  // (frame counts ≥ 1 per doc — sequence(0, n) is never empty — and per
+  // lang, so no zero denominators exist). Scale: per-row bounded
+  // generator (frames ∝ doc length), one map-side-combinable aggregate;
+  // no shuffle wider than |langs|.
+  private val q340 = QueryDef(
+    "q340_audio_energy_windows",
+    (s, d) => {
+      val frames = docs(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          explode(expr("sequence(0, n_chars DIV 16)")).as("f"))
+        .withColumn("amp",
+          conv(substring(md5(concat(lit("pcm:"),
+            col("doc_id").cast("string"), lit(":"),
+            col("f").cast("string")).cast("binary")), 1, 14), 16, 10)
+            .cast("long") % 20001L - 10000L)
+      frames.groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_frames"),
+          sum(when(abs(col("amp")) < 1000L, 1L).otherwise(0L))
+            .as("n_silent"),
+          sum(col("amp") * col("amp")).as("energy"))
+        .select(col("lang"), col("n_docs"), col("n_frames"),
+          col("n_silent"),
+          Num.roundZ(col("n_silent").cast("double") /
+            col("n_frames").cast("double"), 6).as("silence_ratio"),
+          Num.roundZ(col("energy").cast("double") /
+            col("n_frames").cast("double"), 4).as("mean_energy"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH frames AS (
+        SELECT doc_id, lang,
+               ((('0x' || substr(md5('pcm:' || CAST(doc_id AS VARCHAR)
+                   || ':' || CAST(f AS VARCHAR)), 1, 14))::BIGINT)
+                 % 20001) - 10000 AS amp
+        FROM (
+          SELECT doc_id, lang,
+                 unnest(range(0, (n_chars // 16) + 1)) AS f
+          FROM documents) t)
+      SELECT lang,
+             count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_frames,
+             CAST(sum(CASE WHEN abs(amp) < 1000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_silent,
+             (CAST(round((CAST(sum(CASE WHEN abs(amp) < 1000 THEN 1
+                 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1e6)
+               AS BIGINT) / 1e6) AS silence_ratio,
+             (CAST(round((CAST(sum(amp * amp) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)) * 1e4) AS BIGINT) / 1e4)
+               AS mean_energy
+      FROM frames
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  val defs: Seq[QueryDef] = Seq(q90, q91, q92, q95, q118, q340)
 }

@@ -4144,6 +4144,70 @@ object Relational {
       GROUP BY user_id
       ORDER BY user_id"""))
 
+  // --------------------------------------------------------------- q339
+  // Business-day settlement as-of ([EXT] calendar pack, beside q203's
+  // timezone calendar and q28/q273's as-of joins): map every event day
+  // to the NEXT business day strictly after it (T+1 settlement) via a
+  // GENERATED calendar dimension — the operator behind settlement,
+  // SLA-clock, and billing-cycle logic, where the join target is a rule-
+  // generated dim, not a stored table. The weekday rule is pure MODULAR
+  // ARITHMETIC off a fixed anchor (2024-01-01 is a Monday: dow = day % 7,
+  // business = dow ≤ 4) — no engine dow function, so the cross-engine
+  // calendar trap q203 pins (Spark dayofweek vs DuckDB isodow) cannot
+  // exist here by construction.
+  // Scale: the calendar grid is span-sized (~40 rows) and broadcast; the
+  // day→next-bd map is a grid×grid product of two tiny sides; events
+  // reduce map-side onto the day grid BEFORE touching the calendar, so
+  // the corpus never joins a generated row set.
+  private val q339 = QueryDef(
+    "q339_business_day_asof",
+    (s, d) => {
+      val byDay = Tables.t(s, d, "events")
+        .select(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+          " AS BIGINT)").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+      val span = byDay.agg(min(col("day")).as("d0"),
+        (max(col("day")) + 7L).as("d1"))
+      val cal = span.select(explode(expr("sequence(d0, d1)")).as("cd"))
+        .filter(expr("((cd % 7) + 7) % 7 <= 4")) // business days only
+      val nextBd = byDay.select(col("day"))
+        .join(broadcast(cal), col("cd") > col("day"))
+        .groupBy(col("day")).agg(min(col("cd")).as("settle_day"))
+      byDay.join(broadcast(nextBd), "day")
+        .groupBy(col("settle_day"))
+        .agg(sum(col("n")).as("n_events"),
+          (sum(col("sc")).cast("double") / 100.0).as("value_total"),
+          count(lit(1)).as("n_trade_days"),
+          min(col("day")).as("first_trade_day"))
+        .orderBy(col("settle_day"))
+    },
+    Some("""
+      WITH by_day AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 ::BIGINT AS day,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+        FROM events GROUP BY 1),
+      span AS (SELECT min(day) AS d0, max(day) + 7 AS d1 FROM by_day),
+      cal AS (
+        SELECT cd FROM (
+          SELECT unnest(range(d0, d1 + 1)) AS cd FROM span) t
+        WHERE ((cd % 7) + 7) % 7 <= 4),
+      nextbd AS (
+        SELECT b.day, min(c.cd) AS settle_day
+        FROM by_day b JOIN cal c ON c.cd > b.day
+        GROUP BY b.day)
+      SELECT n.settle_day,
+             CAST(sum(b.n) AS BIGINT) AS n_events,
+             CAST(sum(b.sc) AS DOUBLE) / 100.0 AS value_total,
+             count(*) AS n_trade_days,
+             min(b.day) AS first_trade_day
+      FROM by_day b JOIN nextbd n ON n.day = b.day
+      GROUP BY n.settle_day
+      ORDER BY n.settle_day"""))
+
   val defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -4152,5 +4216,5 @@ object Relational {
     q171, q172, q173, q174, q175, q176, q177, q179, q180, q181, q182, q190,
     q191, q193, q195, q198, q199, q201, q202, q203, q206, q207, q208, q211,
     q212, q216, q223, q224, q231, q234, q237, q246, q249, q252, q267, q268, q269, q272, q273,
-    q284, q317, q318)
+    q284, q317, q318, q339)
 }

@@ -2503,8 +2503,107 @@ object TextAnalysis {
       GROUP BY t.lang
       ORDER BY t.lang"""))
 
+  // --------------------------------------------------------------- q342
+  // Mutual information between language and source ([EXT], beside q150's
+  // χ² independence test and q225's JS divergence): I(lang; source) in
+  // nats plus both marginal entropies and the normalized MI — the
+  // "which metadata column actually predicts which" screen a curation
+  // pipeline runs before stratifying by one of them. Identities used:
+  // I = ln n + (Σ c·ln c − Σ r·ln r − Σ s·ln s + n·ln n)/n rearranged
+  // per-cell as (c/n)·ln(c·n/(r·s)); H(lang) = ln n − (Σ r·ln r)/n.
+  //
+  // Determinism: every x·ln(ratio-of-exact-ints) term is quantized to a
+  // 1e-9 BIGINT grid BEFORE its sum (the q214/q219 transcendental
+  // discipline) so hash-agg arrival order cannot move the result; all
+  // final values are single divisions of exact integers. Scale: one
+  // corpus pass onto the |lang|×|source| grid (≤ 100 cells); everything
+  // after is grid arithmetic with broadcast totals.
+  private val q342 = QueryDef(
+    "q342_mutual_information",
+    (s, d) => {
+      val grid = docs(s, d).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      val rl = grid.groupBy(col("lang")).agg(sum(col("c")).as("r"))
+      val cs = grid.groupBy(col("source")).agg(sum(col("c")).as("v"))
+      val n = grid.agg(sum(col("c")).as("n"))
+      val miq = grid.join(broadcast(rl), "lang")
+        .join(broadcast(cs), "source")
+        .crossJoin(broadcast(n))
+        .select(round(col("c").cast("double") *
+          log((col("c") * col("n")).cast("double") /
+            (col("r") * col("v")).cast("double")) * 1e9).cast("long")
+          .as("tq"))
+        .agg(sum(col("tq")).as("miq"))
+      val hlq = rl.crossJoin(broadcast(n))
+        .select(round(col("r").cast("double") *
+          log(col("n").cast("double") / col("r").cast("double")) * 1e9)
+          .cast("long").as("tq"))
+        .agg(sum(col("tq")).as("hlq"))
+      val hsq = cs.crossJoin(broadcast(n))
+        .select(round(col("v").cast("double") *
+          log(col("n").cast("double") / col("v").cast("double")) * 1e9)
+          .cast("long").as("tq"))
+        .agg(sum(col("tq")).as("hsq"))
+      miq.crossJoin(broadcast(hlq)).crossJoin(broadcast(hsq))
+        .crossJoin(broadcast(n))
+        .select(col("n"),
+          Num.roundZ(col("miq").cast("double") /
+            (col("n").cast("double") * 1e9), 6).as("mi_nats"),
+          Num.roundZ(col("hlq").cast("double") /
+            (col("n").cast("double") * 1e9), 6).as("h_lang"),
+          Num.roundZ(col("hsq").cast("double") /
+            (col("n").cast("double") * 1e9), 6).as("h_source"),
+          // a single-language (or single-source) corpus has zero
+          // marginal entropy: normalized MI is undefined → NULL, as
+          // DuckDB's /0 yields (DegenerateDataSpec class)
+          when(least(col("hlq"), col("hsq")) > 0L,
+            Num.roundZ(col("miq").cast("double") /
+              least(col("hlq"), col("hsq")).cast("double"), 6))
+            .as("nmi"))
+    },
+    Some("""
+      WITH grid AS (
+        SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+      rl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS r FROM grid GROUP BY 1),
+      cs AS (SELECT source, CAST(sum(c) AS BIGINT) AS v
+             FROM grid GROUP BY 1),
+      n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM grid),
+      miq AS (
+        SELECT CAST(sum(CAST(round(CAST(g.c AS DOUBLE) *
+                 ln(CAST(g.c * n.n AS DOUBLE)
+                    / CAST(rl.r * cs.v AS DOUBLE)) * 1e9) AS BIGINT))
+               AS BIGINT) AS miq
+        FROM grid g JOIN rl USING (lang) JOIN cs USING (source)
+        CROSS JOIN n),
+      hlq AS (
+        SELECT CAST(sum(CAST(round(CAST(r AS DOUBLE) *
+                 ln(CAST(n.n AS DOUBLE) / CAST(r AS DOUBLE)) * 1e9)
+               AS BIGINT)) AS BIGINT) AS hlq
+        FROM rl CROSS JOIN n),
+      hsq AS (
+        SELECT CAST(sum(CAST(round(CAST(v AS DOUBLE) *
+                 ln(CAST(n.n AS DOUBLE) / CAST(v AS DOUBLE)) * 1e9)
+               AS BIGINT)) AS BIGINT) AS hsq
+        FROM cs CROSS JOIN n)
+      SELECT n.n,
+             (CAST(round((CAST(miq AS DOUBLE)
+               / (CAST(n.n AS DOUBLE) * 1e9)) * 1e6) AS BIGINT) / 1e6)
+               AS mi_nats,
+             (CAST(round((CAST(hlq AS DOUBLE)
+               / (CAST(n.n AS DOUBLE) * 1e9)) * 1e6) AS BIGINT) / 1e6)
+               AS h_lang,
+             (CAST(round((CAST(hsq AS DOUBLE)
+               / (CAST(n.n AS DOUBLE) * 1e9)) * 1e6) AS BIGINT) / 1e6)
+               AS h_source,
+             CASE WHEN least(hlq, hsq) > 0 THEN
+               (CAST(round((CAST(miq AS DOUBLE)
+                 / CAST(least(hlq, hsq) AS DOUBLE)) * 1e6) AS BIGINT)
+                 / 1e6) END AS nmi
+      FROM miq CROSS JOIN hlq CROSS JOIN hsq CROSS JOIN n"""))
+
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
       q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228,
-      q233, q236, q253, q264, q275, q276, q278, q279, q290, q327, q329, q333)
+      q233, q236, q253, q264, q275, q276, q278, q279, q290, q327, q329,
+      q333, q342)
 }
