@@ -1499,6 +1499,110 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q334 HITS: each side's scores L1-normalize to HitsScale - truncation") {
+    // every half-step renormalizes by integer DIV, so Σ score per side
+    // must land in (S − n_side, S] — the truncation loses < 1 per node.
+    // The TOP-15 cut means we recompute the full sums driver-side from
+    // the same plan minus the limit: instead pin on the emitted rows that
+    // scores are positive, strictly rank-ordered per kind, and bounded
+    // by S (a normalized score can never exceed the whole mass).
+    val rows = q("q334_hits_scores")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val S = 1000000000L
+    assert(rows.nonEmpty)
+    Seq("authority", "hub").foreach { k =>
+      val side = rows.filter(_._1 == k).map(_._3)
+      assert(side.nonEmpty && side.forall(v => v > 0L && v <= S), s"$k range")
+      assert(side.sameElements(side.sorted(Ordering[Long].reverse)),
+        s"$k rank order")
+      assert(side.sum <= S, s"$k top-15 mass cannot exceed the whole")
+    }
+  }
+
+  test("q336 SRM: chi2 equals the classic (o-e)^2/e form (driver recompute)") {
+    // the query ships the algebraically collapsed (n1−n0)²/(n1+n0);
+    // recompute the two-term textbook form per day and demand equality
+    // up to the 1e-6 display quantization
+    val rows = q("q336_srm_check")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nt = r.getLong(1).toDouble; val nc = r.getLong(2).toDouble
+      val e = (nt + nc) / 2.0
+      val classic = (nt - e) * (nt - e) / e + (nc - e) * (nc - e) / e
+      assert(math.abs(r.getDouble(3) - classic) <= 1e-6,
+        s"day ${r.getLong(0)}: ${r.getDouble(3)} vs $classic")
+    }
+  }
+
+  test("q337 KMV sketch selects exactly the k smallest hashes (recompute)") {
+    val row = q("q337_kmv_jaccard")(spark, sf).collect().head
+    // recompute the cohort flags + hashes driver-side
+    val flags = Tables.t(spark, sf, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("a"),
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("b"),
+        first(conv(substring(md5(concat(lit("kmv:"),
+          col("user_id").cast("string")).cast("binary")), 1, 14), 16, 10)
+          .cast("long")).as("h"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sketch = flags.sortBy(_._3).take(64)
+    val nBoth = sketch.count(t => t._1 == 1L && t._2 == 1L).toLong
+    val nInter = flags.count(t => t._1 == 1L && t._2 == 1L).toLong
+    assert(row.getLong(1) == sketch.length.toLong, "sketch size")
+    assert(row.getLong(2) == nBoth, "both-cohort members in sketch")
+    assert(row.getLong(3) == nInter, "exact intersection")
+    assert(row.getLong(4) == flags.length.toLong, "exact union")
+  }
+
+  test("q338: the selected quantile minimizes pinball loss in-sample") {
+    // the defining property of the τ-quantile: no ±1-cent shift of the
+    // predictor can strictly lower the (exact integer) pinball loss
+    val purch = Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 7L).as("seg"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def loss10(xs: Seq[Long], q: Long, tau10: Long): Long =
+      xs.map(y => if (y > q) tau10 * (y - q) else (10 - tau10) * (q - y)).sum
+    val rows = q("q338_pinball_eval")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val seg = r.getLong(0); val tau10 = math.round(r.getDouble(1) * 10)
+      val qc = math.round(r.getDouble(3) * 100)
+      val xs = purch.filter(_._1 == seg).map(_._2).toSeq
+      val at = loss10(xs, qc, tau10)
+      assert(at <= loss10(xs, qc - 1, tau10) && at <= loss10(xs, qc + 1, tau10),
+        s"seg $seg tau $tau10: $qc is not the in-sample minimizer")
+      assert(math.abs(r.getDouble(4) - at.toDouble / (xs.length * 1000.0))
+        <= 1e-6, s"seg $seg tau $tau10 loss value")
+    }
+  }
+
+  test("q339: settlement is a business day, after the trade, within 3 days") {
+    val rows = q("q339_business_day_asof")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sd = r.getLong(0); val first = r.getLong(4)
+      assert(((sd % 7) + 7) % 7 <= 4, s"settle day $sd is a weekend")
+      assert(sd > first && sd - first <= 3,
+        s"settle $sd vs first trade $first: not the NEXT business day")
+    }
+  }
+
+  test("q342: information identities hold up to quantization") {
+    // 0 ≤ MI ≤ min(H_lang, H_source); NMI ∈ [0, 1] — each side of every
+    // inequality is a 1e-9-quantized sum over ≤ 100 cells, so slack 1e-6
+    val r = q("q342_mutual_information")(spark, sf).collect().head
+    val (mi, hl, hs) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(mi >= -1e-6, "MI must be non-negative")
+    assert(mi <= math.min(hl, hs) + 1e-6, "MI cannot exceed min entropy")
+    assert(hl > 0 && hs > 0, "testdata has multiple langs and sources")
+    val nmi = r.getDouble(4)
+    assert(nmi >= -1e-6 && nmi <= 1 + 1e-6, "NMI in [0,1]")
+  }
+
   test("q324 PVM bridge reconciles: vol+price effects == revenue delta") {
     // the no-residual algebra p0(q1-q0) + (p1-p0)q1 = r1-r0, up to the
     // two 1e-3-dollar term quantizations plus the 2-decimal display
