@@ -7618,9 +7618,14 @@ object Analytics {
   private val q334 = QueryDef(
     "q334_hits_scores",
     (s, d) => {
+      // the edge table feeds BOTH half-steps of every iteration (4+
+      // plan references): localCheckpoint pins it once — without it each
+      // reference re-scans lineitem and re-runs the distinct (the
+      // q32/q35 lineage lesson; measured 6.6 s → ~1 s at sf0.1)
       val edges = li(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
+        .localCheckpoint()
       val nH = edges.select(col("o")).distinct()
         .agg(count(lit(1)).as("n_hubs"))
       var h = edges.select(col("o")).distinct()
@@ -7628,13 +7633,18 @@ object Analytics {
         .select(col("o"), expr(s"${HitsScale}L DIV n_hubs").as("h"))
       var a: DataFrame = null
       for (_ <- 1 to HitsIters) {
+        // each raw-score table feeds its own normalizer AND the
+        // normalized projection — checkpoint so the edge join runs once
+        // per half-step, not twice (node-dictionary-sized pins)
         val araw = edges.join(h, "o")
           .groupBy(col("p")).agg(sum(col("h")).as("araw"))
+          .localCheckpoint()
         val sa = araw.agg(sum(col("araw")).as("sa"))
         a = araw.crossJoin(broadcast(sa))
           .select(col("p"), expr(s"(araw * ${HitsScale}L) DIV sa").as("a"))
         val hraw = edges.join(a, "p")
           .groupBy(col("o")).agg(sum(col("a")).as("hraw"))
+          .localCheckpoint()
         val sh = hraw.agg(sum(col("hraw")).as("sh"))
         h = hraw.crossJoin(broadcast(sh))
           .select(col("o"), expr(s"(hraw * ${HitsScale}L) DIV sh").as("h"))
