@@ -7981,6 +7981,75 @@ object Analytics {
       FROM loss
       ORDER BY seg, tau"""))
 
+  // --------------------------------------------------------------- q345
+  // Cohort LTV triangle ([EXT] BI pack, the revenue sibling of q126's
+  // retention counts): users cohort by FIRST-event week; each cohort's
+  // purchase revenue accumulates across week offsets, normalized per
+  // cohort member — the lifetime-value curve a growth team reads as the
+  // classic lower-triangular (cohort × age) matrix. Offsets with no
+  // events simply don't emit a row (the cumulative carries across the
+  // gap) — the triangle is sparse by construction.
+  //
+  // Exactness: cents BIGINTs end-to-end; the cumulative runs per cohort
+  // over the ≤ (weeks)² triangle grid; LTV is one division by the exact
+  // cohort size (≥ 1 — a cohort exists only via its members). Scale:
+  // two user-keyed aggregates + a triangle-grid window; nothing
+  // downstream of the grid scales with the corpus.
+  private val q345 = QueryDef(
+    "q345_cohort_ltv_triangle",
+    (s, d) => {
+      val e = ev(s, d).select(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+          " AS BIGINT) DIV 7").as("w"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+      val firstW = e.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+      val cohort = firstW.groupBy(col("cw"))
+        .agg(count(lit(1)).as("cohort_users"))
+      val tri = e.join(firstW, "user_id")
+        .groupBy(col("cw"), (col("w") - col("cw")).as("off"))
+        .agg(sum(col("cents")).as("sc"))
+      val wCum = Window.partitionBy(col("cw")).orderBy(col("off"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tri.withColumn("cum", sum(col("sc")).over(wCum))
+        .join(broadcast(cohort), "cw")
+        .select(col("cw").as("cohort_week"), col("off").as("week_offset"),
+          col("cohort_users"),
+          (col("sc").cast("double") / 100.0).as("rev_usd"),
+          (col("cum").cast("double") / 100.0).as("cum_rev_usd"),
+          round(col("cum").cast("double") /
+            (col("cohort_users") * 100L).cast("double"), 6).as("ltv_usd"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 ::BIGINT // 7 AS w,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(round(value * 100) AS BIGINT)
+                    ELSE 0 END AS cents
+        FROM events),
+      fw AS (SELECT user_id, min(w) AS cw FROM e GROUP BY 1),
+      cohort AS (SELECT cw, count(*) AS cohort_users FROM fw GROUP BY 1),
+      tri AS (
+        SELECT fw.cw, e.w - fw.cw AS off,
+               CAST(sum(e.cents) AS BIGINT) AS sc
+        FROM e JOIN fw ON fw.user_id = e.user_id
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT cw, off, sc,
+               CAST(sum(sc) OVER (PARTITION BY cw ORDER BY off
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM tri)
+      SELECT c.cw AS cohort_week, c.off AS week_offset, co.cohort_users,
+             CAST(c.sc AS DOUBLE) / 100.0 AS rev_usd,
+             CAST(c.cum AS DOUBLE) / 100.0 AS cum_rev_usd,
+             round(CAST(c.cum AS DOUBLE)
+                   / CAST(co.cohort_users * 100 AS DOUBLE), 6) AS ltv_usd
+      FROM cum c JOIN cohort co ON co.cw = c.cw
+      ORDER BY cohort_week, week_offset"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
@@ -7989,5 +8058,5 @@ object Analytics {
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
       q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326, q330, q332,
-      q334, q335, q336, q337, q338)
+      q334, q335, q336, q337, q338, q345)
 }

@@ -2441,8 +2441,98 @@ object Dedup {
       GROUP BY lang
       ORDER BY lang"""))
 
+  // --------------------------------------------------------------- q343
+  // Golden-record survivorship ([EXT], the MDM step after q109's
+  // keep-best): q109 keeps one WHOLE ROW per near-dup cluster; real
+  // master-data pipelines instead merge FIELD-BY-FIELD — each attribute
+  // takes its own survivorship rule (modal value for categoricals, max
+  // for monotone quality fields, min id as the stable record key) and
+  // the conflict counts ship as data-quality evidence. Rules here:
+  // golden_id = min(doc_id); lang/source = modal value with
+  // lexicographic tie-break; n_chars = max; n_lang_conflict /
+  // n_source_conflict = distinct values seen.
+  //
+  // Scale: clusters are duplicate-graph-sized, never corpus-sized; the
+  // modal selection runs on (cluster, value) count tables via a rank
+  // window whose partitions are single clusters (bounded by MaxBucket
+  // upstream). Determinism: modal ties break on the value itself, so
+  // no arrival order exists anywhere.
+  private val q343 = QueryDef(
+    "q343_golden_record",
+    (s, d) => {
+      val comp = connectedComponents(
+        minhashPairs(s, d).select(col("da"), col("db")))
+      val members = comp.join(docs(s, d),
+          comp("id") === col("doc_id"))
+        .select(col("comp"), col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))
+        .localCheckpoint() // feeds 3 aggregates below
+      def modal(field: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("comp"))
+          .orderBy(col("cnt").desc, col(field))
+        members.groupBy(col("comp"), col(field))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("comp"), col(field).as(s"${field}_modal"))
+      }
+      members.groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("golden_id"),
+          max(col("n_chars")).as("n_chars_max"),
+          countDistinct(col("lang")).as("n_lang_values"),
+          countDistinct(col("source")).as("n_source_values"))
+        .join(modal("lang"), "comp")
+        .join(modal("source"), "comp")
+        .select(col("comp").as("comp_id"), col("n_docs"), col("golden_id"),
+          col("lang_modal"), col("source_modal"), col("n_chars_max"),
+          col("n_lang_values"), col("n_source_values"))
+        .orderBy(col("comp_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashCtes,
+      edges AS (
+        SELECT da AS src, db AS dst FROM mh_pairs
+        UNION ALL
+        SELECT db, da FROM mh_pairs),
+      reach(id, comp) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+      comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+      members AS (
+        SELECT c.comp, d.doc_id, d.lang, d.source, d.n_chars
+        FROM comp c JOIN documents d ON d.doc_id = c.id),
+      lm AS (
+        SELECT comp, lang AS lang_modal FROM (
+          SELECT comp, lang,
+                 row_number() OVER (PARTITION BY comp
+                   ORDER BY count(*) DESC, lang) AS rk
+          FROM members GROUP BY comp, lang) t
+        WHERE rk = 1),
+      sm AS (
+        SELECT comp, source AS source_modal FROM (
+          SELECT comp, source,
+                 row_number() OVER (PARTITION BY comp
+                   ORDER BY count(*) DESC, source) AS rk
+          FROM members GROUP BY comp, source) t
+        WHERE rk = 1)
+      SELECT m.comp AS comp_id, count(*) AS n_docs,
+             min(m.doc_id) AS golden_id,
+             min(lm.lang_modal) AS lang_modal,
+             min(sm.source_modal) AS source_modal,
+             max(m.n_chars) AS n_chars_max,
+             count(DISTINCT m.lang) AS n_lang_values,
+             count(DISTINCT m.source) AS n_source_values
+      FROM members m
+      JOIN lm ON lm.comp = m.comp
+      JOIN sm ON sm.comp = m.comp
+      GROUP BY m.comp
+      ORDER BY comp_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154,
       q161, q205, q210, q213, q247, q258, q270, q277, q281, q282, q299,
-      q331, q341)
+      q331, q341, q343)
 }

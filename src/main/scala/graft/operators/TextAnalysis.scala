@@ -2601,9 +2601,77 @@ object TextAnalysis {
                  / 1e6) END AS nmi
       FROM miq CROSS JOIN hlq CROSS JOIN hsq CROSS JOIN n"""))
 
+  // --------------------------------------------------------------- q344
+  // N-gram novelty per ingest batch ([EXT] corpus-freshness pack):
+  // attribute every distinct word-3-gram to the FIRST batch that
+  // contributed it, then report per batch how much of its distinct gram
+  // vocabulary is genuinely new — the "is this crawl adding anything"
+  // screen run before paying to process a new drop (a batch whose
+  // novelty collapses is re-crawling known content; complements q46's
+  // within-doc repetition and q138's pairwise vocab overlap with a
+  // SEQUENTIAL first-seen attribution). Batch = doc_id % 8, the
+  // deterministic stand-in for ingest sequence on this testdata.
+  //
+  // Scale: gram-keyed hash aggregates only — (gram, batch) distinct →
+  // min(batch) per gram → two batch-grid counts; the gram table never
+  // sorts and nothing is corpus²; novelty is an exact integer ratio
+  // (distinct-gram count per batch ≥ 1 for any batch that emits).
+  private val q344 = QueryDef(
+    "q344_ngram_novelty",
+    (s, d) => {
+      val grams = docs(s, d)
+        .withColumn("b", col("doc_id") % 8L)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("b"), col("toks"),
+          explode(expr("sequence(0, size(toks) - 3)")).as("i"))
+        .select(col("b"),
+          concat(col("toks")(col("i")), lit("|"),
+                 col("toks")(col("i") + 1), lit("|"),
+                 col("toks")(col("i") + 2)).as("g"))
+      val gb = grams.groupBy(col("g"), col("b"))
+        .agg(count(lit(1)).as("occ"))
+      val first = gb.groupBy(col("g")).agg(min(col("b")).as("fb"))
+      gb.join(first, "g")
+        .groupBy(col("b").as("batch"))
+        .agg(count(lit(1)).as("n_distinct_grams"),
+          sum(col("occ")).as("n_gram_occurrences"),
+          sum(when(col("fb") === col("b"), 1L).otherwise(0L))
+            .as("n_novel_grams"))
+        .select(col("batch"), col("n_distinct_grams"),
+          col("n_gram_occurrences"), col("n_novel_grams"),
+          Num.roundZ(col("n_novel_grams").cast("double") /
+            col("n_distinct_grams").cast("double"), 6).as("novelty"))
+        .orderBy(col("batch"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id % 8 AS b, string_split(text, ' ') AS toks
+        FROM documents),
+      grams AS (
+        SELECT b, unnest(
+          CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || '|' || toks[i+1] || '|' || toks[i+2])
+               ELSE [] END) AS g
+        FROM tok),
+      gb AS (SELECT g, b, count(*) AS occ FROM grams GROUP BY 1, 2),
+      fst AS (SELECT g, min(b) AS fb FROM gb GROUP BY 1)
+      SELECT gb.b AS batch,
+             count(*) AS n_distinct_grams,
+             CAST(sum(gb.occ) AS BIGINT) AS n_gram_occurrences,
+             CAST(sum(CASE WHEN f.fb = gb.b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel_grams,
+             (CAST(round((CAST(sum(CASE WHEN f.fb = gb.b THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT)
+               / 1e6) AS novelty
+      FROM gb JOIN fst f ON f.g = gb.g
+      GROUP BY gb.b
+      ORDER BY batch"""))
+
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
       q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228,
       q233, q236, q253, q264, q275, q276, q278, q279, q290, q327, q329,
-      q333, q342)
+      q333, q342, q344)
 }
