@@ -8050,6 +8050,72 @@ object Analytics {
       FROM cum c JOIN cohort co ON co.cw = c.cw
       ORDER BY cohort_week, week_offset"""))
 
+  // --------------------------------------------------------------- q347
+  // Standardized Pearson residuals of the lang × source contingency
+  // table ([EXT], the cell-level drill-down of q150's χ² and q342's
+  // MI): WHICH cells drive the association — r = (o − e)/√(e(1−r/n)
+  // (1−c/n)), flagged at |r| > 2 (the ±2σ convention). The audit that
+  // turns "lang and source are dependent" into "zh is over-represented
+  // in src7".
+  //
+  // Exactness: o, row/col/total masses are exact BIGINTs; e and the
+  // residual are ONE fixed-order double expression mirrored
+  // token-for-token (single √, roundZ final). A full-mass row/column
+  // (r = n or c = n — the other margin is singleton) has no residual
+  // variance → NULL, as DuckDB's /0 yields (DegenerateDataSpec class).
+  // Scale: one corpus pass onto the ≤ |langs|·|sources| grid.
+  private val q347 = QueryDef(
+    "q347_chi2_residuals",
+    (s, d) => {
+      val grid = Tables.t(s, d, "documents")
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      val rl = grid.groupBy(col("lang")).agg(sum(col("o")).as("r"))
+      val cs = grid.groupBy(col("source")).agg(sum(col("o")).as("c"))
+      val n = grid.agg(sum(col("o")).as("n"))
+      grid.join(broadcast(rl), "lang").join(broadcast(cs), "source")
+        .crossJoin(broadcast(n))
+        .withColumn("e",
+          col("r").cast("double") * col("c").cast("double") /
+            col("n").cast("double"))
+        .withColumn("std_resid",
+          when(col("n") - col("r") > 0L && col("n") - col("c") > 0L,
+            Num.roundZ((col("o").cast("double") - col("e")) /
+              sqrt(col("e") *
+                (lit(1.0) - col("r").cast("double") / col("n").cast("double")) *
+                (lit(1.0) - col("c").cast("double") / col("n").cast("double"))),
+              4)))
+        .select(col("lang"), col("source"), col("o"),
+          round(col("e"), 4).as("expected"), col("std_resid"),
+          (abs(col("std_resid")) > 2.0).as("outlier"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""
+      WITH grid AS (
+        SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+      rl AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM grid GROUP BY 1),
+      cs AS (SELECT source, CAST(sum(o) AS BIGINT) AS c
+             FROM grid GROUP BY 1),
+      n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM grid),
+      j AS (
+        SELECT g.lang, g.source, g.o,
+               CAST(rl.r AS DOUBLE) * CAST(cs.c AS DOUBLE)
+                 / CAST(n.n AS DOUBLE) AS e,
+               CASE WHEN n.n - rl.r > 0 AND n.n - cs.c > 0 THEN
+                 (CAST(round(((CAST(g.o AS DOUBLE) -
+                    CAST(rl.r AS DOUBLE) * CAST(cs.c AS DOUBLE)
+                      / CAST(n.n AS DOUBLE)) /
+                   sqrt((CAST(rl.r AS DOUBLE) * CAST(cs.c AS DOUBLE)
+                      / CAST(n.n AS DOUBLE)) *
+                     (1.0 - CAST(rl.r AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+                     (1.0 - CAST(cs.c AS DOUBLE) / CAST(n.n AS DOUBLE))))
+                   * 1e4) AS BIGINT) / 1e4) END AS std_resid
+        FROM grid g JOIN rl USING (lang) JOIN cs USING (source)
+        CROSS JOIN n)
+      SELECT lang, source, o, round(e, 4) AS expected, std_resid,
+             abs(std_resid) > 2.0 AS outlier
+      FROM j
+      ORDER BY lang, source"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
@@ -8058,5 +8124,5 @@ object Analytics {
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
       q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326, q330, q332,
-      q334, q335, q336, q337, q338, q345)
+      q334, q335, q336, q337, q338, q345, q347)
 }

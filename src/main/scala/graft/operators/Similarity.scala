@@ -2098,6 +2098,82 @@ object Similarity {
       FROM hits h JOIN candn c ON c.p = h.p
       ORDER BY nprobe"""))
 
+  // --------------------------------------------------------------- q346
+  // Nearest-centroid (Rocchio) classification of the embedding corpus
+  // ([EXT] eval pack): per-label centroids via the q51 Lloyd-step
+  // discipline (exact fixed-point per-dimension means reassembled
+  // through FLOAT, so both engines hold bit-identical centroids),
+  // every vector assigned to its max-cosine centroid (ties → min
+  // label), and the full confusion matrix shipped — the 5-minute
+  // baseline every embedding-quality audit runs before training
+  // anything, and the in-query label-separability evidence beside
+  // q163's covariance and q310's ARI.
+  //
+  // Scale: centroids are |labels| rows, BROADCAST; the argmax is a
+  // map-side-combinable min_by over (−cos, label) — the corpus never
+  // shuffles wider than (vec_id, true-label) collapse; confusion is a
+  // |labels|² grid. Zero-norm centroids (members cancel exactly —
+  // theoretical) are excluded symmetrically, same class as [[emb]]'s
+  // zero-vector rule.
+  private val q346 = QueryDef(
+    "q346_centroid_classifier",
+    (s, d) => {
+      val e = emb(s, d).withColumn("norm", float_norm(col("embedding")))
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy(col("label"), col("i"))
+        .agg(Num.avgFixed(col("v").cast("double"), 6).as("m"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, m)))," +
+          " x -> cast(x.m as float))").as("ca"))
+        .select(col("label").as("clab"), col("ca"),
+          float_norm(col("ca")).as("cn"))
+        .filter(col("cn") > 0.0)
+      val scored = e.select(col("vec_id"), col("label"),
+          col("embedding").as("eb"), col("norm").as("vn"))
+        .join(broadcast(cent), lit(true))
+        .withColumn("cos", Num.roundZ(
+          float_dot(col("ca"), col("eb")) / (col("cn") * col("vn")), 6))
+        .withColumn("ncos", -col("cos"))
+      scored
+        .groupBy(col("vec_id"), col("label"))
+        .agg(expr("min_by(clab, struct(ncos, clab))").as("pred_label"))
+        .groupBy(col("label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("pred_label"))
+    },
+    Some(s"""
+      WITH $evSql,
+      cv AS (
+        SELECT label AS clab, i,
+               CAST(CAST(${graft.Num.avgFixedSql("v", 6)} AS FLOAT)
+                 AS DOUBLE) AS cv
+        FROM ev GROUP BY label, i),
+      cn AS (
+        SELECT clab, sqrt(sum(cv * cv)) AS cn FROM cv GROUP BY 1
+        HAVING sqrt(sum(cv * cv)) > 0),
+      sc AS (
+        SELECT e.vec_id, e.label, c.clab,
+               (CAST(round((sum(e.v * c.cv) / (n.cn * ne.nrm)) * 1e6)
+                 AS BIGINT) / 1e6) AS cos
+        FROM ev e
+        JOIN cv c ON c.i = e.i
+        JOIN cn n ON n.clab = c.clab
+        JOIN norms ne ON ne.vec_id = e.vec_id
+        GROUP BY e.vec_id, e.label, c.clab, n.cn, ne.nrm),
+      pred AS (
+        SELECT vec_id, label, clab AS pred_label FROM (
+          SELECT vec_id, label, clab,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, clab) AS rn
+          FROM sc) t
+        WHERE rn = 1)
+      SELECT label, pred_label, count(*) AS n
+      FROM pred
+      GROUP BY label, pred_label
+      ORDER BY label, pred_label"""))
+
   val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q128, q137, q163,
-    q194, q248, q250, q255, q266, q286, q304, q310, q320, q322, q328)
+    q194, q248, q250, q255, q266, q286, q304, q310, q320, q322, q328,
+    q346)
 }
