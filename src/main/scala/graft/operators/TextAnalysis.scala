@@ -2625,22 +2625,36 @@ object TextAnalysis {
         .filter(size(col("toks")) >= 3)
         .select(col("b"), col("toks"),
           explode(expr("sequence(0, size(toks) - 3)")).as("i"))
+        // the gram STRING is reduced to a portable 56-bit md5 id BEFORE
+        // any exchange (the q31/q32/q43 map-side id-reduction lesson:
+        // the first cut shuffled raw gram strings at 3.0x bytes-read;
+        // ids shuffle ~0.3x). Counts are invariant under the injective
+        // mapping; a 2^-56-probability collision merges two grams
+        // IDENTICALLY in both engines (same hash both sides).
         .select(col("b"),
-          concat(col("toks")(col("i")), lit("|"),
+          conv(substring(md5(concat(col("toks")(col("i")), lit("|"),
                  col("toks")(col("i") + 1), lit("|"),
-                 col("toks")(col("i") + 2)).as("g"))
+                 col("toks")(col("i") + 2)).cast("binary")), 1, 14), 16, 10)
+            .cast("long").as("g"))
+      // pinned once: feeds BOTH reductions below; the first cut joined
+      // the corpus-scale (g, b) table back to its own g-grouped min —
+      // re-shuffling everything by g — where both facts reduce to the
+      // 8-row batch grid INDEPENDENTLY and join there (ShuffleProf:
+      // 1.94 -> ~1.0x bytes-shuffled/read)
       val gb = grams.groupBy(col("g"), col("b"))
         .agg(count(lit(1)).as("occ"))
-      val first = gb.groupBy(col("g")).agg(min(col("b")).as("fb"))
-      gb.join(first, "g")
-        .groupBy(col("b").as("batch"))
+        .localCheckpoint()
+      val perBatch = gb.groupBy(col("b").as("batch"))
         .agg(count(lit(1)).as("n_distinct_grams"),
-          sum(col("occ")).as("n_gram_occurrences"),
-          sum(when(col("fb") === col("b"), 1L).otherwise(0L))
-            .as("n_novel_grams"))
+          sum(col("occ")).as("n_gram_occurrences"))
+      val novel = gb.groupBy(col("g")).agg(min(col("b")).as("fb"))
+        .groupBy(col("fb").as("batch"))
+        .agg(count(lit(1)).as("n_novel_grams"))
+      perBatch.join(novel, Seq("batch"), "left")
         .select(col("batch"), col("n_distinct_grams"),
-          col("n_gram_occurrences"), col("n_novel_grams"),
-          Num.roundZ(col("n_novel_grams").cast("double") /
+          col("n_gram_occurrences"),
+          coalesce(col("n_novel_grams"), lit(0L)).as("n_novel_grams"),
+          Num.roundZ(coalesce(col("n_novel_grams"), lit(0L)).cast("double") /
             col("n_distinct_grams").cast("double"), 6).as("novelty"))
         .orderBy(col("batch"))
     },
@@ -2649,25 +2663,30 @@ object TextAnalysis {
         SELECT doc_id % 8 AS b, string_split(text, ' ') AS toks
         FROM documents),
       grams AS (
-        SELECT b, unnest(
-          CASE WHEN len(toks) >= 3
-               THEN list_transform(range(1, len(toks) - 1),
-                      i -> toks[i] || '|' || toks[i+1] || '|' || toks[i+2])
-               ELSE [] END) AS g
-        FROM tok),
+        SELECT b, (('0x' || substr(md5(g0), 1, 14))::BIGINT) AS g
+        FROM (
+          SELECT b, unnest(
+            CASE WHEN len(toks) >= 3
+                 THEN list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || '|' || toks[i+1] || '|' || toks[i+2])
+                 ELSE [] END) AS g0
+          FROM tok) t),
       gb AS (SELECT g, b, count(*) AS occ FROM grams GROUP BY 1, 2),
-      fst AS (SELECT g, min(b) AS fb FROM gb GROUP BY 1)
-      SELECT gb.b AS batch,
-             count(*) AS n_distinct_grams,
-             CAST(sum(gb.occ) AS BIGINT) AS n_gram_occurrences,
-             CAST(sum(CASE WHEN f.fb = gb.b THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_novel_grams,
-             (CAST(round((CAST(sum(CASE WHEN f.fb = gb.b THEN 1 ELSE 0 END)
-               AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT)
+      per_batch AS (
+        SELECT b AS batch, count(*) AS n_distinct_grams,
+               CAST(sum(occ) AS BIGINT) AS n_gram_occurrences
+        FROM gb GROUP BY 1),
+      novel AS (
+        SELECT fb AS batch, count(*) AS n_novel_grams
+        FROM (SELECT g, min(b) AS fb FROM gb GROUP BY 1) t
+        GROUP BY 1)
+      SELECT p.batch, p.n_distinct_grams, p.n_gram_occurrences,
+             CAST(coalesce(n.n_novel_grams, 0) AS BIGINT) AS n_novel_grams,
+             (CAST(round((CAST(coalesce(n.n_novel_grams, 0) AS DOUBLE)
+               / CAST(p.n_distinct_grams AS DOUBLE)) * 1e6) AS BIGINT)
                / 1e6) AS novelty
-      FROM gb JOIN fst f ON f.g = gb.g
-      GROUP BY gb.b
-      ORDER BY batch"""))
+      FROM per_batch p LEFT JOIN novel n ON n.batch = p.batch
+      ORDER BY p.batch"""))
 
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
