@@ -2134,10 +2134,19 @@ object Similarity {
         .join(broadcast(cent), lit(true))
         .withColumn("cos", Num.roundZ(
           float_dot(col("ca"), col("eb")) / (col("cn") * col("vn")), 6))
-        .withColumn("ncos", -col("cos"))
+      // packed-int64 argmax (the q30/q48 discipline): cos already lives
+      // on the 1e-6 grid, so (1e6 − cos·1e6)·2^20 + label orders by
+      // (−cos, label) exactly and min() is a PLAIN hash aggregate — a
+      // min_by(label, struct(−cos, label)) buffers a struct and planned
+      // SortAggregate over the corpus-scale input (PlanAudit). Labels
+      // must sit in [0, 2^20) — any denser domain dictionary-encodes.
       scored
+        .withColumn("ic",
+          (lit(1000000L) - round(col("cos") * 1e6).cast("long")) *
+            1048576L + col("clab"))
         .groupBy(col("vec_id"), col("label"))
-        .agg(expr("min_by(clab, struct(ncos, clab))").as("pred_label"))
+        .agg(min(col("ic")).as("m"))
+        .select(col("label"), (col("m") % 1048576L).as("pred_label"))
         .groupBy(col("label"), col("pred_label"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("label"), col("pred_label"))

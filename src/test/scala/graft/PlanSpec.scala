@@ -861,6 +861,19 @@ class PlanSpec extends AnyFunSuite {
       "both iterates (64-row grids) must broadcast into the corpus passes")
   }
 
+  test("q346: argmax is a packed-int64 hash aggregate, never SortAggregate") {
+    // min_by(label, struct(−cos, label)) buffers a struct, which is not
+    // hash-able — Spark falls back to SortAggregate over the corpus-scale
+    // scored input (a per-task sort of N·|labels| rows). The packed-long
+    // form must plan plain hash aggregation; the centroid side stays a
+    // broadcast (no shuffle of the corpus by anything but vec_id).
+    val p = planOf("q346_centroid_classifier")
+    assert(!p.contains("SortAggregate"),
+      "packed-argmin must not fall back to SortAggregate")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      "centroids must broadcast, never cartesian")
+  }
+
   test("q303: dimension-domain cumsum is range-partitioned, never one task") {
     // The part DOMAIN grows with the corpus (~10⁹ keys at true 100 TB
     // TPC-H grain), so unlike value-grid windows its cumulative pass must
