@@ -8116,6 +8116,79 @@ object Analytics {
       FROM j
       ORDER BY lang, source"""))
 
+  // --------------------------------------------------------------- q349
+  // Demand-peak detection on the daily purchase series ([EXT] time-
+  // series ops, beside q226's CUSUM changepoints and q166's per-entity
+  // z-anomalies): a day is a PEAK when it exceeds both calendar
+  // neighbors (strict local maximum, ties broken toward the earlier
+  // day by ≥/>) AND carries 1.05× its trailing-week mean — the
+  // prominence guard that keeps sub-noise wiggles out of the report
+  // (sized to this testbed's smooth synthetic series, whose local
+  // maxima top out ~1.15×; a spikier domain raises the knob).
+  //
+  // Exactness: the 1.05× test never materializes a float threshold —
+  // 20·cents·n7 > 21·sum7 in exact BIGINTs; lift ships as one guarded
+  // correctly-rounded division. Requires ≥ 3 trailing days so the
+  // series head cannot self-certify. Scale: ONE corpus aggregate onto
+  // the day grid; every window runs on the ≤366-row calendar grid.
+  private val q349 = QueryDef(
+    "q349_series_peaks",
+    (s, d) => {
+      val daily = ev(s, d).filter(col("event_type") === "purchase")
+        .groupBy(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+          " AS BIGINT)").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val wN = Window.orderBy(col("day"))
+      val wT = Window.orderBy(col("day")).rangeBetween(-7, -1)
+      daily
+        .withColumn("prev", lag(col("cents"), 1).over(wN))
+        .withColumn("next", lead(col("cents"), 1).over(wN))
+        .withColumn("sum7", sum(col("cents")).over(wT))
+        .withColumn("n7", count(lit(1)).over(wT))
+        .filter(col("prev").isNotNull && col("next").isNotNull &&
+          col("cents") >= col("prev") && col("cents") > col("next") &&
+          col("n7") >= 3L &&
+          col("cents") * 20L * col("n7") > col("sum7") * 21L)
+        .select(col("day"),
+          (col("cents").cast("double") / 100.0).as("spend"),
+          (col("prev").cast("double") / 100.0).as("prev_spend"),
+          (col("next").cast("double") / 100.0).as("next_spend"),
+          when(col("sum7") > 0L,
+            Num.roundZ(col("cents").cast("double") * col("n7").cast("double")
+              / col("sum7").cast("double"), 4)).as("lift_vs_week"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 ::BIGINT AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      w AS (
+        SELECT day, cents,
+               lag(cents) OVER (ORDER BY day) AS prev,
+               lead(cents) OVER (ORDER BY day) AS next,
+               CAST(sum(cents) OVER (ORDER BY day
+                 RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+                 AS sum7,
+               CAST(count(*) OVER (ORDER BY day
+                 RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT)
+                 AS n7
+        FROM daily)
+      SELECT day, CAST(cents AS DOUBLE) / 100.0 AS spend,
+             CAST(prev AS DOUBLE) / 100.0 AS prev_spend,
+             CAST(next AS DOUBLE) / 100.0 AS next_spend,
+             CASE WHEN sum7 > 0 THEN
+               (CAST(round((CAST(cents AS DOUBLE) * CAST(n7 AS DOUBLE)
+                 / CAST(sum7 AS DOUBLE)) * 1e4) AS BIGINT) / 1e4) END
+               AS lift_vs_week
+      FROM w
+      WHERE prev IS NOT NULL AND next IS NOT NULL
+        AND cents >= prev AND cents > next AND n7 >= 3
+        AND cents * 20 * n7 > sum7 * 21
+      ORDER BY day"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
@@ -8124,5 +8197,5 @@ object Analytics {
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
       q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326, q330, q332,
-      q334, q335, q336, q337, q338, q345, q347)
+      q334, q335, q336, q337, q338, q345, q347, q349)
 }

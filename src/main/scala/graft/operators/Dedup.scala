@@ -2404,32 +2404,39 @@ object Dedup {
   // Scale: state is |unique (lang, text)| keys of ~50 bytes (hash +
   // counter) — the production form puts a TTL/watermark on the key
   // space (q94's shape); the bounded feed here declares complete mode.
+  /** Core of q341, parameterized on files-per-trigger so DedupSpec can
+    * pin chunking invariance (q210's discipline: per-file micro-batches
+    * vs the whole feed in one batch must yield identical accounting —
+    * guaranteed here because only KEY-level facts ship). */
+  private[graft] def streamCuration(s: SparkSession, d: String,
+      filesPerTrigger: Int): DataFrame = {
+    val feedDir = stagedDocFeed(s, d)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val sink = s"graft_q341_${java.util.UUID.randomUUID.toString.take(8)}"
+    val q = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"))
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
+      .parquet(feedDir)
+      .filter(col("n_chars") >= 100L)
+      .select(col("lang"), md5(col("text").cast("binary")).as("h"))
+      .groupBy(col("lang"), col("h")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    ss.table(sink)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_unique"), sum(col("n")).as("n_rows"),
+        (sum(col("n")) - count(lit(1))).as("n_dup_rows"))
+      .orderBy(col("lang"))
+  }
+
   private val q341 = QueryDef(
     "q341_stream_doc_curation",
-    (s, d) => {
-      val feedDir = stagedDocFeed(s, d)
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
-      val sink = s"graft_q341_${java.util.UUID.randomUUID.toString.take(8)}"
-      val q = ss.readStream
-        .schema(org.apache.spark.sql.types.StructType.fromDDL(
-          "doc_id bigint, text string, lang string, source string, n_chars bigint"))
-        .option("maxFilesPerTrigger", "1")
-        .parquet(feedDir)
-        .filter(col("n_chars") >= 100L)
-        .select(col("lang"), md5(col("text").cast("binary")).as("h"))
-        .groupBy(col("lang"), col("h")).agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
-      ss.table(sink)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_unique"), sum(col("n")).as("n_rows"),
-          (sum(col("n")) - count(lit(1))).as("n_dup_rows"))
-        .orderBy(col("lang"))
-    },
+    (s, d) => streamCuration(s, d, 1),
     Some("""
       WITH fifth AS (
         SELECT lang, md5(text) AS h
@@ -2531,8 +2538,97 @@ object Dedup {
       GROUP BY m.comp
       ORDER BY comp_id"""))
 
+  // --------------------------------------------------------------- q348
+  // Winnowing fingerprint matching (Schleimer–Wilkerson–Aiken, the MOSS
+  // algorithm) — the fifth near-dup detector beside shingle-Jaccard
+  // (q31), MinHash-LSH (q32), SimHash (q33) and CDC chunking (q270):
+  // slide a window of W consecutive 3-gram hashes over each document
+  // and keep each window's MINIMUM — the guarantee the others lack is
+  // POSITIONAL: any shared run of ≥ W+2 tokens yields at least one
+  // shared fingerprint, so partial overlaps (quoted passages, stitched
+  // boilerplate) match even when whole-doc signatures diverge. Docs
+  // sharing ≥ 5 selected prints are reported with their overlap count.
+  //
+  // Scale: gram hashes are md5-id 56-bit ints from the first projection
+  // (nothing shuffles strings); the rolling min is a per-doc window
+  // (doc-partitioned, W-row frame); selected prints collapse to
+  // DISTINCT (doc, fp) map-side; pair generation is fp-bucketed with
+  // the [[MaxBucket]] hot-bucket cap mirrored in the oracle — a
+  // corpus-wide boilerplate fingerprint can never go quadratic. Every
+  // step is exact integer arithmetic; counts compare exactly.
+  private val WinnowW = 4
+  private val q348 = QueryDef(
+    "q348_dedup_winnowing",
+    (s, d) => {
+      val grams = docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3 + WinnowW - 1)
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, size(toks) - 3)")).as("i"))
+        .select(col("doc_id"), col("i"),
+          md5Id(concat(col("toks")(col("i")), lit("|"),
+            col("toks")(col("i") + 1), lit("|"),
+            col("toks")(col("i") + 2))).as("g"))
+      val wWin = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("i"))
+        .rowsBetween(0, WinnowW - 1)
+      val prints = grams
+        .withColumn("nMore", count(lit(1)).over(wWin))
+        .withColumn("fp", min(col("g")).over(wWin))
+        .filter(col("nMore") === WinnowW) // full windows only
+        .select(col("doc_id"), col("fp")).distinct()
+        .localCheckpoint() // feeds the cap census AND both join sides
+      // the self-join runs ONLY over capped fingerprints (2..MaxBucket
+      // holders): a corpus-wide boilerplate print would otherwise
+      // explode the join quadratically, and a unique print contributes
+      // no pair — both the candidacy AND the shared-count therefore see
+      // exactly the capped print set, mirrored in the oracle
+      val okFp = prints.groupBy(col("fp")).agg(count(lit(1)).as("nf"))
+        .filter(col("nf") > 1L && col("nf") <= MaxBucket)
+        .select(col("fp"))
+      val p2 = prints.join(okFp, Seq("fp"), "left_semi")
+      p2.select(col("doc_id").as("da"), col("fp"))
+        .join(p2.select(col("doc_id").as("db"), col("fp")), Seq("fp"))
+        .filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5L)
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      grams AS (
+        SELECT doc_id, i,
+               ${md5IdSql("toks[i+1] || '|' || toks[i+2] || '|' || toks[i+3]")}
+                 AS g
+        FROM (SELECT doc_id, toks,
+                     unnest(range(0, len(toks) - 2)) AS i
+              FROM tok WHERE len(toks) >= ${3 + WinnowW - 1}) t),
+      win AS (
+        SELECT doc_id,
+               min(g) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW
+                 AND ${WinnowW - 1} FOLLOWING) AS fp,
+               count(*) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW
+                 AND ${WinnowW - 1} FOLLOWING) AS nmore
+        FROM grams),
+      prints AS (
+        SELECT DISTINCT doc_id, fp FROM win WHERE nmore = $WinnowW),
+      ok AS (
+        SELECT fp FROM prints GROUP BY fp
+        HAVING count(*) > 1 AND count(*) <= $MaxBucket),
+      p2 AS (SELECT p.doc_id, p.fp FROM prints p JOIN ok USING (fp))
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_shared
+      FROM p2 a
+      JOIN p2 b ON b.fp = a.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+      ORDER BY da, db"""))
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154,
       q161, q205, q210, q213, q247, q258, q270, q277, q281, q282, q299,
-      q331, q341, q343)
+      q331, q341, q343, q348)
 }

@@ -318,6 +318,22 @@ class DedupSpec extends AnyFunSuite {
       "verdicts depend on micro-batch chunking")
   }
 
+  test("q341: curation accounting is invariant to micro-batch chunking") {
+    // q341 ships only KEY-level facts (unique (lang, content) counts,
+    // row counts) precisely so intra-batch arrival order and batch
+    // boundaries cannot leak into results — per-file replay vs the
+    // whole feed in one batch must agree exactly.
+    def run(fpt: Int) =
+      graft.operators.Dedup.streamCuration(spark, sf, fpt)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+    val perFile = run(1)
+    val oneShot = run(4)
+    assert(perFile.nonEmpty && perFile.toSeq == oneShot.toSeq,
+      "curation accounting depends on micro-batch chunking")
+  }
+
   test("q270 CDC chunks are shift-resistant; fixed windows are not") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
