@@ -390,4 +390,37 @@ class DedupSpec extends AnyFunSuite {
       "exact-0.5 pairs are in under both forms")
     assert(got(49L) == ((false, false)))
   }
+
+  test("q348: winnowing's positional guarantee on a crafted shared run") {
+    // The property that distinguishes winnowing from whole-doc
+    // signatures (SWA 2003): two documents sharing a run of ≥ W+2 = 6
+    // tokens share at least one FULL window of 3-gram hashes, hence at
+    // least one selected fingerprint. Build a scratch corpus where docs
+    // 1 and 2 embed the same 16-token passage inside otherwise-disjoint
+    // text, with enough repetitions (≥ 5 shared prints required by the
+    // query's report threshold) — the pair MUST be reported. Docs 3/4
+    // share nothing — they must NOT pair with anything.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_winnow_spec").toString
+    val passage = (1 to 16).map(i => s"shared$i").mkString(" ")
+    val shared = (passage + " ") * 4 // 64 shared tokens → ≥5 shared prints
+    val s2 = spark
+    import s2.implicits._
+    Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon", "en", "src0"),
+      (2L, s"zig zag zoom $shared quux corge grault", "en", "src0"),
+      (3L, (1 to 40).map(i => s"uniqa$i").mkString(" "), "de", "src1"),
+      (4L, (1 to 40).map(i => s"uniqb$i").mkString(" "), "fr", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("q348_dedup_winnowing")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 5L),
+      s"the shared-passage pair (1,2) must be reported: ${pairs.toSeq}")
+    assert(pairs.forall(p => p._1 == 1L && p._2 == 2L),
+      s"disjoint docs must not pair: ${pairs.toSeq}")
+  }
 }
