@@ -96,8 +96,18 @@ object Scale {
     */
   def rangePrefixSum(df: DataFrame, order: Seq[Column], value: Column,
       out: String, numParts: Int = 32): DataFrame = {
+    // BOTH consumers below (local prefix sums and per-partition totals)
+    // reference `parted`, and the `_g_pid` join is only correct if the
+    // two branches observe IDENTICAL range-partition assignments.
+    // RangePartitioner samples its boundaries from hash-agg output whose
+    // order is nondeterministic, so without a pin that identity holds
+    // only via ReuseExchange — an optimizer choice, not a contract.
+    // localCheckpoint materializes the ranged table once so the shared
+    // partitioning is physical fact (same discipline as q334/q343/q344,
+    // here load-bearing for CORRECTNESS, not perf).
     val parted = df.repartitionByRange(numParts, order: _*)
       .withColumn("_g_pid", spark_partition_id())
+      .localCheckpoint()
     val wLocal = Window.partitionBy(col("_g_pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = parted.withColumn("_g_local", sum(value).over(wLocal))

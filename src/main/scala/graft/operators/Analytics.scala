@@ -7607,8 +7607,15 @@ object Analytics {
   // Overflow envelope: after each normalization scores are ≤ S and raw
   // sums are ≤ maxdeg·S, so every product stays ≤ maxdeg·S² = 7e18 <
   // 2^63 under this schema's order-degree bound (≤ 7 lines/order). At a
-  // degree scale beyond that, drop S a decade or move the two products
-  // to DECIMAL(38)/HUGEINT — S is a knob, not an assumption.
+  // degree scale beyond that, move the two products to DECIMAL(38)/
+  // HUGEINT — S is a knob, not an assumption, BUT it has a LOWER bound
+  // too: S ≫ |hubs| is required or the `S DIV n_hubs` seed truncates
+  // every initial score to 0 (at n_hubs > S=1e9 — roughly the true
+  // 100 TB hub grain — sa/sh underflow to 0). At that grain RAISE S
+  // alongside the DECIMAL move; don't drop it. Belt-and-braces, the
+  // two normalizations below are sa>0/sh>0-guarded so a zeroed
+  // half-step degrades to NULL scores (DuckDB's own x DIV 0 result)
+  // instead of an ANSI throw.
   //
   // Scale: per half-step ONE keyed equi-join + map-side-combinable sum
   // + a broadcast 1-row normalizer — Pregel-in-SQL like q140; final
@@ -7641,13 +7648,17 @@ object Analytics {
           .localCheckpoint()
         val sa = araw.agg(sum(col("araw")).as("sa"))
         a = araw.crossJoin(broadcast(sa))
-          .select(col("p"), expr(s"(araw * ${HitsScale}L) DIV sa").as("a"))
+          .select(col("p"), expr(
+            s"CASE WHEN sa > 0 THEN (araw * ${HitsScale}L) DIV sa END")
+            .as("a"))
         val hraw = edges.join(a, "p")
           .groupBy(col("o")).agg(sum(col("a")).as("hraw"))
           .localCheckpoint()
         val sh = hraw.agg(sum(col("hraw")).as("sh"))
         h = hraw.crossJoin(broadcast(sh))
-          .select(col("o"), expr(s"(hraw * ${HitsScale}L) DIV sh").as("h"))
+          .select(col("o"), expr(
+            s"CASE WHEN sh > 0 THEN (hraw * ${HitsScale}L) DIV sh END")
+            .as("h"))
       }
       val topA = a.orderBy(col("a").desc, col("p")).limit(15)
         .select(lit("authority").as("kind"), col("p").as("key"),
@@ -8120,8 +8131,10 @@ object Analytics {
   // Demand-peak detection on the daily purchase series ([EXT] time-
   // series ops, beside q226's CUSUM changepoints and q166's per-entity
   // z-anomalies): a day is a PEAK when it exceeds both calendar
-  // neighbors (strict local maximum, ties broken toward the earlier
-  // day by ≥/>) AND carries 1.05× its trailing-week mean — the
+  // neighbors (local maximum; on an equal-valued plateau the ≥prev/>next
+  // pair awards the LATER day — only the plateau's last day has a
+  // strictly-smaller next neighbor) AND carries 1.05× its
+  // trailing-week mean — the
   // prominence guard that keeps sub-noise wiggles out of the report
   // (sized to this testbed's smooth synthetic series, whose local
   // maxima top out ~1.15×; a spikier domain raises the knob).

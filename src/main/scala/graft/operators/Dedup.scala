@@ -1389,11 +1389,13 @@ object Dedup {
     * stable per-SF temp dir, `_READY`-marked and mtime-stamped ascending
     * so a reused staging replays identically (same scheme as the
     * EventStreams stagings). The staging dir is keyed by a CONTENT
-    * fingerprint of the live fifth (row count + max doc_id), not just the
-    * dataset path (ADVICE r7): if the source table is regenerated in
-    * place, the key changes and a fresh staging is built instead of a
-    * stale feed silently replaying across JVM runs; superseded sibling
-    * stagings are removed on rebuild. */
+    * fingerprint of the live fifth (row count + max doc_id + a bit_xor
+    * of xxhash64 over the payload columns), not just the dataset path
+    * (ADVICE r7; payload term ADVICE r9): if the source table is
+    * regenerated in place — even payload-only, same ids/count — the key
+    * changes and a fresh staging is built instead of a stale feed
+    * silently replaying across JVM runs; superseded sibling stagings
+    * are removed on rebuild. */
   private val feedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** Test hook (StagingSpec): clear the per-JVM feed memo so a spec can
     * simulate a fresh JVM observing a regenerated-in-place table. */
@@ -1404,10 +1406,13 @@ object Dedup {
       import scala.jdk.CollectionConverters._
       val fp = docs(s, d).filter(col("doc_id") % 5 === 0)
         .agg(count(lit(1)).as("n"),
-          coalesce(max(col("doc_id")), lit(0L)).as("mx")).first()
+          coalesce(max(col("doc_id")), lit(0L)).as("mx"),
+          coalesce(expr("bit_xor(xxhash64(text, lang, source, n_chars))"),
+            lit(0L)).as("xh")).first()
       val parent = Paths.get(sys.props("java.io.tmpdir"), "graft_stream",
         d.replaceAll("[^A-Za-z0-9.]", "_"))
-      val dir = parent.resolve(s"doc_feed_${fp.getLong(0)}_${fp.getLong(1)}")
+      val dir = parent.resolve(s"doc_feed_${fp.getLong(0)}_${fp.getLong(1)}_" +
+        java.lang.Long.toHexString(fp.getLong(2)))
       val ready = dir.resolve("_READY")
       if (!Files.exists(ready)) {
         // drop superseded stagings of the same dataset path

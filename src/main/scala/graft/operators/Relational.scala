@@ -1538,7 +1538,7 @@ object Relational {
         "l_returnflag", "l_linestatus", "l_shipdate")
       cols.map { c =>
         li(s, d).groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
-          .agg(sum(col("cnt")).as("n_rows"),
+          .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_rows"),
             coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
               .as("n_null"),
             count(when(col("v").isNotNull, lit(1))).as("n_distinct"))

@@ -882,7 +882,11 @@ class PlanSpec extends AnyFunSuite {
     // per-range-partition TOTALS (partition-count-sized, constant in the
     // data) — pin that every unpartitioned window sits above the _g_pid
     // aggregate, and that the local cumulative window partitions by the
-    // range-partition id.
+    // range-partition id. Since r10 the ranged table is ALSO
+    // localCheckpointed (ADVICE r9: both _g_pid consumers must observe
+    // one physical partition assignment, not rely on ReuseExchange), so
+    // the range exchange no longer appears in the final plan string —
+    // the checkpoint scan that replaced it is pinned instead.
     val plan = SparkEntry.queries("q303_abc_pareto")(spark, sf)
       .queryExecution.sparkPlan
     val wins = plan.collect {
@@ -897,7 +901,9 @@ class PlanSpec extends AnyFunSuite {
       locals.forall(_.partitionSpec.mkString.contains("_g_pid")),
       "the cumulative window over the domain must partition by the " +
         "range-partition id")
-    assert(plan.toString.contains("rangepartitioning"),
-      "the domain must be range-partitioned on the rank order")
+    assert(plan.toString.contains("ExistingRDD") ||
+      plan.toString.contains("LogicalRDD"),
+      "the range-partitioned domain must be a materialized checkpoint " +
+        "scan so both _g_pid consumers share one partition assignment")
   }
 }
