@@ -38,4 +38,19 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** query name → owning-module family label, for the per-family rollup in
+    * BENCH_SUMMARY.json (r9 verdict item 3: headline numbers must survive
+    * driver-side tail truncation as harness-written artifacts). */
+  def families: Map[String, String] = Seq(
+    "relational" -> operators.Relational.defs,
+    "dedup" -> operators.Dedup.defs,
+    "text" -> operators.TextAnalysis.defs,
+    "pipeline" -> operators.Pipeline.defs,
+    "analytics" -> operators.Analytics.defs,
+    "similarity" -> operators.Similarity.defs,
+    "ml" -> operators.MLQueries.defs,
+    "multimodal" -> operators.Multimodal.defs,
+    "streaming" -> streaming.EventStreams.defs
+  ).flatMap { case (fam, ds) => ds.map(_.name -> fam) }.toMap
 }

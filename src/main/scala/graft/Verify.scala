@@ -19,11 +19,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var nOk, nFail = 0
+    val failedNames = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name"); nOk += 1 }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        nFail += 1; failedNames += name
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -41,6 +44,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // VERIFY_SUMMARY.json (r9 verdict item 3): tail-proof headline written
+    // by the harness itself — execution counts only; the value compare
+    // lives in the driver's DuckDB pass / tools/check_oracle.py. Full runs
+    // only, so a subset probe can't overwrite the board's numbers.
+    if (args.length <= 2)
+      Files.writeString(Paths.get("VERIFY_SUMMARY.json"),
+        s"""{"n_executed":${nOk + nFail},"n_ok":$nOk,"n_failed":$nFail,""" +
+          s""""failed":${failedNames.map("\"" + _ + "\"")
+            .mkString("[", ",", "]")},""" +
+          s""""n_oracle":${SparkEntry.oracleSql.size},"sf":"$sfDir"}""" + "\n")
     spark.stop()
   }
 }
