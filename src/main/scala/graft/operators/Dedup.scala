@@ -2632,8 +2632,98 @@ object Dedup {
       HAVING count(*) >= 5
       ORDER BY da, db"""))
 
+  // --------------------------------------------------------------- q350
+  // Maximal shared token runs with EXACT extents (the Lee et al.
+  // "Deduplicating Training Data Makes Language Models Better" exact-
+  // substring-dedup class, there built on a suffix array) — the sixth
+  // dedup detector, and the one that closes the family's last gap: q348
+  // GUARANTEES detection of runs ≥ W+2 but reports fingerprint counts;
+  // this operator reports each maximal shared run's precise span
+  // (da, db, start_a, start_b, run_len), the contract an excision pass
+  // needs. Distributed restatement of the suffix-array scan:
+  //
+  //   1. anchor every position with its L-token gram (L = RunL = 8):
+  //      a shared run of length R ≥ L is EXACTLY a maximal set of
+  //      R−L+1 consecutive shared anchors on one (da, db, diagonal);
+  //   2. pair anchors cross-doc on the gram key (md5-id ints — nothing
+  //      shuffles strings past the first projection), bucketed under
+  //      [[MaxBucket]]: a boilerplate gram (> MaxBucket occurrences)
+  //      is dropped before pair-gen on BOTH engines, so pair-gen can
+  //      never go quadratic on template text (the q348 discipline; a
+  //      dropped gram can split a boilerplate-spanning run — the
+  //      documented cap semantic, mirrored in the oracle);
+  //   3. gaps-and-islands per (da, db, diag): ia − row_number() groups
+  //      consecutive anchors; min/max per island reconstruct the
+  //      maximal extent — start_a = min ia, start_b = min ib,
+  //      run_len = max ia − min ia + L. Maximality is exact: a run
+  //      extendable one token left/right would contribute one more
+  //      shared anchor to the same island.
+  //
+  // Scale: anchors are one projection of the corpus (no window); the
+  // islands window partitions by (da, db, diag) — candidate-pair-
+  // bounded, never corpus-global; every aggregate is exact BIGINT.
+  // DedupSpec pins the positional contract on a planted passage.
+  private val RunL = 8
+  private val q350 = QueryDef(
+    "q350_dedup_substring_runs",
+    (s, d) => {
+      val grams = docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= RunL)
+        .select(col("doc_id"), col("toks"),
+          explode(expr(s"sequence(0, size(toks) - $RunL)")).as("i"))
+        .select(col("doc_id"), col("i").cast("long").as("i"),
+          md5Id(expr(s"concat_ws('|', slice(toks, i + 1, $RunL))")).as("g"))
+        .localCheckpoint() // feeds the cap census AND both join sides
+      val okg = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1L && col("n") <= MaxBucket)
+        .select(col("g"))
+      val g2 = grams.join(okg, Seq("g"), "left_semi")
+      val cand = g2.select(col("g"), col("doc_id").as("da"), col("i").as("ia"))
+        .join(g2.select(col("g"), col("doc_id").as("db"), col("i").as("ib")),
+          Seq("g"))
+        .filter(col("da") < col("db"))
+        .select(col("da"), col("db"), col("ia"), col("ib"),
+          (col("ia") - col("ib")).as("diag"))
+      val wI = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("da"), col("db"), col("diag")).orderBy(col("ia"))
+      cand.withColumn("grp", col("ia") - row_number().over(wI))
+        .groupBy(col("da"), col("db"), col("diag"), col("grp"))
+        .agg(min(col("ia")).as("start_a"), min(col("ib")).as("start_b"),
+          (max(col("ia")) - min(col("ia")) + lit(RunL.toLong)).as("run_len"))
+        .select(col("da"), col("db"), col("start_a"), col("start_b"),
+          col("run_len"))
+        .orderBy(col("da"), col("db"), col("start_a"), col("start_b"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      grams AS MATERIALIZED (
+        SELECT doc_id, i,
+               ${md5IdSql(s"array_to_string(toks[i+1:i+$RunL], '|')")} AS g
+        FROM (SELECT doc_id, toks,
+                     unnest(range(0, len(toks) - ${RunL - 1})) AS i
+              FROM tok WHERE len(toks) >= $RunL) t),
+      ok AS (SELECT g FROM grams GROUP BY g
+             HAVING count(*) > 1 AND count(*) <= $MaxBucket),
+      g2 AS MATERIALIZED (SELECT doc_id, i, g FROM grams JOIN ok USING (g)),
+      cand AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.i AS ia, b.i AS ib,
+               a.i - b.i AS diag
+        FROM g2 a JOIN g2 b ON b.g = a.g AND a.doc_id < b.doc_id),
+      isl AS (
+        SELECT da, db, diag, ia, ib,
+               ia - row_number() OVER (PARTITION BY da, db, diag
+                 ORDER BY ia) AS grp
+        FROM cand)
+      SELECT da, db, CAST(min(ia) AS BIGINT) AS start_a,
+             CAST(min(ib) AS BIGINT) AS start_b,
+             CAST(max(ia) - min(ia) + $RunL AS BIGINT) AS run_len
+      FROM isl GROUP BY da, db, diag, grp
+      ORDER BY da, db, start_a, start_b"""))
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154,
       q161, q205, q210, q213, q247, q258, q270, q277, q281, q282, q299,
-      q331, q341, q343, q348)
+      q331, q341, q343, q348, q350)
 }

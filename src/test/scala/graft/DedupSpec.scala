@@ -446,4 +446,36 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(p => p._1 == 1L && p._2 == 2L),
       s"disjoint docs must not pair: ${pairs.toSeq}")
   }
+
+  test("q350: maximal shared run is reported with its exact planted extent") {
+    // The contract that distinguishes q350 from every other detector in
+    // the family: not "these docs overlap" but WHERE and HOW MUCH,
+    // exactly. Plant one 20-token passage at token offset 3 of doc 1 and
+    // offset 5 of doc 2, surrounded by disjoint text: the report must
+    // contain exactly one run for the pair, with start_a=3, start_b=5,
+    // run_len=20 — maximal (not a fragment), not over-extended (the
+    // disjoint neighbors must not inflate it). Docs 3/4 share nothing
+    // and must not appear.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_runs_spec").toString
+    val passage = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val s2 = spark
+    import s2.implicits._
+    Seq(
+      (1L, s"pre1a pre1b pre1c $passage post1a post1b", "en", "src0"),
+      (2L, s"pre2a pre2b pre2c pre2d pre2e $passage post2a", "en", "src0"),
+      (3L, (1 to 40).map(i => s"uniqa$i").mkString(" "), "de", "src1"),
+      (4L, (1 to 40).map(i => s"uniqb$i").mkString(" "), "fr", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val runs = SparkEntry.queries("q350_dedup_substring_runs")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(runs.toSeq == Seq((1L, 2L, 3L, 5L, 20L)),
+      s"expected exactly the planted extent (1,2,3,5,20): ${runs.toSeq}")
+  }
 }
