@@ -27,9 +27,12 @@ import org.apache.spark.sql.types.{ArrayType, NumericType}
   * `transform` plan materialized by the caller's action.
   *
   * Param mapping: `n_estimators`→`maxIter`/`numTrees`, `seed`→`setSeed`,
-  * `sample_weight`→`setWeightCol`, `objective='quantile', alpha`→absolute
-  * loss + residual-quantile calibration (documented deviation: MLlib GBT
-  * has no pinball loss). `tree_learner` is accepted and validated like
+  * `sample_weight`→`setWeightCol`, `objective='quantile', alpha`→the
+  * native pinball-loss boosted trainer ([[Pinball]] — MLlib GBT has no
+  * pinball loss, so the stages are composed from DecisionTreeRegressor
+  * fits with exact per-leaf quantile line search; weighted quantile falls
+  * back to absolute loss + residual-quantile calibration, documented at
+  * [[LGBMRegressor]]). `tree_learner` is accepted and validated like
   * core.py:122-125 but has no effect (MLlib is always data-parallel).
   *
   * Feature input adapters (the reference's four `data_output` shapes,
@@ -358,9 +361,15 @@ object LGBMClassifierModel {
   }
 }
 
-/** Regressor: GBTRegressor; quantile objective approximated by absolute
-  * loss + additive calibration so the empirical coverage property from the
-  * reference's quantile test (tests/test_core.py:148-164) holds.
+/** Regressor: GBTRegressor; `objective='quantile', alpha` trains NATIVE
+  * pinball loss via [[Pinball]] (boosted trees on the pinball subgradient
+  * with exact per-leaf quantile line search — the reference's LightGBM
+  * semantics, tests/test_core.py:148-164). One documented exception: a
+  * weighted quantile fit falls back to the r1–r9 absolute-loss +
+  * global-residual-quantile calibration (MLlib has no weighted percentile
+  * and the reference's quantile test is unweighted); its coverage holds
+  * marginally (MLSpec property) but not conditionally on heteroscedastic
+  * data — the limitation the native path removes.
   */
 class LGBMRegressor(val params: LGBMParams = LGBMParams()) {
 
@@ -370,62 +379,127 @@ class LGBMRegressor(val params: LGBMParams = LGBMParams()) {
     Params.validatedTreeLearner(params.treeLearner) // core.py:122-125
     val data = Featurize(df, featuresCol)
       .withColumn("label", col(labelCol).cast("double"))
-    val est = new GBTRegressor()
-      .setMaxIter(params.nEstimators).setMaxDepth(params.maxDepth)
-      .setStepSize(params.learningRate).setSeed(params.seed)
-      .setFeatureSubsetStrategy(Params.subsetStrategy(params.featureFraction))
-    if (params.objective == "quantile") est.setLossType("absolute")
-    weightCol.foreach(est.setWeightCol)
-    val model = est.fit(data)
-    val offset =
-      if (params.objective == "quantile") {
-        // shift by the α-quantile of training residuals (distributed
-        // Greenwald-Khanna sketch; never collects the residuals)
-        val resid = model.transform(data)
-          .select((col("label") - col("prediction")).as("r"))
-        resid.stat.approxQuantile("r", Array(params.alpha), 0.001).head
-      } else 0.0
-    new LGBMRegressorModel(model, offset)
+    if (params.objective == "quantile" && weightCol.isEmpty) {
+      val pdata = data.withColumn("_farr",
+        vector_to_array(col("features")).cast("array<double>"))
+      val pb = Pinball.fit(pdata, params.alpha, params.nEstimators,
+        params.maxDepth, params.learningRate, params.seed)
+      new LGBMRegressorModel(Right(pb))
+    } else {
+      val est = new GBTRegressor()
+        .setMaxIter(params.nEstimators).setMaxDepth(params.maxDepth)
+        .setStepSize(params.learningRate).setSeed(params.seed)
+        .setFeatureSubsetStrategy(
+          Params.subsetStrategy(params.featureFraction))
+      if (params.objective == "quantile") est.setLossType("absolute")
+      weightCol.foreach(est.setWeightCol)
+      val model = est.fit(data)
+      val offset =
+        if (params.objective == "quantile") {
+          // shift by the α-quantile of training residuals (distributed
+          // Greenwald-Khanna sketch; never collects the residuals)
+          val resid = model.transform(data)
+            .select((col("label") - col("prediction")).as("r"))
+          resid.stat.approxQuantile("r", Array(params.alpha), 0.001).head
+        } else 0.0
+      new LGBMRegressorModel(Left((model, offset)))
+    }
   }
 }
 
-class LGBMRegressorModel(val inner: GBTRegressionModel, val offset: Double) {
+class LGBMRegressorModel private[graft] (
+    private[graft] val backend: Either[(GBTRegressionModel, Double), PinballModel]) {
 
-  def predict(df: DataFrame, featuresCol: Seq[String] = Seq("features")): DataFrame = {
-    val out = inner.transform(Featurize(df, featuresCol))
-    if (offset != 0.0)
-      out.withColumn("prediction", col("prediction") + lit(offset))
-    else out
+  def this(inner: GBTRegressionModel, offset: Double) =
+    this(Left((inner, offset)))
+
+  /** The GBT backend (absolute/L2 paths); a pinball model has no single
+    * MLlib estimator inside — use [[toLocalPinball]]. */
+  def inner: GBTRegressionModel = backend match {
+    case Left((m, _)) => m
+    case Right(_) => throw new IllegalStateException(
+      "quantile models are pinball-GBT ensembles; use toLocalPinball")
   }
 
-  def toLocal: PredictionModel[Vector, _] = inner
+  /** Global additive calibration: the residual-quantile shift for the
+    * legacy path, the f₀ init for the pinball path. */
+  def offset: Double = backend match {
+    case Left((_, o)) => o
+    case Right(pb) => pb.f0
+  }
 
-  /** feature_importances_ analogue. */
-  def featureImportances: Array[Double] = inner.featureImportances.toArray
+  def predict(df: DataFrame, featuresCol: Seq[String] = Seq("features")): DataFrame =
+    backend match {
+      case Left((m, off)) =>
+        val out = m.transform(Featurize(df, featuresCol))
+        if (off != 0.0)
+          out.withColumn("prediction", col("prediction") + lit(off))
+        else out
+      case Right(pb) =>
+        Featurize(df, featuresCol).withColumn("prediction",
+          pb.predictCol(vector_to_array(col("features"))
+            .cast("array<double>")))
+    }
 
-  /** Persist the fitted trees + the quantile offset (model state that
-    * lives outside MLlib's writer). The offset sidecar goes through the
-    * Hadoop FileSystem API so hdfs:///s3a:// paths work like the trees
-    * writer, not just the local disk. */
-  def save(path: String): Unit = {
-    inner.write.overwrite().save(s"$path/trees")
-    val p = new org.apache.hadoop.fs.Path(s"$path/offset")
-    val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
-      .sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(offset.toString.getBytes("UTF-8")) finally out.close()
+  def toLocal: PredictionModel[Vector, _] = backend match {
+    case Left((m, _)) => m
+    case Right(_) => throw new IllegalStateException(
+      "quantile models are pinball-GBT ensembles; use toLocalPinball")
+  }
+
+  /** to_local analogue for the native-quantile path. */
+  def toLocalPinball: PinballModel = backend match {
+    case Right(pb) => pb
+    case Left(_) => throw new IllegalStateException(
+      "not a quantile model; use toLocal")
+  }
+
+  /** feature_importances_ analogue; for the pinball ensemble the stage
+    * trees' importance vectors are averaged (equal stage weight). */
+  def featureImportances: Array[Double] = backend match {
+    case Left((m, _)) => m.featureImportances.toArray
+    case Right(pb) =>
+      val dims = pb.stages.head._1.featureImportances.size
+      val acc = new Array[Double](dims)
+      pb.stages.foreach { case (t, _) =>
+        t.featureImportances.foreachActive((i, v) => acc(i) += v)
+      }
+      val tot = acc.sum
+      if (tot > 0) acc.map(_ / tot) else acc
+  }
+
+  /** Persist the fitted model. GBT path: MLlib trees + the quantile
+    * offset sidecar (Hadoop FileSystem API so hdfs:///s3a:// paths work
+    * like the trees writer, not just the local disk). Pinball path: one
+    * tree dir per stage + the pinball_meta sidecar — load dispatches on
+    * which layout it finds. */
+  def save(path: String): Unit = backend match {
+    case Left((m, off)) =>
+      m.write.overwrite().save(s"$path/trees")
+      val p = new org.apache.hadoop.fs.Path(s"$path/offset")
+      val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
+        .sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(off.toString.getBytes("UTF-8")) finally out.close()
+    case Right(pb) => pb.save(path)
   }
 }
 
 object LGBMRegressorModel {
   def load(path: String): LGBMRegressorModel = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/offset")
-    val fs = p.getFileSystem(org.apache.spark.sql.SparkSession.active
+    val meta = new org.apache.hadoop.fs.Path(s"$path/pinball_meta")
+    val fs = meta.getFileSystem(org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val off =
-      try new String(in.readAllBytes(), "UTF-8").trim.toDouble
-      finally in.close()
-    new LGBMRegressorModel(GBTRegressionModel.load(s"$path/trees"), off)
+    if (fs.exists(meta))
+      new LGBMRegressorModel(Right(PinballModel.load(path)))
+    else {
+      val p = new org.apache.hadoop.fs.Path(s"$path/offset")
+      val in = fs.open(p)
+      val off =
+        try new String(in.readAllBytes(), "UTF-8").trim.toDouble
+        finally in.close()
+      new LGBMRegressorModel(
+        Left((GBTRegressionModel.load(s"$path/trees"), off)))
+    }
   }
 }

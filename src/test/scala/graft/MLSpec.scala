@@ -249,12 +249,20 @@ class MLSpec extends AnyFunSuite {
     // Slice the prediction range into quartiles and require coverage in
     // EACH (atol 0.15 at ~50 rows/slice; binomial sd ≈ 0.05). On
     // near-homoskedastic residuals (this data, mirroring the reference's
-    // quantile test) a constant shift is the correct calibration, and
-    // this pins that it actually is — not just on average.
+    // quantile test) the conditional quantile is signal + a constant,
+    // and this pins that the trainer actually recovers it — not just on
+    // average. Config note: the native pinball trainer must fit the
+    // ±12-range signal itself from an f₀-constant start (unlike the old
+    // absolute-GBT+offset arm, which piggy-backed on L1's signal fit),
+    // so this test gives it enough boosting budget: 60 line-search
+    // stages at shrinkage 0.3 leave (1−0.3)^60 ≈ 1e-9 of the initial
+    // gap, while 30 stages at 0.1 would strand ~4% of a ±12 signal —
+    // larger than the 0.1-scale noise being calibrated.
     val df = regData()
     val W = org.apache.spark.sql.expressions.Window.orderBy($"prediction")
     for (alpha <- Seq(0.1, 0.9)) {
-      val m = new LGBMRegressor(LGBMParams(nEstimators = 30,
+      val m = new LGBMRegressor(LGBMParams(nEstimators = 60,
+        learningRate = 0.3,
         objective = "quantile", alpha = alpha)).fit(df, Seq("feats"))
       val byQ = m.predict(df, Seq("feats"))
         .withColumn("q", ntile(4).over(W))
@@ -267,6 +275,50 @@ class MLSpec extends AnyFunSuite {
           s"alpha=$alpha quartile=$qt coverage=$cov — global offset is " +
             "conditionally miscalibrated on this slice")
       }
+    }
+  }
+
+  test("native pinball loss: conditional coverage on heteroscedastic data " +
+      "tightens past the global-offset calibration") {
+    // The r9 verdict's semantic-fidelity gap #1: the calibrated-offset
+    // approximation covers α MARGINALLY by construction but cannot be
+    // conditionally right when the noise scale varies with x — one
+    // constant shift over-covers where noise is small and under-covers
+    // where it is large. Fixture: y = 10 + 2·x₁ + ε·(0.5 + x₁), noise sd
+    // spanning 0.5 → 10.5 over x₁ ∈ [0, 10). Both arms run through the
+    // SAME public API: the native pinball trainer (unweighted quantile
+    // fit) vs the legacy absolute-loss + global-residual-quantile path,
+    // reconstructed verbatim via its documented weighted-quantile
+    // fallback with weight ≡ 1. Coverage is sliced into four x₁ bins
+    // (the noise driver, ~100 rows each): the native arm must be within
+    // 0.12 of α in its WORST bin and strictly tighter than the legacy
+    // arm's worst bin.
+    val rng = new scala.util.Random(7)
+    val df = (0 until 400).map { i =>
+      val x1 = rng.nextDouble() * 10.0
+      val x2 = rng.nextGaussian()
+      (i.toLong, Array(x1, x2),
+        10.0 + 2.0 * x1 + rng.nextGaussian() * (0.5 + x1))
+    }.toDF("id", "feats", "label").repartition(2)
+    val dfw = df.withColumn("w", lit(1.0))
+    def worstDev(p: DataFrame, alpha: Double): Double = p
+      .withColumn("bin", floor($"feats" (0) / 2.5).cast("int"))
+      .groupBy($"bin")
+      .agg(avg(($"label" <= $"prediction").cast("double")).as("cov"))
+      .collect().map(r => math.abs(r.getDouble(1) - alpha)).max
+    for (alpha <- Seq(0.1, 0.9)) {
+      val params = LGBMParams(nEstimators = 40, maxDepth = 3,
+        objective = "quantile", alpha = alpha)
+      val nat = worstDev(new LGBMRegressor(params)
+        .fit(df, Seq("feats")).predict(df, Seq("feats")), alpha)
+      val leg = worstDev(new LGBMRegressor(params)
+        .fit(dfw, Seq("feats"), weightCol = Some("w"))
+        .predict(dfw, Seq("feats")), alpha)
+      assert(nat < 0.12,
+        s"alpha=$alpha native worst-bin coverage deviation $nat")
+      assert(nat < leg,
+        s"alpha=$alpha: native pinball ($nat) must tighten conditional " +
+          s"coverage past the global-offset calibration ($leg)")
     }
   }
 
