@@ -6551,7 +6551,9 @@ object Analytics {
   /** q313/q321 shared oracle CTE chain: 3-NN lift graph + 3 LPA rounds.
     * (lazy: referenced from q313's eager QueryDef above its declaration.)
     */
-  private lazy val knnLpaSql = """baskets AS (
+  /** q313/q321/q351 shared oracle prefix: the 3-NN strongest-lift brand
+    * co-purchase edge list alone. */
+  private lazy val knnEdgesSql = """baskets AS (
         SELECT DISTINCT l.l_orderkey AS ok,
                CAST(substr(p.p_brand, 7) AS BIGINT) AS item
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
@@ -6570,7 +6572,9 @@ object Analytics {
           FROM pairn p
           JOIN itemn ia ON ia.item = p.a
           JOIN itemn ib ON ib.item = p.b, n) t
-        WHERE rn <= 3),
+        WHERE rn <= 3)"""
+
+  private lazy val knnLpaSql = s"""$knnEdgesSql,
       nodes AS (SELECT DISTINCT a AS node FROM edges),
       l0 AS (SELECT node, node AS lbl FROM nodes),
       v1 AS MATERIALIZED (
@@ -8202,6 +8206,174 @@ object Analytics {
         AND cents * 20 * n7 > sum7 * 21
       ORDER BY day"""))
 
+  // --------------------------------------------------------------- q351
+  // Modularity-based community detection ([EXT] graph family, the r9
+  // verdict's item 4) — the Louvain-family operator beside q313's LPA:
+  // LPA answers "which label wins locally", modularity merging answers
+  // "which grouping beats chance edge mass". Synchronous per-NODE moves
+  // (textbook Louvain phase 1) provably oscillate under simultaneous
+  // application (measured here: label swaps made Q *fall* every round),
+  // so the distributed restatement is MUTUAL-BEST MERGE agglomeration
+  // (the parallel CNM / graph-coarsening family): per round every
+  // community elects the neighbor with the largest positive merge gain
+  // ΔQ·(2m)² = 2m·w_ab − Σtot_a·Σtot_b (ties → smallest id), and only
+  // MUTUAL elections merge. Mutual-best pairs form a matching, so the
+  // merges are conflict-free and each round increases modularity by
+  // EXACTLY the sum of the elected gains — monotonicity is a theorem,
+  // not a hope, and AnalyticsSpec pins it per round. 4 bounded rounds.
+  //
+  // Exactness: degrees/weights/gains are exact BIGINTs; the reported
+  // q_contrib_num is Q's per-community numerator over (2m)² — no float
+  // ever forms. Overflow envelope: Σtot ≤ 2m, so gains need (2m)² <
+  // 2^63 → 2m < 3·10⁹ total co-occurrence weight; beyond that grain,
+  // pre-scale w (DIV by a documented decade) or move the two products
+  // to DECIMAL(38) — same knob discipline as q334's HitsScale.
+  //
+  // Scale: ONE corpus pass builds the basket pairs (q313's bound); adj
+  // is edge-domain and checkpointed once (feeds deg, every round's btw,
+  // and the final Σin); each round is two label joins + grid aggregates
+  // on the community domain — the best-partner window partitions by
+  // community over its neighbor communities, never corpus-global; label
+  // state is node-domain and checkpointed per round (q334's iterative
+  // discipline, lineage stays O(1)).
+  private val MergeRounds = 4
+
+  /** Shared with AnalyticsSpec (per-round monotonicity pin): labels after
+    * `rounds` mutual-best merge rounds, plus (adj, deg) for the
+    * modularity evaluation. */
+  private[graft] def modularityMerge(s: SparkSession, d: String,
+      rounds: Int): (DataFrame, DataFrame, DataFrame) = {
+    val e = knnLiftEdges(s, d)
+    val adj = e.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v"), col("w")))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      .localCheckpoint() // feeds deg, every round's btw, the final sin
+    val deg = adj.groupBy(col("u")).agg(sum(col("w")).as("k"))
+      .localCheckpoint() // node-domain; joined every round
+    val m2 = deg.agg(sum(col("k")).as("m2"))
+    var lab = deg.select(col("u").as("node"), col("u").as("cid"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val tot = lab.join(deg, lab("node") === deg("u"))
+        .groupBy(col("cid")).agg(sum(col("k")).as("tot"))
+      val btw = adj
+        .join(lab.select(col("node").as("u"), col("cid").as("ca")), "u")
+        .join(lab.select(col("node").as("v"), col("cid").as("cb")), "v")
+        .filter(col("ca") =!= col("cb"))
+        .groupBy(col("ca"), col("cb")).agg(sum(col("w")).as("wab"))
+      val gain = btw
+        .join(tot.select(col("cid").as("ca"), col("tot").as("ta")), "ca")
+        .join(tot.select(col("cid").as("cb"), col("tot").as("tb")), "cb")
+        .crossJoin(broadcast(m2))
+        .select(col("ca"), col("cb"),
+          (col("m2") * col("wab") - col("ta") * col("tb")).as("gn"))
+        .filter(col("gn") > 0L)
+      val wB = Window.partitionBy(col("ca"))
+        .orderBy(col("gn").desc, col("cb").asc)
+      val best = gain.withColumn("rn", row_number().over(wB))
+        .filter(col("rn") === 1).select(col("ca"), col("cb"))
+      val mrg = best
+        .join(best.select(col("cb").as("ca2"), col("ca").as("cb2")),
+          col("ca") === col("ca2") && col("cb") === col("cb2"))
+        .filter(col("ca") < col("cb"))
+        .select(col("ca").as("keep"), col("cb").as("gone"))
+      lab = lab.join(broadcast(mrg), lab("cid") === mrg("gone"), "left")
+        .select(col("node"), coalesce(col("keep"), col("cid")).as("cid"))
+        .localCheckpoint()
+    }
+    (lab, adj, deg)
+  }
+
+  /** Exact modularity numerator Q·(2m)² of a labeling (spec helper). */
+  private[graft] def modularityNum(lab: DataFrame, adj: DataFrame,
+      deg: DataFrame): Long = {
+    val m2 = deg.agg(sum(col("k")).as("m2"))
+    val tot = lab.join(deg, lab("node") === deg("u"))
+      .groupBy(col("cid")).agg(sum(col("k")).as("tot"))
+    val sin = adj
+      .join(lab.select(col("node").as("u"), col("cid").as("ca")), "u")
+      .join(lab.select(col("node").as("v"), col("cid").as("cb")), "v")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca")).agg(sum(col("w")).as("sin"))
+      .select(col("ca").as("cid"), col("sin"))
+    tot.join(sin, Seq("cid"), "left")
+      .crossJoin(broadcast(m2))
+      .agg(sum(col("m2") * coalesce(col("sin"), lit(0L))
+        - col("tot") * col("tot")))
+      .first().getLong(0)
+  }
+
+  private val q351 = QueryDef(
+    "q351_modularity_communities",
+    (s, d) => {
+      val (lab, adj, deg) = modularityMerge(s, d, MergeRounds)
+      val m2 = deg.agg(sum(col("k")).as("m2"))
+      val tot = lab.join(deg, lab("node") === deg("u"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("k")).as("sigma_tot"))
+      val sin = adj
+        .join(lab.select(col("node").as("u"), col("cid").as("ca")), "u")
+        .join(lab.select(col("node").as("v"), col("cid").as("cb")), "v")
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca")).agg(sum(col("w")).as("sigma_in"))
+        .select(col("ca").as("cid"), col("sigma_in"))
+      tot.join(sin, Seq("cid"), "left")
+        .crossJoin(broadcast(m2))
+        .select(col("cid").as("community"), col("n_nodes"),
+          coalesce(col("sigma_in"), lit(0L)).as("sigma_in"),
+          col("sigma_tot"),
+          (col("m2") * coalesce(col("sigma_in"), lit(0L))
+            - col("sigma_tot") * col("sigma_tot")).as("q_contrib_num"))
+        .orderBy(col("community"))
+    },
+    Some {
+      val rounds = (0 until MergeRounds).map { r => s""",
+      tot$r AS (SELECT l.cid, CAST(sum(d.k) AS BIGINT) AS tot
+           FROM l$r l JOIN deg d ON d.u = l.node GROUP BY 1),
+      btw$r AS (SELECT lu.cid AS a, lv.cid AS b,
+             CAST(sum(adj.w) AS BIGINT) AS wab
+           FROM adj JOIN l$r lu ON lu.node = adj.u
+           JOIN l$r lv ON lv.node = adj.v AND lv.cid <> lu.cid
+           GROUP BY 1, 2),
+      gain$r AS (SELECT g.a, g.b, m2.m2 * g.wab - ta.tot * tb.tot AS gn
+            FROM btw$r g JOIN tot$r ta ON ta.cid = g.a
+            JOIN tot$r tb ON tb.cid = g.b, m2
+            WHERE m2.m2 * g.wab - ta.tot * tb.tot > 0),
+      best$r AS (SELECT a, b FROM (
+          SELECT a, b, row_number() OVER (PARTITION BY a
+            ORDER BY gn DESC, b ASC) AS rn FROM gain$r) t WHERE rn = 1),
+      mrg$r AS (SELECT x.a AS keep, x.b AS gone FROM best$r x
+           JOIN best$r y ON y.a = x.b AND y.b = x.a WHERE x.a < x.b),
+      l${r + 1} AS MATERIALIZED (
+        SELECT l.node, coalesce(m.keep, l.cid) AS cid
+        FROM l$r l LEFT JOIN mrg$r m ON m.gone = l.cid)"""
+      }.mkString
+      s"""
+      WITH $knnEdgesSql,
+      adj AS MATERIALIZED (
+        SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM (
+          SELECT a AS u, b AS v, w FROM edges
+          UNION ALL SELECT b AS u, a AS v, w FROM edges) t GROUP BY 1, 2),
+      deg AS MATERIALIZED (
+        SELECT u, CAST(sum(w) AS BIGINT) AS k FROM adj GROUP BY 1),
+      m2 AS (SELECT CAST(sum(k) AS BIGINT) AS m2 FROM deg),
+      l0 AS (SELECT u AS node, u AS cid FROM deg)$rounds,
+      tot AS (SELECT l.cid, CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(sum(d.k) AS BIGINT) AS sigma_tot
+              FROM l$MergeRounds l JOIN deg d ON d.u = l.node GROUP BY 1),
+      sin AS (SELECT lu.cid, CAST(sum(a.w) AS BIGINT) AS sigma_in
+              FROM adj a JOIN l$MergeRounds lu ON lu.node = a.u
+              JOIN l$MergeRounds lv ON lv.node = a.v AND lv.cid = lu.cid
+              GROUP BY 1)
+      SELECT t.cid AS community, t.n_nodes,
+             CAST(coalesce(s.sigma_in, 0) AS BIGINT) AS sigma_in,
+             t.sigma_tot,
+             CAST(m2.m2 * coalesce(s.sigma_in, 0)
+               - t.sigma_tot * t.sigma_tot AS BIGINT) AS q_contrib_num
+      FROM tot t LEFT JOIN sin s ON s.cid = t.cid, m2
+      ORDER BY community"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
@@ -8210,5 +8382,5 @@ object Analytics {
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
       q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326, q330, q332,
-      q334, q335, q336, q337, q338, q345, q347, q349)
+      q334, q335, q336, q337, q338, q345, q347, q349, q351)
 }

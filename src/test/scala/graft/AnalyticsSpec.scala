@@ -1640,4 +1640,24 @@ class AnalyticsSpec extends AnyFunSuite {
         s"brand ${r.getString(0)}: $vol + $price vs $delta")
     }
   }
+
+  test("q351: modularity is non-decreasing across merge rounds and " +
+      "strictly improves from singletons") {
+    // The design theorem behind q351 (mutual-best merges form a matching,
+    // each merge adds exactly its positive elected gain), checked on the
+    // live graph: Q·(2m)² after r = 0..4 rounds must be non-decreasing,
+    // and round 1 must strictly improve on the all-singletons start
+    // (this graph has positive-gain neighbor pairs by construction —
+    // every node keeps its 3 strongest-lift neighbors). Everything is
+    // deterministic, so this is a stable pin, not a flaky sample.
+    val qs = (0 to 4).map { r =>
+      val (lab, adj, deg) = operators.Analytics.modularityMerge(spark, sf, r)
+      operators.Analytics.modularityNum(lab, adj, deg)
+    }
+    (0 until 4).foreach { r =>
+      assert(qs(r) <= qs(r + 1),
+        s"round ${r + 1} decreased modularity: ${qs.toList}")
+    }
+    assert(qs(0) < qs(1), s"round 1 must strictly improve: ${qs.toList}")
+  }
 }
