@@ -2688,9 +2688,150 @@ object TextAnalysis {
       FROM per_batch p LEFT JOIN novel n ON n.batch = p.batch
       ORDER BY p.batch"""))
 
+  // --------------------------------------------------------------- q352
+  // BPE subword token accounting ([EXT] text family, r9 verdict item 5):
+  // q42 counts whitespace tokens, but LLM budget math is SUBWORD — this
+  // learns a deterministic byte-pair-encoding merge table from the
+  // corpus itself (BpeRounds greedy merges: per round, the globally
+  // most frequent adjacent symbol pair — occurrence-weighted by word
+  // frequency, ties lexicographic — is merged corpus-wide) and reports
+  // per-document subword counts under that table.
+  //
+  // The 100 TB shape is the point: segmentation runs on the DISTINCT-
+  // WORD GRID, never the corpus. One corpus pass builds (doc, word) and
+  // the word-frequency table; all BpeRounds of pair counting, greedy
+  // left-to-right application and renumbering operate on vocab-sized
+  // tables (every window partitions by word over ≤ len(word) rows);
+  // the corpus reappears only in the final broadcast join of per-word
+  // subword counts. Greedy LEFT-TO-RIGHT overlap semantics ("aaa" +
+  // merge a·a → [aa, a]) are exact: match positions form gaps-and-
+  // islands per word, and a match applies iff its offset within its
+  // island is even — the q350 island machinery, reused. The winning
+  // pair rides each round as a broadcast 1-row table, so a degenerate
+  // corpus with no adjacent pairs (all 1-char words, empty docs) makes
+  // every round the identity instead of failing.
+  //
+  // Exactness: symbols are exact strings, counts exact BIGINTs; the
+  // only orderings are (count, pair) and within-word positions — both
+  // deterministic in both engines (ASCII byte order). TextAnalysisSpec
+  // pins the round-trip decode (concat of a word's subwords == word)
+  // and the monotone non-increase of total subword count per round.
+  private val BpeRounds = 6
+
+  /** Shared with TextAnalysisSpec: the vocab-grid segmentation after
+    * `rounds` greedy merges — (word, i, sym) — plus the (doc, word)
+    * token stream. */
+  private[graft] def bpeSegments(s: SparkSession, d: String,
+      rounds: Int): (DataFrame, DataFrame) = {
+    val dw = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val wf = dw.groupBy(col("word")).agg(count(lit(1)).as("nw"))
+      .localCheckpoint() // vocab grid; weights every round's pair count
+    var seg = wf
+      .select(col("word"), posexplode(split(col("word"), "")))
+      .select(col("word"), col("pos").cast("long").as("i"),
+        col("col").as("sym"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val pairs = seg.select(col("word"), col("i"), col("sym").as("x"))
+        .join(seg.select(col("word"), (col("i") - 1L).as("i"),
+          col("sym").as("y")), Seq("word", "i"))
+        .join(wf, Seq("word"))
+        .groupBy(col("x"), col("y")).agg(sum(col("nw")).as("cnt"))
+      val top1 = pairs
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc).limit(1)
+        .select(col("x"), col("y"))
+      val mt = seg.select(col("word"), col("i"), col("sym").as("sa"))
+        .join(seg.select(col("word"), (col("i") - 1L).as("i"),
+          col("sym").as("sb")), Seq("word", "i"))
+        .crossJoin(broadcast(top1))
+        .filter(col("sa") === col("x") && col("sb") === col("y"))
+        .select(col("word"), col("i"), col("y"))
+      val wIsl = Window.partitionBy(col("word")).orderBy(col("i"))
+      val ap = mt.withColumn("isl", col("i") - row_number().over(wIsl))
+        .withColumn("off", col("i") - min(col("i"))
+          .over(Window.partitionBy(col("word"), col("isl"))))
+        .filter(col("off") % 2 === 0)
+        .select(col("word"), col("i").as("ai"), col("y"))
+      seg = seg
+        .join(ap.select(col("word"), col("ai").as("i"), col("y")),
+          Seq("word", "i"), "left")
+        .join(ap.select(col("word"), (col("ai") + 1L).as("i"),
+          lit(true).as("gone")), Seq("word", "i"), "left")
+        .filter(col("gone").isNull)
+        .select(col("word"), col("i"),
+          when(col("y").isNotNull, concat(col("sym"), col("y")))
+            .otherwise(col("sym")).as("sym"))
+        .withColumn("i",
+          row_number().over(Window.partitionBy(col("word"))
+            .orderBy(col("i"))).cast("long") - 1L)
+        .localCheckpoint()
+    }
+    (seg, dw)
+  }
+
+  private val q352 = QueryDef(
+    "q352_bpe_subword_counts",
+    (s, d) => {
+      val (seg, dw) = bpeSegments(s, d, BpeRounds)
+      val wn = seg.groupBy(col("word")).agg(count(lit(1)).as("n_sub"))
+      dw.join(broadcast(wn), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_subwords"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val rounds = (0 until BpeRounds).map { r => s""",
+      top$r AS (SELECT x, y FROM (
+          SELECT a.sym AS x, b.sym AS y, CAST(sum(f.nw) AS BIGINT) AS cnt
+          FROM seg$r a JOIN seg$r b ON b.word = a.word AND b.i = a.i + 1
+          JOIN wf f ON f.word = a.word
+          GROUP BY 1, 2) t
+        ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+      mt$r AS (SELECT a.word, a.i, t.y
+         FROM seg$r a JOIN seg$r b ON b.word = a.word AND b.i = a.i + 1
+         JOIN top$r t ON a.sym = t.x AND b.sym = t.y),
+      ap$r AS (SELECT word, i, y FROM (
+          SELECT word, i, y,
+                 i - row_number() OVER (PARTITION BY word ORDER BY i) AS isl
+          FROM mt$r) t
+        QUALIFY (i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0),
+      seg${r + 1} AS MATERIALIZED (
+        SELECT word,
+               row_number() OVER (PARTITION BY word ORDER BY i) - 1 AS i,
+               sym
+        FROM (
+          SELECT s.word, s.i,
+                 CASE WHEN a.i IS NOT NULL THEN s.sym || a.y
+                      ELSE s.sym END AS sym
+          FROM seg$r s
+          LEFT JOIN ap$r a ON a.word = s.word AND a.i = s.i
+          LEFT JOIN ap$r p ON p.word = s.word AND p.i = s.i - 1
+          WHERE p.i IS NULL) t)"""
+      }.mkString
+      s"""
+      WITH dw AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents) t
+        WHERE len(word) > 0),
+      wf AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS nw FROM dw GROUP BY 1),
+      seg0 AS MATERIALIZED (
+        SELECT word, i, substr(word, CAST(i + 1 AS INT), 1) AS sym
+        FROM (SELECT word, unnest(range(len(word))) AS i FROM wf) t)$rounds,
+      wn AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sub
+             FROM seg$BpeRounds GROUP BY 1)
+      SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(wn.n_sub) AS BIGINT) AS n_subwords
+      FROM dw d JOIN wn ON wn.word = d.word
+      GROUP BY 1 ORDER BY d.doc_id"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
       q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228,
       q233, q236, q253, q264, q275, q276, q278, q279, q290, q327, q329,
-      q333, q342, q344)
+      q333, q342, q344, q352)
 }

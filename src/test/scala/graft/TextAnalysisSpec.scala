@@ -261,4 +261,35 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(math.abs(js - ref) < 1e-6, s"$src js $js vs $ref")
     }
   }
+
+  test("q352: BPE segmentation round-trips and merge rounds only shrink") {
+    // The two contracts the hash-compare can't see: (1) DECODE — for
+    // every vocabulary word, concatenating its subwords in position
+    // order reproduces the word exactly (no symbol lost, duplicated or
+    // reordered by the island-parity overlap rule); (2) each merge round
+    // is a pure contraction — total subword count is strictly
+    // non-increasing per round and the segment count never drops below
+    // one symbol per word.
+    import TestSpark.{spark, sf}
+    import org.apache.spark.sql.functions._
+    val counts = (0 to 4).map { r =>
+      val (seg, _) = operators.TextAnalysis.bpeSegments(spark, sf, r)
+      if (r == 4) {
+        // collect_list order is shuffle-dependent — sort the (i, sym)
+        // structs (struct order = position order) before joining
+        val bad = seg.groupBy(col("word"))
+          .agg(array_join(transform(array_sort(collect_list(
+            struct(col("i"), col("sym")))), x => x.getField("sym")), "")
+            .as("back"))
+          .filter(col("back") =!= col("word")).count()
+        assert(bad == 0L, s"decode mismatch on $bad words")
+      }
+      seg.count()
+    }
+    (0 until 4).foreach { r =>
+      assert(counts(r + 1) <= counts(r),
+        s"round ${r + 1} grew the segmentation: ${counts.toList}")
+    }
+    assert(counts(4) < counts(0), "merges must actually contract")
+  }
 }
