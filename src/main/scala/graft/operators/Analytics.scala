@@ -8374,6 +8374,112 @@ object Analytics {
       ORDER BY community"""
     })
 
+  // --------------------------------------------------------------- q353
+  // Seasonal-naive forecast evaluation with MASE ([EXT] time-series
+  // family, r9 verdict item 6) — completes the eval shelf beside q349
+  // peaks / q152 TWA / q196 resample: three one-step forecasters run
+  // prequentially over the daily purchase series (naive-1 ŷ_t = y_{t−1},
+  // seasonal-naive-7 ŷ_t = y_{t−7}, trailing-week mean) and each is
+  // scored by MAE and MASE (Hyndman's scale-free error: Σ|y−ŷ| over the
+  // seasonal-naive error mass — snaive7's own MASE is identically 1, the
+  // reference point that makes the other rows readable).
+  //
+  // Idle days are REAL zeros, not missing rows: the series is densified
+  // onto the full min..max calendar grid before any lag (q274's lesson —
+  // a left-join gap would silently shift every lag past it; spec-pinned
+  // on a crafted gapped series). Exactness: errors are exact cents
+  // BIGINTs; the trailing-mean error keeps a ×7 scale so no division
+  // happens before the final guarded correctly-rounded ones (mean7's
+  // MASE is Σ|7y−sum7| / (7·Σ|y−y7|) — a ratio of exact integers).
+  // Scale: ONE corpus aggregate onto the day grid; every window runs on
+  // the ≤366-row calendar grid (house grid-window discipline).
+  private val q353 = QueryDef(
+    "q353_forecast_mase",
+    (s, d) => {
+      val daily = ev(s, d).filter(col("event_type") === "purchase")
+        .groupBy(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
+          " AS BIGINT)").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      val filled = grid.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
+      val w = Window.orderBy(col("day"))
+      val wT = Window.orderBy(col("day")).rowsBetween(-7, -1)
+      val f = filled
+        .withColumn("y1", lag(col("cents"), 1).over(w))
+        .withColumn("y7", lag(col("cents"), 7).over(w))
+        .withColumn("sum7", sum(col("cents")).over(wT))
+        .withColumn("n7", count(lit(1)).over(wT))
+        .filter(col("y7").isNotNull && col("n7") === 7L)
+      val sums = f.agg(count(lit(1)).as("n"),
+        sum(abs(col("cents") - col("y1"))).as("s1"),
+        sum(abs(col("cents") - col("y7"))).as("s7"),
+        sum(abs(col("cents") * 7L - col("sum7"))).as("sm"))
+      def row(name: String, errNum: org.apache.spark.sql.Column,
+          errDen: Double): DataFrame =
+        sums.select(lit(name).as("method"), col("n").as("n_days"),
+          when(col("n") > 0L, Num.roundZ(errNum.cast("double")
+            / (col("n").cast("double") * errDen), 4)).as("mae"),
+          when(col("s7") > 0L, Num.roundZ(errNum.cast("double")
+            / (col("s7").cast("double") * (errDen / 100.0)), 4)).as("mase"))
+      row("mean7", col("sm"), 700.0)
+        .unionByName(row("naive1", col("s1"), 100.0))
+        .unionByName(row("snaive7", col("s7"), 100.0))
+        .orderBy(col("method"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 ::BIGINT AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      grid AS (SELECT unnest(range(b.d0, b.d1 + 1)) AS day FROM b),
+      filled AS (
+        SELECT g.day, coalesce(d.cents, 0) AS cents
+        FROM grid g LEFT JOIN daily d USING (day)),
+      e AS (
+        SELECT day, cents,
+               lag(cents, 1) OVER (ORDER BY day) AS y1,
+               lag(cents, 7) OVER (ORDER BY day) AS y7,
+               sum(cents) OVER (ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sum7,
+               count(*) OVER (ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n7
+        FROM filled),
+      f AS (SELECT * FROM e WHERE y7 IS NOT NULL AND n7 = 7),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(abs(cents - y1)) AS BIGINT) AS s1,
+                   CAST(sum(abs(cents - y7)) AS BIGINT) AS s7,
+                   CAST(sum(abs(7 * cents - sum7)) AS BIGINT) AS sm
+            FROM f),
+      o AS (
+        SELECT 'mean7' AS method, n AS n_days,
+               CASE WHEN n > 0 THEN CAST(round((CAST(sm AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * 700.0)) * 1e4) AS BIGINT) / 1e4 END
+                 AS mae,
+               CASE WHEN s7 > 0 THEN CAST(round((CAST(sm AS DOUBLE)
+                 / (CAST(s7 AS DOUBLE) * 7.0)) * 1e4) AS BIGINT) / 1e4 END
+                 AS mase
+        FROM s
+        UNION ALL
+        SELECT 'naive1', n,
+               CASE WHEN n > 0 THEN CAST(round((CAST(s1 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * 100.0)) * 1e4) AS BIGINT) / 1e4 END,
+               CASE WHEN s7 > 0 THEN CAST(round((CAST(s1 AS DOUBLE)
+                 / (CAST(s7 AS DOUBLE) * 1.0)) * 1e4) AS BIGINT) / 1e4 END
+        FROM s
+        UNION ALL
+        SELECT 'snaive7', n,
+               CASE WHEN n > 0 THEN CAST(round((CAST(s7 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * 100.0)) * 1e4) AS BIGINT) / 1e4 END,
+               CASE WHEN s7 > 0 THEN CAST(round((CAST(s7 AS DOUBLE)
+                 / (CAST(s7 AS DOUBLE) * 1.0)) * 1e4) AS BIGINT) / 1e4 END
+        FROM s)
+      SELECT method, n_days, mae, mase FROM o ORDER BY method"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
@@ -8382,5 +8488,5 @@ object Analytics {
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
       q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326, q330, q332,
-      q334, q335, q336, q337, q338, q345, q347, q349, q351)
+      q334, q335, q336, q337, q338, q345, q347, q349, q351, q353)
 }

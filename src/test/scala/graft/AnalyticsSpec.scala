@@ -1660,4 +1660,37 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(qs(0) < qs(1), s"round 1 must strictly improve: ${qs.toList}")
   }
+
+  test("q353: idle days are real zeros on the forecast grid (q274's lesson)") {
+    // Craft a daily series of $1.00 purchases on days 0..11 with day 5
+    // MISSING entirely. Densification must insert day 5 as cents = 0 —
+    // otherwise every lag past the gap silently shifts one day and the
+    // trailing-week error mass changes. With the zero-fill: eval days are
+    // 7..11 (full 7-day history), naive-1 and snaive-7 errors are all 0
+    // (the gap sits outside both lag targets), the trailing-week sum is
+    // 600 on every eval day (six $1 days + the $0 gap rolling through),
+    // so mean7's MAE = 5·|700−600| / (5·700) = 1/7 → 0.1429, and s7 = 0
+    // makes every MASE NULL (the guarded-division contract).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mase_spec").toString
+    val s2 = spark
+    import s2.implicits._
+    (0 to 11).filter(_ != 5).map { day =>
+      (day.toLong, f"2024-01-${day + 1}%02d 10:00:00.000000",
+        1L, "purchase", 1.0, "{}")
+    }.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = q("q353_forecast_mase")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toList
+    assert(rows == List(
+      ("mean7", 5L, 0.1429, null),
+      ("naive1", 5L, 0.0, null),
+      ("snaive7", 5L, 0.0, null)),
+      s"gapped-series contract violated: $rows")
+  }
 }
