@@ -929,7 +929,13 @@ object Dedup {
       // n_chars = 0 guard (q41's, DegenerateDataSpec): an empty doc can
       // never be a cluster member (no shingles → no pairs), but Spark
       // computes this projection scan-side BEFORE the join prunes it —
-      // unguarded it throws ANSI DIVIDE_BY_ZERO on the corpus scan
+      // unguarded it throws ANSI DIVIDE_BY_ZERO on the corpus scan.
+      // NULL-ordering note (r10 NullOrderAudit whitelist): the guard
+      // makes `quality` NULL exactly for those n_chars = 0 docs, and
+      // quality is the rank key below — safe because the same no-pairs
+      // argument means the inner join on comp PRUNES every such doc
+      // before the window, so a NULL key never reaches either engine's
+      // rank (divergent NULL placement needs an actual NULL row).
       val qual = docs(s, d)
         .withColumn("toks", split(col("text"), " "))
         .select(col("doc_id"), col("n_chars"),

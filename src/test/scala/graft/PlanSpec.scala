@@ -906,4 +906,45 @@ class PlanSpec extends AnyFunSuite {
       "the range-partitioned domain must be a materialized checkpoint " +
         "scan so both _g_pid consumers share one partition assignment")
   }
+
+  test("board gate: no window/top-k order key can silently go NULL " +
+      "(cross-engine NULL-ordering class)") {
+    // Spark orders NULL last on DESC where DuckDB orders it first, so a
+    // rank/row_number/top-k key that can actually BE null is a red row
+    // waiting for the data regeneration that produces one (the q139/q218
+    // class, swept board-wide per the r9 verdict). NullOrderAudit traces
+    // every window/top-k sort key in every optimized plan back to its
+    // defining expressions and flags genuine null introducers (guarded
+    // CASE without else, null literals, lag/lead defaults, outer-join
+    // sides below the operator); CASE predicates, Coalesce-repaired
+    // paths, and explicit NULLS FIRST/LAST choices are not flags. The
+    // whitelist records the two triaged-safe findings — any NEW flag
+    // fails the build until triaged here or fixed.
+    val whitelist = Map(
+      // quality is NULL only for n_chars = 0 docs, which cannot be
+      // component members (no shingles → no pairs): the inner join on
+      // comp prunes them before the rank (comment at the query)
+      "q109_dedup_keep_best" -> "guarded CASE (no else)",
+      // a singular fit NULLs r for that type's ENTIRE one-row grid (both
+      // engines), so the cumulative window never orders a NULL against a
+      // non-NULL (comment at the query)
+      "q232_conformal_interval" -> "guarded CASE (no else)")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => n.contains("stream") || n.contains("_ml_"))
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (n <- names) {
+      val hits = graft.tools.NullOrderAudit.audit(
+        SparkEntry.queries(n)(spark, sf).queryExecution.optimizedPlan)
+      val unexplained = whitelist.get(n) match {
+        case Some(reason) => hits.filterNot(_.contains(reason))
+        case None => hits
+      }
+      if (unexplained.nonEmpty)
+        bad += s"$n: ${unexplained.mkString("; ")}"
+    }
+    assert(bad.isEmpty,
+      "nullable window/top-k order keys found — exclude the NULL rows on " +
+        "both sides, coalesce the key, or whitelist with a safety " +
+        s"argument:\n${bad.mkString("\n")}")
+  }
 }
