@@ -2670,39 +2670,42 @@ object Dedup {
   // bounded, never corpus-global; every aggregate is exact BIGINT.
   // DedupSpec pins the positional contract on a planted passage.
   private val RunL = 8
-  private val q350 = QueryDef(
-    "q350_dedup_substring_runs",
-    (s, d) => {
-      val grams = docs(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= RunL)
-        .select(col("doc_id"), col("toks"),
-          explode(expr(s"sequence(0, size(toks) - $RunL)")).as("i"))
-        .select(col("doc_id"), col("i").cast("long").as("i"),
-          md5Id(expr(s"concat_ws('|', slice(toks, i + 1, $RunL))")).as("g"))
-        .localCheckpoint() // feeds the cap census AND both join sides
-      val okg = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1L && col("n") <= MaxBucket)
-        .select(col("g"))
-      val g2 = grams.join(okg, Seq("g"), "left_semi")
-      val cand = g2.select(col("g"), col("doc_id").as("da"), col("i").as("ia"))
-        .join(g2.select(col("g"), col("doc_id").as("db"), col("i").as("ib")),
-          Seq("g"))
-        .filter(col("da") < col("db"))
-        .select(col("da"), col("db"), col("ia"), col("ib"),
-          (col("ia") - col("ib")).as("diag"))
-      val wI = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("da"), col("db"), col("diag")).orderBy(col("ia"))
-      cand.withColumn("grp", col("ia") - row_number().over(wI))
-        .groupBy(col("da"), col("db"), col("diag"), col("grp"))
-        .agg(min(col("ia")).as("start_a"), min(col("ib")).as("start_b"),
-          (max(col("ia")) - min(col("ia")) + lit(RunL.toLong)).as("run_len"))
-        .select(col("da"), col("db"), col("start_a"), col("start_b"),
-          col("run_len"))
-        .orderBy(col("da"), col("db"), col("start_a"), col("start_b"))
-    },
-    Some(s"""
-      WITH tok AS (
+
+  /** The q350 pipeline as a shared table: one row per maximal shared run
+    * (da, db, start_a, start_b, run_len) — consumed by q350 (the report)
+    * and q354 (the per-doc excision mass). */
+  private[graft] def substringRuns(s: SparkSession, d: String): DataFrame = {
+    val grams = docs(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= RunL)
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, size(toks) - $RunL)")).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        md5Id(expr(s"concat_ws('|', slice(toks, i + 1, $RunL))")).as("g"))
+      .localCheckpoint() // feeds the cap census AND both join sides
+    val okg = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1L && col("n") <= MaxBucket)
+      .select(col("g"))
+    val g2 = grams.join(okg, Seq("g"), "left_semi")
+    val cand = g2.select(col("g"), col("doc_id").as("da"), col("i").as("ia"))
+      .join(g2.select(col("g"), col("doc_id").as("db"), col("i").as("ib")),
+        Seq("g"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("ia"), col("ib"),
+        (col("ia") - col("ib")).as("diag"))
+    val wI = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("da"), col("db"), col("diag")).orderBy(col("ia"))
+    cand.withColumn("grp", col("ia") - row_number().over(wI))
+      .groupBy(col("da"), col("db"), col("diag"), col("grp"))
+      .agg(min(col("ia")).as("start_a"), min(col("ib")).as("start_b"),
+        (max(col("ia")) - min(col("ia")) + lit(RunL.toLong)).as("run_len"))
+      .select(col("da"), col("db"), col("start_a"), col("start_b"),
+        col("run_len"))
+  }
+
+  /** Oracle CTE chain mirroring [[substringRuns]], ending in
+    * `runs(da, db, start_a, start_b, run_len)` — shared by q350/q354. */
+  private lazy val substringRunsSql: String = s"""tok AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       grams AS MATERIALIZED (
         SELECT doc_id, i,
@@ -2721,15 +2724,109 @@ object Dedup {
         SELECT da, db, diag, ia, ib,
                ia - row_number() OVER (PARTITION BY da, db, diag
                  ORDER BY ia) AS grp
-        FROM cand)
-      SELECT da, db, CAST(min(ia) AS BIGINT) AS start_a,
-             CAST(min(ib) AS BIGINT) AS start_b,
-             CAST(max(ia) - min(ia) + $RunL AS BIGINT) AS run_len
-      FROM isl GROUP BY da, db, diag, grp
-      ORDER BY da, db, start_a, start_b"""))
+        FROM cand),
+      runs AS MATERIALIZED (
+        SELECT da, db, CAST(min(ia) AS BIGINT) AS start_a,
+               CAST(min(ib) AS BIGINT) AS start_b,
+               CAST(max(ia) - min(ia) + $RunL AS BIGINT) AS run_len
+        FROM isl GROUP BY da, db, diag, grp)"""
+
+  private val q350 = QueryDef(
+    "q350_dedup_substring_runs",
+    (s, d) => substringRuns(s, d)
+      .orderBy(col("da"), col("db"), col("start_a"), col("start_b")),
+    Some(s"""
+      WITH $substringRunsSql
+      SELECT da, db, start_a, start_b, run_len
+      FROM runs ORDER BY da, db, start_a, start_b"""))
+
+  // --------------------------------------------------------------- q354
+  // Duplicate-token-mass excision report — the planning table an actual
+  // excision pass reads after q350 finds the runs: per document, the
+  // UNION of all its shared-run token intervals (either side of any
+  // pair), merged, as an exact covered-token count and fraction. This is
+  // the number Lee et al. report ("X% of tokens are part of a duplicate
+  // substring") and the threshold input for drop-vs-trim decisions.
+  //
+  // Interval union is the classic sweep, distributed per doc: sort a
+  // doc's intervals by (start, end), an interval OPENS a new island iff
+  // its start exceeds the running max end of everything before it,
+  // islands aggregate to (min start, max end) — no position explosion,
+  // cost is runs-per-doc log runs-per-doc, never O(covered tokens)
+  // (at 100 TB the covered mass is the corpus's dup fraction; the
+  // interval list is just the run count). Windows partition by doc.
+  // All arithmetic exact BIGINT; the single fraction ships as one
+  // correctly-rounded division (n_tokens ≥ RunL > 0 whenever a doc has
+  // a run, so no zero guard is needed).
+  private val q354 = QueryDef(
+    "q354_dedup_excision_mass",
+    (s, d) => {
+      val runs = substringRuns(s, d).localCheckpoint() // feeds both sides
+      val iv = runs.select(col("da").as("doc_id"), col("start_a").as("st"),
+          (col("start_a") + col("run_len") - 1L).as("en"))
+        .unionByName(runs.select(col("db").as("doc_id"),
+          col("start_b").as("st"),
+          (col("start_b") + col("run_len") - 1L).as("en")))
+      val wPrev = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("st"), col("en"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("st"), col("en"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cov = iv
+        .withColumn("brk",
+          when(col("st") > coalesce(max(col("en")).over(wPrev), lit(-1L)),
+            1L).otherwise(0L))
+        .withColumn("isl", sum(col("brk")).over(wCum))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("st")).as("mn"), max(col("en")).as("mx"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("mx") - col("mn") + 1L).as("dup_tokens"))
+      val nt = docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      cov.join(nt, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+          Num.roundZ(col("dup_tokens").cast("double")
+            / col("n_tokens").cast("double"), 6).as("dup_fraction"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $substringRunsSql,
+      iv AS (
+        SELECT da AS doc_id, start_a AS st,
+               start_a + run_len - 1 AS en FROM runs
+        UNION ALL
+        SELECT db, start_b, start_b + run_len - 1 FROM runs),
+      brk AS (
+        SELECT doc_id, st, en,
+               CASE WHEN st > coalesce(max(en) OVER (PARTITION BY doc_id
+                 ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+        FROM iv),
+      isl2 AS (
+        SELECT doc_id, st, en,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY st, en
+                 ROWS UNBOUNDED PRECEDING) AS isl
+        FROM brk),
+      cov AS (
+        SELECT doc_id, CAST(sum(mx - mn + 1) AS BIGINT) AS dup_tokens
+        FROM (SELECT doc_id, isl, min(st) AS mn, max(en) AS mx
+              FROM isl2 GROUP BY 1, 2) t
+        GROUP BY 1),
+      nt AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             FROM documents)
+      SELECT c.doc_id, nt.n_tokens, c.dup_tokens,
+             (CAST(round((CAST(c.dup_tokens AS DOUBLE)
+               / CAST(nt.n_tokens AS DOUBLE)) * 1e6) AS BIGINT) / 1e6)
+               AS dup_fraction
+      FROM cov c JOIN nt ON nt.doc_id = c.doc_id
+      ORDER BY c.doc_id"""))
 
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154,
       q161, q205, q210, q213, q247, q258, q270, q277, q281, q282, q299,
-      q331, q341, q343, q348, q350)
+      q331, q341, q343, q348, q350, q354)
 }
