@@ -2825,8 +2825,96 @@ object Dedup {
       FROM cov c JOIN nt ON nt.doc_id = c.doc_id
       ORDER BY c.doc_id"""))
 
+  // --------------------------------------------------------------- q355
+  // Asymmetric CONTAINMENT dedup ([EXT] near-dup family, the quoted/
+  // excerpted-document detector): C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| —
+  // unlike Jaccard it stays high when a small doc is embedded in a much
+  // larger one (jac → |A|/|B| as B grows, so symmetric dedup goes blind
+  // exactly where quoting lives). Reports ORDERED pairs (da contained in
+  // db, da ≠ db) with C ≥ 0.8, carrying both metrics so the reader sees
+  // which pairs symmetric dedup would have missed.
+  //
+  // Candidate generation is prefix filtering adapted to the asymmetric
+  // threshold: only the CONTAINED side prefixes (size n − ⌈0.8·n⌉ + 1 in
+  // ascending global-frequency order; if B held ≥ 0.8·n of A's shingles
+  // but none of A's prefix, B∩A would fit inside A's suffix of
+  // ⌈0.8·n⌉ − 1 < 0.8·n shingles — contradiction, so the filter is
+  // LOSSLESS for any shingle order and the oracle keeps q31's unfiltered
+  // all-pairs formulation) — but the CONTAINER side must index its FULL
+  // shingle set, so unlike q31 the posting lists are document-frequency-
+  // sized. That is the honest scale cost of containment: at 100 TB, cap
+  // the postings at a df bound and EXCLUDE the dropped stop-shingles
+  // from both |A∩B| and |A| (the capped metric both engines would then
+  // compute identically — the q32/q348 cap discipline); this corpus's
+  // max shingle df is 4, so the exact uncapped form ships here.
+  // Verification is exact: ni from array_intersect of the full sets,
+  // both thresholds filtered on RAW ratios (jacRaw discipline).
+  private val q355 = QueryDef(
+    "q355_dedup_containment",
+    (s, d) => {
+      val sh = rawShinglesOf(docs(s, d))
+        .select(col("doc_id"), col("lang"), md5Id(col("shingle")).as("sid"))
+        .distinct()
+        .localCheckpoint() // feeds freq, prefixes, the full index, sets
+      val sets = sh.groupBy(col("doc_id"))
+        .agg(collect_set(col("sid")).as("shs"))
+      val freq = sh.groupBy(col("sid")).agg(count(lit(1)).as("gf"))
+      val prefixA = sh.join(freq, "sid")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(array_sort(collect_list(struct(col("gf"), col("sid")))).as("a"))
+        .select(col("doc_id"), col("lang"),
+          slice(col("a"), lit(1),
+            (size(col("a")) - ceil(size(col("a")) * 0.8) + 1).cast("int"))
+            .as("a"))
+        .select(col("doc_id"), col("lang"),
+          explode(expr("sequence(0, size(a) - 1)")).as("i"), col("a"))
+        .select(col("doc_id").as("da"), col("lang"),
+          col("a")(col("i")).getField("sid").as("sid"))
+      val cand = prefixA
+        .join(sh.select(col("doc_id").as("db"), col("lang"), col("sid")),
+          Seq("lang", "sid"))
+        .filter(col("da") =!= col("db"))
+        .select(col("da"), col("db")).distinct()
+      val sa = sets.select(col("doc_id").as("da"), col("shs").as("sa"))
+      val sb = sets.select(col("doc_id").as("db"), col("shs").as("sb"))
+      cand.join(sa, "da").join(sb, "db")
+        .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("contRaw",
+          col("ni").cast("double") / size(col("sa")).cast("double"))
+        .filter(col("contRaw") >= 0.8)
+        .select(col("da"), col("db"),
+          size(col("sa")).cast("long").as("n_a"),
+          size(col("sb")).cast("long").as("n_b"),
+          round(col("contRaw"), 6).as("containment"),
+          round(jacRaw, 6).as("jac"))
+        .orderBy(col("da"), col("db"))
+    },
+    Some(s"""
+      WITH $shinglesSql,
+      shid AS (
+        SELECT DISTINCT doc_id, lang, ${md5IdSql("shingle")} AS shingle
+        FROM sh),
+      cnt AS (SELECT doc_id, count(*) AS n FROM shid GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+        FROM shid a JOIN shid b
+          ON a.shingle = b.shingle AND a.lang = b.lang
+         AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT da, db,
+             CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+             round(CAST(ni AS DOUBLE) / CAST(ca.n AS DOUBLE), 6)
+               AS containment,
+             round(CAST(ni AS DOUBLE) / CAST(ca.n + cb.n - ni AS DOUBLE), 6)
+               AS jac
+      FROM inter
+      JOIN cnt ca ON da = ca.doc_id
+      JOIN cnt cb ON db = cb.doc_id
+      WHERE CAST(ni AS DOUBLE) / CAST(ca.n AS DOUBLE) >= 0.8
+      ORDER BY da, db"""))
+
   val defs: Seq[QueryDef] =
     Seq(q30, q31, q32, q33, q34, q35, q99, q100, q109, q120, q122, q154,
       q161, q205, q210, q213, q247, q258, q270, q277, q281, q282, q299,
-      q331, q341, q343, q348, q350, q354)
+      q331, q341, q343, q348, q350, q354, q355)
 }

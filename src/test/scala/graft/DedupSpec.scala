@@ -478,4 +478,36 @@ class DedupSpec extends AnyFunSuite {
     assert(runs.toSeq == Seq((1L, 2L, 3L, 5L, 20L)),
       s"expected exactly the planted extent (1,2,3,5,20): ${runs.toSeq}")
   }
+
+  test("q355: containment catches a quoted doc that symmetric Jaccard misses") {
+    // The asymmetry q355 exists for: doc 1 (12 tokens) is quoted verbatim
+    // inside doc 2 (62 tokens). Containment(1→2) = 1.0, but Jaccard =
+    // 10/(10+60−10) ≈ 0.17 < 0.5 — the symmetric detector (q31) must NOT
+    // pair them while q355 must, with the contained doc on the da side
+    // only (2→1 containment ≈ 0.17 fails the 0.8 bar).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_contain_spec").toString
+    val quote = (1 to 12).map(i => s"quoted$i").mkString(" ")
+    val filler = (1 to 25).map(i => s"fill$i").mkString(" ")
+    val filler2 = (1 to 25).map(i => s"tail$i").mkString(" ")
+    val s2 = spark
+    import s2.implicits._
+    Seq(
+      (1L, quote, "en", "src0"),
+      (2L, s"$filler $quote $filler2", "en", "src0"),
+      (3L, (1 to 40).map(i => s"uniqc$i").mkString(" "), "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cont = SparkEntry.queries("q355_dedup_containment")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0)),
+      s"expected exactly the (1 contained-in 2) pair: ${cont.toSeq}")
+    val jacPairs = SparkEntry.queries("q31_dedup_ngram_jaccard")(spark, dir)
+      .collect()
+    assert(jacPairs.isEmpty,
+      s"symmetric Jaccard must miss the quoted pair: ${jacPairs.toSeq}")
+  }
 }
