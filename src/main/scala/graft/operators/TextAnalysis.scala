@@ -176,41 +176,53 @@ object TextAnalysis {
   // score each document by profile hits, predict argmax. Output is the
   // confusion matrix. Profiles are tiny → broadcast; scoring is one
   // token join — the standard n-gram LID shape at any scale.
+  /** q44/q356 shared: the LID predictions (doc_id, lang, p_lang). */
+  private def langPredictions(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+    val langCnt = tok.groupBy(col("lang").as("p_lang"), col("w"))
+      .agg(count(lit(1)).as("c_lang"))
+    val langTot = tok.groupBy(col("lang").as("p_lang"))
+      .agg(count(lit(1)).as("t_lang"))
+    val globCnt = tok.groupBy(col("w")).agg(count(lit(1)).as("c_glob"))
+    val globTot = tok.agg(count(lit(1)).as("t_glob")) // 1-row, stays lazy
+    val lift = langCnt.join(langTot, "p_lang").join(globCnt, "w")
+      .crossJoin(broadcast(globTot))
+      .withColumn("lift",
+        round((col("c_lang").cast("double") / col("t_lang").cast("double")) /
+          (col("c_glob").cast("double") / col("t_glob").cast("double")), 9))
+    val w5 = Window.partitionBy(col("p_lang"))
+      .orderBy(col("lift").desc, col("w"))
+    val profile = lift.withColumn("rn", row_number().over(w5))
+      .filter(col("rn") <= 5)
+      .select(col("p_lang"), col("w"))
+    val scores = tok.join(broadcast(profile), "w")
+      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val wPred = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("p_lang"))
+    scores.withColumn("rn", row_number().over(wPred))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("p_lang"))
+  }
+
   private val q44 = QueryDef(
     "q44_langid_ngram",
-    (s, d) => {
-      val tok = docs(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("w"))
-      val langCnt = tok.groupBy(col("lang").as("p_lang"), col("w"))
-        .agg(count(lit(1)).as("c_lang"))
-      val langTot = tok.groupBy(col("lang").as("p_lang"))
-        .agg(count(lit(1)).as("t_lang"))
-      val globCnt = tok.groupBy(col("w")).agg(count(lit(1)).as("c_glob"))
-      val globTot = tok.agg(count(lit(1)).as("t_glob")) // 1-row, stays lazy
-      val lift = langCnt.join(langTot, "p_lang").join(globCnt, "w")
-        .crossJoin(broadcast(globTot))
-        .withColumn("lift",
-          round((col("c_lang").cast("double") / col("t_lang").cast("double")) /
-            (col("c_glob").cast("double") / col("t_glob").cast("double")), 9))
-      val w5 = Window.partitionBy(col("p_lang"))
-        .orderBy(col("lift").desc, col("w"))
-      val profile = lift.withColumn("rn", row_number().over(w5))
-        .filter(col("rn") <= 5)
-        .select(col("p_lang"), col("w"))
-      val scores = tok.join(broadcast(profile), "w")
-        .groupBy(col("doc_id"), col("lang"), col("p_lang"))
-        .agg(count(lit(1)).as("hits"))
-      val wPred = Window.partitionBy(col("doc_id"))
-        .orderBy(col("hits").desc, col("p_lang"))
-      scores.withColumn("rn", row_number().over(wPred))
-        .filter(col("rn") === 1)
-        .groupBy(col("lang"), col("p_lang").as("pred_lang"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("lang"), col("pred_lang"))
-    },
+    (s, d) => langPredictions(s, d)
+      .groupBy(col("lang"), col("p_lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang")),
     Some(s"""
-      WITH tok AS (
+      WITH $langPredSql
+      SELECT lang, p_lang AS pred_lang, count(*) AS n
+      FROM pred
+      GROUP BY lang, p_lang
+      ORDER BY lang, pred_lang"""))
+
+  /** q44/q356 shared oracle prefix, ending in `pred(doc_id, lang,
+    * p_lang)`. (lazy: referenced from q44's eager val above.) */
+  private lazy val langPredSql = """tok AS (
         SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
         FROM documents),
       lang_cnt AS (SELECT lang AS p_lang, w, count(*) AS c_lang FROM tok GROUP BY 1, 2),
@@ -231,16 +243,12 @@ object TextAnalysis {
         SELECT doc_id, lang, p_lang, count(*) AS hits
         FROM tok JOIN profile USING (w)
         GROUP BY 1, 2, 3),
-      pred AS (
+      pred AS MATERIALIZED (
         SELECT doc_id, lang, p_lang FROM (
           SELECT doc_id, lang, p_lang,
                  row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, p_lang) AS rn
           FROM scores) t
-        WHERE rn = 1)
-      SELECT lang, p_lang AS pred_lang, count(*) AS n
-      FROM pred
-      GROUP BY lang, p_lang
-      ORDER BY lang, pred_lang"""))
+        WHERE rn = 1)"""
 
   // ---------------------------------------------------------------- q45
   // Exact distribution stats per language: interpolated median/p90 and
@@ -2829,9 +2837,111 @@ object TextAnalysis {
       GROUP BY 1 ORDER BY d.doc_id"""
     })
 
+  // --------------------------------------------------------------- q356
+  // Classifier agreement statistics ([EXT] eval pack, beside q74's
+  // accuracy / q335's PR sweep / q160's calibration): per-class
+  // precision / recall / F1 and Cohen's κ for the q44 LID heuristic
+  // against the true lang label — κ is the chance-corrected agreement a
+  // raw accuracy can't give on imbalanced classes. One `__overall__` row
+  // carries micro-accuracy and κ; per-class rows carry their own P/R/F1.
+  //
+  // Exactness: every metric is ONE guarded correctly-rounded division of
+  // exact BIGINTs — F1 is computed as 2·tp/(n_true + n_pred) directly
+  // (never composed from two float P/R divisions), and κ as
+  // (N·Σtp − Σ n_true·n_pred) / (N² − Σ n_true·n_pred), both exact
+  // integer operands; κ is NULL when the chance denominator is 0 (a
+  // one-class corpus — the degenerate-data guard class). Scale: the
+  // prediction pipeline is q44's (broadcast profiles, one token join);
+  // the metrics are two grid aggregates on the class domain.
+  private val q356 = QueryDef(
+    "q356_langid_agreement",
+    (s, d) => {
+      val pred = langPredictions(s, d).localCheckpoint() // feeds 3 aggs
+      val nTrue = pred.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+      val nPred = pred.groupBy(col("p_lang").as("lang"))
+        .agg(count(lit(1)).as("n_pred"))
+      val tp = pred.filter(col("lang") === col("p_lang"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("tp"))
+      val cls = nTrue.join(nPred, Seq("lang"), "left")
+        .join(tp, Seq("lang"), "left")
+        .select(col("lang"), col("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+        .localCheckpoint() // feeds the per-class rows AND the κ sums
+      val perClass = cls.select(col("lang").as("label"),
+        col("n_true"), col("n_pred"), col("tp"),
+        when(col("n_pred") > 0L, Num.roundZ(col("tp").cast("double")
+          / col("n_pred").cast("double"), 6)).as("precision"),
+        Num.roundZ(col("tp").cast("double")
+          / col("n_true").cast("double"), 6).as("recall"),
+        Num.roundZ(col("tp").cast("double") * 2.0
+          / (col("n_true") + col("n_pred")).cast("double"), 6).as("f1"),
+        lit(null).cast("double").as("kappa"))
+      val overall = cls.agg(sum(col("n_true")).as("n"),
+          sum(col("tp")).as("stp"),
+          sum(col("n_true") * col("n_pred")).as("chance"))
+        .select(lit("__overall__").as("label"),
+          col("n").as("n_true"), col("n").as("n_pred"),
+          col("stp").as("tp"),
+          Num.roundZ(col("stp").cast("double")
+            / col("n").cast("double"), 6).as("precision"),
+          Num.roundZ(col("stp").cast("double")
+            / col("n").cast("double"), 6).as("recall"),
+          Num.roundZ(col("stp").cast("double")
+            / col("n").cast("double"), 6).as("f1"),
+          when(col("n") * col("n") - col("chance") > 0L,
+            Num.roundZ((col("n") * col("stp") - col("chance")).cast("double")
+              / (col("n") * col("n") - col("chance")).cast("double"), 6))
+            .as("kappa"))
+      perClass.unionByName(overall).orderBy(col("label"))
+    },
+    Some(s"""
+      WITH $langPredSql,
+      nt2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_true
+              FROM pred GROUP BY 1),
+      np2 AS (SELECT p_lang AS lang, CAST(count(*) AS BIGINT) AS n_pred
+              FROM pred GROUP BY 1),
+      tp2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS tp
+              FROM pred WHERE lang = p_lang GROUP BY 1),
+      cls AS MATERIALIZED (
+        SELECT nt2.lang, nt2.n_true,
+               CAST(coalesce(np2.n_pred, 0) AS BIGINT) AS n_pred,
+               CAST(coalesce(tp2.tp, 0) AS BIGINT) AS tp
+        FROM nt2 LEFT JOIN np2 USING (lang) LEFT JOIN tp2 USING (lang)),
+      o AS (
+        SELECT lang AS label, n_true, n_pred, tp,
+               CASE WHEN n_pred > 0 THEN CAST(round((CAST(tp AS DOUBLE)
+                 / CAST(n_pred AS DOUBLE)) * 1e6) AS BIGINT) / 1e6 END
+                 AS precision,
+               CAST(round((CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE))
+                 * 1e6) AS BIGINT) / 1e6 AS recall,
+               CAST(round((CAST(tp AS DOUBLE) * 2.0
+                 / CAST(n_true + n_pred AS DOUBLE)) * 1e6) AS BIGINT) / 1e6
+                 AS f1,
+               CAST(NULL AS DOUBLE) AS kappa
+        FROM cls
+        UNION ALL
+        SELECT '__overall__', n, n, stp,
+               CAST(round((CAST(stp AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6)
+                 AS BIGINT) / 1e6,
+               CAST(round((CAST(stp AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6)
+                 AS BIGINT) / 1e6,
+               CAST(round((CAST(stp AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6)
+                 AS BIGINT) / 1e6,
+               CASE WHEN n * n - chance > 0 THEN
+                 CAST(round((CAST(n * stp - chance AS DOUBLE)
+                   / CAST(n * n - chance AS DOUBLE)) * 1e6) AS BIGINT) / 1e6
+               END
+        FROM (SELECT CAST(sum(n_true) AS BIGINT) AS n,
+                     CAST(sum(tp) AS BIGINT) AS stp,
+                     CAST(sum(n_true * n_pred) AS BIGINT) AS chance
+              FROM cls) t)
+      SELECT label, n_true, n_pred, tp, precision, recall, f1, kappa
+      FROM o ORDER BY label"""))
+
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
       q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228,
       q233, q236, q253, q264, q275, q276, q278, q279, q290, q327, q329,
-      q333, q342, q344, q352)
+      q333, q342, q344, q352, q356)
 }
