@@ -2182,7 +2182,70 @@ object Similarity {
       GROUP BY label, pred_label
       ORDER BY label, pred_label"""))
 
+  // --------------------------------------------------------------- q358
+  // Embedding-space dimension profile ([EXT] embedding QA, the vector
+  // sibling of q151's column profile): per dimension, count / min / max /
+  // mean / population variance over the WHOLE table (zero-norm rows
+  // included — this is the diagnostics pass you run BEFORE trusting the
+  // cosine family; a dead dimension, a scale outlier, or a variance
+  // collapse shows up here first).
+  //
+  // Exactness: values quantize to the declared 1e-4 grid (both engines),
+  // then moments are exact BIGINT sums — mean and variance each ship as
+  // ONE correctly-rounded division: var·(n·1e8) = n·Σq² − (Σq)² exactly.
+  // Overflow envelope: |q| ≤ 10⁴ ⇒ both n·Σq² and (Σq)² are ≤ n²·10⁸,
+  // inside 2⁶³ for n < 3·10⁵ rows — beyond that grain drop the grid a
+  // decade (n < 3·10⁷) or move the two products to DECIMAL(38) (the
+  // HitsScale knob discipline). min/max stay exact
+  // (float→double widening is value-preserving), rounded only at the
+  // 1e-6 display grid.
+  // Scale: one positional explode (64·N rows of (dim, int)) into a
+  // 64-row grid aggregate — map-side combinable, no window, no join.
+  private val q358 = QueryDef(
+    "q358_embedding_dim_profile",
+    (s, d) => {
+      val ev = Tables.t(s, d, "embeddings")
+        .select(posexplode(col("embedding")))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          col("col").cast("double").as("v"))
+        .withColumn("q", round(col("v") * 1e4).cast("long"))
+      ev.groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          min(col("v")).as("vmin0"), max(col("v")).as("vmax0"),
+          sum(col("q")).as("sq"), sum(col("q") * col("q")).as("sq2"))
+        .select(col("dim"), col("n"),
+          Num.roundZ(col("vmin0"), 6).as("vmin"),
+          Num.roundZ(col("vmax0"), 6).as("vmax"),
+          Num.roundZ(col("sq").cast("double")
+            / (col("n").cast("double") * 1e4), 6).as("mean"),
+          Num.roundZ((col("n") * col("sq2") - col("sq") * col("sq"))
+            .cast("double")
+            / (col("n").cast("double") * col("n").cast("double") * 1e8), 6)
+            .as("variance"))
+        .orderBy(col("dim"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      q AS (SELECT dim, v, CAST(round(v * 1e4) AS BIGINT) AS q FROM ev),
+      g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                   min(v) AS vmin0, max(v) AS vmax0,
+                   CAST(sum(q) AS BIGINT) AS sq,
+                   CAST(sum(q * q) AS BIGINT) AS sq2
+            FROM q GROUP BY 1)
+      SELECT dim, n,
+             CAST(round(vmin0 * 1e6) AS BIGINT) / 1e6 AS vmin,
+             CAST(round(vmax0 * 1e6) AS BIGINT) / 1e6 AS vmax,
+             CAST(round((CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1e4))
+               * 1e6) AS BIGINT) / 1e6 AS mean,
+             CAST(round((CAST(n * sq2 - sq * sq AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e8)) * 1e6)
+               AS BIGINT) / 1e6 AS variance
+      FROM g ORDER BY dim"""))
+
   val defs: Seq[QueryDef] = Seq(q50, q51, q111, q116, q128, q137, q163,
     q194, q248, q250, q255, q266, q286, q304, q310, q320, q322, q328,
-    q346)
+    q346, q358)
 }
