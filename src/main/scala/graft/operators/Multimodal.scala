@@ -329,5 +329,83 @@ object Multimodal {
       GROUP BY lang
       ORDER BY lang"""))
 
-  val defs: Seq[QueryDef] = Seq(q90, q91, q92, q95, q118, q340)
+  // --------------------------------------------------------------- q360
+  // Scene-cut detection ([EXT], the video sibling of q340's audio VAD):
+  // window each clip into fixed-stride frames, compute a per-frame
+  // visual feature, and declare a CUT where the consecutive-frame
+  // feature distance exceeds a threshold; shots are the islands between
+  // cuts. Reports per clip: frame/cut/shot counts, mean and longest shot
+  // length — the shot-boundary pass a video-corpus pipeline runs before
+  // per-shot sampling (q95 then samples WITHIN shots instead of
+  // uniformly). Feature stand-in is the house md5 trick (one projection
+  // swaps for a codec read; the windowing/lag/island shapes are exactly
+  // the codec version's).
+  //
+  // Exactness: features/deltas exact BIGINTs; the one division
+  // (mean shot length) is guarded by construction — n_shots = cuts + 1
+  // ≥ 1. Scale: per-row bounded frame generator, one per-clip window
+  // chain (lag → cut flag → running shot id), two grid aggregates; no
+  // shuffle wider than the clip key.
+  private val q360 = QueryDef(
+    "q360_video_scene_cuts",
+    (s, d) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+      val wCum = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val frames = docs(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          explode(expr("sequence(0, n_chars DIV 16)")).as("f"))
+        .withColumn("feat",
+          conv(substring(md5(concat(lit("vis:"),
+            col("doc_id").cast("string"), lit(":"),
+            col("f").cast("string")).cast("binary")), 1, 14), 16, 10)
+            .cast("long") % 1000L)
+        .withColumn("cut",
+          when(abs(col("feat") - lag(col("feat"), 1).over(w)) > 600L, 1L)
+            .otherwise(0L))
+        .withColumn("shot", sum(col("cut")).over(wCum))
+      val shots = frames.groupBy(col("doc_id"), col("shot"))
+        .agg(count(lit(1)).as("slen"))
+      shots.groupBy(col("doc_id"))
+        .agg(sum(col("slen")).as("n_frames"),
+          (count(lit(1)) - 1L).as("n_cuts"),
+          count(lit(1)).as("n_shots"),
+          max(col("slen")).as("longest_shot"))
+        .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+          col("n_shots"), col("longest_shot"),
+          Num.roundZ(col("n_frames").cast("double")
+            / col("n_shots").cast("double"), 4).as("mean_shot_len"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH frames AS (
+        SELECT doc_id, f,
+               (('0x' || substr(md5('vis:' || CAST(doc_id AS VARCHAR)
+                   || ':' || CAST(f AS VARCHAR)), 1, 14))::BIGINT)
+                 % 1000 AS feat
+        FROM (SELECT doc_id, unnest(range(0, (n_chars // 16) + 1)) AS f
+              FROM documents) t),
+      cuts AS (
+        SELECT doc_id, f,
+               CASE WHEN abs(feat - lag(feat) OVER (PARTITION BY doc_id
+                 ORDER BY f)) > 600 THEN 1 ELSE 0 END AS cut
+        FROM frames),
+      sh AS (
+        SELECT doc_id, f,
+               sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+                 ROWS UNBOUNDED PRECEDING) AS shot
+        FROM cuts),
+      sl AS (SELECT doc_id, shot, CAST(count(*) AS BIGINT) AS slen
+             FROM sh GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(slen) AS BIGINT) AS n_frames,
+             CAST(count(*) - 1 AS BIGINT) AS n_cuts,
+             CAST(count(*) AS BIGINT) AS n_shots,
+             CAST(max(slen) AS BIGINT) AS longest_shot,
+             (CAST(round((CAST(sum(slen) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)) * 1e4) AS BIGINT) / 1e4)
+               AS mean_shot_len
+      FROM sl GROUP BY doc_id
+      ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q90, q91, q92, q95, q118, q340, q360)
 }
