@@ -8480,127 +8480,6 @@ object Analytics {
         FROM s)
       SELECT method, n_days, mae, mase FROM o ORDER BY method"""))
 
-  // --------------------------------------------------------------- q359
-  // Theil–Sen robust trend + MAD dispersion on the daily purchase series
-  // ([EXT] robust-stats shelf beside q149 Welch / q129 winsorized / q158
-  // bootstrap): the slope is the MEDIAN of all pairwise day-slopes —
-  // up to 29.7% contaminated days cannot move it, unlike q144's OLS —
-  // the intercept the median of (y − slope·x), and dispersion the median
-  // absolute deviation around the median spend. The series is densified
-  // to calendar zeros first (q353's idle-day contract).
-  //
-  // Exactness: every ordering key is either exact cents/days BIGINTs or
-  // ONE double division of exact ints (dy/dx — bit-identical in both
-  // engines), tie-broken by (dy, dx); each median is the average of the
-  // two middle elements selected by rank (equal-slope tie order cannot
-  // change the selected VALUES). Scale: pairs are day-grid² (≤ 366² ≈
-  // 67k rows, data-independent), so the global median windows run on
-  // bounded grids, never the corpus — the corpus appears in ONE daily
-  // aggregate (house grid-window discipline, documented bound).
-  private val q359 = QueryDef(
-    "q359_theilsen_trend",
-    (s, d) => {
-      val daily = ev(s, d).filter(col("event_type") === "purchase")
-        .groupBy(expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01')" +
-          " AS BIGINT)").as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-      val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-        .select(explode(sequence(col("d0"), col("d1"))).as("day"))
-      val filled = grid.join(daily, Seq("day"), "left")
-        .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
-        .localCheckpoint() // feeds pairs (both sides), residuals, MAD
-      def median(df: DataFrame, v: org.apache.spark.sql.Column,
-          ties: Seq[org.apache.spark.sql.Column]): DataFrame = {
-        val w = Window.orderBy(v +: ties: _*)
-        val n = df.agg(count(lit(1)).as("m"))
-        df.withColumn("rn", row_number().over(w).cast("long"))
-          .crossJoin(broadcast(n))
-          .filter(col("rn") === expr("(m + 1) DIV 2") ||
-            col("rn") === expr("(m + 2) DIV 2"))
-          .agg(avg(v).as("med"))
-      }
-      val a = filled.select(col("day").as("xa"), col("cents").as("ya"))
-      val b = filled.select(col("day").as("xb"), col("cents").as("yb"))
-      val pairs = a.join(b, col("xb") > col("xa"))
-        .select((col("yb") - col("ya")).as("dy"),
-          (col("xb") - col("xa")).as("dx"))
-        .withColumn("s", col("dy").cast("double") / col("dx").cast("double"))
-      val slope = median(pairs, col("s"), Seq(col("dy"), col("dx")))
-        .select(col("med").as("slope"))
-      val icept = median(
-        filled.crossJoin(broadcast(slope))
-          .select(col("day"), col("cents"), col("slope"),
-            (col("cents").cast("double") - col("slope")
-              * col("day").cast("double")).as("r")),
-        col("r"), Seq(col("day"))).select(col("med").as("icept"))
-      val medc = median(filled, col("cents").cast("double"), Seq(col("day")))
-        .select(col("med").as("medc"))
-      val mad = median(
-        filled.crossJoin(broadcast(medc))
-          .select(col("day"),
-            abs(col("cents").cast("double") - col("medc")).as("ad")),
-        col("ad"), Seq(col("day"))).select(col("med").as("mad"))
-      filled.agg(count(lit(1)).as("n_days"))
-        .crossJoin(broadcast(slope)).crossJoin(broadcast(icept))
-        .crossJoin(broadcast(medc)).crossJoin(broadcast(mad))
-        .select(col("n_days"),
-          Num.roundZ(col("slope") / 100.0, 6).as("slope_per_day"),
-          Num.roundZ(col("icept") / 100.0, 4).as("intercept"),
-          Num.roundZ(col("medc") / 100.0, 4).as("median_spend"),
-          Num.roundZ(col("mad") / 100.0, 4).as("mad"))
-    },
-    Some("""
-      WITH daily AS (
-        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
-                 ::BIGINT AS day,
-               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                 AS cents
-        FROM events WHERE event_type = 'purchase' GROUP BY 1),
-      bnd AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
-      grid AS (SELECT unnest(range(bnd.d0, bnd.d1 + 1)) AS day FROM bnd),
-      filled AS MATERIALIZED (
-        SELECT g.day, coalesce(d.cents, 0) AS cents
-        FROM grid g LEFT JOIN daily d USING (day)),
-      pairs AS (
-        SELECT b.cents - a.cents AS dy, b.day - a.day AS dx,
-               CAST(b.cents - a.cents AS DOUBLE)
-                 / CAST(b.day - a.day AS DOUBLE) AS s
-        FROM filled a JOIN filled b ON b.day > a.day),
-      pn AS (SELECT count(*) AS m FROM pairs),
-      slope AS MATERIALIZED (
-        SELECT avg(s) AS slope FROM (
-          SELECT s, row_number() OVER (ORDER BY s, dy, dx) AS rn
-          FROM pairs), pn
-        WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2),
-      fn AS (SELECT count(*) AS m FROM filled),
-      icept AS (
-        SELECT avg(r) AS icept FROM (
-          SELECT r, row_number() OVER (ORDER BY r, day) AS rn FROM (
-            SELECT CAST(f.cents AS DOUBLE)
-                     - sl.slope * CAST(f.day AS DOUBLE) AS r, f.day
-            FROM filled f, slope sl) t0) t, fn
-        WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2),
-      medc AS MATERIALIZED (
-        SELECT avg(c) AS medc FROM (
-          SELECT c, row_number() OVER (ORDER BY c, day) AS rn FROM (
-            SELECT CAST(cents AS DOUBLE) AS c, day FROM filled) t0) t, fn
-        WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2),
-      mad AS (
-        SELECT avg(ad) AS mad FROM (
-          SELECT ad, row_number() OVER (ORDER BY ad, day) AS rn FROM (
-            SELECT abs(CAST(f.cents AS DOUBLE) - mc.medc) AS ad, f.day
-            FROM filled f, medc mc) t0) t, fn
-        WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2)
-      SELECT (SELECT CAST(count(*) AS BIGINT) FROM filled) AS n_days,
-             CAST(round((slope.slope / 100.0) * 1e6) AS BIGINT) / 1e6
-               AS slope_per_day,
-             CAST(round((icept.icept / 100.0) * 1e4) AS BIGINT) / 1e4
-               AS intercept,
-             CAST(round((medc.medc / 100.0) * 1e4) AS BIGINT) / 1e4
-               AS median_spend,
-             CAST(round((mad.mad / 100.0) * 1e4) AS BIGINT) / 1e4 AS mad
-      FROM slope, icept, medc, mad"""))
-
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
@@ -8609,5 +8488,5 @@ object Analytics {
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
       q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326, q330, q332,
-      q334, q335, q336, q337, q338, q345, q347, q349, q351, q353, q359)
+      q334, q335, q336, q337, q338, q345, q347, q349, q351, q353)
 }

@@ -2832,7 +2832,13 @@ object Dedup {
   // larger one (jac → |A|/|B| as B grows, so symmetric dedup goes blind
   // exactly where quoting lives). Reports ORDERED pairs (da contained in
   // db, da ≠ db) with C ≥ 0.8, carrying both metrics so the reader sees
-  // which pairs symmetric dedup would have missed.
+  // which pairs symmetric dedup would have missed. Division of labor vs
+  // q120 (containment DECONTAMINATION): q120 scores eval-vs-corpus
+  // leakage through symmetric minhash-band candidates and documents
+  // that banding's recall limitation; this is the corpus-internal
+  // quoting detector, and its prefix-filter candidate generation is
+  // LOSSLESS for the containment threshold — the recall gap q120's
+  // comment concedes does not exist here.
   //
   // Candidate generation is prefix filtering adapted to the asymmetric
   // threshold: only the CONTAINED side prefixes (size n − ⌈0.8·n⌉ + 1 in

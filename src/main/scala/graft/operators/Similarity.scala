@@ -2188,7 +2188,12 @@ object Similarity {
   // mean / population variance over the WHOLE table (zero-norm rows
   // included — this is the diagnostics pass you run BEFORE trusting the
   // cosine family; a dead dimension, a scale outlier, or a variance
-  // collapse shows up here first).
+  // collapse shows up here first). Division of labor vs q163 (the Gram/
+  // covariance matrix): q163 ships the d² second-moment structure for
+  // PCA/whitening over the norm-filtered corpus; this is the d-row QA
+  // profile with the extremes (min/max) a moment matrix cannot carry,
+  // over the UNfiltered table — the pass that decides whether q163's
+  // input filter fired correctly at all.
   //
   // Exactness: values quantize to the declared 1e-4 grid (both engines),
   // then moments are exact BIGINT sums — mean and variance each ship as

@@ -2703,7 +2703,11 @@ object TextAnalysis {
   // corpus itself (BpeRounds greedy merges: per round, the globally
   // most frequent adjacent symbol pair — occurrence-weighted by word
   // frequency, ties lexicographic — is merged corpus-wide) and reports
-  // per-document subword counts under that table.
+  // per-document subword counts under that table. Division of labor vs
+  // q236 (the trainer-statistics op): q236 proves the merge ARITHMETIC
+  // on 2 rounds of top-pair tables per lang; this runs 6 rounds to a
+  // usable table and delivers the per-doc ACCOUNTING — the number a
+  // token-budget planner actually consumes.
   //
   // The 100 TB shape is the point: segmentation runs on the DISTINCT-
   // WORD GRID, never the corpus. One corpus pass builds (doc, word) and
@@ -2839,7 +2843,10 @@ object TextAnalysis {
 
   // --------------------------------------------------------------- q356
   // Classifier agreement statistics ([EXT] eval pack, beside q74's
-  // accuracy / q335's PR sweep / q160's calibration): per-class
+  // accuracy / q335's PR sweep / q160's calibration — and the MULTICLASS
+  // sibling of q239, which computes κ for a 2×2 rater-agreement table;
+  // here κ generalizes to the K-class confusion of a real classifier
+  // and ships with the per-class table q239 has no notion of): per-class
   // precision / recall / F1 and Cohen's κ for the q44 LID heuristic
   // against the true lang label — κ is the chance-corrected agreement a
   // raw accuracy can't give on imbalanced classes. One `__overall__` row
@@ -2939,94 +2946,9 @@ object TextAnalysis {
       SELECT label, n_true, n_pred, tp, precision, recall, f1, kappa
       FROM o ORDER BY label"""))
 
-  // --------------------------------------------------------------- q357
-  // RAKE keyword extraction (Rose et al., "Rapid Automatic Keyword
-  // Extraction") — the phrase-level extraction op beside q39's bigram
-  // top-k and q37's TF-IDF: candidate phrases are the maximal stopword-
-  // free token runs (the q350/q352 gaps-and-islands machinery, here
-  // splitting at the house Stop list), each word scores deg/freq (deg =
-  // Σ length of phrases containing it, freq = its occurrence count —
-  // words that live in long phrases outrank bare frequent words), and a
-  // phrase scores the sum of its words' scores. Top 15 by score.
-  //
-  // Exactness: deg/freq is the one rational per word — quantized to the
-  // 1e6 grid BEFORE the phrase sum (the house quantize-then-sum
-  // discipline), so phrase scores are exact BIGINT sums and the final
-  // /1e6 is representation, not arithmetic. Identical phrase instances
-  // carry identical sums by construction (word stats are global), so
-  // the per-type max is a deterministic pick, not a choice.
-  // Scale: ONE corpus pass tokenizes; islands window partitions by doc;
-  // word stats and phrase typing are vocab/phrase-grid aggregates;
-  // top-15 is a TakeOrdered heap.
-  private val q357 = QueryDef(
-    "q357_rake_keywords",
-    (s, d) => {
-      val tok = docs(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .select(col("doc_id"), col("pos").cast("long").as("i"),
-          col("col").as("w"))
-        .filter(length(col("w")) > 0)
-      val nonstop = tok.filter(!expr(s"array_contains($stopArr, w)"))
-      val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      val pw = nonstop
-        .withColumn("grp", col("i") - row_number().over(wIsl))
-        .localCheckpoint() // feeds island lengths, word stats, phrase agg
-      val islLen = pw.groupBy(col("doc_id"), col("grp"))
-        .agg(count(lit(1)).as("plen"))
-      val ws = pw.join(islLen, Seq("doc_id", "grp"))
-        .groupBy(col("w"))
-        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
-        .select(col("w"),
-          round(col("deg").cast("double") / col("freq").cast("double")
-            * 1e6).cast("long").as("wsc"))
-      val phr = pw.join(broadcast(ws), "w")
-        .groupBy(col("doc_id"), col("grp"))
-        .agg(array_join(transform(array_sort(collect_list(
-            struct(col("i"), col("w")))), x => x.getField("w")), " ")
-            .as("phrase"),
-          count(lit(1)).as("n_words"), sum(col("wsc")).as("s_ws"))
-      phr.groupBy(col("phrase"))
-        .agg(max(col("n_words")).as("n_words"),
-          count(lit(1)).as("n_occ"),
-          (max(col("s_ws")).cast("double") / 1e6).as("score"))
-        .orderBy(col("score").desc, col("phrase")).limit(15)
-    },
-    Some(s"""
-      WITH tok AS (
-        SELECT doc_id, i - 1 AS i, w FROM (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-                 unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
-          FROM documents) t
-        WHERE len(w) > 0),
-      ns AS (SELECT doc_id, i, w FROM tok
-             WHERE NOT list_contains($stopList, w)),
-      pw AS MATERIALIZED (
-        SELECT doc_id, i, w,
-               i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
-                 AS grp
-        FROM ns),
-      il AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS plen
-             FROM pw GROUP BY 1, 2),
-      ws AS (
-        SELECT w, CAST(round((CAST(sum(plen) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS wsc
-        FROM pw JOIN il USING (doc_id, grp) GROUP BY w),
-      phr AS (
-        SELECT pw.doc_id, pw.grp,
-               string_agg(pw.w, ' ' ORDER BY pw.i) AS phrase,
-               CAST(count(*) AS BIGINT) AS n_words,
-               CAST(sum(ws.wsc) AS BIGINT) AS s_ws
-        FROM pw JOIN ws USING (w)
-        GROUP BY 1, 2)
-      SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
-             CAST(count(*) AS BIGINT) AS n_occ,
-             CAST(max(s_ws) AS DOUBLE) / 1e6 AS score
-      FROM phr GROUP BY phrase
-      ORDER BY score DESC, phrase LIMIT 15"""))
-
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
       q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228,
       q233, q236, q253, q264, q275, q276, q278, q279, q290, q327, q329,
-      q333, q342, q344, q352, q356, q357)
+      q333, q342, q344, q352, q356)
 }
