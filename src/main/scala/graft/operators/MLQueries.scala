@@ -74,8 +74,16 @@ object MLQueries {
     "q73_ml_quantile_coverage",
     (s, d) => {
       val df = features(s, d)
+      // r10: the quantile objective is the NATIVE pinball trainer (one
+      // MLlib DecisionTreeRegressor fit per boosting stage — the K×
+      // estimator-fit scheduling floor q103's OvR measurement
+      // documents, ~0.6 s/stage at sf0.1). Marginal coverage holds from
+      // the f₀ = global-quantile init by construction, and the
+      // line-search stages converge the conditional shape fast, so the
+      // gate demonstrates the trainer at 6 stages instead of paying the
+      // floor 10×; MLSpec runs the full-budget coverage properties.
       val m = new LGBMRegressor(
-        LGBMParams(nEstimators = 10, maxDepth = 4,
+        LGBMParams(nEstimators = 6, maxDepth = 4,
           objective = "quantile", alpha = 0.9))
         .fit(df, featuresCol = Seq("embedding"), labelCol = "label10")
       m.predict(df, Seq("embedding"))
