@@ -1740,8 +1740,130 @@ object Pipeline {
       GROUP BY lang
       ORDER BY lang"""))
 
+  // --------------------------------------------------------------- q361
+  // Token-balanced training shards ([EXT]): assign every document to one
+  // of K shards so shard TOKEN masses come out near-equal — the physical
+  // layout pass between curation and training (uniform doc-count splits
+  // like q47 leave token skew; stragglers on the fattest shard gate every
+  // epoch). Deterministic near-LPT scheme: rank documents by token count
+  // descending (ties by doc_id) and deal round-robin by rank — the
+  // classic longest-processing-time heuristic's distributed cousin, with
+  // a worst-case shard spread bounded by ONE max-size document.
+  //
+  // Scale: the size rank is corpus-scale, so it does NOT use a global
+  // window — Scale.rangePrefixSum with value = 1 is exactly a distributed
+  // dense rank (range-partition + local prefix counts + partition-count
+  // offsets; q303's machinery, PlanSpec-pinned there). Everything after
+  // is a K-row grid aggregate. Exactness: counts are BIGINTs; the only
+  // division is each shard's load ratio vs the ideal B/K, shipped as one
+  // correctly-rounded division of exact integers.
+  private val ShardK = 8
+  private val q361 = QueryDef(
+    "q361_balanced_shards",
+    (s, d) => {
+      val sized = docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val ranked = graft.Scale.rangePrefixSum(sized,
+        Seq(col("n_tok").desc, col("doc_id").asc), lit(1L), "rk")
+      val shards = ranked
+        .withColumn("shard", (col("rk") - 1L) % ShardK)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      val tot = shards.agg(sum(col("n_tokens")).as("tt"))
+      shards.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          Num.roundZ(col("n_tokens").cast("double") * ShardK.toDouble
+            / col("tt").cast("double"), 6).as("load_vs_ideal"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""
+      WITH sized AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      ranked AS (
+        SELECT doc_id, n_tok,
+               row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rk
+        FROM sized),
+      shards AS (
+        SELECT (rk - 1) % $ShardK AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM ranked GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM shards)
+      SELECT shard, n_docs, n_tokens,
+             (CAST(round((CAST(n_tokens AS DOUBLE) * $ShardK.0
+               / CAST(tt AS DOUBLE)) * 1e6) AS BIGINT) / 1e6)
+               AS load_vs_ideal
+      FROM shards, tot
+      ORDER BY shard"""))
+
+  // --------------------------------------------------------------- q362
+  // Exact token-budget apportionment ([EXT]): given a training budget of
+  // B tokens, split it across (lang, source) cells proportionally to
+  // their token mass using Hamilton's largest-remainder method — the
+  // apportionment that is exactly proportional in integers (Σ quota = B
+  // by construction, every cell within 1 token of its real share).
+  // Division of labor vs q115 (mixture WEIGHTS): q115 computes the
+  // α-temperature sampling weights; this turns a share into an integer
+  // token ALLOCATION a downloader/sampler can execute verbatim.
+  //
+  // Exactness is the whole point: quota = (mass·B) DIV T and remainder =
+  // (mass·B) % T are exact BIGINTs; the B − Σ quota leftover tokens go
+  // to the largest remainders (ties to lang/source order) — no float
+  // ever forms. Overflow envelope: mass·B ≤ T·B needs T·B < 2⁶³ — at
+  // B = 10⁶ that is T < 9·10¹² corpus tokens (~36 TB of text); beyond
+  // that, DIV-scale the masses first (the HitsScale knob). Scale: ONE
+  // corpus aggregate onto the (lang, source) grid; the remainder rank is
+  // a grid window.
+  private val BudgetB = 1000000L
+  private val q362 = QueryDef(
+    "q362_token_apportionment",
+    (s, d) => {
+      val cells = docs(s, d)
+        .select(col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n"))
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("n")).as("mass"))
+      val tot = cells.agg(sum(col("mass")).as("t"))
+      val base = cells.crossJoin(broadcast(tot))
+        .withColumn("quota", expr(s"(mass * ${BudgetB}L) DIV t"))
+        .withColumn("rem", expr(s"(mass * ${BudgetB}L) % t"))
+      val short = base.agg((lit(BudgetB) - sum(col("quota"))).as("left"))
+      val wR = Window.orderBy(col("rem").desc, col("lang"), col("source"))
+      base.crossJoin(broadcast(short))
+        .withColumn("rr", row_number().over(wR).cast("long"))
+        .select(col("lang"), col("source"), col("mass"), col("quota"),
+          col("rem"),
+          (col("quota") + when(col("rr") <= col("left"), 1L).otherwise(0L))
+            .as("alloc_tokens"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT lang, source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS mass
+        FROM documents GROUP BY 1, 2),
+      tot AS (SELECT CAST(sum(mass) AS BIGINT) AS t FROM cells),
+      base AS (
+        SELECT lang, source, mass,
+               CAST((mass * $BudgetB) // t AS BIGINT) AS quota,
+               CAST((mass * $BudgetB) % t AS BIGINT) AS rem
+        FROM cells, tot),
+      short AS (SELECT $BudgetB - CAST(sum(quota) AS BIGINT) AS leftn
+                FROM base),
+      rk AS (
+        SELECT lang, source, mass, quota, rem,
+               row_number() OVER (ORDER BY rem DESC, lang, source) AS rr
+        FROM base)
+      SELECT rk.lang, rk.source, rk.mass, rk.quota, rk.rem,
+             CAST(rk.quota + CASE WHEN rk.rr <= short.leftn THEN 1 ELSE 0
+               END AS BIGINT) AS alloc_tokens
+      FROM rk, short
+      ORDER BY rk.lang, rk.source"""))
+
   val defs: Seq[QueryDef] =
     Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113, q114, q115, q117,
       q124, q136, q139, q148, q192, q218, q229, q238, q285, q295, q300,
-      q312)
+      q312, q361, q362)
 }

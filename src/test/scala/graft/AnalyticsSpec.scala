@@ -1693,4 +1693,38 @@ class AnalyticsSpec extends AnyFunSuite {
       ("snaive7", 5L, 0.0, null)),
       s"gapped-series contract violated: $rows")
   }
+
+  test("q362: Hamilton apportionment is exact — sum = B, every cell within " +
+      "one token of its real share") {
+    // The two theorems the hash-compare exercises only at one data point:
+    // (1) Σ alloc_tokens == B exactly (largest-remainder distributes the
+    // integer shortfall completely); (2) quota ≤ alloc ≤ quota + 1 and
+    // |alloc − mass·B/T| < 1 for every cell (no cell is ever off by a
+    // full token from exact proportionality).
+    val B = 1000000L
+    val rows = q("q362_token_apportionment")(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(5)))
+    val total = rows.map(_._1).sum
+    assert(rows.map(_._3).sum == B, "allocation must sum to the budget")
+    rows.foreach { case (mass, quota, alloc) =>
+      assert(alloc == quota || alloc == quota + 1)
+      val exact = mass.toDouble * B.toDouble / total.toDouble
+      assert(math.abs(alloc - exact) < 1.0,
+        s"cell off by a full token: mass=$mass alloc=$alloc exact=$exact")
+    }
+  }
+
+  test("q361: shard token spread is bounded by one max-size document") {
+    // The LPT-dealing guarantee the balance report relies on: dealing by
+    // descending size rank keeps max(shard) − min(shard) within the
+    // largest single document's token count.
+    import org.apache.spark.sql.functions._
+    val loads = q("q361_balanced_shards")(spark, sf).collect()
+      .map(_.getLong(2))
+    val maxDoc = Tables.t(spark, sf, "documents")
+      .agg(max(size(split(col("text"), " ")).cast("long")))
+      .first().getLong(0)
+    assert(loads.max - loads.min <= maxDoc,
+      s"spread ${loads.max - loads.min} exceeds max doc $maxDoc")
+  }
 }
