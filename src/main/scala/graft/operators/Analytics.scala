@@ -8480,6 +8480,256 @@ object Analytics {
         FROM s)
       SELECT method, n_days, mae, mase FROM o ORDER BY method"""))
 
+  // --------------------------------------------------------------- q363
+  // Luby maximal-independent-set rounds ([EXT] graph family, Luby 1986)
+  // — the SELECTION member beside connectivity (q35/q99), ranking
+  // (q140/q334), reachability (q183), density (q146) and community
+  // (q313/q351): pick a set of brands no two of which are co-purchase
+  // neighbors, the distributed primitive behind conflict-free
+  // scheduling, landmark picking and graph-coloring seeds. Classic
+  // synchronous Luby on the q313 3-NN lift graph (symmetrized): every
+  // node draws a DETERMINISTIC priority (the house md5 idiom — a fixed
+  // random permutation, identical in both engines); each round, a
+  // remaining node with priority strictly below every remaining
+  // neighbor's joins the MIS, its remaining neighbors become dominated,
+  // both leave the graph. Two mis nodes can never be adjacent (each
+  // would need the smaller priority — the independence theorem the spec
+  // pins); rounds are a DECLARED bounded contract (K = 4, the
+  // q146/q183 discipline), with unconverged nodes reported as 'open'
+  // (expected-round theory is O(log n); the spec pins convergence on
+  // the test grain).
+  //
+  // Scale: the corpus appears once, in q313's basket pair aggregate;
+  // the graph is the brand grid (≤ B·k directed edges). Each round is
+  // two grid equi-joins + one grid min-aggregate + an anti-join, with
+  // the shrinking remainder localCheckpointed per round so the plan
+  // stays O(1) in K — the q35 lesson. On a billion-node graph the same
+  // plan holds: rounds are join+agg keyed on node, never driver-side.
+  // Exactness: priorities are 56-bit md5 integers (collision-free at
+  // any plausible |B|, and a collision only delays a pair — both fail
+  // the strict <, stay remaining, and resolve against other neighbors);
+  // everything else is set membership. The sentinel for isolated
+  // remaining nodes is Long.MaxValue, above any 56-bit priority.
+  private val MisRounds = 4
+  private val q363 = QueryDef(
+    "q363_luby_mis",
+    (s, d) => {
+      val und = knnLiftEdges(s, d)
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val adj = und.select(col("u").as("x"), col("v").as("y"))
+        .union(und.select(col("v").as("x"), col("u").as("y")))
+        .localCheckpoint()
+      val pri0 = adj.select(col("x").as("node")).distinct()
+        .withColumn("pri", expr(
+          "CAST(conv(substr(md5(concat('mis:', CAST(node AS STRING))), " +
+            "1, 14), 16, 10) AS BIGINT)"))
+        .localCheckpoint()
+      var rem = pri0
+      var out: DataFrame = null
+      for (r <- 1 to MisRounds) {
+        val nbMin = adj
+          .join(rem.select(col("node").as("x")), "x")
+          .join(rem.select(col("node").as("y"), col("pri").as("ypri")), "y")
+          .groupBy(col("x")).agg(min(col("ypri")).as("mn"))
+          .select(col("x").as("node"), col("mn"))
+        val mis = rem.join(nbMin, Seq("node"), "left")
+          .filter(col("pri") < coalesce(col("mn"), lit(Long.MaxValue)))
+          .select(col("node"))
+        val dom = adj
+          .join(mis.select(col("node").as("x")), "x")
+          .join(rem.select(col("node").as("y")), "y")
+          .select(col("y").as("node")).distinct()
+        val tagged = mis
+          .withColumn("status", lit("mis"))
+          .withColumn("sel_round", lit(r.toLong))
+          .union(dom.withColumn("status", lit("dominated"))
+            .withColumn("sel_round", lit(r.toLong)))
+        out = if (out == null) tagged else out.union(tagged)
+        rem = rem.join(tagged.select(col("node")), Seq("node"), "left_anti")
+          .localCheckpoint()
+      }
+      out
+        .union(rem.select(col("node"))
+          .withColumn("status", lit("open"))
+          .withColumn("sel_round", lit(0L)))
+        .select(col("node").as("brand_id"), col("status"), col("sel_round"))
+        .orderBy(col("brand_id"))
+    },
+    Some {
+      val rounds = (1 to MisRounds).map { r =>
+        val prev = if (r == 1) "rem0" else s"rem${r - 1}"
+        s"""m$r AS MATERIALIZED (
+        SELECT r.node FROM $prev r
+        LEFT JOIN (SELECT a.x, min(p.pri) AS mn
+                   FROM adj a JOIN $prev rx ON rx.node = a.x
+                              JOIN $prev p ON p.node = a.y
+                   GROUP BY 1) nb ON nb.x = r.node
+        WHERE r.pri < coalesce(nb.mn, 9223372036854775807)),
+      d$r AS MATERIALIZED (
+        SELECT DISTINCT a.y AS node FROM adj a
+        JOIN m$r ON m$r.node = a.x
+        JOIN $prev ry ON ry.node = a.y),
+      rem$r AS MATERIALIZED (
+        SELECT r.* FROM $prev r
+        WHERE NOT EXISTS (SELECT 1 FROM m$r WHERE m$r.node = r.node)
+          AND NOT EXISTS (SELECT 1 FROM d$r WHERE d$r.node = r.node))"""
+      }.mkString(",\n      ")
+      val unions = (1 to MisRounds).map { r =>
+        s"""SELECT node, 'mis' AS status, CAST($r AS BIGINT) AS sel_round
+        FROM m$r
+        UNION ALL
+        SELECT node, 'dominated', CAST($r AS BIGINT) FROM d$r"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH $knnEdgesSql,
+      und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+              FROM edges WHERE a <> b),
+      adj AS MATERIALIZED (
+        SELECT u AS x, v AS y FROM und
+        UNION ALL SELECT v, u FROM und),
+      rem0 AS MATERIALIZED (
+        SELECT x AS node,
+               ('0x' || substr(md5('mis:' || CAST(x AS VARCHAR)), 1, 14))
+                 ::BIGINT AS pri
+        FROM (SELECT DISTINCT x FROM adj)),
+      $rounds
+      SELECT node AS brand_id, status, sel_round FROM (
+        $unions
+        UNION ALL
+        SELECT node, 'open', CAST(0 AS BIGINT) FROM rem$MisRounds)
+      ORDER BY brand_id"""
+    })
+
+  // --------------------------------------------------------------- q365
+  // Holt–Winters additive seasonal smoothing ([EXT], Winters 1960) —
+  // the terminal member of the exponential-smoothing ladder the board
+  // climbs: q157 (single EWMA: level), q288 (Holt: level+trend,
+  // per-user), q353 (seasonal-NAIVE baseline + MASE). This is the
+  // coupled level+trend+SEASON recursion on the global daily purchase
+  // series with weekly period m = 7 and α = β = γ = ½:
+  //   l_t = (y_t − s_{t−7} + l_{t−1} + b_{t−1})/2
+  //   b_t = (l_t − l_{t−1} + b_{t−1})/2
+  //   s_t = (y_t − l_t + s_{t−7})/2
+  // over the DENSE day grid (gap days are genuine $0 revenue — zero
+  // fill, not LOCF; q134 owns the imputation alternative). Init is the
+  // declared classical contract: l₇ = mean of week 1, b₇ = 0,
+  // s_i = y_i − l₇ (needs ≥ 7 observed days; the events table spans
+  // ~30). Output: the 7 h-step-ahead forecasts l + h·b + s_{t+h−7}
+  // with their seasonal components, plus the in-sample one-step MAE —
+  // directly comparable against q353's seasonal-naive MAE (the "did
+  // the smoothing earn its keep" read).
+  //
+  // Scale: one map-side-combinable daily aggregate is the only corpus
+  // pass; the fold runs over the DAY-GRID array (≤ span days at any
+  // corpus size, the q157/q288 boundedness argument) inside one
+  // codegen'd aggregate() on a single row. Exactness: state is exact
+  // micro-dollar BIGINTs; every step is round((int±int)/2.0) — ≪ 2^52
+  // operands, correctly-rounded halving, halves away from zero in both
+  // engines — and the oracle's recursive CTE re-derives l_t inline so
+  // both sides update b_t/s_t from the POST-ROUND level (q288's
+  // divergence lesson). MAE accumulates exact |int| sums.
+  private val q365 = QueryDef(
+    "q365_holt_winters",
+    (s, d) => {
+      val daily = ev(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(expr(
+          "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+          .as("day"))
+        .agg((sum(round(col("value") * 100).cast("long")) * 10000L).as("y"))
+      val grid = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(expr("sequence(d0, d1)")).as("day"))
+      val dense = grid.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+      val st = dense
+        .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("a"))
+        .select(expr("transform(a, x -> x.y)").as("ys"))
+        .withColumn("t", size(col("ys")).cast("long"))
+        .withColumn("l0", expr("CAST(round(aggregate(slice(ys, 1, 7), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x) / 7.0D) AS BIGINT)"))
+        .withColumn("p0", expr("transform(slice(ys, 1, 7), x -> x - l0)"))
+        .withColumn("st", expr("""
+          aggregate(slice(ys, 8, CAST(t AS INT) - 7),
+            named_struct('l', l0, 'b', CAST(0 AS BIGINT), 'p', p0,
+                         'e', CAST(0 AS BIGINT)),
+            (acc, y) -> named_struct(
+              'l', CAST(round((y - element_at(acc.p, 1) + acc.l + acc.b)
+                     / 2.0D) AS BIGINT),
+              'b', CAST(round((CAST(round((y - element_at(acc.p, 1) + acc.l
+                     + acc.b) / 2.0D) AS BIGINT) - acc.l + acc.b) / 2.0D)
+                     AS BIGINT),
+              'p', concat(slice(acc.p, 2, 6),
+                     array(CAST(round((y - CAST(round((y
+                       - element_at(acc.p, 1) + acc.l + acc.b) / 2.0D)
+                       AS BIGINT) + element_at(acc.p, 1)) / 2.0D)
+                       AS BIGINT))),
+              'e', acc.e + abs(y - (acc.l + acc.b
+                     + element_at(acc.p, 1)))))"""))
+      st.select(explode(expr("sequence(1, 7)")).as("h"),
+          col("t"), col("st"))
+        .select(col("h").cast("long").as("h"),
+          (expr("element_at(st.p, CAST(h AS INT))").cast("double")
+            / lit(1e6)).as("season_usd"),
+          ((col("st.l") + col("h") * col("st.b")
+            + expr("element_at(st.p, CAST(h AS INT))")).cast("double")
+            / lit(1e6)).as("forecast_usd"),
+          col("t").as("n_days"),
+          when(col("t") > 7L, Num.roundZ(col("st.e").cast("double")
+            / ((col("t") - 7L).cast("double") * lit(1e6)), 6))
+            .as("mae_usd"))
+        .orderBy(col("h"))
+    },
+    Some("""
+      WITH RECURSIVE daily AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::BIGINT
+                 AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 * 10000 AS y
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      grid AS (SELECT unnest(generate_series(d0, d1)) AS day FROM bounds),
+      dense AS (
+        SELECT g.day, coalesce(d.y, 0) AS y,
+               row_number() OVER (ORDER BY g.day) AS rn
+        FROM grid g LEFT JOIN daily d ON d.day = g.day),
+      lim AS (SELECT CAST(max(rn) AS BIGINT) AS t FROM dense),
+      init AS (
+        SELECT CAST(7 AS BIGINT) AS rn,
+               CAST(round(sum(y) / 7.0) AS BIGINT) AS l,
+               CAST(0 AS BIGINT) AS b,
+               list_transform(list(y ORDER BY rn),
+                 yy -> yy - CAST(round(sum(y) / 7.0) AS BIGINT)) AS p,
+               CAST(0 AS BIGINT) AS e
+        FROM dense WHERE rn <= 7),
+      h AS (
+        SELECT rn, l, b, p, e FROM init
+        UNION ALL
+        SELECT o.rn,
+               CAST(round((o.y - h.p[1] + h.l + h.b) / 2.0) AS BIGINT),
+               CAST(round((CAST(round((o.y - h.p[1] + h.l + h.b) / 2.0)
+                 AS BIGINT) - h.l + h.b) / 2.0) AS BIGINT),
+               list_append(h.p[2:7],
+                 CAST(round((o.y - CAST(round((o.y - h.p[1] + h.l + h.b)
+                   / 2.0) AS BIGINT) + h.p[1]) / 2.0) AS BIGINT)),
+               h.e + abs(o.y - (h.l + h.b + h.p[1]))
+        FROM h JOIN dense o ON o.rn = h.rn + 1),
+      fin AS (
+        SELECT h.l, h.b, h.p, h.e, lim.t FROM h JOIN lim ON h.rn = lim.t)
+      SELECT hh AS h,
+             CAST(fin.p[hh] AS DOUBLE) / 1e6 AS season_usd,
+             CAST(fin.l + hh * fin.b + fin.p[hh] AS DOUBLE) / 1e6
+               AS forecast_usd,
+             fin.t AS n_days,
+             CASE WHEN fin.t > 7 THEN
+               (CAST(round((CAST(fin.e AS DOUBLE)
+                 / (CAST(fin.t - 7 AS DOUBLE) * 1e6)) * 1e6) AS BIGINT)
+                 / 1e6)
+             END AS mae_usd
+      FROM fin, (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS hh)
+      ORDER BY h"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
@@ -8488,5 +8738,6 @@ object Analytics {
       q235, q239, q240, q241, q242, q243, q244, q245, q254, q256, q257,
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
       q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326, q330, q332,
-      q334, q335, q336, q337, q338, q345, q347, q349, q351, q353)
+      q334, q335, q336, q337, q338, q345, q347, q349, q351, q353, q363,
+      q365)
 }

@@ -1862,8 +1862,146 @@ object Pipeline {
       FROM rk, short
       ORDER BY rk.lang, rk.source"""))
 
+  // --------------------------------------------------------------- q366
+  // DSIR data selection ([EXT], Xie et al. 2023 "Data Selection for
+  // Language Models via Importance Resampling") — the published
+  // target-aware selection method, completing the curation shelf's
+  // division of labor: q115 sets mixture weights ACROSS sources, q147/
+  // q327 score fluency under ONE corpus LM; DSIR scores every raw doc
+  // by how much more likely a TARGET distribution makes it than the
+  // raw pool, log w(d) = Σ features [ln p_target(f) − ln p_raw(f)],
+  // then keeps the top share by weight. Faithful shape: hashed BIGRAM
+  // features (the paper's hashed n-grams; unigrams are blind here —
+  // the synthetic corpus shares one 31-word vocabulary across langs,
+  // so the signal lives in co-occurrence FREQUENCIES, same physics as
+  // q44's lang-ID), Laplace-smoothed bucket LMs, per-doc LENGTH-
+  // NORMALIZED log weight, target = the `en` slice. Selection is the
+  // top 25% by weight via an exact percentile on the QUANTIZED-weight
+  // value grid (wq ties admit their whole tie class — documented,
+  // deterministic). The per-lang report reads the method's success
+  // directly: en's selection rate should dominate the other langs'.
+  //
+  // Scale: two corpus passes (bucket counts; per-doc scoring) — the
+  // bucket LM table is FIXED at ≤ 4096 rows, broadcast back onto the
+  // token stream; the predecessor pairing reuses the doc_id exchange
+  // the per-doc aggregate needs (one shuffle, q364's shape). The
+  // percentile runs on the collapsed wq grid (bounded by the weight
+  // RANGE / 1e-6, never the corpus — the q102/q108 two-phase
+  // discipline). Exactness: counts are exact BIGINTs; each bucket's
+  // log-ratio is ONE ln of a quotient of exact-integer products
+  // (identical doubles both engines; products ≤ tokens·tokens — at
+  // true 100 TB grain DIV-scale the counts first, the q334 envelope),
+  // quantized to 1e-9 BIGINTs; per-doc weights are exact-int sums
+  // divided once, quantized to 1e-6 before every downstream compare.
+  private val q366 = QueryDef(
+    "q366_dsir_selection",
+    (s, d) => {
+      val bgr = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("w2", lead(col("w"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("lang"), expr(
+          "CAST(conv(substr(md5(concat('ds:', w, ' ', w2)), 1, 14), " +
+            "16, 10) AS BIGINT) % 4096").as("b"))
+      val cs = bgr.groupBy(col("b")).agg(count(lit(1)).as("ns"))
+      val ct = bgr.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("nt"))
+      val tots = bgr.agg(count(lit(1)).as("s"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
+      val lr = cs.join(ct, Seq("b"), "left")
+        .crossJoin(broadcast(tots))
+        .select(col("b"), round(log(
+          ((coalesce(col("nt"), lit(0L)) + 1L) * (col("s") + 4096L))
+            .cast("double")
+            / ((col("ns") + 1L) * (col("t") + 4096L)).cast("double"))
+          * lit(1e9)).cast("long").as("lr"))
+      val perdoc = bgr.join(broadcast(lr), Seq("b"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("lr")).as("slr"), count(lit(1)).as("n"))
+        .select(col("lang"), round(col("slr").cast("double")
+          / (col("n").cast("double") * lit(1e9)) * lit(1e6))
+          .cast("long").as("wq"))
+      val nAll = perdoc.agg(count(lit(1)).as("n_all"))
+      val wCum = Window.orderBy(col("wq").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val thr = perdoc.groupBy(col("wq")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .crossJoin(broadcast(nAll))
+        .filter(col("cum") * 4L >= col("n_all"))
+        .agg(max(col("wq")).as("thr"))
+      perdoc.crossJoin(broadcast(thr))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("wq") >= col("thr"), 1L).otherwise(0L))
+            .as("n_selected"),
+          sum(col("wq")).as("swq"), max(col("thr")).as("thr"))
+        .select(col("lang"), col("n_docs"), col("n_selected"),
+          Num.roundZ(col("n_selected").cast("double")
+            / col("n_docs").cast("double"), 6).as("sel_rate"),
+          Num.roundZ(col("swq").cast("double")
+            / (col("n_docs").cast("double") * lit(1e6)), 6).as("mean_w"),
+          (col("thr").cast("double") / lit(1e6)).as("thr_w"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, lang, w, pos,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents)),
+      bgr AS (
+        SELECT doc_id, lang,
+               (('0x' || substr(md5('ds:' || w || ' ' || w2), 1, 14))
+                 ::BIGINT) % 4096 AS b
+        FROM tok WHERE w2 IS NOT NULL),
+      cs AS (SELECT b, CAST(count(*) AS BIGINT) AS ns FROM bgr GROUP BY 1),
+      ct AS (SELECT b, CAST(count(*) AS BIGINT) AS nt FROM bgr
+             WHERE lang = 'en' GROUP BY 1),
+      tots AS (
+        SELECT CAST(count(*) AS BIGINT) AS s,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS t
+        FROM bgr),
+      lr AS (
+        SELECT cs.b,
+               CAST(round(ln(CAST((coalesce(ct.nt, 0) + 1) * (tots.s + 4096)
+                   AS DOUBLE)
+                 / CAST((cs.ns + 1) * (tots.t + 4096) AS DOUBLE)) * 1e9)
+                 AS BIGINT) AS lr
+        FROM cs LEFT JOIN ct ON ct.b = cs.b, tots),
+      perdoc AS (
+        SELECT g.doc_id, g.lang,
+               CAST(round((CAST(sum(lr.lr) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1e9)) * 1e6) AS BIGINT) AS wq
+        FROM bgr g JOIN lr ON lr.b = g.b
+        GROUP BY g.doc_id, g.lang),
+      nall AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM perdoc),
+      thr AS (
+        SELECT CAST(max(wq) AS BIGINT) AS thr FROM (
+          SELECT wq, sum(c) OVER (ORDER BY wq DESC
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM (SELECT wq, CAST(count(*) AS BIGINT) AS c
+                FROM perdoc GROUP BY 1)) g, nall
+        WHERE g.cum * 4 >= nall.n_all)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN wq >= thr.thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected,
+             (CAST(round((CAST(sum(CASE WHEN wq >= thr.thr THEN 1 ELSE 0
+               END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT)
+               / 1e6) AS sel_rate,
+             (CAST(round((CAST(sum(wq) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1e6)) * 1e6) AS BIGINT) / 1e6)
+               AS mean_w,
+             (CAST(max(thr.thr) AS DOUBLE) / 1e6) AS thr_w
+      FROM perdoc, thr
+      GROUP BY lang
+      ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(q36, q47, q48, q49, q104, q105, q106, q112, q113, q114, q115, q117,
       q124, q136, q139, q148, q192, q218, q229, q238, q285, q295, q300,
-      q312, q361, q362)
+      q312, q361, q362, q366)
 }

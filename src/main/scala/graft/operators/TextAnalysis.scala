@@ -2946,9 +2946,191 @@ object TextAnalysis {
       SELECT label, n_true, n_pred, tp, precision, recall, f1, kappa
       FROM o ORDER BY label"""))
 
+  // --------------------------------------------------------------- q364
+  // LLM watermark detection ([EXT], Kirchenbauer et al. 2023 "A
+  // Watermark for Large Language Models") — the provenance member of
+  // the text-forensics shelf: q329 asks "is this text bursty like a
+  // human's", q327 scores fluency under a corpus LM; this asks "was
+  // this text GENERATED under a green-list watermark". Detection side
+  // of the published scheme with γ = ½: each token is green iff a hash
+  // seeded by its PREDECESSOR lands even (the house md5 idiom — the
+  // detector's re-derivation of the generator's seeded vocabulary
+  // split); a watermarked generator over-picks green, so the one-sided
+  // z-score of the per-doc green count against Binomial(T, ½),
+  //   z = (2g − T)/√T,
+  // flags machine text at z > 2. Natural corpora sit at z ≈ 0 with
+  // ~2.3% false-flag mass — the per-lang flag_rate printed here IS that
+  // null-calibration audit, the number you read before trusting the
+  // detector on a crawl.
+  //
+  // Scale: one corpus pass; the predecessor pairing is a per-doc window
+  // (bounded by doc length) whose doc_id exchange is REUSED by the
+  // per-doc aggregate (same key — one shuffle total), then a
+  // lang-grid rollup. Exactness: green bits and counts are exact
+  // BIGINTs; z is (exact int)/√(exact int) — one correctly-rounded
+  // sqrt + one division, identical doubles both engines (q301's
+  // discipline) — quantized to 1e-6 BIGINTs before the grid sums, so
+  // every cross-engine aggregate is integer arithmetic. Single-token
+  // docs have no scored position and drop out (documented; they carry
+  // no watermark evidence).
+  private val q364 = QueryDef(
+    "q364_watermark_greenlist",
+    (s, d) => {
+      val sc = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("w2", lead(col("w"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .filter(col("w2").isNotNull)
+        .withColumn("green", expr(
+          "CAST(conv(substr(md5(concat('wm:', w, ' ', w2)), 1, 14), " +
+            "16, 10) AS BIGINT) % 2"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("t"), sum(col("green")).as("g"))
+        .withColumn("zq", round((lit(2L) * col("g") - col("t"))
+          .cast("double") / sqrt(col("t").cast("double")) * lit(1e6))
+          .cast("long"))
+      sc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("zq") > 2000000L, 1L).otherwise(0L))
+            .as("n_flagged"),
+          sum(col("zq")).as("sz"), max(col("zq")).as("mz"))
+        .select(col("lang"), col("n_docs"), col("n_flagged"),
+          Num.roundZ(col("n_flagged").cast("double")
+            / col("n_docs").cast("double"), 6).as("flag_rate"),
+          Num.roundZ(col("sz").cast("double")
+            / (col("n_docs").cast("double") * lit(1e6)), 6).as("mean_z"),
+          (col("mz").cast("double") / lit(1e6)).as("max_z"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      bg AS (
+        SELECT doc_id, lang, w AS w1,
+               lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok),
+      sc AS (
+        SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS t,
+               CAST(sum((('0x' || substr(md5('wm:' || w1 || ' ' || w2),
+                 1, 14))::BIGINT) % 2) AS BIGINT) AS g
+        FROM bg WHERE w2 IS NOT NULL
+        GROUP BY doc_id, lang),
+      z AS (
+        SELECT lang,
+               CAST(round((CAST(2 * g - t AS DOUBLE)
+                 / sqrt(CAST(t AS DOUBLE))) * 1e6) AS BIGINT) AS zq
+        FROM sc)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN zq > 2000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+             (CAST(round((CAST(sum(CASE WHEN zq > 2000000 THEN 1 ELSE 0
+               END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT)
+               / 1e6) AS flag_rate,
+             (CAST(round((CAST(sum(zq) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1e6)) * 1e6) AS BIGINT)
+               / 1e6) AS mean_z,
+             (CAST(max(zq) AS DOUBLE) / 1e6) AS max_z
+      FROM z
+      GROUP BY lang
+      ORDER BY lang"""))
+
+  // --------------------------------------------------------------- q367
+  // Periodic-loop (degenerate generation) detector ([EXT]) — the
+  // model-collapse member of the text-forensics shelf beside q364
+  // (watermark provenance) and q46 (repetition RATIO): q46 counts
+  // duplicate tokens anywhere, this detects STRUCTURED repetition —
+  // the "the cat the cat the cat…" failure mode of greedy decoding —
+  // by measuring, per document and candidate period p ∈ 1..8, the
+  // self-match rate |{i : tok_i = tok_{i+p}}| / (T − p) (≡ the
+  // normalized token-level autocorrelation at lag p). The best period
+  // is the packed argmax (rate desc, smaller p wins ties — the
+  // fundamental period, not its multiples); a doc flags as a loop at
+  // best rate ≥ 0.9. Per-(lang, best_p) report: doc counts, flags,
+  // mean best rate — the period histogram a crawl-QA dashboard shows.
+  //
+  // Scale: ONE corpus pass; the 8 lags share a single per-doc window
+  // spec (one doc_id exchange, reused by the per-doc aggregate —
+  // q364's shape), then a ≤ |lang|·8 grid rollup. Exactness: match
+  // counts are exact BIGINTs; each rate is one division quantized to
+  // 1e-6; the argmax is the house packed-integer max (rateq·16 +
+  // (15 − p), p ≤ 8 < 16); docs need T > 8 tokens (declared contract —
+  // shorter docs can't vote all 8 lags and carry no loop evidence).
+  private val q367 = QueryDef(
+    "q367_periodic_loop",
+    (s, d) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      var tok = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      for (p <- 1 to 8)
+        tok = tok.withColumn(s"m$p",
+          when(lead(col("w"), p).over(w) === col("w"), 1L).otherwise(0L))
+      val per = tok.groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("t"),
+          (1 to 8).map(p => sum(col(s"m$p")).as(s"s$p")): _*)
+        .filter(col("t") > 8L)
+      val packed = (1 to 8).map { p =>
+        round(col(s"s$p").cast("double") / (col("t") - p.toLong)
+          .cast("double") * lit(1e6)).cast("long") * 16L + lit(15L - p)
+      }.reduce((a, b) => greatest(a, b))
+      val best = per.withColumn("pk", packed)
+        .select(col("lang"), (lit(15L) - col("pk") % 16L).as("best_p"),
+          expr("CAST(pk DIV 16 AS BIGINT)").as("rateq"))
+      best.groupBy(col("lang"), col("best_p"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rateq") >= 900000L, 1L).otherwise(0L))
+            .as("n_flagged"),
+          sum(col("rateq")).as("srq"))
+        .select(col("lang"), col("best_p"), col("n_docs"), col("n_flagged"),
+          Num.roundZ(col("srq").cast("double")
+            / (col("n_docs").cast("double") * lit(1e6)), 6)
+            .as("mean_best_rate"))
+        .orderBy(col("lang"), col("best_p"))
+    },
+    Some {
+      val ms = (1 to 8).map(p =>
+        s"CASE WHEN lead(w, $p) OVER (PARTITION BY doc_id ORDER BY pos)" +
+          s" = w THEN 1 ELSE 0 END AS m$p").mkString(",\n               ")
+      val ss = (1 to 8).map(p =>
+        s"CAST(sum(m$p) AS BIGINT) AS s$p").mkString(",\n               ")
+      val pk = (1 to 8).map(p =>
+        s"CAST(round((CAST(s$p AS DOUBLE) / CAST(t - $p AS DOUBLE)) * 1e6)" +
+          s" AS BIGINT) * 16 + ${15 - p}").mkString(",\n                 ")
+      s"""
+      WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      lag8 AS (
+        SELECT doc_id, lang,
+               $ms
+        FROM tok),
+      per AS (
+        SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS t,
+               $ss
+        FROM lag8 GROUP BY doc_id, lang),
+      best AS (
+        SELECT lang,
+               15 - greatest($pk) % 16 AS best_p,
+               greatest($pk) // 16 AS rateq
+        FROM per WHERE t > 8)
+      SELECT lang, best_p, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN rateq >= 900000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_flagged,
+             (CAST(round((CAST(sum(rateq) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1e6)) * 1e6) AS BIGINT) / 1e6)
+               AS mean_best_rate
+      FROM best
+      GROUP BY lang, best_p
+      ORDER BY lang, best_p"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
       q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228,
       q233, q236, q253, q264, q275, q276, q278, q279, q290, q327, q329,
-      q333, q342, q344, q352, q356)
+      q333, q342, q344, q352, q356, q364, q367)
 }

@@ -1727,4 +1727,64 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(loads.max - loads.min <= maxDoc,
       s"spread ${loads.max - loads.min} exceeds max doc $maxDoc")
   }
+
+  test("q363 Luby MIS: full driver recompute + independence/maximality") {
+    // Rebuild the 3-NN lift graph and replay all Luby rounds straight-line
+    // driver-side (the q115 discipline), then demand the operator's
+    // (status, round) labeling matches node-for-node; finish with the two
+    // theorems the hash can't name: no edge inside the MIS, and — when no
+    // node is left 'open' — every non-MIS node dominated by a MIS neighbor.
+    val li = Tables.t(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brandOf = Tables.t(spark, sf, "part")
+      .select(col("p_partkey"), expr("CAST(substring(p_brand, 7) AS BIGINT)"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baskets = li.map { case (ok, pk) => (ok, brandOf(pk)) }.distinct
+    val nn = baskets.map(_._1).distinct.length.toLong
+    val ni = baskets.groupBy(_._2).map { case (i, xs) => i -> xs.length.toLong }
+    val nab = baskets.groupBy(_._1).values.toSeq.flatMap { b =>
+      val items = b.map(_._2).distinct.toSeq
+      for (a <- items; c <- items if a != c) yield (a, c)
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val edges = nab.keys.map(_._1).toSeq.distinct.flatMap { a =>
+      nab.filter(_._1._1 == a).toSeq
+        .map { case ((_, b), w) =>
+          (b, w, (w * nn).toDouble / (ni(a) * ni(b)).toDouble) }
+        .sortBy { case (b, _, lift) => (-lift, b) }
+        .take(3).map { case (b, w, _) => (a, b) }
+    }
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (u, v) => u != v }.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (x, xs) => x -> xs.map(_._2).toSet }
+    def pri(n: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mis:$n".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 14), 16)
+    }
+    var rem = adj.keySet
+    val expect = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    for (r <- 1 to 4) {
+      val mis = rem.filter(n =>
+        (adj(n) & rem).forall(m => pri(n) < pri(m)))
+      val dom = rem.diff(mis).filter(n => (adj(n) & rem).exists(mis))
+      mis.foreach(n => expect(n) = ("mis", r.toLong))
+      dom.foreach(n => expect(n) = ("dominated", r.toLong))
+      rem = rem.diff(mis).diff(dom)
+    }
+    rem.foreach(n => expect(n) = ("open", 0L))
+    val got = q("q363_luby_mis")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == expect.toMap, "operator vs straight-line Luby replay")
+    val mis = got.filter(_._2._1 == "mis").keySet
+    und.foreach { case (u, v) =>
+      assert(!(mis(u) && mis(v)), s"edge ($u,$v) inside the MIS")
+    }
+    if (!got.values.exists(_._1 == "open"))
+      got.filter(_._2._1 != "mis").keys.foreach { n =>
+        assert(adj(n).exists(mis), s"node $n neither mis nor dominated")
+      }
+  }
 }
