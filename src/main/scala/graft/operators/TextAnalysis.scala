@@ -2953,7 +2953,7 @@ object TextAnalysis {
   // human's", q327 scores fluency under a corpus LM; this asks "was
   // this text GENERATED under a green-list watermark". Detection side
   // of the published scheme with γ = ½: each token is green iff a hash
-  // seeded by its PREDECESSOR lands even (the house md5 idiom — the
+  // seeded by its PREDECESSOR lands odd (the house md5 idiom — the
   // detector's re-derivation of the generator's seeded vocabulary
   // split); a watermarked generator over-picks green, so the one-sided
   // z-score of the per-doc green count against Binomial(T, ½),
@@ -2973,23 +2973,27 @@ object TextAnalysis {
   // every cross-engine aggregate is integer arithmetic. Single-token
   // docs have no scored position and drop out (documented; they carry
   // no watermark evidence).
+  /** q364 core, exposed for the spec's planted-document pins: per-doc
+    * scored-position count, green count, and 1e-6-quantized z-score. */
+  def watermarkZ(d0: DataFrame): DataFrame =
+    d0.select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("w2", lead(col("w"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .withColumn("green", expr(
+        "CAST(conv(substr(md5(concat('wm:', w, ' ', w2)), 1, 14), " +
+          "16, 10) AS BIGINT) % 2"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("t"), sum(col("green")).as("g"))
+      .withColumn("zq", round((lit(2L) * col("g") - col("t"))
+        .cast("double") / sqrt(col("t").cast("double")) * lit(1e6))
+        .cast("long"))
+
   private val q364 = QueryDef(
     "q364_watermark_greenlist",
     (s, d) => {
-      val sc = docs(s, d)
-        .select(col("doc_id"), col("lang"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .withColumn("w2", lead(col("w"), 1).over(
-          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-        .filter(col("w2").isNotNull)
-        .withColumn("green", expr(
-          "CAST(conv(substr(md5(concat('wm:', w, ' ', w2)), 1, 14), " +
-            "16, 10) AS BIGINT) % 2"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("t"), sum(col("green")).as("g"))
-        .withColumn("zq", round((lit(2L) * col("g") - col("t"))
-          .cast("double") / sqrt(col("t").cast("double")) * lit(1e6))
-          .cast("long"))
+      val sc = watermarkZ(docs(s, d))
       sc.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("zq") > 2000000L, 1L).otherwise(0L))
@@ -3058,27 +3062,35 @@ object TextAnalysis {
   // 1e-6; the argmax is the house packed-integer max (rateq·16 +
   // (15 − p), p ≤ 8 < 16); docs need T > 8 tokens (declared contract —
   // shorter docs can't vote all 8 lags and carry no loop evidence).
+  /** q367 core, exposed for the spec's planted-loop pins: per-doc best
+    * period and 1e-6-quantized best self-match rate (docs with > 8
+    * tokens only — the declared contract). */
+  def periodicBest(d0: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var tok = d0
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    for (p <- 1 to 8)
+      tok = tok.withColumn(s"m$p",
+        when(lead(col("w"), p).over(w) === col("w"), 1L).otherwise(0L))
+    val per = tok.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("t"),
+        (1 to 8).map(p => sum(col(s"m$p")).as(s"s$p")): _*)
+      .filter(col("t") > 8L)
+    val packed = (1 to 8).map { p =>
+      round(col(s"s$p").cast("double") / (col("t") - p.toLong)
+        .cast("double") * lit(1e6)).cast("long") * 16L + lit(15L - p)
+    }.reduce((a, b) => greatest(a, b))
+    per.withColumn("pk", packed)
+      .select(col("doc_id"), col("lang"),
+        (lit(15L) - col("pk") % 16L).as("best_p"),
+        expr("CAST(pk DIV 16 AS BIGINT)").as("rateq"))
+  }
+
   private val q367 = QueryDef(
     "q367_periodic_loop",
     (s, d) => {
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      var tok = docs(s, d)
-        .select(col("doc_id"), col("lang"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      for (p <- 1 to 8)
-        tok = tok.withColumn(s"m$p",
-          when(lead(col("w"), p).over(w) === col("w"), 1L).otherwise(0L))
-      val per = tok.groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("t"),
-          (1 to 8).map(p => sum(col(s"m$p")).as(s"s$p")): _*)
-        .filter(col("t") > 8L)
-      val packed = (1 to 8).map { p =>
-        round(col(s"s$p").cast("double") / (col("t") - p.toLong)
-          .cast("double") * lit(1e6)).cast("long") * 16L + lit(15L - p)
-      }.reduce((a, b) => greatest(a, b))
-      val best = per.withColumn("pk", packed)
-        .select(col("lang"), (lit(15L) - col("pk") % 16L).as("best_p"),
-          expr("CAST(pk DIV 16 AS BIGINT)").as("rateq"))
+      val best = periodicBest(docs(s, d))
       best.groupBy(col("lang"), col("best_p"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("rateq") >= 900000L, 1L).otherwise(0L))

@@ -1787,4 +1787,62 @@ class AnalyticsSpec extends AnyFunSuite {
         assert(adj(n).exists(mis), s"node $n neither mis nor dominated")
       }
   }
+
+  test("q365 Holt-Winters: straight-line replay of the integer recursion") {
+    // replay the whole coupled (l, b, s) recursion driver-side from the
+    // raw events and demand the 7 forecasts match bit-for-bit — the
+    // q288 divergence class (pre- vs post-round level) cannot hide
+    val daily = Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr(
+        "CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)")
+        .as("day"))
+      .agg((sum(round(col("value") * 100).cast("long")) * 10000L).as("y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ys = (daily.keys.min to daily.keys.max)
+      .map(k => daily.getOrElse(k, 0L))
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val t = ys.length
+    assert(t > 7, "the events table must span more than one week")
+    var l = rnd(ys.take(7).sum / 7.0)
+    var p = ys.take(7).map(_ - l).toArray
+    var b = 0L
+    var e = 0L
+    for (i <- 7 until t) {
+      val y = ys(i)
+      e += math.abs(y - (l + b + p(0)))
+      val l2 = rnd((y - p(0) + l + b) / 2.0)
+      val b2 = rnd((l2 - l + b) / 2.0)
+      val s2 = rnd((y - l2 + p(0)) / 2.0)
+      p = p.drop(1) :+ s2
+      l = l2; b = b2
+    }
+    val got = q("q365_holt_winters")(spark, sf).collect()
+    assert(got.length == 7)
+    got.foreach { r =>
+      val h = r.getLong(0).toInt
+      assert(r.getDouble(1) == p(h - 1) / 1e6, s"season h=$h")
+      assert(r.getDouble(2) == (l + h * b + p(h - 1)) / 1e6,
+        s"forecast h=$h")
+      assert(r.getLong(3) == t.toLong)
+      assert(r.getDouble(4) ==
+        rnd(e.toDouble / ((t - 7).toDouble * 1e6) * 1e6) / 1e6, "mae")
+    }
+  }
+
+  test("q366 DSIR: threshold covers >= 25%; the en target is enriched") {
+    val rows = q("q366_dsir_selection")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val nAll = rows.map(_._2).sum
+    val nSel = rows.map(_._3).sum
+    assert(nSel * 4 >= nAll,
+      s"top-25% tie-inclusive threshold must cover >= 25% ($nSel/$nAll)")
+    val en = rows.find(_._1 == "en").get
+    rows.filter(_._1 != "en").foreach { o =>
+      assert(en._4 > o._4, s"en sel_rate must dominate ${o._1}")
+      assert(en._5 > o._5, s"en mean_w must dominate ${o._1}")
+    }
+  }
 }

@@ -292,4 +292,68 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     assert(counts(4) < counts(0), "merges must actually contract")
   }
+
+  private def md5green(prev: String, w: String): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"wm:$prev $w".getBytes("UTF-8"))
+    val v = java.lang.Long.parseLong(
+      d.map("%02x".format(_)).mkString.substring(0, 14), 16)
+    v % 2 == 1 // the operator's green parity (odd)
+  }
+
+  test("q364: constructed green-list text flags with z = sqrt(T); " +
+    "red-list text anti-flags; zq matches a direct digest recompute") {
+    import TestSpark._
+    import spark.implicits._
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    // greedy watermarked generator: always pick a green successor
+    // (detection must invert exactly the generator's seeded split)
+    def gen(green: Boolean, steps: Int): String = {
+      var cur = "alpha"
+      val sb = new StringBuilder(cur)
+      for (_ <- 1 to steps) {
+        val next = vocab.find(w => md5green(cur, w) == green).get
+        sb.append(' ').append(next); cur = next
+      }
+      sb.toString
+    }
+    val natural = "the merge sort of the data table is the slow key of the"
+    val d = Seq((1L, gen(green = true, 40), "en"),
+      (2L, gen(green = false, 40), "en"),
+      (3L, natural, "en")).toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextAnalysis.watermarkZ(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // doc 1: every scored position green -> z = (2T - T)/sqrt(T) = sqrt(T)
+    assert(got(1L)._2 == 40L && got(1L)._1 == 40L)
+    assert(got(1L)._3 == math.round(math.sqrt(40.0) * 1e6))
+    assert(got(1L)._3 > 2000000L, "watermarked text must flag at z > 2")
+    // doc 2: every position red -> z = -sqrt(T)
+    assert(got(2L)._2 == 0L)
+    assert(got(2L)._3 == math.round(-math.sqrt(40.0) * 1e6))
+    // doc 3: zq equals the straight-line digest recompute
+    val toks = natural.split(" ")
+    val g3 = toks.sliding(2).count(p => md5green(p(0), p(1)))
+    val t3 = toks.length - 1
+    assert(got(3L) == ((t3.toLong, g3.toLong,
+      math.round((2.0 * g3 - t3) / math.sqrt(t3.toDouble) * 1e6))))
+  }
+
+  test("q367: planted loops recover their fundamental period; " +
+    "distinct-token text reads rate 0 at period 1") {
+    import TestSpark._
+    import spark.implicits._
+    val loop2 = Array.fill(20)("the cat").mkString(" ")
+    val loop3 = Array.fill(13)("a b c").mkString(" ")
+    val clean = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, loop2, "en"), (2L, loop3, "en"), (3L, clean, "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextAnalysis.periodicBest(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // period-2 loop: rates at p=2,4,6,8 are all 1.0; the packed argmax
+    // must break the tie to the FUNDAMENTAL period 2
+    assert(got(1L) == ((2L, 1000000L)), s"got ${got(1L)}")
+    assert(got(2L) == ((3L, 1000000L)), s"got ${got(2L)}")
+    assert(got(3L) == ((1L, 0L)), s"got ${got(3L)}")
+  }
 }
