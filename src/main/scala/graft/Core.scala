@@ -123,6 +123,35 @@ object Scale {
   }
 }
 
+object ScaleCheckpoint {
+  /** localCheckpoint + DROP INHERITED STATS — for iterative SELF-JOIN
+    * loops (pointer jumping, transitive squaring).
+    *
+    * `Dataset.localCheckpoint` truncates the logical plan to a
+    * `LogicalRDD`, but that node INHERITS the size statistics of the
+    * plan it replaced. A self-join then estimates size(left)·size(right)
+    * = size², so the inherited BigInt DOUBLES ITS DIGITS on every
+    * iteration; by ~20 squarings the driver spends minutes inside
+    * `SizeInBytesOnlyStatsPlanVisitor` multiplying million-bit integers
+    * (measured on q368's pointer jumps: 630 bits → 1.3e6 bits across two
+    * rounds, 3× planning time per jump — the whole query stalled at any
+    * SF before this helper). Linear per-round joins (q35 components,
+    * q334 HITS) only ADD digits per round and stay harmless under
+    * bounded rounds; squaring loops do not.
+    *
+    * Re-wrapping the checkpointed RDD through `createDataFrame` builds a
+    * fresh `LogicalRDD` with the session-default size estimate, resetting
+    * the growth at a one-deserialization-pass cost — fine for the
+    * label-grid tables these loops iterate on. (The default estimate also
+    * disables auto-broadcast of the wrapped side; the grid joins here
+    * never rely on it.)
+    */
+  def apply(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint()
+    c.sparkSession.createDataFrame(c.rdd, c.schema)
+  }
+}
+
 object Num {
   private def pow10(scale: Int): Double = math.pow(10.0, scale.toDouble)
 

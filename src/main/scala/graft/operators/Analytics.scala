@@ -8730,6 +8730,144 @@ object Analytics {
       FROM fin, (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS hh)
       ORDER BY h"""))
 
+  // --------------------------------------------------------------- q368
+  // Borůvka maximum spanning forest ([EXT], Borůvka 1926 — THE parallel
+  // MST algorithm) — the backbone member of the graph family: given the
+  // weighted co-purchase graph, keep the strongest acyclic skeleton
+  // (taxonomy building / backbone extraction; minimum-spanning is the
+  // same op with w negated). Classic synchronous Borůvka on the
+  // symmetrized q313 lift graph: each round, every component selects
+  // its best incident cross-edge under the SHARED TOTAL ORDER
+  // (w DESC, u, v) — the total order is what makes the chosen set
+  // provably acyclic under ties (any cycle would need its order-worst
+  // edge to be some component's best) — then components merge along
+  // chosen edges. The merge is the textbook pointer machinery: the
+  // chooser→other functional graph has only 2-cycles (both endpoints
+  // of the order-best edge of a part choose it), collapsed to
+  // min-labeled roots, then 5 pointer-jump rounds (covers chains ≤ 2³²
+  // components — at brand grain, astronomically slack). Rounds are a
+  // declared bounded contract (R = 4; components at least halve per
+  // round, so unconverged parts simply stop growing the forest — same
+  // honesty as q363's 'open').
+  //
+  // Scale: corpus appears once (q313's basket pair aggregate);
+  // everything after is the brand grid. Each round: two grid equi-joins
+  // (labels onto edges), one grid argmin, ≤ 6 label-sized self-joins
+  // (collapse + jumps), labels localCheckpointed per round (the q35
+  // plan-growth lesson). On a billion-node graph the same plan holds —
+  // this is exactly how Borůvka runs on Pregel. Exactness: weights are
+  // exact co-occurrence counts; choice is an integer struct-min;
+  // labels are BIGINT ids.
+  private val BorRounds = 4
+  private val q368 = QueryDef(
+    "q368_boruvka_msf",
+    (s, d) => {
+      val und = knnLiftEdges(s, d)
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"), col("w"))
+        .filter(col("u") =!= col("v"))
+        .groupBy(col("u"), col("v")).agg(max(col("w")).as("w"))
+        .localCheckpoint()
+      var lbl = und.select(col("u").as("node"))
+        .union(und.select(col("v").as("node"))).distinct()
+        .withColumn("lbl", col("node"))
+        .localCheckpoint()
+      var forest: DataFrame = null
+      for (r <- 1 to BorRounds) {
+        val cg = und
+          .join(lbl.select(col("node").as("u"), col("lbl").as("cu")), "u")
+          .join(lbl.select(col("node").as("v"), col("lbl").as("cv")), "v")
+          .filter(col("cu") =!= col("cv"))
+        val inc = cg.select(col("cu").as("c"), col("cv").as("oc"),
+            col("u"), col("v"), col("w"))
+          .union(cg.select(col("cv").as("c"), col("cu").as("oc"),
+            col("u"), col("v"), col("w")))
+        val ch = graft.ScaleCheckpoint(inc.groupBy(col("c"))
+          .agg(min(struct((-col("w")).as("nw"), col("u"), col("v"),
+            col("oc"))).as("m"))
+          .select(col("c"), col("m.u").as("u"), col("m.v").as("v"),
+            (-col("m.nw")).as("w"), col("m.oc").as("t")))
+        val chosen = ch.select(col("u"), col("v"), col("w")).distinct()
+          .withColumn("add_round", lit(r.toLong))
+        forest = if (forest == null) chosen else forest.union(chosen)
+        val ptr = ch.select(col("c"), col("t"))
+        val ptrB = ch.select(col("c").as("bc"), col("t").as("bt"))
+        val coll = ptr.join(ptrB, col("t") === col("bc"), "left")
+          .select(col("c"),
+            when(col("bt") === col("c"), least(col("c"), col("t")))
+              .otherwise(col("t")).as("p"))
+        // ScaleCheckpoint, not plain localCheckpoint: each jump is a
+        // SELF-join, so inherited size stats would SQUARE per jump —
+        // the exponential-planning trap documented on the helper
+        var par = graft.ScaleCheckpoint(lbl.select(col("lbl").as("c"))
+          .distinct()
+          .join(coll, Seq("c"), "left")
+          .select(col("c"), coalesce(col("p"), col("c")).as("p")))
+        for (_ <- 1 to 5)
+          par = graft.ScaleCheckpoint(
+            par.join(par.select(col("c").as("p"), col("p").as("pp")),
+              Seq("p"), "left")
+            .select(col("c"), coalesce(col("pp"), col("p")).as("p")))
+        lbl = graft.ScaleCheckpoint(
+          lbl.join(par.select(col("c").as("lbl"), col("p")), Seq("lbl"))
+          .select(col("node"), col("p").as("lbl")))
+      }
+      forest.select(col("u").as("brand_u"), col("v").as("brand_v"),
+          col("w").as("cooc_w"), col("add_round"))
+        .orderBy(col("brand_u"), col("brand_v"))
+    },
+    Some {
+      def round(r: Int): String = {
+        val prev = if (r == 1) "lbl0" else s"lbl${r - 1}"
+        s"""cg$r AS (
+        SELECT e.u, e.v, e.w, lu.lbl AS cu, lv.lbl AS cv
+        FROM und e JOIN $prev lu ON lu.node = e.u
+                   JOIN $prev lv ON lv.node = e.v
+        WHERE lu.lbl <> lv.lbl),
+      inc$r AS (
+        SELECT cu AS c, cv AS oc, u, v, w FROM cg$r
+        UNION ALL SELECT cv, cu, u, v, w FROM cg$r),
+      ch$r AS MATERIALIZED (
+        SELECT c, u, v, w, oc AS t FROM (
+          SELECT c, u, v, w, oc, row_number() OVER (PARTITION BY c
+            ORDER BY w DESC, u, v, oc) AS rn
+          FROM inc$r) WHERE rn = 1),
+      coll$r AS (
+        SELECT a.c,
+               CASE WHEN b.t = a.c THEN least(a.c, a.t) ELSE a.t END AS p
+        FROM ch$r a LEFT JOIN ch$r b ON b.c = a.t),
+      par${r}_0 AS (
+        SELECT l.c, coalesce(x.p, l.c) AS p
+        FROM (SELECT DISTINCT lbl AS c FROM $prev) l
+        LEFT JOIN coll$r x ON x.c = l.c),
+      ${(1 to 5).map(j =>
+          s"""par${r}_$j AS (
+        SELECT a.c, coalesce(b.p, a.p) AS p
+        FROM par${r}_${j - 1} a LEFT JOIN par${r}_${j - 1} b ON b.c = a.p)""")
+          .mkString(",\n      ")},
+      lbl$r AS MATERIALIZED (
+        SELECT n.node, j.p AS lbl
+        FROM $prev n JOIN par${r}_5 j ON j.c = n.lbl)"""
+      }
+      val unions = (1 to BorRounds).map(r =>
+        s"""SELECT DISTINCT u, v, w, CAST($r AS BIGINT) AS add_round
+        FROM ch$r""").mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH $knnEdgesSql,
+      und AS MATERIALIZED (
+        SELECT least(a, b) AS u, greatest(a, b) AS v,
+               CAST(max(w) AS BIGINT) AS w
+        FROM edges WHERE a <> b GROUP BY 1, 2),
+      lbl0 AS (
+        SELECT node, node AS lbl FROM (
+          SELECT DISTINCT u AS node FROM und
+          UNION SELECT DISTINCT v FROM und)),
+      ${(1 to BorRounds).map(round).mkString(",\n      ")}
+      SELECT u AS brand_u, v AS brand_v, w AS cooc_w, add_round FROM (
+        $unions)
+      ORDER BY brand_u, brand_v"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
@@ -8739,5 +8877,5 @@ object Analytics {
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
       q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326, q330, q332,
       q334, q335, q336, q337, q338, q345, q347, q349, q351, q353, q363,
-      q365)
+      q365, q368)
 }

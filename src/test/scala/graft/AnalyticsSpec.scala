@@ -1728,12 +1728,9 @@ class AnalyticsSpec extends AnyFunSuite {
       s"spread ${loads.max - loads.min} exceeds max doc $maxDoc")
   }
 
-  test("q363 Luby MIS: full driver recompute + independence/maximality") {
-    // Rebuild the 3-NN lift graph and replay all Luby rounds straight-line
-    // driver-side (the q115 discipline), then demand the operator's
-    // (status, round) labeling matches node-for-node; finish with the two
-    // theorems the hash can't name: no edge inside the MIS, and — when no
-    // node is left 'open' — every non-MIS node dominated by a MIS neighbor.
+  /** q363/q368 shared: straight-line rebuild of the 3-NN strongest-lift
+    * brand graph (directed, with co-occurrence weights). */
+  private def rebuildKnnEdges(): Seq[(Long, Long, Long)] = {
     val li = Tables.t(spark, sf, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -1747,13 +1744,22 @@ class AnalyticsSpec extends AnyFunSuite {
       val items = b.map(_._2).distinct.toSeq
       for (a <- items; c <- items if a != c) yield (a, c)
     }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
-    val edges = nab.keys.map(_._1).toSeq.distinct.flatMap { a =>
+    nab.keys.map(_._1).toSeq.distinct.flatMap { a =>
       nab.filter(_._1._1 == a).toSeq
         .map { case ((_, b), w) =>
           (b, w, (w * nn).toDouble / (ni(a) * ni(b)).toDouble) }
         .sortBy { case (b, _, lift) => (-lift, b) }
-        .take(3).map { case (b, w, _) => (a, b) }
+        .take(3).map { case (b, w, _) => (a, b, w) }
     }
+  }
+
+  test("q363 Luby MIS: full driver recompute + independence/maximality") {
+    // Rebuild the 3-NN lift graph and replay all Luby rounds straight-line
+    // driver-side (the q115 discipline), then demand the operator's
+    // (status, round) labeling matches node-for-node; finish with the two
+    // theorems the hash can't name: no edge inside the MIS, and — when no
+    // node is left 'open' — every non-MIS node dominated by a MIS neighbor.
+    val edges = rebuildKnnEdges().map { case (a, b, _) => (a, b) }
     val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
       .filter { case (u, v) => u != v }.distinct
     val adj = (und ++ und.map(_.swap)).groupBy(_._1)
@@ -1829,6 +1835,36 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getDouble(4) ==
         rnd(e.toDouble / ((t - 7).toDouble * 1e6) * 1e6) / 1e6, "mae")
     }
+  }
+
+  test("q368 Borůvka forest equals the unique Kruskal forest under the " +
+    "shared total order") {
+    // with ties broken into a total order, the maximum spanning forest is
+    // UNIQUE — so bounded-round distributed Borůvka must reproduce
+    // sequential Kruskal edge-for-edge (acyclicity and optimality come
+    // free with equality)
+    val undW = rebuildKnnEdges()
+      .map { case (a, b, w) => ((math.min(a, b), math.max(a, b)), w) }
+      .filter { case ((u, v), _) => u != v }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).max }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val kruskal = undW.toSeq
+      .map { case ((u, v), w) => (u, v, w) }
+      .sortBy { case (u, v, w) => (-w, u, v) }
+      .filter { case (u, v, _) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru == rv) false else { parent(ru) = rv; true }
+      }
+      .map { case (u, v, w) => (u, v, w) }.toSet
+    val got = q("q368_boruvka_msf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == kruskal,
+      s"Borůvka forest != Kruskal MSF (got ${got.size}, " +
+        s"want ${kruskal.size})")
   }
 
   test("q366 DSIR: threshold covers >= 25%; the en target is enriched") {
