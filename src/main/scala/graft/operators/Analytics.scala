@@ -8868,6 +8868,161 @@ object Analytics {
       ORDER BY brand_u, brand_v"""
     })
 
+  // --------------------------------------------------------------- q369
+  // Benjamini–Hochberg FDR over a FAMILY of tests ([EXT], Benjamini &
+  // Hochberg 1995) — the multiple-testing member that closes the A/B
+  // shelf: q149 Welch, q150 χ², q316 single permutation test, q336 SRM,
+  // q231 target-decoy FDR (score thresholding); this is the canonical
+  // p-value STEP-UP over m simultaneous hypotheses — run the weekend-
+  // effect test per market segment and you must correct for running it
+  // five times. Each segment's test is q316's machinery verbatim
+  // (B = 200 md5 bit-sliced relabelings of order totalprice, empirical
+  // p = (1 + #extreme)/(1 + B)); BH then sorts the family's p-values
+  // and rejects ranks 1..k* where k* = max{k : p_(k) ≤ q·k/m}, q = 0.10.
+  //
+  // Exactness — the reason BH fits this engine exactly: empirical
+  // permutation p-values are RATIONALS (e+1)/201, so the step-up
+  // condition is the integer inequality 10·m·(e+1) ≤ 201·k — no float
+  // ever decides a rejection. The p-rank orders by (n_extreme, seg):
+  // identical to the p-value order (p is monotone in n_extreme) and
+  // fully tie-broken. Scale: one corpus pass fans out ×B but collapses
+  // map-side to the (segment × B) grid (q316's argument per segment);
+  // BH itself runs on the m-row family grid.
+  private val q369 = QueryDef(
+    "q369_bh_fdr",
+    (s, d) => {
+      val base = Tables.t(s, d, "orders")
+        .join(broadcast(Tables.t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"), col("o_orderkey").as("k"),
+          when(dayofweek(col("o_orderdate")).isin(1, 7), 1L)
+            .otherwise(0L).as("we"),
+          round(col("o_totalprice") * 100).cast("long").as("c"))
+      val obs = base.groupBy(col("seg")).agg(
+          sum(when(col("we") === 1L, col("c"))).as("s1"),
+          sum(when(col("we") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("we") === 0L, col("c"))).as("s0"),
+          sum(when(col("we") === 0L, 1L).otherwise(0L)).as("n0"))
+        .select(col("seg"), col("n1"), col("n0"),
+          (col("s1").cast("double") / col("n1").cast("double")
+            - col("s0").cast("double") / col("n0").cast("double"))
+            .as("t_obs"))
+      def h(j: Int) =
+        conv(substring(md5(concat(lit(s"bh$j:"),
+          col("k").cast("string"))), 1, 14), 16, 10)
+          .cast("long").as(s"h$j")
+      val reps = base
+        .select(col("seg"), col("c"), array(h(0), h(1), h(2), h(3)).as("hs"))
+        .select(col("seg"), col("c"), col("hs"),
+          explode(sequence(lit(1), lit(200))).as("b"))
+        .withColumn("g",
+          expr("(element_at(hs, CAST((b - 1) DIV 56 AS INT) + 1)" +
+            " >> CAST((b - 1) % 56 AS INT)) & 1"))
+        .groupBy(col("seg"), col("b"))
+        .agg(sum(when(col("g") === 1L, col("c"))).as("s1"),
+          sum(when(col("g") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g") === 0L, col("c"))).as("s0"),
+          sum(when(col("g") === 0L, 1L).otherwise(0L)).as("n0"))
+        .select(col("seg"),
+          (col("s1").cast("double") / col("n1").cast("double")
+            - col("s0").cast("double") / col("n0").cast("double"))
+            .as("t_b"))
+      val pv = reps.join(broadcast(obs), Seq("seg"))
+        .groupBy(col("seg"))
+        .agg(max(col("n1")).as("n_we"), max(col("n0")).as("n_wd"),
+          max(col("t_obs")).as("t_obs"),
+          sum(when(abs(col("t_b")) >= abs(col("t_obs")), 1L)
+            .otherwise(0L)).as("n_extreme"))
+      val m = pv.agg(count(lit(1)).as("m"))
+      val wR = Window.orderBy(col("n_extreme"), col("seg"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      pv.crossJoin(broadcast(m))
+        .withColumn("rnk", row_number().over(wR).cast("long"))
+        .withColumn("ok", when(
+          lit(10L) * col("m") * (col("n_extreme") + 1L)
+            <= lit(201L) * col("rnk"), col("rnk")))
+        .withColumn("kstar", coalesce(max(col("ok")).over(wAll), lit(0L)))
+        .select(col("seg"), col("n_we"), col("n_wd"),
+          Num.roundZ(col("t_obs") / lit(100.0), 6).as("t_obs_dollars"),
+          col("n_extreme"),
+          Num.roundZ((col("n_extreme") + 1L).cast("double") / lit(201.0), 6)
+            .as("p_value"),
+          col("rnk"),
+          when(col("rnk") <= col("kstar"), 1L).otherwise(0L).as("reject"))
+        .orderBy(col("rnk"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderkey AS k,
+               CASE WHEN dayofweek(o.o_orderdate) IN (0, 6)
+                 THEN 1 ELSE 0 END AS we,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS c
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+      obs AS (
+        SELECT seg, CAST(sum(we) AS BIGINT) AS n1,
+               CAST(sum(1 - we) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN we = 1 THEN c END) AS DOUBLE)
+                   / CAST(sum(we) AS DOUBLE)
+                 - CAST(sum(CASE WHEN we = 0 THEN c END) AS DOUBLE)
+                   / CAST(sum(1 - we) AS DOUBLE) AS t_obs
+        FROM base GROUP BY seg),
+      hashed AS (
+        SELECT seg, c,
+               [('0x' || substr(md5('bh0:' || CAST(k AS VARCHAR)),
+                  1, 14))::BIGINT,
+                ('0x' || substr(md5('bh1:' || CAST(k AS VARCHAR)),
+                  1, 14))::BIGINT,
+                ('0x' || substr(md5('bh2:' || CAST(k AS VARCHAR)),
+                  1, 14))::BIGINT,
+                ('0x' || substr(md5('bh3:' || CAST(k AS VARCHAR)),
+                  1, 14))::BIGINT] AS hs
+        FROM base),
+      reps AS (
+        SELECT seg, t.b,
+               CAST(sum(CASE WHEN (hs[CAST((t.b - 1) // 56 AS INTEGER) + 1]
+                   >> CAST((t.b - 1) % 56 AS INTEGER)) & 1 = 1
+                 THEN c END) AS DOUBLE)
+                 / CAST(sum((hs[CAST((t.b - 1) // 56 AS INTEGER) + 1]
+                   >> CAST((t.b - 1) % 56 AS INTEGER)) & 1) AS DOUBLE)
+               - CAST(sum(CASE WHEN (hs[CAST((t.b - 1) // 56 AS INTEGER) + 1]
+                   >> CAST((t.b - 1) % 56 AS INTEGER)) & 1 = 0
+                 THEN c END) AS DOUBLE)
+                 / CAST(sum(1 - ((hs[CAST((t.b - 1) // 56 AS INTEGER) + 1]
+                   >> CAST((t.b - 1) % 56 AS INTEGER)) & 1)) AS DOUBLE)
+                 AS t_b
+        FROM hashed CROSS JOIN range(1, 201) t(b)
+        GROUP BY seg, t.b),
+      pv AS (
+        SELECT o.seg, max(o.n1) AS n_we, max(o.n0) AS n_wd,
+               max(o.t_obs) AS t_obs,
+               CAST(sum(CASE WHEN abs(r.t_b) >= abs(o.t_obs) THEN 1
+                 ELSE 0 END) AS BIGINT) AS n_extreme
+        FROM reps r JOIN obs o ON o.seg = r.seg
+        GROUP BY o.seg),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv),
+      rk AS (
+        SELECT pv.*, m.m,
+               CAST(row_number() OVER (ORDER BY n_extreme, seg) AS BIGINT)
+                 AS rnk
+        FROM pv, m),
+      ks AS (
+        SELECT coalesce(max(CASE WHEN 10 * m * (n_extreme + 1) <= 201 * rnk
+                 THEN rnk END), 0) AS kstar
+        FROM rk)
+      SELECT seg, n_we, n_wd,
+             (CAST(round((t_obs / 100.0) * 1e6) AS BIGINT) / 1e6)
+               AS t_obs_dollars,
+             n_extreme,
+             (CAST(round((CAST(n_extreme + 1 AS DOUBLE) / 201.0) * 1e6)
+               AS BIGINT) / 1e6) AS p_value,
+             rnk,
+             CAST(CASE WHEN rnk <= ks.kstar THEN 1 ELSE 0 END AS BIGINT)
+               AS reject
+      FROM rk, ks
+      ORDER BY rnk"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
@@ -8877,5 +9032,5 @@ object Analytics {
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
       q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326, q330, q332,
       q334, q335, q336, q337, q338, q345, q347, q349, q351, q353, q363,
-      q365, q368)
+      q365, q368, q369)
 }

@@ -1867,6 +1867,31 @@ class AnalyticsSpec extends AnyFunSuite {
         s"want ${kruskal.size})")
   }
 
+  test("q369 BH: rejections are a p-rank prefix, contain Bonferroni, " +
+    "and match the integer step-up replay") {
+    val rows = q("q369_bh_fdr")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(4), r.getLong(6), r.getLong(7)))
+      .sortBy(_._3)
+    val m = rows.length.toLong
+    // independent step-up replay from the raw extreme counts
+    val kstar = rows.filter { case (_, e, k, _) =>
+      10L * m * (e + 1L) <= 201L * k
+    }.map(_._3).maxOption.getOrElse(0L)
+    rows.foreach { case (seg, _, k, rej) =>
+      assert(rej == (if (k <= kstar) 1L else 0L), s"step-up at $seg")
+    }
+    // rejection set must be a prefix of the p-order (step-up theorem)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 >= b._4, "rejections not a p-rank prefix")
+      case _ =>
+    }
+    // BH dominates Bonferroni: p <= q/m  =>  rejected
+    rows.foreach { case (seg, e, _, rej) =>
+      if (10L * m * (e + 1L) <= 201L) assert(rej == 1L, s"Bonferroni $seg")
+    }
+  }
+
   test("q366 DSIR: threshold covers >= 25%; the en target is enriched") {
     val rows = q("q366_dsir_selection")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
