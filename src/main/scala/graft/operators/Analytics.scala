@@ -9023,6 +9023,202 @@ object Analytics {
       FROM rk, ks
       ORDER BY rnk"""))
 
+  // --------------------------------------------------------------- q370
+  // Tukey median polish ([EXT], Tukey 1977 EDA) — the ROBUST two-way
+  // decomposition of the (week × day-of-week) revenue table:
+  // y ≈ overall + week_effect + dow_effect + residual, fit by
+  // alternately sweeping MEDIANS out of rows and columns. Division of
+  // labor on the seasonality shelf: q365 Holt–Winters fits an additive
+  // seasonal model by SMOOTHING (outlier-sensitive), q347's χ² residuals
+  // test a MULTIPLICATIVE independence model on counts; median polish is
+  // the additive fit a single crazy day cannot drag. Two full sweeps
+  // (declared contract, the EDA default), each sweep: row medians →
+  // week effects, then median of week effects → overall; column medians
+  // → dow effects, then their median → overall. Output: the effects
+  // table plus the residual MAD — the robust "how much structure is
+  // left" number.
+  //
+  // Exactness — the trick that keeps a MEDIAN pipeline bitwise
+  // cross-engine: never divide. A median of an even count is
+  // (lo + hi)/2, so every subtract step instead DOUBLES the working
+  // scale: r' = 2r − med2 where med2 = v_lo + v_hi (twice the median,
+  // exact BIGINT). Six median steps per two sweeps → everything lives
+  // at cents·2⁶ and is exact integer arithmetic end-to-end; the single
+  // final division renders USD identically in both engines. Ranks pick
+  // VALUES (rank-k order statistics of a multiset are tie-insensitive,
+  // even though row_number itself is not). Scale: one corpus aggregate
+  // onto the day grid; the polish runs entirely on the ≤ (weeks × 7)
+  // grid — bounded by the calendar, never the corpus.
+  private val q370 = QueryDef(
+    "q370_median_polish",
+    (s, d) => {
+      val daily = ev(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("ts").cast("date").as("dt"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val grid = daily
+        .agg(min(col("dt")).as("d0"), max(col("dt")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("dt"),
+          col("d0"))
+      // cells at cents (scale 2^0); zero-filled gap days participate —
+      // the robustness point: medians shrug them off
+      var cells = grid.join(daily, Seq("dt"), "left")
+        .select(expr("CAST(datediff(dt, d0) DIV 7 AS BIGINT)").as("wk"),
+          (dayofweek(col("dt")) - 1).cast("long").as("dow"),
+          coalesce(col("cents"), lit(0L)).as("v"))
+        .localCheckpoint()
+      var wEff = cells.select(col("wk")).distinct()
+        .withColumn("e", lit(0L)).localCheckpoint()
+      var dEff = cells.select(col("dow")).distinct()
+        .withColumn("e", lit(0L)).localCheckpoint()
+      var overall = cells.sparkSession.range(1)
+        .select(lit(0L).as("t")).localCheckpoint()
+      // med2 of `v` grouped by `key`: v_lo + v_hi = twice the median
+      def med2(df: DataFrame, key: org.apache.spark.sql.Column,
+          out: String): DataFrame = {
+        val w = Window.partitionBy(col("k")).orderBy(col("v"))
+        df.select(key.as("k"), col("v"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(col("k"))).cast("long"))
+          .groupBy(col("k"))
+          .agg((sum(when(col("rn") === expr("(n + 1) DIV 2"), col("v")))
+            + sum(when(col("rn") === expr("(n + 2) DIV 2"), col("v"))))
+            .as(out))
+      }
+      // every step doubles EVERY table's scale (subtracting a med2 needs
+      // the operand at 2x), so all four tables stay mutually comparable;
+      // 4 steps per sweep x 2 sweeps = scale 2^8 at the end
+      for (_ <- 1 to 2) {
+        // step 1 — row (week) medians out of the cells
+        val rm = med2(cells, col("wk"), "m2")
+        cells = cells.join(broadcast(rm.withColumnRenamed("k", "wk")), "wk")
+          .select(col("wk"), col("dow"),
+            (col("v") * 2L - col("m2")).as("v")).localCheckpoint()
+        wEff = wEff.join(broadcast(rm.withColumnRenamed("k", "wk")), "wk")
+          .select(col("wk"), (col("e") * 2L + col("m2")).as("e"))
+          .localCheckpoint()
+        dEff = dEff.select(col("dow"), (col("e") * 2L).as("e"))
+        overall = overall.select((col("t") * 2L).as("t"))
+        // step 2 — median of week effects moves to the overall term
+        val wm = med2(wEff.select(col("e").as("v")), lit(1), "m2")
+        overall = overall.crossJoin(broadcast(wm))
+          .select((col("t") * 2L + col("m2")).as("t"))
+        wEff = wEff.crossJoin(broadcast(wm))
+          .select(col("wk"), (col("e") * 2L - col("m2")).as("e"))
+          .localCheckpoint()
+        cells = cells.select(col("wk"), col("dow"), (col("v") * 2L).as("v"))
+        dEff = dEff.select(col("dow"), (col("e") * 2L).as("e"))
+        // step 3 — column (dow) medians out of the cells
+        val cm = med2(cells, col("dow"), "m2")
+        cells = cells.join(broadcast(cm.withColumnRenamed("k", "dow")),
+            "dow")
+          .select(col("wk"), col("dow"),
+            (col("v") * 2L - col("m2")).as("v")).localCheckpoint()
+        dEff = dEff.join(broadcast(cm.withColumnRenamed("k", "dow")), "dow")
+          .select(col("dow"), (col("e") * 2L + col("m2")).as("e"))
+          .localCheckpoint()
+        wEff = wEff.select(col("wk"), (col("e") * 2L).as("e"))
+        overall = overall.select((col("t") * 2L).as("t"))
+        // step 4 — median of dow effects moves to the overall term
+        val dm = med2(dEff.select(col("e").as("v")), lit(1), "m2")
+        overall = overall.crossJoin(broadcast(dm))
+          .select((col("t") * 2L + col("m2")).as("t")).localCheckpoint()
+        dEff = dEff.crossJoin(broadcast(dm))
+          .select(col("dow"), (col("e") * 2L - col("m2")).as("e"))
+          .localCheckpoint()
+        cells = cells.select(col("wk"), col("dow"), (col("v") * 2L).as("v"))
+          .localCheckpoint()
+        wEff = wEff.select(col("wk"), (col("e") * 2L).as("e"))
+          .localCheckpoint()
+      }
+      // after 2 sweeps everything sits at cents · 2^8 (8 doublings)
+      val S = 100.0 * 256.0
+      val mad2 = med2(cells.select(abs(col("v")).as("v")), lit(1), "m2")
+      val out = overall.select(lit("overall").as("component"),
+          lit(-1L).as("k"), (col("t").cast("double") / lit(S)).as("usd"))
+        .union(wEff.select(lit("week").as("component"), col("wk").as("k"),
+          (col("e").cast("double") / lit(S)).as("usd")))
+        .union(dEff.select(lit("dow").as("component"), col("dow").as("k"),
+          (col("e").cast("double") / lit(S)).as("usd")))
+        .union(mad2.select(lit("resid_mad").as("component"),
+          lit(-1L).as("k"),
+          (col("m2").cast("double") / lit(2.0 * S)).as("usd")))
+      out.orderBy(col("component"), col("k"))
+    },
+    Some {
+      // one median-subtract step as SQL: med2 by key, then 2r - med2
+      def med2Sql(src: String, key: String): String =
+        s"""(SELECT $key AS k, sum(CASE WHEN rn = (n + 1) // 2 THEN v END)
+             + sum(CASE WHEN rn = (n + 2) // 2 THEN v END) AS m2
+        FROM (SELECT $key, v,
+                     row_number() OVER (PARTITION BY $key ORDER BY v)
+                       AS rn,
+                     count(*) OVER (PARTITION BY $key) AS n
+              FROM $src)
+        GROUP BY 1)"""
+      def sweep(i: Int, prev: String): String = {
+        val (c0, w0, d0, t0) =
+          (s"cells$prev", s"weff$prev", s"deff$prev", s"ov$prev")
+        s"""rm$i AS ${med2Sql(c0, "wk")},
+      cellsr$i AS (SELECT c.wk, c.dow, c.v * 2 - rm$i.m2 AS v
+                   FROM $c0 c JOIN rm$i ON rm$i.k = c.wk),
+      weffr$i AS (SELECT w.wk, w.e * 2 + rm$i.m2 AS e
+                  FROM $w0 w JOIN rm$i ON rm$i.k = w.wk),
+      deffr$i AS (SELECT dow, e * 2 AS e FROM $d0),
+      ovr$i AS (SELECT t * 2 AS t FROM $t0),
+      wm$i AS ${med2Sql(s"(SELECT 1 AS o, e AS v FROM weffr$i)", "o")},
+      ovw$i AS (SELECT t * 2 + wm$i.m2 AS t FROM ovr$i, wm$i),
+      weffw$i AS (SELECT wk, e * 2 - wm$i.m2 AS e FROM weffr$i, wm$i),
+      cellsw$i AS (SELECT wk, dow, v * 2 AS v FROM cellsr$i),
+      deffw$i AS (SELECT dow, e * 2 AS e FROM deffr$i),
+      cm$i AS ${med2Sql(s"cellsw$i", "dow")},
+      cellsc$i AS (SELECT c.wk, c.dow, c.v * 2 - cm$i.m2 AS v
+                   FROM cellsw$i c JOIN cm$i ON cm$i.k = c.dow),
+      deffc$i AS (SELECT d.dow, d.e * 2 + cm$i.m2 AS e
+                  FROM deffw$i d JOIN cm$i ON cm$i.k = d.dow),
+      weffc$i AS (SELECT wk, e * 2 AS e FROM weffw$i),
+      ovc$i AS (SELECT t * 2 AS t FROM ovw$i),
+      dm$i AS ${med2Sql(s"(SELECT 1 AS o, e AS v FROM deffc$i)", "o")},
+      ov$i AS (SELECT t * 2 + dm$i.m2 AS t FROM ovc$i, dm$i),
+      deff$i AS (SELECT dow, e * 2 - dm$i.m2 AS e FROM deffc$i, dm$i),
+      cells$i AS (SELECT wk, dow, v * 2 AS v FROM cellsc$i),
+      weff$i AS (SELECT wk, e * 2 AS e FROM weffc$i)"""
+      }
+      s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS dt,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      bounds AS (SELECT min(dt) AS d0, max(dt) AS d1 FROM daily),
+      grid AS (
+        SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+          AS DATE) AS dt, d0 FROM bounds),
+      cells0 AS (
+        SELECT date_diff('day', g.d0, g.dt) // 7 AS wk,
+               dayofweek(g.dt)::BIGINT AS dow,
+               coalesce(d.cents, 0) AS v
+        FROM grid g LEFT JOIN daily d ON d.dt = g.dt),
+      weff0 AS (SELECT DISTINCT wk, CAST(0 AS BIGINT) AS e FROM cells0),
+      deff0 AS (SELECT DISTINCT dow, CAST(0 AS BIGINT) AS e FROM cells0),
+      ov0 AS (SELECT CAST(0 AS BIGINT) AS t),
+      ${sweep(1, "0")},
+      ${sweep(2, "1")},
+      mad AS ${med2Sql("(SELECT 1 AS o, abs(v) AS v FROM cells2)", "o")}
+      SELECT component, k, usd FROM (
+        SELECT 'overall' AS component, CAST(-1 AS BIGINT) AS k,
+               CAST(t AS DOUBLE) / 25600.0 AS usd FROM ov2
+        UNION ALL
+        SELECT 'week', wk, CAST(e AS DOUBLE) / 25600.0 FROM weff2
+        UNION ALL
+        SELECT 'dow', dow, CAST(e AS DOUBLE) / 25600.0 FROM deff2
+        UNION ALL
+        SELECT 'resid_mad', CAST(-1 AS BIGINT),
+               CAST(m2 AS DOUBLE) / 51200.0 FROM mad)
+      ORDER BY component, k"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
@@ -9032,5 +9228,5 @@ object Analytics {
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
       q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326, q330, q332,
       q334, q335, q336, q337, q338, q345, q347, q349, q351, q353, q363,
-      q365, q368, q369)
+      q365, q368, q369, q370)
 }

@@ -1892,6 +1892,67 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q370 median polish: straight-line replay + additive identity") {
+    // replay all eight median-subtract steps driver-side in the same
+    // doubled-scale integer arithmetic, check every output row
+    // bit-for-bit, and assert the decomposition identity the hash can't
+    // name: 256*y = overall + week_e + dow_e + residual for every cell
+    val daily = Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("ts").cast("date").as("dt"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val d0 = daily.keys.min(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val d1 = daily.keys.max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val days = (d0.toEpochDay to d1.toEpochDay).map(java.time.LocalDate.ofEpochDay)
+    // duck convention: Sunday = 0
+    def dowOf(dt: java.time.LocalDate): Long = dt.getDayOfWeek.getValue % 7
+    var cells = days.map(dt => ((dt.toEpochDay - d0.toEpochDay) / 7,
+      dowOf(dt)) -> daily.getOrElse(dt, 0L)).toMap
+    val orig = cells
+    var wE = cells.keys.map(_._1).toSeq.distinct.map(_ -> 0L).toMap
+    var dE = cells.keys.map(_._2).toSeq.distinct.map(_ -> 0L).toMap
+    var t = 0L
+    def med2(vs: Seq[Long]): Long = {
+      val s = vs.sorted
+      s(((s.length + 1) / 2) - 1) + s(((s.length + 2) / 2) - 1)
+    }
+    for (_ <- 1 to 2) {
+      val rm = cells.groupBy(_._1._1).map { case (w, m) => w -> med2(m.values.toSeq) }
+      cells = cells.map { case ((w, dd), v) => ((w, dd), 2 * v - rm(w)) }
+      wE = wE.map { case (w, e) => w -> (2 * e + rm(w)) }
+      dE = dE.map { case (dd, e) => dd -> 2 * e }; t *= 2
+      val wm = med2(wE.values.toSeq)
+      t = 2 * t + wm
+      wE = wE.map { case (w, e) => w -> (2 * e - wm) }
+      cells = cells.map { case (k, v) => k -> 2 * v }
+      dE = dE.map { case (dd, e) => dd -> 2 * e }
+      val cm = cells.groupBy(_._1._2).map { case (dd, m) => dd -> med2(m.values.toSeq) }
+      cells = cells.map { case ((w, dd), v) => ((w, dd), 2 * v - cm(dd)) }
+      dE = dE.map { case (dd, e) => dd -> (2 * e + cm(dd)) }
+      wE = wE.map { case (w, e) => w -> 2 * e }; t *= 2
+      val dm = med2(dE.values.toSeq)
+      t = 2 * t + dm
+      dE = dE.map { case (dd, e) => dd -> (2 * e - dm) }
+      cells = cells.map { case (k, v) => k -> 2 * v }
+      wE = wE.map { case (w, e) => w -> 2 * e }
+    }
+    // additive identity at the common scale 2^8
+    orig.foreach { case (k, y) =>
+      assert(256L * y == t + wE(k._1) + dE(k._2) + cells(k),
+        s"identity fails at $k")
+    }
+    val mad = med2(cells.values.map(math.abs).toSeq)
+    val got = q("q370_median_polish")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got(("overall", -1L)) == t.toDouble / 25600.0)
+    assert(got(("resid_mad", -1L)) == mad.toDouble / 51200.0)
+    wE.foreach { case (w, e) =>
+      assert(got(("week", w)) == e.toDouble / 25600.0, s"week $w") }
+    dE.foreach { case (dd, e) =>
+      assert(got(("dow", dd)) == e.toDouble / 25600.0, s"dow $dd") }
+  }
+
   test("q366 DSIR: threshold covers >= 25%; the en target is enriched") {
     val rows = q("q366_dsir_selection")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
