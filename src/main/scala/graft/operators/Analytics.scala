@@ -8528,7 +8528,11 @@ object Analytics {
         .localCheckpoint()
       var rem = pri0
       var out: DataFrame = null
-      for (r <- 1 to MisRounds) {
+      // early-exit on an empty remainder is output-equivalent (an empty
+      // round tags nothing and leaves labels unchanged — the SQL mirror's
+      // trailing rounds are no-ops on the same empty sets) and skips the
+      // converged rounds' fixed job cost
+      for (r <- 1 to MisRounds if !rem.isEmpty) {
         val nbMin = adj
           .join(rem.select(col("node").as("x")), "x")
           .join(rem.select(col("node").as("y"), col("pri").as("ypri")), "y")
@@ -8773,11 +8777,19 @@ object Analytics {
         .withColumn("lbl", col("node"))
         .localCheckpoint()
       var forest: DataFrame = null
-      for (r <- 1 to BorRounds) {
+      // early-exit when no cross edges remain: a converged round chooses
+      // nothing and relabels nothing (the SQL mirror's trailing rounds are
+      // the same no-op), so skipping it is output-equivalent and saves the
+      // ~8 fixed grid jobs per spent round
+      var live = true
+      for (r <- 1 to BorRounds if live) {
         val cg = und
           .join(lbl.select(col("node").as("u"), col("lbl").as("cu")), "u")
           .join(lbl.select(col("node").as("v"), col("lbl").as("cv")), "v")
           .filter(col("cu") =!= col("cv"))
+          .localCheckpoint()
+        live = !cg.isEmpty
+        if (live) {
         val inc = cg.select(col("cu").as("c"), col("cv").as("oc"),
             col("u"), col("v"), col("w"))
           .union(cg.select(col("cv").as("c"), col("cu").as("oc"),
@@ -8811,6 +8823,7 @@ object Analytics {
         lbl = graft.ScaleCheckpoint(
           lbl.join(par.select(col("c").as("lbl"), col("p")), Seq("lbl"))
           .select(col("node"), col("p").as("lbl")))
+        }
       }
       forest.select(col("u").as("brand_u"), col("v").as("brand_v"),
           col("w").as("cooc_w"), col("add_round"))
