@@ -3175,7 +3175,7 @@ object Analytics {
         SELECT CASE WHEN hz - ld > 24 THEN 1 ELSE 0 END AS died,
                CAST(CASE WHEN hz - ld > 24 THEN ld - fd
                          ELSE hz - fd END AS BIGINT) AS t
-        FROM pu, hz),
+        FROM pu, hz, med),
       byt AS (
         SELECT t, CAST(sum(died) AS BIGINT) AS d,
                CAST(count(*) - sum(died) AS BIGINT) AS cens,
@@ -9232,6 +9232,183 @@ object Analytics {
       ORDER BY component, k"""
     })
 
+  // --------------------------------------------------------------- q372
+  // Log-rank test between two survival cohorts ([EXT], Mantel 1966) —
+  // the COMPARISON member of the survival shelf: q214 estimates one
+  // Kaplan–Meier curve; this asks the canonical follow-up, "do
+  // purchasers and non-purchasers churn at the same rate?", without
+  // any distributional assumption. q214's observation model verbatim
+  // (churn = last event > 24 h before the corpus horizon; t = hours
+  // from first event), cohort g = has ≥ 1 purchase. At every death
+  // time: O₁ = observed cohort-1 deaths, E₁ = d·n₁/n expected under
+  // the shared-hazard null, V = d(n₁/n)(n₀/n)(n−d)/(n−1) the
+  // hypergeometric variance; the statistic (ΣO₁ − ΣE₁)²/ΣV is χ²(1)
+  // under the null, flagged against the 0.95 critical value (a shared
+  // literal — no CDF needed for the decision).
+  //
+  // Scale: one user-keyed aggregate is the corpus pass; everything
+  // after lives on the death-time VALUE grid (≤ horizon-span hours —
+  // q214's boundedness argument), where the risk-set windows run.
+  // Exactness: per-time E₁ and V are fixed-order double expressions
+  // of exact BIGINT counts, quantized to 1e-9 integers BEFORE the
+  // sums (q214's ln-discipline), so the grid aggregation is exact in
+  // any order; the final statistic is one double expression of three
+  // exact sums, roundZ 6. The n = 1 tail row (variance denominator
+  // n−1 = 0) contributes V = 0 by the standard convention, guarded
+  // identically in both engines.
+  private val q372 = QueryDef(
+    "q372_logrank_test",
+    (s, d) => {
+      val hr = expr("unix_micros(ts) DIV 3600000000")
+      val pu = ev(s, d).groupBy(col("user_id"))
+        .agg(min(hr).as("fd"), max(hr).as("ld"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("np"))
+      val hz = ev(s, d).agg(max(hr).as("hz"))
+      // cohort split at the exact lower median of per-user purchase
+      // counts — computed on the np VALUE grid (np spans ~5..25 at any
+      // SF), so the split self-calibrates with scale and stays exact
+      val nUsers = pu.agg(count(lit(1)).as("nu"))
+      val wNp = Window.orderBy(col("np"))
+      val med = pu.groupBy(col("np")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          wNp.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(nUsers))
+        .filter(col("cum") * 2L >= col("nu") + 1L)
+        .agg(min(col("np")).as("med"))
+      val obs = pu.crossJoin(broadcast(hz)).crossJoin(broadcast(med))
+        .withColumn("g", when(col("np") > col("med"), 1L).otherwise(0L))
+        .withColumn("died",
+          when(col("hz") - col("ld") > 24L, 1L).otherwise(0L))
+        .withColumn("t",
+          when(col("died") === 1L, col("ld") - col("fd"))
+            .otherwise(col("hz") - col("fd")).cast("long"))
+      val byT = obs.groupBy(col("t"))
+        .agg(sum(col("died") * col("g")).as("d1"),
+          sum(col("died") * (lit(1L) - col("g"))).as("d0"),
+          sum(col("g")).as("c1"),
+          sum(lit(1L) - col("g")).as("c0"))
+      val wRisk = Window.orderBy(col("t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val terms = byT
+        .withColumn("n1", sum(col("c1")).over(wRisk))
+        .withColumn("n0", sum(col("c0")).over(wRisk))
+        .filter(col("d1") + col("d0") > 0L)
+        .select(col("d1"),
+          round((col("d1") + col("d0")).cast("double")
+            * col("n1").cast("double")
+            / (col("n1") + col("n0")).cast("double") * lit(1e9))
+            .cast("long").as("e1q"),
+          when(col("n1") + col("n0") > 1L,
+            round(((col("d1") + col("d0")).cast("double")
+              * (col("n1").cast("double")
+                / (col("n1") + col("n0")).cast("double"))
+              * (col("n0").cast("double")
+                / (col("n1") + col("n0")).cast("double"))
+              * (col("n1") + col("n0") - col("d1") - col("d0"))
+                .cast("double")
+              / (col("n1") + col("n0") - 1L).cast("double")) * lit(1e9))
+              .cast("long")).otherwise(0L).as("vq"))
+      val grp = obs.agg(
+        sum(col("g")).as("n_grp1"),
+        sum(lit(1L) - col("g")).as("n_grp0"),
+        sum(col("died") * col("g")).as("churn1"),
+        sum(col("died") * (lit(1L) - col("g"))).as("churn0"))
+      terms.agg(sum(col("d1")).as("o1"), sum(col("e1q")).as("e1q"),
+          sum(col("vq")).as("vq"))
+        .crossJoin(broadcast(grp))
+        .select(col("n_grp1"), col("n_grp0"), col("churn1"), col("churn0"),
+          col("o1"),
+          Num.roundZ(col("e1q").cast("double") / lit(1e9), 6).as("e1"),
+          Num.roundZ(col("vq").cast("double") / lit(1e9), 6).as("v"),
+          when(col("vq") > 0L, Num.roundZ((col("o1").cast("double")
+            - col("e1q").cast("double") / lit(1e9))
+            * (col("o1").cast("double")
+              - col("e1q").cast("double") / lit(1e9))
+            / (col("vq").cast("double") / lit(1e9)), 6)).as("chi2"),
+          when(col("vq") > 0L && (col("o1").cast("double")
+            - col("e1q").cast("double") / lit(1e9))
+            * (col("o1").cast("double")
+              - col("e1q").cast("double") / lit(1e9))
+            / (col("vq").cast("double") / lit(1e9))
+            > lit(3.8414588206941254), 1L).otherwise(0L).as("reject95"))
+    },
+    Some("""
+      WITH pu AS (
+        SELECT user_id, min(epoch_us(ts) // 3600000000) AS fd,
+               max(epoch_us(ts) // 3600000000) AS ld,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                 END) AS BIGINT) AS np
+        FROM events GROUP BY user_id),
+      hz AS (SELECT max(epoch_us(ts) // 3600000000) AS hz FROM events),
+      nu AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM pu),
+      med AS (
+        SELECT CAST(min(np) AS BIGINT) AS med FROM (
+          SELECT np, sum(c) OVER (ORDER BY np
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM (SELECT np, CAST(count(*) AS BIGINT) AS c
+                FROM pu GROUP BY 1)) g, nu
+        WHERE g.cum * 2 >= nu.nu + 1),
+      obs AS (
+        SELECT CASE WHEN np > med THEN 1 ELSE 0 END AS g,
+               CASE WHEN hz - ld > 24 THEN 1 ELSE 0 END AS died,
+               CAST(CASE WHEN hz - ld > 24 THEN ld - fd
+                         ELSE hz - fd END AS BIGINT) AS t
+        FROM pu, hz, med),
+      byt AS (
+        SELECT t, CAST(sum(died * g) AS BIGINT) AS d1,
+               CAST(sum(died * (1 - g)) AS BIGINT) AS d0,
+               CAST(sum(g) AS BIGINT) AS c1,
+               CAST(sum(1 - g) AS BIGINT) AS c0
+        FROM obs GROUP BY t),
+      r AS (
+        SELECT t, d1, d0,
+               CAST(sum(c1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1,
+               CAST(sum(c0) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS BIGINT) AS n0
+        FROM byt),
+      terms AS (
+        SELECT d1,
+               CAST(round(CAST(d1 + d0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                 / CAST(n1 + n0 AS DOUBLE) * 1e9) AS BIGINT) AS e1q,
+               CASE WHEN n1 + n0 > 1 THEN
+                 CAST(round((CAST(d1 + d0 AS DOUBLE)
+                   * (CAST(n1 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                   * (CAST(n0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE))
+                   * CAST(n1 + n0 - d1 - d0 AS DOUBLE)
+                   / CAST(n1 + n0 - 1 AS DOUBLE)) * 1e9) AS BIGINT)
+                 ELSE 0 END AS vq
+        FROM r WHERE d1 + d0 > 0),
+      grp AS (
+        SELECT CAST(sum(g) AS BIGINT) AS n_grp1,
+               CAST(sum(1 - g) AS BIGINT) AS n_grp0,
+               CAST(sum(died * g) AS BIGINT) AS churn1,
+               CAST(sum(died * (1 - g)) AS BIGINT) AS churn0
+        FROM obs),
+      agg AS (
+        SELECT CAST(sum(d1) AS BIGINT) AS o1,
+               CAST(sum(e1q) AS BIGINT) AS e1q,
+               CAST(sum(vq) AS BIGINT) AS vq
+        FROM terms)
+      SELECT grp.n_grp1, grp.n_grp0, grp.churn1, grp.churn0, agg.o1,
+             (CAST(round((CAST(agg.e1q AS DOUBLE) / 1e9) * 1e6) AS BIGINT)
+               / 1e6) AS e1,
+             (CAST(round((CAST(agg.vq AS DOUBLE) / 1e9) * 1e6) AS BIGINT)
+               / 1e6) AS v,
+             CASE WHEN agg.vq > 0 THEN
+               (CAST(round(((CAST(agg.o1 AS DOUBLE)
+               - CAST(agg.e1q AS DOUBLE) / 1e9)
+               * (CAST(agg.o1 AS DOUBLE) - CAST(agg.e1q AS DOUBLE) / 1e9)
+               / (CAST(agg.vq AS DOUBLE) / 1e9)) * 1e6) AS BIGINT) / 1e6)
+               END AS chi2,
+             CAST(CASE WHEN agg.vq > 0 AND (CAST(agg.o1 AS DOUBLE)
+               - CAST(agg.e1q AS DOUBLE) / 1e9)
+               * (CAST(agg.o1 AS DOUBLE) - CAST(agg.e1q AS DOUBLE) / 1e9)
+               / (CAST(agg.vq AS DOUBLE) / 1e9) > 3.8414588206941254
+               THEN 1 ELSE 0 END AS BIGINT) AS reject95
+      FROM grp, agg"""))
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
@@ -9241,5 +9418,5 @@ object Analytics {
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
       q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326, q330, q332,
       q334, q335, q336, q337, q338, q345, q347, q349, q351, q353, q363,
-      q365, q368, q369, q370)
+      q365, q368, q369, q370, q372)
 }

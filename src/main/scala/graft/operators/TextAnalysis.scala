@@ -3140,9 +3140,157 @@ object TextAnalysis {
       ORDER BY lang, best_p"""
     })
 
+  // --------------------------------------------------------------- q371
+  // Pairwise self-BLEU diversity audit ([EXT]; BLEU — Papineni et al.
+  // 2002; self-BLEU as a corpus-diversity metric — Zhu et al. 2018) —
+  // the GENERATION-quality member of the text-eval shelf: a corpus of
+  // model outputs that all paraphrase each other scores high pairwise
+  // BLEU even when exact/near-dup (q30/q31) and novelty (q344) passes
+  // see nothing. Proper BLEU-2 per (doc, next same-lang doc) pair:
+  // clipped unigram/bigram precisions p_n = Σ_g min(c_cand(g),
+  // c_ref(g)) / #grams_cand, brevity penalty exp(1 − r/c) when the
+  // candidate is shorter, score = BP·√(p₁p₂), no smoothing (zero bigram
+  // overlap scores 0 — reported separately as the zero-overlap rate).
+  // Pairing is the id-successor within the same lang (a documented
+  // deterministic 1-pair-per-doc surrogate for the quadratic
+  // each-vs-all self-BLEU; at this grain the mean over ~n pairs is the
+  // diversity signal, and no low-cardinality lang window is needed —
+  // the pair join is an equi-join on doc_id).
+  //
+  // Scale: one corpus pass builds per-doc gram count tables keyed by
+  // md5 gram ids (q344's lesson — raw gram strings never shuffle);
+  // the pair evaluation is two equi-joins keyed on (doc_id, gram_id)
+  // with map-side-combinable clipped sums; the rollup is the lang
+  // grid. Exactness: counts/clips exact BIGINTs; each pair's score is
+  // a fixed-order double expression of exact-integer ratios (one exp,
+  // one sqrt — identical in both engines) quantized to 1e-6 before the
+  // grid sums.
+  /** q371 core, exposed for the spec's crafted-pair pins: per-pair
+    * 1e-6-quantized BLEU-2 and the zero-bigram-overlap flag. */
+  def selfBleuPairs(dd: DataFrame): DataFrame = {
+      val pairs = dd.select(col("doc_id").as("cid"), col("lang"))
+        .join(dd.select((col("doc_id") - 1L).as("cid"),
+          col("doc_id").as("rid"), col("lang")), Seq("cid", "lang"))
+      val tok = dd
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "w")))
+        .withColumn("w2", lead(col("w"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      val u1 = tok.groupBy(col("doc_id"), expr(
+          "CAST(conv(substr(md5(concat('bl1:', w)), 1, 14), 16, 10)" +
+            " AS BIGINT)").as("g"))
+        .agg(count(lit(1)).as("n"))
+      val u2 = tok.filter(col("w2").isNotNull)
+        .groupBy(col("doc_id"), expr(
+          "CAST(conv(substr(md5(concat('bl2:', w, ' ', w2)), 1, 14)," +
+            " 16, 10) AS BIGINT)").as("g"))
+        .agg(count(lit(1)).as("n"))
+      val len = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("t"))
+      def clip(u: DataFrame, out: String) = pairs
+        .join(u.select(col("doc_id").as("cid"), col("g"),
+          col("n").as("nc")), "cid")
+        .join(u.select(col("doc_id").as("rid"), col("g"),
+          col("n").as("nr")), Seq("rid", "g"), "left")
+        .groupBy(col("cid"), col("rid"), col("lang"))
+        .agg(sum(least(col("nc"), coalesce(col("nr"), lit(0L)))).as(out))
+      val per = clip(u1, "clip1")
+        .join(clip(u2, "clip2").select(col("cid"), col("clip2")),
+          Seq("cid"), "left")
+        .join(len.select(col("doc_id").as("cid"), col("t").as("tc")), "cid")
+        .join(len.select(col("doc_id").as("rid"), col("t").as("tr")), "rid")
+        .select(col("cid"), col("lang"),
+          when(coalesce(col("clip2"), lit(0L)) === 0L, 0L)
+            .otherwise(round(
+              when(col("tc") > col("tr"), lit(1.0))
+                .otherwise(exp(lit(1.0) - col("tr").cast("double")
+                  / col("tc").cast("double")))
+              * sqrt((col("clip1").cast("double") / col("tc").cast("double"))
+                * (col("clip2").cast("double")
+                  / (col("tc") - 1L).cast("double"))) * lit(1e6))
+              .cast("long")).as("bq"),
+          when(coalesce(col("clip2"), lit(0L)) === 0L, 1L).otherwise(0L)
+            .as("z"))
+      per
+  }
+
+  private val q371 = QueryDef(
+    "q371_self_bleu",
+    (s, d) => {
+      val per = selfBleuPairs(docs(s, d))
+      per.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("bq")).as("sb"),
+          sum(col("z")).as("sz"))
+        .select(col("lang"), col("n_pairs"),
+          Num.roundZ(col("sb").cast("double")
+            / (col("n_pairs").cast("double") * lit(1e6)), 6)
+            .as("mean_bleu2"),
+          Num.roundZ(col("sz").cast("double")
+            / col("n_pairs").cast("double"), 6).as("zero_overlap_rate"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT c.doc_id AS cid, r.doc_id AS rid, c.lang
+        FROM documents c JOIN documents r
+          ON r.doc_id = c.doc_id + 1 AND r.lang = c.lang),
+      tok AS (
+        SELECT doc_id, w, pos,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents)),
+      u1 AS (
+        SELECT doc_id,
+               (('0x' || substr(md5('bl1:' || w), 1, 14))::BIGINT) AS g,
+               CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY 1, 2),
+      u2 AS (
+        SELECT doc_id,
+               (('0x' || substr(md5('bl2:' || w || ' ' || w2), 1, 14))
+                 ::BIGINT) AS g,
+               CAST(count(*) AS BIGINT) AS n
+        FROM tok WHERE w2 IS NOT NULL GROUP BY 1, 2),
+      len AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS t
+              FROM tok GROUP BY 1),
+      c1 AS (
+        SELECT p.cid, p.rid, p.lang,
+               CAST(sum(least(a.n, coalesce(b.n, 0))) AS BIGINT) AS clip1
+        FROM pairs p JOIN u1 a ON a.doc_id = p.cid
+        LEFT JOIN u1 b ON b.doc_id = p.rid AND b.g = a.g
+        GROUP BY 1, 2, 3),
+      c2 AS (
+        SELECT p.cid,
+               CAST(sum(least(a.n, coalesce(b.n, 0))) AS BIGINT) AS clip2
+        FROM pairs p JOIN u2 a ON a.doc_id = p.cid
+        LEFT JOIN u2 b ON b.doc_id = p.rid AND b.g = a.g
+        GROUP BY 1),
+      per AS (
+        SELECT c1.lang,
+               CASE WHEN coalesce(c2.clip2, 0) = 0 THEN 0
+                 ELSE CAST(round(
+                   (CASE WHEN lc.t > lr.t THEN 1.0
+                         ELSE exp(1.0 - CAST(lr.t AS DOUBLE)
+                           / CAST(lc.t AS DOUBLE)) END)
+                   * sqrt((CAST(c1.clip1 AS DOUBLE) / CAST(lc.t AS DOUBLE))
+                        * (CAST(c2.clip2 AS DOUBLE)
+                           / CAST(lc.t - 1 AS DOUBLE))) * 1e6) AS BIGINT)
+                 END AS bq,
+               CASE WHEN coalesce(c2.clip2, 0) = 0 THEN 1 ELSE 0 END AS z
+        FROM c1 LEFT JOIN c2 ON c2.cid = c1.cid
+        JOIN len lc ON lc.doc_id = c1.cid
+        JOIN len lr ON lr.doc_id = c1.rid)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_pairs,
+             (CAST(round((CAST(sum(bq) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1e6)) * 1e6) AS BIGINT) / 1e6)
+               AS mean_bleu2,
+             (CAST(round((CAST(sum(z) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) / 1e6)
+               AS zero_overlap_rate
+      FROM per GROUP BY lang ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(q37, q39, q40, q41, q42, q43, q44, q45, q46, q107, q110, q121, q133,
       q138, q147, q155, q159, q167, q186, q204, q217, q225, q227, q228,
       q233, q236, q253, q264, q275, q276, q278, q279, q290, q327, q329,
-      q333, q342, q344, q352, q356, q364, q367)
+      q333, q342, q344, q352, q356, q364, q367, q371)
 }

@@ -1953,6 +1953,51 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(got(("dow", dd)) == e.toDouble / 25600.0, s"dow $dd") }
   }
 
+  test("q372 log-rank: straight-line replay of O/E/V and the statistic") {
+    val pu = Tables.t(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(expr("min(unix_micros(ts) DIV 3600000000)").as("fd"),
+        expr("max(unix_micros(ts) DIV 3600000000)").as("ld"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val hz = pu.map(_._2).max
+    val nps = pu.map(_._3).sorted
+    val med = nps(((nps.length + 1) / 2) - 1) // exact lower median
+    val obs = pu.map { case (fd, ld, np) =>
+      val died = if (hz - ld > 24) 1L else 0L
+      val t = if (died == 1L) ld - fd else hz - fd
+      (t, died, if (np > med) 1L else 0L)
+    }
+    def rnd9(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val ts = obs.filter(_._2 == 1L).map(_._1).distinct.sorted
+    var (o1, e1q, vq) = (0L, 0L, 0L)
+    ts.foreach { t =>
+      val at = obs.filter(_._1 >= t)
+      val (n1, n0) = (at.count(_._3 == 1L).toLong,
+        at.count(_._3 == 0L).toLong)
+      val here = obs.filter(x => x._1 == t && x._2 == 1L)
+      val (d1, d0) = (here.count(_._3 == 1L).toLong,
+        here.count(_._3 == 0L).toLong)
+      val (d, n) = (d1 + d0, n1 + n0)
+      o1 += d1
+      e1q += rnd9(d.toDouble * n1.toDouble / n.toDouble * 1e9)
+      if (n > 1)
+        vq += rnd9(d.toDouble * (n1.toDouble / n.toDouble)
+          * (n0.toDouble / n.toDouble) * (n - d).toDouble
+          / (n - 1).toDouble * 1e9)
+    }
+    val r = q("q372_logrank_test")(spark, sf).collect().head
+    assert(r.getLong(4) == o1, "O1")
+    assert(r.getDouble(5) == rnd9(e1q / 1e9 * 1e6) / 1e6, "E1")
+    assert(r.getDouble(6) == rnd9(vq / 1e9 * 1e6) / 1e6, "V")
+    val z = o1.toDouble - e1q.toDouble / 1e9
+    assert(r.getDouble(7) == rnd9(z * z / (vq / 1e9) * 1e6) / 1e6, "chi2")
+    assert(r.getLong(8) ==
+      (if (z * z / (vq / 1e9) > 3.8414588206941254) 1L else 0L))
+  }
+
   test("q366 DSIR: threshold covers >= 25%; the en target is enriched") {
     val rows = q("q366_dsir_selection")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),

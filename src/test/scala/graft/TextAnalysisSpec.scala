@@ -356,4 +356,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L) == ((3L, 1000000L)), s"got ${got(2L)}")
     assert(got(3L) == ((1L, 0L)), s"got ${got(3L)}")
   }
+
+  test("q371 BLEU-2: identity pair scores 1, disjoint pair scores 0, " +
+    "short candidate pays exactly exp(1 - r/c)") {
+    import TestSpark._
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c a", "en"), (2L, "a b c a", "en"), // identical
+      (10L, "x y z w", "de"), (11L, "p q r s", "de"), // disjoint
+      (20L, "a b", "fr"), (21L, "a b c d", "fr") // short candidate
+    ).toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextAnalysis.selfBleuPairs(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((1000000L, 0L)), "identical pair must score 1.0")
+    assert(got(10L) == ((0L, 1L)), "disjoint pair must score 0 and flag")
+    // p1 = p2 = 1, BP = exp(1 - 4/2) = e^-1
+    assert(got(20L) == ((math.round(math.exp(-1.0) * 1e6), 0L)),
+      "brevity penalty must be exactly exp(1 - r/c)")
+  }
 }
