@@ -3175,7 +3175,7 @@ object Analytics {
         SELECT CASE WHEN hz - ld > 24 THEN 1 ELSE 0 END AS died,
                CAST(CASE WHEN hz - ld > 24 THEN ld - fd
                          ELSE hz - fd END AS BIGINT) AS t
-        FROM pu, hz, med),
+        FROM pu, hz),
       byt AS (
         SELECT t, CAST(sum(died) AS BIGINT) AS d,
                CAST(count(*) - sum(died) AS BIGINT) AS cens,
@@ -8527,7 +8527,12 @@ object Analytics {
             "1, 14), 16, 10) AS BIGINT)"))
         .localCheckpoint()
       var rem = pri0
-      var out: DataFrame = null
+      // seeded empty so a degenerate (edgeless) graph yields zero rows
+      // instead of an unset accumulator once the early-exit skips round 1
+      var out: DataFrame = pri0.select(col("node"))
+        .withColumn("status", lit("mis"))
+        .withColumn("sel_round", lit(0L))
+        .filter(lit(false))
       // early-exit on an empty remainder is output-equivalent (an empty
       // round tags nothing and leaves labels unchanged — the SQL mirror's
       // trailing rounds are no-ops on the same empty sets) and skips the
@@ -8550,7 +8555,7 @@ object Analytics {
           .withColumn("sel_round", lit(r.toLong))
           .union(dom.withColumn("status", lit("dominated"))
             .withColumn("sel_round", lit(r.toLong)))
-        out = if (out == null) tagged else out.union(tagged)
+        out = out.union(tagged)
         rem = rem.join(tagged.select(col("node")), Seq("node"), "left_anti")
           .localCheckpoint()
       }
@@ -8647,10 +8652,15 @@ object Analytics {
         .select(explode(expr("sequence(d0, d1)")).as("day"))
       val dense = grid.join(daily, Seq("day"), "left")
         .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+      // structural degenerate guard: the <7-day series produces ZERO rows
+      // (the oracle's rn=7 anchor join does the same), and the filter
+      // sits BELOW the fold projections so slice(ys, 8, t-7) never sees
+      // a negative length
       val st = dense
         .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("a"))
         .select(expr("transform(a, x -> x.y)").as("ys"))
         .withColumn("t", size(col("ys")).cast("long"))
+        .filter(col("t") >= 7L)
         .withColumn("l0", expr("CAST(round(aggregate(slice(ys, 1, 7), " +
           "CAST(0 AS BIGINT), (a, x) -> a + x) / 7.0D) AS BIGINT)"))
         .withColumn("p0", expr("transform(slice(ys, 1, 7), x -> x - l0)"))
@@ -8776,7 +8786,10 @@ object Analytics {
         .union(und.select(col("v").as("node"))).distinct()
         .withColumn("lbl", col("node"))
         .localCheckpoint()
-      var forest: DataFrame = null
+      // seeded empty for the degenerate edgeless graph (early-exit would
+      // otherwise leave the accumulator unset)
+      var forest: DataFrame = und.select(col("u"), col("v"), col("w"))
+        .withColumn("add_round", lit(0L)).filter(lit(false))
       // early-exit when no cross edges remain: a converged round chooses
       // nothing and relabels nothing (the SQL mirror's trailing rounds are
       // the same no-op), so skipping it is output-equivalent and saves the
@@ -8801,7 +8814,7 @@ object Analytics {
             (-col("m.nw")).as("w"), col("m.oc").as("t")))
         val chosen = ch.select(col("u"), col("v"), col("w")).distinct()
           .withColumn("add_round", lit(r.toLong))
-        forest = if (forest == null) chosen else forest.union(chosen)
+        forest = forest.union(chosen)
         val ptr = ch.select(col("c"), col("t"))
         val ptrB = ch.select(col("c").as("bc"), col("t").as("bt"))
         val coll = ptr.join(ptrB, col("t") === col("bc"), "left")
