@@ -1883,8 +1883,10 @@ object Pipeline {
   //
   // Scale: two corpus passes (bucket counts; per-doc scoring) — the
   // bucket LM table is FIXED at ≤ 4096 rows, broadcast back onto the
-  // token stream; the predecessor pairing reuses the doc_id exchange
-  // the per-doc aggregate needs (one shuffle, q364's shape). The
+  // token stream; bigram features are INTRA-ROW array probes (q364's
+  // no-window lesson — the lead() form shuffled the token stream at
+  // 5.6× bytes read, this form at 0.05×), so the only exchange is the
+  // per-doc partial aggregate. The
   // percentile runs on the collapsed wq grid (bounded by the weight
   // RANGE / 1e-6, never the corpus — the q102/q108 two-phase
   // discipline). Exactness: counts are exact BIGINTs; each bucket's
@@ -1897,14 +1899,14 @@ object Pipeline {
     "q366_dsir_selection",
     (s, d) => {
       val bgr = docs(s, d)
-        .select(col("doc_id"), col("lang"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .withColumn("w2", lead(col("w"), 1).over(
-          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), col("lang"), col("tk"),
+          explode(expr("sequence(1, size(tk) - 1)")).as("i"))
         .select(col("doc_id"), col("lang"), expr(
-          "CAST(conv(substr(md5(concat('ds:', w, ' ', w2)), 1, 14), " +
-            "16, 10) AS BIGINT) % 4096").as("b"))
+          "CAST(conv(substr(md5(concat('ds:', element_at(tk, i), ' ', " +
+            "element_at(tk, i + 1))), 1, 14), 16, 10) AS BIGINT) % 4096")
+          .as("b"))
       val cs = bgr.groupBy(col("b")).agg(count(lit(1)).as("ns"))
       val ct = bgr.filter(col("lang") === "en")
         .groupBy(col("b")).agg(count(lit(1)).as("nt"))

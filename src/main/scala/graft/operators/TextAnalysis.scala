@@ -2963,10 +2963,12 @@ object TextAnalysis {
   // null-calibration audit, the number you read before trusting the
   // detector on a crawl.
   //
-  // Scale: one corpus pass; the predecessor pairing is a per-doc window
-  // (bounded by doc length) whose doc_id exchange is REUSED by the
-  // per-doc aggregate (same key — one shuffle total), then a
-  // lang-grid rollup. Exactness: green bits and counts are exact
+  // Scale: one corpus pass; the predecessor pairing is INTRA-ROW array
+  // indexing over the split tokens (no window — the first cut paired
+  // via lead() and shuffled the exploded token stream at 5.7× bytes
+  // read; ShuffleProf caught it, the rewrite reads 0.13×), so the only
+  // exchange carries per-doc partial aggregates, then a lang-grid
+  // rollup. Exactness: green bits and counts are exact
   // BIGINTs; z is (exact int)/√(exact int) — one correctly-rounded
   // sqrt + one division, identical doubles both engines (q301's
   // discipline) — quantized to 1e-6 BIGINTs before the grid sums, so
@@ -2976,14 +2978,13 @@ object TextAnalysis {
   /** q364 core, exposed for the spec's planted-document pins: per-doc
     * scored-position count, green count, and 1e-6-quantized z-score. */
   def watermarkZ(d0: DataFrame): DataFrame =
-    d0.select(col("doc_id"), col("lang"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .withColumn("w2", lead(col("w"), 1).over(
-        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .filter(col("w2").isNotNull)
+    d0.select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("lang"), col("tk"),
+        explode(expr("sequence(1, size(tk) - 1)")).as("i"))
       .withColumn("green", expr(
-        "CAST(conv(substr(md5(concat('wm:', w, ' ', w2)), 1, 14), " +
-          "16, 10) AS BIGINT) % 2"))
+        "CAST(conv(substr(md5(concat('wm:', element_at(tk, i), ' ', " +
+          "element_at(tk, i + 1))), 1, 14), 16, 10) AS BIGINT) % 2"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("t"), sum(col("green")).as("g"))
       .withColumn("zq", round((lit(2L) * col("g") - col("t"))
@@ -3055,9 +3056,10 @@ object TextAnalysis {
   // best rate ≥ 0.9. Per-(lang, best_p) report: doc counts, flags,
   // mean best rate — the period histogram a crawl-QA dashboard shows.
   //
-  // Scale: ONE corpus pass; the 8 lags share a single per-doc window
-  // spec (one doc_id exchange, reused by the per-doc aggregate —
-  // q364's shape), then a ≤ |lang|·8 grid rollup. Exactness: match
+  // Scale: ONE corpus pass; all 8 lags are INTRA-ROW try_element_at
+  // probes against the split token array (q364's no-window lesson —
+  // the lead() form shuffled the token stream at 5.7× bytes read,
+  // the rewrite at 0.28×), then a ≤ |lang|·8 grid rollup. Exactness: match
   // counts are exact BIGINTs; each rate is one division quantized to
   // 1e-6; the argmax is the house packed-integer max (rateq·16 +
   // (15 − p), p ≤ 8 < 16); docs need T > 8 tokens (declared contract —
@@ -3066,13 +3068,14 @@ object TextAnalysis {
     * period and 1e-6-quantized best self-match rate (docs with > 8
     * tokens only — the declared contract). */
   def periodicBest(d0: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     var tok = d0
-      .select(col("doc_id"), col("lang"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("lang"), col("tk"),
+        explode(expr("sequence(1, size(tk))")).as("i"))
     for (p <- 1 to 8)
       tok = tok.withColumn(s"m$p",
-        when(lead(col("w"), p).over(w) === col("w"), 1L).otherwise(0L))
+        when(expr(s"try_element_at(tk, i + $p)")
+          === expr("element_at(tk, i)"), 1L).otherwise(0L))
     val per = tok.groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("t"),
         (1 to 8).map(p => sum(col(s"m$p")).as(s"s$p")): _*)
@@ -3158,8 +3161,9 @@ object TextAnalysis {
   // the pair join is an equi-join on doc_id).
   //
   // Scale: one corpus pass builds per-doc gram count tables keyed by
-  // md5 gram ids (q344's lesson — raw gram strings never shuffle);
-  // the pair evaluation is two equi-joins keyed on (doc_id, gram_id)
+  // md5 gram ids (q344's lesson — raw gram strings never shuffle;
+  // gram generation is intra-row array indexing, q364's no-window
+  // lesson); the pair evaluation is two equi-joins keyed on (doc_id, gram_id)
   // with map-side-combinable clipped sums; the rollup is the lang
   // grid. Exactness: counts/clips exact BIGINTs; each pair's score is
   // a fixed-order double expression of exact-integer ratios (one exp,
@@ -3171,21 +3175,22 @@ object TextAnalysis {
       val pairs = dd.select(col("doc_id").as("cid"), col("lang"))
         .join(dd.select((col("doc_id") - 1L).as("cid"),
           col("doc_id").as("rid"), col("lang")), Seq("cid", "lang"))
-      val tok = dd
-        .select(col("doc_id"), posexplode(split(col("text"), " "))
-          .as(Seq("pos", "w")))
-        .withColumn("w2", lead(col("w"), 1).over(
-          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      val u1 = tok.groupBy(col("doc_id"), expr(
+      val base = dd.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val u1 = base
+        .select(col("doc_id"), explode(col("tk")).as("w"))
+        .groupBy(col("doc_id"), expr(
           "CAST(conv(substr(md5(concat('bl1:', w)), 1, 14), 16, 10)" +
             " AS BIGINT)").as("g"))
         .agg(count(lit(1)).as("n"))
-      val u2 = tok.filter(col("w2").isNotNull)
+      val u2 = base.filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(1, size(tk) - 1)")).as("i"))
         .groupBy(col("doc_id"), expr(
-          "CAST(conv(substr(md5(concat('bl2:', w, ' ', w2)), 1, 14)," +
-            " 16, 10) AS BIGINT)").as("g"))
+          "CAST(conv(substr(md5(concat('bl2:', element_at(tk, i), ' ', " +
+            "element_at(tk, i + 1))), 1, 14), 16, 10) AS BIGINT)").as("g"))
         .agg(count(lit(1)).as("n"))
-      val len = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("t"))
+      val len = base.select(col("doc_id"),
+        size(col("tk")).cast("long").as("t"))
       def clip(u: DataFrame, out: String) = pairs
         .join(u.select(col("doc_id").as("cid"), col("g"),
           col("n").as("nc")), "cid")
