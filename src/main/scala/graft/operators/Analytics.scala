@@ -9422,6 +9422,157 @@ object Analytics {
                THEN 1 ELSE 0 END AS BIGINT) AS reject95
       FROM grp, agg"""))
 
+  // --------------------------------------------------------------- q373
+  // Betweenness centrality, sampled Brandes ([EXT]; Brandes 2001,
+  // sampling per Brandes–Pich 2007) — the broker-detection member of
+  // the graph shelf: PageRank/HITS score VISIBILITY, k-core DENSITY,
+  // this scores CHOKEPOINTS (how much shortest-path traffic crosses a
+  // node — the "which brand bridges the co-purchase communities"
+  // read). Exact Brandes from K = 3 deterministic pivot sources (the
+  // smallest brand ids — the published estimator averages over pivots;
+  // K and the BFS depth D = 4 are declared bounded contracts like
+  // q183's): forward BFS accumulates shortest-path counts σ level by
+  // level (σ(v) = Σ σ(u) over predecessors), the backward pass
+  // accumulates dependencies δ(u) += (σu/σw)(1 + δw) from the deepest
+  // level up, and bc(v) = Σ_sources δ_s(v), v ≠ s.
+  //
+  // Scale: the corpus appears once (q313's basket pass); BFS/σ/δ are
+  // 3·D grid joins keyed on (source, node), each localCheckpointed
+  // (linear per-round growth — plain checkpoints suffice, the q368
+  // squaring trap needs a SELF-join). On a billion-node graph this is
+  // textbook Pregel Brandes; sampling K pivots is exactly how it runs
+  // at that grain. Exactness: σ are exact BIGINT path counts; δ lives
+  // in 1e-9 integer units — each edge contribution is ONE correctly-
+  // rounded division round(σu·(1e9 + δq_w)/σw) of exact integers
+  // (products ≪ 2^53), and level sums are exact in any order; the
+  // oracle's unrolled CTEs replay the identical arithmetic.
+  private val BcDepth = 4
+  private val q373 = QueryDef(
+    "q373_betweenness_brandes",
+    (s, d) => {
+      val und = knnLiftEdges(s, d)
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val adj = und.select(col("u").as("x"), col("v").as("y"))
+        .union(und.select(col("v").as("x"), col("u").as("y")))
+        .localCheckpoint()
+      val nodes = adj.select(col("x").as("node")).distinct()
+        .localCheckpoint()
+      val sources = nodes.orderBy(col("node")).limit(3)
+        .select(col("node").as("src"))
+      // ScaleCheckpoint (not plain localCheckpoint) for the loop
+      // accumulators: the rewrap mints FRESH attribute ids, so the
+      // level/accumulator frames never collide with their own lineage in
+      // the anti-join (Catalyst cannot dedup conflicting references
+      // against a LogicalRDD), and the inherited-stats growth resets too
+      var level = sources
+        .select(col("src"), col("src").as("node"), lit(1L).as("sigma"))
+      var distSig = graft.ScaleCheckpoint(
+        level.withColumn("lvl", lit(0L)))
+      for (l <- 1 to BcDepth) {
+        val cand = level.join(adj, col("node") === col("x"))
+          .select(col("src"), col("y").as("nnode"), col("sigma"))
+          .groupBy(col("src"), col("nnode"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .select(col("src"), col("nnode").as("node"), col("sigma"))
+        level = graft.ScaleCheckpoint(
+          cand.join(distSig.select(col("src"), col("node")),
+            Seq("src", "node"), "left_anti"))
+        distSig = graft.ScaleCheckpoint(distSig
+          .union(level.withColumn("lvl", lit(l.toLong))))
+      }
+      var delta = graft.ScaleCheckpoint(
+        distSig.select(col("src"), col("node"), lit(0L).as("dq")))
+      for (l <- BcDepth to 1 by -1) {
+        val ws = distSig.filter(col("lvl") === l.toLong)
+          .join(delta, Seq("src", "node"))
+          .select(col("src"), col("node").as("w"), col("sigma").as("sw"),
+            col("dq").as("dw"))
+        val us = distSig.filter(col("lvl") === (l - 1).toLong)
+          .select(col("src"), col("node").as("u"), col("sigma").as("su"))
+        val contrib = us
+          .join(adj.select(col("x").as("u"), col("y").as("w")), "u")
+          .join(ws, Seq("src", "w"))
+          .select(col("src"), col("u").as("node"),
+            round(col("su").cast("double")
+              * (lit(1000000000L) + col("dw")).cast("double")
+              / col("sw").cast("double")).cast("long").as("add"))
+          .groupBy(col("src"), col("node")).agg(sum(col("add")).as("add"))
+        delta = graft.ScaleCheckpoint(
+          delta.join(contrib, Seq("src", "node"), "left")
+          .select(col("src"), col("node"),
+            (col("dq") + coalesce(col("add"), lit(0L))).as("dq")))
+      }
+      val bc = delta.filter(col("node") =!= col("src"))
+        .groupBy(col("node")).agg(sum(col("dq")).as("dsum"))
+      nodes.join(bc, Seq("node"), "left")
+        .select(col("node").as("brand_id"),
+          Num.roundZ(coalesce(col("dsum"), lit(0L)).cast("double")
+            / lit(1e9), 6).as("betweenness"))
+        .orderBy(col("brand_id"))
+    },
+    Some {
+      val fwd = (1 to BcDepth).map { l =>
+        s"""lv$l AS MATERIALIZED (
+        SELECT c.src, c.node, c.sigma FROM (
+          SELECT p.src, a.y AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+          FROM lv${l - 1} p JOIN adj a ON a.x = p.node
+          GROUP BY 1, 2) c
+        WHERE NOT EXISTS (SELECT 1 FROM ds${l - 1} d
+                          WHERE d.src = c.src AND d.node = c.node)),
+      ds$l AS MATERIALIZED (
+        SELECT src, node, sigma, lvl FROM ds${l - 1}
+        UNION ALL
+        SELECT src, node, sigma, CAST($l AS BIGINT) FROM lv$l)"""
+      }.mkString(",\n      ")
+      val bwd = (1 to BcDepth).reverse.map { l =>
+        val prev = if (l == BcDepth) s"dl${BcDepth + 1}" else s"dl${l + 1}"
+        s"""ctr$l AS (
+        SELECT u.src, u.node,
+               CAST(sum(CAST(round(CAST(u.sigma AS DOUBLE)
+                 * CAST(1000000000 + w.dq AS DOUBLE)
+                 / CAST(w.sigma AS DOUBLE)) AS BIGINT)) AS BIGINT) AS v
+        FROM (SELECT src, node, sigma FROM ds$BcDepth
+              WHERE lvl = ${l - 1}) u
+        JOIN adj a ON a.x = u.node
+        JOIN (SELECT d.src, d.node, d.sigma, p.dq
+              FROM ds$BcDepth d JOIN $prev p
+                ON p.src = d.src AND p.node = d.node
+              WHERE d.lvl = $l) w
+          ON w.src = u.src AND w.node = a.y
+        GROUP BY 1, 2),
+      dl$l AS MATERIALIZED (
+        SELECT p.src, p.node, p.dq + coalesce(c.v, 0) AS dq
+        FROM $prev p LEFT JOIN ctr$l c
+          ON c.src = p.src AND c.node = p.node)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $knnEdgesSql,
+      und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+              FROM edges WHERE a <> b),
+      adj AS MATERIALIZED (
+        SELECT u AS x, v AS y FROM und
+        UNION ALL SELECT v, u FROM und),
+      nodes AS (SELECT DISTINCT x AS node FROM adj),
+      srcs AS (SELECT node AS src FROM nodes ORDER BY node LIMIT 3),
+      lv0 AS (SELECT src, src AS node, CAST(1 AS BIGINT) AS sigma
+              FROM srcs),
+      ds0 AS (SELECT src, node, sigma, CAST(0 AS BIGINT) AS lvl FROM lv0),
+      $fwd,
+      dl${BcDepth + 1} AS (
+        SELECT src, node, CAST(0 AS BIGINT) AS dq FROM ds$BcDepth),
+      $bwd,
+      bc AS (
+        SELECT node, CAST(sum(dq) AS BIGINT) AS dsum
+        FROM dl1 WHERE node <> src GROUP BY 1)
+      SELECT n.node AS brand_id,
+             (CAST(round((CAST(coalesce(bc.dsum, 0) AS DOUBLE) / 1e9)
+               * 1e6) AS BIGINT) / 1e6) AS betweenness
+      FROM nodes n LEFT JOIN bc ON bc.node = n.node
+      ORDER BY brand_id"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q38, q52, q55, q102, q108, q125, q126, q127, q131, q132, q134,
       q140, q144, q145, q146, q149, q150, q152, q153, q157, q158, q160,
@@ -9431,5 +9582,5 @@ object Analytics {
       q259, q262, q263, q265, q271, q274, q280, q288, q289, q291, q292, q293, q294, q296, q297, q298, q301, q302, q303, q305, q306, q307,
       q308, q309, q311, q313, q314, q315, q316, q319, q321, q323, q324, q325, q326, q330, q332,
       q334, q335, q336, q337, q338, q345, q347, q349, q351, q353, q363,
-      q365, q368, q369, q370, q372)
+      q365, q368, q369, q370, q372, q373)
 }

@@ -1998,6 +1998,60 @@ class AnalyticsSpec extends AnyFunSuite {
       (if (z * z / (vq / 1e9) > 3.8414588206941254) 1L else 0L))
   }
 
+  test("q373 Brandes betweenness: straight-line replay from the 3 pivots") {
+    // replay BFS sigma counting and the backward dependency accumulation
+    // driver-side in the same 1e-9 integer units and demand node-for-node
+    // equality (the per-edge rounded division is the cross-engine
+    // contract — any reordering or double drift would break it)
+    val edges = rebuildKnnEdges().map { case (a, b, _) => (a, b) }
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (u, v) => u != v }.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (x, xs) => x -> xs.map(_._2).toSet }
+    val nodes = adj.keySet
+    val sources = nodes.toSeq.sorted.take(3)
+    def rnd(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val bcAcc = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    sources.foreach { s =>
+      var dist = Map(s -> 0)
+      var sigma = Map(s -> 1L)
+      var frontier = Set(s)
+      for (l <- 1 to 4) {
+        val cand = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        frontier.foreach(u => adj(u).foreach { v =>
+          if (!dist.contains(v)) cand(v) += sigma(u)
+        })
+        frontier = cand.keySet.toSet
+        cand.foreach { case (v, sg) =>
+          dist += v -> l; sigma += v -> sg
+        }
+      }
+      var dq = dist.keys.map(_ -> 0L).toMap
+      for (l <- 4 to 1 by -1) {
+        val add = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        dist.filter(_._2 == l).keys.foreach { w =>
+          adj(w).foreach { u =>
+            if (dist.get(u).contains(l - 1))
+              add(u) += rnd(sigma(u).toDouble
+                * (1000000000L + dq(w)).toDouble / sigma(w).toDouble)
+          }
+        }
+        dq = dq.map { case (n, v) => n -> (v + add(n)) }
+      }
+      dq.foreach { case (n, v) => if (n != s) bcAcc(n) += v }
+    }
+    val got = q("q373_betweenness_brandes")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == nodes, "every node must appear")
+    nodes.foreach { n =>
+      assert(got(n) == rnd(bcAcc(n) / 1e9 * 1e6) / 1e6, s"node $n")
+    }
+  }
+
   test("q366 DSIR: threshold covers >= 25%; the en target is enriched") {
     val rows = q("q366_dsir_selection")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
