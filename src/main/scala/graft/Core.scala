@@ -13,7 +13,15 @@ import org.apache.spark.sql.functions._
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    /** FIT-DEPENDENT oracle SQL (r11): queries whose oracle embeds a model
+      * trained at run time (the compiled tree scorers, graft.ml.TreeSql)
+      * can't carry static SQL — the text exists only after `fn` has fit.
+      * Verify evaluates this AFTER running the queries, in the same JVM,
+      * so the generator reads the exact fitted model the parquet was
+      * scored with (each ML query memoizes its scorer SQL per (name, sf
+      * dir) at fit time). Takes precedence over `oracle` when both set. */
+    oracleGen: Option[(SparkSession, String) => String] = None)
 
 object Tables {
   val all: Seq[String] = Seq(

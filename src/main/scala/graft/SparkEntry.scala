@@ -35,9 +35,28 @@ object SparkEntry {
     modules.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops. Static
+    * entries only — fit-dependent oracles (compiled tree scorers) need a
+    * live session + sf dir; see [[oracleSqlFor]]. */
   def oracleSql: Map[String, String] =
     modules.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Full oracle map including FIT-DEPENDENT SQL (r11): for queries whose
+    * oracle embeds a runtime-fitted model (graft.ml.TreeSql scorers), the
+    * generator is evaluated against this session + sf dir. A generator
+    * that throws drops its entry — the driver then records the weaker
+    * rows-only check for that query instead of failing the dump. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSql ++ modules.flatMap { q =>
+      q.oracleGen.flatMap { gen =>
+        try Some(q.name -> gen(spark, sfDir))
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[oracleGen] ${q.name} failed: ${e.getMessage}")
+            None
+        }
+      }
+    }.toMap
 
   /** query name → owning-module family label, for the per-family rollup in
     * BENCH_SUMMARY.json (r9 verdict item 3: headline numbers must survive

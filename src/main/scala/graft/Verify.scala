@@ -41,7 +41,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // r11: includes fit-dependent oracles (compiled tree scorers) — the
+    // generators run AFTER the query pass above, so in a full run they
+    // reuse the memoized SQL of the exact models the parquet was scored
+    // with (subset runs re-fit deterministically on demand).
+    val oracles = SparkEntry.oracleSqlFor(spark, sfDir)
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // VERIFY_SUMMARY.json (r9 verdict item 3): tail-proof headline written
@@ -53,7 +58,7 @@ object Verify {
         s"""{"n_executed":${nOk + nFail},"n_ok":$nOk,"n_failed":$nFail,""" +
           s""""failed":${failedNames.map("\"" + _ + "\"")
             .mkString("[", ",", "]")},""" +
-          s""""n_oracle":${SparkEntry.oracleSql.size},"sf":"$sfDir"}""" + "\n")
+          s""""n_oracle":${oracles.size},"sf":"$sfDir"}""" + "\n")
     spark.stop()
   }
 }

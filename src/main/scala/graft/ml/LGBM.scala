@@ -380,8 +380,15 @@ class LGBMRegressor(val params: LGBMParams = LGBMParams()) {
     val data = Featurize(df, featuresCol)
       .withColumn("label", col(labelCol).cast("double"))
     if (params.objective == "quantile" && weightCol.isEmpty) {
+      // NO cast after vector_to_array: it already returns array<double>
+      // with containsNull=false, and a cast to the DDL type (containsNull
+      // =true) is a no-op SimplifyCasts removes during optimization —
+      // leaving the analyzed and optimized plans disagreeing on the
+      // ArrayType's containsNull, which is exactly the `WARN LogicalRDD:
+      // output columns ... aren't the same` every Pinball localCheckpoint
+      // then emits (r10 verdict item 4; root-caused via tools/PinWarnProbe).
       val pdata = data.withColumn("_farr",
-        vector_to_array(col("features")).cast("array<double>"))
+        vector_to_array(col("features")))
       val pb = Pinball.fit(pdata, params.alpha, params.nEstimators,
         params.maxDepth, params.learningRate, params.seed)
       new LGBMRegressorModel(Right(pb))
@@ -428,17 +435,26 @@ class LGBMRegressorModel private[graft] (
     case Right(pb) => pb.f0
   }
 
+  /** Inference compiles the fitted ensemble to a native Column over the
+    * feature array (TreeSql.gbtMarginCol / Pinball.predictCol) instead of
+    * calling `model.transform`: (a) the scorer stays inside whole-stage
+    * codegen — `transform` wraps a per-row UDF closure; (b) the margin is
+    * a fixed left-assoc expression tree, so predictions are bitwise
+    * REPRODUCIBLE and portable — MLlib's own scorer routes the tree dot
+    * through netlib's `Java11BLAS.ddotK`, whose 4-lane `Math.fma`
+    * accumulation no second engine (or future JDK) is guaranteed to
+    * replay. Values agree with `transform` to fma-lane rounding (≤ ulps;
+    * MLSpec pins the equivalence). */
   def predict(df: DataFrame, featuresCol: Seq[String] = Seq("features")): DataFrame =
     backend match {
       case Left((m, off)) =>
-        val out = m.transform(Featurize(df, featuresCol))
-        if (off != 0.0)
-          out.withColumn("prediction", col("prediction") + lit(off))
-        else out
+        val margin = TreeSql.gbtMarginCol(m.trees, m.treeWeights,
+          vector_to_array(col("features")))
+        Featurize(df, featuresCol).withColumn("prediction",
+          if (off != 0.0) margin + lit(off) else margin)
       case Right(pb) =>
         Featurize(df, featuresCol).withColumn("prediction",
-          pb.predictCol(vector_to_array(col("features"))
-            .cast("array<double>")))
+          pb.predictCol(vector_to_array(col("features"))))
     }
 
   def toLocal: PredictionModel[Vector, _] = backend match {

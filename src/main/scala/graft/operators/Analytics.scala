@@ -8758,8 +8758,10 @@ object Analytics {
   // chosen edges. The merge is the textbook pointer machinery: the
   // chooser→other functional graph has only 2-cycles (both endpoints
   // of the order-best edge of a part choose it), collapsed to
-  // min-labeled roots, then 5 pointer-jump rounds (covers chains ≤ 2³²
-  // components — at brand grain, astronomically slack). Rounds are a
+  // min-labeled roots, then 5 pointer-jump rounds (doubling covers
+  // chooser chains of depth ≤ 2⁵ = 32 — sufficient here because the
+  // brand grid has ~25 nodes, so no chain can be deeper; a general
+  // graph would loop jumps to fixpoint instead). Rounds are a
   // declared bounded contract (R = 4; components at least halve per
   // round, so unconverged parts simply stop growing the forest — same
   // honesty as q363's 'open').
@@ -9327,24 +9329,26 @@ object Analytics {
         sum(lit(1L) - col("g")).as("n_grp0"),
         sum(col("died") * col("g")).as("churn1"),
         sum(col("died") * (lit(1L) - col("g"))).as("churn0"))
+      // the guarded χ² is computed ONCE as a named column (r11 ADVICE
+      // closure: the old form re-evaluated the division as the right
+      // operand of reject95's &&, the duplicated-subexpression pattern
+      // the r10 CSE finding flags); chi2 and reject95 both derive from
+      // it — chi2raw is NULL when vq = 0, so `chi2raw > crit` is NULL →
+      // otherwise(0), identical to the old vq-guard
       terms.agg(sum(col("d1")).as("o1"), sum(col("e1q")).as("e1q"),
           sum(col("vq")).as("vq"))
         .crossJoin(broadcast(grp))
+        .withColumn("dev", col("o1").cast("double")
+          - col("e1q").cast("double") / lit(1e9))
+        .withColumn("chi2raw", when(col("vq") > 0L,
+          col("dev") * col("dev") / (col("vq").cast("double") / lit(1e9))))
         .select(col("n_grp1"), col("n_grp0"), col("churn1"), col("churn0"),
           col("o1"),
           Num.roundZ(col("e1q").cast("double") / lit(1e9), 6).as("e1"),
           Num.roundZ(col("vq").cast("double") / lit(1e9), 6).as("v"),
-          when(col("vq") > 0L, Num.roundZ((col("o1").cast("double")
-            - col("e1q").cast("double") / lit(1e9))
-            * (col("o1").cast("double")
-              - col("e1q").cast("double") / lit(1e9))
-            / (col("vq").cast("double") / lit(1e9)), 6)).as("chi2"),
-          when(col("vq") > 0L && (col("o1").cast("double")
-            - col("e1q").cast("double") / lit(1e9))
-            * (col("o1").cast("double")
-              - col("e1q").cast("double") / lit(1e9))
-            / (col("vq").cast("double") / lit(1e9))
-            > lit(3.8414588206941254), 1L).otherwise(0L).as("reject95"))
+          Num.roundZ(col("chi2raw"), 6).as("chi2"),
+          when(col("chi2raw") > lit(3.8414588206941254), 1L)
+            .otherwise(0L).as("reject95"))
     },
     Some("""
       WITH pu AS (
@@ -9403,24 +9407,24 @@ object Analytics {
         SELECT CAST(sum(d1) AS BIGINT) AS o1,
                CAST(sum(e1q) AS BIGINT) AS e1q,
                CAST(sum(vq) AS BIGINT) AS vq
-        FROM terms)
-      SELECT grp.n_grp1, grp.n_grp0, grp.churn1, grp.churn0, agg.o1,
-             (CAST(round((CAST(agg.e1q AS DOUBLE) / 1e9) * 1e6) AS BIGINT)
+        FROM terms),
+      chi AS (
+        SELECT grp.n_grp1, grp.n_grp0, grp.churn1, grp.churn0,
+               agg.o1, agg.e1q, agg.vq,
+               CASE WHEN agg.vq > 0 THEN
+                 (CAST(agg.o1 AS DOUBLE) - CAST(agg.e1q AS DOUBLE) / 1e9)
+                 * (CAST(agg.o1 AS DOUBLE) - CAST(agg.e1q AS DOUBLE) / 1e9)
+                 / (CAST(agg.vq AS DOUBLE) / 1e9) END AS chi2raw
+        FROM grp, agg)
+      SELECT n_grp1, n_grp0, churn1, churn0, o1,
+             (CAST(round((CAST(e1q AS DOUBLE) / 1e9) * 1e6) AS BIGINT)
                / 1e6) AS e1,
-             (CAST(round((CAST(agg.vq AS DOUBLE) / 1e9) * 1e6) AS BIGINT)
+             (CAST(round((CAST(vq AS DOUBLE) / 1e9) * 1e6) AS BIGINT)
                / 1e6) AS v,
-             CASE WHEN agg.vq > 0 THEN
-               (CAST(round(((CAST(agg.o1 AS DOUBLE)
-               - CAST(agg.e1q AS DOUBLE) / 1e9)
-               * (CAST(agg.o1 AS DOUBLE) - CAST(agg.e1q AS DOUBLE) / 1e9)
-               / (CAST(agg.vq AS DOUBLE) / 1e9)) * 1e6) AS BIGINT) / 1e6)
-               END AS chi2,
-             CAST(CASE WHEN agg.vq > 0 AND (CAST(agg.o1 AS DOUBLE)
-               - CAST(agg.e1q AS DOUBLE) / 1e9)
-               * (CAST(agg.o1 AS DOUBLE) - CAST(agg.e1q AS DOUBLE) / 1e9)
-               / (CAST(agg.vq AS DOUBLE) / 1e9) > 3.8414588206941254
+             (CAST(round(chi2raw * 1e6) AS BIGINT) / 1e6) AS chi2,
+             CAST(CASE WHEN chi2raw > 3.8414588206941254
                THEN 1 ELSE 0 END AS BIGINT) AS reject95
-      FROM grp, agg"""))
+      FROM chi"""))
 
   // --------------------------------------------------------------- q373
   // Betweenness centrality, sampled Brandes ([EXT]; Brandes 2001,

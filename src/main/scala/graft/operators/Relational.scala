@@ -2771,24 +2771,28 @@ object Relational {
       // of per-constraint selects would re-evaluate the whole metrics
       // subtree per branch (measured: 18 scans instead of 3 before this
       // form; the PlanSpec pin is what caught it)
+      // nullif(n_rows, 0): on an EMPTY table every ratio is 0/0 — ANSI
+      // Spark THROWS where DuckDB yields NULL (the q151 empty-input class,
+      // caught by DegenerateDataSpec's board-wide empty sweep, r11); with
+      // NULLIF both engines report metric NULL and the vacuous pass=true
       m.select(expr("""stack(6,
           'completeness_l_orderkey',
-            round(cast(n_ok_nonnull as double) / n_rows, 6),
+            round(cast(n_ok_nonnull as double) / nullif(n_rows, 0), 6),
             n_ok_nonnull = n_rows,
           'domain_l_returnflag',
-            round(cast(n_flag_dom as double) / n_rows, 6),
+            round(cast(n_flag_dom as double) / nullif(n_rows, 0), 6),
             n_flag_dom = n_rows,
           'range_l_quantity_1_50',
-            round(cast(n_qty_rng as double) / n_rows, 6),
+            round(cast(n_qty_rng as double) / nullif(n_rows, 0), 6),
             n_qty_rng = n_rows,
           'range_l_discount_0_01',
-            round(cast(n_disc_rng as double) / n_rows, 6),
+            round(cast(n_disc_rng as double) / nullif(n_rows, 0), 6),
             n_disc_rng = n_rows,
           'unique_key_orderkey_linenumber',
-            round(cast(n_key as double) / n_rows, 6),
+            round(cast(n_key as double) / nullif(n_rows, 0), 6),
             n_key = n_rows,
           'referential_orderkey_in_orders',
-            round(1.0D - cast(n_orphan as double) / n_rows, 6),
+            round(1.0D - cast(n_orphan as double) / nullif(n_rows, 0), 6),
             n_orphan = 0L
         ) AS (check_name, metric, pass)"""))
         .orderBy(col("check_name"))
@@ -2813,27 +2817,27 @@ object Relational {
       m AS (SELECT * FROM one CROSS JOIN orph)
       SELECT check_name, metric, pass FROM (
         SELECT 'completeness_l_orderkey' AS check_name,
-               round(CAST(n_ok_nonnull AS DOUBLE) / n_rows, 6) AS metric,
+               round(CAST(n_ok_nonnull AS DOUBLE) / NULLIF(n_rows, 0), 6) AS metric,
                n_ok_nonnull = n_rows AS pass FROM m
         UNION ALL
         SELECT 'domain_l_returnflag',
-               round(CAST(n_flag_dom AS DOUBLE) / n_rows, 6),
+               round(CAST(n_flag_dom AS DOUBLE) / NULLIF(n_rows, 0), 6),
                n_flag_dom = n_rows FROM m
         UNION ALL
         SELECT 'range_l_quantity_1_50',
-               round(CAST(n_qty_rng AS DOUBLE) / n_rows, 6),
+               round(CAST(n_qty_rng AS DOUBLE) / NULLIF(n_rows, 0), 6),
                n_qty_rng = n_rows FROM m
         UNION ALL
         SELECT 'range_l_discount_0_01',
-               round(CAST(n_disc_rng AS DOUBLE) / n_rows, 6),
+               round(CAST(n_disc_rng AS DOUBLE) / NULLIF(n_rows, 0), 6),
                n_disc_rng = n_rows FROM m
         UNION ALL
         SELECT 'unique_key_orderkey_linenumber',
-               round(CAST(n_key AS DOUBLE) / n_rows, 6),
+               round(CAST(n_key AS DOUBLE) / NULLIF(n_rows, 0), 6),
                n_key = n_rows FROM m
         UNION ALL
         SELECT 'referential_orderkey_in_orders',
-               round(1.0 - CAST(n_orphan AS DOUBLE) / n_rows, 6),
+               round(1.0 - CAST(n_orphan AS DOUBLE) / NULLIF(n_rows, 0), 6),
                n_orphan = 0 FROM m)
       ORDER BY check_name"""))
 

@@ -3154,9 +3154,12 @@ object TextAnalysis {
   // c_ref(g)) / #grams_cand, brevity penalty exp(1 − r/c) when the
   // candidate is shorter, score = BP·√(p₁p₂), no smoothing (zero bigram
   // overlap scores 0 — reported separately as the zero-overlap rate).
-  // Pairing is the id-successor within the same lang (a documented
-  // deterministic 1-pair-per-doc surrogate for the quadratic
-  // each-vs-all self-BLEU; at this grain the mean over ~n pairs is the
+  // Pairing: (doc_id, doc_id+1) ONLY when that exact successor shares
+  // the lang — a doc whose immediate id-successor is another lang gets
+  // no pair, so per-lang pair counts depend on how langs interleave in
+  // id order (a documented deterministic ≤-1-pair-per-doc surrogate
+  // for the quadratic each-vs-all self-BLEU, mirrored identically in
+  // the oracle; at this grain the mean over the surviving pairs is the
   // diversity signal, and no low-cardinality lang window is needed —
   // the pair join is an equi-join on doc_id).
   //

@@ -161,4 +161,47 @@ class DegenerateDataSpec extends AnyFunSuite {
       "ANSI divide-by-zero on degenerate data (DuckDB would yield NULL " +
         s"— guard with when(den>0)/NULLIF):\n${failures.mkString("\n")}")
   }
+
+  /** Every table EMPTY (schema-correct, zero rows) — the r9 q151 class
+    * (empty lineitem → coalesce(sum...) guard) swept board-wide instead
+    * of lineitem-shaped only (r10 verdict item 6): documents, embeddings
+    * and events empties were previously unswept. The dangerous pattern
+    * is a NON-NULL numerator over count()=0 or a literal denominator
+    * that an empty input drives to zero: sum-over-empty is NULL and NULL
+    * ÷ 0 propagates NULL under ANSI, but lit ÷ count(empty) THROWS where
+    * DuckDB yields NULL — the same cross-engine divergence class. Gate
+    * semantics match the sweep above: only arithmetic failures fail;
+    * empty-result artifacts (driver-side .head() on an empty frame) are
+    * legitimate here. */
+  private lazy val degEmpty: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_degenerate_empty").toString
+    for (t <- Tables.all) {
+      spark.read.parquet(s"$deg/$t.parquet")
+        .filter(lit(false))
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("no batch query throws arithmetic on fully EMPTY tables") {
+    val only = sys.env.get("GRAFT_DEG_ONLY").map(_.split(',').toSeq)
+    val skip = (n: String) =>
+      n.contains("stream") || n.contains("_ml_") ||
+        n == "q73_ml_quantile_coverage" ||
+        !only.forall(_.exists(n.startsWith))
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+        if !skip(name)) {
+      try fn(spark, degEmpty).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable if isArithmetic(e) =>
+          failures += s"$name: ${e.getMessage}"
+        case _: Throwable => () // empty-result/driver-side-head artifacts
+      }
+    }
+    assert(failures.isEmpty,
+      "ANSI divide-by-zero on EMPTY tables (DuckDB would yield NULL — " +
+        s"guard with when(den>0)/NULLIF/coalesce):\n${failures.mkString("\n")}")
+  }
 }

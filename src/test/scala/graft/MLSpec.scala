@@ -480,4 +480,43 @@ class MLSpec extends AnyFunSuite {
         r.getDouble(3)))
     assert(run1.toSeq == run2.toSeq, "permutation importance must be deterministic")
   }
+
+  test("compiled regressor scorer ≡ MLlib transform (fma-lane tolerance)") {
+    // r11: LGBMRegressorModel.predict scores through the codegen'd
+    // TreeSql.gbtMarginCol expression instead of model.transform (which
+    // routes the tree dot through Java11BLAS's 4-lane Math.fma ddot —
+    // not replayable by a second engine). Semantic equivalence pin:
+    // identical routing, summation differs only by fma-lane rounding.
+    val df = regData()
+    val m = new LGBMRegressor(LGBMParams(nEstimators = 10)).fit(df, Seq("feats"))
+    val compiled = m.predict(df, Seq("feats")).orderBy("id")
+      .select("prediction").collect().map(_.getDouble(0))
+    val viaTransform = m.inner.transform(graft.ml.Featurize(df, Seq("feats")))
+      .orderBy("id").select("prediction").collect().map(_.getDouble(0))
+    compiled.zip(viaTransform).foreach { case (c, t) =>
+      assert(math.abs(c - t) <= 1e-9 * math.max(1.0, math.abs(t)),
+        s"compiled $c vs transform $t")
+    }
+  }
+
+  test("pinball 1e-6-grid percentile: order statistics within grid resolution " +
+    "of exact (the r10 'weak' closure A/B)") {
+    // The quantized percentile (Pinball.fit scaladoc) bounds the agg
+    // buffer by the VALUE DOMAIN instead of corpus cardinality. A/B pin:
+    // on continuous labels, the grid quantile sits within one 1e-6 cell
+    // of the exact quantile — far inside the reference's atol=0.1
+    // coverage gate (tests/test_core.py:149-164), which the two
+    // conditional-coverage tests above re-verify against the quantized
+    // trainer end-to-end.
+    val df = regData(500)
+    for (alpha <- Seq(0.5, 0.9)) {
+      val grid = df.agg(
+        (expr(s"percentile(CAST(round(label * 1e6) AS BIGINT), $alpha)")
+          / lit(1e6)).cast("double")).head.getDouble(0)
+      val exact = df.agg(
+        expr(s"percentile(label, $alpha)").cast("double")).head.getDouble(0)
+      assert(math.abs(grid - exact) <= 1e-6,
+        s"alpha=$alpha grid=$grid exact=$exact")
+    }
+  }
 }
