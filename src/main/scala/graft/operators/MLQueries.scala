@@ -5,6 +5,7 @@ import graft.ml.{LGBMClassifier, LGBMParams, LGBMRegressor, TreeSql}
 import org.apache.spark.ml.classification.{GBTClassificationModel,
   RandomForestClassificationModel}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ML operator queries (SURVEY §2.A) over the `embeddings` table.
@@ -68,6 +69,20 @@ object MLQueries {
   private def accSql(predEq: String): String =
     s"avg(CASE WHEN $predEq THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
 
+  /** Shared CTE text scoring the embeddings table with a fitted RF: `lv`
+    * binds per-tree leaf vote lists, `v` binds raw votes v0..v{K-1} plus
+    * `label` — the compiled form q71/q374/q375's oracles all build on. */
+  private def rfVotesCte(rf: RandomForestClassificationModel): String = {
+    val lists = TreeSql.rfTreeLists(rf, featE)
+    val lvCols = lists.indices.map(i => s"l$i")
+    s"""lv AS (SELECT vec_id, label, ${lists.zipWithIndex
+         .map { case (sql, i) => s"($sql) AS l$i" }.mkString(", ")}
+         FROM embeddings),
+       v AS (SELECT vec_id, label, ${(0 until rf.numClasses)
+         .map(k => s"${TreeSql.rfVoteSql(lvCols, k)} AS v$k").mkString(", ")}
+         FROM lv)"""
+  }
+
   // ---------------------------------------------------------------- q70
   private val q70Name = "q70_ml_gbt_binary_classifier"
   private val q70Fn: (SparkSession, String) => DataFrame = (s, d) => {
@@ -102,16 +117,9 @@ object MLQueries {
     // first-index argmax of the raw votes (raw2prediction, thresholds
     // unset). proba itself is not projected (its per-row array would be
     // this same model state); n_classes pins the ensemble's class count.
-    val lists = TreeSql.rfTreeLists(rf, featE)
-    val lvCols = lists.indices.map(i => s"l$i")
     val vCols = (0 until rf.numClasses).map(k => s"v$k")
     scorerSql.put((q71Name, d),
-      s"""WITH lv AS (SELECT vec_id, ${lists.zipWithIndex
-           .map { case (sql, i) => s"($sql) AS l$i" }.mkString(", ")}
-           FROM embeddings),
-         v AS (SELECT vec_id, ${(0 until rf.numClasses)
-           .map(k => s"${TreeSql.rfVoteSql(lvCols, k)} AS v$k").mkString(", ")}
-           FROM lv)
+      s"""WITH ${rfVotesCte(rf)}
          SELECT vec_id, ${TreeSql.argmaxFirstSql(vCols)} AS prediction,
                 CAST(${rf.numClasses} AS BIGINT) AS n_classes
          FROM v ORDER BY vec_id""")
@@ -409,5 +417,164 @@ object MLQueries {
   private val q261 =
     QueryDef(q261Name, q261Fn, None, Some(genVia(q261Name, q261Fn)))
 
-  val defs: Seq[QueryDef] = Seq(q70, q71, q72, q73, q74, q103, q185, q261)
+  // --------------------------------------------------------------- q374
+  // Reliability diagram + expected calibration error (ECE, Naeini 2015 /
+  // Guo 2017) for the RF multiclass classifier ([EXT]) — the calibration
+  // member of the eval shelf: accuracy (q74), ranking (q102/q108), PR
+  // sweep (q335) say nothing about whether a reported confidence of 0.8
+  // is RIGHT 80% of the time, which is what a downstream filtering
+  // pipeline consuming model scores actually relies on. Ten equal-width
+  // confidence buckets; per bucket the mean confidence, empirical
+  // accuracy and |gap|; ECE = Σ (n_b/N)·gap_b.
+  //
+  // This query exists BECAUSE of the r11 compiled-scorer mechanism: its
+  // oracle needs per-row model CONFIDENCES in DuckDB, which only the
+  // compiled RF vote lists provide (RF proba = votes/Σvotes — exact
+  // rational arithmetic, no transcendentals, so conf / bucket / every
+  // downstream ratio is bitwise cross-engine). Exactness: conf quantized
+  // to 1e-9 BEFORE summing (partition-order-free); all ratios are
+  // fixed-order double expressions of exact BIGINTs; per-bucket ECE
+  // contributions quantized to 1e-9 before the final bucket-grid sum.
+  // Scale: one corpus pass (broadcast model transform) + one 10-group
+  // aggregate; everything after lives on the bucket grid.
+  private val q374Name = "q374_ml_reliability_ece"
+  private val q374Fn: (SparkSession, String) => DataFrame = (s, d) => {
+    val df = features(s, d)
+    val m = new LGBMClassifier(
+      LGBMParams(nEstimators = 20, maxDepth = 6, featureFraction = 0.5))
+      .fit(df, featuresCol = Seq("embedding"), labelCol = "label10")
+    val rf = m.toLocal.asInstanceOf[RandomForestClassificationModel]
+    val vCols = (0 until rf.numClasses).map(k => s"v$k")
+    val sSql = vCols.map(c => s"($c)").reduce((a, b) => s"($a + $b)")
+    val confSql = s"greatest(${vCols.map(c => s"($c / s)").mkString(", ")})"
+    scorerSql.put((q374Name, d),
+      s"""WITH ${rfVotesCte(rf)},
+         p AS (SELECT vec_id, label, ${vCols.mkString(", ")}, $sSql AS s
+               FROM v),
+         sc AS (SELECT
+             CAST(round($confSql * 1e9) AS BIGINT) AS cq,
+             CASE WHEN ${TreeSql.argmaxFirstSql(vCols)} = CAST(label AS DOUBLE)
+               THEN 1 ELSE 0 END AS corr,
+             CAST(least(floor($confSql * 10.0), 9) AS BIGINT) AS bucket
+           FROM p),
+         g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cq) AS BIGINT) AS scq,
+                 CAST(sum(corr) AS BIGINT) AS nc
+               FROM sc GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM sc),
+         gg AS (SELECT bucket, n, nn,
+                  CAST(scq AS DOUBLE) / (1e9 * CAST(n AS DOUBLE)) AS conf_mean,
+                  CAST(nc AS DOUBLE) / CAST(n AS DOUBLE) AS acc
+                FROM g, tot),
+         e AS (SELECT CAST(sum(CAST(round(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+                 * abs(acc - conf_mean) * 1e9) AS BIGINT)) AS BIGINT) AS eceq
+               FROM gg)
+         SELECT bucket, n,
+                (CAST(round(conf_mean * 1e6) AS BIGINT) / 1e6) AS conf_mean,
+                (CAST(round(acc * 1e6) AS BIGINT) / 1e6) AS acc,
+                (CAST(round(abs(acc - conf_mean) * 1e6) AS BIGINT) / 1e6) AS gap,
+                (CAST(round((CAST(eceq AS DOUBLE) / 1e9) * 1e6) AS BIGINT)
+                  / 1e6) AS ece
+         FROM gg, e ORDER BY bucket""")
+    val scored = m.predictProba(df, Seq("embedding"))
+      .withColumn("conf", array_max(col("proba")))
+      .select(
+        round(col("conf") * lit(1e9)).cast("long").as("cq"),
+        (col("prediction") === col("label10")).cast("long").as("corr"),
+        least(floor(col("conf") * lit(10.0)), lit(9L)).cast("long")
+          .as("bucket"))
+    val g = scored.groupBy(col("bucket")).agg(
+      count(lit(1)).as("n"), sum(col("cq")).as("scq"),
+      sum(col("corr")).as("nc"))
+    val tot = scored.agg(count(lit(1)).as("nn"))
+    val gg = g.crossJoin(broadcast(tot))
+      .withColumn("conf_mean",
+        col("scq").cast("double") / (lit(1e9) * col("n").cast("double")))
+      .withColumn("acc", col("nc").cast("double") / col("n").cast("double"))
+    val ece = gg.agg(
+      sum(round(col("n").cast("double") / col("nn").cast("double")
+        * abs(col("acc") - col("conf_mean")) * lit(1e9)).cast("long"))
+        .as("eceq"))
+    gg.crossJoin(broadcast(ece))
+      .select(col("bucket"), col("n"),
+        Num.roundZ(col("conf_mean"), 6).as("conf_mean"),
+        Num.roundZ(col("acc"), 6).as("acc"),
+        Num.roundZ(abs(col("acc") - col("conf_mean")), 6).as("gap"),
+        Num.roundZ(col("eceq").cast("double") / lit(1e9), 6).as("ece"))
+      .orderBy(col("bucket"))
+  }
+  private val q374 =
+    QueryDef(q374Name, q374Fn, None, Some(genVia(q374Name, q374Fn)))
+
+  // --------------------------------------------------------------- q375
+  // Per-class one-vs-rest AUC of the RF's own probability scores ([EXT])
+  // — q102's exact tie-aware Mann–Whitney, applied to MODEL scores
+  // instead of a raw value column: the per-class ranking-quality report
+  // (which classes the model separates well) that complements q374's
+  // calibration and q74's accuracy. Scores are the exact-rational RF
+  // vote fractions, quantized to the 1e-9 grid BEFORE grouping (the q108
+  // treatment): the Mann–Whitney pass is then exact w.r.t. the quantized
+  // scores and its ordered prefix-sum runs over the (class ×
+  // distinct-score) grid — bounded by the quantization grid, never the
+  // corpus — partitioned by class, so no single-partition corpus sort
+  // exists at any SF. Oracle: compiled vote lists (r11 TreeSql), one
+  // UNION ALL arm per class over a MATERIALIZED score CTE.
+  private val q375Name = "q375_ml_class_auc"
+  private val q375Fn: (SparkSession, String) => DataFrame = (s, d) => {
+    val df = features(s, d)
+    val m = new LGBMClassifier(
+      LGBMParams(nEstimators = 20, maxDepth = 6, featureFraction = 0.5))
+      .fit(df, featuresCol = Seq("embedding"), labelCol = "label10")
+    val rf = m.toLocal.asInstanceOf[RandomForestClassificationModel]
+    val vCols = (0 until rf.numClasses).map(k => s"v$k")
+    val sSql = vCols.map(c => s"($c)").reduce((a, b) => s"($a + $b)")
+    val arms = (0 until rf.numClasses).map { k =>
+      s"""SELECT label, CAST($k AS BIGINT) AS class_id,
+            CAST(round((v$k / s) * 1e9) AS BIGINT) AS pq FROM ps"""
+    }
+    scorerSql.put((q375Name, d),
+      s"""WITH ${rfVotesCte(rf)},
+         ps AS MATERIALIZED (SELECT vec_id, label, ${vCols.mkString(", ")},
+             $sSql AS s FROM v),
+         ex AS (${arms.mkString(" UNION ALL ")}),
+         g AS (SELECT class_id, pq,
+                 CAST(count(*) FILTER (WHERE label = class_id) AS BIGINT) AS np,
+                 CAST(count(*) FILTER (WHERE label <> class_id) AS BIGINT) AS nn
+               FROM ex GROUP BY 1, 2),
+         c AS (SELECT class_id, np, nn,
+                 CAST(COALESCE(sum(nn) OVER (PARTITION BY class_id
+                   ORDER BY pq ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                   PRECEDING), 0) AS BIGINT) AS cumneg
+               FROM g)
+         SELECT class_id,
+                CAST(sum(np) AS BIGINT) AS n_pos,
+                CAST(sum(nn) AS BIGINT) AS n_neg,
+                round(CAST(sum(np * (cumneg * 2 + nn)) AS DOUBLE) /
+                      CAST(NULLIF(sum(np) * sum(nn) * 2, 0) AS DOUBLE), 6)
+                  AS auc
+         FROM c GROUP BY 1 ORDER BY 1""")
+    val ex = m.predictProba(df, Seq("embedding"))
+      .select(col("label10"), expr("posexplode(proba) AS (k, p)"))
+      .select(col("k").cast("long").as("class_id"),
+        (col("label10") === col("k").cast("double")).cast("long").as("pos"),
+        round(col("p") * lit(1e9)).cast("long").as("pq"))
+    val g = ex.groupBy(col("class_id"), col("pq")).agg(
+      sum(col("pos")).as("np"),
+      (count(lit(1)) - sum(col("pos"))).as("nn"))
+    val w = Window.partitionBy(col("class_id")).orderBy(col("pq"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cumneg", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .groupBy(col("class_id")).agg(
+        sum(col("np") * (col("cumneg") * 2 + col("nn"))).as("num2"),
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
+      .select(col("class_id"), col("n_pos"), col("n_neg"),
+        round(col("num2").cast("double") /
+          expr("CAST(nullif(n_pos * n_neg * 2, 0) AS DOUBLE)"), 6).as("auc"))
+      .orderBy(col("class_id"))
+  }
+  private val q375 =
+    QueryDef(q375Name, q375Fn, None, Some(genVia(q375Name, q375Fn)))
+
+  val defs: Seq[QueryDef] =
+    Seq(q70, q71, q72, q73, q74, q103, q185, q261, q374, q375)
 }

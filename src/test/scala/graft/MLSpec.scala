@@ -481,6 +481,45 @@ class MLSpec extends AnyFunSuite {
     assert(run1.toSeq == run2.toSeq, "permutation importance must be deterministic")
   }
 
+  test("q374 reliability/ECE: bucket identities and weighted-gap recomposition") {
+    val rows = SparkEntry.queries("q374_ml_reliability_ece")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    val n = rows.map(_._2).sum
+    rows.foreach { case (b, nb, conf, acc, gap, ece) =>
+      assert(b >= 0 && b <= 9, s"bucket $b")
+      // mean confidence must lie inside its bucket (closed upper edge for 9)
+      assert(conf >= b / 10.0 - 1e-6 && conf <= (b + 1) / 10.0 + 1e-6,
+        s"bucket $b conf $conf outside its range")
+      assert(acc >= 0.0 && acc <= 1.0 && gap >= 0.0 && gap <= 1.0)
+      assert(math.abs(gap - math.abs(acc - conf)) < 2e-6,
+        s"gap must be |acc - conf| (bucket $b)")
+      assert(ece >= 0.0 && ece <= 1.0)
+    }
+    // ECE recomposes from the published per-bucket columns
+    val recomposed = rows.map { case (_, nb, conf, acc, _, _) =>
+      nb.toDouble / n * math.abs(acc - conf) }.sum
+    assert(math.abs(recomposed - rows.head._6) < 1e-4,
+      s"ECE ${rows.head._6} vs recomposed $recomposed")
+  }
+
+  test("q375 per-class AUC: bounds, counts partition the corpus, determinism") {
+    val rows = SparkEntry.queries("q375_ml_class_auc")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (0L until 10L), "one row per class")
+    val total = rows.head._2 + rows.head._3
+    rows.foreach { case (k, np, nn, auc) =>
+      assert(np + nn == total, s"class $k: pos+neg must equal corpus size")
+      assert(auc >= 0.0 && auc <= 1.0, s"class $k auc $auc")
+      // trained-on-train scores must rank own-class above rest better
+      // than chance on average; assert per-class no worse than 0.3 to
+      // keep the gate robust on weak-signal random embeddings
+      assert(auc > 0.3, s"class $k auc $auc below sanity floor")
+    }
+  }
+
   test("compiled regressor scorer ≡ MLlib transform (fma-lane tolerance)") {
     // r11: LGBMRegressorModel.predict scores through the codegen'd
     // TreeSql.gbtMarginCol expression instead of model.transform (which
