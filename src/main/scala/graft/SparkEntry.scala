@@ -45,9 +45,14 @@ object SparkEntry {
     * oracle embeds a runtime-fitted model (graft.ml.TreeSql scorers), the
     * generator is evaluated against this session + sf dir. A generator
     * that throws drops its entry — the driver then records the weaker
-    * rows-only check for that query instead of failing the dump. */
-  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
-    oracleSql ++ modules.flatMap { q =>
+    * rows-only check for that query instead of failing the dump. `keep`
+    * limits which GENERATORS run (static SQL is always included — it is
+    * free): a subset Verify probe must not re-fit every ML model and
+    * replay q185's streaming pipeline just to dump oracle_sql.json
+    * (review finding, r11). */
+  def oracleSqlFor(spark: SparkSession, sfDir: String,
+      keep: String => Boolean = _ => true): Map[String, String] =
+    oracleSql ++ modules.filter(q => keep(q.name)).flatMap { q =>
       q.oracleGen.flatMap { gen =>
         try Some(q.name -> gen(spark, sfDir))
         catch {

@@ -44,8 +44,9 @@ object Verify {
     // r11: includes fit-dependent oracles (compiled tree scorers) — the
     // generators run AFTER the query pass above, so in a full run they
     // reuse the memoized SQL of the exact models the parquet was scored
-    // with (subset runs re-fit deterministically on demand).
-    val oracles = SparkEntry.oracleSqlFor(spark, sfDir)
+    // with; a subset run only generates for the kept queries (re-fitting
+    // deterministically if the memo is cold).
+    val oracles = SparkEntry.oracleSqlFor(spark, sfDir, keep)
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -174,20 +174,26 @@ final class OvRGBTModel private[graft] (val models: Array[GBTClassificationModel
 
   /** Adds `prediction` (argmax, ties to the lowest class id — MLlib's
     * own argmax convention) and `probability` (normalized per-class
-    * scores) to `df`, which must already carry `features`. */
+    * scores) to `df`, which must already carry `features`.
+    *
+    * r11: each per-class score is computed from the COMPILED margin
+    * (TreeSql.gbtMarginCol) through the exact probability formula of
+    * GBT's `raw2probabilityInPlace` (p = 1 − 1/(1+exp(2m)), both
+    * `exp`s are java.lang.Math.exp) instead of K chained
+    * `model.transform` calls: (a) the scorers stay inside whole-stage
+    * codegen — no K per-row UDF closures; (b) the margins are the same
+    * left-assoc expression trees the SQL oracle replays, so the only
+    * cross-engine residual is a last-ulp libm-vs-Java `exp` difference
+    * on near-exact score ties — the fma-lane ddot divergence (which
+    * shifted the ARGUMENT of exp) is gone entirely. */
   def transform(df0: DataFrame): DataFrame = {
+    val farr = vector_to_array(col("features"))
     val pcols = models.indices.map(k => s"__ovr_p$k")
     var df = df0
     for ((m, k) <- models.zipWithIndex) {
-      // copy() before re-pointing output columns: setters mutate the model
-      val mk = m.copy(org.apache.spark.ml.param.ParamMap.empty)
-        .setPredictionCol(s"__ovr_pred$k")
-        .setRawPredictionCol(s"__ovr_raw$k")
-        .setProbabilityCol(s"__ovr_prob$k")
-      df = mk.transform(df)
-        .withColumn(pcols(k),
-          element_at(vector_to_array(col(s"__ovr_prob$k")), 2)) // P(y=k)
-        .drop(s"__ovr_pred$k", s"__ovr_raw$k", s"__ovr_prob$k")
+      val margin = TreeSql.gbtMarginCol(m.trees, m.treeWeights, farr)
+      df = df.withColumn(pcols(k),
+        lit(1.0) - lit(1.0) / (lit(1.0) + exp(lit(2.0) * margin))) // P(y=k)
     }
     df.withColumn("__ovr_arr", array(pcols.map(col): _*))
       .withColumn("__ovr_sum", expr("aggregate(__ovr_arr, 0D, (a, x) -> a + x)"))
@@ -286,11 +292,36 @@ class LGBMClassifierModel private[ml] (
   /** Lazy distributed inference (reference core.py:163-173 → transform).
     * The prediction column is cast back to the dtype of the label column
     * the model was fit on — the reference's `dtype=self.classes_.dtype`
-    * (core.py:206): an int-labeled fit predicts ints, not doubles. */
+    * (core.py:206): an int-labeled fit predicts ints, not doubles.
+    *
+    * r11: the binary-GBT path scores through the COMPILED margin Column
+    * (TreeSql.gbtMarginCol) instead of `model.transform` — transform's
+    * margin goes through netlib's fma-lane ddot, which no second engine
+    * replays, so a margin within fma-rounding of 0 could flip the
+    * hashed prediction between Spark and the compiled-SQL oracle on
+    * regenerated data (review finding, r11). The compiled margin is the
+    * exact expression the oracle replays, closing that flake class, and
+    * the prediction rule is `raw2prediction`'s argmax([-m, m]) ≡ m > 0
+    * verbatim; `probability` replays `raw2probabilityInPlace`
+    * (p₀ = 1/(1+exp(2m)), p₁ = 1−p₀ — `-2.0·(-m)` is bitwise `2.0·m`).
+    * RF multiclass keeps `transform`: its vote loop is exact scalar
+    * Java arithmetic (no BLAS), already bitwise-replayable. */
   def predict(df: DataFrame, featuresCol: Seq[String] = Seq("features")): DataFrame = {
     val feat = Featurize(df, featuresCol)
-    backend.fold(_.transform(feat), _.transform(feat))
-      .withColumn("prediction", col("prediction").cast(labelType))
+    val scored = backend match {
+      case Left(m: GBTClassificationModel) =>
+        val margin = TreeSql.gbtMarginCol(m.trees, m.treeWeights,
+          vector_to_array(col("features")))
+        val p0 = lit(1.0) / (lit(1.0) + exp(lit(2.0) * margin))
+        feat
+          .withColumn("probability",
+            array_to_vector(array(p0, lit(1.0) - p0)))
+          .withColumn("prediction",
+            when(margin > lit(0.0), lit(1.0)).otherwise(lit(0.0)))
+      case Left(m)  => m.transform(feat)
+      case Right(o) => o.transform(feat)
+    }
+    scored.withColumn("prediction", col("prediction").cast(labelType))
   }
 
   /** predict_proba: probability vector as array<double> (core.py:209-213). */

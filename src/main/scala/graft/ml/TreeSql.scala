@@ -98,12 +98,13 @@ object TreeSql {
     * NOT bitwise-equal to `model.transform`'s margin in general: MLlib
     * routes the dot through netlib, and on JDK ≥ 11 that is `Java11BLAS
     * .ddotK` — four strided accumulator lanes combined with `Math.fma`
-    * (verified in bytecode), which no portable SQL can replay. For the
-    * CLASSIFIERS this is harmless (only the margin's SIGN feeds the
-    * prediction, and an fma-lane ulp flips a sign only on a measure-zero
-    * margin); the REGRESSOR, whose raw margin is the output, instead
-    * scores through [[gbtMarginCol]] — the same expression tree as this
-    * SQL — so both engines evaluate identical IEEE operations. */
+    * (verified in bytecode), which no portable SQL can replay. That is
+    * why EVERY GBT scoring path in this engine (regressor margin, binary
+    * classifier prediction/probability, OvR per-class scores) goes
+    * through [[gbtMarginCol]] — the same expression tree as this SQL —
+    * so both engines evaluate identical IEEE operations; an fma-lane
+    * margin within rounding of a decision boundary can then never hash
+    * differently across engines (r11 review closure). */
   def gbtMarginSql(trees: Array[DecisionTreeRegressionModel],
       weights: Array[Double], featSql: Int => String): String =
     trees.zip(weights).map { case (t, w) =>

@@ -483,10 +483,14 @@ object MLQueries {
         (col("prediction") === col("label10")).cast("long").as("corr"),
         least(floor(col("conf") * lit(10.0)), lit(9L)).cast("long")
           .as("bucket"))
+    // ONE corpus pass, guaranteed: the 10-row bucket aggregate is
+    // localCheckpointed before being read twice (rows + the nn total) —
+    // a separate count over `scored` would re-run the whole model
+    // scoring pass (review finding, r11)
     val g = scored.groupBy(col("bucket")).agg(
       count(lit(1)).as("n"), sum(col("cq")).as("scq"),
-      sum(col("corr")).as("nc"))
-    val tot = scored.agg(count(lit(1)).as("nn"))
+      sum(col("corr")).as("nc")).localCheckpoint()
+    val tot = g.agg(sum(col("n")).as("nn"))
     val gg = g.crossJoin(broadcast(tot))
       .withColumn("conf_mean",
         col("scq").cast("double") / (lit(1e9) * col("n").cast("double")))

@@ -142,9 +142,9 @@ class DegenerateDataSpec extends AnyFunSuite {
     // GRAFT_DEG_ONLY=q41,q55 restricts the gate to named prefixes — the
     // fast fix-verify loop while guarding a specific query
     val only = sys.env.get("GRAFT_DEG_ONLY").map(_.split(',').toSeq)
+    // "_ml_" covers every ML-fit query (incl. q73_ml_quantile_coverage)
     val skip = (n: String) =>
       n.contains("stream") || n.contains("_ml_") ||
-        n == "q73_ml_quantile_coverage" ||
         !only.forall(_.exists(n.startsWith))
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
@@ -186,9 +186,9 @@ class DegenerateDataSpec extends AnyFunSuite {
 
   test("no batch query throws arithmetic on fully EMPTY tables") {
     val only = sys.env.get("GRAFT_DEG_ONLY").map(_.split(',').toSeq)
+    // "_ml_" covers every ML-fit query (incl. q73_ml_quantile_coverage)
     val skip = (n: String) =>
       n.contains("stream") || n.contains("_ml_") ||
-        n == "q73_ml_quantile_coverage" ||
         !only.forall(_.exists(n.startsWith))
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)

@@ -43,11 +43,16 @@ def main():
         if any(t is None or t < 0 for t in ts):
             out[n] = {"sec": ts, "slope": None, "class": "incomplete"}
             continue
+        # classify the noise floor BEFORE computing a slope: a 0.0 s
+        # timing at the top SF is floor-class by definition and would
+        # otherwise crash log10
+        if ts[-1] < NOISE_SEC:
+            out[n] = {"sec": [round(t, 3) for t in ts], "slope": None,
+                      "class": "floor"}
+            continue
         slope = (math.log10(ts[-1] / ts[0])
                  / math.log10(sfs[-1] / sfs[0])) if ts[0] > 0 else None
-        if ts[-1] < NOISE_SEC:
-            cls = "floor"
-        elif slope is None:
+        if slope is None:
             cls = "incomplete"
         elif slope <= 0.1:
             cls = "flat"
