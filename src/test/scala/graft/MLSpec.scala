@@ -538,6 +538,51 @@ class MLSpec extends AnyFunSuite {
     }
   }
 
+  test("compiled scorers track MLlib transform across random fits (property sweep)") {
+    // The compiled-Column/SQL scorers (TreeSql) re-implement MLlib's leaf
+    // routing, margin accumulation and probability formulas from the
+    // published semantics; this sweep guards that reading against silent
+    // MLlib drift (split rule, tree weights, raw2probability) across a
+    // spread of random datasets, depths and seeds — per-case tests above
+    // pin one fit, this pins the FAMILY.
+    import org.apache.spark.ml.linalg.{Vector => MLVector}
+    for (seed <- 1 to 6) {
+      val rng = new scala.util.Random(seed)
+      val rows = (0 until 120).map { i =>
+        val f = Array.fill(3)(rng.nextGaussian())
+        (i.toLong, f, f(0) * 2 - f(1) + 0.5 * rng.nextGaussian())
+      }
+      val dfr = rows.toDF("id", "feats", "y").repartition(3)
+      val depth = 1 + seed % 4
+      val reg = new LGBMRegressor(LGBMParams(nEstimators = 7,
+        maxDepth = depth, seed = seed)).fit(dfr, Seq("feats"), labelCol = "y")
+      val a = reg.predict(dfr, Seq("feats")).orderBy("id")
+        .select("prediction").collect().map(_.getDouble(0))
+      val b = reg.inner.transform(graft.ml.Featurize(dfr, Seq("feats")))
+        .orderBy("id").select("prediction").collect().map(_.getDouble(0))
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+          s"regressor seed=$seed depth=$depth: compiled $x vs transform $y")
+      }
+      val dfc = dfr.withColumn("label", ($"y" > 0).cast("double"))
+      val clf = new LGBMClassifier(LGBMParams(nEstimators = 7,
+        maxDepth = depth, seed = seed)).fit(dfc, Seq("feats"))
+      val pa = clf.predict(dfc, Seq("feats")).orderBy("id")
+        .select("probability", "prediction").collect()
+      val pb = clf.toLocal.transform(graft.ml.Featurize(dfc, Seq("feats")))
+        .orderBy("id").select("probability", "prediction").collect()
+      pa.zip(pb).foreach { case (ra, rb) =>
+        val p1a = ra.getAs[MLVector](0)(1); val p1b = rb.getAs[MLVector](0)(1)
+        assert(math.abs(p1a - p1b) <= 1e-12,
+          s"classifier seed=$seed depth=$depth: p1 $p1a vs $p1b")
+        // predictions must agree except on fma-rounding knife edges
+        if (math.abs(p1b - 0.5) > 1e-12)
+          assert(ra.getDouble(1) == rb.getDouble(1),
+            s"classifier seed=$seed depth=$depth: prediction flip at p1=$p1b")
+      }
+    }
+  }
+
   test("pinball 1e-6-grid percentile: order statistics within grid resolution " +
     "of exact (the r10 'weak' closure A/B)") {
     // The quantized percentile (Pinball.fit scaladoc) bounds the agg
