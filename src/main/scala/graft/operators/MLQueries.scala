@@ -63,6 +63,30 @@ object MLQueries {
     * cast on the Spark side. */
   private def featE(j: Int): String = s"CAST(embedding[${j + 1}] AS DOUBLE)"
 
+  /** Content fingerprint of the embeddings table (EventStreams'
+    * eventsFingerprint pattern): keys q185's cross-JVM staging dir so an
+    * in-place testdata regeneration invalidates the staged slices instead
+    * of replaying stale rows against a fresh-fit oracle — q185 was
+    * rows-only when its staging was written and is oracle-gated since
+    * r11, which promoted staleness from a perf wart to a red row
+    * (StagingSpec pins the regeneration scenario). */
+  private val embFp =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def resetStagingMemoForTest(): Unit = embFp.clear()
+
+  private def embFingerprint(s: SparkSession, d: String): String =
+    embFp.computeIfAbsent(d, _ => {
+      val r = emb(s, d).agg(
+        count(lit(1)), coalesce(max(col("vec_id")), lit(0L)),
+        coalesce(sum(col("label").cast("long")), lit(0L)),
+        coalesce(expr("bit_xor(xxhash64(vec_id, label, embedding))"),
+          lit(0L))).first()
+      s"${r.getLong(0)}_" + java.lang.Long.toHexString(
+        r.getLong(1) ^ java.lang.Long.rotateLeft(r.getLong(2), 17) ^
+          java.lang.Long.rotateLeft(r.getLong(3), 31))
+    })
+
   private val labelBinSql =
     "CASE WHEN label >= 5 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
 
@@ -274,29 +298,28 @@ object MLQueries {
   // the cross-engine form of StreamingMLSpec's stream-scored ≡
   // batch-scored pin (batching boundaries cannot change a stateless
   // model's output).
-  private val q185Name = "q185_stream_ml_scoring"
-  private val q185Fn: (SparkSession, String) => DataFrame = (s, d) => {
+  /** Stage the feature table as 4 mtime-ordered slice files — stable per
+    * (tmpdir, sf-dir, CONTENT fingerprint): the [[embFingerprint]] in the
+    * leaf name invalidates reuse when the table is regenerated in place
+    * (StagingSpec pins the scenario); superseded stagings are removed;
+    * _READY written last, the EventStreams staging contract. */
+  private[graft] def stagedMlScore(s: SparkSession, d: String): String = {
     val df = features(s, d)
-    val m = new LGBMClassifier(LGBMParams(nEstimators = 10, maxDepth = 4))
-      .fit(df, featuresCol = Seq("embedding"), labelCol = "label_bin")
-    val gbt = m.toLocal.asInstanceOf[GBTClassificationModel]
-    scorerSql.put((q185Name, d),
-      s"""SELECT vec_id, $labelBinSql AS label_bin,
-         ${TreeSql.gbtBinaryPredictionSql(gbt, featE)} AS prediction
-         FROM embeddings ORDER BY vec_id""")
-    // stage the feature table as 4 mtime-ordered slice files (stable
-    // per (tmpdir, sf-dir); _READY written last, the EventStreams
-    // staging contract)
-    val dir = java.nio.file.Paths.get(
+    val parent = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_stream",
-      d.replaceAll("[^A-Za-z0-9.]", "_"), "ml_score")
+      d.replaceAll("[^A-Za-z0-9.]", "_"))
+    val dir = parent.resolve(s"ml_score_${embFingerprint(s, d)}")
     val ready = dir.resolve("_READY")
     if (!java.nio.file.Files.exists(ready)) {
       import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(dir))
-        java.nio.file.Files.walk(dir)
-          .sorted(java.util.Comparator.reverseOrder())
-          .iterator.asScala.foreach(java.nio.file.Files.delete)
+      if (java.nio.file.Files.exists(parent))
+        java.nio.file.Files.list(parent).iterator.asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("ml_score"))
+          .foreach { p =>
+            java.nio.file.Files.walk(p)
+              .sorted(java.util.Comparator.reverseOrder())
+              .iterator.asScala.foreach(java.nio.file.Files.delete)
+          }
       java.nio.file.Files.createDirectories(dir)
       val stage = dir.resolve("_work").toString
       df.withColumn("fid", (col("vec_id") % 4).cast("int"))
@@ -316,11 +339,25 @@ object MLQueries {
         .iterator.asScala.foreach(java.nio.file.Files.delete)
       java.nio.file.Files.createFile(ready)
     }
+    dir.toString
+  }
+
+  private val q185Name = "q185_stream_ml_scoring"
+  private val q185Fn: (SparkSession, String) => DataFrame = (s, d) => {
+    val df = features(s, d)
+    val m = new LGBMClassifier(LGBMParams(nEstimators = 10, maxDepth = 4))
+      .fit(df, featuresCol = Seq("embedding"), labelCol = "label_bin")
+    val gbt = m.toLocal.asInstanceOf[GBTClassificationModel]
+    scorerSql.put((q185Name, d),
+      s"""SELECT vec_id, $labelBinSql AS label_bin,
+         ${TreeSql.gbtBinaryPredictionSql(gbt, featE)} AS prediction
+         FROM embeddings ORDER BY vec_id""")
+    val dir = stagedMlScore(s, d)
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     val src = ss.readStream
       .schema(df.schema)
-      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
     val name = s"graft_ml_stream_${System.identityHashCode(src).toHexString}"
     val q = m.predict(src, Seq("embedding"))
       .select(col("vec_id"), col("label_bin"), col("prediction"))

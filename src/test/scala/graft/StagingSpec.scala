@@ -22,7 +22,7 @@ class StagingSpec extends AnyFunSuite {
   private def scratchDataset(tag: String): String = {
     val dir = java.nio.file.Files
       .createTempDirectory(s"graft_staging_spec_$tag").toString
-    for (t <- Seq("documents", "events"))
+    for (t <- Seq("documents", "events", "embeddings"))
       Tables.t(spark, sf, t)
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
     dir
@@ -100,6 +100,34 @@ class StagingSpec extends AnyFunSuite {
 
     graft.streaming.EventStreams.resetStagingMemoForTest()
     assert(graft.streaming.EventStreams.slicedDir(spark, d) === e2,
+      "same content must resolve to the same staging dir")
+  }
+
+  test("q185 ml-score staging re-stages when embeddings is regenerated " +
+    "in place (oracle-gated since r11)") {
+    val d = scratchDataset("emb")
+    graft.operators.MLQueries.resetStagingMemoForTest()
+    val m1 = graft.operators.MLQueries.stagedMlScore(spark, d)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(m1, "_READY")), "first staging must be READY")
+    val live1 = parquetCount(s"$d/embeddings.parquet")
+    assert(parquetCount(m1) === live1,
+      "staged slices must carry exactly the live feature rows")
+
+    regenerateInPlace(s"$d/embeddings.parquet", col("vec_id") % 2 === 0)
+
+    graft.operators.MLQueries.resetStagingMemoForTest() // "fresh JVM"
+    val m2 = graft.operators.MLQueries.stagedMlScore(spark, d)
+    assert(m2 !== m1, "regenerated table must key a NEW staging dir")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(m1)),
+      "superseded staging must be removed")
+    val live2 = parquetCount(s"$d/embeddings.parquet")
+    assert(parquetCount(m2) === live2,
+      "re-staged slices must reflect the regenerated table — a stale " +
+        "replay would score old rows against a fresh-fit oracle")
+
+    graft.operators.MLQueries.resetStagingMemoForTest()
+    assert(graft.operators.MLQueries.stagedMlScore(spark, d) === m2,
       "same content must resolve to the same staging dir")
   }
 }
