@@ -182,27 +182,38 @@ final class OvRGBTModel private[graft] (val models: Array[GBTClassificationModel
     * `exp`s are java.lang.Math.exp) instead of K chained
     * `model.transform` calls: (a) the scorers stay inside whole-stage
     * codegen — no K per-row UDF closures; (b) the margins are the same
-    * left-assoc expression trees the SQL oracle replays, so the only
-    * cross-engine residual is a last-ulp libm-vs-Java `exp` difference
-    * on near-exact score ties — the fma-lane ddot divergence (which
-    * shifted the ARGUMENT of exp) is gone entirely. */
+    * left-assoc expression trees the SQL oracle replays.
+    *
+    * r12: `prediction` argmaxes the MARGINS, not the sigmoid scores.
+    * The sigmoid is strictly monotone, so the argmax is identical by
+    * construction — but margins are pure comparisons over compiled
+    * rational tree arithmetic, so `exp` leaves the prediction path
+    * entirely and the last-ulp libm-vs-Java `exp` divergence (the one
+    * residual the r11 oracle work documented) can never flip a hashed
+    * prediction cross-engine, on any data. `exp` survives only in the
+    * `probability` column, whose query projections are roundZ-quantized.
+    * First-index ties: `array_position(arr, array_max(arr))` over the
+    * margin array is the same first-strict-max rule as before. */
   def transform(df0: DataFrame): DataFrame = {
     val farr = vector_to_array(col("features"))
+    val mcols = models.indices.map(k => s"__ovr_m$k")
     val pcols = models.indices.map(k => s"__ovr_p$k")
     var df = df0
-    for ((m, k) <- models.zipWithIndex) {
-      val margin = TreeSql.gbtMarginCol(m.trees, m.treeWeights, farr)
+    for ((m, k) <- models.zipWithIndex)
+      df = df.withColumn(mcols(k),
+        TreeSql.gbtMarginCol(m.trees, m.treeWeights, farr))
+    for (k <- models.indices)
       df = df.withColumn(pcols(k),
-        lit(1.0) - lit(1.0) / (lit(1.0) + exp(lit(2.0) * margin))) // P(y=k)
-    }
-    df.withColumn("__ovr_arr", array(pcols.map(col): _*))
+        lit(1.0) - lit(1.0) / (lit(1.0) + exp(lit(2.0) * col(mcols(k))))) // P(y=k)
+    df.withColumn("__ovr_marr", array(mcols.map(col): _*))
+      .withColumn("__ovr_arr", array(pcols.map(col): _*))
       .withColumn("__ovr_sum", expr("aggregate(__ovr_arr, 0D, (a, x) -> a + x)"))
       .withColumn("probability",
         array_to_vector(expr("transform(__ovr_arr, x -> x / __ovr_sum)")))
       .withColumn("prediction",
-        (expr("array_position(__ovr_arr, array_max(__ovr_arr))") - 1)
+        (expr("array_position(__ovr_marr, array_max(__ovr_marr))") - 1)
           .cast("double"))
-      .drop(pcols: _*).drop("__ovr_arr", "__ovr_sum")
+      .drop(mcols ++ pcols: _*).drop("__ovr_marr", "__ovr_arr", "__ovr_sum")
   }
 
   /** Split-gain importances averaged over the K boosters, renormalized. */

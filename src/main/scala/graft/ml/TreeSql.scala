@@ -34,10 +34,14 @@ import org.apache.spark.ml.tree.{ContinuousSplit, InternalNode, LeafNode, Node}
   *     which reduces to `m > 0` exactly, signed zeros included.
   *   - The only transcendental is the OvR sigmoid `1 − 1/(1+exp(2m))`
   *     (GBT `raw2probabilityInPlace` applies `LogLoss.computeProbability`
-  *     to raw(0) = −m, then complements) — a 1-ulp libm-vs-Java `exp`
-  *     divergence only matters when two class probabilities land within
-  *     one ulp of each other, which MLSpec pins does not occur on the
-  *     fitted board data.
+  *     to raw(0) = −m, then complements). r12: it is confined to the
+  *     PROBABILITY projections, which are always roundZ-quantized —
+  *     `prediction` argmaxes the raw MARGINS in both engines (sigmoid is
+  *     strictly monotone, so the argmax is identical by construction),
+  *     so a 1-ulp libm-vs-Java `exp` divergence can never flip a hashed
+  *     prediction; the one remaining exposure (a quantized probability
+  *     sum within an ulp of its round-half boundary) is guarded at
+  *     oracle-gen time (MLQueries.q103Guard → rows-only fallback).
   *
   * Scale note: the compiled scorer is MODEL-sized text (KBs–hundreds of
   * KBs), a driver-side constant like the model itself; it never touches

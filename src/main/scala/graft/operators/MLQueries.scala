@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.{Num, QueryDef, Tables}
-import graft.ml.{LGBMClassifier, LGBMParams, LGBMRegressor, TreeSql}
+import graft.ml.{LGBMClassifier, LGBMClassifierModel, LGBMParams,
+  LGBMRegressor, LGBMRegressorModel, TreeSql}
 import org.apache.spark.ml.classification.{GBTClassificationModel,
   RandomForestClassificationModel}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -21,6 +22,11 @@ import org.apache.spark.sql.functions._
   * quality thresholds (accuracy/R² > 0.8) remain in MLSpec, mirroring
   * system_tests/test_fit_predict.py:39,59.
   *
+  * r12: every `prediction` projection is TRANSCENDENTAL-FREE — compiled
+  * rational tree arithmetic plus comparisons — in both engines (q103
+  * argmaxes raw margins; sigmoid `exp` survives only in roundZ-quantized
+  * probability projections, guarded at oracle-gen time by [[q103Guard]]).
+  *
   * Train-time scale: GBT/RF fit never collects features to the driver;
   * each iteration is a distributed aggregation over the DataFrame, the
   * model (trees) lives on the driver and broadcasts into `transform` —
@@ -39,24 +45,28 @@ object MLQueries {
       col("label").cast("double").as("label10"),
       (col("label") >= 5).cast("double").as("label_bin"))
 
-  /** Memoized fit-dependent oracle SQL, keyed (query, sfDir): each query
-    * fn stashes its compiled scorer at fit time, so the oracleGen pass
-    * (later in the same Verify JVM) ships the scorer of the EXACT model
-    * that produced the dumped parquet. A cold cache (subset runs,
-    * standalone oracle dumps) re-fits on demand — deterministic, since
-    * fits are seeded and MLlib's tree aggregation merges per-partition
-    * stats in partition order. */
-  private val scorerSql =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+  /** Fitted-model memo, keyed (query, sfDir) — r12 rework of the r11
+    * scorer-SQL memo (ADVICE r11 item 4): the memo holds the fitted MODEL
+    * and every query factors its fit into a standalone `fit` function, so
+    * the oracle generator compiles its SQL from the model WITHOUT
+    * executing the full query body (the r11 shape re-ran q185's staging
+    * writes plus the whole streaming replay on a cold cache just to emit
+    * oracle text). Query fns still REFIT on every call ([[memoPut]]
+    * overwrites) — bench timings must keep paying each query's own
+    * training cost — while generators ([[memoGet]]) reuse the exact model
+    * that produced the dumped parquet in a full Verify run, refitting
+    * (seeded, deterministic — MLlib tree aggregation merges per-partition
+    * stats in partition order) only on a cold cache (subset runs,
+    * standalone oracle dumps). */
+  private val fitMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), AnyRef]
 
-  private def genVia(name: String,
-      fn: (SparkSession, String) => DataFrame): (SparkSession, String) => String =
-    (s, d) => {
-      if (!scorerSql.containsKey((name, d))) fn(s, d) // fit side effect memoizes
-      val v = scorerSql.get((name, d))
-      require(v != null, s"scorer SQL not memoized for $name")
-      v
-    }
+  private def memoPut[M <: AnyRef](name: String, d: String, m: M): M = {
+    fitMemo.put((name, d), m); m
+  }
+
+  private def memoGet[M <: AnyRef](name: String, d: String, fit: () => M): M =
+    fitMemo.computeIfAbsent((name, d), _ => fit()).asInstanceOf[M]
 
   /** Feature j of the embeddings table in DuckDB (1-based list indexing);
     * FLOAT→DOUBLE widening is exact, matching Featurize's array<double>
@@ -87,8 +97,13 @@ object MLQueries {
           java.lang.Long.rotateLeft(r.getLong(3), 31))
     })
 
+  /** NULL-propagating, matching the Spark side's `(label >= 5).cast
+    * ("double")` exactly (ADVICE r11 item 3: the bare CASE mapped NULL →
+    * 0.0 — latent, since fit's dense-label require rejects null labels
+    * today, but the oracle text should not encode a divergence). */
   private val labelBinSql =
-    "CASE WHEN label >= 5 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
+    "CASE WHEN label IS NULL THEN NULL " +
+      "WHEN label >= 5 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END"
 
   private def accSql(predEq: String): String =
     s"avg(CASE WHEN $predEq THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
@@ -109,32 +124,35 @@ object MLQueries {
 
   // ---------------------------------------------------------------- q70
   private val q70Name = "q70_ml_gbt_binary_classifier"
-  private val q70Fn: (SparkSession, String) => DataFrame = (s, d) => {
-    val df = features(s, d)
-    val m = new LGBMClassifier(LGBMParams(nEstimators = 10, maxDepth = 4))
-      .fit(df, featuresCol = Seq("embedding"), labelCol = "label_bin")
+  private def q70Fit(s: SparkSession, d: String): LGBMClassifierModel =
+    new LGBMClassifier(LGBMParams(nEstimators = 10, maxDepth = 4))
+      .fit(features(s, d), featuresCol = Seq("embedding"), labelCol = "label_bin")
+  private def binPredictSql(m: LGBMClassifierModel): String = {
     val gbt = m.toLocal.asInstanceOf[GBTClassificationModel]
-    scorerSql.put((q70Name, d),
-      s"""SELECT vec_id, $labelBinSql AS label_bin,
-         ${TreeSql.gbtBinaryPredictionSql(gbt, featE)} AS prediction
-         FROM embeddings ORDER BY vec_id""")
-    m.predict(df, Seq("embedding"))
+    s"""SELECT vec_id, $labelBinSql AS label_bin,
+       ${TreeSql.gbtBinaryPredictionSql(gbt, featE)} AS prediction
+       FROM embeddings ORDER BY vec_id"""
+  }
+  private val q70Fn: (SparkSession, String) => DataFrame = (s, d) => {
+    val m = memoPut(q70Name, d, q70Fit(s, d))
+    m.predict(features(s, d), Seq("embedding"))
       .select(col("vec_id"), col("label_bin"), col("prediction"))
       .orderBy(col("vec_id"))
   }
-  private val q70 = QueryDef(q70Name, q70Fn, None, Some(genVia(q70Name, q70Fn)))
+  private val q70 = QueryDef(q70Name, q70Fn, None,
+    Some((s, d) => binPredictSql(memoGet(q70Name, d, () => q70Fit(s, d)))))
 
   // ---------------------------------------------------------------- q71
   private val q71Name = "q71_ml_rf_multiclass_proba"
-  private val q71Fn: (SparkSession, String) => DataFrame = (s, d) => {
-    val df = features(s, d)
+  private def q71Fit(s: SparkSession, d: String): LGBMClassifierModel =
     // feature_fraction 0.5: measured equal train accuracy to 1.0 on this
     // workload (0.6505 vs 0.6520) at ~half the fit cost (tools/P71,
     // sf0.1: 1.9 s vs 2.7–5.4 s) — the r2 "all" setting paid an
     // unmeasured 2× for parity the quality gates never needed
-    val m = new LGBMClassifier(
+    new LGBMClassifier(
       LGBMParams(nEstimators = 20, maxDepth = 6, featureFraction = 0.5))
-      .fit(df, featuresCol = Seq("embedding"), labelCol = "label10")
+      .fit(features(s, d), featuresCol = Seq("embedding"), labelCol = "label10")
+  private def q71Sql(m: LGBMClassifierModel): String = {
     val rf = m.toLocal.asInstanceOf[RandomForestClassificationModel]
     // Oracle: per-tree leaf vote LISTs bound once in a CTE, votes as
     // left-assoc sums in tree order (predictRaw's += loop), prediction =
@@ -142,44 +160,49 @@ object MLQueries {
     // unset). proba itself is not projected (its per-row array would be
     // this same model state); n_classes pins the ensemble's class count.
     val vCols = (0 until rf.numClasses).map(k => s"v$k")
-    scorerSql.put((q71Name, d),
-      s"""WITH ${rfVotesCte(rf)}
-         SELECT vec_id, ${TreeSql.argmaxFirstSql(vCols)} AS prediction,
-                CAST(${rf.numClasses} AS BIGINT) AS n_classes
-         FROM v ORDER BY vec_id""")
-    m.predictProba(df, Seq("embedding"))
+    s"""WITH ${rfVotesCte(rf)}
+       SELECT vec_id, ${TreeSql.argmaxFirstSql(vCols)} AS prediction,
+              CAST(${rf.numClasses} AS BIGINT) AS n_classes
+       FROM v ORDER BY vec_id"""
+  }
+  private val q71Fn: (SparkSession, String) => DataFrame = (s, d) => {
+    val m = memoPut(q71Name, d, q71Fit(s, d))
+    m.predictProba(features(s, d), Seq("embedding"))
       .select(col("vec_id"), col("prediction"),
         size(col("proba")).cast("long").as("n_classes"))
       .orderBy(col("vec_id"))
   }
-  private val q71 = QueryDef(q71Name, q71Fn, None, Some(genVia(q71Name, q71Fn)))
+  private val q71 = QueryDef(q71Name, q71Fn, None,
+    Some((s, d) => q71Sql(memoGet(q71Name, d, () => q71Fit(s, d)))))
 
   // ---------------------------------------------------------------- q72
   private val q72Name = "q72_ml_gbt_regressor"
-  private val q72Fn: (SparkSession, String) => DataFrame = (s, d) => {
-    val df = features(s, d)
-    val m = new LGBMRegressor(LGBMParams(nEstimators = 10, maxDepth = 4))
-      .fit(df, featuresCol = Seq("embedding"), labelCol = "label10")
+  private def q72Fit(s: SparkSession, d: String): LGBMRegressorModel =
+    new LGBMRegressor(LGBMParams(nEstimators = 10, maxDepth = 4))
+      .fit(features(s, d), featuresCol = Seq("embedding"), labelCol = "label10")
+  private def q72Sql(m: LGBMRegressorModel): String = {
     val reg = m.inner
     // Full-precision prediction is oracle-safe: LGBMRegressorModel.predict
     // scores through the compiled gbtMarginCol expression (NOT MLlib's
     // fma-lane ddot — TreeSql scaladoc), and gbtMarginSql mirrors that
     // expression term-for-term, so both engines evaluate identical IEEE
     // operations and the hash matches bitwise without rounding.
-    scorerSql.put((q72Name, d),
-      s"""SELECT vec_id, CAST(label AS DOUBLE) AS label10,
-         ${TreeSql.gbtMarginSql(reg.trees, reg.treeWeights, featE)} AS prediction
-         FROM embeddings ORDER BY vec_id""")
-    m.predict(df, Seq("embedding"))
+    s"""SELECT vec_id, CAST(label AS DOUBLE) AS label10,
+       ${TreeSql.gbtMarginSql(reg.trees, reg.treeWeights, featE)} AS prediction
+       FROM embeddings ORDER BY vec_id"""
+  }
+  private val q72Fn: (SparkSession, String) => DataFrame = (s, d) => {
+    val m = memoPut(q72Name, d, q72Fit(s, d))
+    m.predict(features(s, d), Seq("embedding"))
       .select(col("vec_id"), col("label10"), col("prediction"))
       .orderBy(col("vec_id"))
   }
-  private val q72 = QueryDef(q72Name, q72Fn, None, Some(genVia(q72Name, q72Fn)))
+  private val q72 = QueryDef(q72Name, q72Fn, None,
+    Some((s, d) => q72Sql(memoGet(q72Name, d, () => q72Fit(s, d)))))
 
   // ---------------------------------------------------------------- q73
   private val q73Name = "q73_ml_quantile_coverage"
-  private val q73Fn: (SparkSession, String) => DataFrame = (s, d) => {
-    val df = features(s, d)
+  private def q73Fit(s: SparkSession, d: String): LGBMRegressorModel =
     // r10: the quantile objective is the NATIVE pinball trainer (one
     // MLlib DecisionTreeRegressor fit per boosting stage — the K×
     // estimator-fit scheduling floor q103's OvR measurement
@@ -188,46 +211,53 @@ object MLQueries {
     // line-search stages converge the conditional shape fast, so the
     // gate demonstrates the trainer at 6 stages instead of paying the
     // floor 10×; MLSpec runs the full-budget coverage properties.
-    val m = new LGBMRegressor(
+    new LGBMRegressor(
       LGBMParams(nEstimators = 6, maxDepth = 4,
         objective = "quantile", alpha = 0.9))
-      .fit(df, featuresCol = Seq("embedding"), labelCol = "label10")
+      .fit(features(s, d), featuresCol = Seq("embedding"), labelCol = "label10")
+  private def q73Sql(m: LGBMRegressorModel): String = {
     val pb = m.toLocalPinball
     // The pinball predictor is already a pure expression (no ddot): the
     // SQL mirror reproduces the Column fold term-for-term, so the
     // coverage comparison `label <= f(x)` is bitwise cross-engine.
-    scorerSql.put((q73Name, d),
-      s"""SELECT ${accSql(
-           s"CAST(label AS DOUBLE) <= ${TreeSql.pinballSql(pb, featE)}")} AS coverage,
-         COUNT(*) AS n FROM embeddings""")
-    m.predict(df, Seq("embedding"))
+    s"""SELECT ${accSql(
+         s"CAST(label AS DOUBLE) <= ${TreeSql.pinballSql(pb, featE)}")} AS coverage,
+       COUNT(*) AS n FROM embeddings"""
+  }
+  private val q73Fn: (SparkSession, String) => DataFrame = (s, d) => {
+    val m = memoPut(q73Name, d, q73Fit(s, d))
+    m.predict(features(s, d), Seq("embedding"))
       .agg(
         avg((col("label10") <= col("prediction")).cast("double"))
           .as("coverage"),
         count(lit(1)).as("n"))
   }
-  private val q73 = QueryDef(q73Name, q73Fn, None, Some(genVia(q73Name, q73Fn)))
+  private val q73 = QueryDef(q73Name, q73Fn, None,
+    Some((s, d) => q73Sql(memoGet(q73Name, d, () => q73Fit(s, d)))))
 
   // ---------------------------------------------------------------- q74
   private val q74Name = "q74_ml_accuracy_metric"
-  private val q74Fn: (SparkSession, String) => DataFrame = (s, d) => {
-    val df = features(s, d)
-    val m = new LGBMClassifier(LGBMParams(nEstimators = 10, maxDepth = 4))
-      .fit(df, featuresCol = Seq("embedding"), labelCol = "label_bin")
+  private def q74Fit(s: SparkSession, d: String): LGBMClassifierModel =
+    new LGBMClassifier(LGBMParams(nEstimators = 10, maxDepth = 4))
+      .fit(features(s, d), featuresCol = Seq("embedding"), labelCol = "label_bin")
+  private def q74Sql(m: LGBMClassifierModel): String = {
     val gbt = m.toLocal.asInstanceOf[GBTClassificationModel]
-    scorerSql.put((q74Name, d),
-      s"""SELECT ${accSql(
-           s"$labelBinSql = ${TreeSql.gbtBinaryPredictionSql(gbt, featE)}")} AS accuracy,
-         COUNT(*) AS n FROM embeddings""")
+    s"""SELECT ${accSql(
+         s"$labelBinSql = ${TreeSql.gbtBinaryPredictionSql(gbt, featE)}")} AS accuracy,
+       COUNT(*) AS n FROM embeddings"""
+  }
+  private val q74Fn: (SparkSession, String) => DataFrame = (s, d) => {
+    val m = memoPut(q74Name, d, q74Fit(s, d))
     // reference metric-as-query: (dy == dy_pred).sum() / len(dy)
     // (system_tests/test_fit_predict.py:35)
-    m.predict(df, Seq("embedding"))
+    m.predict(features(s, d), Seq("embedding"))
       .agg(
         avg((col("label_bin") === col("prediction")).cast("double"))
           .as("accuracy"),
         count(lit(1)).as("n"))
   }
-  private val q74 = QueryDef(q74Name, q74Fn, None, Some(genVia(q74Name, q74Fn)))
+  private val q74 = QueryDef(q74Name, q74Fn, None,
+    Some((s, d) => q74Sql(memoGet(q74Name, d, () => q74Fit(s, d)))))
 
   // --------------------------------------------------------------- q103
   // The ovr_gbt multiclass path through the driver gate: 3 one-vs-rest
@@ -244,46 +274,78 @@ object MLQueries {
   // default: the K× is structural, not an implementation accident, and
   // amortizes only when per-iteration work is GB-sized.
   private val q103Name = "q103_ml_ovr_gbt_multiclass"
-  private val q103Fn: (SparkSession, String) => DataFrame = (s, d) => {
-    val df = features(s, d)
-      .withColumn("label3", (col("label10") % 3).cast("double"))
+  private def q103Fit(s: SparkSession, d: String): LGBMClassifierModel =
     // feature_fraction 0.5: the P71-measured ~2x fit-cost saving at
     // equal quality applies per ovr booster, so it compounds over K
-    val m = new LGBMClassifier(
+    new LGBMClassifier(
       LGBMParams(nEstimators = 8, maxDepth = 4, featureFraction = 0.5,
         multiclass = "ovr_gbt"))
-      .fit(df, featuresCol = Seq("embedding"), labelCol = "label3")
+      .fit(features(s, d).withColumn("label3",
+        (col("label10") % 3).cast("double")),
+        featuresCol = Seq("embedding"), labelCol = "label3")
+  private def q103Sql(m: LGBMClassifierModel): String = {
     val ovr = m.toLocalOvR
-    // Oracle: per-class margins bound once; p_k replays GBT's
-    // raw2probabilityInPlace verbatim (TreeSql.ovrProbSql); prediction =
-    // first-index argmax over the p_k (array_position-of-array_max
-    // semantics); proba_sum re-normalizes and roundZ's — the scaled-
-    // BIGINT round making the ≈1.0 sum hash-stable cross-engine.
+    // Oracle: per-class margins bound once; prediction = first-index
+    // argmax over the RAW MARGINS (r12 — sigmoid is strictly monotone,
+    // so this is OvRGBTModel.transform's argmax exactly, with `exp`
+    // removed from the prediction path in both engines); p_k replays
+    // GBT's raw2probabilityInPlace verbatim (TreeSql.ovrProbSql);
+    // proba_sum re-normalizes and roundZ's — the scaled-BIGINT round
+    // making the ≈1.0 sum hash-stable cross-engine, guarded by
+    // [[q103Guard]] against boundary-adjacent sums.
     val K = ovr.numClasses
     val mCols = (0 until K).map(k => s"m$k")
     val pCols = (0 until K).map(k => s"p$k")
     val sm = pCols.map(c => s"($c)").reduce((a, b) => s"($a + $b)")
     val normSum = pCols.map(c => s"($c / sm)").reduce((a, b) => s"($a + $b)")
-    scorerSql.put((q103Name, d),
-      s"""WITH mg AS (SELECT vec_id, ${ovr.models.zipWithIndex.map { case (mk, k) =>
-           s"${TreeSql.gbtMarginSql(mk.trees, mk.treeWeights, featE)} AS m$k"
-         }.mkString(", ")} FROM embeddings),
-         p AS (SELECT vec_id, ${mCols.zip(pCols).map { case (mc, pc) =>
+    s"""WITH mg AS (SELECT vec_id, ${ovr.models.zipWithIndex.map { case (mk, k) =>
+         s"${TreeSql.gbtMarginSql(mk.trees, mk.treeWeights, featE)} AS m$k"
+       }.mkString(", ")} FROM embeddings),
+       p AS (SELECT vec_id, ${mCols.mkString(", ")}, ${mCols.zip(pCols)
+         .map { case (mc, pc) =>
            s"${TreeSql.ovrProbSql(mc)} AS $pc" }.mkString(", ")} FROM mg),
-         sp AS (SELECT vec_id, ${pCols.mkString(", ")}, $sm AS sm FROM p)
-         SELECT vec_id, ${TreeSql.argmaxFirstSql(pCols)} AS prediction,
-                CAST($K AS BIGINT) AS n_classes,
-                (CAST(round(($normSum) * 1e6) AS BIGINT) / 1e6) AS proba_sum
-         FROM sp ORDER BY vec_id""")
-    m.predictProba(df, Seq("embedding"))
+       sp AS (SELECT vec_id, ${mCols.mkString(", ")}, ${pCols.mkString(", ")},
+              $sm AS sm FROM p)
+       SELECT vec_id, ${TreeSql.argmaxFirstSql(mCols)} AS prediction,
+              CAST($K AS BIGINT) AS n_classes,
+              ${Num.roundZSql(s"($normSum)", 6)} AS proba_sum
+       FROM sp ORDER BY vec_id"""
+  }
+  /** ADVICE r11 item 1: `proba_sum` is the one projection where a 1-ulp
+    * libm-vs-Java `exp` difference could still flip the bitwise gate —
+    * when the normalized sum lands within an ulp of its 0.5e-6 round-half
+    * boundary. Assert at oracle-gen time that no scored row sits within
+    * 1e-8 of a boundary (the cross-engine drift bound is ~K·ulp(1)·1e6 ≈
+    * 7e-10 for K=3); a violation throws, and `oracleSqlFor`'s catch
+    * degrades q103 to the driver's rows-only check instead of risking a
+    * red hash row on regenerated data. One extra scoring pass, oracle-gen
+    * time only — never in the benched query path. */
+  private def q103Guard(s: SparkSession, d: String,
+      m: LGBMClassifierModel): Unit = {
+    val dist = m.predictProba(features(s, d), Seq("embedding"))
+      .select(expr("aggregate(proba, 0D, (a, x) -> a + x)").as("sm"))
+      .select((abs(col("sm") * lit(1e6) - floor(col("sm") * lit(1e6))
+        - lit(0.5))).as("dist"))
+      .agg(min(col("dist"))).head().getDouble(0)
+    require(dist > 1e-8,
+      f"q103 proba_sum within $dist%.3g of a rounding boundary - " +
+        "falling back to the rows-only check")
+  }
+  private val q103Fn: (SparkSession, String) => DataFrame = (s, d) => {
+    val m = memoPut(q103Name, d, q103Fit(s, d))
+    m.predictProba(features(s, d), Seq("embedding"))
       .select(col("vec_id"), col("prediction"),
         size(col("proba")).cast("long").as("n_classes"),
         Num.roundZ(expr("aggregate(proba, 0D, (a, x) -> a + x)"), 6)
           .as("proba_sum"))
       .orderBy(col("vec_id"))
   }
-  private val q103 =
-    QueryDef(q103Name, q103Fn, None, Some(genVia(q103Name, q103Fn)))
+  private val q103 = QueryDef(q103Name, q103Fn, None,
+    Some((s, d) => {
+      val m = memoGet(q103Name, d, () => q103Fit(s, d))
+      q103Guard(s, d, m)
+      q103Sql(m)
+    }))
 
   // --------------------------------------------------------------- q185
   // Streaming model inference — the online half of the train-batch /
@@ -343,15 +405,12 @@ object MLQueries {
   }
 
   private val q185Name = "q185_stream_ml_scoring"
+  private def q185Fit(s: SparkSession, d: String): LGBMClassifierModel =
+    new LGBMClassifier(LGBMParams(nEstimators = 10, maxDepth = 4))
+      .fit(features(s, d), featuresCol = Seq("embedding"), labelCol = "label_bin")
   private val q185Fn: (SparkSession, String) => DataFrame = (s, d) => {
     val df = features(s, d)
-    val m = new LGBMClassifier(LGBMParams(nEstimators = 10, maxDepth = 4))
-      .fit(df, featuresCol = Seq("embedding"), labelCol = "label_bin")
-    val gbt = m.toLocal.asInstanceOf[GBTClassificationModel]
-    scorerSql.put((q185Name, d),
-      s"""SELECT vec_id, $labelBinSql AS label_bin,
-         ${TreeSql.gbtBinaryPredictionSql(gbt, featE)} AS prediction
-         FROM embeddings ORDER BY vec_id""")
+    val m = memoPut(q185Name, d, q185Fit(s, d))
     val dir = stagedMlScore(s, d)
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
@@ -373,8 +432,11 @@ object MLQueries {
     } finally q.stop()
     ss.table(name).orderBy(col("vec_id"))
   }
-  private val q185 =
-    QueryDef(q185Name, q185Fn, None, Some(genVia(q185Name, q185Fn)))
+  private val q185 = QueryDef(q185Name, q185Fn, None,
+    // r12 (ADVICE item 4): the generator compiles the scorer from the
+    // memoized fit alone — a cold cache refits the model but never
+    // replays the staging writes or the streaming pipeline.
+    Some((s, d) => binPredictSql(memoGet(q185Name, d, () => q185Fit(s, d)))))
 
   // --------------------------------------------------------------- q261
   // PERMUTATION feature importance ([EXT]) — the model-agnostic
@@ -399,10 +461,10 @@ object MLQueries {
   // DuckDB, one scorer instance per probed dim with feature i redirected
   // to the donor column.
   private val q261Name = "q261_ml_permutation_importance"
-  private val q261Fn: (SparkSession, String) => DataFrame = (s, d) => {
-    val df = features(s, d)
-    val m = new LGBMClassifier(LGBMParams(nEstimators = 10, maxDepth = 4))
-      .fit(df, featuresCol = Seq("embedding"), labelCol = "label_bin")
+  private def q261Fit(s: SparkSession, d: String): LGBMClassifierModel =
+    new LGBMClassifier(LGBMParams(nEstimators = 10, maxDepth = 4))
+      .fit(features(s, d), featuresCol = Seq("embedding"), labelCol = "label_bin")
+  private def q261Sql(m: LGBMClassifierModel): String = {
     val gbt = m.toLocal.asInstanceOf[GBTClassificationModel]
     def permFeat(i: Int)(j: Int): String =
       if (j == i) s"CAST(demb[${i + 1}] AS DOUBLE)" else featE(j)
@@ -411,22 +473,25 @@ object MLQueries {
            s"${TreeSql.gbtBinaryPredictionSql(gbt, permFeat(i))} = label_bin")} AS perm_acc
          FROM paired"""
     }
-    scorerSql.put((q261Name, d),
-      s"""WITH paired AS (
-           SELECT e.vec_id, e.embedding, $labelBinSql AS label_bin,
-                  COALESCE(dn.demb, e.embedding) AS demb
-           FROM embeddings e
-           LEFT JOIN (SELECT xor(vec_id, 1) AS vec_id, embedding AS demb
-                      FROM embeddings) dn USING (vec_id)),
-         base AS (SELECT ${accSql(
-           s"${TreeSql.gbtBinaryPredictionSql(gbt, featE)} = label_bin")} AS base_acc
-           FROM paired),
-         dims AS (${dimSelects.mkString(" UNION ALL ")})
-         SELECT feature_idx,
-                (CAST(round(base_acc * 1e6) AS BIGINT) / 1e6) AS base_acc,
-                (CAST(round(perm_acc * 1e6) AS BIGINT) / 1e6) AS perm_acc,
-                (CAST(round((base_acc - perm_acc) * 1e6) AS BIGINT) / 1e6) AS importance
-         FROM dims CROSS JOIN base ORDER BY feature_idx""")
+    s"""WITH paired AS (
+         SELECT e.vec_id, e.embedding, $labelBinSql AS label_bin,
+                COALESCE(dn.demb, e.embedding) AS demb
+         FROM embeddings e
+         LEFT JOIN (SELECT xor(vec_id, 1) AS vec_id, embedding AS demb
+                    FROM embeddings) dn USING (vec_id)),
+       base AS (SELECT ${accSql(
+         s"${TreeSql.gbtBinaryPredictionSql(gbt, featE)} = label_bin")} AS base_acc
+         FROM paired),
+       dims AS (${dimSelects.mkString(" UNION ALL ")})
+       SELECT feature_idx,
+              ${Num.roundZSql("base_acc", 6)} AS base_acc,
+              ${Num.roundZSql("perm_acc", 6)} AS perm_acc,
+              ${Num.roundZSql("base_acc - perm_acc", 6)} AS importance
+       FROM dims CROSS JOIN base ORDER BY feature_idx"""
+  }
+  private val q261Fn: (SparkSession, String) => DataFrame = (s, d) => {
+    val df = features(s, d)
+    val m = memoPut(q261Name, d, q261Fit(s, d))
     def acc(scored: DataFrame): DataFrame =
       scored.agg((sum(when(col("prediction") === col("label_bin"), 1L)
         .otherwise(0L)).cast("double") /
@@ -451,8 +516,8 @@ object MLQueries {
         Num.roundZ(col("base_acc") - col("perm_acc"), 6).as("importance"))
       .orderBy(col("feature_idx"))
   }
-  private val q261 =
-    QueryDef(q261Name, q261Fn, None, Some(genVia(q261Name, q261Fn)))
+  private val q261 = QueryDef(q261Name, q261Fn, None,
+    Some((s, d) => q261Sql(memoGet(q261Name, d, () => q261Fit(s, d)))))
 
   // --------------------------------------------------------------- q374
   // Reliability diagram + expected calibration error (ECE, Naeini 2015 /
@@ -475,45 +540,46 @@ object MLQueries {
   // Scale: one corpus pass (broadcast model transform) + one 10-group
   // aggregate; everything after lives on the bucket grid.
   private val q374Name = "q374_ml_reliability_ece"
-  private val q374Fn: (SparkSession, String) => DataFrame = (s, d) => {
-    val df = features(s, d)
-    val m = new LGBMClassifier(
+  private def q374Fit(s: SparkSession, d: String): LGBMClassifierModel =
+    new LGBMClassifier(
       LGBMParams(nEstimators = 20, maxDepth = 6, featureFraction = 0.5))
-      .fit(df, featuresCol = Seq("embedding"), labelCol = "label10")
+      .fit(features(s, d), featuresCol = Seq("embedding"), labelCol = "label10")
+  private def q374Sql(m: LGBMClassifierModel): String = {
     val rf = m.toLocal.asInstanceOf[RandomForestClassificationModel]
     val vCols = (0 until rf.numClasses).map(k => s"v$k")
     val sSql = vCols.map(c => s"($c)").reduce((a, b) => s"($a + $b)")
     val confSql = s"greatest(${vCols.map(c => s"($c / s)").mkString(", ")})"
-    scorerSql.put((q374Name, d),
-      s"""WITH ${rfVotesCte(rf)},
-         p AS (SELECT vec_id, label, ${vCols.mkString(", ")}, $sSql AS s
-               FROM v),
-         sc AS (SELECT
-             CAST(round($confSql * 1e9) AS BIGINT) AS cq,
-             CASE WHEN ${TreeSql.argmaxFirstSql(vCols)} = CAST(label AS DOUBLE)
-               THEN 1 ELSE 0 END AS corr,
-             CAST(least(floor($confSql * 10.0), 9) AS BIGINT) AS bucket
-           FROM p),
-         g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(cq) AS BIGINT) AS scq,
-                 CAST(sum(corr) AS BIGINT) AS nc
-               FROM sc GROUP BY 1),
-         tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM sc),
-         gg AS (SELECT bucket, n, nn,
-                  CAST(scq AS DOUBLE) / (1e9 * CAST(n AS DOUBLE)) AS conf_mean,
-                  CAST(nc AS DOUBLE) / CAST(n AS DOUBLE) AS acc
-                FROM g, tot),
-         e AS (SELECT CAST(sum(CAST(round(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
-                 * abs(acc - conf_mean) * 1e9) AS BIGINT)) AS BIGINT) AS eceq
-               FROM gg)
-         SELECT bucket, n,
-                (CAST(round(conf_mean * 1e6) AS BIGINT) / 1e6) AS conf_mean,
-                (CAST(round(acc * 1e6) AS BIGINT) / 1e6) AS acc,
-                (CAST(round(abs(acc - conf_mean) * 1e6) AS BIGINT) / 1e6) AS gap,
-                (CAST(round((CAST(eceq AS DOUBLE) / 1e9) * 1e6) AS BIGINT)
-                  / 1e6) AS ece
-         FROM gg, e ORDER BY bucket""")
-    val scored = m.predictProba(df, Seq("embedding"))
+    s"""WITH ${rfVotesCte(rf)},
+       p AS (SELECT vec_id, label, ${vCols.mkString(", ")}, $sSql AS s
+             FROM v),
+       sc AS (SELECT
+           CAST(round($confSql * 1e9) AS BIGINT) AS cq,
+           CASE WHEN ${TreeSql.argmaxFirstSql(vCols)} = CAST(label AS DOUBLE)
+             THEN 1 ELSE 0 END AS corr,
+           CAST(least(floor($confSql * 10.0), 9) AS BIGINT) AS bucket
+         FROM p),
+       g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cq) AS BIGINT) AS scq,
+               CAST(sum(corr) AS BIGINT) AS nc
+             FROM sc GROUP BY 1),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM sc),
+       gg AS (SELECT bucket, n, nn,
+                CAST(scq AS DOUBLE) / (1e9 * CAST(n AS DOUBLE)) AS conf_mean,
+                CAST(nc AS DOUBLE) / CAST(n AS DOUBLE) AS acc
+              FROM g, tot),
+       e AS (SELECT CAST(sum(CAST(round(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+               * abs(acc - conf_mean) * 1e9) AS BIGINT)) AS BIGINT) AS eceq
+             FROM gg)
+       SELECT bucket, n,
+              ${Num.roundZSql("conf_mean", 6)} AS conf_mean,
+              ${Num.roundZSql("acc", 6)} AS acc,
+              ${Num.roundZSql("abs(acc - conf_mean)", 6)} AS gap,
+              ${Num.roundZSql("CAST(eceq AS DOUBLE) / 1e9", 6)} AS ece
+       FROM gg, e ORDER BY bucket"""
+  }
+  private val q374Fn: (SparkSession, String) => DataFrame = (s, d) => {
+    val m = memoPut(q374Name, d, q374Fit(s, d))
+    val scored = m.predictProba(features(s, d), Seq("embedding"))
       .withColumn("conf", array_max(col("proba")))
       .select(
         round(col("conf") * lit(1e9)).cast("long").as("cq"),
@@ -544,8 +610,8 @@ object MLQueries {
         Num.roundZ(col("eceq").cast("double") / lit(1e9), 6).as("ece"))
       .orderBy(col("bucket"))
   }
-  private val q374 =
-    QueryDef(q374Name, q374Fn, None, Some(genVia(q374Name, q374Fn)))
+  private val q374 = QueryDef(q374Name, q374Fn, None,
+    Some((s, d) => q374Sql(memoGet(q374Name, d, () => q374Fit(s, d)))))
 
   // --------------------------------------------------------------- q375
   // Per-class one-vs-rest AUC of the RF's own probability scores ([EXT])
@@ -559,13 +625,18 @@ object MLQueries {
   // distinct-score) grid — bounded by the quantization grid, never the
   // corpus — partitioned by class, so no single-partition corpus sort
   // exists at any SF. Oracle: compiled vote lists (r11 TreeSql), one
-  // UNION ALL arm per class over a MATERIALIZED score CTE.
+  // UNION ALL arm per class over a MATERIALIZED score CTE. The final
+  // `auc` rounds through Num.roundZ/roundZSql (ADVICE r11 item 2: plain
+  // round(x, 6) is decimal-exact HALF_UP BigDecimal in Spark but
+  // multiply-round-divide in DuckDB — a latent last-ulp divergence on
+  // arbitrary score ratios; the scaled-BIGINT quantization is the house
+  // form precisely because both engines compute it identically).
   private val q375Name = "q375_ml_class_auc"
-  private val q375Fn: (SparkSession, String) => DataFrame = (s, d) => {
-    val df = features(s, d)
-    val m = new LGBMClassifier(
+  private def q375Fit(s: SparkSession, d: String): LGBMClassifierModel =
+    new LGBMClassifier(
       LGBMParams(nEstimators = 20, maxDepth = 6, featureFraction = 0.5))
-      .fit(df, featuresCol = Seq("embedding"), labelCol = "label10")
+      .fit(features(s, d), featuresCol = Seq("embedding"), labelCol = "label10")
+  private def q375Sql(m: LGBMClassifierModel): String = {
     val rf = m.toLocal.asInstanceOf[RandomForestClassificationModel]
     val vCols = (0 until rf.numClasses).map(k => s"v$k")
     val sSql = vCols.map(c => s"($c)").reduce((a, b) => s"($a + $b)")
@@ -573,28 +644,31 @@ object MLQueries {
       s"""SELECT label, CAST($k AS BIGINT) AS class_id,
             CAST(round((v$k / s) * 1e9) AS BIGINT) AS pq FROM ps"""
     }
-    scorerSql.put((q375Name, d),
-      s"""WITH ${rfVotesCte(rf)},
-         ps AS MATERIALIZED (SELECT vec_id, label, ${vCols.mkString(", ")},
-             $sSql AS s FROM v),
-         ex AS (${arms.mkString(" UNION ALL ")}),
-         g AS (SELECT class_id, pq,
-                 CAST(count(*) FILTER (WHERE label = class_id) AS BIGINT) AS np,
-                 CAST(count(*) FILTER (WHERE label <> class_id) AS BIGINT) AS nn
-               FROM ex GROUP BY 1, 2),
-         c AS (SELECT class_id, np, nn,
-                 CAST(COALESCE(sum(nn) OVER (PARTITION BY class_id
-                   ORDER BY pq ROWS BETWEEN UNBOUNDED PRECEDING AND 1
-                   PRECEDING), 0) AS BIGINT) AS cumneg
-               FROM g)
-         SELECT class_id,
-                CAST(sum(np) AS BIGINT) AS n_pos,
-                CAST(sum(nn) AS BIGINT) AS n_neg,
-                round(CAST(sum(np * (cumneg * 2 + nn)) AS DOUBLE) /
-                      CAST(NULLIF(sum(np) * sum(nn) * 2, 0) AS DOUBLE), 6)
-                  AS auc
-         FROM c GROUP BY 1 ORDER BY 1""")
-    val ex = m.predictProba(df, Seq("embedding"))
+    s"""WITH ${rfVotesCte(rf)},
+       ps AS MATERIALIZED (SELECT vec_id, label, ${vCols.mkString(", ")},
+           $sSql AS s FROM v),
+       ex AS (${arms.mkString(" UNION ALL ")}),
+       g AS (SELECT class_id, pq,
+               CAST(count(*) FILTER (WHERE label = class_id) AS BIGINT) AS np,
+               CAST(count(*) FILTER (WHERE label <> class_id) AS BIGINT) AS nn
+             FROM ex GROUP BY 1, 2),
+       c AS (SELECT class_id, np, nn,
+               CAST(COALESCE(sum(nn) OVER (PARTITION BY class_id
+                 ORDER BY pq ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                 PRECEDING), 0) AS BIGINT) AS cumneg
+             FROM g)
+       SELECT class_id,
+              CAST(sum(np) AS BIGINT) AS n_pos,
+              CAST(sum(nn) AS BIGINT) AS n_neg,
+              ${Num.roundZSql(
+                "CAST(sum(np * (cumneg * 2 + nn)) AS DOUBLE) / " +
+                  "CAST(NULLIF(sum(np) * sum(nn) * 2, 0) AS DOUBLE)", 6)}
+                AS auc
+       FROM c GROUP BY 1 ORDER BY 1"""
+  }
+  private val q375Fn: (SparkSession, String) => DataFrame = (s, d) => {
+    val m = memoPut(q375Name, d, q375Fit(s, d))
+    val ex = m.predictProba(features(s, d), Seq("embedding"))
       .select(col("label10"), expr("posexplode(proba) AS (k, p)"))
       .select(col("k").cast("long").as("class_id"),
         (col("label10") === col("k").cast("double")).cast("long").as("pos"),
@@ -609,12 +683,12 @@ object MLQueries {
         sum(col("np") * (col("cumneg") * 2 + col("nn"))).as("num2"),
         sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"))
       .select(col("class_id"), col("n_pos"), col("n_neg"),
-        round(col("num2").cast("double") /
+        Num.roundZ(col("num2").cast("double") /
           expr("CAST(nullif(n_pos * n_neg * 2, 0) AS DOUBLE)"), 6).as("auc"))
       .orderBy(col("class_id"))
   }
-  private val q375 =
-    QueryDef(q375Name, q375Fn, None, Some(genVia(q375Name, q375Fn)))
+  private val q375 = QueryDef(q375Name, q375Fn, None,
+    Some((s, d) => q375Sql(memoGet(q375Name, d, () => q375Fit(s, d)))))
 
   val defs: Seq[QueryDef] =
     Seq(q70, q71, q72, q73, q74, q103, q185, q261, q374, q375)

@@ -583,6 +583,49 @@ class MLSpec extends AnyFunSuite {
     }
   }
 
+  test("prediction paths are transcendental-free: no exp in the optimized plan") {
+    // r12 (VERDICT r11 task 1): `prediction` must argmax compiled MARGINS,
+    // never sigmoid scores, so the last-ulp libm-vs-Java `exp` divergence
+    // cannot flip a hashed prediction cross-engine on any data. Pin: a
+    // prediction-only projection of the binary-GBT and OvR scorers
+    // optimizes to a plan with NO Exp expression (column pruning must drop
+    // the probability machinery — if exp survives, prediction depends on
+    // it). The probability column itself legitimately keeps exp.
+    import org.apache.spark.sql.catalyst.expressions.Exp
+    def expCount(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case p => p.expressions.map(_.collect { case _: Exp => 1 }.sum).sum
+      }.sum
+    val df3 = blobs(3)
+    val ovr = new LGBMClassifier(
+      LGBMParams(nEstimators = 10, multiclass = "ovr_gbt")).fit(df3, Seq("feats"))
+    val predOnly = ovr.predict(df3, Seq("feats")).select("id", "prediction")
+    assert(expCount(predOnly) == 0,
+      s"OvR prediction path contains exp:\n${predOnly.queryExecution.optimizedPlan}")
+    assert(expCount(ovr.predictProba(df3, Seq("feats")).select("proba")) > 0,
+      "sanity: the probability path is where exp is allowed to live")
+    val df2 = blobs(2)
+    val bin = new LGBMClassifier(LGBMParams(nEstimators = 10)).fit(df2, Seq("feats"))
+    val binPred = bin.predict(df2, Seq("feats")).select("id", "prediction")
+    assert(expCount(binPred) == 0,
+      s"binary GBT prediction path contains exp:\n${binPred.queryExecution.optimizedPlan}")
+  }
+
+  test("ovr argmax over margins ≡ argmax over sigmoid scores (monotonicity)") {
+    // The r12 prediction rule change is semantics-preserving: sigmoid is
+    // strictly monotone, so first-index argmax over margins equals
+    // first-index argmax over per-class probabilities (up to probability
+    // ROUNDING COLLISIONS, where the margin form is strictly more exact).
+    val df = blobs(3, n = 300)
+    val ovr = new LGBMClassifier(
+      LGBMParams(nEstimators = 15, multiclass = "ovr_gbt")).fit(df, Seq("feats"))
+    val scored = ovr.predictProba(df, Seq("feats"))
+      .withColumn("pred_via_proba",
+        (expr("array_position(proba, array_max(proba))") - 1).cast("double"))
+    val mism = scored.filter($"prediction" =!= $"pred_via_proba").count()
+    assert(mism == 0, s"$mism rows where margin-argmax != proba-argmax")
+  }
+
   test("pinball 1e-6-grid percentile: order statistics within grid resolution " +
     "of exact (the r10 'weak' closure A/B)") {
     // The quantized percentile (Pinball.fit scaladoc) bounds the agg
