@@ -137,6 +137,7 @@ object Bench {
     val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       s""""n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir",""" +
       f""""load_avg_start":$load0%.2f,"load_avg_end":$loadAvg%.2f,""" +
+      s""""contaminated":${load0 >= 2.0},""" +
       f""""wall_sec":${(System.nanoTime() - wall0) / 1e9}%.1f,"summary":true}"""
     println(summary)
     // also persist the JSON so the result survives driver-log truncation
@@ -155,11 +156,22 @@ object Bench {
       .mkString("{", ",", "}")
     // full runs only — a SPARK_GRAFT_BENCH_ONLY probe must not overwrite
     // the board's headline artifact
+    //
+    // `contaminated` (r11 verdict task 5): machine-readable form of the
+    // house env-marker convention — a pass started at 1-min load ≥ 2.0
+    // shares the machine with other work and its total is not comparable
+    // across rounds (documented band evidence: r6 measured 1.17× between
+    // two best-of-2 runs of near-identical code; the r11 driver headline
+    // read 525 s at load 4.88 vs the quiet-pass 418 s). The threshold is
+    // recorded in BASELINE.md; consumers should discard contaminated
+    // totals rather than scale them.
+    val contaminated = load0 >= 2.0
     if (only.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SUMMARY.json"),
       f"""{"total_sec":$total%.1f,"n_queries":${results.size},""" +
         s""""failed":$failedJson,"sf":"$sfDir","families":$famJson,""" +
         f""""load_avg_start":$load0%.2f,"load_avg_end":$loadAvg%.2f,""" +
+        s""""contaminated":$contaminated,""" +
         f""""wall_sec":${(System.nanoTime() - wall0) / 1e9}%.1f}""" + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
