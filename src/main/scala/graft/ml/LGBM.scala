@@ -64,6 +64,27 @@ object Featurize {
       }
     }
   }
+
+  /** array<double> feature accessor for the compiled scorers (r12, the
+    * q72 attribution closure — tools/Q72Prof): when the caller's feature
+    * column is ALREADY an array, score it directly with one exact
+    * float→double widening cast. Routing the compiled Column through the
+    * `features` vector instead implies `vector_to_array(array_to_vector
+    * (cast(...)))` — two opaque per-row object conversions Catalyst
+    * cannot elide (both are UDF-backed), measured at 3× the steady-state
+    * scoring cost of the q72 pass (0.67 s vs 0.22 s at sf0.1). Values
+    * are bitwise identical either way: the round trip is an identity and
+    * float→double widening is exact, so the compiled SQL oracle
+    * (`CAST(embedding[i] AS DOUBLE)`) replays this path term-for-term.
+    * Non-array shapes (vector column, assembled plain columns) keep the
+    * vector_to_array form over the Featurize output. */
+  def farr(df: DataFrame, featuresCol: Seq[String]): org.apache.spark.sql.Column =
+    featuresCol match {
+      case Seq(c) if df.schema.fieldNames.contains(c) &&
+          df.schema(c).dataType.isInstanceOf[ArrayType] =>
+        col(c).cast("array<double>")
+      case _ => vector_to_array(col("features"))
+    }
 }
 
 /** Two-frame adapter for the reference's `fit(dX, dy[, sample_weight])`
@@ -194,8 +215,14 @@ final class OvRGBTModel private[graft] (val models: Array[GBTClassificationModel
     * `probability` column, whose query projections are roundZ-quantized.
     * First-index ties: `array_position(arr, array_max(arr))` over the
     * margin array is the same first-strict-max rule as before. */
-  def transform(df0: DataFrame): DataFrame = {
-    val farr = vector_to_array(col("features"))
+  def transform(df0: DataFrame): DataFrame =
+    transform(df0, vector_to_array(col("features")))
+
+  /** Scoring entry with an explicit feature-array accessor — the predict
+    * path passes `Featurize.farr` so an array-column caller skips the
+    * per-row vector round trip (see [[Featurize.farr]]). */
+  private[ml] def transform(df0: DataFrame,
+      farr: org.apache.spark.sql.Column): DataFrame = {
     val mcols = models.indices.map(k => s"__ovr_m$k")
     val pcols = models.indices.map(k => s"__ovr_p$k")
     var df = df0
@@ -322,7 +349,7 @@ class LGBMClassifierModel private[ml] (
     val scored = backend match {
       case Left(m: GBTClassificationModel) =>
         val margin = TreeSql.gbtMarginCol(m.trees, m.treeWeights,
-          vector_to_array(col("features")))
+          Featurize.farr(df, featuresCol))
         val p0 = lit(1.0) / (lit(1.0) + exp(lit(2.0) * margin))
         feat
           .withColumn("probability",
@@ -330,7 +357,7 @@ class LGBMClassifierModel private[ml] (
           .withColumn("prediction",
             when(margin > lit(0.0), lit(1.0)).otherwise(lit(0.0)))
       case Left(m)  => m.transform(feat)
-      case Right(o) => o.transform(feat)
+      case Right(o) => o.transform(feat, Featurize.farr(df, featuresCol))
     }
     scored.withColumn("prediction", col("prediction").cast(labelType))
   }
@@ -491,12 +518,12 @@ class LGBMRegressorModel private[graft] (
     backend match {
       case Left((m, off)) =>
         val margin = TreeSql.gbtMarginCol(m.trees, m.treeWeights,
-          vector_to_array(col("features")))
+          Featurize.farr(df, featuresCol))
         Featurize(df, featuresCol).withColumn("prediction",
           if (off != 0.0) margin + lit(off) else margin)
       case Right(pb) =>
         Featurize(df, featuresCol).withColumn("prediction",
-          pb.predictCol(vector_to_array(col("features"))))
+          pb.predictCol(Featurize.farr(df, featuresCol)))
     }
 
   def toLocal: PredictionModel[Vector, _] = backend match {
