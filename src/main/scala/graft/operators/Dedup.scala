@@ -1558,7 +1558,12 @@ object Dedup {
       }
       .start()
     q.awaitTermination()
-    s.read.parquet(outDir).orderBy(col("doc_id"))
+    // explicit schema: an empty feed (degenerate sweep) runs zero batches,
+    // so foreachBatch writes no files and inference would throw — the
+    // empty verdict table is the correct result there
+    s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id bigint, verdict string, n_near bigint, near_min_old bigint"))
+      .parquet(outDir).orderBy(col("doc_id"))
   }
 
   // --------------------------------------------------------------- q210

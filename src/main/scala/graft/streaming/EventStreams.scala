@@ -194,19 +194,27 @@ object EventStreams {
   private[graft] def slicedDir(s: SparkSession, d: String): String =
     stageStable(s, "sliced", "sliced", d) { dir =>
       val ev = Tables.t(s, d, "events")
-      val Row(t0: Long, tMax: Long) = ev.agg(
+      val bounds = ev.agg(
         min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-      val withFid = ev.withColumn("fid",
-        expr(s"(unix_micros(ts) - ${t0}L) DIV ${SliceUs}L") +
-          expr("CASE WHEN event_id % 13 = 0 THEN 2L WHEN event_id % 7 = 0 THEN 1L ELSE 0L END"))
-      val maxFid = withFid.agg(max(col("fid"))).head().getLong(0)
-      val sentinel = s.range(1).select(
-        lit(-1L).as("event_id"),
-        expr(s"timestamp_micros(${tMax + 30L * 86400L * 1000000L}L)").as("ts"),
-        lit(-1L).as("user_id"), lit("_sentinel").as("event_type"),
-        lit(0.0).as("value"), lit(null).cast("string").as("props"),
-        lit(maxFid + 1).as("fid"))
-      writeSliceFiles(s, withFid.unionByName(sentinel), dir)
+      // EMPTY events (r12 degenerate-streaming sweep): stage ZERO slice
+      // files — the file source then yields no batches and every
+      // downstream query returns its empty shape, instead of this build
+      // dying on a null min/max (MatchError). Applies to all three
+      // staging flavors; DegenerateStreamingSpec pins the behavior.
+      if (!bounds.isNullAt(0)) {
+        val Row(t0: Long, tMax: Long) = bounds
+        val withFid = ev.withColumn("fid",
+          expr(s"(unix_micros(ts) - ${t0}L) DIV ${SliceUs}L") +
+            expr("CASE WHEN event_id % 13 = 0 THEN 2L WHEN event_id % 7 = 0 THEN 1L ELSE 0L END"))
+        val maxFid = withFid.agg(max(col("fid"))).head().getLong(0)
+        val sentinel = s.range(1).select(
+          lit(-1L).as("event_id"),
+          expr(s"timestamp_micros(${tMax + 30L * 86400L * 1000000L}L)").as("ts"),
+          lit(-1L).as("user_id"), lit("_sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"),
+          lit(maxFid + 1).as("fid"))
+        writeSliceFiles(s, withFid.unionByName(sentinel), dir)
+      }
     }
 
   /** Staging for dedup re-admission (q87): no late lag; instead each
@@ -217,15 +225,18 @@ object EventStreams {
   private def dupDir(s: SparkSession, d: String): String =
     stageStable(s, "dup", "dup", d) { dir =>
       val ev = Tables.t(s, d, "events")
-      val t0 = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
-      val withFid = ev.withColumn("fid",
-        expr(s"(unix_micros(ts) - ${t0}L) DIV ${SliceUs}L"))
-      val near = withFid.filter(col("event_id") % 11 === 0)
-        .withColumn("ts", expr("ts + INTERVAL 5 MINUTES"))
-      val far = withFid.filter(col("event_id") % 9 === 0)
-        .withColumn("ts", expr("ts + INTERVAL 12 DAYS"))
-        .withColumn("fid", col("fid") + 2L)
-      writeSliceFiles(s, withFid.unionByName(near).unionByName(far), dir)
+      val t0Row = ev.agg(min(unix_micros(col("ts")))).head()
+      if (!t0Row.isNullAt(0)) { // empty events → zero slice files
+        val t0 = t0Row.getLong(0)
+        val withFid = ev.withColumn("fid",
+          expr(s"(unix_micros(ts) - ${t0}L) DIV ${SliceUs}L"))
+        val near = withFid.filter(col("event_id") % 11 === 0)
+          .withColumn("ts", expr("ts + INTERVAL 5 MINUTES"))
+        val far = withFid.filter(col("event_id") % 9 === 0)
+          .withColumn("ts", expr("ts + INTERVAL 12 DAYS"))
+          .withColumn("fid", col("fid") + 2L)
+        writeSliceFiles(s, withFid.unionByName(near).unionByName(far), dir)
+      }
     }
 
   private def readStaged(s: SparkSession, dir: String): DataFrame =
@@ -727,7 +738,12 @@ object EventStreams {
       // predicate is pushed into the file scan, so `numInputRows` never
       // counts the filtered sentinel row — accounting against the raw
       // staged count would stall one row short forever
-      val nStaged = s.read.parquet(staged)
+      // explicit schema: zero staged slices (degenerate sweep) would fail
+      // inference; the count is legitimately 0 there
+      val nStaged = s.read.schema(org.apache.spark.sql.types.StructType
+          .fromDDL("event_id bigint, ts timestamp, user_id bigint, " +
+            "event_type string, value double, props string"))
+        .parquet(staged)
         .filter(col("user_id") =!= -1L).count()
       val name = s"graft_stream_${runId.incrementAndGet()}"
       val ss = s.newSession()
@@ -791,8 +807,11 @@ object EventStreams {
   private val q89 = QueryDef(
     "q89_stream_static_join",
     (s, d) => {
+      // coalesce: empty events (degenerate sweep) would NPE the getLong;
+      // a 1-row dim joined against an empty stream is still empty, so
+      // the static oracle (plain GROUP BY over events) mirrors the guard
       val maxUid = Tables.t(s, d, "events")
-        .agg(max(col("user_id"))).head().getLong(0)
+        .agg(coalesce(max(col("user_id")), lit(0L))).head().getLong(0)
       val dim = s.range(0, maxUid + 1).select(col("id").as("user_id"),
         pmod(col("id"), lit(7L)).as("segment"))
       run(s, st =>
@@ -827,6 +846,9 @@ object EventStreams {
         sys.props("java.io.tmpdir"), "graft_stream",
         d.replaceAll("[^A-Za-z0-9.]", "_"), "fbsink_out")
       deleteRecursively(outDir)
+      // pre-create: with zero staged slices no batch ever writes, and the
+      // explicit-schema read below still needs an existing (empty) path
+      java.nio.file.Files.createDirectories(outDir)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
       val q = readStaged(ss, slicedDir(s, d))
@@ -839,7 +861,11 @@ object EventStreams {
         }
         .start()
       try drain(q) finally q.stop()
-      s.read.parquet(outDir.toString).orderBy(col("event_id"))
+      // explicit schema: zero staged slices (degenerate sweep) → zero
+      // batches → no sink files; inference would throw on the empty dir
+      s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id bigint, user_id bigint, value double"))
+        .parquet(outDir.toString).orderBy(col("event_id"))
     },
     Some("""
       SELECT event_id, user_id, value
@@ -853,18 +879,21 @@ object EventStreams {
   private def orderedDir(s: SparkSession, d: String): String =
     stageStable(s, "ordered", "ordered", d) { dir =>
       val ev = Tables.t(s, d, "events")
-      val Row(t0: Long, tMax: Long) = ev.agg(
+      val bounds = ev.agg(
         min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-      val withFid = ev.withColumn("fid",
-        expr(s"(unix_micros(ts) - ${t0}L) DIV ${SliceUs}L"))
-      val maxFid = withFid.agg(max(col("fid"))).head().getLong(0)
-      val sentinel = s.range(1).select(
-        lit(-1L).as("event_id"),
-        expr(s"timestamp_micros(${tMax + 30L * 86400L * 1000000L}L)").as("ts"),
-        lit(-1L).as("user_id"), lit("_sentinel").as("event_type"),
-        lit(0.0).as("value"), lit(null).cast("string").as("props"),
-        lit(maxFid + 1).as("fid"))
-      writeSliceFiles(s, withFid.unionByName(sentinel), dir)
+      if (!bounds.isNullAt(0)) { // empty events → zero slice files
+        val Row(t0: Long, tMax: Long) = bounds
+        val withFid = ev.withColumn("fid",
+          expr(s"(unix_micros(ts) - ${t0}L) DIV ${SliceUs}L"))
+        val maxFid = withFid.agg(max(col("fid"))).head().getLong(0)
+        val sentinel = s.range(1).select(
+          lit(-1L).as("event_id"),
+          expr(s"timestamp_micros(${tMax + 30L * 86400L * 1000000L}L)").as("ts"),
+          lit(-1L).as("user_id"), lit("_sentinel").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"),
+          lit(maxFid + 1).as("fid"))
+        writeSliceFiles(s, withFid.unionByName(sentinel), dir)
+      }
     }
 
   // ---------------------------------------------------------------- q96
@@ -1201,7 +1230,12 @@ object EventStreams {
       runToCompletion() // run 1: commits offsets + state to the checkpoint
       arrive(rest)
       runToCompletion() // run 2: a NEW query resumes from the checkpoint
-      s.read.parquet(sink).orderBy(col("event_type"))
+      // explicit schema + pre-created sink: zero staged slices (degenerate
+      // sweep) run zero batches, so foreachBatch never writes
+      Files.createDirectories(Paths.get(sink))
+      s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type string, n bigint, sum_value double"))
+        .parquet(sink).orderBy(col("event_type"))
     },
     Some(s"""
       SELECT event_type, count(*) AS n,
@@ -1229,6 +1263,9 @@ object EventStreams {
         sys.props("java.io.tmpdir"), "graft_stream",
         d.replaceAll("[^A-Za-z0-9.]", "_"), "upsert_out")
       deleteRecursively(outDir)
+      // pre-create: zero staged slices -> zero batches -> no sink files;
+      // the explicit-schema read below still needs an existing path
+      java.nio.file.Files.createDirectories(outDir)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
       ss.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -1244,7 +1281,9 @@ object EventStreams {
         .outputMode("update")
         .start()
       try drain(q) finally q.stop()
-      s.read.parquet(outDir.toString)
+      s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "n bigint, sum_value double, segment int"))
+        .parquet(outDir.toString)
         .select(col("segment").cast("long").as("segment"), col("n"),
           col("sum_value"))
         .orderBy(col("segment"))
