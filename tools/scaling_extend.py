@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Extend SCALING.json with a synthetic-sf1 leg for the top movers.
+
+r11 verdict task 6: 231/360 queries sit at the scheduler floor at sf0.1,
+so the two-decade census says little about the genuinely data-coupled
+tail. Driver testdata stops at sf0.1; tools/SynthSf1.scala scales it 10×
+deterministically (see its scaladoc for the construction), and the ~20
+most data-coupled queries (slope >= 0.3, or slope >= 0.2 at >= 2 s) are
+re-benched at BOTH sf0.1 and synthetic sf1 in the same session so the
+third-decade slope is computed between two same-machine-state legs.
+
+Usage:
+  python3 tools/scaling_extend.py <bench_sf01.json> <bench_sf1.json>
+
+Reads/writes SCALING.json in place: for each subset query adds
+  sec_sf01_fresh : the same-session sf0.1 reading (best-of-2)
+  sec_sf1        : the synthetic-sf1 reading (best-of-2)
+  slope_sf1      : log10(sec_sf1 / sec_sf01_fresh) — the third-decade
+                   slope (1.0 = linear, <1 sublinear, >1 super-linear)
+and records run metadata under "sf1_leg".
+"""
+import json
+import sys
+from math import log10
+
+
+def main() -> int:
+    b01 = json.loads(open(sys.argv[1]).read().splitlines()[0])
+    b1 = json.loads(open(sys.argv[2]).read().splitlines()[0])
+    scaling = json.load(open("SCALING.json"))
+    qs = scaling["queries"]
+    ext = {}
+    sup = []
+    for name, t1 in b1["queries"].items():
+        t01 = b01["queries"].get(name)
+        if t01 is None or t01 <= 0 or t1 <= 0:
+            continue
+        slope = round(log10(t1 / t01), 3)
+        qs[name]["sec_sf01_fresh"] = round(t01, 3)
+        qs[name]["sec_sf1"] = round(t1, 3)
+        qs[name]["slope_sf1"] = slope
+        ext[name] = slope
+        if slope > 1.0:
+            sup.append(name)
+    scaling["sf1_leg"] = {
+        "n_queries": len(ext),
+        "generator": "tools/SynthSf1.scala (deterministic 10x of sf0.1; "
+                     "driver testdata stops at sf0.1)",
+        "data_dir": b1.get("sf"),
+        "total_sec_sf01_fresh": round(sum(
+            b01["queries"][n] for n in ext), 1),
+        "total_sec_sf1": round(sum(b1["queries"][n] for n in ext), 1),
+        "superlinear": sorted(sup),
+        "max_slope_sf1": max(ext.values()) if ext else None,
+        "env_sf01": b01.get("env", {}).get("load_avg_start"),
+        "env_sf1": b1.get("env", {}).get("load_avg_start"),
+    }
+    with open("SCALING.json", "w") as fh:
+        json.dump(scaling, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    for n in sorted(ext, key=lambda k: -ext[k]):
+        print(f"{n:42s} sf0.1={b01['queries'][n]:7.2f}s "
+              f"sf1={b1['queries'][n]:7.2f}s slope={ext[n]}")
+    print(f"\n{len(ext)} queries; superlinear (slope>1): {sorted(sup)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
