@@ -1069,30 +1069,101 @@ object Relational {
                           FROM lineitem l2
                           WHERE l2.l_partkey = l.l_partkey)"""))
 
+  // ------------------------------------------------- SN candidate pairs
+  // Sorted-neighborhood candidate generation (Hernández–Stolfo) for the
+  // five part-matching operators (q101/q141/q142 fuzzy matching, q216
+  // FS linkage, q231 target–decoy FDR, q249 linkage EM). Until r12 they
+  // all paired EVERY two parts sharing a (brand, type) block — and that
+  // key is DICTIONARY-bounded (25 × 150 values), so block SIZE grows
+  // linearly with the corpus and the pair count QUADRATICALLY: the r12
+  // synthetic-sf1 census leg measured slopes 1.73–1.87 (q231 4.7 s →
+  // 341 s at 10× the data; SCALING.json `sf1_leg`, tools/SynthSf1) —
+  // the only super-linear plans on the 360-query board, exactly the
+  // class the third decade existed to expose.
+  //
+  // The fix is the standard ER answer: within each block, rank rows by
+  // a content sort key (p_name, tiebroken by p_partkey — a total order,
+  // identical in both engines under binary string comparison) and pair
+  // each row with only its next [[SnW]] neighbors in rank order. Near-
+  // identical names are adjacent in name order, so match recall stays
+  // high while the candidate count drops to n·W — LINEAR in the corpus
+  // at every scale. The Spark plan keeps it one shuffle and strictly
+  // linear: rank via one window on the block key, then an EQUI-join on
+  // (block, bucket = (rk−1) DIV W) with each left row exploded into its
+  // own and the next bucket — every row meets ≤ 2W candidates, no
+  // per-block quadratic predicate evaluation survives anywhere. The
+  // oracle expresses the identical pair set as a rank-range join
+  // (`b.rk − a.rk BETWEEN 1 AND W`, DuckDB's IEJoin path).
+  private[graft] val SnW = 15
+
+  /** Parts with their sorted-neighborhood rank and join bucket. */
+  private def snRanked(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("p_brand"), col("p_type"))
+          .orderBy(col("p_name"), col("p_partkey"))))
+
+  /** Sorted-neighborhood candidate pairs: same (brand, type) block,
+    * `1 ≤ rk_b − rk_a ≤ SnW`. Columns: brand, ptype, da/db, name_a/b,
+    * size_a/b, cents_a/b. See the block comment above for the scale
+    * argument; every part-pair consumer builds on this. */
+  private[graft] def snPairs(s: SparkSession, d: String): DataFrame = {
+    val r = snRanked(s, d)
+    val a = r.select(col("p_brand").as("brand"), col("p_type").as("ptype"),
+        col("p_partkey").as("da"), col("p_name").as("name_a"),
+        col("p_size").as("size_a"), col("cents").as("cents_a"),
+        col("rk").as("rk_a"))
+      .withColumn("jb", explode(array(
+        expr(s"(rk_a - 1) DIV $SnW"), expr(s"(rk_a - 1) DIV $SnW + 1"))))
+    val b = r.select(col("p_brand").as("brand"), col("p_type").as("ptype"),
+        col("p_partkey").as("db"), col("p_name").as("name_b"),
+        col("p_size").as("size_b"), col("cents").as("cents_b"),
+        col("rk").as("rk_b"))
+      .withColumn("jb", expr(s"(rk_b - 1) DIV $SnW"))
+    a.join(b, Seq("brand", "ptype", "jb"))
+      .filter(col("rk_b") > col("rk_a") && col("rk_b") <= col("rk_a") + SnW)
+      .drop("jb", "rk_a", "rk_b")
+  }
+
+  /** The same candidate pairs as ANSI SQL CTEs (`snr`, `snp`), shared by
+    * every part-pair oracle. DuckDB evaluates the rank-range join with
+    * IEJoin — same linear discipline, same pair set. */
+  private[graft] val snPairsSql = s"""
+      snr AS (
+        SELECT p_partkey, p_name, p_brand, p_type, p_size,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+               row_number() OVER (PARTITION BY p_brand, p_type
+                                  ORDER BY p_name, p_partkey) AS rk
+        FROM part),
+      snp AS (
+        SELECT a.p_brand AS brand, a.p_type AS ptype,
+               a.p_partkey AS da, a.p_name AS name_a,
+               a.p_size AS size_a, a.cents AS cents_a,
+               b.p_partkey AS db, b.p_name AS name_b,
+               b.p_size AS size_b, b.cents AS cents_b
+        FROM snr a JOIN snr b
+          ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+         AND b.rk - a.rk BETWEEN 1 AND $SnW)"""
+
   // --------------------------------------------------------------- q101
   // Blocked fuzzy string join (entity matching): near-identical part
   // names within an equi-block, verified by edit distance ≤ 2 — the
   // string-similarity analogue of the LSH families' block→verify shape,
-  // and the standard curation primitive for catalog/entity dedup. The
-  // plan is ONE shuffle on the block key (brand, type): the quadratic
-  // term exists only inside a block, whose size is bounded by the key's
-  // domain semantics (here ≤165 rows at sf0.1; at 100 TB a hot block
-  // gets the LSH treatment — cap or sub-block on a name prefix). Two
-  // lossless prefilters keep the O(L²) DP off most pairs: names must
-  // differ (identical names are q30's exact-dup domain, not fuzzy
-  // matches), and |len(a) − len(b)| ≤ 2 (a length gap > t forces
-  // levenshtein > t). Both engines compute the same classic integer
-  // edit distance, so the result hash-matches exactly.
-  /** q101's block→verify fuzzy-match pairs `(da, db, name_a, name_b,
-    * dist)`, shared with q141's entity-resolution closure. */
-  private[graft] def fuzzyPairs(s: SparkSession, d: String): DataFrame = {
-    val p = part(s, d).select(col("p_partkey"), col("p_name"),
-      col("p_brand"), col("p_type"))
-    val a = p.toDF("da", "name_a", "brand", "ptype")
-    val b = p.toDF("db", "name_b", "brand", "ptype")
-    a.join(b, Seq("brand", "ptype"))
-      .filter(col("da") < col("db") &&
-        col("name_a") =!= col("name_b") &&
+  // and the standard curation primitive for catalog/entity dedup.
+  // Candidates come from [[snPairs]] (r12: sorted-neighborhood — linear
+  // in the corpus; the pre-r12 all-pairs-per-block form measured slope
+  // 1.73 on the sf1 leg). Two lossless prefilters keep the O(t·L) DP
+  // off most candidates: names must differ (identical names are q30's
+  // exact-dup domain, not fuzzy matches), and |len(a) − len(b)| ≤ 2 (a
+  // length gap > t forces levenshtein > t). Both engines compute the
+  // same classic integer edit distance, so the result hash-matches.
+  /** q101's fuzzy-match pairs `(da, db, name_a, name_b, dist)`, shared
+    * with q141's entity-resolution closure. */
+  private[graft] def fuzzyPairs(s: SparkSession, d: String): DataFrame =
+    snPairs(s, d)
+      .filter(col("name_a") =!= col("name_b") &&
         abs(length(col("name_a")) - length(col("name_b"))) <= 2)
       // thresholded levenshtein (returns −1 above the threshold) runs a
       // banded O(t·L) DP instead of the full O(L²) table — the verify
@@ -1102,33 +1173,27 @@ object Relational {
       .filter(col("dist") >= 1)
       .select(col("da"), col("db"), col("name_a"), col("name_b"),
         col("dist"))
-  }
 
-  /** The same candidate pairs as ANSI SQL, shared by the q101/q141
-    * oracles. */
-  private[graft] val fuzzyPairsSql = """
-      SELECT a.p_partkey AS da, b.p_partkey AS db,
-             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-      FROM part a JOIN part b
-        ON a.p_brand = b.p_brand AND a.p_type = b.p_type
-       AND a.p_partkey < b.p_partkey
-      WHERE a.p_name <> b.p_name
-        AND abs(length(a.p_name) - length(b.p_name)) <= 2
-        AND levenshtein(a.p_name, b.p_name) <= 2"""
+  /** The q101 pair filter over [[snPairsSql]]'s `snp` as a CTE LIST
+    * (no leading WITH, so callers can prepend RECURSIVE), shared by the
+    * q101/q141 oracles. */
+  private[graft] val fuzzyPairsSql = s"""
+      $snPairsSql,
+      fpx AS (
+        SELECT da, db, name_a, name_b,
+               CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        FROM snp
+        WHERE name_a <> name_b
+          AND abs(length(name_a) - length(name_b)) <= 2
+          AND levenshtein(name_a, name_b) <= 2)"""
 
   private val q101 = QueryDef(
     "q101_fuzzy_name_join",
     (s, d) => fuzzyPairs(s, d).orderBy(col("da"), col("db")),
-    Some("""
-      SELECT a.p_partkey AS da, b.p_partkey AS db,
-             a.p_name AS name_a, b.p_name AS name_b,
-             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-      FROM part a JOIN part b
-        ON a.p_brand = b.p_brand AND a.p_type = b.p_type
-       AND a.p_partkey < b.p_partkey
-      WHERE a.p_name <> b.p_name
-        AND abs(length(a.p_name) - length(b.p_name)) <= 2
-        AND levenshtein(a.p_name, b.p_name) <= 2
+    Some(s"""
+      WITH $fuzzyPairsSql
+      SELECT da, db, name_a, name_b, dist
+      FROM fpx
       ORDER BY da, db"""))
 
   // --------------------------------------------------------------- q141
@@ -1162,11 +1227,11 @@ object Relational {
         .orderBy(col("entity_id"))
     },
     Some(s"""
-      WITH RECURSIVE fp AS ($fuzzyPairsSql),
+      WITH RECURSIVE $fuzzyPairsSql,
       edges AS (
-        SELECT da AS src, db AS dst FROM fp
+        SELECT da AS src, db AS dst FROM fpx
         UNION ALL
-        SELECT db, da FROM fp),
+        SELECT db, da FROM fpx),
       reach(id, comp) AS (
         SELECT DISTINCT src, src FROM edges
         UNION
@@ -1184,40 +1249,34 @@ object Relational {
   // .JaroWinkler]] expression — the record-linkage metric edit distance
   // cannot express (q101 charges transpositions + gaps uniformly;
   // Jaro–Winkler rewards shared prefixes, which is what makes it the
-  // standard name-matching score). Same (brand, type) blocking as q101,
-  // then the codegen'd kernel scores every candidate and a global
-  // top-500 cut keeps the output bounded.
-  // Scale: blocking bounds candidates exactly as q101; the scorer is a
-  // single static call inside WholeStageCodegen (no UDF boxing, no
-  // interpreted fallback), and the cut is TakeOrderedAndProject — a
-  // per-partition heap + driver merge of 500 rows, never a global sort.
-  // Raw doubles (not rounded) are safe here: the kernel is pinned
-  // bit-identical to DuckDB's jaro_winkler_similarity, so threshold and
-  // ordering agree exactly.
+  // standard name-matching score). Candidates from [[snPairs]] (r12 —
+  // the SAME sorted-neighborhood generation as q101; see the SN block
+  // comment), then the codegen'd kernel scores every candidate and a
+  // global top-500 cut keeps the output bounded.
+  // Scale: SN bounds candidates to n·W; the scorer is a single static
+  // call inside WholeStageCodegen (no UDF boxing, no interpreted
+  // fallback), and the cut is TakeOrderedAndProject — a per-partition
+  // heap + driver merge of 500 rows, never a global sort. Raw doubles
+  // (not rounded) are safe here: the kernel is pinned bit-identical to
+  // DuckDB's jaro_winkler_similarity, so threshold and ordering agree
+  // exactly.
   private val q142 = QueryDef(
     "q142_jaro_winkler_match",
     (s, d) => {
       import graft.functions.JaroWinkler.jaro_winkler
-      val p = part(s, d).select(col("p_partkey"), col("p_name"),
-        col("p_brand"), col("p_type"))
-      val a = p.toDF("da", "name_a", "brand", "ptype")
-      val b = p.toDF("db", "name_b", "brand", "ptype")
-      a.join(b, Seq("brand", "ptype"))
-        .filter(col("da") < col("db"))
+      snPairs(s, d)
         .withColumn("jw", jaro_winkler(col("name_a"), col("name_b")))
         .filter(col("jw") >= 0.93 && col("name_a") =!= col("name_b"))
         .select(col("da"), col("db"), col("jw"))
         .orderBy(col("jw").desc, col("da"), col("db"))
         .limit(500)
     },
-    Some("""
-      SELECT a.p_partkey AS da, b.p_partkey AS db,
-             jaro_winkler_similarity(a.p_name, b.p_name) AS jw
-      FROM part a JOIN part b
-        ON a.p_brand = b.p_brand AND a.p_type = b.p_type
-       AND a.p_partkey < b.p_partkey
-      WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.93
-        AND a.p_name <> b.p_name
+    Some(s"""
+      WITH $snPairsSql
+      SELECT da, db, jaro_winkler_similarity(name_a, name_b) AS jw
+      FROM snp
+      WHERE jaro_winkler_similarity(name_a, name_b) >= 0.93
+        AND name_a <> name_b
       ORDER BY jw DESC, da, db
       LIMIT 500"""))
 
@@ -2844,8 +2903,9 @@ object Relational {
   // --------------------------------------------------------------- q216
   // Fellegi–Sunter probabilistic record linkage ([EXT]): the classic
   // log-likelihood-ratio scoring layer that q141's deterministic entity
-  // resolution lacks. Candidate pairs come from q101's (brand, type)
-  // blocking (the quadratic term is bounded by block size, never corpus²);
+  // resolution lacks. Candidate pairs come from [[snPairs]] (r12:
+  // sorted-neighborhood, linear in the corpus — the pre-r12 all-pairs-
+  // per-block form measured slope 1.75 on the sf1 census leg);
   // each pair is scored on three field comparators — size equality, name
   // distinct-token overlap ≥ 3, price within $2 — with weight
   // log2(m/u) on agreement and log2((1−m)/(1−u)) on disagreement.
@@ -2859,7 +2919,7 @@ object Relational {
   // reassociation), total rounds at 6.
   //
   // Scale: one shuffle on the block key (plus a broadcast 1-row u-scalar);
-  // per-block work is the bounded candidate square; the output is a
+  // per-block work is linear (SN window, never a candidate square); the output is a
   // (brand × class) grid — dictionary-sized. Classification thresholds
   // (link ≥ 8, non-link < 0) sit between the prior weight magnitudes
   // (full agreement ≈ +15, full disagreement ≈ −10).
@@ -2887,12 +2947,7 @@ object Relational {
           when(col("u_size") < 1.0,
             round(log2(lit(1.0 - fsMSize) / (lit(1.0) - col("u_size"))), 8))
             .as("wd_size"))
-      val cols = p.select(col("p_partkey"), col("p_name"), col("p_brand"),
-        col("p_type"), col("p_size"),
-        round(col("p_retailprice") * 100).cast("long").as("cents"))
-      val a = cols.toDF("da", "name_a", "brand", "ptype", "size_a", "cents_a")
-      val b = cols.toDF("db", "name_b", "brand", "ptype", "size_b", "cents_b")
-      a.join(b, Seq("brand", "ptype")).filter(col("da") < col("db"))
+      snPairs(s, d)
         .crossJoin(broadcast(uSize))
         .withColumn("w1", when(col("size_a") === col("size_b"),
           col("wa_size")).otherwise(col("wd_size")))
@@ -2921,24 +2976,21 @@ object Relational {
           SELECT CAST(sum(c * (c - 1)) AS DOUBLE) /
                  (CAST(sum(c) AS DOUBLE) * CAST(sum(c) - 1 AS DOUBLE)) AS u
           FROM (SELECT p_size, count(*) AS c FROM part GROUP BY 1))),
+      $snPairsSql,
       pr AS (
-        SELECT a.p_brand AS brand,
-               CASE WHEN a.p_size = b.p_size THEN us.wa_size
+        SELECT snp.brand,
+               CASE WHEN snp.size_a = snp.size_b THEN us.wa_size
                     ELSE us.wd_size END
                + CASE WHEN len(list_intersect(
-                     list_distinct(str_split(a.p_name, ' ')),
-                     list_distinct(str_split(b.p_name, ' ')))) >= 3
+                     list_distinct(str_split(snp.name_a, ' ')),
+                     list_distinct(str_split(snp.name_b, ' ')))) >= 3
                       THEN ${lg2(fsMName / fsUName)}
                       ELSE ${lg2((1 - fsMName) / (1 - fsUName))} END
-               + CASE WHEN abs(CAST(round(a.p_retailprice * 100) AS BIGINT) -
-                               CAST(round(b.p_retailprice * 100) AS BIGINT))
-                          <= 200
+               + CASE WHEN abs(snp.cents_a - snp.cents_b) <= 200
                       THEN ${lg2(fsMPrice / fsUPrice)}
                       ELSE ${lg2((1 - fsMPrice) / (1 - fsUPrice))} END
                  AS raw
-        FROM part a JOIN part b
-          ON a.p_brand = b.p_brand AND a.p_type = b.p_type
-         AND a.p_partkey < b.p_partkey, us),
+        FROM snp, us),
       sc AS (
         SELECT brand, (CAST(round((raw) * 1e6) AS BIGINT) / 1e6) AS score,
                CASE WHEN round(raw, 6) >= 8 THEN 'link'
@@ -2955,8 +3007,10 @@ object Relational {
   // Target–decoy FDR control for the q216 linkage scores ([EXT]): the
   // empirical false-discovery-rate procedure (mass-spec/ER practice)
   // that needs NO null distribution: score REAL candidate pairs
-  // (targets, q216's (brand,type) blocks) and GUARANTEED-non-match
-  // pairs (decoys — deterministic partner at partkey offset maxK/2,
+  // (targets — q216's [[snPairs]] sorted-neighborhood candidates since
+  // r12, linear in the corpus; the pre-r12 all-pairs-per-block form
+  // measured slope 1.86 / 341 s at synthetic sf1) and GUARANTEED-
+  // non-match pairs (decoys — deterministic partner at partkey offset maxK/2,
   // kept only when the pair crosses blocks), then for each candidate
   // threshold t estimate FDR(t) = (D≥t · n_T)/(T≥t · n_D) and accept
   // the thresholds with FDR ≤ 5%. Turns q216's raw scores into a
@@ -2966,8 +3020,8 @@ object Relational {
   // data-estimated size u); with three binary comparators the score
   // domain has ≤ 8 values, so the sweep is a tiny value-domain window;
   // FDR is a correctly-rounded quotient of exact BIGINT products,
-  // shipped unrounded (q226 lesson). Scale: targets = one block-keyed
-  // shuffle (bounded quadratic per block); decoys = one equi-join on
+  // shipped unrounded (q226 lesson). Scale: targets = the SN window
+  // pairs (one block-keyed shuffle, linear); decoys = one equi-join on
   // the derived partner key — both corpus-linear; the sweep table is
   // dictionary-sized.
   private val q231 = QueryDef(
@@ -3008,9 +3062,7 @@ object Relational {
             lit(lg2(fsMPrice / fsUPrice).toDouble))
             .otherwise(lit(lg2((1 - fsMPrice) / (1 - fsUPrice)).toDouble)), 6))
         .select(col("score"))
-      val targets = scored(
-        a.join(b, col("brand_a") === col("brand_b") &&
-          col("type_a") === col("type_b") && col("da") < col("db")))
+      val targets = scored(snPairs(s, d))
       val mk = p.agg(max(col("p_partkey")).as("maxk"))
       val decoys = scored(
         a.crossJoin(broadcast(mk))
@@ -3058,13 +3110,7 @@ object Relational {
                  (CAST(sum(c) AS DOUBLE) * CAST(sum(c) - 1 AS DOUBLE)) AS u
           FROM (SELECT p_size, count(*) AS c FROM part GROUP BY 1))),
       mk AS (SELECT max(p_partkey) AS maxk FROM part),
-      tpairs AS (
-        SELECT a.p_size AS size_a, b.p_size AS size_b,
-               a.p_name AS name_a, b.p_name AS name_b,
-               a.p_retailprice AS pr_a, b.p_retailprice AS pr_b
-        FROM part a JOIN part b
-          ON a.p_brand = b.p_brand AND a.p_type = b.p_type
-         AND a.p_partkey < b.p_partkey),
+      $snPairsSql,
       dpairs AS (
         SELECT a.p_size AS size_a, b.p_size AS size_b,
                a.p_name AS name_a, b.p_name AS name_b,
@@ -3081,12 +3127,11 @@ object Relational {
                 list_distinct(str_split(name_b, ' ')))) >= 3
                  THEN ${lg2(fsMName / fsUName)}
                  ELSE ${lg2((1 - fsMName) / (1 - fsUName))} END
-          + CASE WHEN abs(CAST(round(pr_a * 100) AS BIGINT) -
-                          CAST(round(pr_b * 100) AS BIGINT)) <= 200
+          + CASE WHEN abs(cents_a - cents_b) <= 200
                  THEN ${lg2(fsMPrice / fsUPrice)}
                  ELSE ${lg2((1 - fsMPrice) / (1 - fsUPrice))} END) * 1e6) AS BIGINT) / 1e6)
           AS score
-        FROM tpairs, us),
+        FROM snp, us),
       dsc AS (
         SELECT (CAST(round((CASE WHEN size_a = size_b THEN us.wa_size
                           ELSE us.wd_size END
@@ -3875,7 +3920,9 @@ object Relational {
   // each extra round re-runs ONLY the 8-row grid, never the corpus.
   //
   // The whole E/M pass runs on the PATTERN-DOMAIN grid: candidate pairs
-  // (q216's (brand,type) blocks — bounded quadratic, never corpus²)
+  // (q216's [[snPairs]] sorted-neighborhood candidates since r12 —
+  // linear in the corpus; the pre-r12 all-pairs-per-block form measured
+  // slope 1.87 on the sf1 census leg)
   // collapse into ≤ 2³ pattern counts by one map-side-combined
   // aggregate, and everything after is arithmetic over 8 rows. The
   // posterior is a fixed-order expression of shared Scala-interpolated
@@ -3891,14 +3938,7 @@ object Relational {
   private val q249 = QueryDef(
     "q249_linkage_em",
     (s, d) => {
-      val p = part(s, d)
-      val cols = p.select(col("p_partkey"), col("p_name"), col("p_brand"),
-        col("p_type"), col("p_size"),
-        round(col("p_retailprice") * 100).cast("long").as("cents"))
-      val a = cols.toDF("da", "name_a", "brand", "ptype", "size_a", "cents_a")
-      val b = cols.toDF("db", "name_b", "brand", "ptype", "size_b", "cents_b")
-      val pat = a.join(b, Seq("brand", "ptype"))
-        .filter(col("da") < col("db"))
+      val pat = snPairs(s, d)
         .select(
           when(col("size_a") === col("size_b"), 1L).otherwise(0L).as("a1"),
           when(size(array_intersect(split(col("name_a"), " "),
@@ -3943,19 +3983,17 @@ object Relational {
             .as("u3_new"))
     },
     Some(s"""
-      WITH pat AS (
-        SELECT CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS a1,
+      WITH $snPairsSql,
+      pat AS (
+        SELECT CASE WHEN size_a = size_b THEN 1 ELSE 0 END AS a1,
                CASE WHEN len(list_intersect(
-                   list_distinct(str_split(a.p_name, ' ')),
-                   list_distinct(str_split(b.p_name, ' ')))) >= 3
+                   list_distinct(str_split(name_a, ' ')),
+                   list_distinct(str_split(name_b, ' ')))) >= 3
                  THEN 1 ELSE 0 END AS a2,
-               CASE WHEN abs(CAST(round(a.p_retailprice * 100) AS BIGINT)
-                   - CAST(round(b.p_retailprice * 100) AS BIGINT)) <= 200
+               CASE WHEN abs(cents_a - cents_b) <= 200
                  THEN 1 ELSE 0 END AS a3,
                count(*) AS n
-        FROM part a JOIN part b
-          ON a.p_brand = b.p_brand AND a.p_type = b.p_type
-         AND a.p_partkey < b.p_partkey
+        FROM snp
         GROUP BY 1, 2, 3),
       w AS (
         SELECT a1, a2, a3, n,

@@ -162,21 +162,37 @@ class RelationalSpec extends AnyFunSuite {
       "filter must keep a strict subset while metrics see the full stream")
   }
 
+  /** Driver-side recompute of the r12 sorted-neighborhood candidate
+    * pairs (Relational.snPairs): within each (brand, type) block, rows
+    * ordered by (name, partkey) pair with their next `w` neighbors. */
+  private def snPairsRef[T](rows: Seq[T], w: Int = 15)(
+      block: T => (String, String), name: T => String,
+      key: T => Long): Seq[(T, T)] =
+    rows.groupBy(block).values.flatMap { xs =>
+      val sorted = xs.sortBy(x => (name(x), key(x)))
+      for {
+        i <- sorted.indices
+        j <- (i + 1) until math.min(i + 1 + w, sorted.length)
+      } yield (sorted(i), sorted(j))
+    }.toSeq
+
   test("q216 FS linkage: pair mass conserved, scores bounded by the weight sums") {
     import org.apache.spark.sql.functions.col
     val rows = SparkEntry.queries("q216_fs_linkage")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4)))
-    // independent blocked-pair count per brand
+    // independent SN candidate count per brand (r12: sorted-neighborhood
+    // pairs, not the pre-r12 all-pairs-per-block square)
     val parts = Tables.t(spark, sf, "part")
-      .select(col("p_brand"), col("p_type"), col("p_size"))
-      .collect().map(r => (r.getString(0), r.getString(1)))
-    val pairsPerBrand = parts.groupBy(identity).toSeq
-      .map { case ((b, _), xs) => (b, xs.length.toLong * (xs.length - 1) / 2) }
-      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    val pairsPerBrand = snPairsRef(parts.toSeq)(
+      p => (p._3, p._4), _._2, _._1)
+      .groupBy(_._1._3).map { case (b, xs) => b -> xs.size.toLong }
     rows.groupBy(_._1).foreach { case (b, xs) =>
       assert(xs.map(_._3).sum == pairsPerBrand.getOrElse(b, 0L),
-        s"brand $b: classification must partition the blocked pairs")
+        s"brand $b: classification must partition the SN candidate pairs")
     }
     // the priors bound every score: full agreement / full disagreement
     val n = Tables.t(spark, sf, "part").count().toDouble
@@ -248,16 +264,17 @@ class RelationalSpec extends AnyFunSuite {
     rows.map(_._2).sliding(2).filter(_.size == 2).foreach { w =>
       assert(w(1) >= w(0), "t_ge must be cumulative") }
     val parts = Tables.t(spark, sf, "part")
-      .select(col("p_partkey"), col("p_brand"), col("p_type"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    // total targets = blocked pair count
-    val nTargets = parts.groupBy(p => (p._2, p._3)).values
-      .map(xs => xs.size.toLong * (xs.size - 1) / 2).sum
-    assert(rows.last._2 == nTargets, "target mass vs blocked pairs")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    // total targets = SN candidate count (r12)
+    val nTargets = snPairsRef(parts.toSeq)(
+      p => (p._2, p._3), _._4, _._1).size.toLong
+    assert(rows.last._2 == nTargets, "target mass vs SN candidate pairs")
     // total decoys = derived-partner pairs that cross blocks
     val maxk = parts.map(_._1).max
     val byKey = parts.map(p => p._1 -> p).toMap
-    val nDecoys = parts.count { case (k, b, t) =>
+    val nDecoys = parts.count { case (k, b, t, _) =>
       byKey.get((k + maxk / 2) % maxk + 1)
         .exists(p => p._2 != b || p._3 != t)
     }.toLong
@@ -364,14 +381,14 @@ class RelationalSpec extends AnyFunSuite {
     val parts = Tables.t(spark, sf, "part").collect().map(r => (
       r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
       r.getInt(4), math.round(r.getDouble(5) * 100)))
-    val pairs = for {
-      a <- parts; b <- parts
-      if a._3 == b._3 && a._4 == b._4 && a._1 < b._1
-    } yield (
-      if (a._5 == b._5) 1L else 0L,
-      if (a._2.split(" ").toSet.intersect(b._2.split(" ").toSet).size >= 3)
-        1L else 0L,
-      if (math.abs(a._6 - b._6) <= 200) 1L else 0L)
+    // r12: the candidate population is the SN window, not all pairs
+    val pairs = snPairsRef(parts.toSeq)(p => (p._3, p._4), _._2, _._1)
+      .map { case (a, b) => (
+        if (a._5 == b._5) 1L else 0L,
+        if (a._2.split(" ").toSet.intersect(b._2.split(" ").toSet).size >= 3)
+          1L else 0L,
+        if (math.abs(a._6 - b._6) <= 200) 1L else 0L)
+      }
     val (p0, m0, u0) = (0.05, Seq(0.95, 0.9, 0.85), Seq(0.05, 0.02, 0.05))
     val pat = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
     var tn = 0L; var tw = 0L; var tu = 0L
