@@ -28,7 +28,14 @@ def main() -> int:
     suites, failures = [], []
     tot = {"tests": 0, "failed": 0, "errors": 0, "skipped": 0, "time_sec": 0.0}
     for f in files:
-        s = ET.parse(f).getroot()
+        # scalatest's -u writer does not truncate an existing (longer)
+        # file, so a rewrite can leave stale tail bytes after the new
+        # document — parse only up to the first closing testsuite tag
+        raw = open(f, errors="replace").read()
+        end = raw.find("</testsuite>")
+        if end >= 0:
+            raw = raw[: end + len("</testsuite>")]
+        s = ET.fromstring(raw)
         n = int(s.get("tests", 0))
         nf = int(s.get("failures", 0))
         ne = int(s.get("errors", 0))
