@@ -42,16 +42,23 @@ def main() -> int:
         ext[name] = slope
         if slope > 1.0:
             sup.append(name)
+    # summary accumulates over every query carrying an sf1 leg, so a
+    # second subset run (e.g. the streaming+ML families after the
+    # data-coupled tail) merges instead of clobbering
+    legged = {n: q for n, q in qs.items() if "slope_sf1" in q}
     scaling["sf1_leg"] = {
-        "n_queries": len(ext),
+        "n_queries": len(legged),
         "generator": "tools/SynthSf1.scala (deterministic 10x of sf0.1; "
                      "driver testdata stops at sf0.1)",
         "data_dir": b1.get("sf"),
         "total_sec_sf01_fresh": round(sum(
-            b01["queries"][n] for n in ext), 1),
-        "total_sec_sf1": round(sum(b1["queries"][n] for n in ext), 1),
-        "superlinear": sorted(sup),
-        "max_slope_sf1": max(ext.values()) if ext else None,
+            q["sec_sf01_fresh"] for q in legged.values()), 1),
+        "total_sec_sf1": round(sum(
+            q["sec_sf1"] for q in legged.values()), 1),
+        "superlinear": sorted(
+            n for n, q in legged.items() if q["slope_sf1"] > 1.0),
+        "max_slope_sf1": max(q["slope_sf1"] for q in legged.values())
+            if legged else None,
         "env_sf01": b01.get("env", {}).get("load_avg_start"),
         "env_sf1": b1.get("env", {}).get("load_avg_start"),
     }
