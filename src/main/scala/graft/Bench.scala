@@ -134,10 +134,15 @@ object Bench {
     // JSON mid-map in r8 (BENCH_r08.json `parsed: null`) — the gate's own
     // artifact lost the headline total. This short line carries the
     // headline numbers in the same shape, so any tail capture parses.
+    // `contaminated` (r11 verdict task 5): machine-readable form of the
+    // house env-marker convention — ONE threshold for both artifacts
+    // (this summary line and BENCH_SUMMARY.json below); see BASELINE.md
+    // for the band evidence behind 2.0.
+    val contaminated = load0 >= 2.0
     val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       s""""n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir",""" +
       f""""load_avg_start":$load0%.2f,"load_avg_end":$loadAvg%.2f,""" +
-      s""""contaminated":${load0 >= 2.0},""" +
+      s""""contaminated":$contaminated,""" +
       f""""wall_sec":${(System.nanoTime() - wall0) / 1e9}%.1f,"summary":true}"""
     println(summary)
     // also persist the JSON so the result survives driver-log truncation
@@ -157,15 +162,12 @@ object Bench {
     // full runs only — a SPARK_GRAFT_BENCH_ONLY probe must not overwrite
     // the board's headline artifact
     //
-    // `contaminated` (r11 verdict task 5): machine-readable form of the
-    // house env-marker convention — a pass started at 1-min load ≥ 2.0
-    // shares the machine with other work and its total is not comparable
-    // across rounds (documented band evidence: r6 measured 1.17× between
-    // two best-of-2 runs of near-identical code; the r11 driver headline
-    // read 525 s at load 4.88 vs the quiet-pass 418 s). The threshold is
-    // recorded in BASELINE.md; consumers should discard contaminated
-    // totals rather than scale them.
-    val contaminated = load0 >= 2.0
+    // a pass started at 1-min load ≥ 2.0 shares the machine with other
+    // work and its total is not comparable across rounds (band evidence:
+    // r6 measured 1.17× between two best-of-2 runs of near-identical
+    // code; the r11 driver headline read 525 s at load 4.88 vs the
+    // quiet-pass 418 s). Consumers should discard contaminated totals
+    // rather than scale them.
     if (only.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SUMMARY.json"),
       f"""{"total_sec":$total%.1f,"n_queries":${results.size},""" +

@@ -80,7 +80,12 @@ object Featurize {
     * vector_to_array form over the Featurize output. */
   def farr(df: DataFrame, featuresCol: Seq[String]): org.apache.spark.sql.Column =
     featuresCol match {
-      case Seq(c) if df.schema.fieldNames.contains(c) &&
+      // c == "features" must NOT take the direct path: the Column is
+      // resolved against the POST-Featurize frame, where Featurize has
+      // replaced a caller's array column of that name with the vector —
+      // the direct cast would be a UDT cast and fail analysis (review
+      // finding, r12); such callers keep the vector_to_array form.
+      case Seq(c) if c != "features" && df.schema.fieldNames.contains(c) &&
           df.schema(c).dataType.isInstanceOf[ArrayType] =>
         col(c).cast("array<double>")
       case _ => vector_to_array(col("features"))

@@ -90,14 +90,20 @@ object SynthSf1 {
 
     val docs = rd("documents")
     val dSpan = maxOf(docs, "doc_id") + 1
+    // rotation offset 1 + (_r·7) % (n−1) is NONZERO for every replica —
+    // a plain (_r·7) % n offset is 0 whenever n divides _r·7 (any 7-token
+    // doc at every replica), silently producing the exact cross-replica
+    // copies this construction exists to avoid (review finding, r12)
     wr(reps(docs)
       .withColumn("doc_id", off("doc_id", dSpan))
       .withColumn("text", expr(
         """IF(_r = 0 OR size(split(text, ' ')) <= 1, text,
              array_join(concat(
-               slice(split(text, ' '), (_r * 7) % size(split(text, ' ')) + 1,
+               slice(split(text, ' '),
+                     1 + (_r * 7) % (size(split(text, ' ')) - 1) + 1,
                      size(split(text, ' '))),
-               slice(split(text, ' '), 1, (_r * 7) % size(split(text, ' ')))),
+               slice(split(text, ' '), 1,
+                     1 + (_r * 7) % (size(split(text, ' ')) - 1))),
              ' '))"""))
       .withColumn("n_chars", length(col("text")).cast("long")), "documents")
 

@@ -139,7 +139,7 @@ class DegenerateStreamingSpec extends AnyFunSuite {
     // late-drop window (q86) must NOT count the four late rows (ts = t0,
     // arriving two slices after id 2 pushed the watermark ~5 days past
     // them), while the complete-mode window (q80 — complete mode keeps
-    // all state regardless of the watermark) must count all six.
+    // all state regardless of the watermark) must count all seven.
     val q86 = SparkEntry.queries("q86_stream_multibatch_late_drop")(spark, lateDir)
     val kept = q86.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
     assert(kept == 3L,

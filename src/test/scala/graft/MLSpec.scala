@@ -583,6 +583,19 @@ class MLSpec extends AnyFunSuite {
     }
   }
 
+  test("array feature column literally named 'features' still scores (farr guard)") {
+    // r12 review finding: Featurize.farr resolves against the
+    // POST-Featurize frame, where an array column named 'features' has
+    // been replaced by the vector — the direct-cast fast path must not
+    // fire for that name (it would be an unsupported UDT cast).
+    val df = blobs(2).withColumnRenamed("feats", "features")
+    val clf = new LGBMClassifier(LGBMParams(nEstimators = 5)).fit(df, Seq("features"))
+    assert(clf.predict(df, Seq("features")).count() == df.count())
+    val reg = new LGBMRegressor(LGBMParams(nEstimators = 5))
+      .fit(df.withColumn("label", $"label" + 0.0), Seq("features"))
+    assert(reg.predict(df, Seq("features")).count() == df.count())
+  }
+
   test("prediction paths are transcendental-free: no exp in the optimized plan") {
     // r12 (VERDICT r11 task 1): `prediction` must argmax compiled MARGINS,
     // never sigmoid scores, so the last-ulp libm-vs-Java `exp` divergence

@@ -165,7 +165,8 @@ class RelationalSpec extends AnyFunSuite {
   /** Driver-side recompute of the r12 sorted-neighborhood candidate
     * pairs (Relational.snPairs): within each (brand, type) block, rows
     * ordered by (name, partkey) pair with their next `w` neighbors. */
-  private def snPairsRef[T](rows: Seq[T], w: Int = 15)(
+  private def snPairsRef[T](rows: Seq[T],
+      w: Int = graft.operators.Relational.SnW)(
       block: T => (String, String), name: T => String,
       key: T => Long): Seq[(T, T)] =
     rows.groupBy(block).values.flatMap { xs =>

@@ -36,9 +36,12 @@ def main() -> int:
         if t01 is None or t01 <= 0 or t1 <= 0:
             continue
         slope = round(log10(t1 / t01), 3)
-        qs[name]["sec_sf01_fresh"] = round(t01, 3)
-        qs[name]["sec_sf1"] = round(t1, 3)
-        qs[name]["slope_sf1"] = slope
+        # setdefault: a query newer than the last census regeneration has
+        # no SCALING row yet — merge instead of KeyError-aborting the run
+        row = qs.setdefault(name, {"class": None, "sec": None, "slope": None})
+        row["sec_sf01_fresh"] = round(t01, 3)
+        row["sec_sf1"] = round(t1, 3)
+        row["slope_sf1"] = slope
         ext[name] = slope
         if slope > 1.0:
             sup.append(name)

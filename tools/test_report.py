@@ -35,7 +35,16 @@ def main() -> int:
         end = raw.find("</testsuite>")
         if end >= 0:
             raw = raw[: end + len("</testsuite>")]
-        s = ET.fromstring(raw)
+        try:
+            s = ET.fromstring(raw)
+        except ET.ParseError as e:
+            # an aborted suite (killed JVM) leaves an unterminated XML —
+            # the exact flaky-run scenario this tool diagnoses: report it
+            # as a failure instead of losing every other suite's names
+            failures.append({"suite": f, "test": "<suite aborted>",
+                             "kind": "error", "message": str(e), "stack": ""})
+            tot["errors"] += 1
+            continue
         n = int(s.get("tests", 0))
         nf = int(s.get("failures", 0))
         ne = int(s.get("errors", 0))
