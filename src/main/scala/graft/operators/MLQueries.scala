@@ -322,11 +322,16 @@ object MLQueries {
     * time only — never in the benched query path. */
   private def q103Guard(s: SparkSession, d: String,
       m: LGBMClassifierModel): Unit = {
-    val dist = m.predictProba(features(s, d), Seq("embedding"))
+    val distRow = m.predictProba(features(s, d), Seq("embedding"))
       .select(expr("aggregate(proba, 0D, (a, x) -> a + x)").as("sm"))
       .select((abs(col("sm") * lit(1e6) - floor(col("sm") * lit(1e6))
         - lit(0.5))).as("dist"))
-      .agg(min(col("dist"))).head().getDouble(0)
+      .agg(min(col("dist"))).head()
+    // min() over zero rows is NULL (ADVICE r12): an empty embeddings
+    // table has no rows to drift, so the guard passes vacuously instead
+    // of throwing a misleading NPE into the rows-only fallback log.
+    if (distRow.isNullAt(0)) return
+    val dist = distRow.getDouble(0)
     require(dist > 1e-8,
       f"q103 proba_sum within $dist%.3g of a rounding boundary - " +
         "falling back to the rows-only check")

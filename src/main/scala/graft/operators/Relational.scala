@@ -1096,19 +1096,31 @@ object Relational {
   // (`b.rk − a.rk BETWEEN 1 AND W`, DuckDB's IEJoin path).
   private[graft] val SnW = 15
 
-  /** Parts with their sorted-neighborhood rank and join bucket. */
-  private def snRanked(s: SparkSession, d: String): DataFrame =
+  /** Parts with their sorted-neighborhood rank and join bucket.
+    * `private[graft]` so tools/SnRecall can build the all-pairs truth set
+    * from the IDENTICAL ranked frame (no drift between the measured
+    * recall and the shipped candidate generator). */
+  private[graft] def snRanked(s: SparkSession, d: String): DataFrame =
     part(s, d).select(col("p_partkey"), col("p_name"), col("p_brand"),
         col("p_type"), col("p_size"),
         round(col("p_retailprice") * 100).cast("long").as("cents"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("p_brand"), col("p_type"))
-          .orderBy(col("p_name"), col("p_partkey"))))
+          // NULLS FIRST pinned EXPLICITLY on both engines (r13, ADVICE):
+          // Spark ASC defaults to NULLS FIRST but DuckDB to NULLS LAST,
+          // so a NULL p_name would silently rank differently cross-engine
+          // and change the candidate pair set under all six part-pair
+          // queries. Board data has no NULL names; the pin makes the
+          // shared primitive safe for any input.
+          .orderBy(col("p_name").asc_nulls_first, col("p_partkey"))))
 
   /** Sorted-neighborhood candidate pairs: same (brand, type) block,
     * `1 ≤ rk_b − rk_a ≤ SnW`. Columns: brand, ptype, da/db, name_a/b,
     * size_a/b, cents_a/b. See the block comment above for the scale
-    * argument; every part-pair consumer builds on this. */
+    * argument. r13: this ROW-level window is the candidate POPULATION
+    * for the FS scoring family (q216/q231/q249) — identical-name pairs
+    * stay in the sample with bounded mass; the fuzzy matchers
+    * (q101/q141/q142) moved to [[snNamePairs]]. */
   private[graft] def snPairs(s: SparkSession, d: String): DataFrame = {
     val r = snRanked(s, d)
     val a = r.select(col("p_brand").as("brand"), col("p_type").as("ptype"),
@@ -1135,7 +1147,7 @@ object Relational {
         SELECT p_partkey, p_name, p_brand, p_type, p_size,
                CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
                row_number() OVER (PARTITION BY p_brand, p_type
-                                  ORDER BY p_name, p_partkey) AS rk
+                                  ORDER BY p_name NULLS FIRST, p_partkey) AS rk
         FROM part),
       snp AS (
         SELECT a.p_brand AS brand, a.p_type AS ptype,
@@ -1147,45 +1159,175 @@ object Relational {
           ON a.p_brand = b.p_brand AND a.p_type = b.p_type
          AND b.rk - a.rk BETWEEN 1 AND $SnW)"""
 
+  // ------------------------------------------------------- name-level SN
+  // r13: the r12 ROW-level window measured poorly for the FUZZY matchers
+  // (tools/SnRecall): board part names are a small dictionary (64 names,
+  // ~56 distinct per block at sf0.1) repeated in short runs, so two rows
+  // whose NAMES are 6 distinct names apart already sit ~15 ROWS apart —
+  // q101 retained 9.4% of the all-pairs matches and q142 returned the
+  // EMPTY set at every SF. The object being fuzzy-matched is the NAME,
+  // so the window belongs in NAME space: collapse to distinct names per
+  // block (one hash-agg, output dictionary-bounded), run the SN window
+  // over name ranks, verify the string predicate on name PAIRS (d·W of
+  // them, not n·W), and only then expand matches back to row pairs —
+  // the expansion is the OUTPUT, not a candidate set. Name-rank gap ≤
+  // row-rank gap always, so with the same W this strictly DOMINATES the
+  // row-level window's recall at lower cost. Two passes (classic
+  // multi-pass SNM, Hernandez & Stolfo): forward name order catches
+  // trailing edits, REVERSED-name order catches leading-character edits
+  // ("old rod"/"red rod" share the suffix "d rod" and sort adjacent
+  // reversed) — measured recall vs the pre-r12 all-pairs truth at
+  // sf0.1: 1.000 for q101/q141 and q142 (BASELINE.md r13, SnRecallSpec
+  // pins ≥ 0.95 at sf0.01).
+  //
+  // Scale: the name frame is dictionary-bounded (it grows only with the
+  // name VOCABULARY, not the corpus), candidates are d·W per pass, and
+  // the expansion uses two BROADCAST joins of the matched name-pair
+  // dictionary against the corpus (zero corpus-wide shuffles) plus one
+  // output-sized equi-join. The row-level [[snPairs]] window remains the
+  // candidate POPULATION for the FS scoring family (q216/q231/q249),
+  // where identical-name pairs must stay in the sample but their mass
+  // must stay bounded (a run of k equal names is k·W pairs under the row
+  // window, k²/2 under any complete expansion — the row window IS the
+  // bounded-subsample discipline there).
+
+  /** Distinct (brand, type, name) with forward and reversed-name SN
+    * ranks. NULLS FIRST pinned on both engines (same rationale as
+    * [[snRanked]]). */
+  private[graft] def snNames(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(col("p_brand"), col("p_type"), col("p_name"))
+      .distinct()
+      .withColumn("rkf", row_number().over(
+        Window.partitionBy(col("p_brand"), col("p_type"))
+          .orderBy(col("p_name").asc_nulls_first)))
+      .withColumn("rkr", row_number().over(
+        Window.partitionBy(col("p_brand"), col("p_type"))
+          .orderBy(reverse(col("p_name")).asc_nulls_first,
+            col("p_name").asc_nulls_first)))
+
+  /** Name-level multi-pass SN candidates: distinct name pairs of the
+    * same (brand, type) block within [[SnW]] ranks in EITHER forward or
+    * reversed name order, canonicalized to `name_a < name_b`. Columns:
+    * brand, ptype, name_a, name_b. */
+  private[graft] def snNamePairs(s: SparkSession, d: String): DataFrame = {
+    val r = snNames(s, d)
+    def pass(rk: String): DataFrame = {
+      val a = r.select(col("p_brand").as("brand"), col("p_type").as("ptype"),
+          col("p_name").as("na"), col(rk).as("rk_a"))
+        .withColumn("jb", explode(array(
+          expr(s"(rk_a - 1) DIV $SnW"), expr(s"(rk_a - 1) DIV $SnW + 1"))))
+      val b = r.select(col("p_brand").as("brand"), col("p_type").as("ptype"),
+          col("p_name").as("nb"), col(rk).as("rk_b"))
+        .withColumn("jb", expr(s"(rk_b - 1) DIV $SnW"))
+      a.join(b, Seq("brand", "ptype", "jb"))
+        .filter(col("rk_b") > col("rk_a") && col("rk_b") <= col("rk_a") + SnW)
+        .select(col("brand"), col("ptype"),
+          least(col("na"), col("nb")).as("name_a"),
+          greatest(col("na"), col("nb")).as("name_b"))
+    }
+    pass("rkf").union(pass("rkr")).distinct()
+  }
+
+  /** [[snNamePairs]] as ANSI SQL CTEs (`snm`, `snnp`) — same two-pass
+    * window over distinct names, DuckDB's IEJoin path per pass. */
+  private[graft] val snNamePairsSql = s"""
+      snm AS (
+        SELECT p_brand, p_type, p_name,
+               row_number() OVER (PARTITION BY p_brand, p_type
+                                  ORDER BY p_name NULLS FIRST) AS rkf,
+               row_number() OVER (PARTITION BY p_brand, p_type
+                                  ORDER BY reverse(p_name) NULLS FIRST,
+                                           p_name NULLS FIRST) AS rkr
+        FROM (SELECT DISTINCT p_brand, p_type, p_name FROM part)),
+      snnp AS (
+        SELECT DISTINCT brand, ptype, name_a, name_b FROM (
+          SELECT a.p_brand AS brand, a.p_type AS ptype,
+                 least(a.p_name, b.p_name) AS name_a,
+                 greatest(a.p_name, b.p_name) AS name_b
+          FROM snm a JOIN snm b
+            ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+           AND b.rkf - a.rkf BETWEEN 1 AND $SnW
+          UNION ALL
+          SELECT a.p_brand, a.p_type,
+                 least(a.p_name, b.p_name), greatest(a.p_name, b.p_name)
+          FROM snm a JOIN snm b
+            ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+           AND b.rkr - a.rkr BETWEEN 1 AND $SnW))"""
+
+  /** Expand verified name pairs (brand, ptype, name_a, name_b, extra…)
+    * to row pairs `(da, db)` — two BROADCAST joins of the tiny matched
+    * name-pair dictionary against the corpus (no corpus shuffle), then
+    * one output-sized equi-join of the two expanded sides. */
+  private[graft] def expandNamePairs(s: SparkSession, d: String,
+      np: DataFrame): DataFrame = {
+    val rows = part(s, d).select(col("p_brand").as("brand"),
+      col("p_type").as("ptype"), col("p_name"), col("p_partkey"))
+    val ea = rows.withColumnRenamed("p_name", "name_a")
+      .withColumnRenamed("p_partkey", "da")
+      .join(broadcast(np), Seq("brand", "ptype", "name_a"))
+    val eb = rows.withColumnRenamed("p_name", "name_b")
+      .withColumnRenamed("p_partkey", "db")
+      .join(broadcast(np.select(col("brand"), col("ptype"), col("name_b"))
+        .distinct()), Seq("brand", "ptype", "name_b"))
+    ea.join(eb, Seq("brand", "ptype", "name_b"))
+  }
+
   // --------------------------------------------------------------- q101
   // Blocked fuzzy string join (entity matching): near-identical part
   // names within an equi-block, verified by edit distance ≤ 2 — the
   // string-similarity analogue of the LSH families' block→verify shape,
   // and the standard curation primitive for catalog/entity dedup.
-  // Candidates come from [[snPairs]] (r12: sorted-neighborhood — linear
-  // in the corpus; the pre-r12 all-pairs-per-block form measured slope
-  // 1.73 on the sf1 leg). Two lossless prefilters keep the O(t·L) DP
-  // off most candidates: names must differ (identical names are q30's
-  // exact-dup domain, not fuzzy matches), and |len(a) − len(b)| ≤ 2 (a
-  // length gap > t forces levenshtein > t). Both engines compute the
-  // same classic integer edit distance, so the result hash-matches.
+  // Candidates come from [[snNamePairs]] (r13: NAME-level two-pass
+  // sorted neighborhood — dictionary-bounded; the pre-r12 all-pairs-
+  // per-block form measured slope 1.73 on the sf1 leg, and the r12
+  // row-level window retained only 9.4% of the all-pairs matches —
+  // measured recall of this form is 1.000 at sf0.1, tools/SnRecall).
+  // Identical names are excluded structurally (distinct-name pairs;
+  // exact dups are q30's domain) and |len(a) − len(b)| ≤ 2 keeps the
+  // O(t·L) DP off most candidates (a length gap > t forces
+  // levenshtein > t). Both engines compute the same classic integer
+  // edit distance, so the result hash-matches.
   /** q101's fuzzy-match pairs `(da, db, name_a, name_b, dist)`, shared
-    * with q141's entity-resolution closure. */
-  private[graft] def fuzzyPairs(s: SparkSession, d: String): DataFrame =
-    snPairs(s, d)
-      .filter(col("name_a") =!= col("name_b") &&
-        abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+    * with q141's entity-resolution closure. r13: candidates come from
+    * [[snNamePairs]] (name-level two-pass SN — see the block comment
+    * above; the r12 row-level window retained only 9.4% of the all-pairs
+    * matches on this catalog, measured recall of this form is 1.000),
+    * verified at the NAME level and expanded to row pairs last. Name
+    * pairs are distinct by construction, so the old `name_a ≠ name_b`
+    * prefilter is structural here. */
+  private[graft] def fuzzyPairs(s: SparkSession, d: String): DataFrame = {
+    val matched = snNamePairs(s, d)
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
       // thresholded levenshtein (returns −1 above the threshold) runs a
       // banded O(t·L) DP instead of the full O(L²) table — the verify
       // cost per candidate is bounded by the threshold, not the strings
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b"), 2).cast("long"))
       .filter(col("dist") >= 1)
+    expandNamePairs(s, d, matched)
       .select(col("da"), col("db"), col("name_a"), col("name_b"),
         col("dist"))
+  }
 
-  /** The q101 pair filter over [[snPairsSql]]'s `snp` as a CTE LIST
+  /** The q101 pair filter over [[snNamePairsSql]]'s `snnp` as a CTE LIST
     * (no leading WITH, so callers can prepend RECURSIVE), shared by the
-    * q101/q141 oracles. */
+    * q101/q141 oracles. `fpx` keeps its pre-r13 column contract. */
   private[graft] val fuzzyPairsSql = s"""
-      $snPairsSql,
-      fpx AS (
-        SELECT da, db, name_a, name_b,
+      $snNamePairsSql,
+      fnp AS (
+        SELECT brand, ptype, name_a, name_b,
                CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
-        FROM snp
-        WHERE name_a <> name_b
-          AND abs(length(name_a) - length(name_b)) <= 2
-          AND levenshtein(name_a, name_b) <= 2)"""
+        FROM snnp
+        WHERE abs(length(name_a) - length(name_b)) <= 2
+          AND levenshtein(name_a, name_b) <= 2),
+      fpx AS (
+        SELECT pa.p_partkey AS da, pb.p_partkey AS db,
+               f.name_a, f.name_b, f.dist
+        FROM fnp f
+        JOIN part pa ON pa.p_brand = f.brand AND pa.p_type = f.ptype
+                    AND pa.p_name = f.name_a
+        JOIN part pb ON pb.p_brand = f.brand AND pb.p_type = f.ptype
+                    AND pb.p_name = f.name_b)"""
 
   private val q101 = QueryDef(
     "q101_fuzzy_name_join",
@@ -1249,34 +1391,46 @@ object Relational {
   // .JaroWinkler]] expression — the record-linkage metric edit distance
   // cannot express (q101 charges transpositions + gaps uniformly;
   // Jaro–Winkler rewards shared prefixes, which is what makes it the
-  // standard name-matching score). Candidates from [[snPairs]] (r12 —
-  // the SAME sorted-neighborhood generation as q101; see the SN block
-  // comment), then the codegen'd kernel scores every candidate and a
-  // global top-500 cut keeps the output bounded.
-  // Scale: SN bounds candidates to n·W; the scorer is a single static
-  // call inside WholeStageCodegen (no UDF boxing, no interpreted
-  // fallback), and the cut is TakeOrderedAndProject — a per-partition
-  // heap + driver merge of 500 rows, never a global sort. Raw doubles
-  // (not rounded) are safe here: the kernel is pinned bit-identical to
-  // DuckDB's jaro_winkler_similarity, so threshold and ordering agree
-  // exactly.
+  // standard name-matching score). Candidates from [[snNamePairs]]
+  // (r13 — the SAME name-level two-pass SN as q101; under the r12
+  // ROW-level window this query returned the EMPTY set at every SF:
+  // no differing-name pair within 15 rows reached jw 0.93, while the
+  // all-pairs truth held 5310 such pairs at sf0.1 — tools/SnRecall),
+  // then the codegen'd kernel scores every NAME pair (d·W of them, not
+  // n·W) and matches expand to row pairs before a global top-500 cut.
+  // Scale: name-level SN bounds candidates by the name dictionary; the
+  // scorer is a single static call inside WholeStageCodegen (no UDF
+  // boxing, no interpreted fallback); expansion is two broadcast joins
+  // (no corpus shuffle); the cut is TakeOrderedAndProject — a
+  // per-partition heap + driver merge of 500 rows, never a global sort.
+  // Raw doubles (not rounded) are safe here: the kernel is pinned
+  // bit-identical to DuckDB's jaro_winkler_similarity, so threshold and
+  // ordering agree exactly.
   private val q142 = QueryDef(
     "q142_jaro_winkler_match",
     (s, d) => {
       import graft.functions.JaroWinkler.jaro_winkler
-      snPairs(s, d)
+      val matched = snNamePairs(s, d)
         .withColumn("jw", jaro_winkler(col("name_a"), col("name_b")))
-        .filter(col("jw") >= 0.93 && col("name_a") =!= col("name_b"))
+        .filter(col("jw") >= 0.93)
+      expandNamePairs(s, d, matched)
         .select(col("da"), col("db"), col("jw"))
         .orderBy(col("jw").desc, col("da"), col("db"))
         .limit(500)
     },
     Some(s"""
-      WITH $snPairsSql
-      SELECT da, db, jaro_winkler_similarity(name_a, name_b) AS jw
-      FROM snp
-      WHERE jaro_winkler_similarity(name_a, name_b) >= 0.93
-        AND name_a <> name_b
+      WITH $snNamePairsSql,
+      jnp AS (
+        SELECT brand, ptype, name_a, name_b,
+               jaro_winkler_similarity(name_a, name_b) AS jw
+        FROM snnp
+        WHERE jaro_winkler_similarity(name_a, name_b) >= 0.93)
+      SELECT pa.p_partkey AS da, pb.p_partkey AS db, j.jw
+      FROM jnp j
+      JOIN part pa ON pa.p_brand = j.brand AND pa.p_type = j.ptype
+                  AND pa.p_name = j.name_a
+      JOIN part pb ON pb.p_brand = j.brand AND pb.p_type = j.ptype
+                  AND pb.p_name = j.name_b
       ORDER BY jw DESC, da, db
       LIMIT 500"""))
 
@@ -2907,7 +3061,7 @@ object Relational {
   // sorted-neighborhood, linear in the corpus — the pre-r12 all-pairs-
   // per-block form measured slope 1.75 on the sf1 census leg);
   // each pair is scored on three field comparators — size equality, name
-  // distinct-token overlap ≥ 3, price within $2 — with weight
+  // distinct-token overlap ≥ [[fsTokMin]], price within $2 — with weight
   // log2(m/u) on agreement and log2((1−m)/(1−u)) on disagreement.
   // m-probabilities are declared priors (literals, interpolated
   // IDENTICALLY into both engines from one Scala constant); the size
@@ -2923,10 +3077,19 @@ object Relational {
   // (brand × class) grid — dictionary-sized. Classification thresholds
   // (link ≥ 8, non-link < 0) sit between the prior weight magnitudes
   // (full agreement ≈ +15, full disagreement ≈ −10).
-  private val fsMName = 0.9; private val fsUName = 0.02
-  private val fsMPrice = 0.85; private val fsUPrice = 0.05
-  private val fsMSize = 0.95
-  private def lg2(x: Double): String =
+  /** Name-comparator agreement = >= fsTokMin shared distinct tokens.
+    * r13: the r11 value 3 was structurally DEAD on this catalog — every
+    * part name has exactly two tokens, so the comparator never fired and
+    * the link class was EMPTY even over the all-pairs truth set
+    * (tools/SnRecall: 0 pairs with score >= 8 at sf0.1). At 2, agreement
+    * means both tokens shared (same token SET), the comparator
+    * discriminates, and the q231 FDR sweep calibrates a non-empty
+    * positive class. One constant interpolated into BOTH engines. */
+  private[graft] val fsTokMin = 2
+  private[graft] val fsMName = 0.9; private[graft] val fsUName = 0.02
+  private[graft] val fsMPrice = 0.85; private[graft] val fsUPrice = 0.05
+  private[graft] val fsMSize = 0.95
+  private[graft] def lg2(x: Double): String =
     f"${math.log(x) / math.log(2.0)}%.8f"
   private val q216 = QueryDef(
     "q216_fs_linkage",
@@ -2953,7 +3116,7 @@ object Relational {
           col("wa_size")).otherwise(col("wd_size")))
         .withColumn("w2", when(
           size(array_intersect(split(col("name_a"), " "),
-            split(col("name_b"), " "))) >= 3,
+            split(col("name_b"), " "))) >= fsTokMin,
           lit(lg2(fsMName / fsUName).toDouble))
           .otherwise(lit(lg2((1 - fsMName) / (1 - fsUName)).toDouble)))
         .withColumn("w3", when(abs(col("cents_a") - col("cents_b")) <= 200,
@@ -2983,7 +3146,7 @@ object Relational {
                     ELSE us.wd_size END
                + CASE WHEN len(list_intersect(
                      list_distinct(str_split(snp.name_a, ' ')),
-                     list_distinct(str_split(snp.name_b, ' ')))) >= 3
+                     list_distinct(str_split(snp.name_b, ' ')))) >= $fsTokMin
                       THEN ${lg2(fsMName / fsUName)}
                       ELSE ${lg2((1 - fsMName) / (1 - fsUName))} END
                + CASE WHEN abs(snp.cents_a - snp.cents_b) <= 200
@@ -3055,7 +3218,7 @@ object Relational {
         .withColumn("score", Num.roundZ(when(col("size_a") === col("size_b"), col("wa_size"))
             .otherwise(col("wd_size")) +
           when(size(array_intersect(split(col("name_a"), " "),
-              split(col("name_b"), " "))) >= 3,
+              split(col("name_b"), " "))) >= fsTokMin,
             lit(lg2(fsMName / fsUName).toDouble))
             .otherwise(lit(lg2((1 - fsMName) / (1 - fsUName)).toDouble)) +
           when(abs(col("cents_a") - col("cents_b")) <= 200,
@@ -3124,7 +3287,7 @@ object Relational {
                           ELSE us.wd_size END
           + CASE WHEN len(list_intersect(
                 list_distinct(str_split(name_a, ' ')),
-                list_distinct(str_split(name_b, ' ')))) >= 3
+                list_distinct(str_split(name_b, ' ')))) >= $fsTokMin
                  THEN ${lg2(fsMName / fsUName)}
                  ELSE ${lg2((1 - fsMName) / (1 - fsUName))} END
           + CASE WHEN abs(cents_a - cents_b) <= 200
@@ -3137,7 +3300,7 @@ object Relational {
                           ELSE us.wd_size END
           + CASE WHEN len(list_intersect(
                 list_distinct(str_split(name_a, ' ')),
-                list_distinct(str_split(name_b, ' ')))) >= 3
+                list_distinct(str_split(name_b, ' ')))) >= $fsTokMin
                  THEN ${lg2(fsMName / fsUName)}
                  ELSE ${lg2((1 - fsMName) / (1 - fsUName))} END
           + CASE WHEN abs(CAST(round(pr_a * 100) AS BIGINT) -
@@ -3932,9 +4095,9 @@ object Relational {
   /** SQL DOUBLE literal — DuckDB parses bare decimals as DECIMAL and a
     * chain of DECIMAL products overflows scale 38; force the float path. */
   private def D(x: Double): String = s"CAST($x AS DOUBLE)"
-  private val emP0 = 0.05
-  private val emM0 = Seq(0.95, 0.9, 0.85)
-  private val emU0 = Seq(0.05, 0.02, 0.05)
+  private[graft] val emP0 = 0.05
+  private[graft] val emM0 = Seq(0.95, 0.9, 0.85)
+  private[graft] val emU0 = Seq(0.05, 0.02, 0.05)
   private val q249 = QueryDef(
     "q249_linkage_em",
     (s, d) => {
@@ -3942,7 +4105,7 @@ object Relational {
         .select(
           when(col("size_a") === col("size_b"), 1L).otherwise(0L).as("a1"),
           when(size(array_intersect(split(col("name_a"), " "),
-            split(col("name_b"), " "))) >= 3, 1L).otherwise(0L).as("a2"),
+            split(col("name_b"), " "))) >= fsTokMin, 1L).otherwise(0L).as("a2"),
           when(abs(col("cents_a") - col("cents_b")) <= 200, 1L)
             .otherwise(0L).as("a3"))
         .groupBy(col("a1"), col("a2"), col("a3"))
@@ -3988,7 +4151,7 @@ object Relational {
         SELECT CASE WHEN size_a = size_b THEN 1 ELSE 0 END AS a1,
                CASE WHEN len(list_intersect(
                    list_distinct(str_split(name_a, ' ')),
-                   list_distinct(str_split(name_b, ' ')))) >= 3
+                   list_distinct(str_split(name_b, ' ')))) >= $fsTokMin
                  THEN 1 ELSE 0 END AS a2,
                CASE WHEN abs(cents_a - cents_b) <= 200
                  THEN 1 ELSE 0 END AS a3,

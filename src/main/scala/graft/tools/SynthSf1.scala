@@ -90,20 +90,22 @@ object SynthSf1 {
 
     val docs = rd("documents")
     val dSpan = maxOf(docs, "doc_id") + 1
-    // rotation offset 1 + (_r·7) % (n−1) is NONZERO for every replica —
-    // a plain (_r·7) % n offset is 0 whenever n divides _r·7 (any 7-token
-    // doc at every replica), silently producing the exact cross-replica
-    // copies this construction exists to avoid (review finding, r12)
+    // rotation offset 1 + _r % (n−1) is NONZERO for every replica (no
+    // exact cross-replica copies) AND DISTINCT across replicas whenever
+    // the doc has more tokens than there are replicas — the r12 form
+    // 1 + (_r·7) % (n−1) collided across replicas whenever 7 | n−1
+    // (every 8-token doc put all nine r>0 replicas at offset 1),
+    // partially defeating the disjoint-shingle-set goal (ADVICE r12)
     wr(reps(docs)
       .withColumn("doc_id", off("doc_id", dSpan))
       .withColumn("text", expr(
         """IF(_r = 0 OR size(split(text, ' ')) <= 1, text,
              array_join(concat(
                slice(split(text, ' '),
-                     1 + (_r * 7) % (size(split(text, ' ')) - 1) + 1,
+                     1 + _r % (size(split(text, ' ')) - 1) + 1,
                      size(split(text, ' '))),
                slice(split(text, ' '), 1,
-                     1 + (_r * 7) % (size(split(text, ' ')) - 1))),
+                     1 + _r % (size(split(text, ' ')) - 1))),
              ' '))"""))
       .withColumn("n_chars", length(col("text")).cast("long")), "documents")
 
