@@ -239,7 +239,9 @@ object EventStreams {
       }
     }
 
-  private def readStaged(s: SparkSession, dir: String): DataFrame =
+  /** `private[graft]` so DegenerateStreamingSpec can compose the staged
+    * replay with checkpoint stop/resume (r12 verdict task 6). */
+  private[graft] def readStaged(s: SparkSession, dir: String): DataFrame =
     s.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "event_id bigint, ts timestamp, user_id bigint, " +

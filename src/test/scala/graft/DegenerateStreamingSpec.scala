@@ -134,6 +134,95 @@ class DegenerateStreamingSpec extends AnyFunSuite {
     assert(f.isEmpty, s"stream queries failed on late-heavy events:\n${f.mkString("\n")}")
   }
 
+  /** r12 verdict task 6: compose the degenerate fixtures with CHECKPOINT
+    * STOP/RESUME — the corner where recovery bugs live (state store with
+    * ≤ 1 row; watermark restored ahead of all data). A q86-shaped
+    * watermarked append-mode window aggregation runs as TWO successive
+    * Trigger.AvailableNow queries sharing one checkpoint: the staged
+    * slice files are split in half, the first query consumes the first
+    * half and stops, the rest "arrive", and a brand-new query object
+    * resumes. The sink is the native parquet streaming sink, so the
+    * FileStreamSink metadata log's exactly-once discipline is under test
+    * across the restart too. Returns (wstart_epoch, event_type, n) rows
+    * excluding the flush sentinel. */
+  private def restartReplay(fixtureDir: String, tag: String)
+      : Seq[(Long, String, Long)] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.EventStreams
+    val staged = Paths.get(EventStreams.slicedDir(spark, fixtureDir))
+    val files =
+      (if (Files.exists(staged)) Files.list(staged).iterator.asScala.toSeq
+       else Nil)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString)
+    val base = Files.createTempDirectory(s"graft_degrestart_$tag")
+    val live = base.resolve("live"); Files.createDirectories(live)
+    val sink = base.resolve("sink"); Files.createDirectories(sink)
+    val ckpt = base.resolve("ckpt").toString
+    def arrive(fs: Seq[java.nio.file.Path]): Unit = fs.foreach { f =>
+      Files.copy(f, live.resolve(f.getFileName),
+        StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    def runToCompletion(): Unit = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = EventStreams.readStaged(ss, live.toString)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("wstart_epoch"),
+          col("event_type"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", sink.toString)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val (firstHalf, rest) = files.splitAt(files.length / 2)
+    arrive(firstHalf)
+    runToCompletion() // run 1: offsets + window state + watermark committed
+    arrive(rest)
+    runToCompletion() // run 2: NEW query, same checkpoint
+    spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "wstart_epoch bigint, event_type string, n bigint"))
+      .parquet(sink.toString)
+      .filter(col("event_type") =!= "_sentinel")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+  }
+
+  test("checkpoint restart on EMPTY events: two zero-batch runs, empty sink") {
+    assert(restartReplay(emptyDir, "empty").isEmpty)
+  }
+
+  test("checkpoint restart on a SINGLE event: ≤1-row state survives the stop") {
+    // run 1 consumes the one data slice (append emits nothing — the
+    // watermark hasn't passed the window); run 2 is ONLY the flush
+    // sentinel, so the emitted row must come from the RESTORED state
+    // store. Losing state across the restart yields an empty sink.
+    val got = restartReplay(singleDir, "single")
+    val wstart = java.time.Instant.parse("2024-01-02T00:00:00Z")
+      .getEpochSecond
+    assert(got == Seq((wstart, "purchase", 1L)),
+      s"restored single-row window state must flush after resume: $got")
+  }
+
+  test("checkpoint restart on LATE-HEAVY events: restored watermark still drops") {
+    // the late batch (4 rows at t0) arrives ONLY after the restart; the
+    // resumed query must drop it under the watermark RESTORED from the
+    // checkpoint (losing the watermark would re-open the already-flushed
+    // t0 window and emit it twice; losing state would under-count).
+    val got = restartReplay(lateDir, "late")
+    assert(got.map(_._3).sum == 3L,
+      s"only the 3 on-time rows may survive the restart: $got")
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    assert(got.count(_._1 == t0) == 1 &&
+      got.find(_._1 == t0).get._3 == 1L,
+      s"the t0 window must appear once, with only the on-time row: $got")
+  }
+
   test("late-heavy fixture drops the late batch where the plan says it must") {
     // sanity that the fixture exercises what it claims: the APPEND-mode
     // late-drop window (q86) must NOT count the four late rows (ts = t0,
