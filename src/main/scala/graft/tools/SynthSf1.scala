@@ -95,18 +95,31 @@ object SynthSf1 {
     // the doc has more tokens than there are replicas — the r12 form
     // 1 + (_r·7) % (n−1) collided across replicas whenever 7 | n−1
     // (every 8-token doc put all nine r>0 replicas at offset 1),
-    // partially defeating the disjoint-shingle-set goal (ADVICE r12)
+    // partially defeating the disjoint-shingle-set goal (ADVICE r12).
+    // When the offset DOES wrap (_r ≥ n−1 — unavoidable once replicas
+    // outnumber a doc's rotations, e.g. every ≤ 100-token doc at the
+    // sf10 REPS=100 setting), a per-replica disambiguator token is
+    // appended: without it the wrapped replicas are EXACT copies, and
+    // exact-dup group sizes grow with R — which would bill a quadratic
+    // pair-count artifact of this GENERATOR to the near-dup queries'
+    // fourth-decade slope (measured before the fix: 500k sf10 docs held
+    // only 270k distinct texts, groups up to 20 copies). One appended
+    // token shifts a single shingle — near-dup structure is preserved,
+    // duplication depth stays at its sf0.1 value.
     wr(reps(docs)
       .withColumn("doc_id", off("doc_id", dSpan))
       .withColumn("text", expr(
         """IF(_r = 0 OR size(split(text, ' ')) <= 1, text,
-             array_join(concat(
-               slice(split(text, ' '),
-                     1 + _r % (size(split(text, ' ')) - 1) + 1,
-                     size(split(text, ' '))),
-               slice(split(text, ' '), 1,
-                     1 + _r % (size(split(text, ' ')) - 1))),
-             ' '))"""))
+             CONCAT(
+               array_join(concat(
+                 slice(split(text, ' '),
+                       1 + _r % (size(split(text, ' ')) - 1) + 1,
+                       size(split(text, ' '))),
+                 slice(split(text, ' '), 1,
+                       1 + _r % (size(split(text, ' ')) - 1))),
+               ' '),
+               IF(_r >= size(split(text, ' ')) - 1,
+                  concat(' zzrep', CAST(_r AS STRING)), '')))"""))
       .withColumn("n_chars", length(col("text")).cast("long")), "documents")
 
     val emb = rd("embeddings")
