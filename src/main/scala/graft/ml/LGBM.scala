@@ -299,10 +299,32 @@ class LGBMClassifier(val params: LGBMParams = LGBMParams()) {
     val backend: Either[ProbabilisticClassificationModel[Vector, _], OvRGBTModel] =
       if (nClasses <= 2) Left(gbt(params.seed).fit(data))
       else if (params.multiclass == "ovr_gbt")
-        Right(new OvRGBTModel(Array.tabulate(nClasses) { k =>
-          gbt(params.seed + k)
-            .fit(data.withColumn("label",
-              when(col("label") === k, 1.0).otherwise(0.0)))
+        // The K one-vs-rest fits are INDEPENDENT (separate relabelings of
+        // the same frame, separate seeds) but each is a chain of tiny
+        // boosting-iteration jobs whose tail leaves the cluster idle —
+        // submit them from a small thread pool so fit k+1's iterations
+        // back-fill fit k's scheduling gaps (actions are only sequential
+        // because driver code calls them sequentially). Model k is still
+        // produced by exactly the job sequence the sequential loop ran
+        // (same data plan, same seed, k-indexed slot), so the ensemble is
+        // bit-identical (q103 output diffed byte-equal pre/post). Measured
+        // on q103 (K=3, sf0.1, interleaved A/B ×3): 7.6–9.3 s sequential
+        // vs 3.6–4.0 s concurrent, ~2.3×.
+        Right(new OvRGBTModel({
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(nClasses)
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          try {
+            val fits = Array.tabulate(nClasses) { k =>
+              scala.concurrent.Future {
+                gbt(params.seed + k)
+                  .fit(data.withColumn("label",
+                    when(col("label") === k, 1.0).otherwise(0.0)))
+              }
+            }
+            fits.map(f => scala.concurrent.Await.result(
+              f, scala.concurrent.duration.Duration.Inf))
+          } finally pool.shutdown()
         }))
       else {
         val est = new RandomForestClassifier()

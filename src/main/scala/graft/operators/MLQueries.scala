@@ -497,24 +497,75 @@ object MLQueries {
   private val q261Fn: (SparkSession, String) => DataFrame = (s, d) => {
     val df = features(s, d)
     val m = memoPut(q261Name, d, q261Fit(s, d))
-    def acc(scored: DataFrame): DataFrame =
-      scored.agg((sum(when(col("prediction") === col("label_bin"), 1L)
-        .otherwise(0L)).cast("double") /
-        count(lit(1)).cast("double")).as("acc"))
+    // r13 (guide §2.3 "aggregate before you shuffle" / §1.2 fewer passes):
+    // the r8 shape ran NINE corpus passes — base + one per probed dim,
+    // each a scan + xor-pair join + compiled-scorer projection + its own
+    // aggregate, unioned. All nine accuracies are sums over the SAME
+    // paired frame, so one aggregate computes them in a single pass: per
+    // row, score the base array and the 8 per-dim substituted arrays
+    // (the exact expressions m.predict builds — margin > 0, compared to
+    // label_bin), and sum the 9 exact longs + one count together. Long
+    // sums are order-independent and the final double divisions see the
+    // same operands, so every accuracy is bit-identical to the 9-pass
+    // form (output diffed byte-equal pre/post; oracle text unchanged).
+    // stack() then unpivots the single result row to the 8 output rows.
+    // Measured (sf0.1, interleaved A/B ×3): a WASH at this SF — 5.3–7.4 s
+    // vs 6.7–7.2 s — because the fit floor dominates and the 9 union
+    // branches already overlapped on the scheduler; the win is the pass
+    // count at scale (1 corpus scan + 1 xor-join instead of 9 of each —
+    // 9× less I/O and shuffle where the corpus is the cost).
+    val gbt = m.toLocal.asInstanceOf[GBTClassificationModel]
     val donor = df.select(
       expr("CAST(vec_id ^ 1 AS BIGINT)").as("vec_id"),
       col("embedding").as("demb"))
     val paired = df.join(donor, Seq("vec_id"), "left")
       .withColumn("demb", coalesce(col("demb"), col("embedding")))
-    val base = acc(m.predict(df, Seq("embedding")))
-      .select(col("acc").as("base_acc"))
-    val perDim = (0 until 8).map { i =>
-      val permuted = paired.withColumn("embp",
-        expr(s"transform(embedding, (x, j) -> IF(j = $i, demb[$i], x))"))
-      acc(m.predict(permuted, Seq("embp")))
-        .select(lit(i.toLong).as("feature_idx"), col("acc").as("perm_acc"))
-    }.reduce(_ unionByName _)
-    perDim.crossJoin(broadcast(base))
+    def okFlag(featArr: org.apache.spark.sql.Column) = {
+      val margin = TreeSql.gbtMarginCol(gbt.trees, gbt.treeWeights, featArr)
+      val pred = when(margin > lit(0.0), lit(1.0)).otherwise(lit(0.0))
+        .cast("double") // labelType of the label_bin fit
+      when(pred === col("label_bin"), 1L).otherwise(0L)
+    }
+    // q158 discipline: the per-row work is multiplied AFTER the join's
+    // exchange (9 compiled scorers per row), which AQE cannot see — it
+    // coalesces the ~30 MB join output to one partition and the scoring
+    // runs single-task (measured 6.9 s). An explicit count pins the
+    // spread; defaultParallelism scales with the cluster, not the SF.
+    val spread = paired.repartition(
+      paired.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+    // The substituted arrays are materialized as their OWN projection
+    // level: a transform() lambda is CodegenFallback, which
+    // subexpression elimination skips, so inlining it under a compiled
+    // scorer re-evaluates the lambda at every leaf access (~300× per
+    // tree walk — measured 23 s). As named columns each array is built
+    // once per row, and CollapseProject keeps the level because each
+    // alias is referenced ~300 times by the scorer above (non-cheap
+    // duplication guard). The flags then live in a codegen'd projection
+    // and the aggregate sums 9 plain longs.
+    val arred = spread.select(
+      col("label_bin") +:
+        col("embedding").cast("array<double>").as("emb_base") +:
+        (0 until 8).map(i =>
+          expr(s"transform(embedding, (x, j) -> IF(j = $i, demb[$i], x))")
+            .cast("array<double>").as(s"emb_$i")): _*)
+    val flagged = arred.select(
+      okFlag(col("emb_base")).as("okf_base") +:
+        (0 until 8).map(i => okFlag(col(s"emb_$i")).as(s"okf_$i")): _*)
+    val aggs =
+      sum(col("okf_base")).as("ok_base") +:
+        (0 until 8).map(i => sum(col(s"okf_$i")).as(s"ok_$i")) :+
+        count(lit(1)).as("n")
+    val one = flagged.agg(aggs.head, aggs.tail: _*)
+    one.select(
+      expr("stack(8, " + (0 until 8)
+        .map(i => s"CAST($i AS BIGINT), ok_$i").mkString(", ") +
+        ") AS (feature_idx, ok_perm)"),
+      col("ok_base"), col("n"))
+      .select(col("feature_idx"),
+        (col("ok_base").cast("double") / col("n").cast("double"))
+          .as("base_acc"),
+        (col("ok_perm").cast("double") / col("n").cast("double"))
+          .as("perm_acc"))
       .select(col("feature_idx"),
         Num.roundZ(col("base_acc"), 6).as("base_acc"),
         Num.roundZ(col("perm_acc"), 6).as("perm_acc"),

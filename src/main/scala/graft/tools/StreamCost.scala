@@ -17,11 +17,18 @@ object StreamCost {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // stage once via the real path (stable per-(tmpdir, sf) location)
+    // stage once via the real path (stable per-(tmpdir, sf) location);
+    // the leaf is fingerprint-keyed since r9, so glob for sliced_*
     graft.SparkEntry.queries("q83_stream_dedup")(spark, sfDir).count()
-    val staged = java.nio.file.Paths.get(
+    val parent = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_stream",
-      sfDir.replaceAll("[^A-Za-z0-9.]", "_"), "sliced").toString
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
+    val staged = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(parent).iterator.asScala
+        .find(_.getFileName.toString.startsWith("sliced_"))
+        .getOrElse(sys.error(s"no sliced_* staging under $parent")).toString
+    }
 
     def replay(parts: String, ckpt: Option[String], label: String): Unit = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
@@ -42,12 +49,16 @@ object StreamCost {
       println(f"[cost] $label%-40s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
     }
 
-    replay("8", None, "agg p8 default-ckpt")
-    replay("8", None, "agg p8 default-ckpt (2nd)")
-    replay("8", Some("/dev/shm/graft_ck"), "agg p8 tmpfs-ckpt")
+    replay("4", None, "agg p4 default-ckpt (warmup)")
+    replay("4", None, "agg p4 default-ckpt")
+    replay("4", None, "agg p4 default-ckpt (2nd)")
     replay("4", Some("/dev/shm/graft_ck"), "agg p4 tmpfs-ckpt")
+    replay("4", Some("/dev/shm/graft_ck"), "agg p4 tmpfs-ckpt (2nd)")
     replay("2", Some("/dev/shm/graft_ck"), "agg p2 tmpfs-ckpt")
-    replay("32", Some("/dev/shm/graft_ck"), "agg p32 tmpfs-ckpt")
+    replay("2", None, "agg p2 default-ckpt")
+    replay("1", None, "agg p1 default-ckpt")
+    replay("8", None, "agg p8 default-ckpt")
+    replay("32", None, "agg p32 default-ckpt")
     spark.stop()
   }
 }
