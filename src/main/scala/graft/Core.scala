@@ -102,6 +102,32 @@ object Scale {
     * key tiebreaker) so the cumulative sequence — hence anything derived
     * from it — is deterministic.
     */
+  /** Scale-ADAPTIVE spread ahead of a work-multiplying fan-out (explode,
+    * per-row sketch loops, compiled-scorer batteries) — the r13 form of
+    * the q158 discipline.
+    *
+    * The trap: AQE sizes stages on shuffle BYTES and a scan on task-count
+    * heuristics over FILE bytes, and neither can see a downstream
+    * work multiplier — at bench SFs a 0.6 MB single-row-group parquet
+    * scan is ONE split, so a ~60×-per-row explode fused with it runs on
+    * one core (StageProf: q31's whole map side was a single 1.0 s task).
+    * The q158 fix (unconditional `repartition(n, key)`) is wrong for
+    * corpus-payload frames at production scale: there the scan arrives
+    * pre-split in thousands of partitions and the pinned exchange would
+    * shuffle the whole corpus once for nothing. This helper spreads ONLY
+    * when the physical scan is under-split (fewer partitions than the
+    * session's parallelism) — a no-op exactly where the data is big
+    * enough for the scan to parallelize itself, which is what "derive
+    * the partitioning from the input, not from a constant tuned for one
+    * deployment" means. Row set unchanged; hash-partitioning on `key` is
+    * deterministic, so downstream results are byte-identical.
+    */
+  def spreadForFanout(df: DataFrame, key: Column): DataFrame = {
+    val np = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= np) df
+    else df.repartition(np, key)
+  }
+
   def rangePrefixSum(df: DataFrame, order: Seq[Column], value: Column,
       out: String, numParts: Int = 32): DataFrame = {
     // BOTH consumers below (local prefix sums and per-partition totals)

@@ -1300,9 +1300,25 @@ object Analytics {
         .select((col("l_orderkey") * 2).as("src"),
           (col("l_partkey") * 2 + 1).as("dst"))
         .distinct()
-      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      // r13: `edges` feeds deg + one join PER ITERATION and `deg` feeds
+      // every ranks rebuild — unchecked, the corpus-scale scan+distinct
+      // subtree is REPLICATED at every iteration level (the executed plan
+      // was 210 nodes with 8 copies of the distinct; exchange reuse only
+      // shares the shuffle write, each copy re-ran the final aggregation —
+      // the q32 lesson). One localCheckpoint each materializes them once;
+      // localCheckpoint (not ScaleCheckpoint) keeps the inherited size
+      // stats, so the planner still broadcasts the node-level ranks side
+      // of the iteration join — these are linear per-round joins, the
+      // stats-safe class the ScaleCheckpoint scaladoc documents. Measured
+      // (StageProf + interleaved A/B, sf0.1): total task time 35.9 ->
+      // 17.5 s (2×); wall 4.9 -> 4.6 s median — locally the serial AQE
+      // stage chain is the floor, so the CPU halving is the at-scale win.
+      val edges = e0
+        .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
         .select(col("src").as("node"), col("outdeg"))
+        .localCheckpoint()
       val nN = deg.agg(count(lit(1)).as("n_nodes"))
       var ranks = deg.crossJoin(broadcast(nN))
         .select(col("node"), col("outdeg"), col("n_nodes"),
@@ -7067,7 +7083,16 @@ object Analytics {
       val members = bought.join(deg, Seq("part"))
         .groupBy(col("part"), col("wq"))
         .agg(sort_array(collect_set(col("cust"))).as("cs"))
+      // r13, the q158 discipline: the double explode below multiplies
+      // work up to deg²/2 ≈ 2000× per row AFTER the members aggregation,
+      // whose output is tiny in BYTES — AQE coalesced it to 5 partitions
+      // and the pair-gen stage ran 9.9 s of CPU on 5 tasks (StageProf).
+      // Pin the spread with an explicit count before the fan-out;
+      // defaultParallelism scales with the cluster, not the SF.
+      // Measured: pair-gen stage 2.45 -> 0.33 s wall; q262 4.9 -> 3.0 s.
       val pairs = members
+        .repartition(members.sparkSession.sparkContext.defaultParallelism,
+          col("part"))
         .select(col("wq"), col("cs"),
           explode(expr("sequence(0, size(cs) - 2)")).as("i"))
         .select(col("wq"), col("cs"), col("i"),
@@ -8940,7 +8965,14 @@ object Analytics {
         conv(substring(md5(concat(lit(s"bh$j:"),
           col("k").cast("string"))), 1, 14), 16, 10)
           .cast("long").as(s"h$j")
-      val reps = base
+      // r13: the ×200 explode below multiplies work AFTER a scan that is
+      // ONE split at this SF (orders is a single small file), so the
+      // fan-out + grid aggregate ran as two single-task stages carrying
+      // 5.8 s of CPU while the rest of the machine idled (StageProf).
+      // Scale.spreadForFanout spreads only while the scan is under-split
+      // — pre-split production scans skip the exchange entirely.
+      // Measured (alone, back-to-back): 7.9 -> 3.5 s.
+      val reps = graft.Scale.spreadForFanout(base, col("k"))
         .select(col("seg"), col("c"), array(h(0), h(1), h(2), h(3)).as("hs"))
         .select(col("seg"), col("c"), col("hs"),
           explode(sequence(lit(1), lit(200))).as("b"))

@@ -56,7 +56,16 @@ object Dedup {
     * the map side means the dedup exchange and every downstream shuffle
     * carry 8-byte ids instead of ~30-byte strings. */
   private def rawShinglesOf(d0: DataFrame): DataFrame =
-    d0
+    // r13: documents.parquet is ONE split at bench SFs (0.57 MB, one row
+    // group — scan-split tuning cannot help), and the ~60×-per-doc
+    // position explode + per-occurrence hashing fuse with the scan:
+    // StageProf read q31's whole map side as a single 1.0 s task while
+    // 31 cores idled. Scale.spreadForFanout spreads every shingle
+    // pipeline (q31/q32/q33/q109/q213/q258...) ONLY while the scan is
+    // under-split — at production scale the scan arrives pre-split and
+    // the corpus text is never shuffled (an unconditional q158-style
+    // repartition here would move the whole corpus once for nothing).
+    graft.Scale.spreadForFanout(d0, col("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), col("toks"),
@@ -257,10 +266,19 @@ object Dedup {
         .filter(size(col("ids")) > 1))
       // verify joins UNHINTED: `sets` is corpus-sized (never broadcast it);
       // AQE builds on whichever side is small — usually the candidate pairs,
-      // whose cardinality tracks true duplicates, not corpus size
+      // whose cardinality tracks true duplicates, not corpus size.
+      // r13: but AQE also COALESCED each verify join to one partition
+      // (the candidate table is ~13 MB of array payload) and the fused
+      // array_intersect ran single-task (StageProf: 1.15 s + 1.11 s on
+      // one core) — the q158 blindness, per-pair set-intersection work
+      // AQE cannot see in the bytes. Pinned counts keep the verify
+      // spread; the pinned exchanges carry candidates + one side's sets,
+      // never the corpus.
+      val np = s.sparkContext.defaultParallelism
       val sa = sets.select(col("doc_id").as("da"), col("shs").as("sa"))
       val sb = sets.select(col("doc_id").as("db"), col("shs").as("sb"))
-      cand.join(sa, "da").join(sb, "db")
+      cand.repartition(np, col("da")).join(sa, "da")
+        .repartition(np, col("db")).join(sb, "db")
         .withColumn("ni", size(array_intersect(col("sa"), col("sb"))).cast("long"))
         // filter on the RAW ratio — the house near-pair threshold
         // (see [[jacRaw]]): every Spark site and every oracle uses the
