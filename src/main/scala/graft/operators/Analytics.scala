@@ -7088,11 +7088,16 @@ object Analytics {
       // whose output is tiny in BYTES — AQE coalesced it to 5 partitions
       // and the pair-gen stage ran 9.9 s of CPU on 5 tasks (StageProf).
       // Pin the spread with an explicit count before the fan-out;
-      // defaultParallelism scales with the cluster, not the SF.
-      // Measured: pair-gen stage 2.45 -> 0.33 s wall; q262 4.9 -> 3.0 s.
+      // defaultParallelism scales with the cluster, not the SF. Keyed on
+      // (part, wq), NOT (part): the upstream join already outputs
+      // hashpartitioning(part, N), and a repartition identical to the
+      // child's static partitioning is elided at planning time — which
+      // hands the stage back to AQE's byte-based coalescing, undoing the
+      // pin (caught by diffing the captured plan: no REPARTITION_BY_NUM
+      // node survived the (part)-keyed form).
       val pairs = members
         .repartition(members.sparkSession.sparkContext.defaultParallelism,
-          col("part"))
+          col("part"), col("wq"))
         .select(col("wq"), col("cs"),
           explode(expr("sequence(0, size(cs) - 2)")).as("i"))
         .select(col("wq"), col("cs"), col("i"),

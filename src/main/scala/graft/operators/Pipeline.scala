@@ -758,7 +758,13 @@ object Pipeline {
     * the island merging (overlapping and adjacent hits fuse; disjoint
     * hits stay separate spans) against hand-computed intervals. */
   def spanDecon(d: DataFrame, isEval: Column, K: Int): DataFrame = {
-      val grams = d
+      // r13: the ~n_tok-per-doc position explode + per-position
+      // array_join below fuse with the documents scan, which is ONE
+      // split at bench SFs (StageProf read the gram stream as a
+      // single-task 1.2 s stage in q300/q285). Scale.spreadForFanout
+      // spreads it only while the scan is under-split — a pre-split
+      // production scan never shuffles the corpus text.
+      val grams = graft.Scale.spreadForFanout(d, col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= K)
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
