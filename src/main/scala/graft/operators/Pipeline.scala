@@ -758,13 +758,18 @@ object Pipeline {
     * the island merging (overlapping and adjacent hits fuse; disjoint
     * hits stay separate spans) against hand-computed intervals. */
   def spanDecon(d: DataFrame, isEval: Column, K: Int): DataFrame = {
-      // r13: the ~n_tok-per-doc position explode + per-position
-      // array_join below fuse with the documents scan, which is ONE
-      // split at bench SFs (StageProf read the gram stream as a
-      // single-task 1.2 s stage in q300/q285). Scale.spreadForFanout
-      // spreads it only while the scan is under-split — a pre-split
-      // production scan never shuffles the corpus text.
-      val grams = graft.Scale.spreadForFanout(d, col("doc_id"))
+      // r13 probe, REVERTED: the gram stream below fuses with a one-split
+      // scan at bench SFs (StageProf: a single-task 1.2 s stage in
+      // q300/q285), so a Scale.spreadForFanout was tried here — and
+      // measured WORSE (interleaved A/B ×3 at matched load: q285
+      // 1.8–2.0 → 2.6 s, q300 4.1–4.5 → 6.0–6.5 s): the gram stream
+      // feeds two consumers (evSet + hits) and the extra exchange costs
+      // more than this instance's throttled 32-way parallelism returns.
+      // At production scale the scan arrives pre-split and the helper
+      // would be a no-op anyway, so there is no at-scale argument to
+      // keep it. Kept as the documented counter-example to the q31/q369
+      // spreads.
+      val grams = d
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= K)
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
