@@ -37,3 +37,33 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// r13 verdict task 1: the sequential suite wall (~29 min) blew the driver's
+// `sbt test` budget. Suites are split into balanced groups, each a SEPARATE
+// forked JVM run in parallel: full isolation (own SparkSession, own
+// java.io.tmpdir so the content-keyed staging dirs under /tmp never see a
+// cross-process check-then-build race), ~4x wall cut on a 32-core box
+// (5 groups x local[4] = 20 task slots). Grouping is by measured suite
+// time (TEST_REPORT r13): the two heaviest suites anchor their own groups.
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  val groupId: String => String = {
+    case "graft.MLQuantileSpec" => "g1"
+    case "graft.MLSpec" | "graft.AnalyticsSpec" => "g2"
+    case "graft.RelationalSpec" | "graft.DedupSpec" => "g3"
+    case "graft.SystemFitPredictSpec" | "graft.DegenerateDataSpec" |
+         "graft.PlanSpec" => "g4"
+    case _ => "g5" // streaming suites + the small fry
+  }
+  (Test / definedTests).value.groupBy(t => groupId(t.name)).map {
+    case (g, ts) =>
+      val tmp = s"/tmp/graft_tests/$g"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      Tests.Group(g, ts, Tests.SubProcess(ForkOptions().withRunJVMOptions(
+        opts :+ s"-Djava.io.tmpdir=$tmp")))
+  }.toSeq
+}
+// sbt's default restrictions cap concurrent forked test groups at 1;
+// allow the five groups to run together (memory: 5 x 8g heap on 128 GiB).
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 5),
+  Tags.limitAll(16))

@@ -168,13 +168,19 @@ object Bench {
     // code; the r11 driver headline read 525 s at load 4.88 vs the
     // quiet-pass 418 s). Consumers should discard contaminated totals
     // rather than scale them.
+    // r13 verdict item 2: the full per-query map (and both passes) must land
+    // in a committed, capture-proof artifact — the driver's 2000-char tail
+    // capture cannot hold the 360-query JSON line (PERF_r8..r13 `parsed:
+    // null`), so round-over-round comparison needs the map HERE.
     if (only.isEmpty) java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SUMMARY.json"),
       f"""{"total_sec":$total%.1f,"n_queries":${results.size},""" +
         s""""failed":$failedJson,"sf":"$sfDir","families":$famJson,""" +
         f""""load_avg_start":$load0%.2f,"load_avg_end":$loadAvg%.2f,""" +
         s""""contaminated":$contaminated,""" +
-        f""""wall_sec":${(System.nanoTime() - wall0) / 1e9}%.1f}""" + "\n")
+        f""""wall_sec":${(System.nanoTime() - wall0) / 1e9}%.1f,""" +
+        s""""cpus":$cpus,"queries":${jmap(results)},""" +
+        s""""pass1":${jmap(pass1)},"pass2":${jmap(pass2)}}""" + "\n")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

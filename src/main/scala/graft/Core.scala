@@ -124,8 +124,54 @@ object Scale {
     */
   def spreadForFanout(df: DataFrame, key: Column): DataFrame = {
     val np = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= np) df
+    if (estimatedScanSplits(df) >= np) df
     else df.repartition(np, key)
+  }
+
+  /** Estimated split count of the widest file scan feeding `df`, from
+    * FileIndex METADATA only — r14 hardening (ADVICE r13 #1): the previous
+    * probe read `df.rdd.getNumPartitions`, and under AQE `Dataset.rdd`
+    * finalizes the adaptive plan, EXECUTING upstream query stages — at the
+    * q369 call site that ran a throwaway broadcast build of customer at
+    * DataFrame-construction time, and a shuffle-bearing caller would have
+    * executed its whole upstream subplan twice just to read a number.
+    *
+    * The estimate mirrors Spark's own split sizing
+    * (`FilePartition.maxSplitBytes`: bytes-per-core vs openCost vs
+    * maxPartitionBytes, open cost charged per file) over the leaf
+    * HadoopFsRelations of the ANALYZED plan — pure driver metadata from
+    * the cached FileIndex, no job. The decision only needs the right side
+    * of one inequality (scan under-split vs the session's parallelism):
+    * at bench SFs every table is a handful of MB → estimate ≈ 1–2 « np →
+    * spread fires exactly as before; at production scale the same
+    * arithmetic that makes the real scan pre-split pushes the estimate
+    * past np → no-op, so corpus payloads are never shuffled. A frame with
+    * no file-scan leaf (checkpointed RDD root) is treated as pre-split —
+    * the conservative choice is to never add an exchange there.
+    */
+  private def estimatedScanSplits(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val sess = df.sparkSession
+    val conf = sess.sessionState.conf
+    val rels = df.queryExecution.analyzed.collectLeaves().flatMap {
+      case l: LogicalRelation => l.relation match {
+        case f: HadoopFsRelation => Some(f)
+        case _ => None
+      }
+      case _ => None
+    }
+    if (rels.isEmpty) Int.MaxValue
+    else rels.map { rel =>
+      val openCost = conf.filesOpenCostInBytes
+      val minParts = conf.filesMinPartitionNum
+        .getOrElse(sess.sparkContext.defaultParallelism)
+      val totalBytes = rel.location.sizeInBytes
+      val nFiles = math.max(1, rel.location.inputFiles.length)
+      val totalWithOpen = totalBytes + nFiles.toLong * openCost
+      val maxSplitBytes = math.min(conf.filesMaxPartitionBytes,
+        math.max(openCost, totalWithOpen / math.max(1, minParts)))
+      math.max(1L, (totalWithOpen + maxSplitBytes - 1) / maxSplitBytes)
+    }.max.min(Int.MaxValue.toLong).toInt
   }
 
   def rangePrefixSum(df: DataFrame, order: Seq[Column], value: Column,

@@ -311,7 +311,15 @@ class LGBMClassifier(val params: LGBMParams = LGBMParams()) {
         // on q103 (K=3, sf0.1, interleaved A/B ×3): 7.6–9.3 s sequential
         // vs 3.6–4.0 s concurrent, ~2.3×.
         Right(new OvRGBTModel({
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(nClasses)
+          // pool capped at 4 (ADVICE r13 #2): 2-3 jobs in flight already
+          // fill the scheduling tail (guide §2.6), while an uncapped
+          // nClasses-wide pool on a high-cardinality label would launch
+          // that many concurrent fits, each persisting its own training
+          // RDDs, contending on driver/scheduler/memory. Excess fits
+          // queue FIFO in submission (= class) order, so the produced
+          // ensemble stays the exact sequential job sequence per class.
+          val pool = java.util.concurrent.Executors
+            .newFixedThreadPool(math.min(nClasses, 4))
           implicit val ec: scala.concurrent.ExecutionContext =
             scala.concurrent.ExecutionContext.fromExecutorService(pool)
           try {
@@ -322,8 +330,14 @@ class LGBMClassifier(val params: LGBMParams = LGBMParams()) {
                     when(col("label") === k, 1.0).otherwise(0.0)))
               }
             }
-            fits.map(f => scala.concurrent.Await.result(
+            try fits.map(f => scala.concurrent.Await.result(
               f, scala.concurrent.duration.Duration.Inf))
+            catch { case e: Throwable =>
+              // a failed fit must not leave sibling fits running
+              // uncancelled behind the rethrow: drop queued tasks and
+              // interrupt in-flight ones before propagating
+              pool.shutdownNow(); throw e
+            }
           } finally pool.shutdown()
         }))
       else {

@@ -1313,6 +1313,14 @@ object Analytics {
       // (StageProf + interleaved A/B, sf0.1): total task time 35.9 ->
       // 17.5 s (2×); wall 4.9 -> 4.6 s median — locally the serial AQE
       // stage chain is the floor, so the CPU halving is the at-scale win.
+      // Trade-offs accepted (ADVICE r13 #3): localCheckpoint is EAGER
+      // (query construction runs two small jobs — a plan capture pays
+      // them too) and NON-fault-tolerant (a lost executor fails the query
+      // instead of recomputing; acceptable for a bounded 2·|E| edge list
+      // whose recompute is itself one scan — rerun beats carrying 8
+      // replicated subtree copies). Blocks are freed by the bench's
+      // per-query unpersist; long-lived sessions should unpersist
+      // explicitly when the query's consumers finish.
       val edges = e0
         .union(e0.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint()

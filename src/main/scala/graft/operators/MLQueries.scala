@@ -370,7 +370,11 @@ object MLQueries {
     * leaf name invalidates reuse when the table is regenerated in place
     * (StagingSpec pins the scenario); superseded stagings are removed;
     * _READY written last, the EventStreams staging contract. */
-  private[graft] def stagedMlScore(s: SparkSession, d: String): String = {
+  private[graft] def stagedMlScore(s: SparkSession, d: String): String = synchronized {
+    // synchronized: the check-then-build below is not atomic, and the test
+    // suites now run query fns concurrently (ParSweep) — harmless today
+    // (one query uses this staging) but cheap insurance against two
+    // concurrent first calls corrupting the dir
     val df = features(s, d)
     val parent = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_stream",

@@ -24,10 +24,18 @@ object StreamCost {
       sys.props("java.io.tmpdir"), "graft_stream",
       sfDir.replaceAll("[^A-Za-z0-9.]", "_"))
     val staged = {
+      // close the directory stream (ADVICE r13 #4) and take the NEWEST
+      // sliced_* entry — a stale fingerprint-keyed staging from older
+      // code must not be replayed silently
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(parent).iterator.asScala
-        .find(_.getFileName.toString.startsWith("sliced_"))
-        .getOrElse(sys.error(s"no sliced_* staging under $parent")).toString
+      val ls = java.nio.file.Files.list(parent)
+      try {
+        val cands = ls.iterator.asScala
+          .filter(_.getFileName.toString.startsWith("sliced_")).toSeq
+        if (cands.isEmpty) sys.error(s"no sliced_* staging under $parent")
+        cands.maxBy(p =>
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toString
+      } finally ls.close()
     }
 
     def replay(parts: String, ckpt: Option[String], label: String): Unit = {

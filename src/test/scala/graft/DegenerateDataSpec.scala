@@ -146,16 +146,18 @@ class DegenerateDataSpec extends AnyFunSuite {
     val skip = (n: String) =>
       n.contains("stream") || n.contains("_ml_") ||
         !only.forall(_.exists(n.startsWith))
-    val failures = scala.collection.mutable.ArrayBuffer[String]()
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-        if !skip(name)) {
-      try fn(spark, deg).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable if isArithmetic(e) =>
-          failures += s"$name: ${e.getMessage}"
-        case _: Throwable => () // empty-result/driver-side-head artifacts:
-        // not the cross-engine arithmetic divergence this gate pins
-      }
+    // concurrent sweep (ParSweep) — each task plans/executes on its own
+    // newSession; only arithmetic failures count, as before
+    val failures = ParSweep.sweep(spark,
+      SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1))) {
+      (name, fn, ss) =>
+        try { fn(ss, deg).write.format("noop").mode("overwrite").save(); None }
+        catch {
+          case e: Throwable if isArithmetic(e) =>
+            Some(s"$name: ${e.getMessage}")
+          case _: Throwable => None // empty-result/driver-side-head artifacts:
+          // not the cross-engine arithmetic divergence this gate pins
+        }
     }
     assert(failures.isEmpty,
       "ANSI divide-by-zero on degenerate data (DuckDB would yield NULL " +
@@ -190,15 +192,16 @@ class DegenerateDataSpec extends AnyFunSuite {
     val skip = (n: String) =>
       n.contains("stream") || n.contains("_ml_") ||
         !only.forall(_.exists(n.startsWith))
-    val failures = scala.collection.mutable.ArrayBuffer[String]()
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-        if !skip(name)) {
-      try fn(spark, degEmpty).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable if isArithmetic(e) =>
-          failures += s"$name: ${e.getMessage}"
-        case _: Throwable => () // empty-result/driver-side-head artifacts
-      }
+    val emptyDir = degEmpty // force the lazy fixture before the pool
+    val failures = ParSweep.sweep(spark,
+      SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1))) {
+      (name, fn, ss) =>
+        try { fn(ss, emptyDir).write.format("noop").mode("overwrite").save(); None }
+        catch {
+          case e: Throwable if isArithmetic(e) =>
+            Some(s"$name: ${e.getMessage}")
+          case _: Throwable => None // empty-result/driver-side-head artifacts
+        }
     }
     assert(failures.isEmpty,
       "ANSI divide-by-zero on EMPTY tables (DuckDB would yield NULL — " +

@@ -105,18 +105,22 @@ class DegenerateStreamingSpec extends AnyFunSuite {
 
   private def sweep(dir: String): Seq[String] = {
     val skip = (n: String) => !n.contains("stream") || n.contains("_ml_")
-    val failures = scala.collection.mutable.ArrayBuffer[String]()
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if !skip(name)) {
-      try fn(spark, dir).write.format("noop").mode("overwrite").save()
+    // concurrent sweep (ParSweep): each replay runs on its own newSession
+    // with its own checkpoint temp dirs; the staged slice dirs are built
+    // once behind stageStable's computeIfAbsent, so concurrent first
+    // calls block on a single build
+    ParSweep.sweep(spark,
+      SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1)),
+      par = 6) { (name, fn, ss) =>
+      try { fn(ss, dir).write.format("noop").mode("overwrite").save(); None }
       catch {
         case e: Throwable =>
           val cause = Iterator.iterate(e)(_.getCause)
             .takeWhile(_ != null).take(5).toSeq.last
-          failures += s"$name: ${cause.getClass.getSimpleName}: " +
-            s"${Option(cause.getMessage).getOrElse("").take(300)}"
+          Some(s"$name: ${cause.getClass.getSimpleName}: " +
+            s"${Option(cause.getMessage).getOrElse("").take(300)}")
       }
     }
-    failures.toSeq
   }
 
   test("every stream query completes on EMPTY events (zero slice files)") {

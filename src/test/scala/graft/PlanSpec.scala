@@ -929,18 +929,19 @@ class PlanSpec extends AnyFunSuite {
       // engines), so the cumulative window never orders a NULL against a
       // non-NULL (comment at the query)
       "q232_conformal_interval" -> "guarded CASE (no else)")
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(n => n.contains("stream") || n.contains("_ml_"))
-    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (n <- names) {
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => n.contains("stream") || n.contains("_ml_") }
+    // concurrent sweep (ParSweep): planning is per-session work; each
+    // audit builds its optimized plan on its own newSession
+    val bad = ParSweep.sweep(spark, qs) { (n, fn, ss) =>
       val hits = graft.tools.NullOrderAudit.audit(
-        SparkEntry.queries(n)(spark, sf).queryExecution.optimizedPlan)
+        fn(ss, sf).queryExecution.optimizedPlan)
       val unexplained = whitelist.get(n) match {
         case Some(reason) => hits.filterNot(_.contains(reason))
         case None => hits
       }
-      if (unexplained.nonEmpty)
-        bad += s"$n: ${unexplained.mkString("; ")}"
+      if (unexplained.nonEmpty) Some(s"$n: ${unexplained.mkString("; ")}")
+      else None
     }
     assert(bad.isEmpty,
       "nullable window/top-k order keys found — exclude the NULL rows on " +
