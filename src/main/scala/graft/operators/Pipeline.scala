@@ -22,6 +22,18 @@ import org.apache.spark.sql.expressions.Window
 object Pipeline {
   private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
 
+  /** docs scan spread ahead of a fan-out with a DISTINCT-heavy consumer
+    * (r14, the TextAnalysis.docsSpread twin — see its comment for the
+    * full 16-site A/B). Only q113's boilerplateTopK keeps it here: its
+    * count_distinct(doc_id)-per-gram consumer cannot pre-reduce on the
+    * map side (measured 0.85× with the spread). The OTHER fiveGramsOf
+    * consumers (q105/q112/q192 semi-join decontamination) measured
+    * 1.25–1.56× WORSE spread — their broadcast semi-joins compact
+    * map-side, same lesson as spanDecon's r13 revert (note at its def);
+    * q300's normalize+md5 map measured 1.33× worse too. */
+  private def docsSpread(s: SparkSession, d: String): DataFrame =
+    graft.Scale.spreadForFanout(docs(s, d), col("doc_id"))
+
   /** Deterministic per-document bucket in [0, 1000): first 14 hex chars of
     * the text md5 (56 bits, positive) mod 1000 — bit-identical in DuckDB.
     */
@@ -882,7 +894,7 @@ object Pipeline {
 
   private val q113 = QueryDef(
     "q113_boilerplate_ngrams",
-    (s, d) => boilerplateTopK(docs(s, d), 20),
+    (s, d) => boilerplateTopK(docsSpread(s, d), 20),
     Some("""
       WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -21,6 +21,25 @@ object TextAnalysis {
 
   private def docs(s: SparkSession, d: String) = Tables.t(s, d, "documents")
 
+  /** docs scan spread ahead of an n-gram fan-out whose consumer is
+    * DISTINCT-heavy (r14). The r13 rawShinglesOf discipline was A/B'd
+    * across the whole text family (16 sites, interleaved old/new ×4,
+    * min-of-runs): plain tokenize explodes feeding map-side-combinable
+    * counts came back 1.2–1.6× WORSE with the spread (q37 0.97,
+    * q39 1.39, q44 1.25, q107 1.47, q110 1.27, q121 1.28, q133 1.03,
+    * q253 1.37, q290 1.57, q327 1.04, q329 0.97) — partial aggregation
+    * already compacts the token stream on the map side, so the explode
+    * never materializes shuffle-sized output and the added exchange is
+    * pure cost on this box. The spread only PAYS where the post-explode
+    * consumer cannot pre-reduce — per-group count_distinct / listagg
+    * streams that carry every occurrence into the shuffle: q46 (per-doc
+    * distinct trigrams, 0.69×), q217 (per-(gram,doc) listagg postings,
+    * 0.89×), q113's boilerplateTopK (per-gram distinct doc_ids, 0.85×).
+    * Those three keep it; everything else keeps the plain scan. No-op at
+    * production scale either way (Scale.spreadForFanout). */
+  private def docsSpread(s: SparkSession, d: String): DataFrame =
+    graft.Scale.spreadForFanout(docs(s, d), col("doc_id"))
+
   /** Literal stopword set shared by Spark and the oracle SQL. */
   private val Stop = Seq("the", "a", "of", "and", "to", "in")
   private[graft] val stopArr = s"array(${Stop.map(w => s"'$w'").mkString(", ")})"
@@ -301,7 +320,7 @@ object TextAnalysis {
   private val q46 = QueryDef(
     "q46_repetition_ratio",
     (s, d) => {
-      val grams = docs(s, d)
+      val grams = docsSpread(s, d)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), col("lang"), col("toks"),
@@ -1324,7 +1343,7 @@ object TextAnalysis {
   private val q217 = QueryDef(
     "q217_inverted_index",
     (s, d) => {
-      val tokpos = docs(s, d)
+      val tokpos = docsSpread(s, d)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 2)
         .select(col("doc_id"), col("toks"),
